@@ -1,0 +1,20 @@
+"""Relational operators (SURVEY.md §2) as composable DataFrame transforms.
+
+Every function is ``DataFrame -> DataFrame`` (or returns a pair for
+side-output branches) so pipelines compose with ``df.transform(...)`` and
+Catalyst sees one lazy plan end-to-end.
+"""
+
+from .aggregates import (  # noqa: F401
+    completeness_count,
+    group_count_having,
+    with_distinct_list,
+    with_group_sum,
+)
+from .dedup import dedup_keep_best  # noqa: F401
+from .filters import blocklist_filter, segment_by_cutoff  # noqa: F401
+from .joins import anti_join_on_keys, enrich_with_ordered_list  # noqa: F401
+from .ordering import rank_in_group, top_k_per_group, with_priority_level  # noqa: F401
+from .phones import spread_phone_columns  # noqa: F401
+from .pivot import rank_pivot_wide  # noqa: F401
+from .sets import union_all_by_name  # noqa: F401

@@ -1,0 +1,93 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Scale notes: windowed aggregates shuffle once on the partition key;
+group-count+having benefits from map-side partial aggregation (Catalyst
+does this automatically for `groupBy().count()`); money sums use
+DecimalType so results are exact and independent of partition/merge order —
+on a 1000-executor cluster float sums are nondeterministic run-to-run,
+decimals are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_group_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    out: str,
+    *,
+    as_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """A1: attach SUM(value) per key to every row without collapsing.
+
+    Reference: ``groupby(ncpf)['valor'].transform('sum')``
+    (processing_pipeline.py:115-117). One shuffle on ``key``; the decimal
+    accumulator makes the total exact and aggregation-order-free, then the
+    result is surfaced as double for downstream arithmetic.
+    """
+    w = Window.partitionBy(key)
+    return df.withColumn(out, F.sum(F.col(value).cast(as_decimal)).over(w).cast("double"))
+
+
+def with_distinct_list(
+    df: DataFrame,
+    key: str,
+    value: str,
+    out_list: str,
+    out_count: str,
+    *,
+    sep: str = ", ",
+) -> DataFrame:
+    """A2: per-key comma-joined distinct values + distinct count, attached
+    to every row (processing_pipeline.py:119-123).
+
+    The pandas original keeps first-seen order of uniques; Spark provides
+    no cross-operator row order, so the engine makes the order explicit and
+    deterministic: sorted. (SURVEY.md §7.3 risk 2 — string equality of the
+    joined list needs a defined order; counts are order-free either way.)
+    """
+    w = Window.partitionBy(key)
+    distinct = F.collect_set(F.col(value)).over(w)
+    return df.withColumn(out_list, F.array_join(F.array_sort(distinct), sep)).withColumn(
+        out_count, F.size(distinct)
+    )
+
+
+def group_count_having(
+    df: DataFrame,
+    key: str,
+    predicate: Column,
+    min_count: int,
+    *,
+    count_col: str = "n_critical",
+) -> DataFrame:
+    """A3+A4: count predicate-matching rows per key, keep keys at/over the
+    threshold (processing_pipeline.py:83-85; threshold config.ini:144).
+
+    Returns one row per qualifying key: ``(key, count_col)``. The filter
+    runs *before* the groupBy so the shuffle only carries matching rows.
+    """
+    return (
+        df.filter(predicate)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .filter(F.col(count_col) >= min_count)
+    )
+
+
+def completeness_count(cols: list[Column | str]) -> Column:
+    """A8: row-wise non-null count across ``cols`` ("completeness"),
+    the reference's dedup tiebreaker (final_sanitizer.py:46).
+    """
+    terms = [
+        F.when((F.col(c) if isinstance(c, str) else c).isNotNull(), 1).otherwise(0)
+        for c in cols
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total

@@ -1,0 +1,73 @@
+"""Join operators (SURVEY.md §2.3).
+
+Scale notes: the enrichment side of J1 is pre-aggregated to one row per
+key *before* the join (shrinks the shuffle; also what Catalyst cannot
+invent on its own — SURVEY.md §4) and broadcast when small. The anti-join
+J3 replaces the reference's driver-side `isin(set)` with a distributed
+`left_anti`, which AQE turns into a broadcast anti-join when the key set
+is small — same plan, but it still works when the key set has 10^9 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_ordered_list(
+    fact: DataFrame,
+    enrichment: DataFrame,
+    *,
+    fact_key: str,
+    enrich_key: str,
+    value_col: str,
+    score_col: str,
+    out_col: str,
+    broadcast_enrichment: bool = True,
+) -> DataFrame:
+    """J1a+J1: best-first list aggregation then left equi-join.
+
+    Reference: sort enrichment ``(key asc, pontuacao desc)``, group-collect
+    phone lists, ``merge(how='left')`` (processing_pipeline.py:146-161).
+
+    Spark shape: ``collect_list(struct(-score, value))`` + ``array_sort`` +
+    ``transform`` gives the best-first list without any global sort; the
+    pre-aggregated side is one row per key and is broadcast by default
+    (dimension-sized in the reference). Ties on score break by value for
+    determinism.
+    """
+    struct_col = F.struct(
+        (-F.col(score_col).cast("double")).alias("neg_score"),
+        F.col(value_col).cast("string").alias("val"),
+    )
+    agg = (
+        enrichment.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(enrich_key).alias("__join_key"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(struct_col)), lambda s: s["val"]
+            ).alias(out_col)
+        )
+    )
+    if broadcast_enrichment:
+        agg = F.broadcast(agg)
+    joined = fact.join(agg, on=fact[fact_key] == agg["__join_key"], how="left")
+    return joined.drop("__join_key")
+
+
+def anti_join_on_keys(
+    df: DataFrame,
+    keys_df: DataFrame,
+    *,
+    df_key: Column | str,
+    keys_key: Column | str,
+) -> DataFrame:
+    """J3: remove rows whose key appears in ``keys_df`` (left_anti).
+
+    Reference built a Python set and used ``~isin`` on normalized CPFs
+    (processing_pipeline.py:84-88); ``left_anti`` is the distributed
+    equivalent and AQE broadcasts the key side when small.
+    """
+    left = F.col(df_key) if isinstance(df_key, str) else df_key
+    right = F.col(keys_key) if isinstance(keys_key, str) else keys_key
+    return df.join(keys_df, on=left == right, how="left_anti")

@@ -1,0 +1,189 @@
+"""Unit tests for relational operators (SURVEY.md §2 parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_etl_mailing_automation_spark.operators import (
+    anti_join_on_keys,
+    blocklist_filter,
+    completeness_count,
+    dedup_keep_best,
+    enrich_with_ordered_list,
+    group_count_having,
+    rank_in_group,
+    rank_pivot_wide,
+    segment_by_cutoff,
+    spread_phone_columns,
+    top_k_per_group,
+    union_all_by_name,
+    with_distinct_list,
+    with_group_sum,
+    with_priority_level,
+)
+from python_etl_mailing_automation_spark.operators.dedup import smart_dedup_prefer_named
+from python_etl_mailing_automation_spark.operators.ordering import head_row_per_group
+from python_etl_mailing_automation_spark.schema import (
+    SchemaValidationError,
+    ensure_columns,
+    normalize_column_names,
+    validate_required_columns,
+)
+
+
+def test_with_group_sum(spark):
+    df = spark.createDataFrame(
+        [("a", 10.5), ("a", 4.5), ("b", 1.0)], "k string, v double"
+    )
+    out = {r["k"]: r["total"] for r in with_group_sum(df, "k", "v", "total").collect()}
+    assert out == {"a": 15.0, "b": 1.0}
+
+
+def test_with_distinct_list_sorted(spark):
+    df = spark.createDataFrame(
+        [("c1", "U2"), ("c1", "U1"), ("c1", "U2"), ("c2", "U9")], "k string, u string"
+    )
+    rows = with_distinct_list(df, "k", "u", "ul", "uc").collect()
+    byk = {(r["k"]): (r["ul"], r["uc"]) for r in rows}
+    assert byk["c1"] == ("U1, U2", 2)
+    assert byk["c2"] == ("U9", 1)
+
+
+def test_group_count_having_threshold(spark):
+    df = spark.createDataFrame(
+        [("id1", "BAD"), ("id1", "BAD"), ("id1", "BAD"), ("id2", "BAD"), ("id2", "OK")],
+        "id string, status string",
+    )
+    out = group_count_having(df, "id", F.col("status") == "BAD", 3)
+    assert [r["id"] for r in out.collect()] == ["id1"]
+
+
+def test_anti_join_removes_threshold_keys(spark):
+    df = spark.createDataFrame([("id1", 1), ("id2", 2)], "k string, v int")
+    bad = spark.createDataFrame([("id1",)], "bk string")
+    out = anti_join_on_keys(df, bad, df_key="k", keys_key="bk")
+    assert [r["k"] for r in out.collect()] == ["id2"]
+
+
+def test_smart_dedup_prefers_named(spark):
+    df = spark.createDataFrame(
+        [("cpf1", None, 1), ("cpf1", "Maria", 2), ("cpf2", None, 3)],
+        "ncpf string, nomecad string, rid int",
+    )
+    out = smart_dedup_prefer_named(df, "ncpf", "nomecad", tiebreaker="rid")
+    got = {r["ncpf"]: r["nomecad"] for r in out.collect()}
+    assert got == {"cpf1": "Maria", "cpf2": None}
+
+
+def test_dedup_keep_best_completeness(spark):
+    df = spark.createDataFrame(
+        [("c1", "a", None, 1), ("c1", "a", "b", 2)],
+        "k string, x string, y string, rid int",
+    )
+    scored = df.withColumn("completude", completeness_count(["x", "y"]))
+    out = dedup_keep_best(scored, "k", [F.col("completude").desc()], tiebreaker="rid")
+    assert out.first()["rid"] == 2  # most complete wins (reference intent, §7.3)
+
+
+def test_enrich_with_ordered_list_best_first(spark):
+    fact = spark.createDataFrame([("d1",), ("d2",)], "ndoc string")
+    enr = spark.createDataFrame(
+        [("d1", "111", 5.0), ("d1", "222", 9.0), ("d1", None, 99.0)],
+        "documento string, telefone string, pontuacao double",
+    )
+    out = enrich_with_ordered_list(
+        fact, enr, fact_key="ndoc", enrich_key="documento",
+        value_col="telefone", score_col="pontuacao", out_col="tels",
+    )
+    got = {r["ndoc"]: r["tels"] for r in out.collect()}
+    assert got["d1"] == ["222", "111"]  # best score first, nulls dropped
+    assert got["d2"] is None  # left join miss
+
+
+def test_priority_level_last_match_wins(spark):
+    df = spark.createDataFrame(
+        [("A", "X"), ("B", "A"), ("Z", "Z")], "c1 string, c2 string"
+    )
+    out = with_priority_level(df, ["c1", "c2"], ["A", "B"])
+    got = {r["c1"] + r["c2"]: r["priority_level"] for r in out.collect()}
+    assert got["AX"] == 0      # matches only A -> 0
+    assert got["BA"] == 1      # matches A(0) and B(1) -> last wins -> 1
+    assert got["ZZ"] == 2      # no match -> len(order)
+
+
+def test_rank_topk_pivot(spark):
+    df = spark.createDataFrame(
+        [("o1", "2024-01-03", 30.0), ("o1", "2024-01-01", 10.0),
+         ("o1", "2024-01-02", 20.0), ("o1", "2024-01-04", 40.0), ("o2", "2024-02-01", 5.0)],
+        "k string, d string, v double",
+    )
+    ranked = rank_in_group(df, "k", [F.col("d")], out_col="rn")
+    assert {(r["k"], r["d"]): r["rn"] for r in ranked.collect()}[("o1", "2024-01-01")] == 1
+    top = top_k_per_group(df, "k", [F.col("d")], 3)
+    assert top.filter(F.col("k") == "o1").count() == 3
+    wide = rank_pivot_wide(df, "k", [F.col("d")], ["d", "v"], k=3)
+    row = {r["k"]: r for r in wide.collect()}
+    assert row["o1"]["d_1"] == "2024-01-01" and row["o1"]["v_3"] == 30.0
+    assert row["o2"]["d_2"] is None
+
+
+def test_head_row_per_group_explicit_order(spark):
+    df = spark.createDataFrame(
+        [("c1", 2, "b"), ("c1", 1, "a")], "k string, pr int, x string"
+    )
+    out = head_row_per_group(df, "k", [F.col("pr").asc(), F.col("x")])
+    assert out.first()["x"] == "a"
+
+
+def test_blocklist_filter_side_output(spark):
+    df = spark.createDataFrame(
+        [("r1", " BLOQUEADO "), ("r2", "ok"), ("r3", None)], "id string, bloq string"
+    )
+    kept, rejected = blocklist_filter(df, "bloq", ["bloqueado"])
+    assert sorted(r["id"] for r in kept.collect()) == ["r2", "r3"]
+    rej = rejected.collect()
+    assert [r["id"] for r in rej] == ["r1"]
+    assert rej[0]["motivo_remocao"] == " BLOQUEADO "
+
+
+def test_segment_by_cutoff_and_zero_mode(spark):
+    df = spark.createDataFrame([("a", 10.0), ("b", 1.0)], "k string, v double")
+    human, robot = segment_by_cutoff(df, "v", 5.0)
+    assert [r["k"] for r in human.collect()] == ["a"]
+    assert [r["k"] for r in robot.collect()] == ["b"]
+    h0, r0 = segment_by_cutoff(df, "v", 0.0)
+    assert h0.count() == r0.count() == 2  # corte==0: both get full copy
+
+
+def test_union_all_by_name_missing_cols(spark):
+    a = spark.createDataFrame([(1, "x")], "k int, a string")
+    b = spark.createDataFrame([(2, "y")], "k int, b string")
+    out = union_all_by_name([a, b])
+    assert out.count() == 2 and set(out.columns) == {"k", "a", "b"}
+
+
+def test_spread_phone_columns_array_algebra(spark):
+    df = spark.createDataFrame(
+        [(["111", "222"], "222.0", "(33)3", None), (None, None, "junk", "44")],
+        "tels array<string>, p1 string, p2 string, p3 string",
+    )
+    out = spread_phone_columns(df, "tels", ["p1", "p2", "p3"]).collect()
+    r0, r1 = out
+    assert [r0["telefone_01"], r0["telefone_02"], r0["telefone_03"], r0["telefone_04"]] == [
+        "111", "222", "333", None  # dedup keeps first-seen, junk dropped
+    ]
+    assert r1["telefone_01"] == "44"
+
+
+def test_schema_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "NCPF int, ` extra ` string")
+    df = normalize_column_names(df)
+    rep = validate_required_columns(df, ["ncpf"])
+    assert rep.extra == ["extra"]
+    try:
+        validate_required_columns(df, ["ncpf", "missing_col"])
+        raise AssertionError("should have raised")
+    except SchemaValidationError:
+        pass
+    out = ensure_columns(df, ["ncpf", "novo"])
+    assert out.columns[:2] == ["ncpf", "novo"] and out.first()["novo"] == ""
