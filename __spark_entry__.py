@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry maps a SURVEY.md §2 operator (or a
+beyond-reference datapipe operator) onto the driver's synthetic tables,
+built with the `python_etl_mailing_automation_spark` library; the matching
+``oracle_sql()`` entry is the equivalent DuckDB SQL. Column names and
+dtypes are aligned on both sides; all float-valued outputs are engineered
+to be bit-identical across engines (decimal accumulation for sums/dot
+products, exact integer division results, md5-based hashing).
+
+Reference parity anchors are cited per query as ``reference file:line``.
 """
 
 from __future__ import annotations
@@ -12,27 +16,854 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_etl_mailing_automation_spark.datapipe.dedup import (
+    exact_dedup_groups,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_16,
+)
+from python_etl_mailing_automation_spark.datapipe.multimodal import (
+    extract_features,
+    with_binary_payload,
+)
+from python_etl_mailing_automation_spark.datapipe.similarity import (
+    ann_bucket_topk,
+    cosine_topk,
+)
+from python_etl_mailing_automation_spark.datapipe.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from python_etl_mailing_automation_spark.functions import (
+    conditional_flag_sim_nao,
+    digits_only,
+    format_date_br,
+    format_money_br,
+    format_money_robot,
+    normalize_key,
+    parse_date_br,
+    safe_to_double,
+    strip_bom,
+    strip_dot_zero,
+)
+from python_etl_mailing_automation_spark.operators import (
+    anti_join_on_keys,
+    blocklist_filter,
+    completeness_count,
+    dedup_keep_best,
+    enrich_with_ordered_list,
+    group_count_having,
+    rank_in_group,
+    rank_pivot_wide,
+    spread_phone_columns,
+    top_k_per_group,
+    union_all_by_name,
+    with_group_sum,
+    with_priority_level,
+)
+from python_etl_mailing_automation_spark.operators.ordering import head_row_per_group
+from python_etl_mailing_automation_spark.streaming.events import tumbling_event_counts
+
+SEG_CUTOFF = 1_500_000.0
+PRIORITY_ORDER = ["1-URGENT", "O", "2-HIGH", "F"]
+PRIORITY_COLS = ["o_orderpriority", "o_orderstatus"]
+BLOCKLIST = ["5-LOW", "4-NOT SPECIFIED"]
+
+
+from python_etl_mailing_automation_spark.sources import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q_per_key_windowed_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 — windowed SUM without collapse (processing_pipeline.py:115-117)."""
+    orders = _t(spark, sf, "orders")
+    return with_group_sum(orders, "o_custkey", "o_totalprice", "total_debt").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "total_debt"
+    )
+
+
+def q_distinct_list_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 — per-key distinct list + count (processing_pipeline.py:119-123).
+
+    Deterministically sorted (pandas kept first-seen order; SURVEY §7.3-2).
+    """
+    orders = _t(spark, sf, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ", ").alias(
+            "status_list"
+        ),
+        F.size(F.collect_set("o_orderstatus")).alias("status_count"),
+    )
+
+
+def q_group_count_having(spark: SparkSession, sf: str) -> DataFrame:
+    """A3+A4 — count critical rows per key, HAVING >= threshold
+    (processing_pipeline.py:83-85)."""
+    orders = _t(spark, sf, "orders")
+    return group_count_having(orders, "o_custkey", F.col("o_orderstatus") == "F", 3)
+
+
+def q_threshold_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 — anti-join removal of threshold-exceeding keys
+    (processing_pipeline.py:84-88)."""
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    bad = group_count_having(orders, "o_custkey", F.col("o_orderstatus") == "F", 3)
+    return anti_join_on_keys(
+        customer, bad.select("o_custkey"), df_key="c_custkey", keys_key="o_custkey"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def q_smart_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 — keep one row per key under an explicit preference order
+    (processing_pipeline.py:92-109; flag analog of 'prefer named rows')."""
+    orders = _t(spark, sf, "orders")
+    return dedup_keep_best(
+        orders,
+        "o_custkey",
+        [(F.col("o_orderstatus") == "O").desc(), F.col("o_totalprice").desc()],
+        tiebreaker="o_orderkey",
+    ).select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q_completeness_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """W2+A8 — dedup by row completeness (most-complete wins — the
+    reference's evident intent; see SURVEY §7.3-3) over fabricated
+    nullable columns."""
+    orders = _t(spark, sf, "orders")
+    df = orders.withColumns(
+        {
+            "x": F.nullif(F.col("o_orderstatus"), F.lit("F")),
+            "y": F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")),
+            "z": F.when(F.col("o_totalprice") >= 100000, F.col("o_totalprice")),
+        }
+    ).withColumn("completude", completeness_count(["x", "y", "z"]))
+    return dedup_keep_best(
+        df, "o_custkey", [F.col("completude").desc()], tiebreaker="o_orderkey"
+    ).select("o_custkey", "o_orderkey", "completude")
+
+
+def q_rank_in_group(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 — rank within group by due date (gerador_robo_mestre.py:43-44)."""
+    li = _t(spark, sf, "lineitem")
+    return rank_in_group(
+        li, "l_orderkey", [F.col("l_shipdate"), F.col("l_linenumber")], out_col="rn"
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        format_date_br("l_shipdate").alias("ship_dt"),
+        F.col("rn").cast("long").alias("invoice_rank"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """O2 — top-3 rows per group (gerador_robo_mestre.py:46)."""
+    li = _t(spark, sf, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # extend the order so every output column is order-determined and the
+    # pick is engine-independent (SURVEY §7.3-1 made explicit).
+    order = [
+        F.col("l_shipdate"), F.col("l_linenumber"),
+        F.col("l_extendedprice"), F.col("l_partkey"), F.col("l_suppkey"),
+    ]
+    return top_k_per_group(li, "l_orderkey", order, 3, rank_col="rn").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("rn").cast("long").alias("invoice_rank"),
+        "l_extendedprice",
+    )
+
+
+def q_rank_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 — long→wide pivot of the top-3 ranked rows
+    (gerador_robo_mestre.py:46-55)."""
+    li = _t(spark, sf, "lineitem").withColumn("ship_dt", format_date_br("l_shipdate"))
+    order = [
+        F.col("l_shipdate"), F.col("l_linenumber"),
+        F.col("l_extendedprice"), F.col("l_partkey"), F.col("l_suppkey"),
+    ]
+    return rank_pivot_wide(li, "l_orderkey", order, ["ship_dt", "l_extendedprice"], k=3)
+
+
+def q_head_row_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """A5+O4 — explicit-order head row per group
+    (gerador_robo_mestre.py:57; order made explicit per SURVEY §7.3-1)."""
+    orders = _t(spark, sf, "orders")
+    return head_row_per_group(
+        orders, "o_custkey", [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        format_date_br("o_orderdate").alias("first_orderdate"),
+        F.col("o_totalprice").alias("first_totalprice"),
+    )
+
+
+def q_priority_case_sort(spark: SparkSession, sf: str) -> DataFrame:
+    """O1 — case-mapped priority level, last-match-wins
+    (processing_pipeline.py:253-275)."""
+    orders = _t(spark, sf, "orders")
+    return with_priority_level(orders, PRIORITY_COLS, PRIORITY_ORDER).select(
+        "o_orderkey", "priority_level", "o_totalprice"
+    )
+
+
+def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 — blocklist anti-filter (processing_pipeline.py:195-226)."""
+    orders = _t(spark, sf, "orders")
+    kept, _ = blocklist_filter(orders, "o_orderpriority", BLOCKLIST)
+    return kept.select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+def q_rejected_side_output(spark: SparkSession, sf: str) -> DataFrame:
+    """S8 — rejected-rows side output with removal reason
+    (processing_pipeline.py:211-222)."""
+    orders = _t(spark, sf, "orders")
+    _, rejected = blocklist_filter(orders, "o_orderpriority", BLOCKLIST)
+    return rejected.select("o_orderkey", "o_custkey", "motivo_remocao")
+
+
+def q_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """P7+A1 — per-entity debt total and human/robot segment by cutoff
+    (processing_pipeline.py:277-294)."""
+    orders = _t(spark, sf, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_debt")
+    )
+    return totals.withColumn(
+        "segment",
+        F.when(F.col("total_debt") >= SEG_CUTOFF, F.lit("human")).otherwise(F.lit("robot")),
+    )
+
+
+def q_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1a+J1 — pre-aggregated best-first list + broadcast left join
+    (processing_pipeline.py:146-161)."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    out = enrich_with_ordered_list(
+        orders,
+        li,
+        fact_key="o_orderkey",
+        enrich_key="l_orderkey",
+        value_col="l_suppkey",
+        score_col="l_extendedprice",
+        out_col="tels",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.array_join(F.col("tels"), ", ").alias("phone_list"),
+        F.element_at(F.col("tels"), 1).alias("telefone_01"),
+    )
+
+
+def q_phone_spread(spark: SparkSession, sf: str) -> DataFrame:
+    """UD1 — phone spread as pure array algebra (no UDF)
+    (processing_pipeline.py:168-182)."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    enriched = enrich_with_ordered_list(
+        orders,
+        li,
+        fact_key="o_orderkey",
+        enrich_key="l_orderkey",
+        value_col="l_suppkey",
+        score_col="l_extendedprice",
+        out_col="tels",
+    ).withColumns(
+        {
+            "fb1": F.concat(F.col("o_custkey").cast("string"), F.lit(".0")),
+            "fb2": F.concat(
+                F.lit("("), F.col("o_orderkey").cast("string"), F.lit(") 77-88")
+            ),
+            "fb3": F.lit("abc"),
+        }
+    )
+    return spread_phone_columns(enriched, "tels", ["fb1", "fb2", "fb3"]).select(
+        "o_orderkey", "telefone_01", "telefone_02", "telefone_03", "telefone_04"
+    )
+
+
+def q_conditional_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """F10 — SIM/NÃO conditional flag (processing_pipeline.py:188-193)."""
+    orders = _t(spark, sf, "orders")
+    val = (
+        F.when(F.col("o_orderstatus") == "P", F.lit(" n "))
+        .when(F.col("o_orderstatus") == "F", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+    )
+    return orders.select(
+        "o_orderkey", conditional_flag_sim_nao(val).alias("cliente_regulariza")
+    )
+
+
+def q_money_format(spark: SparkSession, sf: str) -> DataFrame:
+    """F8+F9 — BR money formatting, human and robot variants
+    (data_exporter.py:10-16, gerador_robo_mestre.py:10-19)."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        format_money_br("l_extendedprice").alias("valor_humano"),
+        format_money_robot("l_quantity").alias("valor_robo"),
+    )
+
+
+def q_date_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """F4+F5 — BR day-first parse + format round-trip
+    (processing_pipeline.py:44-49, data_exporter.py:43)."""
+    orders = _t(spark, sf, "orders")
+    br = format_date_br("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        br.alias("dtvenc_br"),
+        format_date_br(parse_date_br(br)).alias("dt_roundtrip"),
+        F.year("o_orderdate").cast("int").alias("venc_ano"),
+    )
+
+
+def q_cleaning_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """F2/F3/F6/F7/F13/F15 — cleaning expressions
+    (processing_pipeline.py:27-40,56-59,79-80)."""
+    orders = _t(spark, sf, "orders")
+    raw_valor = F.when(F.col("o_orderkey") % 3 == 0, F.lit("junk")).otherwise(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(",5"))
+    )
+    return orders.select(
+        "o_orderkey",
+        strip_dot_zero(F.concat(F.col("o_orderkey").cast("string"), F.lit(".0"))).alias(
+            "id_clean"
+        ),
+        digits_only(
+            F.concat(F.lit("("), F.col("o_custkey").cast("string"), F.lit(") 9-88"))
+        ).alias("phone_digits"),
+        normalize_key("o_orderpriority").alias("key_norm"),
+        strip_bom(F.concat(F.lit("﻿"), F.col("o_orderstatus"))).alias("bom_clean"),
+        safe_to_double(raw_valor).alias("valor_parsed"),
+    )
+
+
+def q_union_sheets(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 — UNION ALL by name with missing columns null-filled
+    (processing_pipeline.py:141)."""
+    orders = _t(spark, sf, "orders")
+    sheet1 = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    )
+    sheet2 = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return union_all_by_name([sheet1, sheet2])
+
+
+def q_tumbling_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-shaped tumbling-window aggregation (batch form of
+    streaming/events.py; same definition runs under readStream)."""
+    events = _t(spark, sf, "events")
+    return tumbling_event_counts(events)
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference datapipe queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return token_count(docs).select("doc_id", "n_tokens", "n_chars_calc")
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "n_stop", "stop_ratio", "is_quality"
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return lang_id(docs).select(
+        "doc_id", "score_en", "score_es", "score_de", "pred_lang"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return exact_dedup_groups(docs)
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return minhash_signatures(docs).select(
+        "doc_id",
+        *[f"mh_{j}" for j in range(1, 7)],
+        *[f"band_{b}" for b in range(1, 4)],
+    )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    return jaccard_on_pairs(pairs, docs)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return simhash_16(docs)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, block_col="source", min_jaccard=0.0)
+
+
+def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 32), emb, k=5)
+
+
+def q_similarity_ann_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    return ann_bucket_topk(emb, bits=4, k=3)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas feature extraction (decode stubbed; no SQL oracle —
+    mapInPandas is outside DuckDB's surface, driver records rows-only)."""
+    docs = _t(spark, sf, "documents")
+    return extract_features(with_binary_payload(docs))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's headline computation — total debt per
+    entity, segmented by cutoff (processing_pipeline.py:115-117,277-294)."""
+    return q_segmentation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "per_key_windowed_sum": q_per_key_windowed_sum,
+        "distinct_list_per_key": q_distinct_list_per_key,
+        "group_count_having": q_group_count_having,
+        "threshold_anti_join": q_threshold_anti_join,
+        "smart_dedup": q_smart_dedup,
+        "completeness_dedup": q_completeness_dedup,
+        "rank_in_group": q_rank_in_group,
+        "topk_per_group": q_topk_per_group,
+        "rank_pivot": q_rank_pivot,
+        "head_row_per_group": q_head_row_per_group,
+        "priority_case_sort": q_priority_case_sort,
+        "blocklist_filter": q_blocklist_filter,
+        "rejected_side_output": q_rejected_side_output,
+        "segmentation": q_segmentation,
+        "enrichment_join": q_enrichment_join,
+        "phone_spread": q_phone_spread,
+        "conditional_flag": q_conditional_flag,
+        "money_format": q_money_format,
+        "date_roundtrip": q_date_roundtrip,
+        "cleaning_normalize": q_cleaning_normalize,
+        "union_sheets": q_union_sheets,
+        "tumbling_window_counts": q_tumbling_window_counts,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_buckets": q_similarity_ann_buckets,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks) - 2), "
+    "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+
+def _minhash_sig_sql() -> str:
+    mh = ",\n         ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5(s || '|{j}')), 'min') AS mh_{j}"
+        for j in range(1, 7)
+    )
+    bands = ",\n       ".join(
+        f"md5(mh_{2 * b - 1} || '|' || mh_{2 * b}) AS band_{b}" for b in range(1, 4)
+    )
+    return f"""
+  WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
+  sig AS (SELECT doc_id,
+         {mh}
+  FROM sh)
+  SELECT doc_id, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6,
+       {bands}
+  FROM sig"""
+
+
+def _simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN CAST(floor(hx / {float(2 ** k)}) AS INT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(16)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN s{k} >= 0 THEN {2 ** k} ELSE 0 END)" for k in range(16)
+    )
+    return f"""
+  WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+  h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INT) AS hx FROM tok),
+  s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+  SELECT doc_id, CAST({pack} AS BIGINT) AS simhash16 FROM s"""
+
+
+_ENRICH_LIST = (
+    "list(CAST(l_suppkey AS VARCHAR) "
+    "ORDER BY -l_extendedprice, CAST(l_suppkey AS VARCHAR))"
+)
+
+_COS_DOT = (
+    "CAST(list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]), "
+    "(x, y) -> x + y) AS DOUBLE)"
+)
+
+
+def _cosine_sql(extra_cols: str, join_cond: str, k: int, out_cols: str) -> str:
+    dot_qc = _COS_DOT.format(a="q.v", b="c.v")
+    return f"""
+  WITH e AS (SELECT vec_id,
+                    -- via DOUBLE: DuckDB's FLOAT->DECIMAL cast rounds the
+                    -- float's shortest repr, not its exact binary value
+                    -- (Spark rounds the exact value) — DOUBLE carries the
+                    -- exact value, so both engines round identically.
+                    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))) AS v,
+                    embedding FROM embeddings),
+  n AS (SELECT vec_id, embedding, v,
+               sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm{extra_cols} FROM e),
+  p AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+               {dot_qc} / (q.nrm * c.nrm) AS cos{', q.bucket AS bucket' if 'bucket' in out_cols else ''}
+        FROM n q JOIN n c ON {join_cond})
+  SELECT {out_cols}
+  FROM p QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) <= {k}"""
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(4)
+)
+
+
+def _priority_case_sql() -> str:
+    branches = []
+    for i in reversed(range(len(PRIORITY_ORDER))):
+        status = PRIORITY_ORDER[i].upper().replace("'", "''")
+        conds = " OR ".join(
+            f"upper(trim({c})) = '{status}'" for c in PRIORITY_COLS
+        )
+        branches.append(f"WHEN {conds} THEN {i}")
+    return (
+        "CASE " + " ".join(branches) + f" ELSE {len(PRIORITY_ORDER)} END"
+    )
+
+
+_CLEAN_PHONE = (
+    "NULLIF(regexp_replace(regexp_replace({src}, '\\.0$', ''), "
+    "'[^0-9]', '', 'g'), '')"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    blocklist_norm = ", ".join(f"'{b.strip().lower()}'" for b in BLOCKLIST)
+    jaccard_tail = """
+  sets AS (SELECT doc_id, list_distinct(toks) AS elems FROM tok),
+  j AS (SELECT p.doc_id_a, p.doc_id_b,
+               len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS inter,
+               len(a.elems) + len(b.elems)
+                 - len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS un
+        FROM pairs p
+        JOIN sets a ON p.doc_id_a = a.doc_id
+        JOIN sets b ON p.doc_id_b = b.doc_id)
+  SELECT doc_id_a, doc_id_b, CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard FROM j"""
+
+    return {
+        "per_key_windowed_sum": """
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey) AS DOUBLE) AS total_debt
+  FROM orders""",
+        "distinct_list_per_key": """
+  SELECT o_custkey,
+         array_to_string(list_sort(list_distinct(list(o_orderstatus))), ', ') AS status_list,
+         CAST(len(list_distinct(list(o_orderstatus))) AS INT) AS status_count
+  FROM orders GROUP BY o_custkey""",
+        "group_count_having": """
+  SELECT o_custkey, COUNT(*) AS n_critical FROM orders
+  WHERE o_orderstatus = 'F' GROUP BY o_custkey HAVING COUNT(*) >= 3""",
+        "threshold_anti_join": """
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+  WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_custkey HAVING COUNT(*) >= 3)""",
+        "smart_dedup": """
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM orders
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+    ORDER BY (o_orderstatus = 'O') DESC, o_totalprice DESC, o_orderkey) = 1""",
+        "completeness_dedup": """
+  WITH c AS (
+    SELECT o_custkey, o_orderkey,
+           (CASE WHEN NULLIF(o_orderstatus, 'F') IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN NULLIF(o_orderpriority, '5-LOW') IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END) AS completude
+    FROM orders)
+  SELECT o_custkey, o_orderkey, completude FROM c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+    ORDER BY completude DESC, o_orderkey) = 1""",
+        "rank_in_group": """
+  SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%d/%m/%Y') AS ship_dt,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+           ORDER BY l_shipdate, l_linenumber) AS invoice_rank
+  FROM lineitem""",
+        "topk_per_group": """
+  SELECT l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+           ORDER BY l_shipdate, l_linenumber, l_extendedprice,
+                    l_partkey, l_suppkey) AS invoice_rank,
+         l_extendedprice
+  FROM lineitem
+  QUALIFY invoice_rank <= 3""",
+        "rank_pivot": """
+  WITH r AS (
+    SELECT l_orderkey, strftime(l_shipdate, '%d/%m/%Y') AS ship_dt, l_extendedprice,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+             ORDER BY l_shipdate, l_linenumber, l_extendedprice,
+                      l_partkey, l_suppkey) AS rn
+    FROM lineitem)
+  SELECT l_orderkey,
+         MIN(CASE WHEN rn = 1 THEN ship_dt END) AS ship_dt_1,
+         MIN(CASE WHEN rn = 1 THEN l_extendedprice END) AS l_extendedprice_1,
+         MIN(CASE WHEN rn = 2 THEN ship_dt END) AS ship_dt_2,
+         MIN(CASE WHEN rn = 2 THEN l_extendedprice END) AS l_extendedprice_2,
+         MIN(CASE WHEN rn = 3 THEN ship_dt END) AS ship_dt_3,
+         MIN(CASE WHEN rn = 3 THEN l_extendedprice END) AS l_extendedprice_3
+  FROM r WHERE rn <= 3 GROUP BY l_orderkey""",
+        "head_row_per_group": """
+  SELECT o_custkey, o_orderkey AS first_orderkey,
+         strftime(o_orderdate, '%d/%m/%Y') AS first_orderdate,
+         o_totalprice AS first_totalprice
+  FROM orders
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey) = 1""",
+        "priority_case_sort": f"""
+  SELECT o_orderkey, {_priority_case_sql()} AS priority_level, o_totalprice
+  FROM orders""",
+        "blocklist_filter": f"""
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+  WHERE o_orderpriority IS NULL
+     OR lower(trim(o_orderpriority)) NOT IN ({blocklist_norm})""",
+        "rejected_side_output": f"""
+  SELECT o_orderkey, o_custkey, o_orderpriority AS motivo_remocao FROM orders
+  WHERE o_orderpriority IS NOT NULL
+    AND lower(trim(o_orderpriority)) IN ({blocklist_norm})""",
+        "segmentation": f"""
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_debt,
+         CASE WHEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   >= {SEG_CUTOFF} THEN 'human' ELSE 'robot' END AS segment
+  FROM orders GROUP BY o_custkey""",
+        "enrichment_join": f"""
+  WITH e AS (
+    SELECT l_orderkey,
+           array_to_string({_ENRICH_LIST}, ', ') AS phone_list,
+           ({_ENRICH_LIST})[1] AS telefone_01
+    FROM lineitem GROUP BY l_orderkey)
+  SELECT o.o_orderkey, o.o_custkey, e.phone_list, e.telefone_01
+  FROM orders o LEFT JOIN e ON o.o_orderkey = e.l_orderkey""",
+        "phone_spread": f"""
+  WITH e AS (
+    SELECT l_orderkey, {_ENRICH_LIST} AS tels FROM lineitem GROUP BY l_orderkey),
+  m AS (
+    SELECT o.o_orderkey,
+           COALESCE(e.tels, CAST([] AS VARCHAR[])) ||
+           list_filter([
+             {_CLEAN_PHONE.format(src="CAST(o.o_custkey AS VARCHAR) || '.0'")},
+             {_CLEAN_PHONE.format(src="'(' || CAST(o.o_orderkey AS VARCHAR) || ') 77-88'")},
+             {_CLEAN_PHONE.format(src="'abc'")}
+           ], x -> x IS NOT NULL) AS merged
+    FROM orders o LEFT JOIN e ON o.o_orderkey = e.l_orderkey),
+  d AS (
+    SELECT o_orderkey,
+           list_filter(merged, (x, i) -> list_position(merged, x) = i) AS dd
+    FROM m)
+  SELECT o_orderkey, dd[1] AS telefone_01, dd[2] AS telefone_02,
+         dd[3] AS telefone_03, dd[4] AS telefone_04
+  FROM d""",
+        "conditional_flag": """
+  WITH v AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN ' n '
+                WHEN o_orderstatus = 'F' THEN NULL
+                ELSE o_orderstatus END AS val
+    FROM orders)
+  SELECT o_orderkey,
+         CASE WHEN val IS NOT NULL AND upper(trim(val)) != 'N'
+              THEN 'SIM' ELSE 'NÃO' END AS cliente_regulariza
+  FROM v""",
+        "money_format": """
+  SELECT l_orderkey, l_linenumber,
+         replace(printf('%.2f', l_extendedprice), '.', ',') AS valor_humano,
+         CASE WHEN l_quantity = floor(l_quantity)
+              THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+              ELSE replace(printf('%.2f', l_quantity), '.', ',') END AS valor_robo
+  FROM lineitem""",
+        "date_roundtrip": """
+  SELECT o_orderkey,
+         strftime(o_orderdate, '%d/%m/%Y') AS dtvenc_br,
+         strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y'),
+                  '%d/%m/%Y') AS dt_roundtrip,
+         CAST(year(o_orderdate) AS INT) AS venc_ano
+  FROM orders""",
+        "cleaning_normalize": """
+  SELECT o_orderkey,
+         regexp_replace(CAST(o_orderkey AS VARCHAR) || '.0', '\\.0$', '') AS id_clean,
+         regexp_replace('(' || CAST(o_custkey AS VARCHAR) || ') 9-88',
+                        '[^0-9]', '', 'g') AS phone_digits,
+         lower(trim(o_orderpriority)) AS key_norm,
+         replace(chr(65279) || o_orderstatus, chr(65279), '') AS bom_clean,
+         TRY_CAST(replace(CASE WHEN o_orderkey % 3 = 0 THEN 'junk'
+                               ELSE CAST(o_orderkey AS VARCHAR) || ',5' END,
+                          ',', '.') AS DOUBLE) AS valor_parsed
+  FROM orders""",
+        "union_sheets": """
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderstatus = 'O'""",
+        "tumbling_window_counts": """
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n_events,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM events GROUP BY 1, 2""",
+        "text_token_count": f"""
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc
+  FROM documents""",
+        "text_quality": f"""
+  WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks,
+                 x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS n_stop
+        FROM t)
+  SELECT doc_id, n_tokens, n_stop,
+         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         CAST(CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.3
+                    AND n_tokens >= 50 THEN 1 ELSE 0 END AS INT) AS is_quality
+  FROM c""",
+        "text_lang_id": f"""
+  WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  s AS (SELECT doc_id,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','of'], x))) AS BIGINT) AS score_en,
+          CAST(len(list_filter(toks, x -> list_contains(['el','la','los'], x))) AS BIGINT) AS score_es,
+          CAST(len(list_filter(toks, x -> list_contains(['der','und','das'], x))) AS BIGINT) AS score_de
+        FROM t)
+  SELECT doc_id, score_en, score_es, score_de,
+         CASE WHEN score_es > score_en AND score_es >= score_de THEN 'es'
+              WHEN score_de > score_en AND score_de > score_es THEN 'de'
+              ELSE 'en' END AS pred_lang
+  FROM s""",
+        "doc_fingerprint": f"""
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+  FROM documents""",
+        "dedup_exact": """
+  SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY md5(text)""",
+        "dedup_minhash_signatures": _minhash_sig_sql(),
+        "dedup_minhash_pairs": f"""
+  WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
+  sig AS (SELECT doc_id,
+    {", ".join(f"list_aggregate(list_transform(shingles, s -> md5(s || '|{j}')), 'min') AS mh_{j}" for j in range(1, 7))}
+  FROM sh),
+  bandvals AS (SELECT doc_id,
+    {", ".join(f"md5(mh_{2 * b - 1} || '|' || mh_{2 * b}) AS band_{b}" for b in range(1, 4))}
+  FROM sig),
+  bands AS (
+    SELECT doc_id, 0 AS band_idx, band_1 AS band_val FROM bandvals WHERE band_1 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 1, band_2 FROM bandvals WHERE band_2 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 2, band_3 FROM bandvals WHERE band_3 IS NOT NULL),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id),{jaccard_tail}""",
+        "dedup_simhash": _simhash_sql(),
+        "dedup_ngram_jaccard": f"""
+  WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+  sh AS (SELECT doc_id, source, {_SHINGLES} AS shingles FROM tok),
+  sets AS (SELECT doc_id, source, list_distinct(shingles) AS elems FROM sh),
+  j AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS inter,
+               len(a.elems) + len(b.elems)
+                 - len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS un
+        FROM sets a JOIN sets b
+          ON a.source = b.source AND a.doc_id < b.doc_id)
+  SELECT doc_id_a, doc_id_b,
+         CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+  FROM j WHERE CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.0""",
+        "similarity_topk": _cosine_sql(
+            extra_cols="",
+            join_cond="q.vec_id < 32 AND c.vec_id != q.vec_id",
+            k=5,
+            out_cols=(
+                "vec_id, neighbor_id, "
+                "ROW_NUMBER() OVER (PARTITION BY vec_id "
+                "ORDER BY cos DESC, neighbor_id) AS sim_rank, "
+                "cos AS cos_sim"
+            ),
+        ),
+        "similarity_ann_buckets": _cosine_sql(
+            extra_cols=f", {_BUCKET_SQL} AS bucket",
+            join_cond="q.bucket = c.bucket AND c.vec_id != q.vec_id",
+            k=3,
+            out_cols=(
+                "vec_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id, "
+                "ROW_NUMBER() OVER (PARTITION BY vec_id "
+                "ORDER BY cos DESC, neighbor_id) AS sim_rank"
+            ),
+        ),
+        # multimodal_features: intentionally no oracle (mapInPandas surface)
+    }

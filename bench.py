@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+I/O, no Catalyst count-style pruning shortcuts). One warm-up pass of the
+flagship query absorbs JVM/codegen warm-up so timings reflect steady
+state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: every major shuffle shape the engine supports — windowed
+# agg, group-agg segmentation, window top-k + pivot, pre-agg broadcast
+# join, array algebra, LSH dedup (signatures + bucket join + verify),
+# simhash explode-agg, brute + bucketed cosine top-k, text scoring,
+# tumbling windows.
+BENCH_QUERIES = [
+    "per_key_windowed_sum",
+    "segmentation",
+    "smart_dedup",
+    "topk_per_group",
+    "rank_pivot",
+    "enrichment_join",
+    "phone_spread",
+    "priority_case_sort",
+    "money_format",
+    "union_sheets",
+    "tumbling_window_counts",
+    "text_quality",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_ann_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry_mod
+    from python_etl_mailing_automation_spark.session import build_spark
+
+    spark = build_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = entry_mod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("per_key_windowed_sum")  # warm-up (JVM + codegen), not recorded
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run(name), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Deduplication families for document-scale data (exact, MinHash+LSH,
+SimHash, n-gram Jaccard).
+
+Scale design:
+- **Exact** is a hash-groupBy — one shuffle on the digest, not the text.
+- **MinHash+LSH** avoids the O(n²) pair explosion: signatures are per-row
+  column algebra; candidate generation is a self-equi-join on band values
+  (shuffle keyed by band), so only same-bucket pairs materialize. At 100 TB
+  the band join is the only shuffle and its key space is uniform.
+- **SimHash** is explode → integer aggregate → bit-pack: one shuffle on
+  doc_id with map-side partial aggregation.
+- **n-gram Jaccard** is exact pair verification; always run it *blocked*
+  (here: by a blocking key) — unblocked pairwise is quadratic and is the
+  one thing this module refuses to encourage.
+
+Cross-engine determinism: all hashing is md5 (bit-identical everywhere);
+min-hash "permutations" are md5 with a per-hash salt, ordered
+lexicographically on the hex digest — a valid universal-hash family for
+MinHash and reproducible across engines (unlike murmur/xxhash builtins,
+which differ per engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_of
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "toks") -> DataFrame:
+    return df.withColumn(out, tokens_of(text_col))
+
+
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; fewer than ``n`` tokens → empty list."""
+    concat_args = ", ".join(f"t[i+{j}]" for j in range(n))
+    expr = (
+        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {concat_args}))"
+    )
+    # Bind the token column under a stable name for the SQL lambda.
+    return F.when(
+        F.size(toks) >= n,
+        F.expr(expr.replace("t[", "__sh_toks[").replace("size(t)", "size(__sh_toks)")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_shingles(
+    df: DataFrame, toks_col: str = "toks", out: str = "shingles", n: int = 3
+) -> DataFrame:
+    inner = df.withColumnRenamed(toks_col, "__sh_toks")
+    return inner.withColumn(out, shingles_of(F.col("__sh_toks"), n)).withColumnRenamed(
+        "__sh_toks", toks_col
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content digest, keep the min id as the
+    representative, report group sizes. One shuffle on the 32-byte digest
+    regardless of document size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_hash(shingle: Column, salt: int) -> Column:
+    """One member of the md5-salted hash family."""
+    return F.md5(F.concat(shingle, F.lit(f"|{salt}")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature + LSH band keys per document.
+
+    Adds ``mh_1..mh_k`` (lexicographic-min salted md5 over shingles) and
+    ``band_1..band_{k/band_size}`` (md5 of the band's minhashes). Documents
+    agreeing on any band are near-dup candidates. Docs with fewer than
+    ``shingle_n`` tokens get null signatures (nothing to hash).
+    """
+    assert num_hashes % band_size == 0
+    out = with_shingles(with_tokens(df, text_col), n=shingle_n)
+    for j in range(1, num_hashes + 1):
+        out = out.withColumn(
+            f"mh_{j}",
+            F.array_min(F.transform(F.col("shingles"), lambda s: minhash_hash(s, j))),  # noqa: B023
+        )
+    n_bands = num_hashes // band_size
+    for b in range(1, n_bands + 1):
+        members = [F.col(f"mh_{(b - 1) * band_size + i + 1}") for i in range(band_size)]
+        glue: list[Column] = []
+        for i, m in enumerate(members):
+            if i:
+                glue.append(F.lit("|"))
+            glue.append(m)
+        # F.concat null-propagates: any null minhash → null band (too-short
+        # docs never become candidates).
+        out = out.withColumn(f"band_{b}", F.md5(F.concat(*glue)))
+    return out.drop("toks", "shingles")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Bucket-join LSH: distinct (a, b) id pairs (a < b) sharing any band.
+
+    The only shuffle is keyed on (band_index, band_value) — uniform md5
+    space, no skew. Pair count is bounded by bucket sizes, not n².
+    """
+    band_cols = [c for c in signatures.columns if c.startswith("band_")]
+    entries = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), F.col(c).alias("band_val"))
+                    for i, c in enumerate(band_cols)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_idx", "b.band_val").filter(F.col("band_val").isNotNull())
+    a = entries.alias("a")
+    b = entries.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Attach exact Jaccard similarity (over distinct tokens, or distinct
+    ``shingle_n``-gram shingles) to candidate id pairs."""
+    base = with_tokens(docs, text_col)
+    if shingle_n:
+        base = with_shingles(base, n=shingle_n)
+        elems = F.array_distinct(F.col("shingles"))
+    else:
+        elems = F.array_distinct(F.col("toks"))
+    sets = base.select(F.col(id_col), elems.alias("elems"))
+    a = sets.select(F.col(id_col).alias("doc_id_a"), F.col("elems").alias("ea"))
+    b = sets.select(F.col(id_col).alias("doc_id_b"), F.col("elems").alias("eb"))
+    joined = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+    inter = F.size(F.filter(F.col("ea"), lambda x: F.array_contains(F.col("eb"), x)))
+    union = F.size(F.col("ea")) + F.size(F.col("eb")) - inter
+    return joined.withColumn(
+        "jaccard", inter.cast("double") / union.cast("double")
+    ).select("doc_id_a", "doc_id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard over *blocked* pairs (same ``block_col``).
+
+    Quadratic only within a block — the caller chooses a blocking key that
+    keeps blocks small (language, length bucket, LSH band, …).
+    """
+    base = with_shingles(with_tokens(docs, text_col), n=shingle_n)
+    sets = base.select(
+        F.col(id_col), F.col(block_col).alias("__blk"),
+        F.array_distinct(F.col("shingles")).alias("elems"),
+    )
+    a = sets.select(
+        F.col(id_col).alias("doc_id_a"), F.col("__blk"), F.col("elems").alias("ea")
+    )
+    b = sets.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col("__blk").alias("__blk_b"),
+        F.col("elems").alias("eb"),
+    )
+    joined = a.join(
+        b, on=[F.col("__blk") == F.col("__blk_b"), F.col("doc_id_a") < F.col("doc_id_b")]
+    )
+    inter = F.size(F.filter(F.col("ea"), lambda x: F.array_contains(F.col("eb"), x)))
+    union = F.size(F.col("ea")) + F.size(F.col("eb")) - inter
+    return (
+        joined.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def simhash_16(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash over tokens (md5-derived bit source).
+
+    Per-bit weighted vote: bit k of each token's 16-bit md5 prefix votes
+    +1/-1; the sign of the total sets bit k of the fingerprint. 16 bits
+    keeps the demonstration query compact; production uses 64/128 by
+    widening the same construction.
+
+    Implementation: explode → one integer aggregation per doc (map-side
+    partial agg), then bit-pack. Docs with zero tokens produce no row.
+    """
+    toks = with_tokens(docs, text_col).select(
+        F.col(id_col), F.explode(F.col("toks")).alias("tok")
+    )
+    hx = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    withbits = toks.withColumn("hx", hx)
+    aggs = [
+        F.sum(
+            F.when((F.floor(F.col("hx") / (2**k)) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"s{k}")
+        for k in range(16)
+    ]
+    summed = withbits.groupBy(id_col).agg(*aggs)
+    packed: Column = F.lit(0)
+    for k in range(16):
+        packed = packed + F.when(F.col(f"s{k}") >= 0, F.lit(2**k)).otherwise(F.lit(0))
+    return summed.select(F.col(id_col), packed.cast("long").alias("simhash16"))

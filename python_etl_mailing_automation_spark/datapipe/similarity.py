@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+- :func:`cosine_topk` — brute-force exact cosine top-k. O(|Q|·|C|); the
+  correct baseline and fine when either side is small (a query batch
+  against a corpus, or within LSH buckets).
+- :func:`ann_bucket_topk` — bucketed ANN: vectors are quantized to a
+  sign-bit bucket (sign-random-projection LSH with axis-aligned
+  hyperplanes); top-k runs only within buckets. At scale the bucket join
+  replaces the all-pairs product with a shuffle keyed on bucket id; recall
+  is tuned by bucket bits / multi-probe.
+
+Determinism note: dot products accumulate in DecimalType, which is exact
+and associative — the result is identical regardless of partitioning or
+aggregation order, and bit-identical across engines. The final
+decimal→double division happens once per pair. Float sums would be
+partition-order-dependent on a cluster; decimals are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(12,6)"
+# Accumulator keeps scale 12 (exact product scale); precision 32 leaves
+# headroom so acc+v widens to (33,12) without scale loss, then is cast
+# back. Magnitudes here are ≤1e6, far below the 10^20 integral capacity.
+_ACC = "decimal(32,12)"
+
+
+def _dec_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast(_DEC))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact decimal dot product (order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast(_ACC),
+        lambda acc, v: (acc + v).cast(_ACC),
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the decimal-exact vector and its L2 norm (as double)."""
+    dv = _dec_vec(F.col(vec_col))
+    return df.withColumn("__vec_dec", dv).withColumn(
+        "__norm", F.sqrt(_dot(F.col("__vec_dec"), F.col("__vec_dec")).cast("double"))
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each row of ``queries``.
+
+    Returns ``(vec_id, neighbor_id, sim_rank, cos_sim)`` with rank ties
+    broken by neighbor id. Self-matches (same id) are excluded.
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("__vec_dec").alias("qv"),
+        F.col("__norm").alias("qn"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec_dec").alias("cv"),
+        F.col("__norm").alias("cn"),
+    )
+    pairs = q.crossJoin(c).filter(F.col("vec_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("qv"), F.col("cv")).cast("double") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("__cos", cos)
+        .withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select("vec_id", "neighbor_id", "sim_rank", F.col("__cos").alias("cos_sim"))
+    )
+
+
+def sign_bucket(vec_col: Column, bits: int = 4) -> Column:
+    """Sign-quantization bucket id from the first ``bits`` dimensions
+    (axis-aligned special case of sign-random-projection LSH)."""
+    bucket: Column = F.lit(0)
+    for i in range(bits):
+        bucket = bucket + F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+    return bucket.cast("long")
+
+
+def ann_bucket_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Bucketed approximate top-k: rank neighbors only within the same
+    sign-quantization bucket. Returns
+    ``(vec_id, bucket, neighbor_id, sim_rank)``."""
+    base = with_norm(df, vec_col).withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+    a = base.select(
+        F.col(id_col).alias("vec_id"), "bucket",
+        F.col("__vec_dec").alias("qv"), F.col("__norm").alias("qn"),
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("bucket").alias("bucket_b"),
+        F.col("__vec_dec").alias("cv"), F.col("__norm").alias("cn"),
+    )
+    pairs = a.join(
+        b, on=[F.col("bucket") == F.col("bucket_b"), F.col("vec_id") != F.col("neighbor_id")]
+    )
+    cos = _dot(F.col("qv"), F.col("cv")).cast("double") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("__cos", cos)
+        .withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select("vec_id", "bucket", "neighbor_id", "sim_rank")
+    )

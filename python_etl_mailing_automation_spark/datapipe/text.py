@@ -1,0 +1,111 @@
+"""Text analysis operators over a document table.
+
+Scale posture: everything is per-row column algebra (tokenize → array ops)
+— embarrassingly parallel, no shuffle at all, full whole-stage codegen.
+At 100 TB these run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Default marker words per language for the n-gram/stopword heuristic
+# language identifier. Real deployments extend these lists via config.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "los"),
+    "de": ("der", "und", "das"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
+
+
+def tokens_of(text_col: Column | str) -> Column:
+    """Whitespace tokenization: trim then split on ``\\s+``."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token + char counting (whitespace tokenizer)."""
+    toks = tokens_of(text_col)
+    return df.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
+        "n_chars_calc", F.length(F.col(text_col)).cast("long")
+    )
+
+
+def _count_in_list(toks: Column, words: Sequence[str]) -> Column:
+    word_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(word_arr, t))).cast("long")
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    stopwords: Sequence[str] = STOPWORDS,
+    max_stop_ratio: float = 0.3,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio + length gates.
+
+    Adds ``n_tokens``, ``n_stop``, ``stop_ratio`` and an ``is_quality``
+    0/1 flag. All arithmetic is exact integer work followed by one
+    division, so results are engine/platform deterministic.
+    """
+    toks = tokens_of(text_col)
+    out = (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("n_stop", _count_in_list(toks, stopwords))
+        .withColumn("stop_ratio", F.col("n_stop") / F.col("n_tokens"))
+    )
+    return out.withColumn(
+        "is_quality",
+        ((F.col("stop_ratio") <= max_stop_ratio) & (F.col("n_tokens") >= min_tokens))
+        .cast("int"),
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    markers: dict[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """Marker-word language identification.
+
+    Scores each language by marker-token occurrences; prediction is the
+    argmax with a canonical tie order (en ≺ es ≺ de) so results are
+    deterministic. Adds ``score_<lang>`` columns and ``pred_lang``.
+    """
+    markers = dict(markers or LANG_MARKERS)
+    toks = tokens_of(text_col)
+    out = df
+    for lang, words in markers.items():
+        out = out.withColumn(f"score_{lang}", _count_in_list(toks, words))
+    en, es, de = F.col("score_en"), F.col("score_es"), F.col("score_de")
+    pred = (
+        F.when((es > en) & (es >= de), F.lit("es"))
+        .when((de > en) & (de > es), F.lit("de"))
+        .otherwise(F.lit("en"))
+    )
+    return out.withColumn("pred_lang", pred)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set. Word-order- and duplication-insensitive, so lightly shuffled or
+    repeated documents collide — a cheap bag-of-words near-dup key.
+
+    md5 (not an engine hash function) so fingerprints are identical across
+    engines/runs — required for incremental dedup against an existing
+    fingerprint store.
+    """
+    toks = tokens_of(text_col)
+    return df.withColumn(
+        "fingerprint",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")),
+    )

@@ -50,6 +50,10 @@ def build_spark(
         # Respect the non-ANSI coerce-to-null semantics the reference's
         # `errors='coerce'` parsing relies on (SURVEY.md §1.2).
         "spark.sql.ansi.enabled": "false",
+        # Parquet TIMESTAMP(NANOS) (written by arrow-based producers) is
+        # unreadable by Spark natively; surface it as a long and convert
+        # with nanos_to_timestamp() (sources.read_table does this).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.enabled": "false",
     }
     if extra_conf:

@@ -1,0 +1,113 @@
+"""Table readers and exact-filename CSV sinks (SURVEY.md §2.1).
+
+- ``read_table`` — parquet scan with nanosecond-timestamp normalization
+  (Spark cannot read parquet TIMESTAMP(NANOS); with
+  ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a long
+  which this reader converts back to a timestamp).
+- ``write_exact_csv`` — the reference's sinks name each output file
+  exactly (one CSV per product / time-slot group, data_exporter.py:58-68,
+  gerador_robo_mestre.py:120-138). Spark writes directories of parts, so
+  the exact-name contract is: coalesce(1) → write dir → rename the single
+  part. Only for dimension-sized outputs; large outputs keep native
+  partitioned writes (``df.write.partitionBy``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def nanos_to_timestamp(col: str) -> Column:
+    """Convert an epoch-nanos long column to a timestamp (µs precision).
+
+    Uses integer division (`div`) — a float division would lose precision
+    for nanosecond epochs, which exceed 2^53.
+    """
+    return F.expr(f"timestamp_micros({col} div 1000)")
+
+
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    nanos_ts_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """Read ``{sf_dir}/{name}.parquet``; convert known nanos-long
+    timestamp columns back to timestamps."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nanos_ts_cols:
+        field = next((f for f in df.schema.fields if f.name == c), None)
+        if field is not None and isinstance(field.dataType, LongType):
+            df = df.withColumn(c, nanos_to_timestamp(c))
+    return df
+
+
+def write_exact_csv(
+    df: DataFrame,
+    out_path: str | Path,
+    *,
+    sep: str = ";",
+    encoding: str = "UTF-8",
+    header: bool = True,
+) -> Path:
+    """Write a small DataFrame to exactly ``out_path`` as one CSV file.
+
+    Nulls render as '' (reference ``na_rep=''``, data_exporter.py:68).
+    """
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="csv_sink_", dir=str(out_path.parent))
+    try:
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("sep", sep)
+            .option("encoding", encoding)
+            .option("header", str(header).lower())
+            .option("nullValue", "")
+            .option("emptyValue", "")
+            .csv(str(Path(tmp) / "d"))
+        )
+        part = glob.glob(str(Path(tmp) / "d" / "part-*.csv"))[0]
+        shutil.move(part, out_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_path
+
+
+def write_partitioned_by_key(
+    df: DataFrame,
+    out_dir: str | Path,
+    key_col: str,
+    *,
+    filename_template: str = "{key}.csv",
+    sep: str = ";",
+) -> list[Path]:
+    """S6/S7: one exactly-named CSV per distinct key value.
+
+    The reference loops over distinct products (data_exporter.py:58-68);
+    here the distinct key list is the only driver-side materialization and
+    each per-key write is a pushed-down filter. Blank/null keys are
+    skipped (P8 guard, data_exporter.py:61).
+    """
+    out_dir = Path(out_dir)
+    keys = [
+        r[0]
+        for r in df.select(key_col).distinct().collect()
+        if r[0] is not None and str(r[0]).strip() != ""
+    ]
+    written = []
+    for k in sorted(keys):
+        path = out_dir / filename_template.format(key=k)
+        write_exact_csv(df.filter(F.col(key_col) == k), path, sep=sep)
+        written.append(path)
+    return written

@@ -1,0 +1,5 @@
+"""Structured Streaming surface (SURVEY.md §2.10 notes the reference has
+no streaming; this module supplies the streaming-native equivalents of the
+engine's aggregations for the `events` stream shape)."""
+
+from .events import tumbling_event_counts, tumbling_event_counts_stream  # noqa: F401

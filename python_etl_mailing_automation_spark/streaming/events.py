@@ -1,0 +1,71 @@
+"""Tumbling-window event aggregation — one definition, two execution
+modes.
+
+The same transformation runs as a batch query (oracle-checkable) and as a
+Structured Streaming query with a watermark (late data beyond the
+watermark is dropped; state is bounded). At scale the streaming variant is
+the hot path: per-window partial aggregates are maintained in the state
+store, sized by watermark horizon × key cardinality — not by stream
+length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _agg(windowed: DataFrame) -> DataFrame:
+    return windowed.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Batch form: counts + min/max value per (tumbling window, key)."""
+    grouped = events.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col)
+    )
+    return _agg(grouped).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col(key_col),
+        "n_events",
+        "min_value",
+        "max_value",
+    )
+
+
+def tumbling_event_counts_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form: identical aggregation with a watermark bound.
+
+    ``events`` must be a streaming DataFrame (``spark.readStream``). Use
+    ``.writeStream.outputMode("append")`` — windows finalize once the
+    watermark passes their end, which is what makes downstream sinks
+    exactly-once-complete per window.
+    """
+    grouped = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+    )
+    return _agg(grouped).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col(key_col),
+        "n_events",
+        "min_value",
+        "max_value",
+    )
