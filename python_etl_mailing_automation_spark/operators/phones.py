@@ -32,9 +32,14 @@ def spread_phone_columns(
     ``enriched_list_col`` may be None (enrichment step skipped — the
     reference degrades the same way, processing_pipeline.py:143-144).
     """
-    fallback = F.array_compact(
-        F.array(*[clean_phone_number(c) for c in fallback_cols])
-    )
+    if fallback_cols:
+        fallback = F.array_compact(
+            F.array(*[clean_phone_number(c) for c in fallback_cols])
+        )
+    else:
+        # No-arg F.array() is VOID-typed, which breaks sinks downstream —
+        # pin the empty array to array<string>.
+        fallback = F.array().cast("array<string>")
     if enriched_list_col is not None:
         enriched = F.coalesce(F.col(enriched_list_col), F.array().cast("array<string>"))
         merged = F.concat(enriched, fallback)

@@ -1,0 +1,133 @@
+"""Behavioral tests for the beyond-reference datapipe operators
+(dedup families, similarity search, text analysis, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_etl_mailing_automation_spark.datapipe.dedup import (
+    exact_dedup_groups,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_16,
+)
+from python_etl_mailing_automation_spark.datapipe.multimodal import (
+    extract_features,
+    with_binary_payload,
+)
+from python_etl_mailing_automation_spark.datapipe.similarity import (
+    ann_bucket_topk,
+    cosine_topk,
+)
+from python_etl_mailing_automation_spark.datapipe.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+TEXT_A = "the quick brown fox jumps over the lazy dog near the old river bank"
+TEXT_A2 = "the quick brown fox jumps over the lazy dog near the old river bend"
+TEXT_B = "completely different words about spark shuffles and partition pruning"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, TEXT_A, "s1"), (2, TEXT_A, "s1"), (3, TEXT_A2, "s1"), (4, TEXT_B, "s1"),
+         (5, "tiny doc", "s2")],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2          # docs 1,2 identical -> representative 1
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_identical_docs_share_all_bands(spark, docs):
+    sig = {r["doc_id"]: r for r in minhash_signatures(docs).collect()}
+    assert all(sig[1][f"mh_{j}"] == sig[2][f"mh_{j}"] for j in range(1, 7))
+    assert all(sig[1][f"band_{b}"] == sig[2][f"band_{b}"] for b in range(1, 4))
+    # <3 tokens -> no shingles -> null signature, never a candidate
+    assert sig[5]["mh_1"] is None and sig[5]["band_1"] is None
+
+
+def test_lsh_pairs_find_near_dups(spark, docs):
+    sig = minhash_signatures(docs)
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs                      # identical -> always candidates
+    verified = jaccard_on_pairs(lsh_candidate_pairs(sig), docs).collect()
+    jac = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in verified}
+    assert jac[(1, 2)] == 1.0
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    sh = {r["doc_id"]: r["simhash16"] for r in simhash_16(docs).collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far       # 1-word edit closer than unrelated text
+    assert 0 <= sh[1] < 2**16
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    out = ngram_jaccard_pairs(docs, block_col="source", min_jaccard=0.0)
+    jac = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in out.collect()}
+    assert jac[(1, 2)] == 1.0
+    assert jac[(1, 3)] > 0.5        # one-word tail edit
+    assert jac[(1, 4)] == 0.0
+    assert not any(5 in p for p in jac)  # different block never compared
+
+
+def test_cosine_topk_planted_duplicate(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0]),
+         (4, [0.7071, 0.7071, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    top = cosine_topk(emb, emb, k=2).collect()
+    best = {r["vec_id"]: r["neighbor_id"] for r in top if r["sim_rank"] == 1}
+    assert best[1] == 2 and best[2] == 1          # planted duplicate wins
+    sims = {(r["vec_id"], r["neighbor_id"]): r["cos_sim"] for r in top}
+    assert sims[(1, 2)] == pytest.approx(1.0, abs=1e-9)
+    assert sims[(1, 4)] == pytest.approx(0.7071, abs=1e-3)
+
+
+def test_ann_buckets_only_within_bucket(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 1.0, 0.0]), (2, [1.0, 1.0, 0.1]), (3, [-1.0, -1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann_bucket_topk(emb, bits=2, k=2).collect()
+    got = {(r["vec_id"], r["neighbor_id"]) for r in out}
+    assert (1, 2) in got and (2, 1) in got
+    assert not any(3 in p for p in got)  # opposite signs -> different bucket
+
+
+def test_text_analysis(spark, docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert tc[5] == 2
+    q = {r["doc_id"]: r for r in quality_score(docs, min_tokens=5).collect()}
+    assert q[1]["n_stop"] == 3          # 'the' x3
+    li = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert li[1] == "en"
+    fp = doc_fingerprint(docs)
+    f = {r["doc_id"]: r["fingerprint"] for r in fp.collect()}
+    assert f[1] == f[2]
+    shuffled = spark.createDataFrame(
+        [(9, " ".join(reversed(TEXT_A.split())))], "doc_id long, text string"
+    )
+    assert doc_fingerprint(shuffled).first()["fingerprint"] == f[1]
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    out = extract_features(with_binary_payload(docs)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[5]["n_bytes"] == len("tiny doc".encode())
+    assert by_id[5]["head_hex"] == "tiny doc".encode()[:8].hex()
+    assert len(out) == 5

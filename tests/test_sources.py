@@ -1,0 +1,69 @@
+"""Sources/sinks: discovery, exact-filename CSV sinks, state store,
+nanos-timestamp reader."""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from pathlib import Path
+
+import pytest
+
+from python_etl_mailing_automation_spark.sources import (
+    StateManager,
+    find_latest_file,
+    read_table,
+    write_exact_csv,
+)
+from python_etl_mailing_automation_spark.sources.discovery import InputFileNotFoundError
+from python_etl_mailing_automation_spark.sources.io import write_partitioned_by_key
+
+
+def test_find_latest_file(tmp_path):
+    old = tmp_path / "MAILING_NUCLEO_old.xlsx"
+    new = tmp_path / "MAILING_NUCLEO_new.xlsx"
+    old.write_text("x")
+    new.write_text("y")
+    past = time.time() - 1000
+    os.utime(old, (past, past))
+    assert find_latest_file(tmp_path, "MAILING_NUCLEO_*.xlsx") == new
+    assert find_latest_file(tmp_path, "missing*", optional=True) is None
+    with pytest.raises(InputFileNotFoundError):
+        find_latest_file(tmp_path, "missing*")
+
+
+def test_write_exact_csv_single_file_null_as_empty(spark, tmp_path):
+    df = spark.createDataFrame([("a", None), ("b", "x")], "k string, v string")
+    out = write_exact_csv(df, tmp_path / "exact.csv", sep=";")
+    assert out.name == "exact.csv" and out.exists()
+    rows = list(csv.reader(out.open(encoding="utf-8"), delimiter=";"))
+    assert rows[0] == ["k", "v"]
+    assert sorted(rows[1:]) == [["a", ""], ["b", "x"]]
+    assert len(list(tmp_path.glob("*"))) == 1  # no stray part dirs
+
+
+def test_write_partitioned_by_key_skips_blank(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("EPB", 1), ("EMT", 2), (None, 3), ("  ", 4)], "produto string, v int"
+    )
+    written = write_partitioned_by_key(
+        df, tmp_path, "produto", filename_template="Mailing_{key}.csv"
+    )
+    assert [p.name for p in written] == ["Mailing_EMT.csv", "Mailing_EPB.csv"]
+
+
+def test_state_manager_roundtrip(tmp_path):
+    sm = StateManager(tmp_path / "state.json")
+    assert sm.load() == {}
+    sm.save_success({"human": 10, "robot": 4})
+    assert sm.last_metrics() == {"human": 10, "robot": 4}
+    assert sm.load()["status"] == "success"
+    sm.save_failure()
+    assert sm.load()["status"] == "failure"
+
+
+def test_read_table_converts_nanos_ts(spark, sf_dir):
+    events = read_table(spark, sf_dir, "events")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    assert events.count() > 0
