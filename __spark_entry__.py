@@ -555,8 +555,8 @@ _ENRICH_LIST = (
 )
 
 _COS_DOT = (
-    "CAST(list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]), "
-    "(x, y) -> x + y) AS DOUBLE)"
+    "list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]), "
+    "(x, y) -> x + y)"
 )
 
 
@@ -564,11 +564,9 @@ def _cosine_sql(extra_cols: str, join_cond: str, k: int, out_cols: str) -> str:
     dot_qc = _COS_DOT.format(a="q.v", b="c.v")
     return f"""
   WITH e AS (SELECT vec_id,
-                    -- via DOUBLE: DuckDB's FLOAT->DECIMAL cast rounds the
-                    -- float's shortest repr, not its exact binary value
-                    -- (Spark rounds the exact value) — DOUBLE carries the
-                    -- exact value, so both engines round identically.
-                    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6))) AS v,
+                    -- float→double is exact; the dot is a sequential fold
+                    -- in both engines, so doubles are bit-identical.
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                     embedding FROM embeddings),
   n AS (SELECT vec_id, embedding, v,
                sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm{extra_cols} FROM e),

@@ -10,11 +10,14 @@ Two tiers:
   replaces the all-pairs product with a shuffle keyed on bucket id; recall
   is tuned by bucket bits / multi-probe.
 
-Determinism note: dot products accumulate in DecimalType, which is exact
-and associative — the result is identical regardless of partitioning or
-aggregation order, and bit-identical across engines. The final
-decimal→double division happens once per pair. Float sums would be
-partition-order-dependent on a cluster; decimals are not.
+Determinism note: the dot product is a strict left fold over the array
+(``F.aggregate``), evaluated per row — there is no cross-row/partition
+accumulation, so double arithmetic is fully deterministic here: identical
+inputs produce bit-identical results on any cluster layout (and in DuckDB,
+whose ``list_reduce`` is the same sequential fold — verified exact at
+sf0.1). Floats are widened to double first; float→double is exact.
+Decimal accumulation is only needed for *cross-row* sums (see
+operators.aggregates), not per-row folds.
 """
 
 from __future__ import annotations
@@ -22,31 +25,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_DEC = "decimal(12,6)"
-# Accumulator keeps scale 12 (exact product scale); precision 32 leaves
-# headroom so acc+v widens to (33,12) without scale loss, then is cast
-# back. Magnitudes here are ≤1e6, far below the 10^20 integral capacity.
-_ACC = "decimal(32,12)"
-
 
 def _dec_vec(col: Column) -> Column:
-    return F.transform(col, lambda x: x.cast(_DEC))
+    return F.transform(col, lambda x: x.cast("double"))
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Exact decimal dot product (order-independent)."""
+    """Sequential-fold dot product (deterministic; see module docstring)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast(_ACC),
-        lambda acc, v: (acc + v).cast(_ACC),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the decimal-exact vector and its L2 norm (as double)."""
+    """Attach the double-widened vector and its L2 norm."""
     dv = _dec_vec(F.col(vec_col))
     return df.withColumn("__vec_dec", dv).withColumn(
-        "__norm", F.sqrt(_dot(F.col("__vec_dec"), F.col("__vec_dec")).cast("double"))
+        "__norm", F.sqrt(_dot(F.col("__vec_dec"), F.col("__vec_dec")))
     )
 
 
