@@ -371,6 +371,55 @@ def q_union_sheets(spark: SparkSession, sf: str) -> DataFrame:
     return union_all_by_name([sheet1, sheet2])
 
 
+def q_export_human_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """P4+F5+F8 composed — export projection with BR money/date formatting
+    folded pre-write (data_exporter.py:33-54; no re-read/rewrite loop)."""
+    from python_etl_mailing_automation_spark.pipeline.export import apply_export_layout
+
+    orders = _t(spark, sf, "orders")
+    mailing_ish = with_group_sum(orders, "o_custkey", "o_totalprice", "valor_divida").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").cast("string").alias("cpf"),
+        "valor_divida",
+        F.col("o_orderdate").alias("dtvenc"),
+    )
+    return apply_export_layout(
+        mailing_ish,
+        ["okey", "cpf", "valor_divida", "dtvenc"],
+        money_columns=["valor_divida"],
+    )
+
+
+def q_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum windows; exact µs
+    comparisons). Streaming twin: streaming/sessions.sessionize_stream."""
+    from python_etl_mailing_automation_spark.streaming.sessions import sessionize
+
+    events = _t(spark, sf, "events")
+    return sessionize(events, gap_seconds=1800).select(
+        "event_id", "user_id", "session_seq"
+    )
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join via the union-merge window composition (no native Spark
+    as-of; no |L|x|R| range-join explosion — operators/asof.py)."""
+    from python_etl_mailing_automation_spark.operators.asof import asof_join
+
+    events = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf, "orders")
+    return asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey"],
+        tiebreak_col="o_orderkey",
+    ).select("event_id", "user_id", "asof_o_orderkey")
+
+
 def q_tumbling_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming-shaped tumbling-window aggregation (batch form of
     streaming/events.py; same definition runs under readStream)."""
@@ -485,6 +534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_roundtrip": q_date_roundtrip,
         "cleaning_normalize": q_cleaning_normalize,
         "union_sheets": q_union_sheets,
+        "export_human_layout": q_export_human_layout,
+        "sessionization": q_sessionization,
+        "asof_join": q_asof_join,
         "tumbling_window_counts": q_tumbling_window_counts,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -768,6 +820,34 @@ def oracle_sql() -> dict[str, str]:
   UNION ALL
   SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
   FROM orders WHERE o_orderstatus = 'O'""",
+        "export_human_layout": """
+  SELECT o_orderkey AS okey, CAST(o_custkey AS VARCHAR) AS cpf,
+         replace(printf('%.2f',
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey) AS DOUBLE)), '.', ',') AS valor_divida,
+         strftime(o_orderdate, '%d/%m/%Y') AS dtvenc
+  FROM orders""",
+        "sessionization": """
+  WITH l AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS prev
+    FROM events),
+  m AS (SELECT event_id, user_id, us,
+               CASE WHEN prev IS NULL OR us - prev > 1800000000
+                    THEN 1 ELSE 0 END AS is_new FROM l)
+  SELECT event_id, user_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM m""",
+        "asof_join": """
+  SELECT event_id, user_id, asof_o_orderkey FROM (
+    SELECT e.event_id, e.user_id, o.o_orderkey AS asof_o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY e.event_id
+             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+  WHERE rn = 1""",
         "tumbling_window_counts": """
   SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, COUNT(*) AS n_events,

@@ -1,0 +1,72 @@
+"""As-of join — Spark lacks a native one; this is the scalable
+composition.
+
+Semantics: for each left row, attach the right row with the greatest
+``right_time <= left_time`` per key (ties on time broken by the largest
+tiebreak value — made explicit for determinism).
+
+Scale design — union-merge, NOT a range join: a naive
+``join(key, right_time <= left_time)`` explodes to |L|·|R| per key before
+picking one winner. Instead both sides union into one frame sorted per
+key by (time, side), and a running ``last(value, ignorenulls)`` window
+carries the most recent right values forward onto each left row. One
+shuffle on the key, zero pair explosion — the merge-asof idea expressed
+as a Spark window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Attach ``asof_<col>`` for each of the right's ``value_cols`` to
+    every left row (latest right row at-or-before the left row's time);
+    left rows with no prior right row get nulls."""
+    right_types = dict(right.dtypes)
+    left_types = dict(left.dtypes)
+
+    # Right side: key/time/values, left payload absent (nulls).
+    r = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),  # 0 sorts before left at equal time → '<='
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0).cast("long")).alias("__tb"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(left_types[c]).alias(f"__l_{c}") for c in left.columns],
+    )
+    # Left side: payload present, values absent (nulls).
+    lf = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
+        *[F.lit(None).cast(right_types[c]).alias(f"__v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    u = r.unionByName(lf)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "__side",
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")

@@ -1,0 +1,50 @@
+"""Export layouts: the reference's stage-3/4 output formatting folded into
+the pre-write plan (SURVEY.md §2.2 P4/P5 + §2.8 F5/F8/F9).
+
+Reference behavior: select config-listed columns ∩ present
+(data_exporter.py:46-54), format money per-row in Python
+(data_exporter.py:40), format dates (``:43``) — then stages 4-5 re-read
+the written CSVs to repair formatting again. Here the formatting is part
+of the single lazy plan; nothing is ever re-read.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+from ..functions.dates import format_date_br
+from ..functions.money import format_money_br, format_money_robot
+
+DEFAULT_MONEY_COLUMNS = ("valorDivida", "liquido", "total_toi", "valor")
+
+
+def apply_export_layout(
+    df: DataFrame,
+    export_columns: Sequence[str],
+    *,
+    money_columns: Sequence[str] = DEFAULT_MONEY_COLUMNS,
+    robot_money: bool = False,
+) -> DataFrame:
+    """P4/P5 + F5 + F8/F9: format then project to the configured layout.
+
+    - every Date/Timestamp column renders as ``dd/MM/yyyy``;
+    - listed money columns render BR-style (2-decimal comma for the human
+      layout, integral-collapse for the robot layout);
+    - the projection keeps the configured order, skipping absent columns
+      (the reference tolerates drift the same way).
+    """
+    fmt_money = format_money_robot if robot_money else format_money_br
+    updates = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (DateType, TimestampType, TimestampNTZType)):
+            updates[f.name] = format_date_br(F.col(f.name))
+    for c in money_columns:
+        if c in df.columns:
+            updates[c] = fmt_money(F.col(c))
+    out = df.withColumns(updates) if updates else df
+    keep = [c for c in export_columns if c in out.columns]
+    return out.select(*keep) if keep else out
