@@ -420,6 +420,33 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "user_id", "asof_o_orderkey")
 
 
+def q_value_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """A10 — unique-values profile, the diagnostico tool as one
+    distributed pass (diagnostico.py:29-57)."""
+    from python_etl_mailing_automation_spark.pipeline.diagnostics import (
+        profile_unique_values,
+    )
+
+    orders = _t(spark, sf, "orders")
+    return profile_unique_values(orders, ["o_orderstatus", "o_orderpriority"])
+
+
+def q_audit_blocklist_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """P9/U3 — the laudo leak invariant as a query: after the blocklist
+    filter, zero rows may contain a blocklisted value (laudo.py:108-127).
+    Expected result: EMPTY (the invariant holds) — the oracle asserts the
+    same emptiness."""
+    from python_etl_mailing_automation_spark.pipeline.audit import (
+        audit_no_blocked_status,
+    )
+
+    orders = _t(spark, sf, "orders")
+    kept, _ = blocklist_filter(orders, "o_orderpriority", BLOCKLIST)
+    return audit_no_blocked_status(
+        kept.select("o_orderkey", "o_orderstatus", "o_orderpriority"), BLOCKLIST
+    )
+
+
 def q_tumbling_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming-shaped tumbling-window aggregation (batch form of
     streaming/events.py; same definition runs under readStream)."""
@@ -535,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleaning_normalize": q_cleaning_normalize,
         "union_sheets": q_union_sheets,
         "export_human_layout": q_export_human_layout,
+        "value_profile": q_value_profile,
+        "audit_blocklist_clean": q_audit_blocklist_clean,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
         "tumbling_window_counts": q_tumbling_window_counts,
@@ -827,6 +856,21 @@ def oracle_sql() -> dict[str, str]:
                 OVER (PARTITION BY o_custkey) AS DOUBLE)), '.', ',') AS valor_divida,
          strftime(o_orderdate, '%d/%m/%Y') AS dtvenc
   FROM orders""",
+        "value_profile": """
+  SELECT 'o_orderstatus' AS "column", o_orderstatus AS "value",
+         COUNT(*) AS n_rows FROM orders GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority, COUNT(*)
+  FROM orders GROUP BY o_orderpriority""",
+        "audit_blocklist_clean": f"""
+  WITH kept AS (
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderpriority IS NULL
+       OR lower(trim(o_orderpriority)) NOT IN ({blocklist_norm}))
+  SELECT * FROM kept
+  -- string columns only, matching the engine's audit (o_orderkey is numeric)
+  WHERE lower(trim(o_orderstatus)) IN ({blocklist_norm})
+     OR lower(trim(o_orderpriority)) IN ({blocklist_norm})""",
         "sessionization": """
   WITH l AS (
     SELECT event_id, user_id, epoch_us(ts) AS us,

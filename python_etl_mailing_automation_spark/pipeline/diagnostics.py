@@ -1,0 +1,60 @@
+"""Input forensics — the reference's standalone tools as library queries
+(SURVEY.md §3.3).
+
+- ``profile_unique_values`` ≈ ``diagnostico.py:29-57`` (unique values of
+  selected columns, with counts — distributed, not a driver loop).
+- ``schema_drift`` ≈ ``schema.py:24-42`` (added/removed/reordered columns
+  between two input generations — driver-side on ``df.columns``; schema
+  metadata is not data-sized).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_unique_values(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Long-format profile: ``(column, value, n_rows)`` for each distinct
+    value of each requested column. One shuffle; columns profiled in a
+    single pass via melt-style stacking."""
+    present = [c for c in columns if c in df.columns]
+    if not present:
+        raise ValueError(f"none of {columns} present in frame")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in present
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.value")
+    return stacked.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@dataclass
+class SchemaDrift:
+    added: list[str]
+    removed: list[str]
+    reordered: bool
+
+    @property
+    def has_drift(self) -> bool:
+        return bool(self.added or self.removed or self.reordered)
+
+
+def schema_drift(base: DataFrame, new: DataFrame) -> SchemaDrift:
+    """Column drift between two generations of the same feed."""
+    b, n = list(base.columns), list(new.columns)
+    added = [c for c in n if c not in b]
+    removed = [c for c in b if c not in n]
+    common_b = [c for c in b if c in n]
+    common_n = [c for c in n if c in b]
+    return SchemaDrift(added=added, removed=removed, reordered=common_b != common_n)
