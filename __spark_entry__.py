@@ -524,6 +524,17 @@ def q_similarity_ann_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return ann_bucket_topk(emb, bits=4, k=3)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-bucket LSH + exact verify
+    (datapipe/similarity.py) — the dedup-family member for embeddings."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, bits=8, min_cos=0.8)
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas feature extraction (decode stubbed; no SQL oracle —
@@ -578,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_buckets": q_similarity_ann_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -661,6 +673,24 @@ def _cosine_sql(extra_cols: str, join_cond: str, k: int, out_cols: str) -> str:
 _BUCKET_SQL = " + ".join(
     f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(4)
 )
+
+_BUCKET8_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
+)
+
+
+def _near_dup_sql() -> str:
+    dot = _COS_DOT.format(a="q.v", b="c.v")
+    return f"""
+  WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                    embedding FROM embeddings),
+  n AS (SELECT vec_id, v,
+               sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm,
+               {_BUCKET8_SQL} AS bucket FROM e),
+  p AS (SELECT q.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
+               {dot} / (q.nrm * c.nrm) AS cos_sim
+        FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
+  SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= 0.8"""
 
 
 def _priority_case_sql() -> str:
@@ -987,5 +1017,6 @@ def oracle_sql() -> dict[str, str]:
                 "ORDER BY cos DESC, neighbor_id) AS sim_rank"
             ),
         ),
+        "embedding_near_dup": _near_dup_sql(),
         # multimodal_features: intentionally no oracle (mapInPandas surface)
     }

@@ -61,6 +61,58 @@ def decode_image_stub(payload: bytes) -> object:
     )
 
 
+RESIZED_SCHEMA = "doc_id long, width int, height int, thumb binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def decode_and_resize(
+    df: DataFrame, *, id_col: str = "doc_id", width: int = 64, height: int = 64
+) -> DataFrame:
+    """Image decode→resize over binary payloads (Arrow-batched).
+
+    The decode itself is stubbed (no codec libs here): the deterministic
+    fake 'thumbnail' is the first width*height//64 payload bytes. The
+    Spark-side contract — binary in, fixed-size binary out, schema, batch
+    shape — is the real one; deployments swap `_fake_resize` for
+    PIL/libvips via :func:`decode_image_stub`.
+    """
+
+    def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = max(1, width * height // 64)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "thumb": pdf["media"].map(lambda b: bytes(b[:n])),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(_fake_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, *, id_col: str = "doc_id", every_n_bytes: int = 64, max_frames: int = 4
+) -> DataFrame:
+    """Video frame sampling over binary payloads: one output row per
+    sampled frame (row-expanding mapInPandas — the batch shape a real
+    ffmpeg-backed sampler uses; byte-slicing stands in for decode)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["media"]):
+                data = bytes(payload)
+                for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(data[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "media").mapInPandas(_sample, FRAMES_SCHEMA)
+
+
 def extract_features(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

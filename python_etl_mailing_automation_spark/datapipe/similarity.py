@@ -92,6 +92,46 @@ def sign_bucket(vec_col: Column, bits: int = 4) -> Column:
     return bucket.cast("long")
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    min_cos: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Candidate pairs come from sign-bucket agreement (``bits`` hyperplanes
+    — near-identical vectors agree on all sign bits with high
+    probability), then exact cosine filters at ``min_cos``. Returns
+    ``(vec_id_a, vec_id_b, cos_sim)`` with a < b. The bucket join is the
+    only shuffle; no all-pairs product.
+    """
+    base = with_norm(df, vec_col).withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+    a = base.select(
+        F.col(id_col).alias("vec_id_a"), "bucket",
+        F.col("__vec_dec").alias("va"), F.col("__norm").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_id_b"), F.col("bucket").alias("bucket_b"),
+        F.col("__vec_dec").alias("vb"), F.col("__norm").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        on=[
+            F.col("bucket") == F.col("bucket_b"),
+            F.col("vec_id_a") < F.col("vec_id_b"),
+        ],
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("vec_id_a", "vec_id_b", "cos_sim")
+    )
+
+
 def ann_bucket_topk(
     df: DataFrame,
     *,

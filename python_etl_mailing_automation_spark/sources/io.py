@@ -51,6 +51,69 @@ def read_table(
     return df
 
 
+def read_csv_stringly(
+    spark: SparkSession,
+    path: str | Path,
+    *,
+    sep: str = ";",
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """S4: all-string CSV scan (legacy stage-4/5 inputs).
+
+    Parity with the reference's ``read_csv(dtype=str, encoding='utf-8-sig')``
+    re-reads (formatador_dados.py:49, compressor.py:30). The engine never
+    re-reads its own outputs (repairs are pre-write), but external stringly
+    CSV feeds enter here; typed coercion (F3/F4) runs as column expressions
+    afterwards.
+    """
+    return (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("encoding", encoding)
+        .option("inferSchema", False)
+        .csv(str(path))
+    )
+
+
+def peek_columns(spark: SparkSession, path: str | Path, **reader_options: str) -> list[str]:
+    """S5: header-only schema peek (schema.py:11-22) — parquet footers /
+    CSV headers only, no data read."""
+    p = str(path)
+    if p.endswith(".parquet"):
+        return spark.read.parquet(p).schema.names
+    reader = spark.read.option("header", True)
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    return reader.csv(p).schema.names
+
+
+def sanitize_filename(name: str) -> str:
+    """F14: keep alphanumerics/space/underscore/dash for output filenames
+    (data_loader.py:86)."""
+    return "".join(c for c in str(name) if c.isalnum() or c in " _-").strip()
+
+
+def archive_run(
+    output_dir: str | Path, *, extra_files: list[str | Path] | None = None,
+    remove_dir: bool = False,
+) -> Path:
+    """S9: zip the run's output folder (plus e.g. the run log), optionally
+    delete the work dir (compressor.py:87-118). Driver-side epilogue, not
+    a Spark concern."""
+    output_dir = Path(output_dir)
+    for f in extra_files or []:
+        shutil.copy2(f, output_dir / Path(f).name)
+    # S11: drop any artifact whose *filename* carries a BOM (compressor.py:12-23);
+    # unnecessary when writes are clean UTF-8, kept for legacy dirs.
+    for p in output_dir.iterdir():
+        if "﻿" in p.name or "ï»¿" in p.name:
+            p.unlink()
+    archive = Path(shutil.make_archive(str(output_dir), "zip", str(output_dir)))
+    if remove_dir:
+        shutil.rmtree(output_dir, ignore_errors=True)
+    return archive
+
+
 def write_exact_csv(
     df: DataFrame,
     out_path: str | Path,

@@ -131,3 +131,45 @@ def test_multimodal_feature_extraction(spark, docs):
     assert by_id[5]["n_bytes"] == len("tiny doc".encode())
     assert by_id[5]["head_hex"] == "tiny doc".encode()[:8].hex()
     assert len(out) == 5
+
+
+def test_embedding_near_dup_pairs(spark):
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.001]), (3, [-1.0, -2.0, -3.0]),
+         (4, [3.0, -2.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(emb, bits=3, min_cos=0.99).collect()
+    }
+    assert set(pairs) == {(1, 2)}          # near-identical pair found
+    assert pairs[(1, 2)] > 0.999           # opposite/orthogonal excluded
+
+
+def test_multimodal_resize_and_frames(spark):
+    from python_etl_mailing_automation_spark.datapipe.multimodal import (
+        decode_and_resize,
+        decode_image_stub,
+        sample_frames,
+        with_binary_payload,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "short")], "doc_id long, text string"
+    )
+    media = with_binary_payload(docs)
+    thumbs = {r["doc_id"]: r for r in decode_and_resize(media, width=8, height=8).collect()}
+    assert thumbs[1]["width"] == 8 and len(bytes(thumbs[1]["thumb"])) == 1
+    frames = sample_frames(media, every_n_bytes=100, max_frames=3).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert by_doc[1] == [0, 1, 2] and by_doc[2] == [0]
+    with _pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")

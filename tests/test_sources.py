@@ -67,3 +67,40 @@ def test_read_table_converts_nanos_ts(spark, sf_dir):
     events = read_table(spark, sf_dir, "events")
     assert dict(events.dtypes)["ts"] == "timestamp"
     assert events.count() > 0
+
+
+def test_read_csv_stringly_and_peek(spark, tmp_path):
+    from python_etl_mailing_automation_spark.sources.io import (
+        peek_columns,
+        read_csv_stringly,
+    )
+
+    p = tmp_path / "legacy.csv"
+    p.write_text("CPF;VALOR\n123;45,6\n", encoding="utf-8")
+    df = read_csv_stringly(spark, p)
+    assert df.dtypes == [("CPF", "string"), ("VALOR", "string")]
+    assert df.first()["VALOR"] == "45,6"
+    assert peek_columns(spark, p, sep=";") == ["CPF", "VALOR"]
+
+
+def test_sanitize_filename_and_archive(spark, tmp_path):
+    from python_etl_mailing_automation_spark.sources.io import (
+        archive_run,
+        sanitize_filename,
+    )
+
+    assert sanitize_filename("EPB/RO*BO: 08h?") == "EPBROBO 08h"
+    run_dir = tmp_path / "run_dia"
+    run_dir.mkdir()
+    (run_dir / "Mailing_EPB.csv").write_text("a;b\n")
+    (run_dir / "﻿ghost.csv").write_text("x")  # BOM-named artifact
+    log = tmp_path / "run.log"
+    log.write_text("log line")
+    archive = archive_run(run_dir, extra_files=[log], remove_dir=True)
+    assert archive.name == "run_dia.zip" and archive.exists()
+    assert not run_dir.exists()
+    import zipfile
+
+    names = zipfile.ZipFile(archive).namelist()
+    assert "Mailing_EPB.csv" in names and "run.log" in names
+    assert not any("ghost" in n for n in names)
