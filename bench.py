@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "money_format",
     "union_sheets",
     "tumbling_window_counts",
+    "sessionization",
+    "asof_join",
+    "export_human_layout",
     "text_quality",
     "doc_fingerprint",
     "dedup_exact",
@@ -43,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_ann_buckets",
+    "embedding_near_dup",
 ]
 
 

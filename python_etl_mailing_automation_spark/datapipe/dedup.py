@@ -109,11 +109,19 @@ def minhash_signatures(
     return out.drop("toks", "shingles")
 
 
-def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, id_col: str = "doc_id", cache_entries: bool = True
+) -> DataFrame:
     """Bucket-join LSH: distinct (a, b) id pairs (a < b) sharing any band.
 
     The only shuffle is keyed on (band_index, band_value) — uniform md5
     space, no skew. Pair count is bounded by bucket sizes, not n².
+
+    ``cache_entries`` materializes the (id, band) entries before the
+    self-join: both join sides share the same expensive upstream
+    (tokenize → shingle → 6 salted md5 mins per doc), and without the
+    cache Spark computes that branch twice. Entries are tiny (id + band
+    hash per band) regardless of document size.
     """
     band_cols = [c for c in signatures.columns if c.startswith("band_")]
     entries = signatures.select(
@@ -127,6 +135,8 @@ def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str = "doc_id") -> Dat
             )
         ).alias("b"),
     ).select(id_col, "b.band_idx", "b.band_val").filter(F.col("band_val").isNotNull())
+    if cache_entries:
+        entries = entries.cache()
     a = entries.alias("a")
     b = entries.alias("b")
     return (
