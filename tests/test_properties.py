@@ -1,0 +1,191 @@
+"""Property-based tests (hypothesis): scalar functions vs Python reference
+semantics, operator invariants on random frames.
+
+Each example generates a *batch* of inputs evaluated in one Spark job, so
+hypothesis exploration doesn't multiply Spark overhead.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from python_etl_mailing_automation_spark.functions import (
+    clean_phone_number,
+    format_money_br,
+    format_money_robot,
+    safe_to_double,
+)
+from python_etl_mailing_automation_spark.operators import (
+    dedup_keep_best,
+    segment_by_cutoff,
+    with_priority_level,
+)
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def ref_clean_phone(v: str | None) -> str | None:
+    """Reference semantics of F2 (processing_pipeline.py:27-31)."""
+    if v is None:
+        return None
+    s = re.sub(r"\.0$", "", str(v))
+    s = re.sub(r"\D", "", s)
+    return s or None
+
+
+messy_strings = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=20,
+    ),
+    st.from_regex(r"\(?[0-9]{2}\)? ?9?[0-9]{4}-?[0-9]{4}(\.0)?", fullmatch=True),
+    st.integers(-(10**12), 10**12).map(str),
+)
+
+
+@given(st.lists(messy_strings, min_size=1, max_size=40))
+@SETTINGS
+def test_clean_phone_matches_reference(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [r["r"] for r in df.select(clean_phone_number("v").alias("r")).collect()]
+    assert got == [ref_clean_phone(v) for v in values]
+
+
+br_numbers = st.one_of(
+    st.decimals(
+        min_value=-(10**8), max_value=10**8, places=2, allow_nan=False, allow_infinity=False
+    ).map(lambda d: str(d).replace(".", ",")),
+    st.text(alphabet="0123456789,.abc-", max_size=12),
+    st.none(),
+)
+
+
+def ref_safe_to_double(v: str | None) -> float | None:
+    if v is None:
+        return None
+    s = str(v)
+    if "," in s:
+        s = s.replace(".", "").replace(",", ".")
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+@given(st.lists(br_numbers, min_size=1, max_size=40))
+@SETTINGS
+def test_safe_to_double_matches_reference(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [r["r"] for r in df.select(safe_to_double("v").alias("r")).collect()]
+    for g, v in zip(got, values):
+        expected = ref_safe_to_double(v)
+        if expected is None or g is None:
+            # try_cast accepts a few shapes float() rejects (e.g. leading +)
+            # and vice versa only for inf/nan words; on this alphabet both
+            # agree on null-ness.
+            assert g == expected
+        else:
+            assert g == expected
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_money_format_properties(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    rows = df.select(
+        "v",
+        format_money_br("v").alias("h"),
+        format_money_robot("v").alias("r"),
+    ).collect()
+    for row in rows:
+        # human: always exactly 2 comma-decimals; parses back to round(v, 2)
+        assert re.fullmatch(r"-?[0-9]+,[0-9]{2}", row["h"])
+        assert abs(float(row["h"].replace(",", ".")) - row["v"]) <= 0.005 + 1e-9
+        # robot: integral values have no decimals, others match human
+        if row["v"] == int(row["v"]):
+            assert "," not in row["r"]
+        else:
+            assert row["r"] == row["h"]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SETTINGS
+def test_dedup_idempotent_and_unique(spark, rows):
+    df = spark.createDataFrame(
+        [(f"k{k}", v, rid) for k, v, rid in rows], "k string, v int, rid int"
+    )
+    once = dedup_keep_best(df, "k", [F.col("v").desc()], tiebreaker="rid")
+    twice = dedup_keep_best(once, "k", [F.col("v").desc()], tiebreaker="rid")
+    got_once = sorted((r["k"], r["v"], r["rid"]) for r in once.collect())
+    got_twice = sorted((r["k"], r["v"], r["rid"]) for r in twice.collect())
+    assert got_once == got_twice                      # idempotent
+    keys = [t[0] for t in got_once]
+    assert len(keys) == len(set(keys))                # unique per key
+    # keeps max v per key (tie -> smallest rid)
+    import collections
+
+    best: dict = {}
+    for k, v, rid in rows:
+        cur = best.get(f"k{k}")
+        cand = (-v, rid)
+        if cur is None or cand < cur:
+            best[f"k{k}"] = cand
+    assert {(k, -nv, rid) for k, (nv, rid) in best.items()} == set(got_once)
+
+
+@given(
+    st.lists(st.floats(0, 1000, allow_nan=False), min_size=1, max_size=40),
+    st.floats(0, 1000, allow_nan=False),
+)
+@SETTINGS
+def test_segmentation_partition_property(spark, values, cutoff):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, v double")
+    human, robot = segment_by_cutoff(df, "v", cutoff)
+    h = {r["i"] for r in human.collect()}
+    r_ = {r["i"] for r in robot.collect()}
+    if cutoff == 0:
+        assert h == r_ == set(range(len(values)))     # both full copies
+    else:
+        assert h | r_ == set(range(len(values)))
+        assert h & r_ == set()
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C", "zz"]), st.sampled_from(["A", "B", "x"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_priority_level_bounds_and_last_match(spark, rows):
+    order = ["A", "B", "C"]
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    got = with_priority_level(df, ["c1", "c2"], order).collect()
+    for row in got:
+        matches = [i for i, s in enumerate(order) if s in (row["c1"], row["c2"])]
+        expected = matches[-1] if matches else len(order)
+        assert row["priority_level"] == expected
