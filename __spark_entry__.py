@@ -454,6 +454,86 @@ def q_tumbling_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     return tumbling_event_counts(events)
 
 
+def q_mailing_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """FLAGSHIP: the entire composed mailing pipeline
+    (pipeline/mailing.py ≈ processar_dados, processing_pipeline.py:297-360)
+    run over a mailing synthesized from orders, with enrichment from
+    lineitem and removal rules from customer — threshold anti-join, smart
+    dedup, per-CPF debt, broadcast phone enrichment, SIM/NÃO flag,
+    blocklist filter, priority mapping, segmentation — all one lazy DAG,
+    oracle-checked end to end."""
+    from python_etl_mailing_automation_spark.config import PipelineConfig
+    from python_etl_mailing_automation_spark.pipeline import process_mailing
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    customer = _t(spark, sf, "customer")
+
+    okey, ckey = F.col("o_orderkey"), F.col("o_custkey")
+    mailing = orders.select(
+        F.when(ckey % 2 == 0, "EPB").otherwise("EMT").alias("empresa"),
+        okey.cast("string").alias("ucv"),
+        F.when(okey % 7 != 0, F.concat(F.lit("Cliente "), ckey.cast("string"))).alias(
+            "nomecad"
+        ),
+        F.concat(F.lit("d"), ckey.cast("string")).alias("ndoc"),
+        ckey.cast("string").alias("ncpf"),
+        format_money_br("o_totalprice").alias("valor"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (okey % 5 == 0), "BLOQUEADO JUDICIAL"
+        ).alias("bloq"),
+        F.when(F.col("o_orderstatus") == "O", "LIGADO").otherwise("DESLIGADO").alias("sit"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "Até 30"
+        ).otherwise("Mais de 1 ano").alias("faixa"),
+        F.when(ckey % 3 == 0, "SIM").otherwise("NÃO").alias("iu12m"),
+        F.when(okey % 3 == 1, "N").when(okey % 3 == 2, "S").alias("venc_maior_1ano"),
+        F.when(okey % 2 == 0, F.concat(F.lit("(84) "), okey.cast("string"))).alias(
+            "ind_telefone_1_valido"
+        ),
+    )
+    enrichment = li.select(
+        F.concat(F.lit("d"), (F.col("l_orderkey") % 1500).cast("string")).alias(
+            "documento"
+        ),
+        F.col("l_partkey").cast("string").alias("telefone"),
+        F.col("l_extendedprice").alias("pontuacao"),
+    )
+    regras = customer.select(
+        F.col("c_custkey").cast("string").alias("idcliente"),
+        F.when(F.col("c_custkey") % 11 == 0, "CLIENTE FALECIDO")
+        .otherwise("OUTRO")
+        .alias("status"),
+    )
+    cfg = PipelineConfig(
+        blocklist=["bloqueado judicial"],
+        priority_order=["DESLIGADO", "ATÉ 30"],
+        corte_humano_maior_igual=150_000.0,
+        critical_statuses=["CLIENTE FALECIDO"],
+        critical_threshold=1,
+    )
+    res = process_mailing(
+        mailing,
+        cfg,
+        enrichment_sheets=[enrichment],
+        regras_disposicao=regras,
+        dedup_tiebreaker="ucv",
+    )
+    out_cols = [
+        F.col("CPF").alias("cpf"),
+        F.col("NOME_CLIENTE").alias("nome_cliente"),
+        F.col("PRODUTO").alias("produto"),
+        F.col("valorDivida").alias("valor_divida"),
+        F.col("Cliente_Regulariza").alias("cliente_regulariza"),
+        F.col("telefone_01"),
+        F.col("telefone_02"),
+        F.col("priority_level"),
+    ]
+    human = res.human.select(*out_cols, F.lit("human").alias("segment"))
+    robot = res.robot.select(*out_cols, F.lit("robot").alias("segment"))
+    return human.unionByName(robot)
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference datapipe queries
 # ---------------------------------------------------------------------------
@@ -544,9 +624,9 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the reference's headline computation — total debt per
-    entity, segmented by cutoff (processing_pipeline.py:115-117,277-294)."""
-    return q_segmentation(spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's entire pipeline, end to end, as one lazy
+    DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
+    return q_mailing_pipeline_e2e(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -572,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_roundtrip": q_date_roundtrip,
         "cleaning_normalize": q_cleaning_normalize,
         "union_sheets": q_union_sheets,
+        "mailing_pipeline_e2e": q_mailing_pipeline_e2e,
         "export_human_layout": q_export_human_layout,
         "value_profile": q_value_profile,
         "audit_blocklist_clean": q_audit_blocklist_clean,
@@ -879,6 +960,77 @@ def oracle_sql() -> dict[str, str]:
   UNION ALL
   SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
   FROM orders WHERE o_orderstatus = 'O'""",
+        "mailing_pipeline_e2e": f"""
+  WITH mailing AS (
+    SELECT CASE WHEN o_custkey % 2 = 0 THEN 'EPB' ELSE 'EMT' END AS empresa,
+           CAST(o_orderkey AS VARCHAR) AS ucv,
+           CASE WHEN o_orderkey % 7 != 0
+                THEN 'Cliente ' || CAST(o_custkey AS VARCHAR) END AS nomecad,
+           'd' || CAST(o_custkey AS VARCHAR) AS ndoc,
+           CAST(o_custkey AS VARCHAR) AS ncpf,
+           replace(printf('%.2f', o_totalprice), '.', ',') AS valor,
+           CASE WHEN o_orderstatus = 'F' AND o_orderkey % 5 = 0
+                THEN 'BLOQUEADO JUDICIAL' END AS bloq,
+           CASE WHEN o_orderstatus = 'O' THEN 'LIGADO' ELSE 'DESLIGADO' END AS sit,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 'Até 30' ELSE 'Mais de 1 ano' END AS faixa,
+           CASE WHEN o_custkey % 3 = 0 THEN 'SIM' ELSE 'NÃO' END AS iu12m,
+           CASE WHEN o_orderkey % 3 = 1 THEN 'N'
+                WHEN o_orderkey % 3 = 2 THEN 'S' END AS venc_maior_1ano,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN '(84) ' || CAST(o_orderkey AS VARCHAR) END AS ind1
+    FROM orders),
+  bad AS (
+    SELECT lower(trim(CAST(c_custkey AS VARCHAR))) AS bad_key FROM customer
+    WHERE upper(trim(CASE WHEN c_custkey % 11 = 0
+                          THEN 'CLIENTE FALECIDO' ELSE 'OUTRO' END))
+          IN ('CLIENTE FALECIDO')
+    GROUP BY 1 HAVING COUNT(*) >= 1),
+  thresh AS (
+    SELECT * FROM mailing
+    WHERE lower(trim(ncpf)) NOT IN (SELECT bad_key FROM bad)),
+  dedup AS (
+    SELECT * FROM thresh
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY ncpf
+      ORDER BY (nomecad IS NOT NULL AND trim(nomecad) != '') DESC, ucv) = 1),
+  agg AS (
+    SELECT *, CAST(SUM(CAST(TRY_CAST(replace(replace(valor,'.',''),',','.')
+                 AS DOUBLE) AS DECIMAL(18,2)))
+              OVER (PARTITION BY ncpf) AS DOUBLE) AS valor_divida
+    FROM dedup),
+  enr AS (
+    SELECT lower(trim('d' || CAST(l_orderkey % 1500 AS VARCHAR))) AS documento,
+           {_CLEAN_PHONE.format(src="CAST(l_partkey AS VARCHAR)")} AS telefone,
+           l_extendedprice AS pontuacao
+    FROM lineitem),
+  enr_agg AS (
+    SELECT documento, list(telefone ORDER BY -pontuacao, telefone) AS tels
+    FROM enr WHERE telefone IS NOT NULL GROUP BY documento),
+  phones AS (
+    SELECT a.*, COALESCE(e.tels, CAST([] AS VARCHAR[])) ||
+           list_filter([{_CLEAN_PHONE.format(src="a.ind1")}],
+                       x -> x IS NOT NULL) AS merged
+    FROM agg a LEFT JOIN enr_agg e ON lower(trim(a.ndoc)) = e.documento),
+  spread AS (
+    SELECT *, list_filter(merged, (x, i) -> list_position(merged, x) = i) AS dd
+    FROM phones),
+  flagged AS (
+    SELECT *, CASE WHEN venc_maior_1ano IS NOT NULL
+                        AND upper(trim(venc_maior_1ano)) != 'N'
+                   THEN 'SIM' ELSE 'NÃO' END AS cliente_regulariza
+    FROM spread),
+  kept AS (
+    SELECT * FROM flagged
+    WHERE bloq IS NULL OR lower(trim(bloq)) NOT IN ('bloqueado judicial'))
+  SELECT ncpf AS cpf, nomecad AS nome_cliente, empresa AS produto, valor_divida,
+         cliente_regulariza, dd[1] AS telefone_01, dd[2] AS telefone_02,
+         CASE WHEN upper(trim(faixa)) = 'ATÉ 30' OR upper(trim(sit)) = 'ATÉ 30'
+                   OR upper(trim(iu12m)) = 'ATÉ 30' THEN 1
+              WHEN upper(trim(faixa)) = 'DESLIGADO' OR upper(trim(sit)) = 'DESLIGADO'
+                   OR upper(trim(iu12m)) = 'DESLIGADO' THEN 0
+              ELSE 2 END AS priority_level,
+         CASE WHEN valor_divida >= 150000.0 THEN 'human' ELSE 'robot' END AS segment
+  FROM kept""",
         "export_human_layout": """
   SELECT o_orderkey AS okey, CAST(o_custkey AS VARCHAR) AS cpf,
          replace(printf('%.2f',

@@ -84,6 +84,7 @@ def process_mailing(
     *,
     enrichment_sheets: list[DataFrame] | None = None,
     regras_disposicao: DataFrame | None = None,
+    dedup_tiebreaker: str | None = None,
 ) -> MailingResult:
     """Full stage-2 pipeline; returns lazy human/robot/rejected frames.
 
@@ -123,9 +124,13 @@ def process_mailing(
                 df, bad, df_key=normalize_key("ncpf"), keys_key="bad_key"
             )
 
-    # -- W1 smart dedup (:320) --
+    # -- W1 smart dedup (:320). The reference's tie order was whatever the
+    #    sort left (nondeterministic, SURVEY §7.3-1); pass a tiebreaker
+    #    column for fully deterministic picks. --
     if {"ncpf", "nomecad"} <= cols:
-        df = smart_dedup_prefer_named(df, "ncpf", "nomecad")
+        df = smart_dedup_prefer_named(
+            df, "ncpf", "nomecad", tiebreaker=dedup_tiebreaker
+        )
 
     # -- A1/A2 per-CPF aggregates (:326) --
     if {"ncpf", "valor"} <= cols:
