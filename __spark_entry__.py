@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_mailing_automation_spark.datapipe.dedup import (
@@ -420,6 +420,20 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "user_id", "asof_o_orderkey")
 
 
+def q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit salt-spread join for hot keys (operators/skew.py). Output
+    is provably identical to the plain join — the oracle IS the plain
+    join — while the hot key's rows spread over n shuffle partitions."""
+    from python_etl_mailing_automation_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    out = salted_join(
+        orders, customer, skewed_key="o_custkey", small_key="c_custkey", num_salts=8
+    )
+    return out.select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
 def q_value_profile(spark: SparkSession, sf: str) -> DataFrame:
     """A10 — unique-values profile, the diagnostico tool as one
     distributed pass (diagnostico.py:29-57)."""
@@ -532,6 +546,53 @@ def q_mailing_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     human = res.human.select(*out_cols, F.lit("human").alias("segment"))
     robot = res.robot.select(*out_cols, F.lit("robot").alias("segment"))
     return human.unionByName(robot)
+
+
+def q_robot_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage-3 robot sub-pipeline end to end (gerador_robo_mestre.py:21-140
+    ≈ pipeline/robot.py): per-CPF invoice ranking → top-3 → wide pivot →
+    explicit-order head row → join → robot money/date formats."""
+    from python_etl_mailing_automation_spark.config import PipelineConfig
+    from python_etl_mailing_automation_spark.pipeline import build_robot_output
+
+    li = _t(spark, sf, "lineitem")
+    # codbarra derives from the ordering columns so rank ties (duplicate
+    # synthetic rows) pivot to identical values on any engine.
+    robot_df = li.select(
+        F.col("l_orderkey").cast("string").alias("cpf"),
+        F.col("l_shipdate").alias("dtvenc"),
+        F.col("l_extendedprice").alias("liquido"),
+        F.md5(
+            F.concat(
+                F.date_format("l_shipdate", "dd/MM/yyyy"),
+                F.format_string("%.2f", F.col("l_extendedprice")),
+            )
+        ).alias("codbarra"),
+        F.when(F.col("l_orderkey") % 2 == 0, "EPB").otherwise("EMT").alias("produto"),
+    )
+    robot_df = robot_df.withColumn(
+        "valorDivida",
+        F.sum(F.col("liquido").cast("decimal(18,2)"))
+        .over(Window.partitionBy("cpf"))
+        .cast("double"),
+    )
+    out = build_robot_output(
+        robot_df,
+        PipelineConfig(),
+        cpf_col="cpf",
+        due_col="dtvenc",
+        value_col="liquido",
+        barcode_col="codbarra",
+    )
+    return out.select(
+        "cpf",
+        "produto",
+        F.col("valorDivida").alias("valor_divida"),
+        F.col("valorTotal").alias("valor_total"),
+        *[F.col(f"dataVencimento_{i}").alias(f"data_venc_{i}") for i in (1, 2, 3)],
+        *[F.col(f"valorParcela_{i}").alias(f"valor_parcela_{i}") for i in (1, 2, 3)],
+        *[F.col(f"codbarra_{i}") for i in (1, 2, 3)],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -653,7 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleaning_normalize": q_cleaning_normalize,
         "union_sheets": q_union_sheets,
         "mailing_pipeline_e2e": q_mailing_pipeline_e2e,
+        "robot_pipeline_e2e": q_robot_pipeline_e2e,
         "export_human_layout": q_export_human_layout,
+        "skew_salted_join": q_skew_salted_join,
         "value_profile": q_value_profile,
         "audit_blocklist_clean": q_audit_blocklist_clean,
         "sessionization": q_sessionization,
@@ -1031,6 +1094,59 @@ def oracle_sql() -> dict[str, str]:
               ELSE 2 END AS priority_level,
          CASE WHEN valor_divida >= 150000.0 THEN 'human' ELSE 'robot' END AS segment
   FROM kept""",
+        "robot_pipeline_e2e": """
+  WITH r AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS cpf, l_shipdate AS dtvenc,
+           l_extendedprice AS liquido,
+           md5(strftime(l_shipdate, '%d/%m/%Y')
+               || printf('%.2f', l_extendedprice)) AS codbarra,
+           CASE WHEN l_orderkey % 2 = 0 THEN 'EPB' ELSE 'EMT' END AS produto
+    FROM lineitem),
+  a AS (
+    SELECT *, CAST(SUM(CAST(liquido AS DECIMAL(18,2)))
+              OVER (PARTITION BY cpf) AS DOUBLE) AS valor_divida FROM r),
+  rk AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cpf
+      ORDER BY dtvenc, liquido, codbarra) AS rn FROM a),
+  wide AS (
+    SELECT cpf,
+           MIN(CASE WHEN rn = 1 THEN dtvenc END) AS dtvenc_1,
+           MIN(CASE WHEN rn = 2 THEN dtvenc END) AS dtvenc_2,
+           MIN(CASE WHEN rn = 3 THEN dtvenc END) AS dtvenc_3,
+           MIN(CASE WHEN rn = 1 THEN liquido END) AS liquido_1,
+           MIN(CASE WHEN rn = 2 THEN liquido END) AS liquido_2,
+           MIN(CASE WHEN rn = 3 THEN liquido END) AS liquido_3,
+           MIN(CASE WHEN rn = 1 THEN codbarra END) AS codbarra_1,
+           MIN(CASE WHEN rn = 2 THEN codbarra END) AS codbarra_2,
+           MIN(CASE WHEN rn = 3 THEN codbarra END) AS codbarra_3
+    FROM rk WHERE rn <= 3 GROUP BY cpf),
+  head AS (
+    SELECT cpf, produto, valor_divida FROM a
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cpf ORDER BY dtvenc, liquido) = 1),
+  j AS (SELECT h.*, w.* EXCLUDE (cpf) FROM head h LEFT JOIN wide w USING (cpf)),
+  fmt AS (
+    SELECT cpf, produto, valor_divida,
+           CASE WHEN valor_divida = floor(valor_divida)
+                THEN CAST(CAST(valor_divida AS BIGINT) AS VARCHAR)
+                ELSE replace(printf('%.2f', valor_divida), '.', ',') END AS valor_total,
+           strftime(dtvenc_1, '%d/%m/%Y') AS data_venc_1,
+           strftime(dtvenc_2, '%d/%m/%Y') AS data_venc_2,
+           strftime(dtvenc_3, '%d/%m/%Y') AS data_venc_3,
+           CASE WHEN liquido_1 IS NULL THEN NULL
+                WHEN liquido_1 = floor(liquido_1)
+                THEN CAST(CAST(liquido_1 AS BIGINT) AS VARCHAR)
+                ELSE replace(printf('%.2f', liquido_1), '.', ',') END AS valor_parcela_1,
+           CASE WHEN liquido_2 IS NULL THEN NULL
+                WHEN liquido_2 = floor(liquido_2)
+                THEN CAST(CAST(liquido_2 AS BIGINT) AS VARCHAR)
+                ELSE replace(printf('%.2f', liquido_2), '.', ',') END AS valor_parcela_2,
+           CASE WHEN liquido_3 IS NULL THEN NULL
+                WHEN liquido_3 = floor(liquido_3)
+                THEN CAST(CAST(liquido_3 AS BIGINT) AS VARCHAR)
+                ELSE replace(printf('%.2f', liquido_3), '.', ',') END AS valor_parcela_3,
+           codbarra_1, codbarra_2, codbarra_3
+    FROM j)
+  SELECT * FROM fmt""",
         "export_human_layout": """
   SELECT o_orderkey AS okey, CAST(o_custkey AS VARCHAR) AS cpf,
          replace(printf('%.2f',
@@ -1038,6 +1154,9 @@ def oracle_sql() -> dict[str, str]:
                 OVER (PARTITION BY o_custkey) AS DOUBLE)), '.', ',') AS valor_divida,
          strftime(o_orderdate, '%d/%m/%Y') AS dtvenc
   FROM orders""",
+        "skew_salted_join": """
+  SELECT o_orderkey, o_custkey, c_name, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey""",
         "value_profile": """
   SELECT 'o_orderstatus' AS "column", o_orderstatus AS "value",
          COUNT(*) AS n_rows FROM orders GROUP BY o_orderstatus

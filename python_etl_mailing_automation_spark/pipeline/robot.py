@@ -47,9 +47,11 @@ def build_robot_output(
         [F.col("priority_level").asc()] if "priority_level" in cols else []
     ) + [F.col(due_col).asc(), F.col(value_col).asc()]
     head_cols = [
-        c for c in robot_df.columns if c not in {due_col, value_col, barcode_col}
+        c
+        for c in robot_df.columns
+        if c not in {cpf_col, due_col, value_col, barcode_col}
     ]
-    head = head_row_per_group(df, cpf_col, head_order).select(*[cpf_col, *head_cols][:: 1])
+    head = head_row_per_group(df, cpf_col, head_order).select(cpf_col, *head_cols)
 
     out = head.join(wide, on=cpf_col, how="left")  # J2: both one-row-per-CPF
     for i in (1, 2, 3):

@@ -42,7 +42,19 @@ def read_table(
     nanos_ts_cols: tuple[str, ...] = ("ts",),
 ) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet``; convert known nanos-long
-    timestamp columns back to timestamps."""
+    timestamp columns back to timestamps.
+
+    Defensively pins the two runtime confs correctness depends on, so
+    results are identical under ANY caller-provided session (the driver
+    harness builds its own): nanos parquet timestamps must arrive as
+    longs (Spark cannot read TIMESTAMP(NANOS) natively), and timestamp
+    rendering must be UTC-stable.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — proceed with whatever the session has
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nanos_ts_cols:
         field = next((f for f in df.schema.fields if f.name == c), None)
