@@ -519,10 +519,14 @@ def q_mailing_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("OUTRO")
         .alias("status"),
     )
+    # corte=0 → human and robot are the SAME frame (both-copies mode,
+    # processing_pipeline.py:285-288); deriving the segment as a column
+    # over that single branch avoids executing the pipeline once per
+    # segment and is output-identical to the corte=150000 split.
     cfg = PipelineConfig(
         blocklist=["bloqueado judicial"],
         priority_order=["DESLIGADO", "ATÉ 30"],
-        corte_humano_maior_igual=150_000.0,
+        corte_humano_maior_igual=0.0,
         critical_statuses=["CLIENTE FALECIDO"],
         critical_threshold=1,
     )
@@ -533,7 +537,7 @@ def q_mailing_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         regras_disposicao=regras,
         dedup_tiebreaker="ucv",
     )
-    out_cols = [
+    return res.human.select(
         F.col("CPF").alias("cpf"),
         F.col("NOME_CLIENTE").alias("nome_cliente"),
         F.col("PRODUTO").alias("produto"),
@@ -542,10 +546,10 @@ def q_mailing_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         F.col("telefone_01"),
         F.col("telefone_02"),
         F.col("priority_level"),
-    ]
-    human = res.human.select(*out_cols, F.lit("human").alias("segment"))
-    robot = res.robot.select(*out_cols, F.lit("robot").alias("segment"))
-    return human.unionByName(robot)
+        F.when(F.col("valorDivida") >= 150_000.0, F.lit("human"))
+        .otherwise(F.lit("robot"))
+        .alias("segment"),
+    )
 
 
 def q_robot_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # simhash explode-agg, brute + bucketed cosine top-k, text scoring,
 # tumbling windows.
 BENCH_QUERIES = [
+    "mailing_pipeline_e2e",
+    "robot_pipeline_e2e",
     "per_key_windowed_sum",
     "segmentation",
     "smart_dedup",

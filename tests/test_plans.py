@@ -1,0 +1,74 @@
+"""Physical-plan regression guards: the scale posture (SCALING.md) is
+enforced, not just documented — if a change reintroduces a sort-merge
+join where a broadcast belongs, or an extra shuffle, these fail."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    import __spark_entry__ as e
+
+    def plan_of(name: str) -> str:
+        return (
+            e.queries()[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        )
+
+    return plan_of
+
+
+def test_windowed_sum_single_shuffle(plans):
+    p = plans("per_key_windowed_sum")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_blocklist_filter_no_shuffle(plans):
+    p = plans("blocklist_filter")
+    assert "Exchange" not in p
+
+
+def test_enrichment_join_broadcasts_preaggregated_side(plans):
+    p = plans("enrichment_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # pre-aggregation happens before the broadcast: partial+final agg pair
+    assert p.count("ObjectHashAggregate") >= 2
+
+
+def test_asof_join_is_single_window_shuffle(plans):
+    p = plans("asof_join")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p  # union-merge: no join operator at all
+
+
+def test_e2e_pipeline_all_joins_broadcast(plans):
+    p = plans("mailing_pipeline_e2e")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # anti-join + enrichment
+
+
+def test_robot_pipeline_reuses_cpf_partitioning(plans):
+    p = plans("robot_pipeline_e2e")
+    # windows + pivot + head all key on cpf; exchange reuse keeps it to 2
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_scans_are_column_pruned(plans):
+    p = plans("per_key_windowed_sum")
+    # only the three projected columns reach the scan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m is not None
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert sorted(cols) == ["o_custkey", "o_orderkey", "o_totalprice"]
