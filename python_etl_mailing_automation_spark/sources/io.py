@@ -53,6 +53,10 @@ def read_table(
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Engine semantics are coerce-to-null (the reference's
+        # errors='coerce'); Spark 4 defaults ANSI on, which turns junk
+        # casts into exceptions.
+        spark.conf.set("spark.sql.ansi.enabled", "false")
     except Exception:
         pass  # conf locked down — proceed with whatever the session has
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -169,6 +169,41 @@ def test_robot_output_pivot(result, config):
     assert out.count() == out.select("CPF").distinct().count()
 
 
+def test_blocklist_handles_mojibake_variants(spark):
+    """The reference's blocklist enumerates both clean and corrupted forms
+    (config.ini:95-137) so no repair UDF runs on the hot path — the filter
+    must catch either spelling when both are listed."""
+    corrupted = "LIGAÇÃO INDEVIDA".encode("utf-8").decode("latin1")
+    df = spark.createDataFrame(
+        [("r1", "LIGAÇÃO INDEVIDA"), ("r2", corrupted), ("r3", "OK")],
+        "id string, bloq string",
+    )
+    from python_etl_mailing_automation_spark.operators.filters import blocklist_filter
+
+    kept, rejected = blocklist_filter(df, "bloq", ["LIGAÇÃO INDEVIDA", corrupted])
+    assert [r["id"] for r in kept.collect()] == ["r3"]
+    assert sorted(r["id"] for r in rejected.collect()) == ["r1", "r2"]
+
+
+def test_mojibake_repair_expr_enumerated(spark):
+    from python_etl_mailing_automation_spark.functions import mojibake_repair_expr
+
+    bad_ate = "Até".encode("utf-8").decode("latin1")
+    bad_nao = "NÃO".encode("utf-8").decode("latin1")
+    df = spark.createDataFrame(
+        [(f"{bad_ate} 30",), (bad_nao,), ("limpo",)], "v string"
+    )
+    out = [
+        r["r"]
+        for r in df.select(
+            mojibake_repair_expr(
+                F.col("v"), {bad_ate: "Até", bad_nao: "NÃO"}
+            ).alias("r")
+        ).collect()
+    ]
+    assert out == ["Até 30", "NÃO", "limpo"]
+
+
 def test_dedup_idempotence(spark, mailing_fixture, config, enrichment):
     res1 = process_mailing(mailing_fixture, config, enrichment_sheets=enrichment)
     # Re-running the pipeline over its own human output (as a mailing-ish
