@@ -130,6 +130,32 @@ def archive_run(
     return archive
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.
+
+    Bucketing is the pre-shuffle lever for repeated joins/aggregations on
+    the same key at scale: two tables bucketed by the join key into the
+    same bucket count join with NO exchange on either side (verified by
+    ``tests/test_bucketing.py`` at the plan level). At 100 TB this turns
+    every recurring fact-to-fact join on the entity key from a full
+    shuffle into a local merge.
+    """
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, bucket_col
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
 def write_exact_csv(
     df: DataFrame,
     out_path: str | Path,

@@ -16,8 +16,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
-    s = build_spark(master=f"local[{cpus}]", shuffle_partitions=8)
+    s = build_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_")
+        },
+    )
     yield s
 
 
