@@ -669,6 +669,21 @@ def q_similarity_ann_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return ann_bucket_topk(emb, bits=4, k=3)
 
 
+def q_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN (datapipe/similarity.ivf_topk): deterministic codebook
+    (every 31st vector), corpus coarse-quantized to nearest centroid,
+    queries probe their 2 nearest cells, top-3 within probed cells."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 16), emb, centroids, n_probe=2, k=3
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-bucket LSH + exact verify
     (datapipe/similarity.py) — the dedup-family member for embeddings."""
@@ -737,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_buckets": q_similarity_ann_buckets,
+        "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
     }
@@ -1292,6 +1308,36 @@ def oracle_sql() -> dict[str, str]:
                 "ORDER BY cos DESC, neighbor_id) AS sim_rank"
             ),
         ),
+        "similarity_ivf": f"""
+  WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+  n AS (SELECT vec_id, v, sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm FROM e),
+  cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 31 = 0),
+  assign AS (
+    SELECT vec_id AS neighbor_id, cid, v AS nv, nrm AS nn FROM (
+      SELECT n.vec_id, c.cid, n.v, n.nrm,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY {_COS_DOT.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) DESC,
+                        c.cid) AS r
+      FROM n, cent c) WHERE r = 1),
+  probe AS (
+    SELECT vec_id, cid, v, nrm FROM (
+      SELECT n.vec_id, c.cid, n.v, n.nrm,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY {_COS_DOT.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) DESC,
+                        c.cid) AS r
+      FROM n, cent c WHERE n.vec_id < 16) WHERE r <= 2),
+  pairs AS (
+    SELECT p.vec_id, a.neighbor_id,
+           {_COS_DOT.format(a="p.v", b="a.nv")} / (p.nrm * a.nn) AS cos
+    FROM probe p JOIN assign a USING (cid)
+    WHERE p.vec_id != a.neighbor_id)
+  SELECT vec_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, neighbor_id) AS sim_rank,
+         cos AS cos_sim
+  FROM pairs
+  QUALIFY sim_rank <= 3""",
         "embedding_near_dup": _near_dup_sql(),
         # multimodal_features: intentionally no oracle (mapInPandas surface)
     }

@@ -132,6 +132,73 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    n_probe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to its nearest centroid,
+    then search each query only inside its ``n_probe`` nearest centroid
+    cells.
+
+    ``centroids`` is a small frame ``(centroid_id, embedding)`` — in
+    production the output of an offline k-means; any deterministic codebook
+    works (tests/entry use a fixed sample of the corpus). Assignment and
+    probing both rank by cosine with id tiebreaks, so results are exactly
+    reproducible.
+
+    Scale shape: centroids broadcast to both assignment joins (corpus×C
+    and queries×C are linear in C, not quadratic); the probe search
+    shuffles on ``centroid_id`` — the IVF cell takes the place of the
+    all-pairs product, recall tuned by ``n_probe``/codebook size.
+    """
+    cent = F.broadcast(
+        with_norm(centroids, vec_col).select(
+            F.col(centroid_id_col).alias("cid"),
+            F.col("__vec_dec").alias("cv"),
+            F.col("__norm").alias("cn"),
+        )
+    )
+
+    def _nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        base = with_norm(df, vec_col).select(
+            F.col(id_col).alias(out_id),
+            F.col("__vec_dec").alias("v"),
+            F.col("__norm").alias("nrm"),
+        )
+        scored = base.crossJoin(cent).withColumn(
+            "__cos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("__cos").desc(), F.col("cid"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .select(out_id, "cid", "v", "nrm")
+        )
+
+    assigned = _nearest_cells(corpus, "neighbor_id", 1).withColumnsRenamed(
+        {"v": "nv", "nrm": "nn"}
+    )
+    probed = _nearest_cells(queries, "vec_id", n_probe)
+    pairs = probed.join(assigned, on="cid").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("v"), F.col("nv")) / (F.col("nrm") * F.col("nn"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("__cos", cos)
+        .withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select("vec_id", "neighbor_id", "sim_rank", F.col("__cos").alias("cos_sim"))
+    )
+
+
 def ann_bucket_topk(
     df: DataFrame,
     *,

@@ -151,6 +151,28 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs[(1, 2)] > 0.999           # opposite/orthogonal excluded
 
 
+def test_ivf_topk_recalls_planted_duplicate(spark):
+    from python_etl_mailing_automation_spark.datapipe.similarity import ivf_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.99]),
+         (5, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    centroids = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "centroid_id long, embedding array<float>",
+    )
+    out = ivf_topk(
+        corpus.filter("vec_id = 1"), corpus, centroids, n_probe=1, k=2
+    ).collect()
+    got = [(r["neighbor_id"], r["sim_rank"]) for r in out]
+    assert got == [(2, 1), (3, 2)] or got[0] == (2, 1)
+    # vec 5 (opposite cell? cos with c100 = -1 < cos with c200 = 0 ->
+    # assigned to cell 200) must not appear under n_probe=1 from cell 100.
+    assert all(r["neighbor_id"] != 5 for r in out)
+
+
 def test_multimodal_resize_and_frames(spark):
     from python_etl_mailing_automation_spark.datapipe.multimodal import (
         decode_and_resize,
