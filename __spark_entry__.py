@@ -695,6 +695,16 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, bits=8, min_cos=0.8)
 
 
+def q_corpus_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Datapipe flagship composition: quality gate → exact dedup →
+    MinHash+LSH near-dup removal → fingerprinted corpus, one lazy plan
+    (datapipe/curation.py)."""
+    from python_etl_mailing_automation_spark.datapipe.curation import curate_corpus
+
+    docs = _t(spark, sf, "documents")
+    return curate_corpus(docs, min_tokens=10, max_stop_ratio=0.5, near_dup_jaccard=0.8)
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas feature extraction (decode stubbed; no SQL oracle —
@@ -752,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_buckets": q_similarity_ann_buckets,
+        "corpus_curation_e2e": q_corpus_curation_e2e,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
@@ -1308,6 +1319,51 @@ def oracle_sql() -> dict[str, str]:
                 "ORDER BY cos DESC, neighbor_id) AS sim_rank"
             ),
         ),
+        "corpus_curation_e2e": f"""
+  WITH t0 AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+  q AS (
+    SELECT doc_id, text, toks,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks,
+             x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS n_stop
+    FROM t0),
+  gated AS (
+    SELECT *, CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
+    FROM q
+    WHERE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5
+      AND n_tokens >= 10),
+  reps AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM gated GROUP BY md5(text)),
+  exact AS (
+    SELECT g.* FROM gated g JOIN reps r
+      ON md5(g.text) = r.h AND g.doc_id = r.keep),
+  sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM exact),
+  sig AS (SELECT doc_id,
+    {", ".join(f"list_aggregate(list_transform(shingles, s -> md5(s || '|{j}')), 'min') AS mh_{j}" for j in range(1, 7))}
+  FROM sh),
+  bandvals AS (SELECT doc_id,
+    {", ".join(f"md5(mh_{2 * b - 1} || '|' || mh_{2 * b}) AS band_{b}" for b in range(1, 4))}
+  FROM sig),
+  bands AS (
+    SELECT doc_id, 0 AS band_idx, band_1 AS band_val FROM bandvals WHERE band_1 IS NOT NULL
+    UNION ALL SELECT doc_id, 1, band_2 FROM bandvals WHERE band_2 IS NOT NULL
+    UNION ALL SELECT doc_id, 2, band_3 FROM bandvals WHERE band_3 IS NOT NULL),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id),
+  sets AS (SELECT doc_id, list_distinct(toks) AS elems FROM exact),
+  drops AS (
+    SELECT DISTINCT p.doc_id_b AS dropped FROM pairs p
+    JOIN sets a ON p.doc_id_a = a.doc_id
+    JOIN sets b ON p.doc_id_b = b.doc_id
+    WHERE CAST(len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS DOUBLE)
+          / CAST(len(a.elems) + len(b.elems)
+                 - len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS DOUBLE)
+          >= 0.8)
+  SELECT doc_id, n_tokens, stop_ratio,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+  FROM exact WHERE doc_id NOT IN (SELECT dropped FROM drops)""",
         "similarity_ivf": f"""
   WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),

@@ -173,6 +173,25 @@ def test_ivf_topk_recalls_planted_duplicate(spark):
     assert all(r["neighbor_id"] != 5 for r in out)
 
 
+def test_curate_corpus_pipeline(spark):
+    from python_etl_mailing_automation_spark.datapipe.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_A),            # exact dup -> keep 1
+         (3, TEXT_A2),                        # near dup of 1 -> dropped
+         (4, TEXT_B),                         # distinct -> kept
+         (5, "the a of and to the a of"),     # all stopwords -> quality-gated
+         (6, "too short")],                   # under min_tokens -> gated
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(
+        docs, min_tokens=5, max_stop_ratio=0.5, near_dup_jaccard=0.8
+    ).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["n_tokens"] == len(TEXT_A.split())
+    assert len(out[1]["fingerprint"]) == 32
+
+
 def test_multimodal_resize_and_frames(spark):
     from python_etl_mailing_automation_spark.datapipe.multimodal import (
         decode_and_resize,
