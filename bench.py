@@ -48,7 +48,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_ann_buckets",
+    "similarity_ivf",
     "embedding_near_dup",
+    "corpus_curation_e2e",
 ]
 
 

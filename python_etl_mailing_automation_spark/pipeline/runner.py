@@ -24,7 +24,7 @@ from ..sources.io import (
     write_exact_csv,
     write_partitioned_by_key,
 )
-from ..sources.state import StateManager
+from ..sources.state import StateManager, VolumeOutlier, detect_volume_outliers
 from .audit import audit_no_blocked_status
 from .export import apply_export_layout
 from .mailing import process_mailing
@@ -39,6 +39,7 @@ class JobResult:
     archive: Path | None = None
     metrics: dict = field(default_factory=dict)
     audit_leaks: int = 0
+    volume_outliers: list[VolumeOutlier] = field(default_factory=list)
 
 
 def _load_input(
@@ -139,7 +140,13 @@ def run_mailing_job(
         "audit_leaks": result.audit_leaks,
     }
     if state_path is not None:
-        StateManager(state_path).save_success(result.metrics)
+        sm = StateManager(state_path)
+        # Run-over-run outlier diff vs the last successful run
+        # (logger_setup.py:47-77) BEFORE overwriting the state.
+        result.volume_outliers = detect_volume_outliers(
+            result.metrics, sm.last_metrics()
+        )
+        sm.save_success(result.metrics)
     if make_archive:
         result.archive = archive_run(output_dir)
     return result

@@ -130,6 +130,22 @@ def archive_run(
     return archive
 
 
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ),
+) -> None:
+    """Expose the dataset catalog as temp views so users can work in pure
+    ``spark.sql`` — the engine is DataFrame-first, but every operator's
+    output is a view-compatible frame and the SQL surface is first-class.
+    """
+    for name in tables:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -9,9 +9,49 @@ run-over-run outlier detection, logger_setup.py:47-77).
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass
 from datetime import datetime, timezone
 from pathlib import Path
 from typing import Any
+
+
+@dataclass
+class VolumeOutlier:
+    metric: str
+    previous: float
+    current: float
+    pct_change: float
+
+
+def detect_volume_outliers(
+    current: dict[str, Any],
+    previous: dict[str, Any],
+    *,
+    threshold_pct: float = 30.0,
+) -> list[VolumeOutlier]:
+    """Run-over-run outlier detection (logger_setup.py:47-77): flag any
+    shared numeric metric whose volume changed more than ``threshold_pct``
+    vs the last successful run — the reference's operational guard against
+    silently-broken feeds."""
+    outliers = []
+    for key, prev in previous.items():
+        if key not in current:
+            continue
+        cur = current[key]
+        if not isinstance(prev, (int, float)) or not isinstance(cur, (int, float)):
+            continue
+        if prev == 0:
+            pct = 0.0 if cur == 0 else float("inf")
+        else:
+            pct = (cur - prev) / prev * 100.0
+        if abs(pct) > threshold_pct:
+            outliers.append(
+                VolumeOutlier(
+                    metric=key, previous=float(prev), current=float(cur),
+                    pct_change=round(pct, 2),
+                )
+            )
+    return outliers
 
 
 class StateManager:

@@ -104,3 +104,28 @@ def test_sanitize_filename_and_archive(spark, tmp_path):
     names = zipfile.ZipFile(archive).namelist()
     assert "Mailing_EPB.csv" in names and "run.log" in names
     assert not any("ghost" in n for n in names)
+
+
+def test_volume_outlier_detection():
+    from python_etl_mailing_automation_spark.sources.state import (
+        detect_volume_outliers,
+    )
+
+    prev = {"human": 100, "robot": 100, "status": "success"}
+    cur = {"human": 150, "robot": 110, "extra": 5}
+    out = {o.metric: o.pct_change for o in detect_volume_outliers(cur, prev)}
+    assert out == {"human": 50.0}  # +50% flagged, +10% not, non-numeric skipped
+    zero = detect_volume_outliers({"human": 5}, {"human": 0})
+    assert zero[0].pct_change == float("inf")
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from python_etl_mailing_automation_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        " AS total FROM orders GROUP BY o_custkey ORDER BY total DESC LIMIT 1"
+    ).first()
+    assert row["total"] > 0
+    assert spark.sql("SELECT COUNT(*) c FROM events").first()["c"] > 0
