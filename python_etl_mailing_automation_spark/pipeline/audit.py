@@ -9,8 +9,10 @@ outputs — used both as a runtime auditor and as the pytest assertion.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
+from pathlib import Path
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import normalize_key
@@ -37,3 +39,39 @@ def audit_no_blocked_status(
         hit = normalize_key(F.col(c)).isin(normalized_block)
         cond = hit if cond is None else (cond | hit)
     return output.filter(cond)
+
+
+@dataclass
+class FileAuditVerdict:
+    file: Path
+    leaks: int
+
+    @property
+    def clean(self) -> bool:
+        return self.leaks == 0
+
+
+def audit_output_dir(
+    spark: SparkSession,
+    output_dir: str | Path,
+    blocklist: Sequence[str],
+    *,
+    glob: str = "**/*.csv",
+    sep: str = ";",
+    skip_names: Sequence[str] = ("rejeitados_por_status_de_bloqueio.csv",),
+) -> list[FileAuditVerdict]:
+    """The full laudo tool (laudo.py:170-186): audit every written output
+    CSV for blocklist leaks, skipping the rejects report (which contains
+    blocked values by definition, laudo.py:104-106). Returns a per-file
+    verdict table; all-clean ⇔ every ``leaks == 0``."""
+    from ..sources.io import read_csv_stringly
+
+    verdicts = []
+    for path in sorted(Path(output_dir).glob(glob)):
+        if path.name in skip_names:
+            continue
+        file_sep = "|" if path.name.upper().startswith("ROBO") else sep
+        df = read_csv_stringly(spark, path, sep=file_sep)
+        leaks = audit_no_blocked_status(df, blocklist).count()
+        verdicts.append(FileAuditVerdict(file=path, leaks=leaks))
+    return verdicts

@@ -80,3 +80,26 @@ def test_run_mailing_job_schema_contract(spark, input_dir, tmp_path):
             output_dir=tmp_path / "out2",
             mailing_pattern="MAILING_NUCLEO_99999999.csv",
         )
+
+
+def test_audit_output_dir_file_level(spark, input_dir, tmp_path):
+    """laudo tool parity: file-level audit of written outputs, skipping
+    the rejects report."""
+    from python_etl_mailing_automation_spark.pipeline.audit import audit_output_dir
+
+    cfg = PipelineConfig(
+        blocklist=["bloqueado"], corte_humano_maior_igual=50.0,
+        critical_statuses=["CLIENTE FALECIDO"], critical_threshold=1,
+    )
+    out = tmp_path / "out_audit"
+    run_mailing_job(
+        spark, cfg, input_dir=input_dir, output_dir=out,
+        mailing_pattern="MAILING_NUCLEO_*.csv",
+        enrichment_pattern="Pontuacao*.csv", regras_pattern="Tabulacoes*.csv",
+    )
+    verdicts = audit_output_dir(spark, out, cfg.blocklist)
+    assert len(verdicts) >= 2                      # human + robot files
+    assert all(v.clean for v in verdicts)          # invariant holds
+    assert not any(
+        "rejeitados" in v.file.name for v in verdicts
+    )  # rejects report skipped
