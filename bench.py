@@ -79,13 +79,16 @@ def main() -> None:
         timings[name] = round(run(name), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "sec_per_query": round(total / len(timings), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -72,3 +72,28 @@ def test_scans_are_column_pruned(plans):
     assert m is not None
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert sorted(cols) == ["o_custkey", "o_orderkey", "o_totalprice"]
+
+
+def test_no_python_evaluation_in_any_query_plan(spark, sf_dir):
+    """The engine's promise: everything stays JVM-side. No row-wise or
+    Arrow Python evaluation in any entry query plan — the sole exception
+    is the multimodal query, whose mapInPandas stage is the point."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"  # simple mode omits codegen span markers
+                )
+            )
+        )
+        assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} has an Arrow Python UDF"
+        if name != "multimodal_features":
+            assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
+        # (Codegen spans only render on executed/final AQE plans, so
+        # their presence isn't asserted here; Python-free plans + built-in
+        # expressions imply codegen eligibility.)
