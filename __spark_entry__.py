@@ -468,6 +468,17 @@ def q_tumbling_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     return tumbling_event_counts(events)
 
 
+def q_sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding (hopping) windows: 1 h windows every 30 min — each event in
+    exactly two windows (streaming/events.sliding_event_counts)."""
+    from python_etl_mailing_automation_spark.streaming.events import (
+        sliding_event_counts,
+    )
+
+    events = _t(spark, sf, "events")
+    return sliding_event_counts(events)
+
+
 def q_mailing_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """FLAGSHIP: the entire composed mailing pipeline
     (pipeline/mailing.py ≈ processar_dados, processing_pipeline.py:297-360)
@@ -751,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
         "tumbling_window_counts": q_tumbling_window_counts,
+        "sliding_window_counts": q_sliding_window_counts,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1229,6 +1241,20 @@ def oracle_sql() -> dict[str, str]:
          event_type, COUNT(*) AS n_events,
          MIN(value) AS min_value, MAX(value) AS max_value
   FROM events GROUP BY 1, 2""",
+        "sliding_window_counts": """
+  -- 1h windows sliding 30min: event at t belongs to starts
+  -- {floor30(t), floor30(t) - 30min} (30-min grid, s <= t < s + 1h).
+  WITH g AS (
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS g30,
+           event_type, value FROM events),
+  assigned AS (
+    SELECT g30 AS window_start_ts, event_type, value FROM g
+    UNION ALL
+    SELECT g30 - INTERVAL 30 MINUTE, event_type, value FROM g)
+  SELECT strftime(window_start_ts, '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n_events,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM assigned GROUP BY 1, 2""",
         "text_token_count": f"""
   SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
          CAST(length(text) AS BIGINT) AS n_chars_calc

@@ -43,6 +43,30 @@ def tumbling_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+) -> DataFrame:
+    """Batch form of sliding (hopping) windows: each event contributes to
+    ``duration/slide`` overlapping windows. Same definition runs under
+    ``readStream`` by adding a watermark (as in the tumbling variant)."""
+    grouped = events.groupBy(
+        F.window(F.col(ts_col), window_duration, slide_duration).alias("w"),
+        F.col(key_col),
+    )
+    return _agg(grouped).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col(key_col),
+        "n_events",
+        "min_value",
+        "max_value",
+    )
+
+
 def tumbling_event_counts_stream(
     events: DataFrame,
     *,
