@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "money_format",
     "union_sheets",
     "tumbling_window_counts",
+    "sliding_window_counts",
     "sessionization",
     "asof_join",
     "export_human_layout",
