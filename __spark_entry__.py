@@ -634,6 +634,22 @@ def q_text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_tokenize_advanced(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex tokenization + Rabin-Karp rolling-hash fingerprint
+    (datapipe/text.py bpe_ish_tokens / rolling_hash)."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        bpe_ish_tokens,
+        rolling_hash,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
+        rolling_hash("text").alias("rolling_fp"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     return doc_fingerprint(docs).select("doc_id", "fingerprint")
@@ -766,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
+        "text_tokenize_advanced": q_text_tokenize_advanced,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -1282,6 +1299,16 @@ def oracle_sql() -> dict[str, str]:
               WHEN score_de > score_en AND score_de > score_es THEN 'de'
               ELSE 'en' END AS pred_lang
   FROM s""",
+        "text_tokenize_advanced": r"""
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS n_bpe_tokens,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, v) -> (acc * 31 + v) % 2147483647) AS rolling_fp
+  FROM documents""",
         "doc_fingerprint": f"""
   SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint

@@ -95,6 +95,36 @@ def lang_id(
     return out.withColumn("pred_lang", pred)
 
 
+# Portable BPE-ish pre-tokenization pattern (letter runs / digit runs /
+# single non-space symbols) — the shape GPT-2-style byte-pair encoders
+# pre-split on, restricted to constructs that behave identically in Java
+# regex and RE2 so counts are engine-portable.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text_col: Column | str) -> Column:
+    """BPE-style pre-tokenization: letter runs, digit runs, and individual
+    symbols each become one token (so ``don't`` → 3, ``x2!`` → 3)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def rolling_hash(text_col: Column | str, *, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """Polynomial rolling hash over the document's code points:
+    ``h = (h*base + codepoint) mod m`` — the classic Rabin-Karp document
+    fingerprint, computed as a sequential fold (deterministic, and cheap
+    enough to run at scan speed). Intermediate values stay far below 2^63
+    (``mod * base + max_codepoint``), so long arithmetic is exact.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 of the sorted distinct token
     set. Word-order- and duplication-insensitive, so lightly shuffled or

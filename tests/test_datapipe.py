@@ -214,3 +214,25 @@ def test_multimodal_resize_and_frames(spark):
     assert by_doc[1] == [0, 1, 2] and by_doc[2] == [0]
     with _pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
+
+
+def test_bpe_ish_tokens_and_rolling_hash(spark):
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        bpe_ish_tokens,
+        rolling_hash,
+    )
+
+    df = spark.createDataFrame(
+        [("don't stop2 believin'!",), ("",)], "t string"
+    )
+    rows = df.select(
+        bpe_ish_tokens("t").alias("toks"), rolling_hash("t").alias("rh")
+    ).collect()
+    assert rows[0]["toks"] == ["don", "'", "t", "stop", "2", "believin", "'", "!"]
+    assert 0 <= rows[0]["rh"] < 2**31 - 1
+    # deterministic: same text -> same hash; different text -> different
+    again = df.select(rolling_hash("t").alias("rh")).collect()
+    assert again[0]["rh"] == rows[0]["rh"]
+    assert rows[1]["rh"] != rows[0]["rh"]
