@@ -55,6 +55,15 @@ def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
     if sorted(s.columns) != sorted(d.columns):
         problems.append(f"columns spark={sorted(s.columns)} duckdb={sorted(d.columns)}")
         return problems
+    # Strict pre-canonicalization dtype report (warning only): the real
+    # driver's schema compare may be stricter than our canon() upcasts.
+    raw_s = {c: str(s[c].dtype) for c in s.columns}
+    raw_d = {c: str(d[c].dtype) for c in d.columns}
+    strict_diff = {
+        c: (raw_s[c], raw_d[c]) for c in raw_s if raw_s.get(c) != raw_d.get(c)
+    }
+    if strict_diff:
+        print(f"      ~ {name}: raw dtype diff (pre-canon): {strict_diff}")
     cs, cd = canon(s), canon(d)
     dtypes_s = {c: str(cs[c].dtype) for c in cs.columns}
     dtypes_d = {c: str(cd[c].dtype) for c in cd.columns}
