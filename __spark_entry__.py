@@ -732,6 +732,21 @@ def q_corpus_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
     return curate_corpus(docs, min_tokens=10, max_stop_ratio=0.5, near_dup_jaccard=0.8)
 
 
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing, oracle-checkable half: binary payload
+    synthesis + typed metadata struct (datapipe/multimodal.py). The
+    decode-side mapInPandas stage stays in `multimodal_features`
+    (rows-only)."""
+    docs = _t(spark, sf, "documents")
+    media = with_binary_payload(docs)
+    return media.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("media")).alias("payload_md5"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas feature extraction (decode stubbed; no SQL oracle —
@@ -794,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_e2e": q_corpus_curation_e2e,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1448,5 +1464,12 @@ def oracle_sql() -> dict[str, str]:
   FROM pairs
   QUALIFY sim_rank <= 3""",
         "embedding_near_dup": _near_dup_sql(),
+        "multimodal_meta": """
+  SELECT doc_id, 'application/octet-stream' AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         -- DuckDB 1.0 md5 takes VARCHAR only; it hashes the UTF-8 bytes,
+         -- which is exactly Spark's md5(encode(text, 'UTF-8')).
+         md5(text) AS payload_md5
+  FROM documents""",
         # multimodal_features: intentionally no oracle (mapInPandas surface)
     }

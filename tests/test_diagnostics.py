@@ -82,3 +82,23 @@ def test_excel_shim_roundtrip(spark, tmp_path):
     assert sheets["Aba1"].columns == ["documento", "telefone"]  # P1 normalize
     assert sheets["Aba1"].first()["documento"] == "d1"
     assert sheets["Aba2"].first()["telefone"] is None
+
+
+def test_profile_cardinality_hll(spark, sf_dir):
+    from python_etl_mailing_automation_spark.pipeline.diagnostics import (
+        profile_cardinality,
+    )
+    from python_etl_mailing_automation_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    prof = {
+        r["column"]: r
+        for r in profile_cardinality(
+            orders, ["o_custkey", "o_orderstatus", "missing"]
+        ).collect()
+    }
+    assert set(prof) == {"o_custkey", "o_orderstatus"}
+    assert prof["o_orderstatus"]["exact_distinct"] == 3
+    for r in prof.values():  # HLL within 10% of exact at rsd=0.05
+        err = abs(r["approx_distinct"] - r["exact_distinct"]) / max(r["exact_distinct"], 1)
+        assert err <= 0.10
