@@ -103,14 +103,28 @@ def run_mailing_job(
     )
 
     # Stage 3+4 — exports with formatting folded pre-write (no re-reads).
+    # Row order inside each file = the reference's priority sort (O1):
+    # priority level asc, debt desc (only while still numeric), stable key.
     human = res.human
     if config.human_export_columns:
         human = apply_export_layout(human, config.human_export_columns)
+    from pyspark.sql import functions as F  # local to keep module header lean
+
+    human_types = dict(human.dtypes)
+    order_by = []
+    if "priority_level" in human_types:
+        order_by.append(F.col("priority_level").asc())
+    if human_types.get("valorDivida") == "double":
+        order_by.append(F.col("valorDivida").desc())
+    if "CPF" in human_types:
+        order_by.append(F.col("CPF").asc())
     result.human_files = write_partitioned_by_key(
         human, output_dir / "humano", "PRODUTO",
-        filename_template="Mailing_{key}.csv",
+        filename_template="Mailing_{key}.csv", order_by=order_by or None,
     ) if "PRODUTO" in human.columns else [
-        write_exact_csv(human, output_dir / "humano" / "Mailing.csv")
+        write_exact_csv(
+            human, output_dir / "humano" / "Mailing.csv", order_by=order_by or None
+        )
     ]
 
     robot = build_robot_output(res.robot, config) if "dtvenc" in res.robot.columns else res.robot

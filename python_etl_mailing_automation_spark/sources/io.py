@@ -179,17 +179,26 @@ def write_exact_csv(
     sep: str = ";",
     encoding: str = "UTF-8",
     header: bool = True,
+    order_by: list | None = None,
 ) -> Path:
     """Write a small DataFrame to exactly ``out_path`` as one CSV file.
 
     Nulls render as '' (reference ``na_rep=''``, data_exporter.py:68).
+    ``order_by`` (list of Columns) fixes the row order inside the file —
+    the reference's priority sort exists precisely for this
+    (processing_pipeline.py:253-275): agents work the file top-down.
+    Sorting happens via ``sortWithinPartitions`` on the single coalesced
+    partition — ordered output without a cluster-wide global sort.
     """
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="csv_sink_", dir=str(out_path.parent))
+    single = df.coalesce(1)
+    if order_by:
+        single = single.sortWithinPartitions(*order_by)
     try:
         (
-            df.coalesce(1)
+            single
             .write.mode("overwrite")
             .option("sep", sep)
             .option("encoding", encoding)
@@ -212,6 +221,7 @@ def write_partitioned_by_key(
     *,
     filename_template: str = "{key}.csv",
     sep: str = ";",
+    order_by: list | None = None,
 ) -> list[Path]:
     """S6/S7: one exactly-named CSV per distinct key value.
 
@@ -229,6 +239,8 @@ def write_partitioned_by_key(
     written = []
     for k in sorted(keys):
         path = out_dir / filename_template.format(key=k)
-        write_exact_csv(df.filter(F.col(key_col) == k), path, sep=sep)
+        write_exact_csv(
+            df.filter(F.col(key_col) == k), path, sep=sep, order_by=order_by
+        )
         written.append(path)
     return written

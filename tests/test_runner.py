@@ -103,3 +103,28 @@ def test_audit_output_dir_file_level(spark, input_dir, tmp_path):
     assert not any(
         "rejeitados" in v.file.name for v in verdicts
     )  # rejects report skipped
+
+
+def test_human_file_rows_priority_ordered(spark, tmp_path):
+    """O1 fidelity: rows inside each human file come out priority-sorted
+    (level asc, debt desc) like the reference's final sort."""
+    d = tmp_path / "in_ord"
+    d.mkdir()
+    d.joinpath("MAILING_NUCLEO_1.csv").write_text(
+        "empresa;ucv;nomecad;ndoc;ncpf;ano;mes;liquido;loc;sit;faixa;iu12m;valor\n"
+        "EPB;U1;A;d1;111;2026;8;10,00;NAT;LIGADO;Até 30;SIM;10,00\n"
+        "EPB;U2;B;d2;222;2026;8;99,00;NAT;DESLIGADO;Até 90;NÃO;99,00\n"
+        "EPB;U3;C;d3;333;2026;8;50,00;NAT;LIGADO;Até 30;NÃO;50,00\n",
+        encoding="utf-8",
+    )
+    cfg = PipelineConfig(
+        priority_order=["DESLIGADO", "ATÉ 30"], corte_humano_maior_igual=0.0
+    )
+    result = run_mailing_job(
+        spark, cfg, input_dir=d, output_dir=tmp_path / "out_ord",
+        mailing_pattern="MAILING_NUCLEO_*.csv",
+    )
+    lines = result.human_files[0].read_text(encoding="utf-8").splitlines()
+    cpfs = [ln.split(";")[0] for ln in lines[1:]]
+    # 222: DESLIGADO -> level 0 first; then level-1 rows by debt desc: 333 (50) before 111 (10)
+    assert cpfs == ["222", "333", "111"]
