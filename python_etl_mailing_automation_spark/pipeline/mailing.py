@@ -194,8 +194,13 @@ def process_mailing(
     if config.priority_order and match_cols:
         df = with_priority_level(df, match_cols, config.priority_order)
 
-    # -- P7 segmentation (:358) --
-    value_col = "valorDivida" if "valorDivida" in df.columns else None
+    # -- P7 segmentation (:358) — filter column is configurable
+    #    ([SEGMENTACAO] coluna_divida_filtro, processing_pipeline.py:280).
+    value_col = (
+        config.divida_filter_column
+        if config.divida_filter_column in df.columns
+        else ("valorDivida" if "valorDivida" in df.columns else None)
+    )
     if value_col:
         human, robot = segment_by_cutoff(df, value_col, config.corte_humano_maior_igual)
     else:
