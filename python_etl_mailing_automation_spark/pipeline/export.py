@@ -28,6 +28,7 @@ def apply_export_layout(
     *,
     money_columns: Sequence[str] = DEFAULT_MONEY_COLUMNS,
     robot_money: bool = False,
+    carry_columns: Sequence[str] = (),
 ) -> DataFrame:
     """P4/P5 + F5 + F8/F9: format then project to the configured layout.
 
@@ -35,16 +36,27 @@ def apply_export_layout(
     - listed money columns render BR-style (2-decimal comma for the human
       layout, integral-collapse for the robot layout);
     - the projection keeps the configured order, skipping absent columns
-      (the reference tolerates drift the same way).
+      (the reference tolerates drift the same way);
+    - ``carry_columns`` pass through UNformatted after the layout — used
+      for sort-only carriers (numeric debt, priority level) that the
+      writer drops post-sort; never part of the rendered file.
+
+    An empty ``export_columns`` formats but keeps all columns, like the
+    reference's except-path (data_exporter.py:52-54).
     """
     fmt_money = format_money_robot if robot_money else format_money_br
     updates = {}
     for f in df.schema.fields:
+        if f.name in carry_columns:
+            continue
         if isinstance(f.dataType, (DateType, TimestampType, TimestampNTZType)):
             updates[f.name] = format_date_br(F.col(f.name))
     for c in money_columns:
-        if c in df.columns:
+        if c in df.columns and c not in carry_columns:
             updates[c] = fmt_money(F.col(c))
     out = df.withColumns(updates) if updates else df
     keep = [c for c in export_columns if c in out.columns]
-    return out.select(*keep) if keep else out
+    if not keep:
+        return out
+    carry = [c for c in carry_columns if c in out.columns and c not in keep]
+    return out.select(*keep, *carry)

@@ -43,10 +43,22 @@ class JobResult:
 
 
 def _load_input(
-    spark: SparkSession, input_dir: str | Path, pattern: str, *, optional: bool = False
-) -> DataFrame | None:
+    spark: SparkSession,
+    input_dir: str | Path,
+    pattern: str,
+    *,
+    optional: bool = False,
+    all_sheets: bool = False,
+) -> DataFrame | list[DataFrame] | None:
     """S1 discovery + format-dispatched load (parquet/CSV native and
-    distributed; Excel via the driver shim when available)."""
+    distributed; Excel via the driver shim when available).
+
+    ``all_sheets=True`` returns a LIST of frames: every sheet of a
+    workbook (the reference loads the Pontuação enrichment with
+    ``sheet_name=None`` and concatenates all sheets,
+    data_loader.py:30-35,57-61), or a one-element list for single-frame
+    formats.
+    """
     path = find_latest_file(input_dir, pattern, optional=optional)
     if path is None:
         return None
@@ -56,12 +68,18 @@ def _load_input(
     elif suffix in (".csv", ".txt"):
         df = read_csv_stringly(spark, path)
     elif suffix in (".xlsx", ".xls"):
-        from ..sources.excel import read_excel
+        from ..sources import excel
 
-        df = read_excel(spark, path)  # single sheet; multi-sheet callers use read_excel directly
+        loaded = excel.read_excel(
+            spark, path, sheet_name=None if all_sheets else 0
+        )
+        if isinstance(loaded, dict):
+            return [normalize_column_names(s) for s in loaded.values()]
+        df = loaded
     else:
         raise ValueError(f"unsupported input format: {path}")
-    return normalize_column_names(df)
+    df = normalize_column_names(df)
+    return [df] if all_sheets else df
 
 
 def run_mailing_job(
@@ -86,7 +104,11 @@ def run_mailing_job(
     validate_required_columns(
         mailing, config.required_mailing_columns, source_name="mailing"
     )
-    enrichment = _load_input(spark, input_dir, enrichment_pattern, optional=True)
+    # Enrichment is a potentially multi-sheet workbook: EVERY sheet feeds
+    # the phone union (data_loader.py:30-35,57-61 + union_all_by_name).
+    enrichment_sheets = _load_input(
+        spark, input_dir, enrichment_pattern, optional=True, all_sheets=True
+    )
     regras = _load_input(spark, input_dir, regras_pattern, optional=True)
     if regras is not None:
         validate_required_columns(
@@ -97,62 +119,101 @@ def run_mailing_job(
     res = process_mailing(
         mailing,
         config,
-        enrichment_sheets=[enrichment] if enrichment is not None else None,
+        enrichment_sheets=enrichment_sheets,
         regras_disposicao=regras,
         dedup_tiebreaker="ucv" if "ucv" in mailing.columns else None,
     )
 
     # Stage 3+4 — exports with formatting folded pre-write (no re-reads).
-    # Row order inside each file = the reference's priority sort (O1):
-    # priority level asc, debt desc (only while still numeric), stable key.
-    human = res.human
-    if config.human_export_columns:
-        human = apply_export_layout(human, config.human_export_columns)
+    # Row order inside each file = the reference's priority sort (O1),
+    # computed on the PRE-layout frame (processing_pipeline.py:274 sorts
+    # numeric valorDivida before the exporter string-formats it): the sort
+    # keys ride along as __ord_* carrier columns through the layout and
+    # are dropped after the in-partition sort, never rendered.
     from pyspark.sql import functions as F  # local to keep module header lean
 
+    human = res.human
     human_types = dict(human.dtypes)
+    carriers: dict[str, F.Column] = {}
     order_by = []
     if "priority_level" in human_types:
-        order_by.append(F.col("priority_level").asc())
-    if human_types.get("valorDivida") == "double":
-        order_by.append(F.col("valorDivida").desc())
-    if "CPF" in human_types:
-        order_by.append(F.col("CPF").asc())
-    result.human_files = write_partitioned_by_key(
-        human, output_dir / "humano", "PRODUTO",
-        filename_template="Mailing_{key}.csv", order_by=order_by or None,
-    ) if "PRODUTO" in human.columns else [
-        write_exact_csv(
-            human, output_dir / "humano" / "Mailing.csv", order_by=order_by or None
-        )
-    ]
+        carriers["__ord_priority"] = F.col("priority_level")
+        order_by.append(F.col("__ord_priority").asc())
+    if human_types.get("valorDivida", "").split("(")[0] in (
+        "double", "float", "int", "bigint", "smallint", "decimal"
+    ):
+        carriers["__ord_divida"] = F.col("valorDivida")
+        order_by.append(F.col("__ord_divida").desc())
+    if "CPF" in human_types:  # stable tiebreaker → deterministic files
+        carriers["__ord_cpf"] = F.col("CPF")
+        order_by.append(F.col("__ord_cpf").asc())
+    if carriers:
+        human = human.withColumns(carriers)
+    # Formatting always runs (the reference formats money/dates even when
+    # the column filter is unreadable, data_exporter.py:36-54); projection
+    # only applies when a layout is configured.
+    human = apply_export_layout(
+        human, config.human_export_columns, carry_columns=list(carriers)
+    )
+    drop_after_sort = list(carriers)
+    if not config.human_export_columns and "priority_level" in human.columns:
+        # No layout → all columns kept; the reference still drops the
+        # synthetic priority level post-sort (processing_pipeline.py:275).
+        drop_after_sort.append("priority_level")
 
     robot = build_robot_output(res.robot, config) if "dtvenc" in res.robot.columns else res.robot
-    if config.robot_export_columns:
-        robot = apply_export_layout(robot, config.robot_export_columns, robot_money=True)
-    slots = route_by_time_slot(robot, config) if config.robot_time_slot_groups else {"mestre": robot}
-    for slot, df in slots.items():
-        result.robot_files.append(
+    robot = apply_export_layout(robot, config.robot_export_columns, robot_money=True)
+
+    # The export fan-out (one filtered write per product / per slot) plus
+    # the audit and metric counts below all re-evaluate these frames;
+    # persist so the full mailing DAG executes ONCE per sink family
+    # instead of K+4 times (SURVEY.md §3.4 — the reference materialized
+    # implicitly by being eager pandas, main.py:46-67).
+    human = human.persist()
+    robot = robot.persist()
+    rejected = res.rejected.persist()
+    try:
+        result.human_files = write_partitioned_by_key(
+            human, output_dir / "humano", "PRODUTO",
+            filename_template="Mailing_{key}.csv", order_by=order_by or None,
+            drop_after_sort=drop_after_sort or None,
+        ) if "PRODUTO" in human.columns else [
             write_exact_csv(
-                df, output_dir / "robo" / f"ROBO_{sanitize_filename(slot)}.csv", sep="|"
+                human, output_dir / "humano" / "Mailing.csv",
+                order_by=order_by or None, drop_after_sort=drop_after_sort or None,
             )
+        ]
+
+        slots = route_by_time_slot(robot, config) if config.robot_time_slot_groups else {"mestre": robot}
+        for slot, df in slots.items():
+            result.robot_files.append(
+                write_exact_csv(
+                    df, output_dir / "robo" / f"ROBO_{sanitize_filename(slot)}.csv", sep="|"
+                )
+            )
+
+        # S8 side output.
+        result.rejected_file = write_exact_csv(
+            rejected, output_dir / "rejeitados_por_status_de_bloqueio.csv"
         )
 
-    # S8 side output.
-    result.rejected_file = write_exact_csv(
-        res.rejected, output_dir / "rejeitados_por_status_de_bloqueio.csv"
-    )
+        # Stage 6 (laudo) — the leak invariant as part of the run itself.
+        result.audit_leaks = audit_no_blocked_status(
+            human.drop(*[c for c in carriers if c in human.columns]),
+            config.blocklist,
+        ).count()
 
-    # Stage 6 (laudo) — the leak invariant as part of the run itself.
-    result.audit_leaks = audit_no_blocked_status(human, config.blocklist).count()
-
-    # Epilogue — metrics/state (+ optional zip).
-    result.metrics = {
-        "human": human.count(),
-        "robot": robot.count(),
-        "rejected": res.rejected.count(),
-        "audit_leaks": result.audit_leaks,
-    }
+        # Epilogue — metrics/state (+ optional zip).
+        result.metrics = {
+            "human": human.count(),
+            "robot": robot.count(),
+            "rejected": rejected.count(),
+            "audit_leaks": result.audit_leaks,
+        }
+    finally:
+        human.unpersist()
+        robot.unpersist()
+        rejected.unpersist()
     if state_path is not None:
         sm = StateManager(state_path)
         # Run-over-run outlier diff vs the last successful run

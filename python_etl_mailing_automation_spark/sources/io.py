@@ -180,6 +180,7 @@ def write_exact_csv(
     encoding: str = "UTF-8",
     header: bool = True,
     order_by: list | None = None,
+    drop_after_sort: list[str] | None = None,
 ) -> Path:
     """Write a small DataFrame to exactly ``out_path`` as one CSV file.
 
@@ -189,6 +190,11 @@ def write_exact_csv(
     (processing_pipeline.py:253-275): agents work the file top-down.
     Sorting happens via ``sortWithinPartitions`` on the single coalesced
     partition — ordered output without a cluster-wide global sort.
+    ``drop_after_sort`` names sort-only carrier columns (e.g. the numeric
+    debt kept alongside its string-formatted render) projected away after
+    the sort, mirroring the reference's sort-then-drop
+    (processing_pipeline.py:274-275); a projection preserves
+    partition-local row order.
     """
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -196,6 +202,8 @@ def write_exact_csv(
     single = df.coalesce(1)
     if order_by:
         single = single.sortWithinPartitions(*order_by)
+    if drop_after_sort:
+        single = single.drop(*drop_after_sort)
     try:
         (
             single
@@ -222,6 +230,7 @@ def write_partitioned_by_key(
     filename_template: str = "{key}.csv",
     sep: str = ";",
     order_by: list | None = None,
+    drop_after_sort: list[str] | None = None,
 ) -> list[Path]:
     """S6/S7: one exactly-named CSV per distinct key value.
 
@@ -229,6 +238,10 @@ def write_partitioned_by_key(
     here the distinct key list is the only driver-side materialization and
     each per-key write is a pushed-down filter. Blank/null keys are
     skipped (P8 guard, data_exporter.py:61).
+
+    Callers with a non-trivial upstream plan should pass a persisted
+    ``df`` — each per-key write re-evaluates the frame, so an unpersisted
+    pipeline would re-run once per key (SURVEY.md §3.4).
     """
     out_dir = Path(out_dir)
     keys = [
@@ -240,7 +253,8 @@ def write_partitioned_by_key(
     for k in sorted(keys):
         path = out_dir / filename_template.format(key=k)
         write_exact_csv(
-            df.filter(F.col(key_col) == k), path, sep=sep, order_by=order_by
+            df.filter(F.col(key_col) == k), path, sep=sep, order_by=order_by,
+            drop_after_sort=drop_after_sort,
         )
         written.append(path)
     return written
