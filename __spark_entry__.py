@@ -890,13 +890,26 @@ def _cosine_sql(extra_cols: str, join_cond: str, k: int, out_cols: str) -> str:
   FROM p QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) <= {k}"""
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(4)
-)
+def _srp_bucket_sql(bits: int, vec: str = "embedding") -> str:
+    """DuckDB mirror of ``datapipe.similarity.sign_bucket``: the SAME
+    seeded 6-decimal hyperplane literals, same slice-to-length dot
+    (sequential fold — bit-identical to Spark's ``F.aggregate``)."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import srp_planes
 
-_BUCKET8_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
-)
+    terms = []
+    for i, plane in enumerate(srp_planes(bits)):
+        lits = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(len({vec})), "
+            f"i -> CAST({vec}[i+1] AS DOUBLE) * ({lits})[i+1]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2 ** i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_BUCKET_SQL = _srp_bucket_sql(4)
+
+_BUCKET8_SQL = _srp_bucket_sql(8)
 
 
 def _near_dup_sql() -> str:

@@ -81,14 +81,55 @@ def cosine_topk(
     )
 
 
-def sign_bucket(vec_col: Column, bits: int = 4) -> Column:
-    """Sign-quantization bucket id from the first ``bits`` dimensions
-    (axis-aligned special case of sign-random-projection LSH)."""
+#: Fixed seed for the SRP hyperplane family — one global family so bucket
+#: ids are stable across runs, engines, and the DuckDB oracle.
+SRP_SEED = 20260813
+#: Hyperplanes are literal vectors of this length, sliced per row to the
+#: embedding's actual dimensionality — supports any dim ≤ SRP_MAX_DIM
+#: without the caller declaring it.
+SRP_MAX_DIM = 256
+
+
+def srp_planes(bits: int, *, seed: int = SRP_SEED, dim: int = SRP_MAX_DIM) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes for sign-random-projection LSH.
+
+    Values are uniform in (-1, 1), rounded to 6 decimals so the SAME
+    literals embed verbatim in both the Spark plan and the DuckDB oracle
+    SQL (a 6-decimal literal parses to the identical double in both
+    engines). A genuinely random projection family — unlike axis-aligned
+    sign bits — keeps buckets non-degenerate on correlated / sign-biased
+    embedding distributions (VERDICT r1 #3): a real corpus whose raw
+    dimensions are mostly positive would otherwise collapse into one
+    bucket and turn the bucket join quadratic on a skewed key.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(bits)
+    ]
+
+
+def sign_bucket(vec_col: Column, bits: int = 4, *, seed: int = SRP_SEED) -> Column:
+    """Sign-random-projection bucket id: bit *i* is the sign of the dot
+    product with seeded hyperplane *i* (Charikar's SimHash for vectors).
+
+    Each plane is a literal array sliced to the row's vector length, so
+    one expression serves any dimensionality ≤ ``SRP_MAX_DIM``. The dot is
+    the same strict sequential fold as :func:`_dot` — deterministic and
+    bit-identical in DuckDB (see module docstring).
+    """
+    vec = _dec_vec(vec_col)
     bucket: Column = F.lit(0)
-    for i in range(bits):
-        bucket = bucket + F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2**i)).otherwise(
-            F.lit(0)
+    for i, plane in enumerate(srp_planes(bits, seed=seed)):
+        arr = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, F.slice(arr, F.lit(1), F.size(vec)), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
+        bucket = bucket + F.when(proj > 0, F.lit(2**i)).otherwise(F.lit(0))
     return bucket.cast("long")
 
 

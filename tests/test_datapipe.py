@@ -109,6 +109,36 @@ def test_ann_buckets_only_within_bucket(spark):
     assert not any(3 in p for p in got)  # opposite signs -> different bucket
 
 
+def test_srp_buckets_nondegenerate_on_sign_biased_corpus(spark):
+    """VERDICT r1 #3: axis-aligned sign bits collapse an all-positive
+    (sign-biased) corpus into ONE bucket — a skewed-key quadratic join at
+    scale. Seeded random hyperplanes must keep the bucket histogram
+    spread on exactly that corpus."""
+    import random
+
+    from python_etl_mailing_automation_spark.datapipe.similarity import sign_bucket
+
+    rng = random.Random(7)
+    # 200 vectors, 16 dims, every coordinate strictly positive.
+    rows = [
+        (i, [abs(rng.gauss(0.0, 1.0)) + 0.1 for _ in range(16)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hist = (
+        emb.select(sign_bucket(F.col("embedding"), 4).alias("bucket"))
+        .groupBy("bucket").count().collect()
+    )
+    n_buckets = len(hist)
+    largest = max(r["count"] for r in hist)
+    # Axis-aligned bits put ALL 200 rows in bucket 15. A clustered corpus
+    # legitimately concentrates (these vectors are pairwise cos≈0.75, so
+    # same-bucket IS the LSH contract); the defect being guarded is the
+    # total collapse, not mere concentration.
+    assert n_buckets >= 6, f"degenerate SRP: only {n_buckets} buckets"
+    assert largest < 200 * 0.8, f"collapsed SRP: largest bucket {largest}/200"
+
+
 def test_text_analysis(spark, docs):
     tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
     assert tc[5] == 2
