@@ -749,8 +749,10 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → Arrow-batched
-    mapInPandas feature extraction (decode stubbed; no SQL oracle —
-    mapInPandas is outside DuckDB's surface, driver records rows-only)."""
+    mapInPandas feature extraction. The decode is a deterministic stand-in
+    (length + head-hex of the payload), so the Python batch path IS
+    oracle-checkable: DuckDB recomputes the same features from the same
+    UTF-8 payload bytes."""
     docs = _t(spark, sf, "documents")
     return extract_features(with_binary_payload(docs))
 
@@ -1484,5 +1486,11 @@ def oracle_sql() -> dict[str, str]:
          -- which is exactly Spark's md5(encode(text, 'UTF-8')).
          md5(text) AS payload_md5
   FROM documents""",
-        # multimodal_features: intentionally no oracle (mapInPandas surface)
+        "multimodal_features": """
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         -- first 8 payload bytes as lowercase hex: hex() emits 2 chars
+         -- per byte, so a 16-char prefix of the full hex = bytes[:8]
+         -- (DuckDB has no BLOB substring; slicing the hex text is exact).
+         lower(substring(hex(encode(text)), 1, 16)) AS head_hex
+  FROM documents""",
     }

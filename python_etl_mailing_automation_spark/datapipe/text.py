@@ -78,21 +78,34 @@ def lang_id(
     """Marker-word language identification.
 
     Scores each language by marker-token occurrences; prediction is the
-    argmax with a canonical tie order (en ≺ es ≺ de) so results are
-    deterministic. Adds ``score_<lang>`` columns and ``pred_lang``.
+    argmax over ``markers`` with ties broken by dict order (first key
+    wins), so results are deterministic for ANY marker dictionary — the
+    default family keeps the canonical en ≺ es ≺ de order. Adds
+    ``score_<lang>`` columns and ``pred_lang``.
+
+    The argmax is an ``array_max`` over ``struct(score, tie_rank, lang)``
+    — struct ordering compares fields left to right, so the max struct
+    carries the highest score, earliest-key-on-tie language. Pure column
+    algebra; no UDF.
     """
     markers = dict(markers or LANG_MARKERS)
+    if not markers:
+        raise ValueError("lang_id needs at least one language in markers")
     toks = tokens_of(text_col)
     out = df
     for lang, words in markers.items():
         out = out.withColumn(f"score_{lang}", _count_in_list(toks, words))
-    en, es, de = F.col("score_en"), F.col("score_es"), F.col("score_de")
-    pred = (
-        F.when((es > en) & (es >= de), F.lit("es"))
-        .when((de > en) & (de > es), F.lit("de"))
-        .otherwise(F.lit("en"))
+    candidates = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("score"),
+                F.lit(-i).alias("tie_rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(markers)
+        ]
     )
-    return out.withColumn("pred_lang", pred)
+    return out.withColumn("pred_lang", F.array_max(candidates)["lang"])
 
 
 # Portable BPE-ish pre-tokenization pattern (letter runs / digit runs /

