@@ -59,19 +59,73 @@ def audit_output_dir(
     glob: str = "**/*.csv",
     sep: str = ";",
     skip_names: Sequence[str] = ("rejeitados_por_status_de_bloqueio.csv",),
+    robot_markers: Sequence[str] = ("ROBO",),
 ) -> list[FileAuditVerdict]:
     """The full laudo tool (laudo.py:170-186): audit every written output
     CSV for blocklist leaks, skipping the rejects report (which contains
     blocked values by definition, laudo.py:104-106). Returns a per-file
-    verdict table; all-clean ⇔ every ``leaks == 0``."""
+    verdict table; all-clean ⇔ every ``leaks == 0``.
+
+    ``robot_markers``: filename substrings that identify pipe-separated
+    robot outputs (the reference keys on its robot prefix,
+    laudo.py:108) — pass the configured robot prefix for external dirs.
+    """
     from ..sources.io import read_csv_stringly
 
     verdicts = []
     for path in sorted(Path(output_dir).glob(glob)):
         if path.name in skip_names:
             continue
-        file_sep = "|" if path.name.upper().startswith("ROBO") else sep
-        df = read_csv_stringly(spark, path, sep=file_sep)
+        is_robot = any(m.upper() in path.name.upper() for m in robot_markers)
+        df = read_csv_stringly(spark, path, sep="|" if is_robot else sep)
         leaks = audit_no_blocked_status(df, blocklist).count()
         verdicts.append(FileAuditVerdict(file=path, leaks=leaks))
     return verdicts
+
+
+def find_latest_archive(
+    output_dir: str | Path, *, prefix: str = "mailing_"
+) -> Path | None:
+    """Newest ``{prefix}*.zip`` in ``output_dir`` by mtime — the archive
+    the standalone laudo audits (laudo.py:72-78)."""
+    candidates = sorted(
+        Path(output_dir).glob(f"{prefix}*.zip"),
+        key=lambda p: p.stat().st_mtime,
+        reverse=True,
+    )
+    return candidates[0] if candidates else None
+
+
+def audit_archive(
+    spark: SparkSession,
+    archive: str | Path,
+    blocklist: Sequence[str],
+    *,
+    sep: str = ";",
+    skip_names: Sequence[str] = ("rejeitados_por_status_de_bloqueio.csv",),
+    robot_markers: Sequence[str] = ("ROBO",),
+) -> list[FileAuditVerdict]:
+    """Audit an existing run *archive*: extract the zip to a temp dir and
+    run the file-level audit over every CSV inside (laudo.py:75-127 —
+    the standalone 'audit what actually shipped' tool surface; the
+    in-run audit happens pre-archive in the job runner).
+
+    Raises ``zipfile.BadZipFile`` for corrupted archives, like the
+    reference surfaces that case explicitly (laudo.py:88-90).
+    """
+    import tempfile
+    import zipfile
+
+    archive = Path(archive)
+    with tempfile.TemporaryDirectory(prefix="laudo_") as tmp:
+        with zipfile.ZipFile(archive, "r") as zf:
+            zf.extractall(tmp)
+        verdicts = audit_output_dir(
+            spark, tmp, blocklist,
+            sep=sep, skip_names=skip_names, robot_markers=robot_markers,
+        )
+    # Temp paths vanish with the context; report archive-relative names.
+    return [
+        FileAuditVerdict(file=archive / v.file.name, leaks=v.leaks)
+        for v in verdicts
+    ]

@@ -85,15 +85,27 @@ def process_mailing(
     enrichment_sheets: list[DataFrame] | None = None,
     regras_disposicao: DataFrame | None = None,
     dedup_tiebreaker: str | None = None,
+    counted_report: bool = False,
 ) -> MailingResult:
     """Full stage-2 pipeline; returns lazy human/robot/rejected frames.
 
     Mirrors ``processar_dados`` (processing_pipeline.py:297-360) step for
     step; every operator degrades gracefully when its columns are absent,
     as the reference does (SURVEY.md §1.3).
+
+    ``counted_report=True`` populates ``result.report`` with the
+    reference's per-stage counts (processing_pipeline.py:313-347) — each
+    row-count-changing stage is cached, counted, and released. Counting
+    forces materialization (one extra pass per stage), so it is opt-in:
+    at scale, run with it off and rely on the final metrics instead.
     """
     df = normalize_column_names(mailing)
     cols = set(df.columns)
+    # (stage name, frame AFTER the stage, message) — counted at the end
+    # when requested; names match processing_pipeline.py:317-347.
+    checkpoints: list[tuple[str, DataFrame, str]] = [
+        ("Carregamento de Dados", df, "Mailing consolidado carregado.")
+    ]
 
     # -- F4 date coercion (processing_pipeline.py:310) --
     df = df.withColumns(
@@ -123,6 +135,9 @@ def process_mailing(
             df = anti_join_on_keys(
                 df, bad, df_key=normalize_key("ncpf"), keys_key="bad_key"
             )
+            checkpoints.append(
+                ("Remoção por Tabulação", df, "Clientes com status crítico removidos.")
+            )
 
     # -- W1 smart dedup (:320). The reference's tie order was whatever the
     #    sort left (nondeterministic, SURVEY §7.3-1); pass a tiebreaker
@@ -131,12 +146,18 @@ def process_mailing(
         df = smart_dedup_prefer_named(
             df, "ncpf", "nomecad", tiebreaker=dedup_tiebreaker
         )
+        checkpoints.append(
+            ("Deduplicação por 'ncpf'", df, "Duplicatas resolvidas (preferência a nomeados).")
+        )
 
     # -- A1/A2 per-CPF aggregates (:326) --
     if {"ncpf", "valor"} <= cols:
         df = with_group_sum(df, "ncpf", "valor", "valorDivida")
     if {"ncpf", "ucv"} <= cols:
         df = with_distinct_list(df, "ncpf", "ucv", "UCs_Cliente", "Qtd_UCs")
+    checkpoints.append(
+        ("Cálculo de Colunas Agregadas", df, "Colunas agregadas por CPF calculadas.")
+    )
 
     # -- U1 + J1a + J1 + UD1 phone enrichment (:332) --
     enriched_col = None
@@ -168,16 +189,25 @@ def process_mailing(
     df = spread_phone_columns(df, enriched_col, phone_fallbacks)
     if enriched_col:
         df = df.drop(enriched_col)
+    checkpoints.append(
+        ("Enriquecimento de Telefones", df, "Telefones enriquecidos e distribuídos.")
+    )
 
     # -- F10 flag (:338) --
     flag_src = (
         F.col("venc_maior_1ano") if "venc_maior_1ano" in cols else F.lit(None)
     )
     df = df.withColumn("Cliente_Regulariza", conditional_flag_sim_nao(flag_src))
+    checkpoints.append(
+        ("Criação de 'Cliente_Regulariza'", df, "Flag Cliente_Regulariza criada.")
+    )
 
     # -- P6 + S8 blocklist filter with side output (:344) --
     if "bloq" in cols and config.blocklist:
         df, rejected = blocklist_filter(df, "bloq", config.blocklist)
+        checkpoints.append(
+            ("Filtro de Bloqueio ('bloq')", df, "Status de bloqueio removidos.")
+        )
     else:
         rejected = df.limit(0).withColumn("motivo_remocao", F.lit(None).cast("string"))
 
@@ -206,4 +236,30 @@ def process_mailing(
     else:
         human = robot = df
 
-    return MailingResult(human=human, robot=robot, rejected=rejected)
+    report = ProcessReport()
+    if counted_report:
+        # Count each checkpoint off its cache; each stage's count job
+        # reads the previous stage's cache, so the chain materializes
+        # once per stage, not once per lineage. Caches are released —
+        # the recorded numbers are what the caller keeps.
+        from ..stage import StageReport
+
+        cached = [(name, frame.cache(), msg) for name, frame, msg in checkpoints]
+        try:
+            prev_count: int | None = None
+            for name, frame, msg in cached:
+                n = frame.count()
+                report.add(
+                    StageReport(
+                        name=name,
+                        initial=n if prev_count is None else prev_count,
+                        final=n,
+                        message=msg,
+                    )
+                )
+                prev_count = n
+        finally:
+            for _, frame, _ in cached:
+                frame.unpersist()
+
+    return MailingResult(human=human, robot=robot, rejected=rejected, report=report)

@@ -25,9 +25,11 @@ from ..sources.io import (
     write_partitioned_by_key,
 )
 from ..sources.state import StateManager, VolumeOutlier, detect_volume_outliers
+from ..stage import ProcessReport
 from .audit import audit_no_blocked_status
 from .export import apply_export_layout
 from .mailing import process_mailing
+from .report import render_run_report
 from .robot import build_robot_output, route_by_time_slot
 
 
@@ -40,6 +42,8 @@ class JobResult:
     metrics: dict = field(default_factory=dict)
     audit_leaks: int = 0
     volume_outliers: list[VolumeOutlier] = field(default_factory=list)
+    report: "ProcessReport | None" = None
+    rendered_report: str | None = None
 
 
 def _load_input(
@@ -93,8 +97,14 @@ def run_mailing_job(
     regras_pattern: str = "Tabula*",
     state_path: str | Path | None = None,
     make_archive: bool = False,
+    counted_report: bool = False,
 ) -> JobResult:
-    """End-to-end run: mirrors ``main.py:23-95`` stage for stage."""
+    """End-to-end run: mirrors ``main.py:23-95`` stage for stage.
+
+    ``counted_report=True`` additionally records the reference's
+    per-stage count table and renders it (``result.rendered_report``) —
+    extra materialization per stage, so opt-in.
+    """
     output_dir = Path(output_dir)
     result = JobResult()
 
@@ -122,7 +132,9 @@ def run_mailing_job(
         enrichment_sheets=enrichment_sheets,
         regras_disposicao=regras,
         dedup_tiebreaker="ucv" if "ucv" in mailing.columns else None,
+        counted_report=counted_report,
     )
+    result.report = res.report
 
     # Stage 3+4 — exports with formatting folded pre-write (no re-reads).
     # Row order inside each file = the reference's priority sort (O1),
@@ -214,14 +226,24 @@ def run_mailing_job(
         human.unpersist()
         robot.unpersist()
         rejected.unpersist()
+    last_metrics: dict = {}
     if state_path is not None:
         sm = StateManager(state_path)
         # Run-over-run outlier diff vs the last successful run
         # (logger_setup.py:47-77) BEFORE overwriting the state.
-        result.volume_outliers = detect_volume_outliers(
-            result.metrics, sm.last_metrics()
-        )
+        last_metrics = sm.last_metrics()
+        result.volume_outliers = detect_volume_outliers(result.metrics, last_metrics)
         sm.save_success(result.metrics)
+    if counted_report:
+        result.rendered_report = render_run_report(
+            res.report,
+            current_metrics=result.metrics,
+            last_metrics=last_metrics,
+            attention_points=[
+                f"{o.metric.upper()}: volume {o.pct_change:+.2f}% vs última execução"
+                for o in result.volume_outliers
+            ],
+        )
     if make_archive:
         result.archive = archive_run(output_dir)
     return result

@@ -170,6 +170,102 @@ def test_runner_multisheet_enrichment(spark, input_dir, tmp_path, monkeypatch):
     assert "84922220000" in text  # sheet 2 phone — lost before this fix
 
 
+def test_audit_archive_clean_and_leaky(spark, input_dir, tmp_path):
+    """laudo zip parity (laudo.py:75-127): audit an existing run archive
+    — extract, scan every CSV, skip the rejects report."""
+    import shutil
+    import zipfile
+
+    from python_etl_mailing_automation_spark.pipeline.audit import (
+        audit_archive,
+        find_latest_archive,
+    )
+
+    cfg = PipelineConfig(
+        blocklist=["bloqueado"], corte_humano_maior_igual=50.0,
+        critical_statuses=["CLIENTE FALECIDO"], critical_threshold=1,
+    )
+    out = tmp_path / "out_zip"
+    result = run_mailing_job(
+        spark, cfg, input_dir=input_dir, output_dir=out,
+        mailing_pattern="MAILING_NUCLEO_*.csv",
+        enrichment_pattern="Pontuacao*.csv", regras_pattern="Tabulacoes*.csv",
+        make_archive=True,
+    )
+    # Clean case: the just-shipped archive holds no blocked status.
+    verdicts = audit_archive(spark, result.archive, cfg.blocklist)
+    assert verdicts and all(v.clean for v in verdicts)
+    assert not any("rejeitados" in v.file.name for v in verdicts)
+
+    # Discovery mirrors the laudo's newest-archive glob.
+    assert find_latest_archive(
+        result.archive.parent, prefix=result.archive.name.split(".")[0][:3]
+    ) == result.archive
+
+    # Seeded leak: plant a blocked status inside a copy of the archive.
+    leak_dir = tmp_path / "leak_src"
+    leak_dir.mkdir()
+    (leak_dir / "Mailing_X.csv").write_text(
+        "CPF;bloq\n999;BLOQUEADO\n", encoding="utf-8"
+    )
+    leaky_zip = shutil.make_archive(str(tmp_path / "leaky"), "zip", leak_dir)
+    leaky = audit_archive(spark, leaky_zip, cfg.blocklist)
+    assert [v.leaks for v in leaky] == [1] and not leaky[0].clean
+
+    # Corrupted archive surfaces as BadZipFile (laudo.py:88-90).
+    bad = tmp_path / "bad.zip"
+    bad.write_bytes(b"not a zip")
+    with pytest.raises(zipfile.BadZipFile):
+        audit_archive(spark, bad, cfg.blocklist)
+
+
+def test_counted_report_renders_reference_table(spark, input_dir, tmp_path):
+    """Per-stage counts + rendered report (logger_setup.py:27-77 parity):
+    stage names match processing_pipeline.py:317-347, counts reconcile,
+    and the rendered table carries the reference's layout."""
+    cfg = PipelineConfig(
+        blocklist=["bloqueado"], corte_humano_maior_igual=50.0,
+        critical_statuses=["CLIENTE FALECIDO"], critical_threshold=1,
+    )
+    result = run_mailing_job(
+        spark, cfg, input_dir=input_dir, output_dir=tmp_path / "out_report",
+        mailing_pattern="MAILING_NUCLEO_*.csv",
+        enrichment_pattern="Pontuacao*.csv", regras_pattern="Tabulacoes*.csv",
+        state_path=tmp_path / "state_report.json", counted_report=True,
+    )
+    names = [s.name for s in result.report.stages]
+    assert names == [
+        "Carregamento de Dados",
+        "Remoção por Tabulação",
+        "Deduplicação por 'ncpf'",
+        "Cálculo de Colunas Agregadas",
+        "Enriquecimento de Telefones",
+        "Criação de 'Cliente_Regulariza'",
+        "Filtro de Bloqueio ('bloq')",
+    ]
+    by_name = {s.name: s for s in result.report.stages}
+    assert by_name["Carregamento de Dados"].initial == 3
+    assert by_name["Remoção por Tabulação"].removed == 1    # CPF 333 critical
+    assert by_name["Filtro de Bloqueio ('bloq')"].removed == 1  # CPF 222 blocked
+    assert by_name["Filtro de Bloqueio ('bloq')"].final == 1
+
+    text = result.rendered_report
+    assert "RELATÓRIO DE EXECUÇÃO DA AUTOMAÇÃO" in text
+    assert "TABELA DE RESULTADOS" in text and "ANÁLISE DE OUTLIERS" in text
+    assert f"| {'ETAPA DE PROCESSAMENTO':<40} | {'REMOVIDOS':>12} | {'RESTANTES':>12} |" in text
+    assert f"| {'Registros Iniciais':<40} | {'-':>12} | {3:>12,} |" in text
+    assert "primeira execução" in text  # no previous state
+
+    # Second run: outlier analysis now compares against the saved state.
+    result2 = run_mailing_job(
+        spark, cfg, input_dir=input_dir, output_dir=tmp_path / "out_report2",
+        mailing_pattern="MAILING_NUCLEO_*.csv",
+        enrichment_pattern="Pontuacao*.csv", regras_pattern="Tabulacoes*.csv",
+        state_path=tmp_path / "state_report.json", counted_report=True,
+    )
+    assert "Arquivos HUMANOS: Gerado 0.00% a mais" in result2.rendered_report
+
+
 def test_human_file_rows_priority_ordered(spark, tmp_path):
     """O1 fidelity: rows inside each human file come out priority-sorted
     (level asc, debt desc) like the reference's final sort."""
