@@ -140,6 +140,28 @@ def q_smart_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+def q_smart_dedup_maxby(spark: SparkSession, sf: str) -> DataFrame:
+    """W1, skew-hardened form — same keep-best semantics as
+    `smart_dedup` but as a min_by struct reduction (operators/dedup.py
+    dedup_keep_best_maxby): partial aggregation instead of a
+    single-partition window sort, for hot keys. Same oracle as
+    smart_dedup by construction."""
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        dedup_keep_best_maxby,
+    )
+
+    orders = _t(spark, sf, "orders")
+    return dedup_keep_best_maxby(
+        orders,
+        "o_custkey",
+        [
+            F.when(F.col("o_orderstatus") == "O", 0).otherwise(1),
+            -F.col("o_totalprice"),
+            F.col("o_orderkey"),
+        ],
+    ).select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 def q_completeness_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """W2+A8 — dedup by row completeness (most-complete wins — the
     reference's evident intent; see SURVEY §7.3-3) over fabricated
@@ -770,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_count_having": q_group_count_having,
         "threshold_anti_join": q_threshold_anti_join,
         "smart_dedup": q_smart_dedup,
+        "smart_dedup_maxby": q_smart_dedup_maxby,
         "completeness_dedup": q_completeness_dedup,
         "rank_in_group": q_rank_in_group,
         "topk_per_group": q_topk_per_group,
@@ -980,6 +1003,12 @@ def oracle_sql() -> dict[str, str]:
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_custkey HAVING COUNT(*) >= 3)""",
         "smart_dedup": """
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM orders
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+    ORDER BY (o_orderstatus = 'O') DESC, o_totalprice DESC, o_orderkey) = 1""",
+        # Same semantics as smart_dedup — the engine-side implementation
+        # differs (min_by reduction vs window), the oracle does not.
+        "smart_dedup_maxby": """
   SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM orders
   QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
     ORDER BY (o_orderstatus = 'O') DESC, o_totalprice DESC, o_orderkey) = 1""",

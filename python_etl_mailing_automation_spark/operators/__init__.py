@@ -11,7 +11,7 @@ from .aggregates import (  # noqa: F401
     with_distinct_list,
     with_group_sum,
 )
-from .dedup import dedup_keep_best  # noqa: F401
+from .dedup import dedup_keep_best, dedup_keep_best_maxby  # noqa: F401
 from .filters import blocklist_filter, segment_by_cutoff  # noqa: F401
 from .joins import anti_join_on_keys, enrich_with_ordered_list  # noqa: F401
 from .ordering import rank_in_group, top_k_per_group, with_priority_level  # noqa: F401

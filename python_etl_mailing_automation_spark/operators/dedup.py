@@ -56,3 +56,38 @@ def smart_dedup_prefer_named(
     (processing_pipeline.py:92-109)."""
     has_name = F.col(name_col).isNotNull() & (F.trim(F.col(name_col).cast("string")) != "")
     return dedup_keep_best(df, key, [has_name.desc()], tiebreaker=tiebreaker)
+
+
+def dedup_keep_best_maxby(
+    df: DataFrame,
+    key: str | list[str],
+    sort_keys: list[Column],
+    *,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Window-free W1/W2: keep the row whose ``sort_keys`` tuple is
+    lexicographically SMALLEST per key — same semantics as
+    :func:`dedup_keep_best` with an ascending ``orderBy`` on the same
+    keys (express "prefer X" as a key that is smaller when X holds, e.g.
+    ``F.when(cond, 0).otherwise(1)``; "larger value wins" as the negated
+    value).
+
+    Why it exists (skew hardening): a ``row_number`` window sorts each
+    key's rows inside ONE partition — a hot key (millions of rows on one
+    CPF) serializes into a single task. ``min_by`` is a declarative
+    aggregate: Spark computes per-partition partial minima map-side and
+    merges them, so a hot key costs each input partition O(1) state
+    instead of a single-partition sort. One shuffle either way; the
+    reduction is the difference at 100 TB.
+
+    Sort keys should be made non-null (coalesce first): struct comparison
+    against null fields yields null and ``min_by`` would skip such rows.
+    ``payload_cols`` defaults to every non-key column.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = payload_cols or [c for c in df.columns if c not in keys]
+    best = F.min_by(
+        F.struct(*[F.col(c) for c in payload]), F.struct(*sort_keys)
+    ).alias("__best")
+    out = df.groupBy(*keys).agg(best)
+    return out.select(*keys, *[F.col(f"__best.{c}").alias(c) for c in payload])

@@ -75,6 +75,34 @@ def test_smart_dedup_prefers_named(spark):
     assert got == {"cpf1": "Maria", "cpf2": None}
 
 
+def test_dedup_keep_best_maxby_matches_window_variant(spark):
+    """The min_by reduction and the row_number window pick identical
+    rows under the same preference order."""
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        dedup_keep_best_maxby,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("1", None, 10.0, "a"), ("1", "Ana", 5.0, "b"), ("1", "Zoe", 5.0, "c"),
+            ("2", None, 7.0, "d"), ("2", None, 9.0, "e"),
+            ("3", "Bia", 1.0, "f"),
+        ],
+        "ncpf string, nomecad string, valor double, rid string",
+    )
+    has_name = F.col("nomecad").isNotNull()
+    window_pick = dedup_keep_best(
+        df, "ncpf", [has_name.desc(), F.col("valor").desc()], tiebreaker="rid"
+    )
+    maxby_pick = dedup_keep_best_maxby(
+        df, "ncpf",
+        [F.when(has_name, 0).otherwise(1), -F.col("valor"), F.col("rid")],
+    )
+    w = {tuple(r) for r in window_pick.select("ncpf", "rid").collect()}
+    m = {tuple(r) for r in maxby_pick.select("ncpf", "rid").collect()}
+    assert w == m == {("1", "b"), ("2", "e"), ("3", "f")}
+
+
 def test_dedup_keep_best_completeness(spark):
     df = spark.createDataFrame(
         [("c1", "a", None, 1), ("c1", "a", "b", 2)],

@@ -63,6 +63,18 @@ def test_robot_pipeline_reuses_cpf_partitioning(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_maxby_dedup_is_partial_aggregation_no_window(plans):
+    """Skew-hardened dedup: a min_by reduction must plan as two-phase
+    hash aggregation (map-side partial minima), never as a window sort —
+    that is its entire reason to exist (operators/dedup.py)."""
+    p = plans("smart_dedup_maxby")
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    # two-phase: map-side partial minima below the exchange (struct-typed
+    # min_by plans as SortAggregate; the partial phase is what matters).
+    assert "partial_min_by" in p
+
+
 def test_scans_are_column_pruned(plans):
     p = plans("per_key_windowed_sum")
     # only the three projected columns reach the scan
