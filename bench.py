@@ -55,6 +55,20 @@ BENCH_QUERIES = [
 ]
 
 
+# Deep tier: the 5 most expensive relational queries re-run at a 10×
+# scale ("sf1.0") synthesized from sf0.1 by key-shifted replication
+# (tools/make_sf.py), so round-over-round comparisons have a data-bound
+# datapoint instead of only Spark-fixed-overhead-bound ones. Disable
+# with SPARK_GRAFT_DEEP=0.
+DEEP_QUERIES = [
+    "mailing_pipeline_e2e",
+    "robot_pipeline_e2e",
+    "enrichment_join",
+    "phone_spread",
+    "rank_pivot",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -68,32 +82,50 @@ def main() -> None:
     )
     qs = entry_mod.queries()
 
-    def run(name: str) -> float:
+    def run(name: str, at: str) -> float:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qs[name](spark, at).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    run("per_key_windowed_sum")  # warm-up (JVM + codegen), not recorded
+    run("per_key_windowed_sum", sf_dir)  # warm-up (JVM + codegen), not recorded
 
+    # Two passes per query, best kept: the first execution of each query
+    # SHAPE pays whole-stage-codegen compilation + JIT (3-4× at sf0.1,
+    # measured), which a steady-state engine comparison should exclude.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(run(name), 3)
+        timings[name] = round(min(run(name, sf_dir) for _ in range(2)), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                "sec_per_query": round(total / len(timings), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sec_per_query": round(total / len(timings), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_DEEP", "1") != "0" and sf == "0.1":
+        deep_dir = os.environ.get("SPARK_GRAFT_DEEP_DIR", "/tmp/spark_graft_sf1.0")
+        if not os.path.exists(os.path.join(deep_dir, "lineitem.parquet")):
+            from tools.make_sf import make_scaled_sf
+
+            make_scaled_sf(sf_dir, deep_dir, copies=10, spark=spark)
+        # One pass here: these shapes are already JIT-warm from the sf0.1
+        # loop, and the tier exists to be data-bound.
+        deep_timings = {}
+        for name in DEEP_QUERIES:
+            deep_timings[name] = round(run(name, deep_dir), 3)
+        payload["deep"] = {
+            "sf": 1.0,
+            "queries": deep_timings,
+            "total_sec": round(sum(deep_timings.values()), 3),
+        }
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

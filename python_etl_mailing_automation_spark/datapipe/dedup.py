@@ -222,6 +222,84 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every document
+    gets a ``cluster_id`` = the minimum doc id reachable through the
+    pair graph (its own id when it has no duplicates). The downstream
+    curation step keeps one document per cluster
+    (:func:`keep_cluster_representatives`).
+
+    Algorithm: iterative min-label propagation — each round joins labels
+    to the symmetric edge list, takes ``min(own, neighbors)``, and stops
+    when no label changed (or at ``max_iterations``). Rounds = graph
+    diameter; LSH duplicate clusters are shallow (near-clique bands), so
+    a handful of rounds closes them. Each round is one shuffle on the
+    edge key; per-round frames are persisted and the previous round
+    released. For adversarial long-chain graphs use the
+    large-star/small-star variant (Kiveris et al.) — same join shape,
+    fewer rounds; not needed for dedup-shaped graphs.
+
+    Driver-side: only the per-round convergence count (an int), a
+    sanctioned iterative-algorithm boundary.
+
+    The returned frame is persisted (its lineage spans every round);
+    callers should ``.unpersist()`` it once consumed.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = docs.select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    ).persist()
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels[id_col])
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels[id_col] == neighbor_min["src"], "left")
+                .select(
+                    F.col(id_col),
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                    (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
+                )
+                .persist()
+            )
+            changed = updated.filter(F.col("__changed")).count()
+            labels.unpersist()
+            labels = updated.drop("__changed")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def keep_cluster_representatives(
+    docs: DataFrame, clusters: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one document per duplicate cluster — the
+    representative whose id IS the cluster id (min id by construction of
+    :func:`dedup_clusters`)."""
+    reps = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return docs.join(reps, on=id_col, how="inner")
+
+
 def simhash_16(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -148,8 +148,17 @@ def embedding_near_dup_pairs(
     probability), then exact cosine filters at ``min_cos``. Returns
     ``(vec_id_a, vec_id_b, cos_sim)`` with a < b. The bucket join is the
     only shuffle; no all-pairs product.
+
+    The bucketed base feeds BOTH self-join sides, and the SRP
+    projections (bits × dim multiply-adds per row) are the expensive
+    part of it — cached so they compute once, like the LSH band entries
+    in datapipe.dedup.
     """
-    base = with_norm(df, vec_col).withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+    base = (
+        with_norm(df, vec_col)
+        .withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+        .cache()
+    )
     a = base.select(
         F.col(id_col).alias("vec_id_a"), "bucket",
         F.col("__vec_dec").alias("va"), F.col("__norm").alias("na"),
@@ -250,8 +259,14 @@ def ann_bucket_topk(
 ) -> DataFrame:
     """Bucketed approximate top-k: rank neighbors only within the same
     sign-quantization bucket. Returns
-    ``(vec_id, bucket, neighbor_id, sim_rank)``."""
-    base = with_norm(df, vec_col).withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+    ``(vec_id, bucket, neighbor_id, sim_rank)``. The bucketed base is
+    cached — both self-join sides read it, and the SRP projections are
+    the dominant per-row cost."""
+    base = (
+        with_norm(df, vec_col)
+        .withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+        .cache()
+    )
     a = base.select(
         F.col(id_col).alias("vec_id"), "bucket",
         F.col("__vec_dec").alias("qv"), F.col("__norm").alias("qn"),

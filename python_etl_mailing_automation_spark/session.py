@@ -33,6 +33,14 @@ def build_spark(
         master = os.environ.get("SPARK_MASTER")
     if master:
         builder = builder.master(master)
+        if master.startswith("local"):
+            # In local mode the driver JVM IS the executor; Spark's 1g
+            # default OOMs well before the machine does. Sizing is a
+            # deployment knob (cluster deploys set executor memory via
+            # spark-submit); only applied when WE create the local JVM.
+            builder = builder.config(
+                "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+            )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
