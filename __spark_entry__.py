@@ -698,6 +698,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_on_pairs(pairs, docs)
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the LSH near-dup pair graph
+    (datapipe/dedup.dedup_clusters): iterative min-label propagation;
+    every document maps to the min doc id reachable through candidate
+    pairs. The one genuinely iterative algorithm in the battery — the
+    oracle closes the same fixpoint with a recursive CTE."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import dedup_clusters
+
+    docs = _t(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return dedup_clusters(docs, pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     return simhash_16(docs)
@@ -752,6 +765,41 @@ def q_corpus_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     return curate_corpus(docs, min_tokens=10, max_stop_ratio=0.5, near_dup_jaccard=0.8)
+
+
+def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic fractional sampling (datapipe/sampling.hash_sample):
+    md5-bucket threshold filter — scan-level, shuffle-free, reproducible
+    on any engine (the corpus-downsampling workhorse)."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import hash_sample
+
+    docs = _t(spark, sf, "documents")
+    return hash_sample(docs, 0.25).select("doc_id", "source")
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quota sampling (datapipe/sampling.stratified_sample):
+    at most 20 docs per source under the deterministic md5 order — the
+    per-domain cap used in corpus mixing."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(docs, "source", 20).select("doc_id", "source")
+
+
+def q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (datapipe/contamination): flag documents
+    sharing any 3-gram shingle with a synthetic 'benchmark' subset
+    (every 50th doc). Broadcast semi-join on the shingle key."""
+    from python_etl_mailing_automation_spark.datapipe.contamination import (
+        flag_contaminated,
+    )
+
+    docs = _t(spark, sf, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return flag_contaminated(docs, benchmark)
 
 
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
@@ -827,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "similarity_topk": q_similarity_topk,
@@ -834,6 +883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_e2e": q_corpus_curation_e2e,
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "decontamination": q_decontamination,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -896,6 +948,34 @@ _COS_DOT = (
     "list_reduce(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]), "
     "(x, y) -> x + y)"
 )
+
+
+def _minhash_pairs_cte() -> str:
+    """Shared CTE chunk: documents → shingles → 6 salted-md5 minhashes →
+    3 LSH bands → distinct candidate ``pairs(doc_id_a, doc_id_b)``.
+    Mirrors datapipe.dedup.minhash_signatures + lsh_candidate_pairs."""
+    sig = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5(s || '|{j}')), 'min') AS mh_{j}"
+        for j in range(1, 7)
+    )
+    bandvals = ", ".join(
+        f"md5(mh_{2 * b - 1} || '|' || mh_{2 * b}) AS band_{b}" for b in range(1, 4)
+    )
+    return f"""tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
+  sig AS (SELECT doc_id, {sig} FROM sh),
+  bandvals AS (SELECT doc_id, {bandvals} FROM sig),
+  bands AS (
+    SELECT doc_id, 0 AS band_idx, band_1 AS band_val FROM bandvals WHERE band_1 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 1, band_2 FROM bandvals WHERE band_2 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 2, band_3 FROM bandvals WHERE band_3 IS NOT NULL),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id)"""
 
 
 def _cosine_sql(extra_cols: str, join_cond: str, k: int, out_cols: str) -> str:
@@ -1378,25 +1458,20 @@ def oracle_sql() -> dict[str, str]:
   FROM documents GROUP BY md5(text)""",
         "dedup_minhash_signatures": _minhash_sig_sql(),
         "dedup_minhash_pairs": f"""
-  WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-  sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
-  sig AS (SELECT doc_id,
-    {", ".join(f"list_aggregate(list_transform(shingles, s -> md5(s || '|{j}')), 'min') AS mh_{j}" for j in range(1, 7))}
-  FROM sh),
-  bandvals AS (SELECT doc_id,
-    {", ".join(f"md5(mh_{2 * b - 1} || '|' || mh_{2 * b}) AS band_{b}" for b in range(1, 4))}
-  FROM sig),
-  bands AS (
-    SELECT doc_id, 0 AS band_idx, band_1 AS band_val FROM bandvals WHERE band_1 IS NOT NULL
-    UNION ALL
-    SELECT doc_id, 1, band_2 FROM bandvals WHERE band_2 IS NOT NULL
-    UNION ALL
-    SELECT doc_id, 2, band_3 FROM bandvals WHERE band_3 IS NOT NULL),
-  pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-     AND a.doc_id < b.doc_id),{jaccard_tail}""",
+  WITH {_minhash_pairs_cte()},{jaccard_tail}""",
+        # Iterative min-label propagation in Spark; the oracle computes
+        # the same fixpoint in closed form with a recursive CTE — every
+        # doc's cluster is the MIN doc id reachable through the LSH
+        # near-dup pair graph (singletons keep their own id).
+        "dedup_clusters": f"""
+  WITH RECURSIVE {_minhash_pairs_cte()},
+  edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+            UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+  reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.s, reach.r FROM reach JOIN edges e ON e.d = reach.node)
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""",
         "dedup_simhash": _simhash_sql(),
         "dedup_ngram_jaccard": f"""
   WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
@@ -1508,6 +1583,26 @@ def oracle_sql() -> dict[str, str]:
   FROM pairs
   QUALIFY sim_rank <= 3""",
         "embedding_near_dup": _near_dup_sql(),
+        "sample_hash": """
+  SELECT doc_id, source FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4) AS INT)
+        < 16384""",
+        "sample_stratified": """
+  SELECT doc_id, source FROM documents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'), doc_id) <= 20""",
+        "decontamination": f"""
+  WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),
+  ds AS (SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM sh),
+  bs AS (SELECT DISTINCT unnest(list_distinct(shingles)) AS shingle
+         FROM sh WHERE doc_id % 50 = 0),
+  shared AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+             FROM ds JOIN bs USING (shingle) GROUP BY doc_id)
+  SELECT d.doc_id,
+         COALESCE(n, 0) AS n_shared_shingles,
+         CAST(COALESCE(n, 0) >= 1 AS INT) AS is_contaminated
+  FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id""",
         "multimodal_meta": """
   SELECT doc_id, 'application/octet-stream' AS mime,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

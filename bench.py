@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_clusters",
+    "decontamination",
     "dedup_simhash",
     "similarity_topk",
     "similarity_ann_buckets",

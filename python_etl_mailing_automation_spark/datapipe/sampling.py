@@ -1,0 +1,71 @@
+"""Deterministic sampling for training-data curation.
+
+Both operators are reproducible across runs, engines, and partitionings —
+the "random" order is md5 of the row's id (+ an explicit salt), never an
+engine RNG. That property is what makes sampled corpora auditable: the
+same inputs always yield the same sample, and a DuckDB oracle can verify
+the exact row set.
+
+Scale notes:
+- :func:`hash_sample` is a scan-level filter — no shuffle, no state; the
+  sampling decision is a pure function of the row. This is the 100 TB
+  workhorse (e.g. "keep 10% of CommonCrawl").
+- :func:`stratified_sample` caps rows per group, which needs a per-group
+  rank: one shuffle on the group key. A pathologically hot group
+  serializes its sort into one task — for per-DOMAIN caps that is the
+  intended behavior (the cap is usually ≪ group size; Spark's window
+  TopK pushdown `WindowGroupLimit` keeps only k rows per partition
+  before the sort at recent versions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows: the first 4 hex digits
+    of ``md5(id || '|' || salt)`` interpreted as an integer in [0, 65536)
+    must fall below ``fraction * 65536``.
+
+    Different ``salt`` values draw independent samples (e.g. train/held
+    -out splits); the threshold form means the ``fraction=0.2`` sample is
+    a SUPERSET of the ``fraction=0.1`` sample for the same salt — handy
+    for growing a corpus without resampling.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    return df.filter(bucket < int(fraction * 65536))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-group cap: keep at most ``n_per_group`` rows per value of
+    ``group_col``, chosen by the deterministic md5 order (id tiebreak).
+
+    The standard per-domain/per-source quota in corpus mixing — prevents
+    one giant domain from dominating the training mix.
+    """
+    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}")))
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(id_col))
+    return (
+        df.withColumn("__sr", F.row_number().over(w))
+        .filter(F.col("__sr") <= n_per_group)
+        .drop("__sr")
+    )

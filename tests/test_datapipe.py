@@ -109,6 +109,94 @@ def test_ann_buckets_only_within_bucket(spark):
     assert not any(3 in p for p in got)  # opposite signs -> different bucket
 
 
+def test_dedup_clusters_transitive_closure(spark):
+    """Connected components: a 4-hop chain collapses to one cluster
+    (min id), disconnected docs keep their own id, and the canonical
+    filter keeps exactly one doc per cluster."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_clusters,
+        keep_cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5, 7, 9)], "doc_id long, text string"
+    )
+    # chain 9-4-3-2-1 (forces multi-round propagation) + pair 5-7
+    pairs = spark.createDataFrame(
+        [(4, 9), (3, 4), (2, 3), (1, 2), (5, 7)], "doc_id_a long, doc_id_b long"
+    )
+    clusters = dedup_clusters(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 1, 5: 5, 7: 5}
+    kept = sorted(
+        r["doc_id"] for r in keep_cluster_representatives(docs, clusters).collect()
+    )
+    assert kept == [1, 5]
+    clusters.unpersist()
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    """hash_sample: exact reproducibility, salt independence, and the
+    threshold-nesting property (a bigger fraction is a superset)."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    s10 = {r["doc_id"] for r in hash_sample(docs, 0.1).collect()}
+    s10b = {r["doc_id"] for r in hash_sample(docs, 0.1).collect()}
+    s30 = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    other = {r["doc_id"] for r in hash_sample(docs, 0.1, salt="v2").collect()}
+    assert s10 == s10b                      # deterministic
+    assert s10 <= s30                       # nested thresholds
+    assert other != s10                     # independent draw per salt
+    assert 0.05 < len(s10) / 400 < 0.16     # roughly the asked fraction
+
+
+def test_stratified_sample_caps_each_group(spark):
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small", f"d{i}") for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+    out = stratified_sample(docs, "source", 5)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {"big": 5, "small": 5}
+    # deterministic pick
+    again = stratified_sample(docs, "source", 5)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+
+
+def test_flag_contaminated_shingle_overlap(spark):
+    from python_etl_mailing_automation_spark.datapipe.contamination import (
+        flag_contaminated,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence with no overlap here"),
+            (3, "something about the quick brown fox again"),
+            (4, "too short"),  # < 3 tokens of shingle — never flagged
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox in this eval question")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in flag_contaminated(docs, benchmark).collect()}
+    assert out[1]["is_contaminated"] == 1 and out[1]["n_shared_shingles"] >= 2
+    assert out[3]["is_contaminated"] == 1
+    assert out[2]["is_contaminated"] == 0 and out[2]["n_shared_shingles"] == 0
+    assert out[4]["is_contaminated"] == 0
+    assert len(out) == 4                     # every doc reported
+
+
 def test_srp_buckets_nondegenerate_on_sign_biased_corpus(spark):
     """VERDICT r1 #3: axis-aligned sign bits collapse an all-positive
     (sign-biased) corpus into ONE bucket — a skewed-key quadratic join at
