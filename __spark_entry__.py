@@ -748,13 +748,18 @@ def q_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-bucket LSH + exact verify
-    (datapipe/similarity.py) — the dedup-family member for embeddings."""
+    (datapipe/similarity.py) — the dedup-family member for embeddings.
+
+    The synthetic corpus plants no true near-dups (max same-bucket cosine
+    ≈0.3), so the demo threshold is low enough that the oracle compares
+    REAL pair rows — bucket join, cosine verify, and filter all
+    exercised — rather than two empty sets. Production uses ~0.9."""
     from python_etl_mailing_automation_spark.datapipe.similarity import (
         embedding_near_dup_pairs,
     )
 
     emb = _t(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(emb, bits=8, min_cos=0.8)
+    return embedding_near_dup_pairs(emb, bits=8, min_cos=0.2)
 
 
 def q_corpus_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
@@ -1028,7 +1033,7 @@ def _near_dup_sql() -> str:
   p AS (SELECT q.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
                {dot} / (q.nrm * c.nrm) AS cos_sim
         FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
-  SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= 0.8"""
+  SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= 0.2"""
 
 
 def _priority_case_sql() -> str:

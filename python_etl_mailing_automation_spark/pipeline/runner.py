@@ -10,6 +10,7 @@ exactly one action.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from datetime import datetime
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -184,24 +185,33 @@ def run_mailing_job(
     human = human.persist()
     robot = robot.persist()
     rejected = res.rejected.persist()
+    # Reference-shaped output names, driven by config:
+    # human  {output_file_prefix}mailing_{produto}_{date}.csv
+    #        (data_exporter.py:57-64)
+    # robot  {robot_prefix}{slot}_{date}.csv
+    #        (gerador_robo_mestre.py:126-135; the reference also embeds
+    #        HHMMSS — omitted so re-runs overwrite deterministically)
+    date_str = datetime.now().strftime(config.output_date_format)
+    human_name = f"{config.output_file_prefix}mailing_{{key}}_{date_str}.csv"
     try:
         result.human_files = write_partitioned_by_key(
             human, output_dir / "humano", "PRODUTO",
-            filename_template="Mailing_{key}.csv", order_by=order_by or None,
+            filename_template=human_name, order_by=order_by or None,
             drop_after_sort=drop_after_sort or None,
         ) if "PRODUTO" in human.columns else [
             write_exact_csv(
-                human, output_dir / "humano" / "Mailing.csv",
+                human, output_dir / "humano" / human_name.format(key="geral"),
                 order_by=order_by or None, drop_after_sort=drop_after_sort or None,
             )
         ]
 
         slots = route_by_time_slot(robot, config) if config.robot_time_slot_groups else {"mestre": robot}
         for slot, df in slots.items():
+            robot_name = (
+                f"{config.robot_output_file_prefix}{sanitize_filename(slot)}_{date_str}.csv"
+            )
             result.robot_files.append(
-                write_exact_csv(
-                    df, output_dir / "robo" / f"ROBO_{sanitize_filename(slot)}.csv", sep="|"
-                )
+                write_exact_csv(df, output_dir / "robo" / robot_name, sep="|")
             )
 
         # S8 side output.
@@ -210,6 +220,9 @@ def run_mailing_job(
         )
 
         # Stage 6 (laudo) — the leak invariant as part of the run itself.
+        # (File-level re-audits must treat the configured robot prefix as
+        # the pipe-separator marker: audit_output_dir(...,
+        # robot_markers=(config.robot_output_file_prefix,)).)
         result.audit_leaks = audit_no_blocked_status(
             human.drop(*[c for c in carriers if c in human.columns]),
             config.blocklist,

@@ -53,7 +53,12 @@ def test_run_mailing_job_end_to_end(spark, input_dir, tmp_path):
         make_archive=True,
     )
     # 111 -> human (100.5 >= 50); 222 blocked; 333 removed by tabulações.
-    assert [p.name for p in result.human_files] == ["Mailing_EPB.csv"]
+    from datetime import datetime
+
+    date_str = datetime.now().strftime(cfg.output_date_format)
+    assert [p.name for p in result.human_files] == [
+        f"{cfg.output_file_prefix}mailing_EPB_{date_str}.csv"
+    ]
     human_csv = result.human_files[0].read_text(encoding="utf-8")
     assert "111" in human_csv and "BLOQUEADO" not in human_csv
     assert "84999990000" in human_csv  # enrichment phone landed
@@ -63,7 +68,9 @@ def test_run_mailing_job_end_to_end(spark, input_dir, tmp_path):
     rejected_lines = result.rejected_file.read_text(encoding="utf-8").splitlines()
     assert len(rejected_lines) == 2  # header + the one blocked row
     assert "motivo_remocao" in rejected_lines[0] and "BLOQUEADO" in rejected_lines[1]
-    assert result.robot_files[0].name == "ROBO_08_horas.csv"
+    assert result.robot_files[0].name == (
+        f"{cfg.robot_output_file_prefix}08_horas_{date_str}.csv"
+    )
     assert result.archive is not None and result.archive.exists()
     assert (tmp_path / "state.json").exists()
 
