@@ -607,12 +607,8 @@ def q_robot_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("codbarra"),
         F.when(F.col("l_orderkey") % 2 == 0, "EPB").otherwise("EMT").alias("produto"),
     )
-    robot_df = robot_df.withColumn(
-        "valorDivida",
-        F.sum(F.col("liquido").cast("decimal(18,2)"))
-        .over(Window.partitionBy("cpf"))
-        .cast("double"),
-    )
+    # valorDivida (A1 debt total) folds into build_robot_output's single
+    # aggregation — no separate window pass, one shuffle end to end.
     out = build_robot_output(
         robot_df,
         PipelineConfig(),
@@ -620,6 +616,7 @@ def q_robot_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         due_col="dtvenc",
         value_col="liquido",
         barcode_col="codbarra",
+        sum_total_col="valorDivida",
     )
     return out.select(
         "cpf",

@@ -23,7 +23,7 @@ def enrich_with_ordered_list(
     value_col: str,
     score_col: str,
     out_col: str,
-    broadcast_enrichment: bool = True,
+    broadcast_enrichment: bool | None = None,
 ) -> DataFrame:
     """J1a+J1: best-first list aggregation then left equi-join.
 
@@ -32,9 +32,17 @@ def enrich_with_ordered_list(
 
     Spark shape: ``collect_list(struct(-score, value))`` + ``array_sort`` +
     ``transform`` gives the best-first list without any global sort; the
-    pre-aggregated side is one row per key and is broadcast by default
-    (dimension-sized in the reference). Ties on score break by value for
-    determinism.
+    pre-aggregated side is one row per key. ``broadcast_enrichment``:
+
+    - ``True`` — force a broadcast hint. Only for enrichment known to be
+      dimension-sized (the reference's phone workbook); forcing it on a
+      fact-sized side collects the whole aggregate to the driver — a
+      scale-killer at 100 TB.
+    - ``None`` (default) — no hint; Catalyst/AQE broadcasts iff the
+      aggregated side's runtime size is under
+      ``spark.sql.autoBroadcastJoinThreshold``, else shuffles both sides
+      on the join key (the correct plan when enrichment ~ fact size).
+    - ``False`` — forbid broadcast even if small.
     """
     struct_col = F.struct(
         (-F.col(score_col).cast("double")).alias("neg_score"),
@@ -49,8 +57,10 @@ def enrich_with_ordered_list(
             ).alias(out_col)
         )
     )
-    if broadcast_enrichment:
+    if broadcast_enrichment is True:
         agg = F.broadcast(agg)
+    elif broadcast_enrichment is False:
+        agg = agg.hint("shuffle_merge")
     joined = fact.join(agg, on=fact[fact_key] == agg["__join_key"], how="left")
     return joined.drop("__join_key")
 

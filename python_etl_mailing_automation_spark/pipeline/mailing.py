@@ -179,6 +179,10 @@ def process_mailing(
                 value_col="telefone",
                 score_col="pontuacao",
                 out_col="telefones_enriquecidos",
+                # The Pontuação workbook is dimension-sized by contract
+                # (data_loader.py:30-35) — force the broadcast so the plan
+                # never shuffles the mailing on the enrichment key.
+                broadcast_enrichment=True,
             ).drop("__join_key_fact")
             enriched_col = "telefones_enriquecidos"
     phone_fallbacks = [

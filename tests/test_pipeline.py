@@ -169,6 +169,37 @@ def test_robot_output_pivot(result, config):
     assert out.count() == out.select("CPF").distinct().count()
 
 
+def test_robot_strategies_agree(spark, config):
+    """The fused single-agg strategy and the window transcription are the
+    same operator: identical rows on a corpus with multi-invoice CPFs,
+    <3-invoice CPFs (null rank columns), and a folded-in debt total."""
+    rows = [
+        ("c1", "2024-03-01", 10.0, "b1", "EPB"),
+        ("c1", "2024-01-05", 30.0, "b2", "EPB"),
+        ("c1", "2024-02-10", 20.0, "b3", "EPB"),
+        ("c1", "2024-04-01", 5.0, "b4", "EPB"),
+        ("c2", "2024-05-01", 77.5, "b5", "EMT"),
+        ("c3", None, 1.0, "b6", "EMT"),  # due-date guard drops it
+        ("c3", "2024-06-01", 2.0, "b7", "EMT"),
+    ]
+    df = spark.createDataFrame(
+        rows, "CPF string, dtvenc string, liquido double, codbarra string, PRODUTO string"
+    ).withColumn("dtvenc", F.to_timestamp("dtvenc"))
+    kw = dict(sum_total_col="valorDivida")
+    a = build_robot_output(df, config, strategy="agg", **kw)
+    w = build_robot_output(df, config, strategy="window", **kw)
+    assert sorted(a.columns) == sorted(w.columns)
+    key = sorted(a.columns)
+    got_a = sorted(map(tuple, a.select(*key).collect()))
+    got_w = sorted(map(tuple, w.select(*key).collect()))
+    assert got_a == got_w
+    by_cpf = {r["CPF"]: r for r in a.collect()}
+    assert by_cpf["c1"]["dtvenc_1"].strftime("%Y-%m-%d") == "2024-01-05"
+    assert by_cpf["c1"]["valorDivida"] == 65.0  # top-3 kept, sum over all 4
+    assert by_cpf["c2"]["codbarra_2"] is None
+    assert by_cpf["c3"]["valorDivida"] == 2.0  # guard row excluded
+
+
 def test_blocklist_handles_mojibake_variants(spark):
     """The reference's blocklist enumerates both clean and corrupted forms
     (config.ini:95-137) so no repair UDF runs on the hot path — the filter

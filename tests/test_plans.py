@@ -56,11 +56,13 @@ def test_e2e_pipeline_all_joins_broadcast(plans):
     assert p.count("BroadcastHashJoin") >= 2  # anti-join + enrichment
 
 
-def test_robot_pipeline_reuses_cpf_partitioning(plans):
+def test_robot_pipeline_is_single_shuffle_no_window(plans):
+    """The fused agg strategy is one hash aggregation on cpf: exactly one
+    exchange, no window sort, no join (pipeline/robot.py strategy='agg')."""
     p = plans("robot_pipeline_e2e")
-    # windows + pivot + head all key on cpf; exchange reuse keeps it to 2
-    assert p.count("Exchange hashpartitioning") <= 2
+    assert p.count("Exchange hashpartitioning") <= 1
     assert "SortMergeJoin" not in p
+    assert "Window" not in p
 
 
 def test_maxby_dedup_is_partial_aggregation_no_window(plans):
