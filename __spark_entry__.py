@@ -218,7 +218,10 @@ def q_rank_pivot(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_shipdate"), F.col("l_linenumber"),
         F.col("l_extendedprice"), F.col("l_partkey"), F.col("l_suppkey"),
     ]
-    return rank_pivot_wide(li, "l_orderkey", order, ["ship_dt", "l_extendedprice"], k=3)
+    return rank_pivot_wide(
+        li, "l_orderkey", order, ["ship_dt", "l_extendedprice"], k=3,
+        order_keys=order,  # all-asc non-null superkey → fused single-agg path
+    )
 
 
 def q_head_row_per_group(spark: SparkSession, sf: str) -> DataFrame:
@@ -804,6 +807,91 @@ def q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     return flag_contaminated(docs, benchmark)
 
 
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (datapipe/pii.redact_pii): deterministic synthetic
+    PII (email/CPF/phone/IP built from doc_id) is injected, then counted
+    and redacted category-by-category in specificity order. Chained
+    regexp expressions in one projection — scan-speed, shuffle-free."""
+    from python_etl_mailing_automation_spark.datapipe.pii import redact_pii
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    pad = lambda c, n: F.lpad(c.cast("string"), n, "0")  # noqa: E731
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contato user"), d.cast("string"), F.lit("@example.com"),
+            F.lit(" cpf "), pad(d % 1000, 3), F.lit("."), pad((d * 7) % 1000, 3),
+            F.lit("."), pad((d * 13) % 1000, 3), F.lit("-"), pad(d % 100, 2),
+            F.lit(" tel ("), pad(d % 100, 2), F.lit(") 9"),
+            pad((d * 31) % 10000, 4), F.lit("-"), pad((d * 17) % 10000, 4),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" ip "), (d % 256).cast("string"), F.lit("."),
+                    ((d * 3) % 256).cast("string"), F.lit("."),
+                    ((d * 5) % 256).cast("string"), F.lit("."),
+                    ((d * 11) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected).select(
+        "doc_id", "n_email", "n_cpf", "n_phone", "n_ipv4", "redacted"
+    )
+
+
+def q_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (datapipe/text.repetition_metrics):
+    duplicate-word fraction (per-row algebra) + top-bigram coverage
+    (explode → two map-side-combined aggregations keyed on the doc)."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        repetition_metrics,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return repetition_metrics(docs).select(
+        "doc_id", "n_tokens", "dup_word_frac", "top_2gram_frac", "is_repetitive"
+    )
+
+
+def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (datapipe/packing.pack_sequences): concatenate-
+    then-chunk placement of each document into fixed 256-token training
+    sequences, packed independently per source shard — one per-shard
+    running-sum window, integer arithmetic throughout."""
+    from python_etl_mailing_automation_spark.datapipe.packing import (
+        pack_sequences,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    counted = token_count(docs).select("doc_id", "source", "n_tokens")
+    return pack_sequences(counted, seq_len=256).select(
+        "doc_id", "source", "n_tokens", "start_tok", "first_seq",
+        "last_seq", "offset_in_seq", "n_seqs",
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture weighting (datapipe/sampling.mixture_sample): per-domain
+    deterministic downsampling to target keep rates (src0 100%, src1/src2
+    50%, src3 25%, everything else 10%) — a scan-level literal-map filter,
+    no shuffle, reproducible across engines."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return mixture_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.5, "src3": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal column plumbing, oracle-checkable half: binary payload
     synthesis + typed metadata struct (datapipe/multimodal.py). The
@@ -887,7 +975,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
+        "mixture_sample": q_mixture_sample,
         "decontamination": q_decontamination,
+        "pii_redact": q_pii_redact,
+        "repetition_metrics": q_repetition_metrics,
+        "sequence_pack": q_sequence_pack,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1589,6 +1681,85 @@ def oracle_sql() -> dict[str, str]:
   SELECT doc_id, source FROM documents
   WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4) AS INT)
         < 16384""",
+        "mixture_sample": """
+  SELECT doc_id, source FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4) AS INT)
+        < CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
+                      WHEN 'src2' THEN 32768 WHEN 'src3' THEN 16384
+                      ELSE 6553 END""",
+        "pii_redact": r"""
+  WITH inj AS (
+    SELECT doc_id,
+           text || ' contato user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                || ' cpf ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '.' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                || '.' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                || ' tel (' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                || ') 9' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')
+                || '-' || lpad(CAST((doc_id * 17) % 10000 AS VARCHAR), 4, '0')
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' ip ' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 11) % 256 AS VARCHAR)
+                        ELSE '' END AS text
+    FROM documents),
+  s1 AS (SELECT doc_id, text AS t0,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+         FROM inj),
+  s2 AS (SELECT doc_id, n_email,
+           CAST(len(regexp_extract_all(t1,
+             '\b\d{3}\.\d{3}\.\d{3}-\d{2}\b')) AS INT) AS n_cpf,
+           regexp_replace(t1, '\b\d{3}\.\d{3}\.\d{3}-\d{2}\b', '<CPF>', 'g') AS t2
+         FROM s1),
+  s3 AS (SELECT doc_id, n_email, n_cpf,
+           CAST(len(regexp_extract_all(t2,
+             '\(\d{2}\)\s?\d{4,5}-\d{4}')) AS INT) AS n_phone,
+           regexp_replace(t2, '\(\d{2}\)\s?\d{4,5}-\d{4}', '<PHONE>', 'g') AS t3
+         FROM s2)
+  SELECT doc_id, n_email, n_cpf, n_phone,
+         CAST(len(regexp_extract_all(t3,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+         regexp_replace(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS redacted
+  FROM s3""",
+        "repetition_metrics": f"""
+  WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CASE WHEN len(toks) > 0
+               THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS dup_word_frac
+        FROM t),
+  g AS (SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1]) AS gram
+        FROM b, UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks))
+                            ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+  gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+  gm AS (SELECT doc_id, MAX(c) AS mx FROM gc GROUP BY 1)
+  SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
+         COALESCE(CAST(gm.mx * 2 AS DOUBLE) / b.n_tokens, 0.0) AS top_2gram_frac,
+         CAST(CASE WHEN b.dup_word_frac > 0.9
+                     OR COALESCE(CAST(gm.mx * 2 AS DOUBLE) / b.n_tokens, 0.0) > 0.2
+                   THEN 1 ELSE 0 END AS INT) AS is_repetitive
+  FROM b LEFT JOIN gm USING (doc_id)""",
+        "sequence_pack": f"""
+  WITH t AS (SELECT doc_id, source,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+  c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+  SELECT doc_id, source, n_tokens,
+         cum - n_tokens AS start_tok,
+         (cum - n_tokens) // 256 AS first_seq,
+         GREATEST((cum - 1) // 256, (cum - n_tokens) // 256) AS last_seq,
+         (cum - n_tokens) % 256 AS offset_in_seq,
+         CAST(CASE WHEN n_tokens > 0
+              THEN GREATEST((cum - 1) // 256, (cum - n_tokens) // 256)
+                   - (cum - n_tokens) // 256 + 1
+              ELSE 0 END AS BIGINT) AS n_seqs
+  FROM c""",
         "sample_stratified": """
   SELECT doc_id, source FROM documents
   QUALIFY ROW_NUMBER() OVER (PARTITION BY source

@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "similarity_ivf",
     "embedding_near_dup",
     "corpus_curation_e2e",
+    "pii_redact",
+    "repetition_metrics",
+    "sequence_pack",
+    "mixture_sample",
 ]
 
 

@@ -20,10 +20,14 @@ from .dedup import (  # noqa: F401
     with_shingles,
     with_tokens,
 )
+from .packing import pack_sequences  # noqa: F401
+from .pii import pii_free, redact_pii  # noqa: F401
+from .sampling import hash_sample, mixture_sample, stratified_sample  # noqa: F401
 from .similarity import ann_bucket_topk, cosine_topk  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     quality_score,
+    repetition_metrics,
     token_count,
 )

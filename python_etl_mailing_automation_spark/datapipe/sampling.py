@@ -69,3 +69,45 @@ def stratified_sample(
         .filter(F.col("__sr") <= n_per_group)
         .drop("__sr")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-domain deterministic downsampling to hit a target mixture.
+
+    ``fractions`` maps domain value → keep rate in [0, 1] (e.g. web 0.1,
+    books 1.0, code 0.5 — the "mixture weights" step of corpus
+    construction, where sources are downsampled to their target share of
+    the training mix). Domains absent from the map use
+    ``default_fraction``.
+
+    Same md5-bucket rule as :func:`hash_sample`, so the kept set is a
+    pure function of (id, salt): reproducible across runs, engines, and
+    partitionings, and a domain's ``0.2`` sample is a superset of its
+    ``0.1`` sample. Scale: the per-domain threshold is a small literal
+    map looked up per row — a scan-level filter, no shuffle, no join,
+    no driver state.
+    """
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    pairs: list = []
+    for domain, frac in sorted(fractions.items()):
+        pairs.append(F.lit(domain))
+        pairs.append(F.lit(int(frac * 65536)))
+    thr = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(domain_col)),
+        F.lit(int(default_fraction * 65536)),
+    )
+    return df.filter(bucket < thr)

@@ -152,3 +152,75 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fingerprint",
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")),
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    id_col: str = "doc_id",
+    n: int = 2,
+    dup_word_max: float = 0.9,
+    top_gram_max: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+
+    - ``dup_word_frac`` — fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total). Pure per-row array algebra.
+    - ``top_{n}gram_frac`` — fraction of tokens covered by the single
+      most frequent word n-gram. Computed distributed: explode n-grams →
+      count per (doc, gram) → max per doc. Both aggregations get
+      map-side partial combine (the exploded grams of a document stay in
+      its input partition, so the (doc, gram) combine collapses to the
+      per-doc distinct-gram set BEFORE the network — the reason we do
+      NOT pre-repartition on doc id, which would ship raw grams). The
+      (doc)-keyed second exchange is reused by the join back. Per-group
+      state is O(one document's grams), never O(corpus): safe at 100 TB,
+      unlike a per-row transform+filter quadratic in document length.
+      The corpus is scanned twice (per-row metrics + a scan pruned to
+      (id, text) for grams) — both at scan speed.
+    - ``is_repetitive`` — either fraction over its threshold.
+
+    Documents shorter than ``n`` tokens get ``top_{n}gram_frac = 0.0``.
+    """
+    gram_col = f"top_{n}gram_frac"
+    toks = tokens_of(text_col)
+    base = df.withColumn("__toks", toks).withColumn(
+        "n_tokens", F.size("__toks").cast("long")
+    )
+    base = base.withColumn(
+        "dup_word_frac",
+        F.when(
+            F.col("n_tokens") > 0,
+            1.0 - F.size(F.array_distinct("__toks")) / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+    # n-grams: join each window of n consecutive tokens. sequence() is
+    # guarded — sequence(0, -1) would COUNT DOWN in Spark.
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        base.select(F.col(id_col), F.explode(grams).alias("__gram"))
+        .groupBy(id_col, "__gram")
+        .count()
+    )
+    per_doc = per_gram.groupBy(id_col).agg(F.max("count").alias("__max_gram"))
+    out = base.drop("__toks").join(per_doc, on=id_col, how="left")
+    out = out.withColumn(
+        gram_col,
+        F.coalesce(
+            F.col("__max_gram") * n / F.col("n_tokens"), F.lit(0.0)
+        ),
+    ).drop("__max_gram")
+    return out.withColumn(
+        "is_repetitive",
+        (
+            (F.col("dup_word_frac") > dup_word_max)
+            | (F.col(gram_col) > top_gram_max)
+        ).cast("int"),
+    )

@@ -389,3 +389,136 @@ def test_bpe_ish_tokens_and_rolling_hash(spark):
     again = df.select(rolling_hash("t").alias("rh")).collect()
     assert again[0]["rh"] == rows[0]["rh"]
     assert rows[1]["rh"] != rows[0]["rh"]
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_categories_and_order(spark):
+    from python_etl_mailing_automation_spark.datapipe.pii import (
+        pii_free,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.com now"),
+            (2, "cpf 123.456.789-01 hidden"),  # dotted digits: CPF, not IP
+            (3, "call (11) 91234-5678 or (21) 3456-7890"),
+            (4, "host 10.0.255.3 up"),
+            (5, "clean text only"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 0
+    # specificity order: the CPF must win over the looser IPv4 pattern
+    assert out[2]["redacted"] == "cpf <CPF> hidden"
+    assert out[2]["n_cpf"] == 1 and out[2]["n_ipv4"] == 0
+    assert out[3]["n_phone"] == 2 and "<PHONE>" in out[3]["redacted"]
+    assert out[4]["redacted"] == "host <IP> up"
+    assert out[5]["redacted"] == "clean text only"
+    assert sum(out[5][c] for c in ("n_email", "n_cpf", "n_phone", "n_ipv4")) == 0
+    kept = pii_free(df)
+    assert [r["doc_id"] for r in kept.collect()] == [5]
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_metrics_gopher_signals(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "all twelve words here are fully distinct tokens indeed no repeats anywhere"),
+            (3, "ab"),  # shorter than the 2-gram window
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert out[1]["dup_word_frac"] == pytest.approx(0.9)
+    # 9 occurrences of "spam spam" * 2 tokens / 10 tokens
+    assert out[1]["top_2gram_frac"] == pytest.approx(1.8)
+    assert out[1]["is_repetitive"] == 1
+    assert out[2]["dup_word_frac"] == 0.0
+    # 11 distinct bigrams, max count 1 -> 2/12
+    assert out[2]["top_2gram_frac"] == pytest.approx(2 / 12)
+    assert out[2]["is_repetitive"] == 0
+    assert out[3]["top_2gram_frac"] == 0.0 and out[3]["n_tokens"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    from python_etl_mailing_automation_spark.datapipe.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", 1, 100),
+            ("s1", 2, 30),   # starts at 100, crosses the 128 boundary
+            ("s1", 3, 0),    # empty doc: spans nothing
+            ("s1", 4, 300),  # spans three sequences
+            ("s2", 1, 5),    # independent shard restarts at 0
+        ],
+        "source string, doc_id int, n_tokens long",
+    )
+    out = pack_sequences(df, seq_len=128)
+    got = {(r["source"], r["doc_id"]): r for r in out.collect()}
+    a = got[("s1", 1)]
+    assert (a["start_tok"], a["first_seq"], a["offset_in_seq"], a["n_seqs"]) == (0, 0, 0, 1)
+    b = got[("s1", 2)]
+    assert (b["start_tok"], b["first_seq"], b["last_seq"], b["n_seqs"]) == (100, 0, 1, 2)
+    c = got[("s1", 3)]
+    assert (c["start_tok"], c["n_seqs"]) == (130, 0)
+    d = got[("s1", 4)]
+    assert (d["start_tok"], d["first_seq"], d["last_seq"], d["n_seqs"]) == (130, 1, 3, 3)
+    assert d["offset_in_seq"] == 2
+    e = got[("s2", 1)]
+    assert (e["start_tok"], e["first_seq"], e["n_seqs"]) == (0, 0, 1)
+    dropped = pack_sequences(df, seq_len=128, drop_overlong=True)
+    assert {r["doc_id"] for r in dropped.filter(F.col("source") == "s1").collect()} == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        hash_sample,
+        mixture_sample,
+    )
+
+    rows = [(i, "keep_all" if i % 3 == 0 else ("half" if i % 3 == 1 else "other"))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = mixture_sample(df, "source", {"keep_all": 1.0, "half": 0.5})
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["keep_all"] == 200            # fraction 1.0 keeps everything
+    assert 60 <= by_src.get("half", 0) <= 140   # ~100 of 200
+    assert "other" not in by_src                # default_fraction=0.0 drops unknowns
+    # per-domain rule is exactly the hash_sample rule: same kept ids
+    half_ids = {r["doc_id"] for r in out.filter(F.col("source") == "half").collect()}
+    ref_ids = {
+        r["doc_id"]
+        for r in hash_sample(df.filter(F.col("source") == "half"), 0.5).collect()
+    }
+    assert half_ids == ref_ids
+    # superset property across rates
+    bigger = mixture_sample(df, "source", {"half": 0.8})
+    assert half_ids <= {r["doc_id"] for r in bigger.collect()}

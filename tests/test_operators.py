@@ -153,6 +153,19 @@ def test_rank_topk_pivot(spark):
     row = {r["k"]: r for r in wide.collect()}
     assert row["o1"]["d_1"] == "2024-01-01" and row["o1"]["v_3"] == 30.0
     assert row["o2"]["d_2"] is None
+    # Fused single-agg strategy is the same operator: identical rows,
+    # identical schema, and its plan has no Window and no pivot agg.
+    fused = rank_pivot_wide(
+        df, "k", [F.col("d")], ["d", "v"], k=3, order_keys=[F.col("d")]
+    )
+    assert fused.schema == wide.select(*fused.columns).schema
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, wide.select(*fused.columns).collect())
+    )
+    plan = fused._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Window" not in plan
 
 
 def test_head_row_per_group_explicit_order(spark):
