@@ -892,6 +892,44 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line-level boilerplate removal (datapipe/dedup.dedup_lines):
+    multi-line documents are synthesized deterministically — a global
+    boilerplate line, a per-source promo line, a per-doc unique line,
+    then the original text. With min_docs=5 the first two vanish from
+    every document, the rest survive. The frequent-line set is broadcast,
+    so the corpus-sized line relation is filtered without a join shuffle."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import dedup_lines
+
+    docs = _t(spark, sf, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("subscribe to our newsletter today"),
+            F.concat(F.lit("promo code "), F.col("source")),
+            F.concat(
+                F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" unique line")
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dedup_lines(lined, min_docs=5).select(
+        "doc_id", "text", "n_lines_kept", "n_lines_removed"
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus composition report (datapipe/stats.corpus_stats): per-source
+    doc/token/char totals as exact bigint sums plus shares — one map-side
+    combined groupBy; the corpus totals come from a window over the
+    20-row aggregate, not the corpus."""
+    from python_etl_mailing_automation_spark.datapipe.stats import corpus_stats
+
+    docs = _t(spark, sf, "documents")
+    return corpus_stats(docs)
+
+
 def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal column plumbing, oracle-checkable half: binary payload
     synthesis + typed metadata struct (datapipe/multimodal.py). The
@@ -980,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition_metrics": q_repetition_metrics,
         "sequence_pack": q_sequence_pack,
+        "dedup_lines": q_dedup_lines,
+        "corpus_stats": q_corpus_stats,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1760,6 +1800,41 @@ def oracle_sql() -> dict[str, str]:
                    - (cum - n_tokens) // 256 + 1
               ELSE 0 END AS BIGINT) AS n_seqs
   FROM c""",
+        "dedup_lines": """
+  WITH lined AS (
+    SELECT doc_id,
+           'subscribe to our newsletter today' || chr(10)
+           || 'promo code ' || source || chr(10)
+           || 'doc ' || CAST(doc_id AS VARCHAR) || ' unique line' || chr(10)
+           || text AS text
+    FROM documents),
+  s AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM lined),
+  l AS (
+    SELECT doc_id, parts[i] AS line, i AS pos
+    FROM s, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+  f AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY 1),
+  k AS (SELECT l.doc_id, l.pos, l.line, (f.nd >= 5) AS rm
+        FROM l JOIN f USING (line))
+  SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN NOT rm THEN line END, chr(10)
+                             ORDER BY pos), '') AS text,
+         CAST(COUNT(CASE WHEN NOT rm THEN 1 END) AS BIGINT) AS n_lines_kept,
+         CAST(COUNT(CASE WHEN rm THEN 1 END) AS BIGINT) AS n_lines_removed
+  FROM k GROUP BY doc_id""",
+        "corpus_stats": f"""
+  WITH p AS (SELECT source,
+               CAST(len({_TOKS}) AS BIGINT) AS tok,
+               CAST(len(text) AS BIGINT) AS ch FROM documents),
+  a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(ch) AS BIGINT) AS n_chars
+        FROM p GROUP BY 1)
+  SELECT source, n_docs, n_tokens, n_chars,
+         CAST(n_tokens AS DOUBLE) / n_docs AS avg_tokens,
+         CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS share_docs,
+         CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT)
+           AS share_tokens
+  FROM a""",
         "sample_stratified": """
   SELECT doc_id, source FROM documents
   QUALIFY ROW_NUMBER() OVER (PARTITION BY source

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "repetition_metrics",
     "sequence_pack",
     "mixture_sample",
+    "dedup_lines",
+    "corpus_stats",
 ]
 
 
@@ -120,11 +122,12 @@ def main() -> None:
             from tools.make_sf import make_scaled_sf
 
             make_scaled_sf(sf_dir, deep_dir, copies=10, spark=spark)
-        # One pass here: these shapes are already JIT-warm from the sf0.1
-        # loop, and the tier exists to be data-bound.
+        # min-of-2 like the headline loop: single-pass deep numbers swung
+        # 2-3× run-over-run under background load; best-of-two keeps the
+        # tier data-bound AND comparable round-over-round.
         deep_timings = {}
         for name in DEEP_QUERIES:
-            deep_timings[name] = round(run(name, deep_dir), 3)
+            deep_timings[name] = round(min(run(name, deep_dir) for _ in range(2)), 3)
         payload["deep"] = {
             "sf": 1.0,
             "queries": deep_timings,

@@ -13,6 +13,7 @@ so results are reproducible and oracle-checkable anywhere.
 """
 
 from .dedup import (  # noqa: F401
+    dedup_lines,
     exact_dedup_groups,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -22,6 +23,7 @@ from .dedup import (  # noqa: F401
 )
 from .packing import pack_sequences  # noqa: F401
 from .pii import pii_free, redact_pii  # noqa: F401
+from .stats import corpus_stats  # noqa: F401
 from .sampling import hash_sample, mixture_sample, stratified_sample  # noqa: F401
 from .similarity import ann_bucket_topk, cosine_topk  # noqa: F401
 from .text import (  # noqa: F401

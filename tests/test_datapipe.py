@@ -522,3 +522,65 @@ def test_mixture_sample_rates_and_determinism(spark):
     # superset property across rates
     bigger = mixture_sample(df, "source", {"half": 0.8})
     assert half_ids <= {r["doc_id"] for r in bigger.collect()}
+
+
+def test_dedup_lines_boilerplate_removal(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import dedup_lines
+
+    boiler = "subscribe now"
+    rows = [
+        (1, f"{boiler}\nalpha content\nshared tail"),
+        (2, f"{boiler}\nbeta content\nshared tail"),
+        (3, f"{boiler}\ngamma content"),
+        (4, boiler),  # every line removed -> empty text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, min_docs=2).collect()
+    }
+    # boilerplate (3 docs) and "shared tail" (2 docs) both hit min_docs=2
+    assert out[1]["text"] == "alpha content"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_removed"] == 2
+    assert out[3]["text"] == "gamma content"
+    assert out[3]["n_lines_kept"] == 1 and out[3]["n_lines_removed"] == 1
+    assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+
+
+def test_dedup_lines_keep_first(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import dedup_lines
+
+    rows = [
+        (1, "common line\nown 1"),
+        (2, "own 2\ncommon line"),
+        (3, "common line\nown 3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(df, min_docs=2, keep="first").collect()
+    }
+    # first occurrence = (doc 1, pos 0) survives; all others removed
+    assert out[1]["text"] == "common line\nown 1"
+    assert out[2]["text"] == "own 2"
+    assert out[3]["text"] == "own 3"
+    with pytest.raises(ValueError):
+        dedup_lines(df, keep="bogus")
+
+
+def test_corpus_stats_exact_shares(spark):
+    from python_etl_mailing_automation_spark.datapipe.stats import corpus_stats
+
+    rows = [
+        ("web", "a b c"),
+        ("web", "d e"),
+        ("book", "f g h i j"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r["source"]: r for r in corpus_stats(df).collect()}
+    assert out["web"]["n_docs"] == 2 and out["web"]["n_tokens"] == 5
+    assert out["book"]["n_docs"] == 1 and out["book"]["n_tokens"] == 5
+    assert out["web"]["avg_tokens"] == 2.5
+    assert out["web"]["share_docs"] == 2 / 3
+    assert out["web"]["share_tokens"] == 0.5
+    assert out["book"]["share_tokens"] == 0.5
