@@ -39,6 +39,7 @@ from python_etl_mailing_automation_spark.datapipe.text import (
     lang_id,
     quality_score,
     token_count,
+    tokens_of,
 )
 from python_etl_mailing_automation_spark.functions import (
     conditional_flag_sim_nao,
@@ -955,6 +956,83 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(with_binary_payload(docs))
 
 
+def q_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus selection (datapipe/sampling.budget_select):
+    fill a 10k-token training budget from the top of the quality
+    distribution (quality bucket = integer permille of non-stopword
+    tokens, doc_id tiebreak). Two-pass at scale: tiny per-bucket
+    aggregate + broadcast boundary join; only the single
+    boundary-straddling bucket is sorted."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import budget_select
+
+    docs = _t(spark, sf, "documents")
+    toks = tokens_of("text")
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    per = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("__stop"),
+    ).withColumn(
+        "quality_bucket",
+        F.expr("(1000 * (n_tokens - __stop)) div n_tokens"),
+    )
+    return budget_select(
+        per.drop("__stop"), 10_000, bucket_col="quality_bucket"
+    ).select("doc_id", "quality_bucket", "n_tokens")
+
+
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-overlap dedup candidates via winnowing fingerprints
+    (datapipe/dedup.winnow_candidate_pairs — Schleimer et al. 2003 /
+    Lee et al. 2022): min-hash of each 4-window of 5-gram hashes,
+    fingerprint-keyed self-join, stop-gram cut at df>50. Catches
+    contiguous copied passages that bag-of-shingles MinHash underweights."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return winnow_candidate_pairs(docs, k=5, window=4, min_shared=2, max_df=50)
+
+
+def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over the embedding table
+    (datapipe/clustering.kmeans_fit_assign): k=8 codebook seeded from the
+    lowest vec_ids, 2 assign→update rounds, final assignment returned.
+    Assignment is a shuffle-free scan against literal centroids; the
+    update is a k·dim-group aggregate with DECIMAL-exact sums — the
+    iterative-algorithm shape (driver-synced like MLlib KMeans), still
+    bit-exactly oracle-checkable."""
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        kmeans_fit_assign,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    assigned, _ = kmeans_fit_assign(emb, k=8, n_iter=2)
+    return assigned.select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id"), "dist_sq"
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup composition (datapipe/clustering.semantic_dedup): k-means
+    cells bound the pair search, within-cell cosine >= 0.4 drops the
+    higher-id duplicate. 0.4 (not the production 0.95) because the
+    synthetic embeddings top out at cos ~0.47 — the threshold is chosen
+    so the drop path actually executes in the battery."""
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    out = semantic_dedup(emb, k=8, n_iter=2, min_cos=0.4)
+    return out.select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -1020,6 +1098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
+        "budget_select": q_budget_select,
+        "winnow_pairs": q_winnow_pairs,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1036,6 +1118,74 @@ _SHINGLES = (
     "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) "
     "ELSE CAST([] AS VARCHAR[]) END"
 )
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd-iteration CTEs mirroring datapipe.clustering
+    .kmeans_fit_assign: assign = argmin of the sequential-fold squared-L2
+    (ties to lower cid), update = DECIMAL(38,20)-exact component means,
+    empty clusters keep their previous centroid."""
+    dist = (
+        "list_reduce(list_transform(range(len(e.v)), "
+        "i -> (e.v[i+1]-c.v[i+1])*(e.v[i+1]-c.v[i+1])), (x,y) -> x+y)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        f"  g AS (SELECT UNNEST(range({dim})) AS i),",
+        "  c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v"
+        f" FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),",
+    ]
+    for it in range(n_iter + 1):
+        parts.append(
+            f"  a{it} AS (SELECT vec_id, v, cid, d FROM ("
+            f"SELECT e.vec_id, e.v, c.cid, {dist} AS d FROM e, c{it} c) "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),"
+        )
+        if it == n_iter:
+            break
+        # Exact fixed-point mean (2^-50 grid): DOUBLE→fractional-DECIMAL
+        # casts diverge between engines, integer-valued decimals do not.
+        parts.append(
+            f"  m{it} AS (SELECT cid, i AS pos, "
+            "CAST(SUM(CAST(floor(val * 1125899906842624.0) AS DECIMAL(38,0)))"
+            " AS DOUBLE) / 1125899906842624.0 / COUNT(*) AS mu "
+            f"FROM (SELECT cid, UNNEST(v) AS val, UNNEST(range(len(v))) AS i "
+            f"FROM a{it}) GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"  c{it + 1} AS (SELECT c.cid, "
+            "list(COALESCE(m.mu, c.v[g.i+1]) ORDER BY g.i) AS v "
+            f"FROM c{it} c CROSS JOIN g "
+            f"LEFT JOIN m{it} m ON m.cid = c.cid AND m.pos = g.i "
+            "GROUP BY c.cid),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\n  SELECT vec_id, cid AS cluster_id, d AS dist_sq FROM a{n_iter}"
+    )
+
+
+def _semantic_dedup_sql(
+    k: int = 8, n_iter: int = 2, dim: int = 64, min_cos: float = 0.4
+) -> str:
+    """SemDeDup oracle: the k-means CTEs, then within-cluster cosine
+    pruning (drop any vector with a >= min_cos neighbor of smaller id)."""
+    kmeans = _kmeans_sql(k=k, n_iter=n_iter, dim=dim)
+    body = kmeans.rsplit("\n  SELECT ", 1)[0]
+    fold = (
+        "list_reduce(list_transform(range(len({a})), "
+        "i -> {a}[i+1]*{b}[i+1]), (x,y) -> x+y)"
+    )
+    norm = "sqrt(" + fold.format(a="v", b="v") + ")"
+    dot = fold.format(a="a.v", b="b.v")
+    return f"""{body},
+  nn AS (SELECT vec_id, cid, v, {norm} AS nrm FROM a{n_iter}),
+  dropped AS (SELECT DISTINCT b.vec_id FROM nn b JOIN nn a
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE {dot} / (a.nrm * b.nrm) >= {min_cos})
+  SELECT n.vec_id, n.cid AS cluster_id FROM nn n
+  ANTI JOIN dropped d ON n.vec_id = d.vec_id"""
 
 
 def _minhash_sig_sql() -> str:
@@ -1839,6 +1989,39 @@ def oracle_sql() -> dict[str, str]:
   SELECT doc_id, source FROM documents
   QUALIFY ROW_NUMBER() OVER (PARTITION BY source
     ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'), doc_id) <= 20""",
+        "kmeans_clusters": _kmeans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
+        "budget_select": f"""
+  WITH p AS (SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter({_TOKS},
+                 x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS stp
+             FROM documents),
+  q AS (SELECT doc_id, n_tokens,
+               (1000 * (n_tokens - stp)) // n_tokens AS quality_bucket FROM p),
+  c AS (SELECT *, SUM(n_tokens) OVER (
+          ORDER BY quality_bucket DESC, doc_id) AS cum FROM q)
+  SELECT doc_id, quality_bucket, n_tokens FROM c WHERE cum <= 10000""",
+        "winnow_pairs": f"""
+  WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  g AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+          THEN list_transform(range(1, len(toks)-5+2),
+                 i -> array_to_string(list_slice(toks, i, i+5-1), ' '))
+          ELSE CAST([] AS VARCHAR[]) END AS grams FROM tok),
+  h AS (SELECT doc_id, list_transform(grams,
+          s -> CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)) AS hs FROM g),
+  m AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+          THEN list_transform(range(1, len(hs)-4+2),
+                 i -> list_aggregate(list_slice(hs, i, i+4-1), 'min'))
+          ELSE hs END AS mins FROM h),
+  fps AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+  hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 50),
+  f2 AS (SELECT f.* FROM fps f ANTI JOIN hot USING (fp))
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM f2 a JOIN f2 b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2""",
         "decontamination": f"""
   WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
   sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM tok),

@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "mixture_sample",
     "dedup_lines",
     "corpus_stats",
+    "budget_select",
+    "winnow_pairs",
+    "kmeans_clusters",
+    "semantic_dedup",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Embedding clustering — fixed-iteration Lloyd k-means, the coarse
+codebook / semantic-grouping primitive behind IVF indexes and
+SemDeDup-style semantic dedup (Abbas et al. 2023: cluster embeddings,
+then prune near-duplicates within each cluster).
+
+Iterative-algorithm shape on Spark: each Lloyd iteration is
+
+1. **assign** — per-row argmin over the k centroid literals (pure column
+   algebra: the centroids are broadcast as literals into the plan, so
+   assignment is a scan with NO join and NO shuffle);
+2. **update** — per-(cluster, dimension) mean via ``posexplode`` +
+   groupBy: k·dim groups (tiny), map-side partial aggregation, one
+   shuffle of a few hundred partial rows per executor;
+3. the tiny mean frame is collected to the driver (k·dim doubles) and
+   folded into the next iteration's literals — the same driver-sync
+   structure MLlib's own KMeans uses per iteration.
+
+At 100 TB each iteration is one scan + one tiny aggregate; nothing
+driver-side grows with the data.
+
+Determinism (oracle-exact across engines):
+- distances are per-row sequential folds of doubles (bit-exact, see
+  datapipe/similarity.py);
+- argmin ties break on the lower centroid id (min over (dist, cid)
+  structs);
+- component means accumulate in EXACT fixed-point: each component is
+  scaled by 2^50 (an exact power-of-two shift for doubles) and floored
+  to an integer, summed in DECIMAL(38,0) (overflow-free, order- and
+  partitioning-independent), then unscaled in double. DOUBLE→DECIMAL
+  casts are avoided entirely — DuckDB computes that cast *in double
+  arithmetic* (measured: CAST(1.0/3.0 AS DECIMAL(38,20)) ends ...1968,
+  not the exact-binary ...1483 Spark produces), so a fractional decimal
+  accumulator can never be cross-engine exact; integer-valued decimals
+  convert exactly in both engines. floor() is engine-identical for any
+  double, so the mean is well-defined (2^-50-resolution fixed point)
+  even for inputs whose low bits fall below the grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dec_vec
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a strict sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, ties to the
+    lower centroid id). ``centroids`` are plan literals — assignment is a
+    shuffle-free scan. Adds ``cluster_id`` (int) and ``dist_sq`` (double).
+    """
+    v = _dec_vec(F.col(vec_col))
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(v, _lit_vec(c)).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return df.withColumn("cluster_id", best["cid"]).withColumn(
+        "dist_sq", best["d"]
+    )
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd k-means with a deterministic seed: the initial codebook is
+    the ``k`` vectors with the smallest ids, then ``n_iter``
+    assign→update rounds, returning the final assignment frame
+    (``cluster_id``, ``dist_sq`` added) and the final centroids.
+
+    A cluster that loses all members keeps its previous centroid (so the
+    codebook size is stable and the result stays engine-reproducible).
+    """
+    seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    dim = len(cents[0])
+
+    for _ in range(n_iter):
+        assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+        scaled = F.floor(F.col("col") * F.lit(2.0**50)).cast("decimal(38,0)")
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode(_dec_vec(F.col(vec_col)))
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                (
+                    F.sum(scaled).cast("double")
+                    / F.lit(2.0**50)
+                    / F.count(F.lit(1))
+                ).alias("mu")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = r["mu"]
+        cents = [
+            [by_cluster.get(cid, {}).get(pos, cents[cid][pos]) for pos in range(dim)]
+            for cid in range(k)
+        ]
+
+    return kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col), cents
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 2,
+    min_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then inside each cluster drop every vector that has a
+    cosine-``min_cos``-or-closer neighbor with a smaller id (the kept
+    row is the deterministic representative of its duplicate set).
+
+    Scale shape: the pair search is an equi-join on ``cluster_id`` —
+    the codebook bounds every comparison to one cell, exactly how the
+    published method avoids the corpus-level all-pairs product. The
+    assigned frame feeds both join sides, so it is cached. Adds a
+    ``cluster_id`` column to the survivors.
+    """
+    from .similarity import _dot, with_norm
+
+    assigned, _ = kmeans_fit_assign(
+        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    base = with_norm(assigned, vec_col).cache()
+    a = base.select(
+        F.col(id_col).alias("__id_a"),
+        F.col("cluster_id").alias("__cl_a"),
+        F.col("__vec_dec").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    dropped = (
+        base.alias("b")
+        .join(
+            a,
+            on=[
+                F.col("cluster_id") == F.col("__cl_a"),
+                F.col("__id_a") < F.col(id_col),
+            ],
+        )
+        .filter(
+            _dot(F.col("__va"), F.col("__vec_dec"))
+            / (F.col("__na") * F.col("__norm"))
+            >= min_cos
+        )
+        .select(F.col(id_col).alias("__dropped"))
+        .distinct()
+    )
+    return (
+        base.join(
+            dropped, on=F.col(id_col) == F.col("__dropped"), how="left_anti"
+        )
+        .drop("__vec_dec", "__norm", "dist_sq")
+    )

@@ -412,3 +412,115 @@ def dedup_lines(
         F.sum("__rm").cast("long").alias("n_lines_removed"),
     )
     return rebuilt
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): hash every ``k``-token gram, then keep the
+    MINIMUM hash of each sliding window of ``window`` consecutive gram
+    hashes. Shared fingerprints between two documents witness a shared
+    token run of ≥ k tokens, which is what substring-level dedup
+    (Lee et al. 2022, "Deduplicating Training Data...") keys on —
+    MinHash sees bag-of-shingle similarity, winnowing sees contiguous
+    overlap (quotes, boilerplate, copied passages).
+
+    Output: one row per distinct fingerprint per document
+    (``id_col``, ``fp`` long). Guarantee: any shared substring of at
+    least ``k + window - 1`` tokens yields at least one shared
+    fingerprint.
+
+    Scale: pure per-row array algebra (token split → gram hash →
+    window minima → distinct) followed by one explode — no shuffle at
+    all; fingerprint hashing is md5 so stores are engine-portable.
+    """
+    # Higher-order lambdas are interpreted per element with no common-
+    # subexpression elimination, so a free (non-lambda-bound) array
+    # expression referenced inside a lambda is RE-EVALUATED on every
+    # reference — the naive transform(sequence, i -> array_min(slice(
+    # hashes, i, window))) nesting re-splits the text O(n²) times per
+    # row (measured ~100× slower at sf0.1). Two countermeasures:
+    # `_let` binds each intermediate array as a lambda variable
+    # (evaluated once, then a cheap value read), and the sliding-window
+    # minimum is an element-wise least() of `window` shifted slices
+    # instead of a per-position array_min.
+    def _let(col: Column, body) -> Column:
+        return F.element_at(F.transform(F.array(col), body), 1)
+
+    def _hashes(t: Column) -> Column:
+        grams = F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        )
+
+    def _minima(h: Column) -> Column:
+        n_fp = F.greatest(F.size(h) - (window - 1), F.lit(0))
+        acc = F.slice(h, 1, n_fp)
+        for j in range(1, window):
+            acc = F.zip_with(
+                acc, F.slice(h, 1 + j, n_fp), lambda a, b: F.least(a, b)
+            )
+        return F.when(F.size(h) >= window, acc).otherwise(h)
+
+    fps = _let(
+        tokens_of(text_col),
+        lambda t: _let(_hashes(t), lambda h: F.array_distinct(_minima(h))),
+    )
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-overlap candidate pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints, with the shared count as the
+    overlap score.
+
+    Scale: the self-join is keyed on the fingerprint — only documents
+    in the same fingerprint bucket ever meet, like the LSH band join.
+    The one skew hazard is a boilerplate k-gram present in a large
+    fraction of the corpus (its bucket joins quadratically), so
+    fingerprints appearing in more than ``max_df`` documents are
+    dropped first — the standard stop-gram cut; such grams carry no
+    dedup signal anyway. The HOT set (df > max_df) is the small side
+    by construction, so it broadcasts as an anti-join; the rare set —
+    which at corpus scale is nearly all fingerprints — is never
+    materialized driver-side. The fingerprint frame is cached because
+    both join branches consume it.
+    """
+    fps = winnow_fingerprints(
+        df, k=k, window=window, id_col=id_col, text_col=text_col
+    )
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") > max_df
+    )
+    fps = fps.join(F.broadcast(hot.select("fp")), on="fp", how="left_anti").persist()
+    left = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    right = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -111,3 +111,61 @@ def mixture_sample(
         F.lit(int(default_fraction * 65536)),
     )
     return df.filter(bucket < thr)
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    bucket_col: str = "quality_bucket",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus selection: keep the best documents — highest
+    ``bucket_col`` first, ``id_col`` as the deterministic tiebreak —
+    until the running token total reaches ``budget_tokens`` (a document
+    is kept iff its inclusive cumulative sum stays ≤ the budget).
+
+    This is the "fill the training budget from the top of the quality
+    distribution" step of corpus construction. Semantically it is ONE
+    global sort + cumulative sum — which would serialize 100 TB through
+    a single task — so it is computed as two passes instead:
+
+    1. per-bucket token totals (tiny aggregate: O(#buckets) rows) with a
+       running prefix over the bucket frame only;
+    2. broadcast the bucket boundaries back: buckets that fit entirely
+       within the budget are kept with NO per-row ordering at all, and
+       only the single boundary-straddling bucket is filtered down to
+       its rows and given a within-bucket cumulative-sum window.
+
+    The expensive window therefore sorts one bucket's rows, not the
+    corpus, and the kept set is exactly the global-order definition
+    (bucket prefix + within-bucket prefix == global prefix). Exact long
+    arithmetic throughout — the result is independent of partitioning.
+    """
+    per = df
+    buckets = per.groupBy(bucket_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__btok")
+    )
+    wb = Window.orderBy(F.col(bucket_col).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    buckets = buckets.withColumn(
+        "__before", F.coalesce(F.sum("__btok").over(wb), F.lit(0).cast("long"))
+    )
+    joined = per.join(
+        F.broadcast(buckets.select(bucket_col, "__before", "__btok")), on=bucket_col
+    )
+    full = joined.filter(F.col("__before") + F.col("__btok") <= budget_tokens)
+    straddle = joined.filter(
+        (F.col("__before") < budget_tokens)
+        & (F.col("__before") + F.col("__btok") > budget_tokens)
+    )
+    ww = Window.partitionBy(bucket_col).orderBy(id_col)
+    boundary_kept = (
+        straddle.withColumn(
+            "__cum", F.col("__before") + F.sum(F.col(tokens_col).cast("long")).over(ww)
+        )
+        .filter(F.col("__cum") <= budget_tokens)
+        .drop("__cum")
+    )
+    return full.unionByName(boundary_kept).drop("__before", "__btok")

@@ -584,3 +584,163 @@ def test_corpus_stats_exact_shares(spark):
     assert out["web"]["share_docs"] == 2 / 3
     assert out["web"]["share_tokens"] == 0.5
     assert out["book"]["share_tokens"] == 0.5
+
+
+def test_budget_select_matches_global_order(spark):
+    from python_etl_mailing_automation_spark.datapipe.sampling import budget_select
+
+    # buckets: 3 -> 40 tokens (2 docs), 2 -> 60 (2 docs), 1 -> 50
+    rows = [
+        (1, 3, 20), (2, 3, 20),   # fully-kept bucket (cum 40)
+        (3, 2, 30), (4, 2, 30),   # boundary bucket: doc 3 fits (cum 70), doc 4 not
+        (5, 1, 50),               # dropped bucket
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "quality_bucket", "n_tokens"])
+    kept = {r.doc_id for r in budget_select(df, 70).collect()}
+    assert kept == {1, 2, 3}
+    # helper columns never leak
+    assert set(budget_select(df, 70).columns) == {"doc_id", "quality_bucket", "n_tokens"}
+    # budget below the first doc keeps nothing; huge budget keeps all
+    assert budget_select(df, 10).count() == 0
+    assert budget_select(df, 10_000).count() == 5
+
+
+def test_budget_select_exact_fit_no_straddle(spark):
+    from python_etl_mailing_automation_spark.datapipe.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 2, 30), (2, 1, 40)], ["doc_id", "quality_bucket", "n_tokens"]
+    )
+    # budget == exact prefix of bucket 2: no boundary bucket exists
+    assert {r.doc_id for r in budget_select(df, 30).collect()} == {1}
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    d = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} tail one"),
+            (2, f"other opening text {shared} closing words here"),
+            (3, "nothing in common with the rest of the corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    # shared run of 10 tokens >= k + window - 1 = 8 -> guaranteed shared fp
+    fps = winnow_fingerprints(d, k=5, window=4)
+    f1 = {r.fp for r in fps.filter("doc_id = 1").collect()}
+    f2 = {r.fp for r in fps.filter("doc_id = 2").collect()}
+    f3 = {r.fp for r in fps.filter("doc_id = 3").collect()}
+    assert f1 & f2
+    assert not (f1 & f3) and not (f2 & f3)
+
+    pairs = winnow_candidate_pairs(d, k=5, window=4, min_shared=1, max_df=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_winnow_stop_gram_cut_drops_boilerplate(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        winnow_candidate_pairs,
+    )
+
+    # every doc shares the same boilerplate sentence; with max_df below the
+    # corpus size the hot fingerprints are cut and no pairs survive
+    boiler = "subscribe to our newsletter for updates every single day friends"
+    d = spark.createDataFrame(
+        [(i, f"{boiler} unique tail {i} " + " ".join(f"w{i}_{j}" for j in range(8)))
+         for i in range(1, 7)],
+        ["doc_id", "text"],
+    )
+    none = winnow_candidate_pairs(d, k=5, window=4, min_shared=1, max_df=3)
+    assert none.count() == 0
+    some = winnow_candidate_pairs(d, k=5, window=4, min_shared=1, max_df=100)
+    assert some.count() > 0
+
+
+def test_winnow_short_docs_no_rows(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        winnow_fingerprints,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "too short"), (2, "alpha bravo charlie delta echo")],
+        ["doc_id", "text"],
+    )
+    # doc 1: < k tokens -> no grams -> no fingerprints; doc 2: exactly k
+    # tokens -> 1 gram -> fewer hashes than the window -> hashes pass through
+    out = winnow_fingerprints(d, k=5, window=4).collect()
+    assert {r.doc_id for r in out} == {2}
+    assert len(out) == 1
+
+
+def test_kmeans_converges_on_separated_blobs(spark):
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        kmeans_fit_assign,
+    )
+
+    # two tight blobs far apart; k=2 must separate them regardless of seed
+    blob_a = [(i, [10.0, 10.0, 10.0 + i * 0.01]) for i in range(6)]
+    blob_b = [(i + 10, [-10.0, -10.0, -10.0 - i * 0.01]) for i in range(6)]
+    df = spark.createDataFrame(blob_a + blob_b, ["vec_id", "embedding"])
+    assigned, cents = kmeans_fit_assign(df, k=2, n_iter=2)
+    rows = assigned.collect()
+    a_clusters = {r.cluster_id for r in rows if r.vec_id < 10}
+    b_clusters = {r.cluster_id for r in rows if r.vec_id >= 10}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    assert len(cents) == 2 and len(cents[0]) == 3
+    # centroid of blob A is near (10, 10, ~10.025)
+    ca = cents[next(iter(a_clusters))]
+    assert abs(ca[0] - 10.0) < 1e-9 and abs(ca[2] - 10.025) < 1e-6
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        kmeans_fit_assign,
+    )
+
+    # k=3 seeds from the 3 lowest ids, but all points sit in one blob:
+    # clusters that lose every member must keep their previous centroid
+    df = spark.createDataFrame(
+        [(i, [1.0 + i * 1e-6, 2.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    assigned, cents = kmeans_fit_assign(df, k=3, n_iter=2)
+    assert assigned.count() == 8
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+
+
+def test_kmeans_assign_tie_prefers_lower_cid(spark):
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        kmeans_assign,
+    )
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    out = kmeans_assign(df, [[1.0, 0.0], [-1.0, 0.0]]).collect()[0]
+    assert out.cluster_id == 0 and out.dist_sq == 1.0
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        semantic_dedup,
+    )
+
+    # blob A holds an exact duplicate pair (1, 2) and a distinct member 3;
+    # blob B is far away with no internal dups
+    rows = [
+        (1, [10.0, 0.0, 0.0]),
+        (2, [10.0, 0.0, 0.0]),      # duplicate of 1 -> dropped (higher id)
+        (3, [0.0, 10.0, 0.0]),      # same cluster maybe, cos 0 -> kept
+        (11, [-10.0, -10.0, 0.0]),
+        (12, [-10.0, -9.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = semantic_dedup(df, k=2, n_iter=2, min_cos=0.99)
+    ids = {r.vec_id for r in kept.collect()}
+    assert 2 not in ids
+    assert {1, 3, 11}.issubset(ids)
+    assert "cluster_id" in kept.columns and "dist_sq" not in kept.columns
