@@ -12,19 +12,31 @@ across engines and platforms) rather than engine-private hash functions,
 so results are reproducible and oracle-checkable anywhere.
 """
 
+from .clustering import (  # noqa: F401
+    kmeans_assign,
+    kmeans_fit_assign,
+    semantic_dedup,
+)
 from .dedup import (  # noqa: F401
     dedup_lines,
     exact_dedup_groups,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_16,
+    winnow_candidate_pairs,
+    winnow_fingerprints,
     with_shingles,
     with_tokens,
 )
 from .packing import pack_sequences  # noqa: F401
 from .pii import pii_free, redact_pii  # noqa: F401
 from .stats import corpus_stats  # noqa: F401
-from .sampling import hash_sample, mixture_sample, stratified_sample  # noqa: F401
+from .sampling import (  # noqa: F401
+    budget_select,
+    hash_sample,
+    mixture_sample,
+    stratified_sample,
+)
 from .similarity import ann_bucket_topk, cosine_topk  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprint,
