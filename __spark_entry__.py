@@ -1016,6 +1016,16 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus heavy-hitter trigrams (datapipe/text.top_ngrams): explode →
+    map-side-combined two-level aggregate → TakeOrderedAndProject top-20
+    (per-partition heaps, no global sort)."""
+    from python_etl_mailing_automation_spark.datapipe.text import top_ngrams
+
+    docs = _t(spark, sf, "documents")
+    return top_ngrams(docs, n=3, top_k=20)
+
+
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup composition (datapipe/clustering.semantic_dedup): k-means
     cells bound the pair search, within-cell cosine >= 0.4 drops the
@@ -1102,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "top_ngrams": q_top_ngrams,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1991,6 +2002,18 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'), doc_id) <= 20""",
         "kmeans_clusters": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "top_ngrams": f"""
+  WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+          THEN list_transform(range(1, len(toks)-3+2),
+                 i -> array_to_string(list_slice(toks, i, i+3-1), ' '))
+          ELSE CAST([] AS VARCHAR[]) END AS grams FROM tok),
+  x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+  a AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM x GROUP BY gram)
+  SELECT gram, n_occurrences, n_docs FROM a
+  ORDER BY n_occurrences DESC, gram LIMIT 20""",
         "budget_select": f"""
   WITH p AS (SELECT doc_id,
                CAST(len({_TOKS}) AS BIGINT) AS n_tokens,

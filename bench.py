@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "winnow_pairs",
     "kmeans_clusters",
     "semantic_dedup",
+    "top_ngrams",
 ]
 
 

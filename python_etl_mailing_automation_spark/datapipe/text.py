@@ -224,3 +224,47 @@ def repetition_metrics(
             | (F.col(gram_col) > top_gram_max)
         ).cast("int"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide heavy-hitter word n-grams: the ``top_k`` most frequent
+    n-grams with their occurrence and document counts — the standard
+    boilerplate-discovery pass that feeds line/fingerprint stop-lists
+    (e.g. the `max_df` cut in winnowing, the C4 frequent-line set).
+
+    Scale shape: explode n-grams → one groupBy on the gram with map-side
+    partial aggregation (a document's repeated grams collapse before the
+    network); the exact distinct-document count rides the same shuffle
+    via a two-level (gram, doc) pre-aggregate rather than a count-
+    distinct expand. The final top-k is orderBy+limit, which Spark
+    executes as TakeOrderedAndProject — per-partition heaps of k rows,
+    never a global sort. Ties break on the gram string, so the result
+    set is deterministic.
+    """
+    toks = tokens_of(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(grams).alias("gram"))
+        .groupBy("gram", "__doc")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+    )
+    agged = per_doc.groupBy("gram").agg(
+        F.sum("__occ").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return agged.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram")
+    ).limit(top_k)

@@ -744,3 +744,23 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert 2 not in ids
     assert {1, 3, 11}.issubset(ids)
     assert "cluster_id" in kept.columns and "dist_sq" not in kept.columns
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import top_ngrams
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),       # "a b c" x2, "b c a" x1, "c a b" x1
+            (2, "a b c d"),           # "a b c" x1, "b c d" x1
+            (3, "zz"),                # too short for trigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = top_ngrams(d, n=3, top_k=3).collect()
+    assert [r.gram for r in rows][0] == "a b c"
+    top = rows[0]
+    assert top.n_occurrences == 3 and top.n_docs == 2
+    # deterministic tie-break: equal-count grams come in string order
+    rest = [(r.gram, r.n_occurrences) for r in rows[1:]]
+    assert rest == sorted(rest, key=lambda x: (-x[1], x[0]))

@@ -189,3 +189,34 @@ def test_priority_level_bounds_and_last_match(spark, rows):
         matches = [i for i, s in enumerate(order) if s in (row["c1"], row["c2"])]
         expected = matches[-1] if matches else len(order)
         assert row["priority_level"] == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # quality bucket (few -> collisions)
+            st.integers(min_value=1, max_value=50),  # token count
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budget=st.integers(min_value=0, max_value=600),
+)
+@SETTINGS
+def test_budget_select_equals_global_order(spark, rows, budget):
+    """The two-pass budget_select (bucket aggregate + boundary window)
+    must keep EXACTLY the rows of the one-pass definition: global order
+    by (bucket desc, id asc), keep while inclusive cumsum <= budget."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import budget_select
+
+    data = [(i, b, t) for i, (b, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "quality_bucket", "n_tokens"])
+    got = {r.doc_id for r in budget_select(df, budget).collect()}
+
+    expect = set()
+    cum = 0
+    for i, b, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += t
+        if cum <= budget:
+            expect.add(i)
+    assert got == expect
