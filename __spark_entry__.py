@@ -1016,6 +1016,17 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style canonicalization (datapipe/text.normalize_text):
+    lower → explicit translate() accent fold → punct strip → whitespace
+    collapse, plus the md5 canonical dedup key. Scan-speed string
+    algebra; the translate map is engine-portable by construction."""
+    from python_etl_mailing_automation_spark.datapipe.text import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    return normalize_text(docs).select("doc_id", "norm_text", "norm_digest")
+
+
 def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus heavy-hitter trigrams (datapipe/text.top_ngrams): explode →
     map-side-combined two-level aggregate → TakeOrderedAndProject top-20
@@ -1113,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "top_ngrams": q_top_ngrams,
+        "normalize_text": q_normalize_text,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1197,6 +1209,26 @@ def _semantic_dedup_sql(
               WHERE {dot} / (a.nrm * b.nrm) >= {min_cos})
   SELECT n.vec_id, n.cid AS cluster_id FROM nn n
   ANTI JOIN dropped d ON n.vec_id = d.vec_id"""
+
+
+def _normalize_text_sql() -> str:
+    """Mirror of datapipe.text.normalize_text with the same literal
+    translate() map (DuckDB's translate is Postgres-compatible like
+    Spark's). regexp_replace needs the 'g' flag in DuckDB."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        _ACCENT_DST,
+        _ACCENT_SRC,
+    )
+
+    src, dst = _ACCENT_SRC.lower(), _ACCENT_DST.lower()
+    norm = (
+        "trim(regexp_replace(regexp_replace("
+        f"translate(lower(text), '{src}', '{dst}'), "
+        r"'[^a-zA-Z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+    return f"""
+  SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_digest
+  FROM documents"""
 
 
 def _minhash_sig_sql() -> str:
@@ -2002,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'), doc_id) <= 20""",
         "kmeans_clusters": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "normalize_text": _normalize_text_sql(),
         "top_ngrams": f"""
   WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
   g AS (SELECT doc_id, CASE WHEN len(toks) >= 3

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "semantic_dedup",
     "top_ngrams",
+    "normalize_text",
 ]
 
 

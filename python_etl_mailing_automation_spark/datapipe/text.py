@@ -268,3 +268,43 @@ def top_ngrams(
     return agged.orderBy(
         F.col("n_occurrences").desc(), F.col("gram")
     ).limit(top_k)
+
+
+# Latin-1/Latin-Extended accent folding map (explicit, engine-portable —
+# both Spark and DuckDB implement Postgres-style translate()).
+_ACCENT_SRC = "áàâãäåéèêëíìîïóòôõöúùûüýÿçñÁÀÂÃÄÅÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÝÇÑ"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    strip_accents: bool = True,
+    strip_punct: bool = True,
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """CCNet-style text canonicalization before exact/near dedup:
+    lowercase → accent folding → punctuation strip → whitespace collapse.
+    Adds ``out_col`` and ``norm_digest`` (md5 of the normalized text —
+    the canonical exact-dedup key, portable across engines so it can be
+    joined against historical fingerprint stores).
+
+    Pure per-row string algebra: scan speed, no shuffle, whole-stage
+    codegen. The accent fold is an explicit translate() map rather than
+    ICU normalization so behavior is identical on every engine/platform.
+    """
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+        src, dst = _ACCENT_SRC.lower(), _ACCENT_DST.lower()
+    else:
+        src, dst = _ACCENT_SRC, _ACCENT_DST
+    if strip_accents:
+        c = F.translate(c, src, dst)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^a-zA-Z0-9\s]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    out = df.withColumn(out_col, c)
+    return out.withColumn("norm_digest", F.md5(F.col(out_col)))

@@ -764,3 +764,24 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     # deterministic tie-break: equal-count grams come in string order
     rest = [(r.gram, r.n_occurrences) for r in rows[1:]]
     assert rest == sorted(rest, key=lambda x: (-x[1], x[0]))
+
+
+def test_normalize_text_folding_and_digest(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import normalize_text
+
+    d = spark.createDataFrame(
+        [
+            (1, "  Olá,   MUNDO!  Ação à côté — ñandú…  "),
+            (2, "ola mundo acao a cote nandu"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in normalize_text(d).collect()}
+    assert rows[1].norm_text == "ola mundo acao a cote nandu"
+    # canonical digest collides for texts equal after normalization
+    assert rows[1].norm_digest == rows[2].norm_digest
+    # flags off: keep case/accents but still collapse whitespace
+    kept = normalize_text(
+        d, lowercase=False, strip_accents=False, strip_punct=False
+    ).collect()[0]
+    assert "Olá," in kept.norm_text and "  " not in kept.norm_text
