@@ -1027,6 +1027,36 @@ def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
     return normalize_text(docs).select("doc_id", "norm_text", "norm_digest")
 
 
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup against a fingerprint store
+    (datapipe/dedup.dedup_against_store). The corpus has no natural exact
+    duplicates, so the split plants them deterministically: batch docs
+    (doc_id%10>=3) override text to a shared constant at %13 (present in
+    the store via %9) and an intra-batch constant at %7; the store is the
+    %10<3 slice. Survivors = batch minus store digests minus intra-batch
+    repeats (min id wins)."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_against_store,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 >= 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("shared with store"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("repeated batch doc"))
+        .otherwise(F.col("text")),
+    )
+    store = docs.filter(F.col("doc_id") % 10 < 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 9 == 0, F.lit("shared with store")).otherwise(
+            F.col("text")
+        ),
+    )
+    out = dedup_against_store(batch, normalize_text(store))
+    return out.select("doc_id", "norm_digest")
+
+
 def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus heavy-hitter trigrams (datapipe/text.top_ngrams): explode →
     map-side-combined two-level aggregate → TakeOrderedAndProject top-20
@@ -1125,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "top_ngrams": q_top_ngrams,
         "normalize_text": q_normalize_text,
+        "dedup_incremental": q_dedup_incremental,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1211,21 +1242,26 @@ def _semantic_dedup_sql(
   ANTI JOIN dropped d ON n.vec_id = d.vec_id"""
 
 
-def _normalize_text_sql() -> str:
-    """Mirror of datapipe.text.normalize_text with the same literal
-    translate() map (DuckDB's translate is Postgres-compatible like
-    Spark's). regexp_replace needs the 'g' flag in DuckDB."""
+def _norm_expr(col: str = "text") -> str:
+    """DuckDB mirror of datapipe.text.normalize_text's default pipeline
+    with the same literal translate() map (DuckDB's translate is
+    Postgres-compatible like Spark's). regexp_replace needs the 'g'
+    flag in DuckDB."""
     from python_etl_mailing_automation_spark.datapipe.text import (
         _ACCENT_DST,
         _ACCENT_SRC,
     )
 
     src, dst = _ACCENT_SRC.lower(), _ACCENT_DST.lower()
-    norm = (
+    return (
         "trim(regexp_replace(regexp_replace("
-        f"translate(lower(text), '{src}', '{dst}'), "
+        f"translate(lower({col}), '{src}', '{dst}'), "
         r"'[^a-zA-Z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"
     )
+
+
+def _normalize_text_sql() -> str:
+    norm = _norm_expr()
     return f"""
   SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_digest
   FROM documents"""
@@ -2035,6 +2071,21 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "normalize_text": _normalize_text_sql(),
+        "dedup_incremental": f"""
+  WITH batch AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'shared with store'
+                WHEN doc_id % 7 = 0 THEN 'repeated batch doc'
+                ELSE text END AS text
+         FROM documents WHERE doc_id % 10 >= 3),
+  store AS (SELECT CASE WHEN doc_id % 9 = 0 THEN 'shared with store'
+                 ELSE text END AS text
+          FROM documents WHERE doc_id % 10 < 3),
+  bd AS (SELECT doc_id, md5({_norm_expr()}) AS norm_digest FROM batch),
+  sd AS (SELECT DISTINCT md5({_norm_expr()}) AS norm_digest FROM store),
+  first_ids AS (SELECT norm_digest, MIN(doc_id) AS doc_id
+                FROM bd GROUP BY norm_digest)
+  SELECT f.doc_id, f.norm_digest
+  FROM first_ids f ANTI JOIN sd s ON f.norm_digest = s.norm_digest""",
         "top_ngrams": f"""
   WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
   g AS (SELECT doc_id, CASE WHEN len(toks) >= 3

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "top_ngrams",
     "normalize_text",
+    "dedup_incremental",
 ]
 
 

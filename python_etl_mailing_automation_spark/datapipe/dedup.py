@@ -524,3 +524,46 @@ def winnow_candidate_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+def dedup_against_store(
+    new_docs: DataFrame,
+    store: DataFrame,
+    *,
+    digest_col: str = "norm_digest",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: keep only documents whose canonical
+    digest is NOT already in ``store`` (a frame with ``digest_col`` —
+    the persisted fingerprint ledger of previously-ingested corpora),
+    and drop intra-batch repeats (first id wins). This is why every
+    fingerprint in this module is md5 rather than an engine hash: the
+    ledger outlives any single engine/cluster.
+
+    Scale shape: one shuffle keyed on the 32-byte digest for the
+    intra-batch pick, then a LEFT ANTI join against the store on the
+    same key — at 100 TB the store side is itself distributed (it is
+    just a parquet table of digests); nothing broadcasts or collects.
+    When the batch is small relative to the store, the anti-join's
+    shuffle is bounded by the BATCH, not the ledger, under AQE.
+    """
+    from .text import normalize_text
+
+    if digest_col not in new_docs.columns:
+        new_docs = normalize_text(new_docs, text_col)
+    w_first = (
+        new_docs.groupBy(digest_col)
+        .agg(F.min(F.col(id_col)).alias("__keep_id"))
+    )
+    batch_unique = new_docs.join(
+        w_first,
+        on=[
+            new_docs[digest_col] == w_first[digest_col],
+            new_docs[id_col] == F.col("__keep_id"),
+        ],
+    ).drop("__keep_id").drop(w_first[digest_col])
+    return batch_unique.join(
+        store.select(F.col(digest_col)).distinct(),
+        on=digest_col,
+        how="left_anti",
+    )

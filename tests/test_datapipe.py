@@ -785,3 +785,30 @@ def test_normalize_text_folding_and_digest(spark):
         d, lowercase=False, strip_accents=False, strip_punct=False
     ).collect()[0]
     assert "Olá," in kept.norm_text and "  " not in kept.norm_text
+
+
+def test_dedup_against_store_incremental(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_against_store,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import normalize_text
+
+    batch = spark.createDataFrame(
+        [
+            (1, "Fresh content one"),
+            (2, "Already ingested doc"),   # in store (after normalization)
+            (3, "fresh content ONE"),      # intra-batch dup of 1 -> dropped
+            (4, "brand new content"),
+        ],
+        ["doc_id", "text"],
+    )
+    store = normalize_text(
+        spark.createDataFrame(
+            [(100, "already INGESTED doc!")], ["doc_id", "text"]
+        )
+    )
+    kept = dedup_against_store(batch, store)
+    assert {r.doc_id for r in kept.collect()} == {1, 4}
+    # idempotent: running the survivors against the same store again is a no-op
+    again = dedup_against_store(kept, store)
+    assert {r.doc_id for r in again.collect()} == {1, 4}
