@@ -1016,6 +1016,31 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed interval-containment join (operators/asof.interval_join):
+    per-user 24 h windows starting at each user's first event (users with
+    user_id%10=0), matched to that user's events. Planned as an
+    equi-join on (user, 6 h epoch bin) with the BETWEEN as a
+    post-filter — never a broadcast-nested-loop range join."""
+    from python_etl_mailing_automation_spark.operators.asof import interval_join
+
+    events = _t(spark, sf, "events")
+    iv = (
+        events.filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    out = interval_join(
+        events, iv, ts_col="ts", on=["user_id"], granularity_s=21600
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("w_start"),
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style canonicalization (datapipe/text.normalize_text):
     lower → explicit translate() accent fold → punct strip → whitespace
@@ -1156,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "normalize_text": q_normalize_text,
         "dedup_incremental": q_dedup_incremental,
+        "interval_join": q_interval_join,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -2071,6 +2097,14 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "normalize_text": _normalize_text_sql(),
+        "interval_join": """
+  WITH iv AS (SELECT user_id, MIN(ts) AS start_ts,
+                     MIN(ts) + INTERVAL 24 HOUR AS end_ts
+              FROM events WHERE user_id % 10 = 0 GROUP BY user_id)
+  SELECT e.event_id, e.user_id,
+         strftime(iv.start_ts, '%Y-%m-%d %H:%M:%S.%f') AS w_start
+  FROM events e JOIN iv ON e.user_id = iv.user_id
+   AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts""",
         "dedup_incremental": f"""
   WITH batch AS (SELECT doc_id,
            CASE WHEN doc_id % 13 = 0 THEN 'shared with store'

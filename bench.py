@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "top_ngrams",
     "normalize_text",
     "dedup_incremental",
+    "interval_join",
 ]
 
 

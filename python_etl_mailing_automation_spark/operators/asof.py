@@ -70,3 +70,51 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    on: list[str] | None = None,
+    granularity_s: int = 3600,
+) -> DataFrame:
+    """Interval (range-containment) join: each left row matches the right
+    rows whose ``[start_col, end_col]`` interval contains its ``ts_col``
+    (inclusive bounds), optionally also matching equi-keys ``on``.
+
+    Scale design — time-bin equi-join, NOT a non-equi join: a naive
+    ``left.join(right, ts BETWEEN start AND end)`` has no equi predicate,
+    which Spark must plan as a broadcast-nested-loop — |L|·|R| work at
+    scale. Instead both sides map onto ``granularity_s``-wide epoch bins:
+    the left row's timestamp lands in exactly ONE bin; each right
+    interval explodes into the bins it covers (``len/granularity + 1``
+    rows — pick a granularity of the same order as typical interval
+    length to bound the fan-out). The join is then a pure equi-join on
+    (keys…, bin) with the exact BETWEEN as a post-filter, shuffling on a
+    uniform composite key. Because the left bin is unique per row, a
+    (left, right) pair can only meet in one bin — no dedup needed.
+    """
+    on = list(on or [])
+    g_us = int(granularity_s) * 1_000_000
+    # integer `div`, not float division: epoch-µs quotients are near 2^53
+    # where a double round-trip can truncate an exact bin boundary into
+    # the previous bin.
+    def _bin(col: str):
+        return F.expr(f"unix_micros({col}) div {g_us}L")
+
+    lbin = _bin(ts_col)
+    rbins = F.explode(F.sequence(_bin(start_col), _bin(end_col)))
+    lf = left.withColumn("__bin", lbin)
+    rf = right.withColumn("__bin", rbins)
+    cond = [lf["__bin"] == rf["__bin"]] + [lf[k] == rf[k] for k in on]
+    joined = lf.join(rf, on=cond).filter(
+        (lf[ts_col] >= rf[start_col]) & (lf[ts_col] <= rf[end_col])
+    )
+    keep = [lf[c] for c in left.columns] + [
+        rf[c] for c in right.columns if c not in on
+    ]
+    return joined.select(*keep)

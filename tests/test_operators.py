@@ -228,3 +228,59 @@ def test_schema_validation(spark):
         pass
     out = ensure_columns(df, ["ncpf", "novo"])
     assert out.columns[:2] == ["ncpf", "novo"] and out.first()["novo"] == ""
+
+
+def test_interval_join_containment_and_boundaries(spark):
+    from python_etl_mailing_automation_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00"),   # == start (inclusive)
+            (2, 10, "2024-01-01 11:59:59"),   # inside
+            (3, 10, "2024-01-01 12:00:00"),   # == end (inclusive)
+            (4, 10, "2024-01-01 12:00:01"),   # after end
+            (5, 11, "2024-01-01 01:00:00"),   # wrong key
+            (6, 12, "2024-01-01 01:00:00"),   # key with no interval
+        ],
+        ["event_id", "user_id", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:00:00", "2024-01-01 12:00:00", "w10"),
+            (11, "2024-01-02 00:00:00", "2024-01-02 12:00:00", "w11"),
+        ],
+        ["user_id", "s", "e", "tag"],
+    ).select(
+        "user_id",
+        F.to_timestamp("s").alias("start_ts"),
+        F.to_timestamp("e").alias("end_ts"),
+        "tag",
+    )
+    out = interval_join(left, right, on=["user_id"], granularity_s=3600)
+    got = {(r.event_id, r.tag) for r in out.collect()}
+    assert got == {(1, "w10"), (2, "w10"), (3, "w10")}
+    # equi-join on (key, bin), never a nested-loop range join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_no_key_and_multi_bin(spark):
+    from python_etl_mailing_automation_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 05:30:00"), (2, "2024-01-03 00:00:00")],
+        ["event_id", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    # 24h interval spanning many 1h bins; no equi keys at all
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-02 00:00:00", "day1")],
+        ["s", "e", "tag"],
+    ).select(
+        F.to_timestamp("s").alias("start_ts"),
+        F.to_timestamp("e").alias("end_ts"),
+        "tag",
+    )
+    out = interval_join(left, right, granularity_s=3600)
+    rows = out.collect()
+    # exactly one match despite the interval covering 25 bins (left bin unique)
+    assert [(r.event_id, r.tag) for r in rows] == [(1, "day1")]
