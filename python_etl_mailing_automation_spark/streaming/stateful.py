@@ -79,3 +79,32 @@ def streaming_first_seen_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedup_stream_against_store(
+    stream: DataFrame,
+    store: DataFrame,
+    *,
+    digest_col: str = "norm_digest",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stream-static incremental dedup: drop stream rows whose canonical
+    digest already exists in the static fingerprint ledger — the
+    streaming twin of ``datapipe.dedup.dedup_against_store``'s anti-join
+    half (intra-stream repeats are a separate concern; compose with
+    ``dropDuplicates``/:func:`streaming_first_seen_dedup` when the
+    stream itself can repeat).
+
+    Stream-static joins are stateless on the stream side: each
+    micro-batch anti-joins against the (re-readable, possibly updated)
+    static relation, so no streaming state grows with the ledger. Spark
+    supports LEFT ANTI with the stream on the left — exactly this shape.
+    """
+    from ..datapipe.text import normalize_text
+
+    enriched = stream if digest_col in stream.columns else normalize_text(
+        stream, text_col
+    )
+    return enriched.join(
+        store.select(digest_col).distinct(), on=digest_col, how="left_anti"
+    )

@@ -99,3 +99,41 @@ def test_streaming_first_seen_dedup(spark):
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_static_dedup_against_store(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import normalize_text
+    from python_etl_mailing_automation_spark.streaming.stateful import (
+        dedup_stream_against_store,
+    )
+
+    stage_dir = tempfile.mkdtemp(prefix="ss_dedup_in_")
+    try:
+        batch = spark.createDataFrame(
+            [
+                (1, "fresh document"),
+                (2, "Already Ingested!"),
+                (3, "another new one"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch.write.mode("overwrite").parquet(stage_dir)
+        store = normalize_text(
+            spark.createDataFrame([(9, "already ingested")], ["doc_id", "text"])
+        )
+        stream_in = spark.readStream.schema(batch.schema).parquet(stage_dir)
+        assert stream_in.isStreaming
+        out = dedup_stream_against_store(stream_in, store)
+        q = (
+            out.select("doc_id")
+            .writeStream.format("memory")
+            .queryName("ss_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM ss_dedup").collect()}
+        assert kept == {1, 3}
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
