@@ -111,3 +111,40 @@ def test_no_python_evaluation_in_any_query_plan(spark, sf_dir):
         # (Codegen spans only render on executed/final AQE plans, so
         # their presence isn't asserted here; Python-free plans + built-in
         # expressions imply codegen eligibility.)
+
+
+def test_budget_select_broadcasts_bucket_boundaries(plans):
+    """The two-pass budget selection must broadcast the tiny bucket frame
+    back (never sort-merge), and the only window sits on the boundary
+    bucket branch."""
+    p = plans("budget_select")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_winnow_pairs_no_cartesian_and_hot_cut_broadcast(plans):
+    """Fingerprint self-join is an equi-join; the stop-gram cut is a
+    broadcast anti-join of the HOT set (the small side by construction)."""
+    p = plans("winnow_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
+
+
+def test_kmeans_assignment_is_shuffle_free_scan(plans):
+    """Assignment against literal centroids: no join anywhere in the
+    final-assignment plan; the only exchange is AQE's output coalesce."""
+    p = plans("kmeans_clusters")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_interval_join_plans_as_equi_join(plans):
+    """The time-bin rewrite must never degrade to a nested-loop range
+    join."""
+    p = plans("interval_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )

@@ -220,3 +220,51 @@ def test_budget_select_equals_global_order(spark, rows, budget):
         if cum <= budget:
             expect.add(i)
     assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, minute)
+        min_size=1,
+        max_size=25,
+    ),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 40)),
+        min_size=1,
+        max_size=8,
+    ),
+    granularity_min=st.sampled_from([1, 7, 60]),
+)
+@SETTINGS
+def test_interval_join_equals_naive_between(spark, events, intervals, granularity_min):
+    """Bin-based interval_join must return exactly the pairs of the naive
+    O(L*R) BETWEEN definition for any granularity."""
+    from python_etl_mailing_automation_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [(i, k, m) for i, (k, m) in enumerate(events)], ["eid", "k", "m"]
+    ).select(
+        "eid", "k", F.timestamp_seconds(F.col("m") * 60).alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(j, k, s, s + d) for j, (k, s, d) in enumerate(intervals)],
+        ["iid", "k", "s", "e"],
+    ).select(
+        "iid",
+        "k",
+        F.timestamp_seconds(F.col("s") * 60).alias("start_ts"),
+        F.timestamp_seconds(F.col("e") * 60).alias("end_ts"),
+    )
+    got = {
+        (r.eid, r.iid)
+        for r in interval_join(
+            left, right, on=["k"], granularity_s=granularity_min * 60
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for i, (k, m) in enumerate(events)
+        for j, (rk, s, d) in enumerate(intervals)
+        if k == rk and s <= m <= s + d
+    }
+    assert got == expect
