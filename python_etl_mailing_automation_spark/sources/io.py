@@ -258,3 +258,34 @@ def write_partitioned_by_key(
         )
         written.append(path)
     return written
+
+
+def write_sharded_parquet(
+    df: DataFrame,
+    out_dir: str | Path,
+    *,
+    rows_per_shard: int = 1_000_000,
+    shard_key: str | None = None,
+) -> int:
+    """Write ``df`` as parquet in roughly ``rows_per_shard``-sized shards
+    and return the shard count — the "emit a training corpus as uniform
+    shards" sink (downstream loaders want bounded, evenly-sized files,
+    not one file per upstream task).
+
+    One ``count()`` sizes the output (the single driver-side scalar a
+    sharded sink fundamentally needs); the data is then hash-distributed
+    over ``ceil(n/rows_per_shard)`` partitions — ``repartition`` on the
+    key (deterministic placement) or round-robin when no key is given —
+    and written partition-per-file. Callers with an expensive upstream
+    should pass a persisted frame: the count and the write each evaluate
+    it.
+    """
+    n = df.count()
+    shards = max(1, -(-n // rows_per_shard))
+    out = (
+        df.repartition(shards, F.col(shard_key))
+        if shard_key
+        else df.repartition(shards)
+    )
+    out.write.mode("overwrite").parquet(str(out_dir))
+    return shards

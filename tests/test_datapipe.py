@@ -812,3 +812,81 @@ def test_dedup_against_store_incremental(spark):
     # idempotent: running the survivors against the same store again is a no-op
     again = dedup_against_store(kept, store)
     assert {r.doc_id for r in again.collect()} == {1, 4}
+
+
+def test_run_curation_job_end_to_end(tmp_path, spark):
+    from python_etl_mailing_automation_spark.datapipe.curation import (
+        run_curation_job,
+    )
+
+    base = (
+        "the quick brown fox jumps of the lazy dog and then a river bank "
+        "with many more of the usual words to clear the token gate easily"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base, "web"),
+            (2, base, "web"),                      # exact dup of 1 (post-normalize)
+            (3, base + " extra tail words here", "web"),   # near dup of 1
+            (4, "short", "web"),                   # fails the token gate
+            (5, "call me at (11) 98765-4321 please " + base.replace("fox", "wolf")
+                .replace("river", "ocean").replace("lazy", "sleepy"), "books"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = tmp_path / "curated"
+    res = run_curation_job(
+        docs,
+        out,
+        min_tokens=10,
+        near_dup_jaccard=0.5,
+        rows_per_shard=2,
+        counted_stages=True,
+    )
+    assert res.n_input == 5
+    kept = {r.doc_id for r in spark.read.parquet(str(out)).select("doc_id").collect()}
+    assert kept == {1, 5}
+    assert res.n_curated == 2
+    assert res.n_shards == 1
+    # stage ledger is monotone non-increasing
+    assert res.stage_counts["quality_gate"] == 4
+    assert res.stage_counts["exact_dedup"] == 3
+    assert res.stage_counts["near_dedup"] == 2
+    # PII got redacted in the output
+    red = spark.read.parquet(str(out)).filter("doc_id = 5").collect()[0]
+    assert "98765-4321" not in red.redacted and red.n_phone >= 1
+    # stats report covers both surviving sources exactly
+    stats = {r[0]: r.n_docs for r in res.stats.collect()}
+    assert stats == {"web": 1, "books": 1}
+
+
+def test_run_curation_job_benchmark_and_budget(tmp_path, spark):
+    from python_etl_mailing_automation_spark.datapipe.curation import (
+        run_curation_job,
+    )
+
+    filler = ("lots of plain words " * 10).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta " + filler, "web"),
+            (2, "totally different benchmark sentence here now " + filler, "web"),
+            (3, "yet another unrelated document body text " + filler, "web"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "totally different benchmark sentence here now")], ["doc_id", "text"]
+    )
+    res = run_curation_job(
+        docs,
+        tmp_path / "c2",
+        min_tokens=5,
+        max_stop_ratio=1.0,
+        benchmark=benchmark,
+        budget_tokens=60,
+        rows_per_shard=10,
+        counted_stages=True,
+    )
+    # doc 2 decontaminated away; budget of 60 tokens keeps only one ~46-token doc
+    assert res.stage_counts["decontaminated"] == 2
+    assert res.n_curated == 1
