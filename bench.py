@@ -108,9 +108,15 @@ def main() -> None:
     # Two passes per query, best kept: the first execution of each query
     # SHAPE pays whole-stage-codegen compilation + JIT (3-4× at sf0.1,
     # measured), which a steady-state engine comparison should exclude.
+    # A query that raises is recorded in `errors` and skipped — one broken
+    # query must not zero out the whole round's bench datapoint.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(min(run(name, sf_dir) for _ in range(2)), 3)
+        try:
+            timings[name] = round(min(run(name, sf_dir) for _ in range(2)), 3)
+        except Exception as exc:  # noqa: BLE001 - survey harness, keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -120,9 +126,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "n_queries": len(timings),
-        "sec_per_query": round(total / len(timings), 3),
+        "sec_per_query": round(total / max(len(timings), 1), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        payload["errors"] = errors
 
     if os.environ.get("SPARK_GRAFT_DEEP", "1") != "0" and sf == "0.1":
         deep_dir = os.environ.get("SPARK_GRAFT_DEEP_DIR", "/tmp/spark_graft_sf1.0")
@@ -135,7 +143,11 @@ def main() -> None:
         # tier data-bound AND comparable round-over-round.
         deep_timings = {}
         for name in DEEP_QUERIES:
-            deep_timings[name] = round(min(run(name, deep_dir) for _ in range(2)), 3)
+            try:
+                deep_timings[name] = round(min(run(name, deep_dir) for _ in range(2)), 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"deep:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
+                payload["errors"] = errors
         payload["deep"] = {
             "sf": 1.0,
             "queries": deep_timings,

@@ -40,3 +40,20 @@ def format_date_br(col: Column | str) -> Column:
 def import_date_stamp() -> Column:
     """``Data_de_Importacao`` run stamp (processing_pipeline.py:349)."""
     return F.date_format(F.current_date(), "dd/MM/yyyy")
+
+
+def epoch_micros(col: str, dtype: str) -> Column:
+    """Exact epoch microseconds for a timestamp column of either flavor.
+
+    ``unix_micros`` only accepts TIMESTAMP (with local time zone); parquet
+    written with ``isAdjustedToUTC=false`` reads back as TIMESTAMP_NTZ
+    under Spark's default NTZ inference, where ``unix_micros`` raises
+    DATATYPE_MISMATCH. For NTZ, ``timestampdiff`` from the NTZ epoch
+    literal gives the same integer with no session-timezone dependence.
+    Pass the column's dtype string from ``dict(df.dtypes)[col]``.
+    """
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.dates import epoch_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -100,14 +102,22 @@ def interval_join(
     """
     on = list(on or [])
     g_us = int(granularity_s) * 1_000_000
-    # integer `div`, not float division: epoch-µs quotients are near 2^53
-    # where a double round-trip can truncate an exact bin boundary into
-    # the previous bin.
-    def _bin(col: str):
-        return F.expr(f"unix_micros({col}) div {g_us}L")
+    # Exact integer binning: subtract the remainder first so the division
+    # is of an exact multiple of g_us (epoch-µs < 2^53, representable as a
+    # double, so the quotient is exact — a bare floor(us/g) could truncate
+    # a bin boundary into the previous bin). epoch_micros handles both
+    # TIMESTAMP and TIMESTAMP_NTZ (parquet reads back NTZ under Spark's
+    # default inference).
+    def _bin(df: DataFrame, col: str):
+        us = epoch_micros(col, dict(df.dtypes)[col])
+        return (us - (us % g_us)) / F.lit(g_us)
 
-    lbin = _bin(ts_col)
-    rbins = F.explode(F.sequence(_bin(start_col), _bin(end_col)))
+    lbin = _bin(left, ts_col).cast("long")
+    rbins = F.explode(
+        F.sequence(
+            _bin(right, start_col).cast("long"), _bin(right, end_col).cast("long")
+        )
+    )
     lf = left.withColumn("__bin", lbin)
     rf = right.withColumn("__bin", rbins)
     cond = [lf["__bin"] == rf["__bin"]] + [lf[k] == rf[k] for k in on]

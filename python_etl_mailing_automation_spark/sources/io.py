@@ -22,7 +22,7 @@ from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def nanos_to_timestamp(col: str) -> Column:
@@ -64,6 +64,14 @@ def read_table(
         field = next((f for f in df.schema.fields if f.name == c), None)
         if field is not None and isinstance(field.dataType, LongType):
             df = df.withColumn(c, nanos_to_timestamp(c))
+    # Canonicalize TIMESTAMP_NTZ → TIMESTAMP: parquet written with
+    # isAdjustedToUTC=false reads back NTZ under Spark's default NTZ
+    # inference, and half the timestamp builtins (unix_micros, ...) only
+    # accept TIMESTAMP. Session TZ is pinned UTC above, so the cast is an
+    # exact identity on the underlying microseconds.
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, TimestampNTZType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.dates import epoch_micros
+
 DEFAULT_GAP_SECONDS = 30 * 60
 
 
@@ -34,10 +36,10 @@ def sessionize(
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
     w_lag = Window.partitionBy(user_col).orderBy(*order)
     w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w_lag)
+    ts_us = epoch_micros(ts_col, dict(events.dtypes)[ts_col])
+    prev_us = F.lag(ts_us).over(w_lag)
     is_new = F.when(
-        prev_us.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - prev_us) > gap_seconds * 1_000_000),
+        prev_us.isNull() | ((ts_us - prev_us) > gap_seconds * 1_000_000),
         1,
     ).otherwise(0)
     return events.withColumn(

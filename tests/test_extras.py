@@ -75,6 +75,50 @@ def test_sessionize_gap_boundaries(spark):
     assert stats == {(1, 1): 3, (1, 2): 1, (2, 1): 1}
 
 
+def test_sessionize_timestamp_ntz(spark):
+    """Parquet reads back TIMESTAMP_NTZ under Spark's default NTZ
+    inference (that is what the correctness driver feeds the engine) —
+    sessionize must accept both timestamp flavors and agree."""
+    events = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T00:00:00")),
+         (2, 1, _ts("2024-01-01T00:29:59")),
+         (3, 1, _ts("2024-01-01T01:00:00")),
+         (4, 2, _ts("2024-01-01T05:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ntz = events.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    want = {
+        (r["event_id"], r["session_seq"])
+        for r in sessionize(events, gap_seconds=1800).collect()
+    }
+    got = {
+        (r["event_id"], r["session_seq"])
+        for r in sessionize(ntz, gap_seconds=1800).collect()
+    }
+    assert got == want
+
+
+def test_interval_join_timestamp_ntz(spark):
+    """interval_join's epoch binning must tolerate TIMESTAMP_NTZ inputs
+    (mixed flavors across sides included)."""
+    from python_etl_mailing_automation_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:30:00")), (2, _ts("2024-01-01T05:00:00"))],
+        "row_id long, ts timestamp",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00"))],
+        "iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["row_id"], r["iv_id"])
+        for r in interval_join(left, right, granularity_s=3600).collect()
+    }
+    assert got == {(1, 10)}
+
+
 def test_sessionize_stream_closes_sessions(spark):
     events = spark.createDataFrame(
         [(1, 1, _ts("2024-01-01T00:00:00")),
