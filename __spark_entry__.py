@@ -131,28 +131,29 @@ def q_threshold_anti_join(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_smart_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """W1 — keep one row per key under an explicit preference order
-    (processing_pipeline.py:92-109; flag analog of 'prefer named rows')."""
-    orders = _t(spark, sf, "orders")
-    return dedup_keep_best(
-        orders,
-        "o_custkey",
-        [(F.col("o_orderstatus") == "O").desc(), F.col("o_totalprice").desc()],
-        tiebreaker="o_orderkey",
-    ).select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+    (processing_pipeline.py:92-109; flag analog of 'prefer named rows').
 
-
-def q_smart_dedup_maxby(spark: SparkSession, sf: str) -> DataFrame:
-    """W1, skew-hardened form — same keep-best semantics as
-    `smart_dedup` but as a min_by struct reduction (operators/dedup.py
-    dedup_keep_best_maxby): partial aggregation instead of a
-    single-partition window sort, for hot keys. Same oracle as
-    smart_dedup by construction."""
+    Both engine implementations in one battery entry: the window form
+    (dedup_keep_best) and the skew-hardened min_by struct reduction
+    (dedup_keep_best_maxby — partial aggregation instead of a
+    single-partition window sort, for hot keys), tagged by `variant`.
+    They are keep-best-equivalent by construction, so the oracle is the
+    same QUALIFY select twice."""
     from python_etl_mailing_automation_spark.operators.dedup import (
         dedup_keep_best_maxby,
     )
 
     orders = _t(spark, sf, "orders")
-    return dedup_keep_best_maxby(
+    window_form = dedup_keep_best(
+        orders,
+        "o_custkey",
+        [(F.col("o_orderstatus") == "O").desc(), F.col("o_totalprice").desc()],
+        tiebreaker="o_orderkey",
+    ).select(
+        F.lit("window").alias("variant"),
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice",
+    )
+    maxby_form = dedup_keep_best_maxby(
         orders,
         "o_custkey",
         [
@@ -160,7 +161,11 @@ def q_smart_dedup_maxby(spark: SparkSession, sf: str) -> DataFrame:
             -F.col("o_totalprice"),
             F.col("o_orderkey"),
         ],
-    ).select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+    ).select(
+        F.lit("maxby").alias("variant"),
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice",
+    )
+    return window_form.unionByName(maxby_form)
 
 
 def q_completeness_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -181,7 +186,10 @@ def q_completeness_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_rank_in_group(spark: SparkSession, sf: str) -> DataFrame:
-    """A6 — rank within group by due date (gerador_robo_mestre.py:43-44)."""
+    """A6 — rank within group by due date (gerador_robo_mestre.py:43-44),
+    plus the F8/F9 money formats (data_exporter.py:10-16,
+    gerador_robo_mestre.py:10-19) on the same per-lineitem grain — one
+    projection exercises rank + both BR money renderers."""
     li = _t(spark, sf, "lineitem")
     return rank_in_group(
         li, "l_orderkey", [F.col("l_shipdate"), F.col("l_linenumber")], out_col="rn"
@@ -190,6 +198,8 @@ def q_rank_in_group(spark: SparkSession, sf: str) -> DataFrame:
         "l_linenumber",
         format_date_br("l_shipdate").alias("ship_dt"),
         F.col("rn").cast("long").alias("invoice_rank"),
+        format_money_br("l_extendedprice").alias("valor_humano"),
+        format_money_robot("l_quantity").alias("valor_robo"),
     )
 
 
@@ -248,19 +258,22 @@ def q_priority_case_sort(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
-    """P6 — blocklist anti-filter (processing_pipeline.py:195-226)."""
+def q_blocklist_split(spark: SparkSession, sf: str) -> DataFrame:
+    """P6 + S8 — blocklist anti-filter and its rejected-rows side output
+    in one entry (processing_pipeline.py:195-226): every order tagged
+    `kept`/`rejected`, rejected rows carrying the removal reason."""
     orders = _t(spark, sf, "orders")
-    kept, _ = blocklist_filter(orders, "o_orderpriority", BLOCKLIST)
-    return kept.select("o_orderkey", "o_custkey", "o_orderpriority")
-
-
-def q_rejected_side_output(spark: SparkSession, sf: str) -> DataFrame:
-    """S8 — rejected-rows side output with removal reason
-    (processing_pipeline.py:211-222)."""
-    orders = _t(spark, sf, "orders")
-    _, rejected = blocklist_filter(orders, "o_orderpriority", BLOCKLIST)
-    return rejected.select("o_orderkey", "o_custkey", "motivo_remocao")
+    kept, rejected = blocklist_filter(orders, "o_orderpriority", BLOCKLIST)
+    return kept.select(
+        F.lit("kept").alias("side"),
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.lit(None).cast("string").alias("motivo_remocao"),
+    ).unionByName(
+        rejected.select(
+            F.lit("rejected").alias("side"),
+            "o_orderkey", "o_custkey", "o_orderpriority", "motivo_remocao",
+        )
+    )
 
 
 def q_segmentation(spark: SparkSession, sf: str) -> DataFrame:
@@ -276,31 +289,12 @@ def q_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
-    """J1a+J1 — pre-aggregated best-first list + broadcast left join
-    (processing_pipeline.py:146-161)."""
-    orders = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    out = enrich_with_ordered_list(
-        orders,
-        li,
-        fact_key="o_orderkey",
-        enrich_key="l_orderkey",
-        value_col="l_suppkey",
-        score_col="l_extendedprice",
-        out_col="tels",
-    )
-    return out.select(
-        "o_orderkey",
-        "o_custkey",
-        F.array_join(F.col("tels"), ", ").alias("phone_list"),
-        F.element_at(F.col("tels"), 1).alias("telefone_01"),
-    )
-
-
-def q_phone_spread(spark: SparkSession, sf: str) -> DataFrame:
-    """UD1 — phone spread as pure array algebra (no UDF)
-    (processing_pipeline.py:168-182)."""
+def q_enrichment_phones(spark: SparkSession, sf: str) -> DataFrame:
+    """J1a+J1+UD1 — pre-aggregated best-first list + broadcast left join
+    (processing_pipeline.py:146-161) feeding the phone spread as pure
+    array algebra, no UDF (processing_pipeline.py:168-182). `phone_list`
+    is the raw enrichment list (join evidence); telefone_01..04 are the
+    spread over enrichment + cleaned fallback columns."""
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     enriched = enrich_with_ordered_list(
@@ -321,57 +315,36 @@ def q_phone_spread(spark: SparkSession, sf: str) -> DataFrame:
         }
     )
     return spread_phone_columns(enriched, "tels", ["fb1", "fb2", "fb3"]).select(
-        "o_orderkey", "telefone_01", "telefone_02", "telefone_03", "telefone_04"
+        "o_orderkey",
+        "o_custkey",
+        F.array_join(F.col("tels"), ", ").alias("phone_list"),
+        "telefone_01", "telefone_02", "telefone_03", "telefone_04",
     )
 
 
-def q_conditional_flag(spark: SparkSession, sf: str) -> DataFrame:
-    """F10 — SIM/NÃO conditional flag (processing_pipeline.py:188-193)."""
+def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """F2/F3/F4/F5/F6/F7/F10/F13/F15 — the scalar-function suite in one
+    per-order projection: SIM/NÃO conditional flag
+    (processing_pipeline.py:188-193), BR day-first date parse + format
+    round-trip (processing_pipeline.py:44-49, data_exporter.py:43), and
+    the cleaning expressions (processing_pipeline.py:27-40,56-59,79-80).
+    Same-table same-grain scalar columns — one battery entry."""
     orders = _t(spark, sf, "orders")
     val = (
         F.when(F.col("o_orderstatus") == "P", F.lit(" n "))
         .when(F.col("o_orderstatus") == "F", F.lit(None))
         .otherwise(F.col("o_orderstatus"))
     )
-    return orders.select(
-        "o_orderkey", conditional_flag_sim_nao(val).alias("cliente_regulariza")
-    )
-
-
-def q_money_format(spark: SparkSession, sf: str) -> DataFrame:
-    """F8+F9 — BR money formatting, human and robot variants
-    (data_exporter.py:10-16, gerador_robo_mestre.py:10-19)."""
-    li = _t(spark, sf, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        format_money_br("l_extendedprice").alias("valor_humano"),
-        format_money_robot("l_quantity").alias("valor_robo"),
-    )
-
-
-def q_date_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """F4+F5 — BR day-first parse + format round-trip
-    (processing_pipeline.py:44-49, data_exporter.py:43)."""
-    orders = _t(spark, sf, "orders")
-    br = format_date_br("o_orderdate")
-    return orders.select(
-        "o_orderkey",
-        br.alias("dtvenc_br"),
-        format_date_br(parse_date_br(br)).alias("dt_roundtrip"),
-        F.year("o_orderdate").cast("int").alias("venc_ano"),
-    )
-
-
-def q_cleaning_normalize(spark: SparkSession, sf: str) -> DataFrame:
-    """F2/F3/F6/F7/F13/F15 — cleaning expressions
-    (processing_pipeline.py:27-40,56-59,79-80)."""
-    orders = _t(spark, sf, "orders")
     raw_valor = F.when(F.col("o_orderkey") % 3 == 0, F.lit("junk")).otherwise(
         F.concat(F.col("o_orderkey").cast("string"), F.lit(",5"))
     )
+    br = format_date_br("o_orderdate")
     return orders.select(
         "o_orderkey",
+        conditional_flag_sim_nao(val).alias("cliente_regulariza"),
+        br.alias("dtvenc_br"),
+        format_date_br(parse_date_br(br)).alias("dt_roundtrip"),
+        F.year("o_orderdate").cast("int").alias("venc_ano"),
         strip_dot_zero(F.concat(F.col("o_orderkey").cast("string"), F.lit(".0"))).alias(
             "id_clean"
         ),
@@ -487,22 +460,23 @@ def q_audit_blocklist_clean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_tumbling_window_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Streaming-shaped tumbling-window aggregation (batch form of
-    streaming/events.py; same definition runs under readStream)."""
-    events = _t(spark, sf, "events")
-    return tumbling_event_counts(events)
-
-
-def q_sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Sliding (hopping) windows: 1 h windows every 30 min — each event in
-    exactly two windows (streaming/events.sliding_event_counts)."""
+def q_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-shaped time-window aggregations, tumbling and sliding,
+    tagged by `kind` (batch forms of streaming/events.py; the same
+    definitions run under readStream). Tumbling: 1 h windows. Sliding:
+    1 h windows every 30 min — each event in exactly two windows."""
     from python_etl_mailing_automation_spark.streaming.events import (
         sliding_event_counts,
     )
 
     events = _t(spark, sf, "events")
-    return sliding_event_counts(events)
+    return (
+        tumbling_event_counts(events)
+        .withColumn("kind", F.lit("tumbling"))
+        .unionByName(
+            sliding_event_counts(events).withColumn("kind", F.lit("sliding"))
+        )
+    )
 
 
 def q_mailing_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
@@ -638,44 +612,48 @@ def q_robot_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_text_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents")
-    return token_count(docs).select("doc_id", "n_tokens", "n_chars_calc")
+def q_text_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document scoring suite in one entry: whitespace token/char
+    counts (datapipe/text.token_count), stopword quality gates
+    (quality_score), marker language-ID (lang_id) and Gopher-style
+    repetition signals (repetition_metrics). The operators chain — each
+    appends columns to the same scan; one battery entry per grain."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        repetition_metrics,
+    )
 
-
-def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
-    return quality_score(docs).select(
-        "doc_id", "n_tokens", "n_stop", "stop_ratio", "is_quality"
+    scored = repetition_metrics(lang_id(quality_score(token_count(docs))))
+    return scored.select(
+        "doc_id", "n_tokens", "n_chars_calc",
+        "n_stop", "stop_ratio", "is_quality",
+        "score_en", "score_es", "score_de", "pred_lang",
+        "dup_word_frac", "top_2gram_frac", "is_repetitive",
     )
 
 
-def q_text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents")
-    return lang_id(docs).select(
-        "doc_id", "score_en", "score_es", "score_de", "pred_lang"
-    )
-
-
-def q_text_tokenize_advanced(spark: SparkSession, sf: str) -> DataFrame:
-    """BPE-ish regex tokenization + Rabin-Karp rolling-hash fingerprint
-    (datapipe/text.py bpe_ish_tokens / rolling_hash)."""
+def q_text_transforms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document transform suite: BPE-ish regex tokenization +
+    Rabin-Karp rolling hash (datapipe/text.bpe_ish_tokens /
+    rolling_hash), the sorted-token-set md5 fingerprint
+    (doc_fingerprint), and CCNet-style canonicalization with its dedup
+    digest (normalize_text). All scan-speed string algebra on the same
+    grain."""
     from python_etl_mailing_automation_spark.datapipe.text import (
         bpe_ish_tokens,
+        normalize_text,
         rolling_hash,
     )
 
     docs = _t(spark, sf, "documents")
-    return docs.select(
+    return normalize_text(doc_fingerprint(docs)).select(
         "doc_id",
         F.size(bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
         rolling_hash("text").alias("rolling_fp"),
+        "fingerprint",
+        "norm_text",
+        "norm_digest",
     )
-
-
-def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents")
-    return doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -683,20 +661,36 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedup_groups(docs)
 
 
-def q_dedup_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+def q_dedup_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document near-dup fingerprints in one entry: the 6 salted-md5
+    MinHash components + 3 LSH band keys (datapipe/dedup
+    .minhash_signatures) and the 16-bit SimHash (simhash_16). Both are
+    per-doc signatures on the same grain; joined on doc_id (both sides
+    derive from the same scan — at scale this is one pass + a co-located
+    self-join the optimizer collapses)."""
     docs = _t(spark, sf, "documents")
-    return minhash_signatures(docs).select(
+    sig = minhash_signatures(docs).select(
         "doc_id",
         *[f"mh_{j}" for j in range(1, 7)],
         *[f"band_{b}" for b in range(1, 4)],
     )
+    return sig.join(simhash_16(docs), "doc_id")
 
 
-def q_dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def q_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-pair dedup methods, tagged by `method`: MinHash+LSH band
+    join with exact Jaccard verification on candidates only
+    (minhash_signatures → lsh_candidate_pairs → jaccard_on_pairs), and
+    blocked n-gram Jaccard (ngram_jaccard_pairs, quadratic only within a
+    caller-supplied block). Same (doc_id_a, doc_id_b, jaccard) shape."""
     docs = _t(spark, sf, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig)
-    return jaccard_on_pairs(pairs, docs)
+    minhash = jaccard_on_pairs(pairs, docs).withColumn("method", F.lit("minhash_lsh"))
+    ngram = ngram_jaccard_pairs(docs, block_col="source", min_jaccard=0.0).withColumn(
+        "method", F.lit("ngram_block")
+    )
+    return minhash.unionByName(ngram)
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -712,39 +706,31 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
-def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents")
-    return simhash_16(docs)
-
-
-def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, block_col="source", min_jaccard=0.0)
-
-
 def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding similarity search, exact and IVF, tagged by `method`:
+    the brute-force cosine top-k baseline (datapipe/similarity
+    .cosine_topk — labeled O(Q·C) exact path) and IVF-style ANN
+    (ivf_topk: deterministic codebook of every 31st vector, corpus
+    coarse-quantized to nearest centroid, queries probe their 2 nearest
+    cells). Same (vec_id, neighbor_id, sim_rank, cos_sim) shape."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import ivf_topk
+
     emb = _t(spark, sf, "embeddings")
-    return cosine_topk(emb.filter(F.col("vec_id") < 32), emb, k=5)
+    brute = cosine_topk(emb.filter(F.col("vec_id") < 32), emb, k=5).withColumn(
+        "method", F.lit("brute")
+    )
+    centroids = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    ivf = ivf_topk(
+        emb.filter(F.col("vec_id") < 16), emb, centroids, n_probe=2, k=3
+    ).withColumn("method", F.lit("ivf"))
+    return brute.unionByName(ivf)
 
 
 def q_similarity_ann_buckets(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     return ann_bucket_topk(emb, bits=4, k=3)
-
-
-def q_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-style ANN (datapipe/similarity.ivf_topk): deterministic codebook
-    (every 31st vector), corpus coarse-quantized to nearest centroid,
-    queries probe their 2 nearest cells, top-3 within probed cells."""
-    from python_etl_mailing_automation_spark.datapipe.similarity import ivf_topk
-
-    emb = _t(spark, sf, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 31 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    return ivf_topk(
-        emb.filter(F.col("vec_id") < 16), emb, centroids, n_probe=2, k=3
-    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
@@ -773,26 +759,34 @@ def q_corpus_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
     return curate_corpus(docs, min_tokens=10, max_stop_ratio=0.5, near_dup_jaccard=0.8)
 
 
-def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic fractional sampling (datapipe/sampling.hash_sample):
-    md5-bucket threshold filter — scan-level, shuffle-free, reproducible
-    on any engine (the corpus-downsampling workhorse)."""
-    from python_etl_mailing_automation_spark.datapipe.sampling import hash_sample
-
-    docs = _t(spark, sf, "documents")
-    return hash_sample(docs, 0.25).select("doc_id", "source")
-
-
-def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-source quota sampling (datapipe/sampling.stratified_sample):
-    at most 20 docs per source under the deterministic md5 order — the
-    per-domain cap used in corpus mixing."""
+def q_sampling_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus sampling, tagged by `method`:
+    md5-bucket fractional sampling (datapipe/sampling.hash_sample —
+    scan-level, shuffle-free), per-source quota sampling
+    (stratified_sample — at most 20 docs per source under the
+    deterministic md5 order), and per-domain mixture weighting
+    (mixture_sample — literal-map keep rates, src0 100%, src1/src2 50%,
+    src3 25%, default 10%). All emit (doc_id, source)."""
     from python_etl_mailing_automation_spark.datapipe.sampling import (
+        hash_sample,
+        mixture_sample,
         stratified_sample,
     )
 
     docs = _t(spark, sf, "documents")
-    return stratified_sample(docs, "source", 20).select("doc_id", "source")
+    h = hash_sample(docs, 0.25).select("doc_id", "source").withColumn(
+        "method", F.lit("hash")
+    )
+    s = stratified_sample(docs, "source", 20).select("doc_id", "source").withColumn(
+        "method", F.lit("stratified")
+    )
+    m = mixture_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.5, "src3": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "source").withColumn("method", F.lit("mixture"))
+    return h.unionByName(s).unionByName(m)
 
 
 def q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
@@ -843,20 +837,6 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
-    """Gopher-style repetition filters (datapipe/text.repetition_metrics):
-    duplicate-word fraction (per-row algebra) + top-bigram coverage
-    (explode → two map-side-combined aggregations keyed on the doc)."""
-    from python_etl_mailing_automation_spark.datapipe.text import (
-        repetition_metrics,
-    )
-
-    docs = _t(spark, sf, "documents")
-    return repetition_metrics(docs).select(
-        "doc_id", "n_tokens", "dup_word_frac", "top_2gram_frac", "is_repetitive"
-    )
-
-
 def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing (datapipe/packing.pack_sequences): concatenate-
     then-chunk placement of each document into fixed 256-token training
@@ -873,24 +853,6 @@ def q_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "source", "n_tokens", "start_tok", "first_seq",
         "last_seq", "offset_in_seq", "n_seqs",
     )
-
-
-def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Mixture weighting (datapipe/sampling.mixture_sample): per-domain
-    deterministic downsampling to target keep rates (src0 100%, src1/src2
-    50%, src3 25%, everything else 10%) — a scan-level literal-map filter,
-    no shuffle, reproducible across engines."""
-    from python_etl_mailing_automation_spark.datapipe.sampling import (
-        mixture_sample,
-    )
-
-    docs = _t(spark, sf, "documents")
-    return mixture_sample(
-        docs,
-        "source",
-        {"src0": 1.0, "src1": 0.5, "src2": 0.5, "src3": 0.25},
-        default_fraction=0.1,
-    ).select("doc_id", "source")
 
 
 def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
@@ -931,29 +893,24 @@ def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_stats(docs)
 
 
-def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal column plumbing, oracle-checkable half: binary payload
-    synthesis + typed metadata struct (datapipe/multimodal.py). The
-    decode-side mapInPandas stage stays in `multimodal_features`
-    (rows-only)."""
+def q_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing end-to-end in one entry: binary payload
+    synthesis + typed metadata struct (datapipe/multimodal
+    .with_binary_payload) joined with the Arrow-batched mapInPandas
+    feature extraction (extract_features). The decode is a deterministic
+    stand-in (length + head-hex of the payload), so the Python batch
+    path IS oracle-checkable: DuckDB recomputes the same features from
+    the same UTF-8 payload bytes."""
     docs = _t(spark, sf, "documents")
     media = with_binary_payload(docs)
-    return media.select(
+    meta = media.select(
         "doc_id",
         F.col("media_meta.mime").alias("mime"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.md5(F.col("media")).alias("payload_md5"),
     )
-
-
-def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column → Arrow-batched
-    mapInPandas feature extraction. The decode is a deterministic stand-in
-    (length + head-hex of the payload), so the Python batch path IS
-    oracle-checkable: DuckDB recomputes the same features from the same
-    UTF-8 payload bytes."""
-    docs = _t(spark, sf, "documents")
-    return extract_features(with_binary_payload(docs))
+    features = extract_features(media).drop("n_bytes")
+    return meta.join(features, "doc_id")
 
 
 def q_budget_select(spark: SparkSession, sf: str) -> DataFrame:
@@ -997,22 +954,32 @@ def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_candidate_pairs(docs, k=5, window=4, min_shared=2, max_df=50)
 
 
-def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Fixed-iteration Lloyd k-means over the embedding table
-    (datapipe/clustering.kmeans_fit_assign): k=8 codebook seeded from the
-    lowest vec_ids, 2 assign→update rounds, final assignment returned.
-    Assignment is a shuffle-free scan against literal centroids; the
-    update is a k·dim-group aggregate with DECIMAL-exact sums — the
-    iterative-algorithm shape (driver-synced like MLlib KMeans), still
-    bit-exactly oracle-checkable."""
+def q_kmeans_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-iteration Lloyd k-means + SemDeDup in one entry
+    (datapipe/clustering.kmeans_fit_assign / semantic_dedup): k=8
+    codebook seeded from the lowest vec_ids, 2 assign→update rounds
+    (assignment is a shuffle-free scan against literal centroids; the
+    update a k·dim-group aggregate with DECIMAL-exact sums), then
+    within-cluster cosine >= 0.4 drops the higher-id duplicate. Output:
+    every vector's cluster assignment + dist_sq + a `kept` 0/1 flag
+    (kept = survives semantic dedup). 0.4 (not the production 0.95)
+    because the synthetic embeddings top out at cos ~0.47."""
     from python_etl_mailing_automation_spark.datapipe.clustering import (
         kmeans_fit_assign,
+        semantic_dedup,
     )
 
     emb = _t(spark, sf, "embeddings")
     assigned, _ = kmeans_fit_assign(emb, k=8, n_iter=2)
-    return assigned.select(
-        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id"), "dist_sq"
+    kept = semantic_dedup(emb, k=8, n_iter=2, min_cos=0.4).select(
+        "vec_id", F.lit(1).alias("kept")
+    )
+    return (
+        assigned.select(
+            "vec_id", F.col("cluster_id").cast("long").alias("cluster_id"), "dist_sq"
+        )
+        .join(kept, "vec_id", "left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(0)).cast("int"))
     )
 
 
@@ -1039,17 +1006,6 @@ def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("w_start"),
     )
-
-
-def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
-    """CCNet-style canonicalization (datapipe/text.normalize_text):
-    lower → explicit translate() accent fold → punct strip → whitespace
-    collapse, plus the md5 canonical dedup key. Scan-speed string
-    algebra; the translate map is engine-portable by construction."""
-    from python_etl_mailing_automation_spark.datapipe.text import normalize_text
-
-    docs = _t(spark, sf, "documents")
-    return normalize_text(docs).select("doc_id", "norm_text", "norm_digest")
 
 
 def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
@@ -1092,23 +1048,6 @@ def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return top_ngrams(docs, n=3, top_k=20)
 
 
-def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """SemDeDup composition (datapipe/clustering.semantic_dedup): k-means
-    cells bound the pair search, within-cell cosine >= 0.4 drops the
-    higher-id duplicate. 0.4 (not the production 0.95) because the
-    synthetic embeddings top out at cos ~0.47 — the threshold is chosen
-    so the drop path actually executes in the battery."""
-    from python_etl_mailing_automation_spark.datapipe.clustering import (
-        semantic_dedup,
-    )
-
-    emb = _t(spark, sf, "embeddings")
-    out = semantic_dedup(emb, k=8, n_iter=2, min_cos=0.4)
-    return out.select(
-        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
-    )
-
-
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -1122,22 +1061,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_count_having": q_group_count_having,
         "threshold_anti_join": q_threshold_anti_join,
         "smart_dedup": q_smart_dedup,
-        "smart_dedup_maxby": q_smart_dedup_maxby,
         "completeness_dedup": q_completeness_dedup,
         "rank_in_group": q_rank_in_group,
         "topk_per_group": q_topk_per_group,
         "rank_pivot": q_rank_pivot,
         "head_row_per_group": q_head_row_per_group,
         "priority_case_sort": q_priority_case_sort,
-        "blocklist_filter": q_blocklist_filter,
-        "rejected_side_output": q_rejected_side_output,
+        "blocklist_split": q_blocklist_split,
         "segmentation": q_segmentation,
-        "enrichment_join": q_enrichment_join,
-        "phone_spread": q_phone_spread,
-        "conditional_flag": q_conditional_flag,
-        "money_format": q_money_format,
-        "date_roundtrip": q_date_roundtrip,
-        "cleaning_normalize": q_cleaning_normalize,
+        "enrichment_phones": q_enrichment_phones,
+        "scalar_functions": q_scalar_functions,
         "union_sheets": q_union_sheets,
         "mailing_pipeline_e2e": q_mailing_pipeline_e2e,
         "robot_pipeline_e2e": q_robot_pipeline_e2e,
@@ -1147,43 +1080,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_blocklist_clean": q_audit_blocklist_clean,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
-        "tumbling_window_counts": q_tumbling_window_counts,
-        "sliding_window_counts": q_sliding_window_counts,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
-        "text_lang_id": q_text_lang_id,
-        "text_tokenize_advanced": q_text_tokenize_advanced,
-        "doc_fingerprint": q_doc_fingerprint,
+        "window_counts": q_window_counts,
+        "text_metrics": q_text_metrics,
+        "text_transforms": q_text_transforms,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_signatures": q_dedup_minhash_signatures,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_fingerprints": q_dedup_fingerprints,
+        "dedup_pairs": q_dedup_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_buckets": q_similarity_ann_buckets,
         "corpus_curation_e2e": q_corpus_curation_e2e,
-        "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
-        "sample_hash": q_sample_hash,
-        "sample_stratified": q_sample_stratified,
-        "mixture_sample": q_mixture_sample,
+        "sampling_suite": q_sampling_suite,
         "decontamination": q_decontamination,
         "pii_redact": q_pii_redact,
-        "repetition_metrics": q_repetition_metrics,
         "sequence_pack": q_sequence_pack,
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
         "budget_select": q_budget_select,
         "winnow_pairs": q_winnow_pairs,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semantic_dedup": q_semantic_dedup,
+        "kmeans_semantic": q_kmeans_semantic,
         "top_ngrams": q_top_ngrams,
-        "normalize_text": q_normalize_text,
         "dedup_incremental": q_dedup_incremental,
         "interval_join": q_interval_join,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
+        "multimodal_pipeline": q_multimodal_pipeline,
     }
 
 
@@ -1471,16 +1391,17 @@ def oracle_sql() -> dict[str, str]:
   WHERE c_custkey NOT IN (
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_custkey HAVING COUNT(*) >= 3)""",
+        # Two engine implementations (window form + min_by reduction),
+        # one keep-best semantics — the oracle is the same QUALIFY select
+        # under both variant tags.
         "smart_dedup": """
-  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM orders
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
-    ORDER BY (o_orderstatus = 'O') DESC, o_totalprice DESC, o_orderkey) = 1""",
-        # Same semantics as smart_dedup — the engine-side implementation
-        # differs (min_by reduction vs window), the oracle does not.
-        "smart_dedup_maxby": """
-  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM orders
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
-    ORDER BY (o_orderstatus = 'O') DESC, o_totalprice DESC, o_orderkey) = 1""",
+  WITH k AS (
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+      ORDER BY (o_orderstatus = 'O') DESC, o_totalprice DESC, o_orderkey) = 1)
+  SELECT 'window' AS variant, * FROM k
+  UNION ALL
+  SELECT 'maxby' AS variant, * FROM k""",
         "completeness_dedup": """
   WITH c AS (
     SELECT o_custkey, o_orderkey,
@@ -1494,7 +1415,11 @@ def oracle_sql() -> dict[str, str]:
         "rank_in_group": """
   SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%d/%m/%Y') AS ship_dt,
          ROW_NUMBER() OVER (PARTITION BY l_orderkey
-           ORDER BY l_shipdate, l_linenumber) AS invoice_rank
+           ORDER BY l_shipdate, l_linenumber) AS invoice_rank,
+         replace(printf('%.2f', l_extendedprice), '.', ',') AS valor_humano,
+         CASE WHEN l_quantity = floor(l_quantity)
+              THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+              ELSE replace(printf('%.2f', l_quantity), '.', ',') END AS valor_robo
   FROM lineitem""",
         "topk_per_group": """
   SELECT l_orderkey, l_linenumber,
@@ -1529,33 +1454,27 @@ def oracle_sql() -> dict[str, str]:
         "priority_case_sort": f"""
   SELECT o_orderkey, {_priority_case_sql()} AS priority_level, o_totalprice
   FROM orders""",
-        "blocklist_filter": f"""
-  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
-  WHERE o_orderpriority IS NULL
-     OR lower(trim(o_orderpriority)) NOT IN ({blocklist_norm})""",
-        "rejected_side_output": f"""
-  SELECT o_orderkey, o_custkey, o_orderpriority AS motivo_remocao FROM orders
-  WHERE o_orderpriority IS NOT NULL
-    AND lower(trim(o_orderpriority)) IN ({blocklist_norm})""",
+        "blocklist_split": f"""
+  SELECT CASE WHEN o_orderpriority IS NOT NULL
+               AND lower(trim(o_orderpriority)) IN ({blocklist_norm})
+              THEN 'rejected' ELSE 'kept' END AS side,
+         o_orderkey, o_custkey, o_orderpriority,
+         CASE WHEN o_orderpriority IS NOT NULL
+               AND lower(trim(o_orderpriority)) IN ({blocklist_norm})
+              THEN o_orderpriority END AS motivo_remocao
+  FROM orders""",
         "segmentation": f"""
   SELECT o_custkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_debt,
          CASE WHEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    >= {SEG_CUTOFF} THEN 'human' ELSE 'robot' END AS segment
   FROM orders GROUP BY o_custkey""",
-        "enrichment_join": f"""
-  WITH e AS (
-    SELECT l_orderkey,
-           array_to_string({_ENRICH_LIST}, ', ') AS phone_list,
-           ({_ENRICH_LIST})[1] AS telefone_01
-    FROM lineitem GROUP BY l_orderkey)
-  SELECT o.o_orderkey, o.o_custkey, e.phone_list, e.telefone_01
-  FROM orders o LEFT JOIN e ON o.o_orderkey = e.l_orderkey""",
-        "phone_spread": f"""
+        "enrichment_phones": f"""
   WITH e AS (
     SELECT l_orderkey, {_ENRICH_LIST} AS tels FROM lineitem GROUP BY l_orderkey),
   m AS (
-    SELECT o.o_orderkey,
+    SELECT o.o_orderkey, o.o_custkey,
+           array_to_string(e.tels, ', ') AS phone_list,
            COALESCE(e.tels, CAST([] AS VARCHAR[])) ||
            list_filter([
              {_CLEAN_PHONE.format(src="CAST(o.o_custkey AS VARCHAR) || '.0'")},
@@ -1564,39 +1483,27 @@ def oracle_sql() -> dict[str, str]:
            ], x -> x IS NOT NULL) AS merged
     FROM orders o LEFT JOIN e ON o.o_orderkey = e.l_orderkey),
   d AS (
-    SELECT o_orderkey,
+    SELECT o_orderkey, o_custkey, phone_list,
            list_filter(merged, (x, i) -> list_position(merged, x) = i) AS dd
     FROM m)
-  SELECT o_orderkey, dd[1] AS telefone_01, dd[2] AS telefone_02,
+  SELECT o_orderkey, o_custkey, phone_list,
+         dd[1] AS telefone_01, dd[2] AS telefone_02,
          dd[3] AS telefone_03, dd[4] AS telefone_04
   FROM d""",
-        "conditional_flag": """
+        "scalar_functions": """
   WITH v AS (
-    SELECT o_orderkey,
+    SELECT *,
            CASE WHEN o_orderstatus = 'P' THEN ' n '
                 WHEN o_orderstatus = 'F' THEN NULL
                 ELSE o_orderstatus END AS val
     FROM orders)
   SELECT o_orderkey,
          CASE WHEN val IS NOT NULL AND upper(trim(val)) != 'N'
-              THEN 'SIM' ELSE 'NÃO' END AS cliente_regulariza
-  FROM v""",
-        "money_format": """
-  SELECT l_orderkey, l_linenumber,
-         replace(printf('%.2f', l_extendedprice), '.', ',') AS valor_humano,
-         CASE WHEN l_quantity = floor(l_quantity)
-              THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
-              ELSE replace(printf('%.2f', l_quantity), '.', ',') END AS valor_robo
-  FROM lineitem""",
-        "date_roundtrip": """
-  SELECT o_orderkey,
+              THEN 'SIM' ELSE 'NÃO' END AS cliente_regulariza,
          strftime(o_orderdate, '%d/%m/%Y') AS dtvenc_br,
          strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y'),
                   '%d/%m/%Y') AS dt_roundtrip,
-         CAST(year(o_orderdate) AS INT) AS venc_ano
-  FROM orders""",
-        "cleaning_normalize": """
-  SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS venc_ano,
          regexp_replace(CAST(o_orderkey AS VARCHAR) || '.0', '\\.0$', '') AS id_clean,
          regexp_replace('(' || CAST(o_custkey AS VARCHAR) || ') 9-88',
                         '[^0-9]', '', 'g') AS phone_digits,
@@ -1605,7 +1512,7 @@ def oracle_sql() -> dict[str, str]:
          TRY_CAST(replace(CASE WHEN o_orderkey % 3 = 0 THEN 'junk'
                                ELSE CAST(o_orderkey AS VARCHAR) || ',5' END,
                           ',', '.') AS DOUBLE) AS valor_parsed
-  FROM orders""",
+  FROM v""",
         "union_sheets": """
   SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
   FROM orders WHERE o_orderstatus = 'F'
@@ -1782,53 +1689,63 @@ def oracle_sql() -> dict[str, str]:
     FROM events e LEFT JOIN orders o
       ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
   WHERE rn = 1""",
-        "tumbling_window_counts": """
-  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-         event_type, COUNT(*) AS n_events,
-         MIN(value) AS min_value, MAX(value) AS max_value
-  FROM events GROUP BY 1, 2""",
-        "sliding_window_counts": """
-  -- 1h windows sliding 30min: event at t belongs to starts
-  -- {floor30(t), floor30(t) - 30min} (30-min grid, s <= t < s + 1h).
+        "window_counts": """
+  -- tumbling: 1h windows. sliding: 1h windows every 30min — event at t
+  -- belongs to starts {floor30(t), floor30(t) - 30min}
+  -- (30-min grid, s <= t < s + 1h).
   WITH g AS (
     SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS g30,
-           event_type, value FROM events),
+           date_trunc('hour', ts) AS h, event_type, value FROM events),
   assigned AS (
     SELECT g30 AS window_start_ts, event_type, value FROM g
     UNION ALL
     SELECT g30 - INTERVAL 30 MINUTE, event_type, value FROM g)
-  SELECT strftime(window_start_ts, '%Y-%m-%d %H:%M:%S') AS window_start,
+  SELECT 'tumbling' AS kind,
+         strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, COUNT(*) AS n_events,
          MIN(value) AS min_value, MAX(value) AS max_value
-  FROM assigned GROUP BY 1, 2""",
-        "text_token_count": f"""
-  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-         CAST(length(text) AS BIGINT) AS n_chars_calc
-  FROM documents""",
-        "text_quality": f"""
-  WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-  c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  FROM g GROUP BY 2, 3
+  UNION ALL
+  SELECT 'sliding' AS kind,
+         strftime(window_start_ts, '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n_events,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM assigned GROUP BY 2, 3""",
+        "text_metrics": f"""
+  WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+  b AS (SELECT doc_id, toks,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
                CAST(len(list_filter(toks,
-                 x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS n_stop
-        FROM t)
-  SELECT doc_id, n_tokens, n_stop,
-         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-         CAST(CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.3
-                    AND n_tokens >= 50 THEN 1 ELSE 0 END AS INT) AS is_quality
-  FROM c""",
-        "text_lang_id": f"""
-  WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-  s AS (SELECT doc_id,
-          CAST(len(list_filter(toks, x -> list_contains(['the','a','of'], x))) AS BIGINT) AS score_en,
-          CAST(len(list_filter(toks, x -> list_contains(['el','la','los'], x))) AS BIGINT) AS score_es,
-          CAST(len(list_filter(toks, x -> list_contains(['der','und','das'], x))) AS BIGINT) AS score_de
-        FROM t)
-  SELECT doc_id, score_en, score_es, score_de,
+                 x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS n_stop,
+               CAST(len(list_filter(toks, x -> list_contains(['the','a','of'], x))) AS BIGINT) AS score_en,
+               CAST(len(list_filter(toks, x -> list_contains(['el','la','los'], x))) AS BIGINT) AS score_es,
+               CAST(len(list_filter(toks, x -> list_contains(['der','und','das'], x))) AS BIGINT) AS score_de,
+               CASE WHEN len(toks) > 0
+                    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS dup_word_frac
+        FROM t),
+  g AS (SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1]) AS gram
+        FROM b, UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks))
+                            ELSE CAST([] AS BIGINT[]) END) AS u(i)),
+  gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+  gm AS (SELECT doc_id, MAX(c) AS mx FROM gc GROUP BY 1)
+  SELECT b.doc_id, b.n_tokens, b.n_chars_calc, b.n_stop,
+         CAST(b.n_stop AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS stop_ratio,
+         CAST(CASE WHEN CAST(b.n_stop AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) <= 0.3
+                    AND b.n_tokens >= 50 THEN 1 ELSE 0 END AS INT) AS is_quality,
+         b.score_en, b.score_es, b.score_de,
          CASE WHEN score_es > score_en AND score_es >= score_de THEN 'es'
               WHEN score_de > score_en AND score_de > score_es THEN 'de'
-              ELSE 'en' END AS pred_lang
-  FROM s""",
-        "text_tokenize_advanced": r"""
+              ELSE 'en' END AS pred_lang,
+         b.dup_word_frac,
+         COALESCE(CAST(gm.mx * 2 AS DOUBLE) / b.n_tokens, 0.0) AS top_2gram_frac,
+         CAST(CASE WHEN b.dup_word_frac > 0.9
+                     OR COALESCE(CAST(gm.mx * 2 AS DOUBLE) / b.n_tokens, 0.0) > 0.2
+                   THEN 1 ELSE 0 END AS INT) AS is_repetitive
+  FROM b LEFT JOIN gm USING (doc_id)""",
+        "text_transforms": (
+            r"""
   SELECT doc_id,
          CAST(len(regexp_extract_all(text,
            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS n_bpe_tokens,
@@ -1836,12 +1753,13 @@ def oracle_sql() -> dict[str, str]:
            list_prepend(CAST(0 AS BIGINT),
              list_transform(string_split(text, ''),
                             c -> CAST(ascii(c) AS BIGINT))),
-           (acc, v) -> (acc * 31 + v) % 2147483647) AS rolling_fp
-  FROM documents""",
-        "doc_fingerprint": f"""
-  SELECT doc_id,
-         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
-  FROM documents""",
+           (acc, v) -> (acc * 31 + v) % 2147483647) AS rolling_fp,"""
+            + f"""
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint,
+         {_norm_expr()} AS norm_text,
+         md5({_norm_expr()}) AS norm_digest
+  FROM documents"""
+        ),
         "dedup_exact": """
   SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
   FROM documents GROUP BY md5(text)""",
