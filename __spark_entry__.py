@@ -191,9 +191,15 @@ def q_rank_in_group(spark: SparkSession, sf: str) -> DataFrame:
     gerador_robo_mestre.py:10-19) on the same per-lineitem grain — one
     projection exercises rank + both BR money renderers."""
     li = _t(spark, sf, "lineitem")
-    return rank_in_group(
-        li, "l_orderkey", [F.col("l_shipdate"), F.col("l_linenumber")], out_col="rn"
-    ).select(
+    # (l_orderkey, l_shipdate, l_linenumber) is NOT unique in the synthetic
+    # data (8 tie groups at sf0.01 with differing price/quantity), so the
+    # rank↔value pairing under that order is engine-nondeterministic —
+    # extend the order to a value-determining superkey (SURVEY §7.3-1).
+    order = [
+        F.col("l_shipdate"), F.col("l_linenumber"),
+        F.col("l_extendedprice"), F.col("l_partkey"), F.col("l_suppkey"),
+    ]
+    return rank_in_group(li, "l_orderkey", order, out_col="rn").select(
         "l_orderkey",
         "l_linenumber",
         format_date_br("l_shipdate").alias("ship_dt"),
@@ -1372,6 +1378,63 @@ def oracle_sql() -> dict[str, str]:
         JOIN sets b ON p.doc_id_b = b.doc_id)
   SELECT doc_id_a, doc_id_b, CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard FROM j"""
 
+    # Building blocks for the merged-battery oracles (each mirrors one
+    # constituent of a `method`-tagged union query).
+    brute_topk_sql = _cosine_sql(
+        extra_cols="",
+        join_cond="q.vec_id < 32 AND c.vec_id != q.vec_id",
+        k=5,
+        out_cols=(
+            "vec_id, neighbor_id, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, neighbor_id) AS sim_rank, "
+            "cos AS cos_sim"
+        ),
+    )
+    ivf_topk_sql = f"""
+  WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+  n AS (SELECT vec_id, v, sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm FROM e),
+  cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 31 = 0),
+  assign AS (
+    SELECT vec_id AS neighbor_id, cid, v AS nv, nrm AS nn FROM (
+      SELECT n.vec_id, c.cid, n.v, n.nrm,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY {_COS_DOT.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) DESC,
+                        c.cid) AS r
+      FROM n, cent c) WHERE r = 1),
+  probe AS (
+    SELECT vec_id, cid, v, nrm FROM (
+      SELECT n.vec_id, c.cid, n.v, n.nrm,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id
+               ORDER BY {_COS_DOT.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) DESC,
+                        c.cid) AS r
+      FROM n, cent c WHERE n.vec_id < 16) WHERE r <= 2),
+  pairs AS (
+    SELECT p.vec_id, a.neighbor_id,
+           {_COS_DOT.format(a="p.v", b="a.nv")} / (p.nrm * a.nn) AS cos
+    FROM probe p JOIN assign a USING (cid)
+    WHERE p.vec_id != a.neighbor_id)
+  SELECT vec_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY cos DESC, neighbor_id) AS sim_rank,
+         cos AS cos_sim
+  FROM pairs
+  QUALIFY sim_rank <= 3"""
+    ngram_pairs_sql = f"""
+  WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+  sh AS (SELECT doc_id, source, {_SHINGLES} AS shingles FROM tok),
+  sets AS (SELECT doc_id, source, list_distinct(shingles) AS elems FROM sh),
+  j AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS inter,
+               len(a.elems) + len(b.elems)
+                 - len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS un
+        FROM sets a JOIN sets b
+          ON a.source = b.source AND a.doc_id < b.doc_id)
+  SELECT doc_id_a, doc_id_b,
+         CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+  FROM j WHERE CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.0"""
+
     return {
         "per_key_windowed_sum": """
   SELECT o_orderkey, o_custkey, o_totalprice,
@@ -1415,7 +1478,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_in_group": """
   SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%d/%m/%Y') AS ship_dt,
          ROW_NUMBER() OVER (PARTITION BY l_orderkey
-           ORDER BY l_shipdate, l_linenumber) AS invoice_rank,
+           ORDER BY l_shipdate, l_linenumber, l_extendedprice,
+                    l_partkey, l_suppkey) AS invoice_rank,
          replace(printf('%.2f', l_extendedprice), '.', ',') AS valor_humano,
          CASE WHEN l_quantity = floor(l_quantity)
               THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
@@ -1763,9 +1827,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
   SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
   FROM documents GROUP BY md5(text)""",
-        "dedup_minhash_signatures": _minhash_sig_sql(),
-        "dedup_minhash_pairs": f"""
-  WITH {_minhash_pairs_cte()},{jaccard_tail}""",
+        # Per-doc MinHash signature + LSH bands joined with SimHash-16 —
+        # same grain as q_dedup_fingerprints's doc_id join.
+        "dedup_fingerprints": f"""
+  SELECT s.*, h.simhash16
+  FROM ({_minhash_sig_sql()}) s JOIN ({_simhash_sql()}) h USING (doc_id)""",
+        # `method`-tagged candidate-pair union: MinHash+LSH band join with
+        # exact Jaccard verify, plus blocked n-gram Jaccard
+        # (q_dedup_pairs unions jaccard_on_pairs with ngram_jaccard_pairs).
+        "dedup_pairs": f"""
+  SELECT *, 'minhash_lsh' AS method FROM (WITH {_minhash_pairs_cte()},{jaccard_tail})
+  UNION ALL
+  SELECT *, 'ngram_block' AS method FROM ({ngram_pairs_sql})""",
         # Iterative min-label propagation in Spark; the oracle computes
         # the same fixpoint in closed form with a recursive CTE — every
         # doc's cluster is the MIN doc id reachable through the LSH
@@ -1779,31 +1852,12 @@ def oracle_sql() -> dict[str, str]:
     UNION
     SELECT e.s, reach.r FROM reach JOIN edges e ON e.d = reach.node)
   SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""",
-        "dedup_simhash": _simhash_sql(),
-        "dedup_ngram_jaccard": f"""
-  WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
-  sh AS (SELECT doc_id, source, {_SHINGLES} AS shingles FROM tok),
-  sets AS (SELECT doc_id, source, list_distinct(shingles) AS elems FROM sh),
-  j AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS inter,
-               len(a.elems) + len(b.elems)
-                 - len(list_filter(a.elems, x -> list_contains(b.elems, x))) AS un
-        FROM sets a JOIN sets b
-          ON a.source = b.source AND a.doc_id < b.doc_id)
-  SELECT doc_id_a, doc_id_b,
-         CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
-  FROM j WHERE CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.0""",
-        "similarity_topk": _cosine_sql(
-            extra_cols="",
-            join_cond="q.vec_id < 32 AND c.vec_id != q.vec_id",
-            k=5,
-            out_cols=(
-                "vec_id, neighbor_id, "
-                "ROW_NUMBER() OVER (PARTITION BY vec_id "
-                "ORDER BY cos DESC, neighbor_id) AS sim_rank, "
-                "cos AS cos_sim"
-            ),
-        ),
+        # Merged exact + IVF search, `method`-tagged like the Spark side
+        # (q_similarity_topk unions cosine_topk with ivf_topk).
+        "similarity_topk": f"""
+  SELECT *, 'brute' AS method FROM ({brute_topk_sql})
+  UNION ALL
+  SELECT *, 'ivf' AS method FROM ({ivf_topk_sql})""",
         "similarity_ann_buckets": _cosine_sql(
             extra_cols=f", {_BUCKET_SQL} AS bucket",
             join_cond="q.bucket = c.bucket AND c.vec_id != q.vec_id",
@@ -1859,43 +1913,19 @@ def oracle_sql() -> dict[str, str]:
   SELECT doc_id, n_tokens, stop_ratio,
          md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
   FROM exact WHERE doc_id NOT IN (SELECT dropped FROM drops)""",
-        "similarity_ivf": f"""
-  WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings),
-  n AS (SELECT vec_id, v, sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm FROM e),
-  cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 31 = 0),
-  assign AS (
-    SELECT vec_id AS neighbor_id, cid, v AS nv, nrm AS nn FROM (
-      SELECT n.vec_id, c.cid, n.v, n.nrm,
-             ROW_NUMBER() OVER (PARTITION BY n.vec_id
-               ORDER BY {_COS_DOT.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) DESC,
-                        c.cid) AS r
-      FROM n, cent c) WHERE r = 1),
-  probe AS (
-    SELECT vec_id, cid, v, nrm FROM (
-      SELECT n.vec_id, c.cid, n.v, n.nrm,
-             ROW_NUMBER() OVER (PARTITION BY n.vec_id
-               ORDER BY {_COS_DOT.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) DESC,
-                        c.cid) AS r
-      FROM n, cent c WHERE n.vec_id < 16) WHERE r <= 2),
-  pairs AS (
-    SELECT p.vec_id, a.neighbor_id,
-           {_COS_DOT.format(a="p.v", b="a.nv")} / (p.nrm * a.nn) AS cos
-    FROM probe p JOIN assign a USING (cid)
-    WHERE p.vec_id != a.neighbor_id)
-  SELECT vec_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY vec_id
-           ORDER BY cos DESC, neighbor_id) AS sim_rank,
-         cos AS cos_sim
-  FROM pairs
-  QUALIFY sim_rank <= 3""",
         "embedding_near_dup": _near_dup_sql(),
-        "sample_hash": """
-  SELECT doc_id, source FROM documents
+        # `method`-tagged sampling union mirroring q_sampling_suite:
+        # md5-bucket fractional, per-source quota, per-domain mixture.
+        "sampling_suite": """
+  SELECT doc_id, source, 'hash' AS method FROM documents
   WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4) AS INT)
-        < 16384""",
-        "mixture_sample": """
-  SELECT doc_id, source FROM documents
+        < 16384
+  UNION ALL
+  SELECT doc_id, source, 'stratified' AS method FROM documents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'), doc_id) <= 20
+  UNION ALL
+  SELECT doc_id, source, 'mixture' AS method FROM documents
   WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4) AS INT)
         < CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
                       WHEN 'src2' THEN 32768 WHEN 'src3' THEN 16384
@@ -1940,24 +1970,6 @@ def oracle_sql() -> dict[str, str]:
          regexp_replace(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                         '<IP>', 'g') AS redacted
   FROM s3""",
-        "repetition_metrics": f"""
-  WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-  b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
-          CASE WHEN len(toks) > 0
-               THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-               ELSE 0.0 END AS dup_word_frac
-        FROM t),
-  g AS (SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1]) AS gram
-        FROM b, UNNEST(CASE WHEN len(toks) >= 2 THEN range(1, len(toks))
-                            ELSE CAST([] AS BIGINT[]) END) AS u(i)),
-  gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
-  gm AS (SELECT doc_id, MAX(c) AS mx FROM gc GROUP BY 1)
-  SELECT b.doc_id, b.n_tokens, b.dup_word_frac,
-         COALESCE(CAST(gm.mx * 2 AS DOUBLE) / b.n_tokens, 0.0) AS top_2gram_frac,
-         CAST(CASE WHEN b.dup_word_frac > 0.9
-                     OR COALESCE(CAST(gm.mx * 2 AS DOUBLE) / b.n_tokens, 0.0) > 0.2
-                   THEN 1 ELSE 0 END AS INT) AS is_repetitive
-  FROM b LEFT JOIN gm USING (doc_id)""",
         "sequence_pack": f"""
   WITH t AS (SELECT doc_id, source,
                CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
@@ -2008,13 +2020,14 @@ def oracle_sql() -> dict[str, str]:
          CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT)
            AS share_tokens
   FROM a""",
-        "sample_stratified": """
-  SELECT doc_id, source FROM documents
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY source
-    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'), doc_id) <= 20""",
-        "kmeans_clusters": _kmeans_sql(),
-        "semantic_dedup": _semantic_dedup_sql(),
-        "normalize_text": _normalize_text_sql(),
+        # k-means assignment + SemDeDup survival flag in one grain
+        # (q_kmeans_semantic: kmeans_fit_assign left-joined with
+        # semantic_dedup survivors, kept = 0/1).
+        "kmeans_semantic": f"""
+  SELECT k.vec_id, k.cluster_id, k.dist_sq,
+         CAST(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS kept
+  FROM ({_kmeans_sql()}) k
+  LEFT JOIN ({_semantic_dedup_sql()}) s ON k.vec_id = s.vec_id""",
         "interval_join": """
   WITH iv AS (SELECT user_id, MIN(ts) AS start_ts,
                      MIN(ts) + INTERVAL 24 HOUR AS end_ts
@@ -2093,18 +2106,17 @@ def oracle_sql() -> dict[str, str]:
          COALESCE(n, 0) AS n_shared_shingles,
          CAST(COALESCE(n, 0) >= 1 AS INT) AS is_contaminated
   FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id""",
-        "multimodal_meta": """
+        # Metadata struct + Arrow-batched feature extraction in one
+        # projection (q_multimodal_pipeline: with_binary_payload joined
+        # with extract_features; payload is the UTF-8 text bytes, so
+        # DuckDB recomputes identical features server-side).
+        "multimodal_pipeline": """
   SELECT doc_id, 'application/octet-stream' AS mime,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         -- DuckDB 1.0 md5 takes VARCHAR only; it hashes the UTF-8 bytes,
-         -- which is exactly Spark's md5(encode(text, 'UTF-8')).
-         md5(text) AS payload_md5
-  FROM documents""",
-        "multimodal_features": """
-  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         -- first 8 payload bytes as lowercase hex: hex() emits 2 chars
-         -- per byte, so a 16-char prefix of the full hex = bytes[:8]
-         -- (DuckDB has no BLOB substring; slicing the hex text is exact).
+         -- DuckDB md5(VARCHAR) hashes the UTF-8 bytes = Spark's
+         -- md5(encode(text, 'UTF-8')).
+         md5(text) AS payload_md5,
+         -- first 8 payload bytes as lowercase hex (2 chars/byte).
          lower(substring(hex(encode(text)), 1, 16)) AS head_hex
   FROM documents""",
     }

@@ -32,42 +32,38 @@ BENCH_QUERIES = [
     "smart_dedup",
     "topk_per_group",
     "rank_pivot",
-    "enrichment_join",
-    "phone_spread",
+    "rank_in_group",
+    "enrichment_phones",
     "priority_case_sort",
-    "money_format",
+    "scalar_functions",
     "union_sheets",
-    "tumbling_window_counts",
-    "sliding_window_counts",
+    "window_counts",
     "sessionization",
     "asof_join",
     "export_human_layout",
-    "text_quality",
-    "doc_fingerprint",
+    "text_metrics",
+    "text_transforms",
     "dedup_exact",
-    "dedup_minhash_pairs",
+    "dedup_fingerprints",
+    "dedup_pairs",
     "dedup_clusters",
     "decontamination",
-    "dedup_simhash",
     "similarity_topk",
     "similarity_ann_buckets",
-    "similarity_ivf",
     "embedding_near_dup",
     "corpus_curation_e2e",
     "pii_redact",
-    "repetition_metrics",
     "sequence_pack",
-    "mixture_sample",
+    "sampling_suite",
     "dedup_lines",
     "corpus_stats",
     "budget_select",
     "winnow_pairs",
-    "kmeans_clusters",
-    "semantic_dedup",
+    "kmeans_semantic",
     "top_ngrams",
-    "normalize_text",
     "dedup_incremental",
     "interval_join",
+    "multimodal_pipeline",
 ]
 
 
@@ -79,8 +75,8 @@ BENCH_QUERIES = [
 DEEP_QUERIES = [
     "mailing_pipeline_e2e",
     "robot_pipeline_e2e",
-    "enrichment_join",
-    "phone_spread",
+    "enrichment_phones",
+    "topk_per_group",
     "rank_pivot",
 ]
 
@@ -97,6 +93,12 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     qs = entry_mod.queries()
+
+    # Renames in the query battery must fail loudly, not silently shrink
+    # the headline metric (round-3 lesson: 17 entries KeyError'd away).
+    unknown = [n for n in (*BENCH_QUERIES, *DEEP_QUERIES) if n not in qs]
+    if unknown:
+        raise SystemExit(f"bench list references unknown queries: {unknown}")
 
     def run(name: str, at: str) -> float:
         t0 = time.time()

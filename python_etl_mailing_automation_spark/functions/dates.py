@@ -48,12 +48,14 @@ def epoch_micros(col: str, dtype: str) -> Column:
     ``unix_micros`` only accepts TIMESTAMP (with local time zone); parquet
     written with ``isAdjustedToUTC=false`` reads back as TIMESTAMP_NTZ
     under Spark's default NTZ inference, where ``unix_micros`` raises
-    DATATYPE_MISMATCH. For NTZ, ``timestampdiff`` from the NTZ epoch
-    literal gives the same integer with no session-timezone dependence.
+    DATATYPE_MISMATCH. An NTZ column is first cast to TIMESTAMP — i.e. its
+    wall clock is interpreted in the SESSION timezone, exactly how Spark
+    itself coerces NTZ when the two flavors meet — so frames mixing both
+    flavors (e.g. one side from parquet, one built in-session) bin onto
+    the same integer grid under any session timezone, not only UTC.
     Pass the column's dtype string from ``dict(df.dtypes)[col]``.
     """
+    c = F.col(col)
     if dtype == "timestamp_ntz":
-        return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
-        )
-    return F.unix_micros(F.col(col))
+        c = c.cast("timestamp")
+    return F.unix_micros(c)

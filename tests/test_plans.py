@@ -7,20 +7,19 @@ from __future__ import annotations
 import pytest
 
 
+def _explain(df, mode: str = "simple") -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
     import __spark_entry__ as e
 
     def plan_of(name: str) -> str:
-        return (
-            e.queries()[name](spark, sf_dir)
-            ._jdf.queryExecution()
-            .explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "simple"
-                )
-            )
-        )
+        return _explain(e.queries()[name](spark, sf_dir))
 
     return plan_of
 
@@ -32,12 +31,13 @@ def test_windowed_sum_single_shuffle(plans):
 
 
 def test_blocklist_filter_no_shuffle(plans):
-    p = plans("blocklist_filter")
+    # kept/rejected split is two scan-side filters + a union: no shuffle.
+    p = plans("blocklist_split")
     assert "Exchange" not in p
 
 
 def test_enrichment_join_broadcasts_preaggregated_side(plans):
-    p = plans("enrichment_join")
+    p = plans("enrichment_phones")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     # pre-aggregation happens before the broadcast: partial+final agg pair
@@ -65,11 +65,31 @@ def test_robot_pipeline_is_single_shuffle_no_window(plans):
     assert "Window" not in p
 
 
-def test_maxby_dedup_is_partial_aggregation_no_window(plans):
+def test_maxby_dedup_is_partial_aggregation_no_window(spark, sf_dir):
     """Skew-hardened dedup: a min_by reduction must plan as two-phase
     hash aggregation (map-side partial minima), never as a window sort —
-    that is its entire reason to exist (operators/dedup.py)."""
-    p = plans("smart_dedup_maxby")
+    that is its entire reason to exist (operators/dedup.py). Planned from
+    the operator directly: the battery entry unions it with the window
+    variant, which would mask the no-Window assertion."""
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        dedup_keep_best_maxby,
+    )
+    from python_etl_mailing_automation_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    p = _explain(
+        dedup_keep_best_maxby(
+            orders,
+            "o_custkey",
+            [
+                F.when(F.col("o_orderstatus") == "O", 0).otherwise(1),
+                -F.col("o_totalprice"),
+                F.col("o_orderkey"),
+            ],
+        )
+    )
     assert "Window" not in p
     assert p.count("Exchange hashpartitioning") == 1
     # two-phase: map-side partial minima below the exchange (struct-typed
@@ -106,7 +126,7 @@ def test_no_python_evaluation_in_any_query_plan(spark, sf_dir):
         )
         assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} has an Arrow Python UDF"
-        if name != "multimodal_features":
+        if name != "multimodal_pipeline":
             assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
         # (Codegen spans only render on executed/final AQE plans, so
         # their presence isn't asserted here; Python-free plans + built-in
@@ -131,10 +151,19 @@ def test_winnow_pairs_no_cartesian_and_hot_cut_broadcast(plans):
     assert "LeftAnti" in p
 
 
-def test_kmeans_assignment_is_shuffle_free_scan(plans):
+def test_kmeans_assignment_is_shuffle_free_scan(spark, sf_dir):
     """Assignment against literal centroids: no join anywhere in the
-    final-assignment plan; the only exchange is AQE's output coalesce."""
-    p = plans("kmeans_clusters")
+    final-assignment plan; the only exchange is AQE's output coalesce.
+    Planned from the operator directly: the battery entry joins the
+    SemDeDup kept-flag on top, which would mask the no-Join assertion."""
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        kmeans_fit_assign,
+    )
+    from python_etl_mailing_automation_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit_assign(emb, k=8, n_iter=2)
+    p = _explain(assigned)
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 0
 
