@@ -977,7 +977,9 @@ def q_kmeans_semantic(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings")
     assigned, _ = kmeans_fit_assign(emb, k=8, n_iter=2)
-    kept = semantic_dedup(emb, k=8, n_iter=2, min_cos=0.4).select(
+    # Reuse the fit: re-running kmeans inside semantic_dedup would repeat
+    # the n_iter driver-synced assign/update actions on the same data.
+    kept = semantic_dedup(emb, min_cos=0.4, assigned=assigned).select(
         "vec_id", F.lit(1).alias("kept")
     )
     return (

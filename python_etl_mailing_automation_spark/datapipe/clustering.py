@@ -101,6 +101,14 @@ def kmeans_fit_assign(
     A cluster that loses all members keeps its previous centroid (so the
     codebook size is stable and the result stays engine-reproducible).
     """
+    from .text import spread_for_explode
+
+    # Keyless (round-robin) rebalance: assignment is dim·k flops per row
+    # and the mean update posexplodes dim× — both undercounted by Spark's
+    # byte-based scan sizing when the table arrives as few splits. Keyless
+    # keeps the plan free of hash exchanges (every aggregate downstream is
+    # order-independent: min/sum/decimal-exact means).
+    df = spread_for_explode(df)
     seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
     dim = len(cents[0])
@@ -140,6 +148,7 @@ def semantic_dedup(
     min_cos: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
     then inside each cluster drop every vector that has a
@@ -151,12 +160,18 @@ def semantic_dedup(
     published method avoids the corpus-level all-pairs product. The
     assigned frame feeds both join sides, so it is cached. Adds a
     ``cluster_id`` column to the survivors.
+
+    Callers that already ran ``kmeans_fit_assign`` pass its result as
+    ``assigned`` (must carry ``cluster_id``): the Lloyd fit is n_iter
+    driver-synced scan+aggregate actions, and re-fitting the identical
+    codebook here would double that work for nothing.
     """
     from .similarity import _dot, with_norm
 
-    assigned, _ = kmeans_fit_assign(
-        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-    )
+    if assigned is None:
+        assigned, _ = kmeans_fit_assign(
+            df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
     base = with_norm(assigned, vec_col).cache()
     a = base.select(
         F.col(id_col).alias("__id_a"),

@@ -196,27 +196,84 @@ def ngram_jaccard_pairs(
 
     Quadratic only within a block — the caller chooses a blocking key that
     keeps blocks small (language, length bucket, LSH band, …).
+
+    Execution shape: an inverted-index join, NOT a pair join over shingle
+    arrays. Distinct shingles are exploded and self-equi-joined on
+    ``(block, shingle)``, so each shared shingle is one joined row and the
+    intersection is a ``count(*)`` — per-pair work is O(shared shingles),
+    never the O(|A|·|B|) per-pair array scan (which measured 200+ s at
+    sf0.1 where this shape takes ~2 s). Array payloads never enter a
+    shuffle; only (id, id) rows do. With ``min_jaccard > 0`` the output
+    is only overlapping pairs (the scale path — comparisons are bounded
+    by shingle document frequency); ``min_jaccard <= 0`` honours the
+    full contract by enumerating the block's zero-overlap pairs too,
+    from an id+count-only self-join (cheap rows, no arrays).
     """
-    base = with_shingles(with_tokens(docs, text_col), n=shingle_n)
+    from .text import spread_for_explode
+
+    base = with_shingles(
+        with_tokens(spread_for_explode(docs, id_col), text_col), n=shingle_n
+    )
     sets = base.select(
         F.col(id_col), F.col(block_col).alias("__blk"),
         F.array_distinct(F.col("shingles")).alias("elems"),
     )
-    a = sets.select(
-        F.col(id_col).alias("doc_id_a"), F.col("__blk"), F.col("elems").alias("ea")
+    counts = sets.select(
+        F.col(id_col), F.col("__blk"), F.size("elems").alias("__n_sh")
     )
-    b = sets.select(
+    ex = sets.select(
+        F.col(id_col), F.col("__blk"), F.explode("elems").alias("__sh")
+    )
+    inter = (
+        ex.select(
+            F.col(id_col).alias("doc_id_a"), F.col("__blk"), F.col("__sh")
+        )
+        .join(
+            ex.select(
+                F.col(id_col).alias("doc_id_b"),
+                F.col("__blk").alias("__blk_b"),
+                F.col("__sh").alias("__sh_b"),
+            ),
+            on=[
+                F.col("__blk") == F.col("__blk_b"),
+                F.col("__sh") == F.col("__sh_b"),
+                F.col("doc_id_a") < F.col("doc_id_b"),
+            ],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    ca = counts.select(
+        F.col(id_col).alias("doc_id_a"), F.col("__blk"), F.col("__n_sh").alias("__na")
+    )
+    cb = counts.select(
         F.col(id_col).alias("doc_id_b"),
         F.col("__blk").alias("__blk_b"),
-        F.col("elems").alias("eb"),
+        F.col("__n_sh").alias("__nb"),
     )
-    joined = a.join(
-        b, on=[F.col("__blk") == F.col("__blk_b"), F.col("doc_id_a") < F.col("doc_id_b")]
-    )
-    inter = F.size(F.filter(F.col("ea"), lambda x: F.array_contains(F.col("eb"), x)))
-    union = F.size(F.col("ea")) + F.size(F.col("eb")) - inter
+    if min_jaccard > 0:
+        pairs = inter.join(
+            ca.drop("__blk"), "doc_id_a"
+        ).join(cb.drop("__blk_b"), "doc_id_b")
+    else:
+        # Zero-overlap pairs are part of the contract at this threshold:
+        # enumerate the block cross-pairs over (id, count) rows only.
+        pairs = (
+            ca.join(
+                cb,
+                on=[
+                    F.col("__blk") == F.col("__blk_b"),
+                    F.col("doc_id_a") < F.col("doc_id_b"),
+                ],
+            )
+            .join(inter, ["doc_id_a", "doc_id_b"], "left")
+            .withColumn("__inter", F.coalesce(F.col("__inter"), F.lit(0)))
+        )
+    union = F.col("__na") + F.col("__nb") - F.col("__inter")
     return (
-        joined.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        pairs.withColumn(
+            "jaccard", F.col("__inter").cast("double") / union.cast("double")
+        )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
@@ -313,7 +370,9 @@ def simhash_16(
     Implementation: explode → one integer aggregation per doc (map-side
     partial agg), then bit-pack. Docs with zero tokens produce no row.
     """
-    toks = with_tokens(docs, text_col).select(
+    from .text import spread_for_explode
+
+    toks = with_tokens(spread_for_explode(docs, id_col), text_col).select(
         F.col(id_col), F.explode(F.col("toks")).alias("tok")
     )
     hx = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")

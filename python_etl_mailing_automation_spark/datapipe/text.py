@@ -23,6 +23,26 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
 
 
+def spread_for_explode(df: DataFrame, *cols: str) -> DataFrame:
+    """Rebalance before a compute-amplifying flatmap (shingle/n-gram
+    explode, ~100× row amplification).
+
+    Spark sizes scan partitions by INPUT bytes, which undercounts an
+    exploding stage by the amplification factor: a table small enough to
+    arrive as a handful of splits serializes the whole tokenize → shingle
+    → explode chain onto those few cores (measured: the sf0.1 documents
+    table is ONE split, so every shingle ran on one core — 40% of the
+    blocked-jaccard wall clock). Repartitioning to the session's shuffle
+    parallelism first moves only the raw rows, then the explode runs
+    wide. No-op when the input already has at least that many partitions
+    (a 100 TB scan has thousands of splits — this never fires there).
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def tokens_of(text_col: Column | str) -> Column:
     """Whitespace tokenization: trim then split on ``\\s+``."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -257,7 +277,8 @@ def top_ngrams(
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_doc = (
-        df.select(F.col(id_col).alias("__doc"), F.explode(grams).alias("gram"))
+        spread_for_explode(df, id_col)
+        .select(F.col(id_col).alias("__doc"), F.explode(grams).alias("gram"))
         .groupBy("gram", "__doc")
         .agg(F.count(F.lit(1)).alias("__occ"))
     )
