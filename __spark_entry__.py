@@ -1056,6 +1056,39 @@ def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return top_ngrams(docs, n=3, top_k=20)
 
 
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-token sliding-window chunking with overlap
+    (datapipe/text.chunk_documents): 32-token chunks, 8-token overlap
+    (stride 24) — the context-window splitter for RAG indexing /
+    long-doc pretraining. Per-row array algebra + explode; integer chunk
+    grid, so the layout is exact and engine-portable."""
+    from python_etl_mailing_automation_spark.datapipe.text import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 salient terms under tf·idf order
+    (datapipe/text.tfidf_topk), scored as tf/df — rank-equivalent to
+    tf·idf for any monotone idf and bit-exact across engines (single
+    IEEE division, no ln)."""
+    from python_etl_mailing_automation_spark.datapipe.text import tfidf_topk
+
+    docs = _t(spark, sf, "documents")
+    return tfidf_topk(docs, k=3)
+
+
+def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus-wide shuffle + 8-way sharding for training
+    export (datapipe/sampling.shard_assign): md5-derived shard + within-
+    shard position; one shard-keyed shuffle, never a global sort."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import shard_assign
+
+    docs = _t(spark, sf, "documents")
+    return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -1112,6 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "interval_join": q_interval_join,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "doc_chunks": q_doc_chunks,
+        "tfidf_topk": q_tfidf_topk,
+        "shard_assign": q_shard_assign,
     }
 
 
@@ -2121,4 +2157,44 @@ def oracle_sql() -> dict[str, str]:
          -- first 8 payload bytes as lowercase hex (2 chars/byte).
          lower(substring(hex(encode(text)), 1, 16)) AS head_hex
   FROM documents""",
+        # 32-token chunks, stride 24 (overlap 8): DuckDB's range(0, n, 24)
+        # equals Spark's sequence(0, n-1, 24) start grid (empty at n=0);
+        # list_slice is 1-based end-inclusive with clamped overrun, same
+        # as Spark's slice(toks, start+1, 32).
+        "doc_chunks": f"""
+  WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  c AS (SELECT doc_id, toks,
+               UNNEST(range(0, len(toks), 24)) AS chunk_start FROM tok)
+  SELECT doc_id,
+         chunk_start // 24 AS chunk_idx,
+         chunk_start,
+         CAST(len(list_slice(toks, chunk_start + 1, chunk_start + 32)) AS BIGINT)
+           AS n_chunk_tokens,
+         array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 32), ' ')
+           AS chunk_text
+  FROM c""",
+        # tf/df ranks identically to tf·idf (N constant) and is one IEEE
+        # division — engine-exact, unlike ln-based idf.
+        "tfidf_topk": f"""
+  WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+  dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+  SELECT doc_id, term, tf, df,
+         CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term)
+           AS tfidf_rank
+  FROM tf JOIN dfq USING (term)
+  QUALIFY tfidf_rank <= 3""",
+        # Shard = first-8-hex of the salted md5 mod 8; pos = rank under
+        # the full-digest order within the shard (id tiebreak).
+        "shard_assign": """
+  WITH d AS (SELECT doc_id, source,
+                    md5(CAST(doc_id AS VARCHAR) || '|') AS dg FROM documents)
+  SELECT doc_id, source,
+         CAST('0x' || substr(dg, 1, 8) AS BIGINT) % 8 AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST('0x' || substr(dg, 1, 8) AS BIGINT) % 8
+           ORDER BY dg, doc_id) - 1 AS pos
+  FROM d""",
     }

@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "interval_join",
     "multimodal_pipeline",
+    "doc_chunks",
+    "tfidf_topk",
+    "shard_assign",
 ]
 
 

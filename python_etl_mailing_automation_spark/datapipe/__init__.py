@@ -35,13 +35,17 @@ from .sampling import (  # noqa: F401
     budget_select,
     hash_sample,
     mixture_sample,
+    shard_assign,
     stratified_sample,
 )
 from .similarity import ann_bucket_topk, cosine_topk  # noqa: F401
 from .text import (  # noqa: F401
+    chunk_documents,
     doc_fingerprint,
     lang_id,
     quality_score,
     repetition_metrics,
+    spread_for_explode,
+    tfidf_topk,
     token_count,
 )

@@ -169,3 +169,43 @@ def budget_select(
         .drop("__cum")
     )
     return full.unionByName(boundary_kept).drop("__before", "__btok")
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus-wide shuffle + sharding — the export step
+    that turns a curated corpus into N training shards, each internally
+    shuffled, without ever running a global sort.
+
+    ``shard`` is the first 8 hex digits of ``md5(id || '|' || salt)``
+    mod ``n_shards`` (uniform, reproducible, salt-independent draws for
+    re-shuffles between epochs); ``pos`` is the document's 0-based rank
+    within its shard under the full-digest order (id tiebreak). Reading
+    shard files in ``pos`` order replays one fixed global permutation.
+
+    Scale: one shuffle on the shard key, then a per-shard sort of (id,
+    digest) rows — fixed-width, so a shard's sort state is tiny relative
+    to the documents themselves; ``n_shards`` is the parallelism lever
+    (thousands at 100 TB, exactly how a training loader wants its input
+    laid out anyway). Never a single global order-by.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    digest = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit("|"), F.lit(salt))
+    )
+    out = df.withColumn("__digest", digest).withColumn(
+        "shard",
+        (F.conv(F.substring("__digest", 1, 8), 16, 10).cast("long") % n_shards),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__digest").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__digest")

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Default marker words per language for the n-gram/stopword heuristic
@@ -329,3 +329,99 @@ def normalize_text(
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     out = df.withColumn(out_col, c)
     return out.withColumn("norm_digest", F.md5(F.col(out_col)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-token sliding-window chunking — the context-window splitter
+    a RAG index or a long-document pretraining pipeline runs over every
+    document.
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the final chunk may be
+    short. An empty document yields ONE empty chunk: the whitespace
+    tokenizer maps ``""`` to a single empty token (Spark's ``split`` and
+    DuckDB's ``string_split_regex`` agree), consistent with
+    ``token_count`` across the battery. Output grain
+    is one row per (document, chunk): ``chunk_idx``/``chunk_start``/
+    ``n_chunk_tokens`` (bigint) and ``chunk_text`` (the chunk's tokens
+    re-joined with single spaces).
+
+    Scale: per-row array algebra (token split → start offsets →
+    posexplode → slice) — no shuffle beyond the `spread_for_explode`
+    rebalance; all arithmetic is integer, so the chunk grid is exact and
+    engine-portable.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_of(text_col)
+    n = F.size(toks)
+    # sequence(0, n-1, stride): start offsets < n; empty when n == 0.
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    out = (
+        spread_for_explode(df, id_col)
+        .select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.slice(
+                F.col("__toks"), F.col("chunk_start") + 1, F.lit(chunk_tokens)
+            ).alias("__chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` salient terms under tf·idf ORDER — scored
+    as ``tf / df``, which ranks identically to ``tf · idf(N, df)`` for
+    any idf monotonically decreasing in ``df`` (N is a corpus-wide
+    constant): the ratio form needs no corpus-count action and, unlike
+    ``ln``-based idf, is a single IEEE division — bit-identical across
+    engines, so the score column itself is oracle-checkable.
+
+    Scale shape: explode → (doc, term) count with map-side combine →
+    term document-frequency from the SAME distinct grain (no
+    count-distinct expand) → term-keyed join (AQE broadcasts the df side
+    when the vocabulary is small) → per-doc top-k window. Ties break on
+    the term string, so the selected set is deterministic.
+    """
+    ex = spread_for_explode(df, id_col).select(
+        F.col(id_col), F.explode(tokens_of(text_col)).alias("term")
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("score", F.col("tf").cast("double") / F.col("df").cast("double"))
+        .withColumn("tfidf_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("tfidf_rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "tfidf_rank")
+    )

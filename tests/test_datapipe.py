@@ -890,3 +890,85 @@ def test_run_curation_job_benchmark_and_budget(tmp_path, spark):
     # doc 2 decontaminated away; budget of 60 tokens keeps only one ~46-token doc
     assert res.stage_counts["decontaminated"] == 2
     assert res.n_curated == 1
+
+
+def test_chunk_documents_grid_and_overlap(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "a b c"),                            # shorter than one chunk
+            (3, ""),                                 # empty -> one empty chunk
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 1: stride 3 -> starts 0,3,6,9
+    assert {(i, c) for (i, c) in rows if i == 1} == {(1, 0), (1, 1), (1, 2), (1, 3)}
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert rows[(1, 3)]["chunk_text"] == "t9"            # short tail chunk
+    assert rows[(1, 3)]["n_chunk_tokens"] == 1
+    assert rows[(1, 1)]["chunk_start"] == 3
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    # the whitespace tokenizer maps "" to one empty token (battery-wide
+    # convention, engine-identical): one empty chunk
+    assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_chunk_tokens"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2"),
+            (3, "common other other"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["tfidf_rank"]): r for r in tfidf_topk(docs, k=2).collect()
+    }
+    # doc 1: rare1 tf=1 df=1 (score 1.0) beats common tf=3 df=3 (score 1.0)?
+    # equal scores tie-break on term: "common" < "rare1".
+    assert out[(1, 1)]["term"] == "common" and out[(1, 1)]["score"] == 1.0
+    assert out[(1, 2)]["term"] == "rare1"
+    # doc 3: other tf=2 df=1 -> score 2.0 outranks common 1/3
+    assert out[(3, 1)]["term"] == "other" and out[(3, 1)]["score"] == 2.0
+    assert out[(3, 2)]["term"] == "common"
+    assert out[(3, 2)]["df"] == 3
+
+
+def test_shard_assign_is_dense_deterministic_partition(spark):
+    from python_etl_mailing_automation_spark.datapipe.sampling import shard_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], ["doc_id", "text"]
+    )
+    a = shard_assign(docs, 4).collect()
+    b = shard_assign(docs, 4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # every shard's positions are exactly 0..n-1 (dense, no gaps)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    assert sum(len(v) for v in by_shard.values()) == 50
+    # a different salt draws a different permutation
+    salted = shard_assign(docs, 4, salt="epoch1").collect()
+    assert sorted(map(tuple, salted)) != sorted(map(tuple, a))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shard_assign(docs, 0)
