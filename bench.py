@@ -81,6 +81,17 @@ DEEP_QUERIES = [
     "enrichment_phones",
     "topk_per_group",
     "rank_pivot",
+    # Datapipe tier at 10×: make_sf keeps documents' block sizes constant
+    # (per-copy source suffix) so these scale linearly by design — a
+    # quadratic regression (like round 4's per-pair array-scan jaccard)
+    # shows up here as a 100× deep number, not as a silent sf0.1 blip.
+    "corpus_curation_e2e",
+    "dedup_pairs",
+    "dedup_fingerprints",
+    "tfidf_topk",
+    "doc_chunks",
+    "top_ngrams",
+    "sessionization",
 ]
 
 

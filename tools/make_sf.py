@@ -22,17 +22,27 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Relational tables only: the deep tier runs the mailing/robot pipelines
-# and the big windowed/join queries. The LSH/ANN tables (documents,
-# embeddings, events) are intentionally not replicated — their cost is
-# governed by query parameters (band/bucket counts) that a fixed-param
-# bench must not silently re-scale.
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
 KEY_OFFSET = 100_000_000  # far above any key at sf≤1
 
 
 def make_scaled_sf(base: str, out: str, copies: int, spark=None) -> str:
+    """Key-shift-replicate the relational tables AND the datapipe tables.
+
+    - Relational: every ``*key`` column shifts by copy·offset — new
+      entities, same group sizes, ``copies``× join fan-in.
+    - ``documents``: ``doc_id`` shifts; each copy's text gets a distinct
+      leading marker token (so copies are NEAR-duplicates — the shape a
+      real crawl has — not byte-identical rows that would collapse under
+      exact dedup); ``source`` gets a per-copy suffix so BLOCK sizes stay
+      constant and blocked-quadratic operators scale linearly, exactly
+      the "caller keeps blocks small" contract.
+    - ``embeddings``: ``vec_id`` shifts, vectors unchanged.
+    - ``events``: ``event_id``/``user_id`` shift — new users, same
+      per-user timelines, so sessionization/interval queries scale
+      linearly.
+    """
     from pyspark.sql import functions as F
 
     from python_etl_mailing_automation_spark.session import build_spark
@@ -42,6 +52,14 @@ def make_scaled_sf(base: str, out: str, copies: int, spark=None) -> str:
     if own_session:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         spark = build_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    def replicate(df, mutate):
+        parts = [mutate(df, i) for i in range(copies)]
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        return scaled
+
     for name in TABLES:
         df = read_table(spark, base, name)
         key_cols = [
@@ -49,16 +67,42 @@ def make_scaled_sf(base: str, out: str, copies: int, spark=None) -> str:
             for f in df.schema.fields
             if f.name.endswith("key") and f.dataType.simpleString() in ("bigint", "int")
         ]
-        parts = [
-            df.withColumns(
-                {c: F.col(c) + F.lit(i * KEY_OFFSET) for c in key_cols}
-            )
-            for i in range(copies)
-        ]
-        scaled = parts[0]
-        for p in parts[1:]:
-            scaled = scaled.unionByName(p)
-        scaled.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        replicate(
+            df,
+            lambda d, i, kc=key_cols: d.withColumns(
+                {c: F.col(c) + F.lit(i * KEY_OFFSET) for c in kc}
+            ),
+        ).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    docs = read_table(spark, base, "documents")
+    replicate(
+        docs,
+        lambda d, i: d.withColumns(
+            {
+                "doc_id": F.col("doc_id") + F.lit(i * KEY_OFFSET),
+                "text": F.concat(F.lit(f"copy{i} "), F.col("text")),
+                "source": F.concat(F.col("source"), F.lit(f"_{i}")),
+            }
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = read_table(spark, base, "embeddings")
+    replicate(
+        emb,
+        lambda d, i: d.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_OFFSET)),
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    events = read_table(spark, base, "events")
+    replicate(
+        events,
+        lambda d, i: d.withColumns(
+            {
+                "event_id": F.col("event_id") + F.lit(i * KEY_OFFSET),
+                "user_id": F.col("user_id") + F.lit(i * KEY_OFFSET),
+            }
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
     if own_session:
         spark.stop()
     return out
