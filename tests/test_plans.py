@@ -177,3 +177,33 @@ def test_interval_join_plans_as_equi_join(plans):
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
         "ShuffledHashJoin" in p
     )
+
+
+def test_doc_chunks_single_rebalance_no_join(plans):
+    """Chunking is scan → spread rebalance → generate/slice: exactly the
+    one repartition exchange, no join, no window, pruned scan."""
+    p = plans("doc_chunks")
+    assert p.count("Exchange") == 1
+    assert "Join" not in p and "Window" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_tfidf_broadcasts_vocabulary_and_pushes_topk(plans):
+    """tf and df join on the term key as a broadcast (vocabulary side is
+    the small build side), the (doc, term) aggregate is map-side combined,
+    and the per-doc top-k runs under WindowGroupLimit — per-partition
+    k-row heaps before the sort, never a full window sort."""
+    p = plans("tfidf_topk")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "partial_count" in p
+    assert "WindowGroupLimit" in p
+
+
+def test_shard_assign_is_single_shard_shuffle(plans):
+    """The corpus-wide shuffle is ONE hash exchange on the shard key plus
+    a per-shard sort — no join, no global (single-partition) sort."""
+    p = plans("shard_assign")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    # the sort is the window's per-partition sort, not a global order-by
+    assert "rangepartitioning" not in p.lower()
