@@ -268,3 +268,50 @@ def test_interval_join_equals_naive_between(spark, events, intervals, granularit
         if k == rk and s <= m <= s + d
     }
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # token count per doc
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=2, max_value=12),  # chunk_tokens
+    st.integers(min_value=0, max_value=6),   # overlap (< chunk_tokens enforced)
+)
+@SETTINGS
+def test_chunk_documents_covers_every_token_exactly(spark, docs, chunk_tokens, overlap):
+    """Chunk-grid invariants for any (doc length, chunk size, overlap):
+    starts form the exact stride grid below n, consecutive chunks overlap
+    by exactly `overlap` tokens (except a shorter tail), and every token
+    index is covered by at least one chunk."""
+    from python_etl_mailing_automation_spark.datapipe.text import chunk_documents
+
+    overlap = min(overlap, chunk_tokens - 1)
+    stride = chunk_tokens - overlap
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n[0])))
+        for i, n in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, (n,) in enumerate(docs):
+        # the "" -> [""] tokenizer convention: an empty doc has one token
+        n_eff = max(n, 1)
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        starts = [r["chunk_start"] for r in chunks]
+        assert starts == list(range(0, n_eff, stride))
+        covered = set()
+        for r in chunks:
+            assert r["n_chunk_tokens"] == min(chunk_tokens, n_eff - r["chunk_start"])
+            covered.update(
+                range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"])
+            )
+        assert covered == set(range(n_eff))
