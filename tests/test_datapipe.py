@@ -972,3 +972,35 @@ def test_shard_assign_is_dense_deterministic_partition(spark):
 
     with _pytest.raises(ValueError):
         shard_assign(docs, 0)
+
+
+def test_ann_bucket_recall_vs_exact(spark, sf_dir):
+    """Measured recall evidence for the SRP bucket path: against the
+    exact cosine top-1 over the real embeddings table, the 4-bit bucket
+    join must recover a meaningful fraction of true nearest neighbors
+    (perfect recall is impossible by design — 16 buckets partition the
+    corpus — but a degenerate or sign-biased hash collapses recall
+    toward 1/n_buckets; this guards the useful-recall floor)."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        ann_bucket_topk,
+        cosine_topk,
+    )
+    from python_etl_mailing_automation_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in cosine_topk(emb, emb, k=1).collect()
+    }
+    approx: dict[int, set[int]] = {}
+    for r in ann_bucket_topk(emb, bits=4, k=3).collect():
+        approx.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for v, nn in exact.items() if nn in approx.get(v, set()))
+    recall = hits / len(exact)
+    # The synthetic corpus has no planted near-dups (max cosine ~0.47),
+    # so absolute recall is bounded by how weakly "nearest" separates
+    # from random — the meaningful invariant is the margin over the
+    # random-bucketing floor of 1/16. Seeded planes + fixed data make
+    # the measurement exact (0.158 ≈ 2.5× floor); assert 2× to guard
+    # degeneration without flake room.
+    assert recall >= 2.0 / 16, f"bucket ANN recall at random floor: {recall:.3f}"
