@@ -24,7 +24,6 @@ from python_etl_mailing_automation_spark.datapipe.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash_16,
 )
 from python_etl_mailing_automation_spark.datapipe.multimodal import (
     extract_features,
@@ -670,17 +669,23 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document near-dup fingerprints in one entry: the 6 salted-md5
     MinHash components + 3 LSH band keys (datapipe/dedup
-    .minhash_signatures) and the 16-bit SimHash (simhash_16). Both are
-    per-doc signatures on the same grain; joined on doc_id (both sides
-    derive from the same scan — at scale this is one pass + a co-located
-    self-join the optimizer collapses)."""
-    docs = _t(spark, sf, "documents")
-    sig = minhash_signatures(docs).select(
+    .minhash_signatures) and the 16-bit SimHash. One FUSED scan: the
+    SimHash is the per-row fold form (with_simhash16, bit-identical to
+    the explode→agg simhash_16), so the whole fingerprint projection is
+    shuffle-free column algebra — no join to attach the signatures."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import with_simhash16
+    from python_etl_mailing_automation_spark.datapipe.text import spread_for_explode
+
+    # Heavy per-row hashing (6 salted minhash passes + 16 bit folds):
+    # rebalance a few-split scan first, same byte-undercount rationale
+    # as the explode cases (no-op on a real multi-split scan).
+    docs = spread_for_explode(_t(spark, sf, "documents"), "doc_id")
+    return minhash_signatures(with_simhash16(docs)).select(
         "doc_id",
         *[f"mh_{j}" for j in range(1, 7)],
         *[f"band_{b}" for b in range(1, 4)],
+        "simhash16",
     )
-    return sig.join(simhash_16(docs), "doc_id")
 
 
 def q_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:

@@ -375,6 +375,9 @@ def simhash_16(
     toks = with_tokens(spread_for_explode(docs, id_col), text_col).select(
         F.col(id_col), F.explode(F.col("toks")).alias("tok")
     )
+    # (see with_simhash16 for the zero-shuffle per-row form of the same
+    # fingerprint — this explode→agg form remains for the streaming/
+    # incremental paths that already shuffle on doc_id anyway)
     hx = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
     withbits = toks.withColumn("hx", hx)
     aggs = [
@@ -388,6 +391,46 @@ def simhash_16(
     for k in range(16):
         packed = packed + F.when(F.col(f"s{k}") >= 0, F.lit(2**k)).otherwise(F.lit(0))
     return summed.select(F.col(id_col), packed.cast("long").alias("simhash16"))
+
+
+def with_simhash16(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "simhash16"
+) -> DataFrame:
+    """Per-row SimHash-16 — the zero-shuffle form of :func:`simhash_16`.
+
+    Same construction (each token's 16-bit md5 prefix votes ±1 per bit;
+    the vote signs pack the fingerprint), but the votes fold over the
+    token array IN-ROW instead of explode → groupBy: scan-speed column
+    algebra, no shuffle, no join needed to attach the fingerprint to
+    other per-doc signatures. Fingerprints are bit-identical to
+    ``simhash_16`` (verified by test) — the only semantic difference is
+    that a null-text row yields fingerprint 0 here where the explode
+    form emits no row.
+
+    The md5-prefix ints materialize once as a real projection column
+    before the 16 bit-folds (Catalyst's CollapseProject keeps expensive
+    multi-referenced expressions un-inlined), so each token is hashed
+    once, not 16 times.
+    """
+    from .text import tokens_of
+
+    hx = F.transform(
+        tokens_of(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
+    )
+    out = df.withColumn("__hx16", hx)
+
+    def _vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(bit)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    packed: Column = F.lit(0)
+    for k in range(16):
+        bit = 1 << k
+        s_k = F.aggregate(F.col("__hx16"), F.lit(0), _vote(bit))
+        packed = packed + F.when(s_k >= 0, F.lit(bit)).otherwise(F.lit(0))
+    return out.withColumn(out_col, packed.cast("long")).drop("__hx16")
 
 
 def dedup_lines(

@@ -1004,3 +1004,30 @@ def test_ann_bucket_recall_vs_exact(spark, sf_dir):
     # the measurement exact (0.158 ≈ 2.5× floor); assert 2× to guard
     # degeneration without flake room.
     assert recall >= 2.0 / 16, f"bucket ANN recall at random floor: {recall:.3f}"
+
+
+def test_fused_simhash_matches_explode_form(spark, sf_dir):
+    """with_simhash16 (per-row fold, zero shuffle) must be bit-identical
+    to simhash_16 (explode → groupBy) on the real documents table, and
+    its plan must contain no exchange at all."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        simhash_16,
+        with_simhash16,
+    )
+    from python_etl_mailing_automation_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    agg = {r["doc_id"]: r["simhash16"] for r in simhash_16(docs).collect()}
+    fused = {
+        r["doc_id"]: r["simhash16"]
+        for r in with_simhash16(docs).select("doc_id", "simhash16").collect()
+    }
+    assert fused == agg
+    p = (
+        with_simhash16(docs)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    )
+    assert "Exchange" not in p

@@ -207,3 +207,12 @@ def test_shard_assign_is_single_shard_shuffle(plans):
     assert "Join" not in p
     # the sort is the window's per-partition sort, not a global order-by
     assert "rangepartitioning" not in p.lower()
+
+
+def test_dedup_fingerprints_is_fused_single_scan(plans):
+    """MinHash + SimHash fingerprints come from ONE fused scan: the only
+    exchange is the spread rebalance — no join to attach the SimHash
+    (with_simhash16 is the per-row fold form)."""
+    p = plans("dedup_fingerprints")
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
