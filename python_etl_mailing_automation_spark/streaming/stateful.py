@@ -20,6 +20,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "key string, first_ts timestamp, payload string"
@@ -108,3 +109,44 @@ def dedup_stream_against_store(
     return enriched.join(
         store.select(digest_col).distinct(), on=digest_col, how="left_anti"
     )
+
+
+def curate_document_stream(
+    stream: DataFrame,
+    store: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_stop_ratio: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of ``datapipe.curation.curate_corpus``'s quality →
+    exact-dedup prefix, for continuous ingest:
+
+    1. per-row quality gate (``quality_score`` — pure column algebra, so
+       the batch expressions run unchanged on the streaming frame);
+    2. CCNet canonicalization + md5 digest (``normalize_text``);
+    3. intra-stream exact dedup: ``dropDuplicates`` on the digest
+       (state = one entry per distinct digest — bound it with
+       ``withWatermark`` + ``dropDuplicatesWithinWatermark`` in
+       deployments with an event-time column);
+    4. optional ledger anti-join (``dedup_stream_against_store`` —
+       stream-static LEFT ANTI, stateless on the stream side).
+
+    MinHash/LSH near-dup is deliberately NOT part of the stream: the
+    band self-join is a stream-stream join whose state grows with the
+    corpus. The standard split applies — stream the cheap exact tier,
+    run the LSH tier in the periodic batch compaction
+    (``datapipe.curation.curate_corpus``).
+    """
+    from ..datapipe.text import normalize_text, quality_score
+
+    gated = quality_score(
+        stream,
+        text_col,
+        min_tokens=min_tokens,
+        max_stop_ratio=max_stop_ratio,
+    ).filter(F.col("is_quality") == 1)
+    deduped = normalize_text(gated, text_col).dropDuplicates(["norm_digest"])
+    if store is not None:
+        deduped = dedup_stream_against_store(deduped, store)
+    return deduped

@@ -6,6 +6,8 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+from pyspark.sql import functions as F
+
 from python_etl_mailing_automation_spark.sources import read_table
 from python_etl_mailing_automation_spark.streaming import (
     tumbling_event_counts,
@@ -137,3 +139,70 @@ def test_stream_static_dedup_against_store(spark):
         assert kept == {1, 3}
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def test_streaming_curation_matches_batch_prefix(spark):
+    """curate_document_stream (quality gate -> canonicalize -> exact
+    dedup -> ledger anti-join) over a document stream yields exactly the
+    digest set its batch twin computes."""
+    import tempfile
+
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        normalize_text,
+        quality_score,
+    )
+    from python_etl_mailing_automation_spark.streaming.stateful import (
+        curate_document_stream,
+    )
+
+    filler = "many plain filler words without stops " * 3
+    rows = [
+        (1, filler + "alpha beta"),
+        (2, filler + "alpha beta"),          # exact dup of 1 (post-canon)
+        (3, filler + "Alpha,  beta!"),       # canonicalizes to doc 1's digest
+        (4, filler + "gamma delta"),
+        (5, "too short"),                    # fails the length gate
+        (6, filler + "known ledger doc"),    # already in the store
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    store = normalize_text(
+        spark.createDataFrame([(0, filler + "known ledger doc")], "doc_id long, text string")
+    ).select("norm_digest")
+
+    batch_expect = {
+        r["norm_digest"]
+        for r in normalize_text(
+            quality_score(df, min_tokens=10, max_stop_ratio=0.5).filter(
+                F.col("is_quality") == 1
+            )
+        )
+        .join(store, "norm_digest", "left_anti")
+        .select("norm_digest")
+        .distinct()
+        .collect()
+    }
+    assert len(batch_expect) == 2  # {alpha-beta, gamma-delta}
+
+    stage = tempfile.mkdtemp(prefix="cur_in_")
+    ckpt = tempfile.mkdtemp(prefix="cur_ck_")
+    try:
+        df.write.mode("overwrite").parquet(stage)
+        stream = spark.readStream.schema(df.schema).parquet(stage)
+        q = (
+            curate_document_stream(stream, store, min_tokens=10, max_stop_ratio=0.5)
+            .select("norm_digest")
+            .writeStream.format("memory").queryName("curated_stream")
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["norm_digest"]
+                for r in spark.sql("select * from curated_stream").collect()
+            }
+        finally:
+            q.stop()
+        assert got == batch_expect
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
