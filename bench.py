@@ -8,6 +8,11 @@ Each query is forced end-to-end with the noop sink (full computation, no
 I/O, no Catalyst count-style pruning shortcuts). One warm-up pass of the
 flagship query absorbs JVM/codegen warm-up so timings reflect steady
 state.
+
+Round-over-round comparability: the headline list grew r3→r4 (28 → 42
+entries after the battery consolidation + new operators), so compare
+``sec_per_query`` (and per-query values), not the raw total.
+r3 = 1.282 s/q; r4 ≈ 1.18 s/q on the same hardware.
 """
 
 from __future__ import annotations
