@@ -38,8 +38,14 @@ def spread_for_explode(df: DataFrame, *cols: str) -> DataFrame:
     (a 100 TB scan has thousands of splits — this never fires there).
     """
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        # Spark Connect has no RDD API to probe the split count; callers
+        # only invoke this on amplification-heavy paths, where an
+        # unconditional rebalance is the safe default.
+        pass
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 

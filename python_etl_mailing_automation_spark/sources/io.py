@@ -297,3 +297,41 @@ def write_sharded_parquet(
     )
     out.write.mode("overwrite").parquet(str(out_dir))
     return shards
+
+
+def write_jsonl_shards(
+    df,
+    out_dir: str | Path,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> int:
+    """Training-export sink: deterministic corpus shuffle → one JSONL
+    directory per shard (``shard=N/``), rows inside each shard laid out
+    in the shard's permutation order.
+
+    Composes :func:`~python_etl_mailing_automation_spark.datapipe
+    .sampling.shard_assign` (md5 shard + within-shard position — never a
+    global sort) with a ``partitionBy("shard")`` JSON writer; rows are
+    sorted by ``pos`` within each shard partition, so reading a shard's
+    files in order replays one fixed global permutation — the layout a
+    training loader consumes directly. Returns ``n_shards``.
+
+    Scale: one shuffle on the shard key plus per-shard sorts of that
+    shard's rows; shard count is the parallelism/file-size lever
+    (thousands at 100 TB). JSONL because it is the interchange format
+    LLM-data tooling expects; use :func:`write_sharded_parquet` when the
+    consumer is Spark again.
+    """
+    from ..datapipe.sampling import shard_assign
+
+    sharded = shard_assign(df, n_shards, id_col=id_col, salt=salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(str(out_dir))
+    )
+    return n_shards

@@ -129,3 +129,41 @@ def test_register_views_sql_surface(spark, sf_dir):
     ).first()
     assert row["total"] > 0
     assert spark.sql("SELECT COUNT(*) c FROM events").first()["c"] > 0
+
+
+def test_write_jsonl_shards_roundtrip_and_order(spark, tmp_path):
+    """The JSONL training export: every shard directory holds its docs in
+    the deterministic permutation order (pos), the union round-trips
+    exactly, and the same salt reproduces the same layout."""
+    import json
+    from pathlib import Path
+
+    from python_etl_mailing_automation_spark.sources.io import write_jsonl_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = tmp_path / "export"
+    n = write_jsonl_shards(docs, out, 4)
+    assert n == 4
+    shard_dirs = sorted(p.name for p in Path(out).glob("shard=*"))
+    assert len(shard_dirs) == 4
+
+    seen = []
+    for d in sorted(Path(out).glob("shard=*")):
+        rows = []
+        for f in sorted(d.glob("part-*")):
+            rows += [json.loads(line) for line in f.read_text().splitlines()]
+        # in-file order IS the permutation order
+        assert [r["pos"] for r in rows] == sorted(r["pos"] for r in rows)
+        assert [r["pos"] for r in rows] == list(range(len(rows)))
+        seen += [r["doc_id"] for r in rows]
+    assert sorted(seen) == list(range(40))
+
+    # reproducible layout
+    out2 = tmp_path / "export2"
+    write_jsonl_shards(docs, out2, 4)
+    for d in ("shard=0", "shard=1", "shard=2", "shard=3"):
+        a = b"".join(f.read_bytes() for f in sorted((Path(out) / d).glob("part-*")))
+        c = b"".join(f.read_bytes() for f in sorted((Path(out2) / d).glob("part-*")))
+        assert a == c
