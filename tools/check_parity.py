@@ -88,12 +88,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
+    # Partition-invariance lever: every battery result is engineered to be
+    # identical under ANY parallelism/partitioning (decimal accumulators,
+    # superkey windows, md5 ordering). Running the full battery at an odd
+    # partition count (e.g. --cpus 3 --shuffle-partitions 5) exercises
+    # exactly the cross-partition reorderings a cluster would produce.
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--shuffle-partitions", type=int, default=16)
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
     from python_etl_mailing_automation_spark.session import build_spark
 
-    spark = build_spark(master="local[8]", shuffle_partitions=16)
+    spark = build_spark(
+        master=f"local[{args.cpus}]", shuffle_partitions=args.shuffle_partitions
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
