@@ -214,15 +214,22 @@ def ngram_jaccard_pairs(
     base = with_shingles(
         with_tokens(spread_for_explode(docs, id_col), text_col), n=shingle_n
     )
-    sets = base.select(
+    # The distinct-shingle expression is inlined into BOTH projections
+    # rather than materialized as an intermediate `elems` column: with an
+    # intermediate column, InferFiltersFromGenerate derives a
+    # `size(elems) > 0` filter and predicate pushdown carries the whole
+    # shingle pipeline below the rebalance exchange — i.e. the expensive
+    # expression runs on the UNSPREAD scan's few cores (measured 35×
+    # slower on a one-split table). Inline, the inferred filter never
+    # forms and the shingle work stays above the exchange.
+    elems = F.array_distinct(F.col("shingles"))
+    counts = base.select(
         F.col(id_col), F.col(block_col).alias("__blk"),
-        F.array_distinct(F.col("shingles")).alias("elems"),
+        F.size(elems).alias("__n_sh"),
     )
-    counts = sets.select(
-        F.col(id_col), F.col("__blk"), F.size("elems").alias("__n_sh")
-    )
-    ex = sets.select(
-        F.col(id_col), F.col("__blk"), F.explode("elems").alias("__sh")
+    ex = base.select(
+        F.col(id_col), F.col(block_col).alias("__blk"),
+        F.explode(elems).alias("__sh"),
     )
     inter = (
         ex.select(
