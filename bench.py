@@ -12,7 +12,7 @@ state.
 Round-over-round comparability: the headline list grew r3→r4 (28 → 42
 entries after the battery consolidation + new operators), so compare
 ``sec_per_query`` (and per-query values), not the raw total.
-r3 = 1.282 s/q; r4 ≈ 1.18 s/q on the same hardware.
+r3 = 1.282 s/q; r4 ≈ 1.03 s/q on the same hardware.
 """
 
 from __future__ import annotations
