@@ -155,7 +155,13 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_DEEP", "1") != "0" and sf == "0.1":
         deep_dir = os.environ.get("SPARK_GRAFT_DEEP_DIR", "/tmp/spark_graft_sf1.0")
-        if not os.path.exists(os.path.join(deep_dir, "lineitem.parquet")):
+        # `documents.parquet` guards against a stale deep dir built by the
+        # relational-only make_sf (pre round 4) — its absence would error
+        # every deep document query instead of regenerating.
+        if not all(
+            os.path.exists(os.path.join(deep_dir, f"{t}.parquet"))
+            for t in ("lineitem", "documents", "embeddings", "events")
+        ):
             from tools.make_sf import make_scaled_sf
 
             make_scaled_sf(sf_dir, deep_dir, copies=10, spark=spark)
