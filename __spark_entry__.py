@@ -1255,13 +1255,6 @@ def _norm_expr(col: str = "text") -> str:
     )
 
 
-def _normalize_text_sql() -> str:
-    norm = _norm_expr()
-    return f"""
-  SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_digest
-  FROM documents"""
-
-
 def _minhash_sig_sql() -> str:
     mh = ",\n         ".join(
         f"list_aggregate(list_transform(shingles, s -> md5(s || '|{j}')), 'min') AS mh_{j}"
