@@ -98,12 +98,17 @@ def run_curation_job(
     budget_tokens: int | None = None,
     rows_per_shard: int = 1_000_000,
     counted_stages: bool = False,
+    export_format: str = "parquet",
 ) -> CurationResult:
     """The full curation JOB — the datapipe analog of
     ``pipeline.runner.run_mailing_job``: canonicalize → quality gate →
     exact dedup (canonical digest) → LSH near-dup removal →
     [decontaminate vs ``benchmark``] → PII scrub → [token budget] →
-    sharded parquet write + per-source composition stats.
+    sharded write + per-source composition stats.
+
+    ``export_format``: ``"parquet"`` (size-targeted shards, Spark-native
+    re-reads) or ``"jsonl"`` (deterministic per-shard permutation via
+    ``write_jsonl_shards`` — the layout training loaders consume).
 
     Everything composes into ONE lazy plan; the curated frame is
     persisted once before the sinks (the sharded write needs a count and
@@ -113,7 +118,7 @@ def run_curation_job(
     count after each stage for the run report — strictly opt-in, since
     every count is one more execution of that stage's prefix.
     """
-    from ..sources.io import write_sharded_parquet
+    from ..sources.io import write_jsonl_shards, write_sharded_parquet
     from .contamination import flag_contaminated
     from .pii import redact_pii
     from .sampling import budget_select
@@ -188,11 +193,17 @@ def run_curation_job(
             "budget",
         )
 
+    if export_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown export_format: {export_format!r}")
     curated = doc_fingerprint(survivors, text_col).persist()
     try:
-        n_shards = write_sharded_parquet(
-            curated, out_dir, rows_per_shard=rows_per_shard, shard_key=id_col
-        )
+        if export_format == "jsonl":
+            n_shards = max(1, -(-curated.count() // rows_per_shard))
+            write_jsonl_shards(curated, out_dir, n_shards, id_col=id_col)
+        else:
+            n_shards = write_sharded_parquet(
+                curated, out_dir, rows_per_shard=rows_per_shard, shard_key=id_col
+            )
         stats = corpus_stats(curated, source_col, text_col)
         n_curated = curated.count()
     finally:

@@ -1031,3 +1031,40 @@ def test_fused_simhash_matches_explode_form(spark, sf_dir):
         )
     )
     assert "Exchange" not in p
+
+
+def test_run_curation_job_jsonl_export(tmp_path, spark):
+    """The curation job's JSONL export: shard directories with the
+    deterministic permutation layout, same curated row set as parquet."""
+    import json
+    from pathlib import Path
+
+    from python_etl_mailing_automation_spark.datapipe.curation import (
+        run_curation_job,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(8)), "web")
+            for i in range(12)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    res = run_curation_job(
+        docs,
+        tmp_path / "jl",
+        min_tokens=5,
+        max_stop_ratio=1.0,
+        rows_per_shard=5,
+        export_format="jsonl",
+    )
+    assert res.n_shards == 3
+    rows = []
+    for d in sorted(Path(tmp_path / "jl").glob("shard=*")):
+        for f in sorted(d.glob("part-*")):
+            rows += [json.loads(line) for line in f.read_text().splitlines()]
+    assert sorted(r["doc_id"] for r in rows) == list(range(12))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_curation_job(docs, tmp_path / "bad", export_format="csvish")
