@@ -1061,6 +1061,55 @@ def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return top_ngrams(docs, n=3, top_k=20)
 
 
+def q_semantic_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal curation flagship: documents joined to their embedding
+    rows (the synthetic tables share the id space), text-side quality
+    gate (quality_score over normalize_text) → exact dedup on the
+    canonical digest → k-means + SemDeDup fit on the SURVIVORS'
+    embeddings only → curated corpus with cluster assignment and a
+    kept flag. The embedding filter is a left-semi join (no payload
+    duplication); the Lloyd fit runs once and feeds both the assignment
+    and the SemDeDup prune (clustering.semantic_dedup's `assigned=`)."""
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        kmeans_fit_assign,
+        semantic_dedup,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        normalize_text,
+        quality_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    gated = quality_score(
+        normalize_text(docs), min_tokens=10, max_stop_ratio=0.5
+    ).filter(F.col("is_quality") == 1)
+    reps = gated.groupBy("norm_digest").agg(F.min("doc_id").alias("__keep"))
+    exact = gated.join(
+        reps.withColumnRenamed("norm_digest", "__dg"),
+        on=[
+            gated["norm_digest"] == F.col("__dg"),
+            F.col("doc_id") == F.col("__keep"),
+        ],
+    ).select("doc_id")
+    surv = emb.join(
+        exact.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    assigned, _ = kmeans_fit_assign(surv, k=8, n_iter=2)
+    kept = semantic_dedup(surv, min_cos=0.4, assigned=assigned).select(
+        "vec_id", F.lit(1).alias("kept")
+    )
+    return (
+        assigned.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "dist_sq",
+        )
+        .join(kept.withColumnRenamed("vec_id", "doc_id"), "doc_id", "left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(0)).cast("int"))
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Fixed-token sliding-window chunking with overlap
     (datapipe/text.chunk_documents): 32-token chunks, 8-token overlap
@@ -1153,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "tfidf_topk": q_tfidf_topk,
         "shard_assign": q_shard_assign,
+        "semantic_curation_e2e": q_semantic_curation_e2e,
     }
 
 
@@ -1169,18 +1219,22 @@ _SHINGLES = (
 )
 
 
-def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+def _kmeans_sql(
+    k: int = 8, n_iter: int = 2, dim: int = 64, src: str = "embeddings"
+) -> str:
     """Unrolled Lloyd-iteration CTEs mirroring datapipe.clustering
     .kmeans_fit_assign: assign = argmin of the sequential-fold squared-L2
     (ties to lower cid), update = DECIMAL(38,20)-exact component means,
-    empty clusters keep their previous centroid."""
+    empty clusters keep their previous centroid. ``src`` is the vector
+    relation (a table or an already-defined CTE name) so the same fit
+    can run over a FILTERED corpus in composed oracles."""
     dist = (
         "list_reduce(list_transform(range(len(e.v)), "
         "i -> (e.v[i+1]-c.v[i+1])*(e.v[i+1]-c.v[i+1])), (x,y) -> x+y)"
     )
     parts = [
         "WITH e AS (SELECT vec_id, list_transform(embedding, "
-        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        f"x -> CAST(x AS DOUBLE)) AS v FROM {src}),",
         f"  g AS (SELECT UNNEST(range({dim})) AS i),",
         "  c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v"
         f" FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),",
@@ -1216,11 +1270,15 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
 
 
 def _semantic_dedup_sql(
-    k: int = 8, n_iter: int = 2, dim: int = 64, min_cos: float = 0.4
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    min_cos: float = 0.4,
+    src: str = "embeddings",
 ) -> str:
     """SemDeDup oracle: the k-means CTEs, then within-cluster cosine
     pruning (drop any vector with a >= min_cos neighbor of smaller id)."""
-    kmeans = _kmeans_sql(k=k, n_iter=n_iter, dim=dim)
+    kmeans = _kmeans_sql(k=k, n_iter=n_iter, dim=dim, src=src)
     body = kmeans.rsplit("\n  SELECT ", 1)[0]
     fold = (
         "list_reduce(list_transform(range(len({a})), "
@@ -2195,4 +2253,27 @@ def oracle_sql() -> dict[str, str]:
            PARTITION BY CAST('0x' || substr(dg, 1, 8) AS BIGINT) % 8
            ORDER BY dg, doc_id) - 1 AS pos
   FROM d""",
+        # Cross-modal composition: text quality gate + canonical-digest
+        # exact dedup pick the surviving doc ids; the k-means/SemDeDup
+        # CTE chains then run over `surv` (the filtered embeddings) —
+        # outer CTEs are visible inside the nested WITH subqueries.
+        "semantic_curation_e2e": f"""
+  WITH sc_tok AS (SELECT doc_id, {_TOKS} AS toks, {_norm_expr()} AS nt FROM documents),
+  sc_met AS (SELECT doc_id, md5(nt) AS dg,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks,
+                 x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT)
+                 AS n_stop
+        FROM sc_tok),
+  sc_gated AS (SELECT doc_id, dg FROM sc_met
+            WHERE n_tokens >= 10
+              AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5),
+  sc_reps AS (SELECT dg, MIN(doc_id) AS keep FROM sc_gated GROUP BY 1),
+  sc_exact AS (SELECT g2.doc_id FROM sc_gated g2
+            JOIN sc_reps r ON g2.dg = r.dg AND g2.doc_id = r.keep),
+  surv AS (SELECT se.* FROM embeddings se JOIN sc_exact x ON se.vec_id = x.doc_id)
+  SELECT k.vec_id AS doc_id, k.cluster_id, k.dist_sq,
+         CAST(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS kept
+  FROM ({_kmeans_sql(src="surv")}) k
+  LEFT JOIN ({_semantic_dedup_sql(src="surv")}) s ON k.vec_id = s.vec_id""",
     }

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "tfidf_topk",
     "shard_assign",
+    "semantic_curation_e2e",
 ]
 
 
