@@ -109,6 +109,14 @@ def kmeans_fit_assign(
     # keeps the plan free of hash exchanges (every aggregate downstream is
     # order-independent: min/sum/decimal-exact means).
     df = spread_for_explode(df)
+    # Iterative fit = n_iter+2 driver-synced actions over the same input.
+    # Truncate the lineage ONCE so an expensive upstream (e.g. a
+    # quality-gate + dedup chain feeding the fit) executes once, not per
+    # action — the standard Spark iterative-ML pattern (measured 10.4 s →
+    # 3.1 s on the composed semantic-curation query). Local checkpoint
+    # stores to executor disk/memory; deployments with executor churn use
+    # reliable checkpointing instead.
+    df = df.localCheckpoint(eager=True)
     seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
     dim = len(cents[0])
