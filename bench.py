@@ -9,10 +9,12 @@ I/O, no Catalyst count-style pruning shortcuts). One warm-up pass of the
 flagship query absorbs JVM/codegen warm-up so timings reflect steady
 state.
 
-Round-over-round comparability: the headline list grew r3→r4 (28 → 42
+Round-over-round comparability: the headline list grew r3→r4 (28 → 43
 entries after the battery consolidation + new operators), so compare
-``sec_per_query`` (and per-query values), not the raw total.
-r3 = 1.282 s/q; r4 ≈ 1.03 s/q on the same hardware.
+``sec_per_query`` (and per-query values), not the raw total. r3 =
+1.282 s/q; r4 ≈ 1.23 s/q — and the r4 list carries heavier entries
+(the iterative k-means pair and the cross-modal curation composition);
+on the 28-query shapes shared with r3 the per-query times dropped.
 """
 
 from __future__ import annotations
