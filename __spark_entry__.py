@@ -704,6 +704,22 @@ def q_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash.unionByName(ngram)
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-64 near-duplicate pairs (datapipe/dedup.with_simhash64 +
+    simhash_hamming_pairs): production-width Charikar fingerprints, then
+    the Manku et al. WWW'07 banded Hamming search — 4×16-bit bands, a
+    self-equi-join on (band_idx, band_value) generates candidates
+    (pigeonhole-exact for Hamming <= 3), and bit_count(a XOR b) verifies.
+    The SimHash-based candidate generator completing the fingerprint
+    family (MinHash bands and SRP buckets are the other two)."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return simhash_hamming_pairs(docs, max_hamming=3)
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the LSH near-dup pair graph
     (datapipe/dedup.dedup_clusters): iterative min-label propagation;
@@ -1181,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprints": q_dedup_fingerprints,
         "dedup_pairs": q_dedup_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_buckets": q_similarity_ann_buckets,
@@ -1346,6 +1363,31 @@ def _simhash_sql() -> str:
   h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INT) AS hx FROM tok),
   s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
   SELECT doc_id, CAST({pack} AS BIGINT) AS simhash16 FROM s"""
+
+
+def _simhash64_sql() -> str:
+    """64-bit SimHash mirroring datapipe/dedup.with_simhash64: two exact
+    32-bit md5 halves per token (hi = hex 1-8, lo = hex 9-16), ±1 votes
+    per bit via integer shift+mask, bit 63 packed as −2^63 (the
+    +9223372036854775808 literal overflows BIGINT in both engines, so
+    the sign-bit weight is written as (−max−1))."""
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN ({'lo' if k < 32 else 'hi'} >> {k % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(64)
+    )
+    weights = [f"(CASE WHEN s{k} >= 0 THEN {2 ** k} ELSE 0 END)" for k in range(63)]
+    weights.append(
+        "(CASE WHEN s63 >= 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    )
+    pack = " + ".join(weights)
+    return f"""
+  WITH tok64 AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+  h64 AS (SELECT doc_id,
+          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+          CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo FROM tok64),
+  s64 AS (SELECT doc_id, {sums} FROM h64 GROUP BY doc_id)
+  SELECT doc_id, CAST({pack} AS BIGINT) AS simhash64 FROM s64"""
 
 
 _ENRICH_LIST = (
@@ -1926,6 +1968,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprints": f"""
   SELECT s.*, h.simhash16
   FROM ({_minhash_sig_sql()}) s JOIN ({_simhash_sql()}) h USING (doc_id)""",
+        # Banded Hamming search over 64-bit SimHash: 4×16-bit bands
+        # (pigeonhole-exact for distance <= 3), then bit_count(xor) on
+        # the banded candidates only — mirrors simhash_hamming_pairs.
+        "dedup_simhash_pairs": f"""
+  WITH fp AS ({_simhash64_sql()}),
+  banded AS (SELECT doc_id, simhash64, i AS band_idx,
+             (simhash64 >> (16 * i)) & 65535 AS band_val
+             FROM fp, (SELECT UNNEST(range(4)) AS i)),
+  cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           a.simhash64 AS fp_a, b.simhash64 AS fp_b
+           FROM banded a JOIN banded b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id)
+  SELECT doc_id_a, doc_id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+  FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""",
         # `method`-tagged candidate-pair union: MinHash+LSH band join with
         # exact Jaccard verify, plus blocked n-gram Jaccard
         # (q_dedup_pairs unions jaccard_on_pairs with ngram_jaccard_pairs).

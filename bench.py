@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_fingerprints",
     "dedup_pairs",
+    "dedup_simhash_pairs",
     "dedup_clusters",
     "decontamination",
     "similarity_topk",
@@ -95,6 +96,12 @@ DEEP_QUERIES = [
     # shows up here as a 100× deep number, not as a silent sf0.1 blip.
     "corpus_curation_e2e",
     "dedup_pairs",
+    # Full near-dup path at 10×: candidate pairs → connected-component
+    # closure → representative keep. Catches label-propagation
+    # convergence blowups (iteration count scales with duplicate-cluster
+    # DIAMETER, not data size — make_sf's per-copy near-dup groups keep
+    # it shallow by construction, so a jump here means a real regression).
+    "dedup_clusters",
     "dedup_fingerprints",
     "tfidf_topk",
     "doc_chunks",
@@ -132,13 +139,23 @@ def main() -> None:
     # Two passes per query, best kept: the first execution of each query
     # SHAPE pays whole-stage-codegen compilation + JIT (3-4× at sf0.1,
     # measured), which a steady-state engine comparison should exclude.
-    # A query that raises is recorded in `errors` and skipped — one broken
-    # query must not zero out the whole round's bench datapoint.
+    # When the two passes disagree by >1.5× the measurement caught a GC /
+    # background-load hiccup (sub-second queries swing 2-3× run-over-run,
+    # measured round 5), so one extra pass is taken — bounded cost, paid
+    # only by the noisy entries. A query that raises is recorded in
+    # `errors` and skipped — one broken query must not zero out the whole
+    # round's bench datapoint.
+    def best_of(name: str, at: str) -> float:
+        a, b = run(name, at), run(name, at)
+        if max(a, b) > 1.5 * min(a, b):
+            return min(a, b, run(name, at))
+        return min(a, b)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         try:
-            timings[name] = round(min(run(name, sf_dir) for _ in range(2)), 3)
+            timings[name] = round(best_of(name, sf_dir), 3)
         except Exception as exc:  # noqa: BLE001 - survey harness, keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:400]
 
@@ -158,23 +175,32 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_DEEP", "1") != "0" and sf == "0.1":
         deep_dir = os.environ.get("SPARK_GRAFT_DEEP_DIR", "/tmp/spark_graft_sf1.0")
-        # `documents.parquet` guards against a stale deep dir built by the
-        # relational-only make_sf (pre round 4) — its absence would error
-        # every deep document query instead of regenerating.
-        if not all(
-            os.path.exists(os.path.join(deep_dir, f"{t}.parquet"))
-            for t in ("lineitem", "documents", "embeddings", "events")
-        ):
+        # Regenerate only when the MANIFEST stamp is missing or was built
+        # from a different base/copies config — a regeneration changes
+        # file layout and statistics, so it must be deliberate and
+        # visible (the manifest hash is recorded in the deep block below
+        # for round-over-round comparability), never an incidental
+        # side effect of a partial directory.
+        manifest_path = os.path.join(deep_dir, "MANIFEST.json")
+        manifest = None
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+            if manifest.get("base") != os.path.abspath(sf_dir) or manifest.get("copies") != 10:
+                manifest = None
+        if manifest is None:
             from tools.make_sf import make_scaled_sf
 
             make_scaled_sf(sf_dir, deep_dir, copies=10, spark=spark)
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
         # min-of-2 like the headline loop: single-pass deep numbers swung
         # 2-3× run-over-run under background load; best-of-two keeps the
         # tier data-bound AND comparable round-over-round.
         deep_timings = {}
         for name in DEEP_QUERIES:
             try:
-                deep_timings[name] = round(min(run(name, deep_dir) for _ in range(2)), 3)
+                deep_timings[name] = round(best_of(name, deep_dir), 3)
             except Exception as exc:  # noqa: BLE001
                 errors[f"deep:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
                 payload["errors"] = errors
@@ -182,6 +208,7 @@ def main() -> None:
             "sf": 1.0,
             "queries": deep_timings,
             "total_sec": round(sum(deep_timings.values()), 3),
+            "dir_hash": manifest["content_hash"],
         }
 
     print(json.dumps(payload))

@@ -23,9 +23,11 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_16,
+    simhash_hamming_pairs,
     winnow_candidate_pairs,
     winnow_fingerprints,
     with_shingles,
+    with_simhash64,
     with_tokens,
 )
 from .packing import pack_sequences  # noqa: F401

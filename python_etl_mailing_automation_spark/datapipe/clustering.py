@@ -16,7 +16,14 @@ Iterative-algorithm shape on Spark: each Lloyd iteration is
    structure MLlib's own KMeans uses per iteration.
 
 At 100 TB each iteration is one scan + one tiny aggregate; nothing
-driver-side grows with the data.
+driver-side grows with the data. At tiny scale the fit is overhead-bound
+(~1 s/iteration on local[32]: plan+codegen for the fresh-literal
+assignment plus two scheduled stages), so the composed
+semantic-curation query floors at ~6-7 s regardless of row count — the
+earlier in-code claim of 3.1 s was a warm-cache measurement, not a
+fresh-session number. A per-dimension-column aggregate (64 decimal sums,
+no explode) was measured SLOWER (1.7 vs 1.1 s/iter) — the explode form
+stays.
 
 Determinism (oracle-exact across engines):
 - distances are per-row sequential folds of doubles (bit-exact, see
@@ -53,10 +60,6 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
-
-
 def kmeans_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -67,17 +70,21 @@ def kmeans_assign(
     """Assign each vector to its nearest centroid (squared L2, ties to the
     lower centroid id). ``centroids`` are plan literals — assignment is a
     shuffle-free scan. Adds ``cluster_id`` (int) and ``dist_sq`` (double).
+
+    The codebook enters the plan as ONE nested array literal consumed by
+    one ``zip_with`` lambda, not k unrolled distance folds: the unrolled
+    form repeated the 64-element fold expression k times with literals
+    that change every Lloyd iteration, so whole-stage codegen recompiled
+    a k×-sized function per iteration (measured ~2× the per-plan cost of
+    this form at k=8, dim=64). Same sequential fold per centroid, same
+    (dist, cid) struct-min tie-break — bit-identical assignments.
     """
     v = _dec_vec(F.col(vec_col))
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(v, _lit_vec(c)).alias("d"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        F.zip_with(
+            F.lit([[float(x) for x in c] for c in centroids]),
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda c, i: F.struct(_sq_dist(v, c).alias("d"), i.alias("cid")),
         )
     )
     return df.withColumn("cluster_id", best["cid"]).withColumn(
@@ -92,6 +99,7 @@ def kmeans_fit_assign(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd k-means with a deterministic seed: the initial codebook is
     the ``k`` vectors with the smallest ids, then ``n_iter``
@@ -100,6 +108,13 @@ def kmeans_fit_assign(
 
     A cluster that loses all members keeps its previous centroid (so the
     codebook size is stable and the result stays engine-reproducible).
+
+    ``checkpoint=False`` skips the eager lineage truncation below — for
+    callers whose input is already materialized (a checkpointed/cached
+    frame, a fresh parquet scan) or who manage persistence themselves;
+    it also avoids accumulating executor checkpoint blocks across
+    repeated library calls (there is no unpersist hook for local
+    checkpoints short of the frames being garbage collected).
     """
     from .text import spread_for_explode
 
@@ -109,14 +124,14 @@ def kmeans_fit_assign(
     # keeps the plan free of hash exchanges (every aggregate downstream is
     # order-independent: min/sum/decimal-exact means).
     df = spread_for_explode(df)
-    # Iterative fit = n_iter+2 driver-synced actions over the same input.
-    # Truncate the lineage ONCE so an expensive upstream (e.g. a
-    # quality-gate + dedup chain feeding the fit) executes once, not per
-    # action — the standard Spark iterative-ML pattern (measured 10.4 s →
-    # 3.1 s on the composed semantic-curation query). Local checkpoint
-    # stores to executor disk/memory; deployments with executor churn use
-    # reliable checkpointing instead.
-    df = df.localCheckpoint(eager=True)
+    if checkpoint:
+        # Iterative fit = n_iter+2 driver-synced actions over the same
+        # input. Truncate the lineage ONCE so an expensive upstream (e.g.
+        # a quality-gate + dedup chain feeding the fit) executes once,
+        # not per action — the standard Spark iterative-ML pattern. Local
+        # checkpoint stores to executor disk/memory; deployments with
+        # executor churn use reliable checkpointing instead.
+        df = df.localCheckpoint(eager=True)
     seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
     dim = len(cents[0])

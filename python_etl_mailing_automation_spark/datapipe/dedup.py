@@ -22,6 +22,8 @@ which differ per engine).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -326,8 +328,9 @@ def dedup_clusters(
     labels = docs.select(
         F.col(id_col), F.col(id_col).alias("cluster_id")
     ).persist()
+    log = logging.getLogger(__name__)
     try:
-        for _ in range(max_iterations):
+        for round_no in range(1, max_iterations + 1):
             neighbor_min = (
                 edges.join(labels, edges["dst"] == labels[id_col])
                 .groupBy("src")
@@ -345,6 +348,7 @@ def dedup_clusters(
                 .persist()
             )
             changed = updated.filter(F.col("__changed")).count()
+            log.info("dedup_clusters round %d: %d labels changed", round_no, changed)
             labels.unpersist()
             labels = updated.drop("__changed")
             if changed == 0:
@@ -438,6 +442,158 @@ def with_simhash16(
         s_k = F.aggregate(F.col("__hx16"), F.lit(0), _vote(bit))
         packed = packed + F.when(s_k >= 0, F.lit(bit)).otherwise(F.lit(0))
     return out.withColumn(out_col, packed.cast("long")).drop("__hx16")
+
+
+def with_simhash64(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "simhash64"
+) -> DataFrame:
+    """Per-row 64-bit SimHash — the production-width form of
+    :func:`with_simhash16` (Charikar 2002; Manku et al. WWW'07 use
+    64-bit fingerprints for web-scale near-dup detection).
+
+    Same construction widened: each token contributes one 64-bit
+    md5-derived value (hex chars 1-8 → bits 32..63, chars 9-16 → bits
+    0..31 — two exact 32-bit halves, because a single 64-bit hex parse
+    overflows SIGNED bigint in both engines); every bit position gets a
+    ±1 vote per token and the vote signs pack the fingerprint. Bit 63
+    packs as −2^63 (two's complement sign bit): the fingerprint is a
+    plain Spark/DuckDB BIGINT with identical bits, and 1<<63 is an
+    overflow error in DuckDB, so the signed representation is the
+    portable one.
+
+    Zero-shuffle scan-speed column algebra like the 16-bit form, but the
+    64 votes fold in ONE pass over the token array (array-of-counters
+    accumulator via ``zip_with``) instead of 64 separate folds — the
+    unrolled form at this width would be a 4× larger codegen unit (see
+    kmeans_assign for the same lesson on literal-heavy expression trees).
+    """
+    from .text import tokens_of
+
+    hx = F.transform(
+        tokens_of(text_col),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
+        ),
+    )
+    out = df.withColumn("__hx64", hx)
+
+    ks = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        F.col("__hx64"),
+        F.transform(ks, lambda _: F.lit(0)),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                ks,
+                lambda k: F.when(
+                    F.shiftright(
+                        F.when(k < 32, h["lo"]).otherwise(h["hi"]), 0
+                    ).bitwiseAND(
+                        # 2^(k mod 32) as an exact double→long power of two
+                        F.pow(F.lit(2.0), (k % 32).cast("double")).cast("long")
+                    )
+                    != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            ks,
+            lambda v, k: F.when(v < 0, F.lit(0).cast("long"))
+            .when(k == 63, F.lit(-(2**63)).cast("long"))
+            .otherwise(F.pow(F.lit(2.0), k.cast("double")).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    return out.withColumn(out_col, packed).drop("__hx64")
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: all (a, b) with
+    ``hamming(simhash64(a), simhash64(b)) <= max_hamming``, a < b.
+
+    This is the candidate generator the 64-bit fingerprint exists for
+    (Manku et al. WWW'07): split the fingerprint into 4 16-bit bands —
+    by pigeonhole, any two fingerprints within Hamming distance 3 agree
+    EXACTLY on at least one band — so candidates come from a self-equi-
+    join on ``(band_idx, band_value)``, never an all-pairs product, and
+    the exact distance check ``bit_count(a XOR b) <= 3`` runs only on
+    banded candidates. Exact for ``max_hamming <= 3``; a larger radius
+    needs more/narrower bands (same construction).
+
+    Band extraction is ``(fp >> 16·i) & 0xFFFF`` — arithmetic shift plus
+    mask reads the sign-bit band identically in Spark and DuckDB, no
+    unsigned shift needed. The banded frame is cached (it feeds both
+    join sides). Scale: band values are 16-bit, so at corpus scale each
+    bucket holds ~N/65536 docs per band — the same uniform-key bucket
+    join shape as the MinHash LSH path (lsh_candidate_pairs).
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4×16-bit banding is exact only for 0 <= max_hamming <= 3")
+    from .text import spread_for_explode
+
+    fp = with_simhash64(
+        spread_for_explode(docs, id_col), text_col=text_col
+    ).select(id_col, "simhash64")
+    banded = fp.select(
+        F.col(id_col),
+        F.col("simhash64"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash64"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash64", "b.band_idx", "b.band_val").cache()
+    a = banded.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col("simhash64").alias("__fp_a"),
+        F.col("band_idx").alias("__bi"),
+        F.col("band_val").alias("__bv"),
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col("simhash64").alias("__fp_b"),
+        F.col("band_idx").alias("__bi_b"),
+        F.col("band_val").alias("__bv_b"),
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("__bi") == F.col("__bi_b"),
+                F.col("__bv") == F.col("__bv_b"),
+                F.col("doc_id_a") < F.col("doc_id_b"),
+            ],
+        )
+        .select("doc_id_a", "doc_id_b", "__fp_a", "__fp_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__fp_a").bitwiseXOR(F.col("__fp_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
 
 
 def dedup_lines(

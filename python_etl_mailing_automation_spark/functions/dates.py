@@ -54,6 +54,14 @@ def epoch_micros(col: str, dtype: str) -> Column:
     flavors (e.g. one side from parquet, one built in-session) bin onto
     the same integer grid under any session timezone, not only UTC.
     Pass the column's dtype string from ``dict(df.dtypes)[col]``.
+
+    Session-timezone caveat for NTZ inputs: the NTZ→TIMESTAMP cast makes
+    the integers session-timezone DEPENDENT (a non-UTC session shifts
+    every value by its offset, and in DST zones ambiguous wall clocks
+    map non-injectively). :func:`~python_etl_mailing_automation_spark
+    .session.build_spark` pins ``spark.sql.session.timeZone=UTC``, which
+    keeps library results equal to the DuckDB oracle; consumers building
+    their own session should pin UTC too, or accept locally-shifted bins.
     """
     c = F.col(col)
     if dtype == "timestamp_ntz":

@@ -320,9 +320,13 @@ def write_jsonl_shards(
 
     Scale: one shuffle on the shard key plus per-shard sorts of that
     shard's rows; shard count is the parallelism/file-size lever
-    (thousands at 100 TB). JSONL because it is the interchange format
-    LLM-data tooling expects; use :func:`write_sharded_parquet` when the
-    consumer is Spark again.
+    (thousands at 100 TB). Because each shard is exactly one file, ONE
+    task sorts and writes a whole shard: size ``n_shards`` so a single
+    shard fits one task's sort/spill budget. md5 sharding makes shards
+    uniform in expectation only, so a caller-derived rows-per-shard
+    target (e.g. ``run_curation_job``'s) is approximate, not a cap.
+    JSONL because it is the interchange format LLM-data tooling expects;
+    use :func:`write_sharded_parquet` when the consumer is Spark again.
     """
     from ..datapipe.sampling import shard_assign
 

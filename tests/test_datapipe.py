@@ -1068,3 +1068,56 @@ def test_run_curation_job_jsonl_export(tmp_path, spark):
 
     with _pytest.raises(ValueError):
         run_curation_job(docs, tmp_path / "bad", export_format="csvish")
+
+
+def test_simhash64_matches_reference_bits(spark, docs):
+    """with_simhash64 must reproduce the Charikar construction exactly:
+    an independent pure-python md5 implementation (two 32-bit halves,
+    ±1 votes, sign-bit packed as −2^63) is the bit oracle."""
+    import hashlib
+    import re
+
+    from python_etl_mailing_automation_spark.datapipe.dedup import with_simhash64
+
+    got = {r["doc_id"]: r["simhash64"] for r in with_simhash64(docs).collect()}
+    for row in docs.collect():
+        votes = [0] * 64
+        for t in re.split(r"\s+", row["text"].strip()):
+            h = hashlib.md5(t.encode()).hexdigest()
+            v = (int(h[0:8], 16) << 32) | int(h[8:16], 16)
+            for k in range(64):
+                votes[k] += 1 if (v >> k) & 1 else -1
+        fp = sum(1 << k for k in range(64) if votes[k] >= 0)
+        if fp >= 2**63:
+            fp -= 2**64
+        assert got[row["doc_id"]] == fp
+
+
+def test_simhash_hamming_pairs_banded_exact(spark, docs):
+    """Identical docs pair at distance 0; the one-word edit lands within
+    the radius; unrelated text does not; cross-radius pairs are absent.
+    max_hamming > 3 must be rejected (4×16 banding is only
+    pigeonhole-exact to 3)."""
+    import pytest as _pytest
+
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        simhash_hamming_pairs,
+        with_simhash64,
+    )
+
+    fp = {r["doc_id"]: r["simhash64"] for r in with_simhash64(docs).collect()}
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    assert out[(1, 2)] == 0                       # identical texts
+    # every reported pair's hamming matches the fingerprints, and every
+    # true <=3 pair is reported (banding loses nothing at this radius)
+    for (a, b), ham in out.items():
+        assert bin(fp[a] ^ fp[b]).count("1") == ham <= 3
+    for a in fp:
+        for b in fp:
+            if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3:
+                assert (a, b) in out
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, max_hamming=4)

@@ -216,3 +216,36 @@ def test_dedup_fingerprints_is_fused_single_scan(plans):
     p = plans("dedup_fingerprints")
     assert "Join" not in p
     assert p.count("Exchange") == 1
+
+
+def test_ngram_shingle_explode_stays_above_spread_exchange(plans):
+    """The blocked n-gram Jaccard path depends on the shingle
+    generate/explode running ABOVE the spread rebalance exchange: with
+    the distinct-shingle expression materialized as a column,
+    InferFiltersFromGenerate derives a size() filter and pushdown pulls
+    the whole shingle pipeline below the exchange — onto the unspread
+    scan's few cores (measured 35× slower on a one-split table). A Spark
+    upgrade could re-derive that plan silently; this pins the shape: no
+    Generate may sit between a REPARTITION_BY_NUM exchange and its scan."""
+    lines = plans("dedup_pairs").splitlines()
+    assert any("Generate explode(array_distinct" in ln for ln in lines)
+    below_exchange = False
+    for ln in lines:
+        if "REPARTITION_BY_NUM" in ln:
+            below_exchange = True
+        elif "FileScan" in ln or "InMemoryTableScan" in ln:
+            below_exchange = False
+        elif below_exchange and "Generate" in ln:
+            raise AssertionError(
+                f"shingle Generate pushed below the spread exchange: {ln.strip()}"
+            )
+
+
+def test_simhash_pairs_band_join_no_cartesian(plans):
+    """SimHash near-dup candidates come from the (band_idx, band_value)
+    self-equi-join — never an all-pairs product: no cartesian / nested-
+    loop join anywhere, and the fingerprint scan is column-pruned."""
+    p = plans("dedup_simhash_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p

@@ -103,6 +103,31 @@ def make_scaled_sf(base: str, out: str, copies: int, spark=None) -> str:
         ),
     ).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
+    # Content/config stamp: bench.py records this hash per round so a
+    # regenerated dir (different file layout/statistics → different
+    # timings) is visible in round-over-round comparisons instead of
+    # silently invalidating them.
+    import hashlib
+    import json
+
+    sizes = {}
+    for name in (*TABLES, "documents", "embeddings", "events"):
+        d = f"{out}/{name}.parquet"
+        sizes[name] = sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    manifest = {
+        "base": os.path.abspath(base),
+        "copies": copies,
+        "content_hash": hashlib.md5(
+            json.dumps(sizes, sort_keys=True).encode()
+        ).hexdigest(),
+    }
+    with open(f"{out}/MANIFEST.json", "w") as fh:
+        json.dump(manifest, fh)
+
     if own_session:
         spark.stop()
     return out
