@@ -736,18 +736,28 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding similarity search, exact and IVF, tagged by `method`:
     the brute-force cosine top-k baseline (datapipe/similarity
-    .cosine_topk — labeled O(Q·C) exact path) and IVF-style ANN
-    (ivf_topk: deterministic codebook of every 31st vector, corpus
-    coarse-quantized to nearest centroid, queries probe their 2 nearest
-    cells). Same (vec_id, neighbor_id, sim_rank, cos_sim) shape."""
+    .cosine_topk — labeled O(Q·C) exact path) and IVF ANN over a
+    TRAINED codebook — the production composition: kmeans_fit_assign
+    learns the k=8 coarse quantizer, its centroids broadcast into
+    ivf_topk, corpus coarse-quantized to nearest centroid, queries
+    probe their 2 nearest cells. The oracle re-derives the codebook
+    from the same unrolled Lloyd CTEs as the kmeans_semantic oracle.
+    Same (vec_id, neighbor_id, sim_rank, cos_sim) shape."""
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        kmeans_fit_assign,
+    )
     from python_etl_mailing_automation_spark.datapipe.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
     brute = cosine_topk(emb.filter(F.col("vec_id") < 32), emb, k=5).withColumn(
         "method", F.lit("brute")
     )
-    centroids = emb.filter(F.col("vec_id") % 31 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
+    # The fit's n_iter driver-synced actions are the offline index-build
+    # phase; the codebook itself is k·dim driver-side floats.
+    _, cents = kmeans_fit_assign(emb, k=8, n_iter=2)
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, embedding array<double>",
     )
     ivf = ivf_topk(
         emb.filter(F.col("vec_id") < 16), emb, centroids, n_probe=2, k=3
@@ -1067,6 +1077,44 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "norm_digest")
 
 
+_STREAM_SHARED = "the quick brown fox jumps over the lazy dog shared with store"
+_STREAM_REPEAT = "the quick brown fox jumps over the lazy dog repeated batch doc"
+
+
+def q_stream_curation_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-equivalent of the streaming curation job
+    (streaming/stateful.curate_document_stream → curate_documents_batch):
+    quality gate → canonical digest → exact dedup (min-id stand-in for
+    the stream's first-seen representative) → ledger anti-join. Planted
+    duplicates use gate-passing 12-token texts (the dedup_incremental
+    constants are 3 tokens and would die at the min_tokens gate before
+    ever exercising the dedup): batch docs (doc_id%10>=3) share a
+    ledger text at %13 and an intra-batch text at %7; the ledger is the
+    %10<3 slice with the shared text planted at %9. The streaming twin
+    is equivalence-tested against this exact composition in
+    tests/test_streaming.py."""
+    from python_etl_mailing_automation_spark.datapipe.text import normalize_text
+    from python_etl_mailing_automation_spark.streaming.stateful import (
+        curate_documents_batch,
+    )
+
+    docs = _t(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 >= 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(_STREAM_SHARED))
+        .when(F.col("doc_id") % 7 == 0, F.lit(_STREAM_REPEAT))
+        .otherwise(F.col("text")),
+    )
+    store = docs.filter(F.col("doc_id") % 10 < 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 9 == 0, F.lit(_STREAM_SHARED)).otherwise(
+            F.col("text")
+        ),
+    )
+    out = curate_documents_batch(batch, normalize_text(store))
+    return out.select("doc_id", "norm_digest", "n_tokens")
+
+
 def q_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus heavy-hitter trigrams (datapipe/text.top_ngrams): explode →
     map-side-combined two-level aggregate → TakeOrderedAndProject top-20
@@ -1214,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_semantic": q_kmeans_semantic,
         "top_ngrams": q_top_ngrams,
         "dedup_incremental": q_dedup_incremental,
+        "stream_curation_batch": q_stream_curation_batch,
         "interval_join": q_interval_join,
         "multimodal_pipeline": q_multimodal_pipeline,
         "doc_chunks": q_doc_chunks,
@@ -1527,11 +1576,16 @@ def oracle_sql() -> dict[str, str]:
             "cos AS cos_sim"
         ),
     )
+    # IVF over the TRAINED codebook: the centroid CTE is the final
+    # Lloyd-iteration frame (c2) from the same unrolled k-means CTEs the
+    # kmeans_semantic oracle uses — fit → codebook → probe, like the
+    # Spark side's kmeans_fit_assign → ivf_topk composition.
+    kmeans_ctes = _kmeans_sql().rsplit("\n  SELECT ", 1)[0]
     ivf_topk_sql = f"""
-  WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings),
+  {kmeans_ctes},
   n AS (SELECT vec_id, v, sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm FROM e),
-  cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 31 = 0),
+  cent AS (SELECT cid, cv, sqrt({_COS_DOT.format(a="cv", b="cv")}) AS cn
+           FROM (SELECT cid, v AS cv FROM c2)),
   assign AS (
     SELECT vec_id AS neighbor_id, cid, v AS nv, nrm AS nn FROM (
       SELECT n.vec_id, c.cid, n.v, n.nrm,
@@ -2202,6 +2256,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM bd GROUP BY norm_digest)
   SELECT f.doc_id, f.norm_digest
   FROM first_ids f ANTI JOIN sd s ON f.norm_digest = s.norm_digest""",
+        # Batch-equivalent of the streaming curation job: gate → digest
+        # → min-id exact dedup → ledger anti-join (q_stream_curation_batch).
+        "stream_curation_batch": f"""
+  WITH batch AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN '{_STREAM_SHARED}'
+                WHEN doc_id % 7 = 0 THEN '{_STREAM_REPEAT}'
+                ELSE text END AS text
+         FROM documents WHERE doc_id % 10 >= 3),
+  store AS (SELECT CASE WHEN doc_id % 9 = 0 THEN '{_STREAM_SHARED}'
+                 ELSE text END AS text
+          FROM documents WHERE doc_id % 10 < 3),
+  q AS (SELECT doc_id, text,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter({_TOKS},
+                 x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS n_stop
+        FROM batch),
+  gated AS (SELECT doc_id, text, n_tokens FROM q
+            WHERE n_tokens >= 10
+              AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.5),
+  bd AS (SELECT doc_id, n_tokens, md5({_norm_expr()}) AS norm_digest FROM gated),
+  sd AS (SELECT DISTINCT md5({_norm_expr()}) AS norm_digest FROM store),
+  first_ids AS (SELECT norm_digest, MIN(doc_id) AS doc_id
+                FROM bd GROUP BY norm_digest)
+  SELECT b.doc_id, b.norm_digest, b.n_tokens
+  FROM bd b JOIN first_ids f
+    ON b.doc_id = f.doc_id AND b.norm_digest = f.norm_digest
+  ANTI JOIN sd s ON b.norm_digest = s.norm_digest""",
         "top_ngrams": f"""
   WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
   g AS (SELECT doc_id, CASE WHEN len(toks) >= 3

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "kmeans_semantic",
     "top_ngrams",
     "dedup_incremental",
+    "stream_curation_batch",
     "interval_join",
     "multimodal_pipeline",
     "doc_chunks",

@@ -150,3 +150,51 @@ def curate_document_stream(
     if store is not None:
         deduped = dedup_stream_against_store(deduped, store)
     return deduped
+
+
+def curate_documents_batch(
+    docs: DataFrame,
+    store: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_stop_ratio: float = 0.5,
+) -> DataFrame:
+    """Deterministic batch twin of :func:`curate_document_stream`: the
+    same quality gate → canonical digest → exact dedup → ledger
+    anti-join, with the stream's first-SEEN representative replaced by
+    the first-ID one (``min(id_col)`` per digest) — arrival order is
+    not a batch concept, and the min-id choice is what makes the output
+    engine-reproducible and therefore oracle-checkable (a plain
+    ``dropDuplicates`` keeps an arbitrary partition-dependent row).
+
+    Used three ways: the periodic batch compaction that accompanies the
+    streaming job, the replayable backfill of the same curation, and the
+    correctness oracle for the stream (the stream-vs-batch equivalence
+    test keys on the digest SET, which both representatives agree on).
+
+    Scale shape: gate + digest are scan-speed column algebra; the dedup
+    is one shuffle on the 32-byte digest with a map-side-combined min;
+    the ledger anti-join shuffles only the survivors against the
+    distinct-digest store.
+    """
+    from ..datapipe.text import normalize_text, quality_score
+
+    gated = quality_score(
+        docs, text_col, min_tokens=min_tokens, max_stop_ratio=max_stop_ratio
+    ).filter(F.col("is_quality") == 1)
+    normalized = normalize_text(gated, text_col)
+    reps = normalized.groupBy("norm_digest").agg(F.min(id_col).alias("__keep"))
+    first = normalized.join(
+        reps.withColumnRenamed("norm_digest", "__dg"),
+        on=[
+            normalized["norm_digest"] == F.col("__dg"),
+            F.col(id_col) == F.col("__keep"),
+        ],
+    ).drop("__dg", "__keep")
+    if store is not None:
+        first = first.join(
+            store.select("norm_digest").distinct(), on="norm_digest", how="left_anti"
+        )
+    return first

@@ -153,6 +153,7 @@ def test_streaming_curation_matches_batch_prefix(spark):
     )
     from python_etl_mailing_automation_spark.streaming.stateful import (
         curate_document_stream,
+        curate_documents_batch,
     )
 
     filler = "many plain filler words without stops " * 3
@@ -182,6 +183,14 @@ def test_streaming_curation_matches_batch_prefix(spark):
         .collect()
     }
     assert len(batch_expect) == 2  # {alpha-beta, gamma-delta}
+
+    # The library batch twin (deterministic min-id representative) must
+    # agree with the stream on the digest set AND pick the lowest doc id
+    # of each duplicate group.
+    twin = curate_documents_batch(df, store, min_tokens=10, max_stop_ratio=0.5)
+    twin_rows = {r["doc_id"]: r["norm_digest"] for r in twin.collect()}
+    assert set(twin_rows.values()) == batch_expect
+    assert set(twin_rows) == {1, 4}  # min ids of the two surviving groups
 
     stage = tempfile.mkdtemp(prefix="cur_in_")
     ckpt = tempfile.mkdtemp(prefix="cur_ck_")
