@@ -930,6 +930,21 @@ def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_stats(docs)
 
 
+def q_corpus_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-length distribution (datapipe/stats
+    .length_quantiles): min/max plus EXACT interpolated p25/p50/p90/p99
+    of per-doc token counts — the data-card profile a mixture designer
+    reads before setting sampling weights. Spark `percentile` and DuckDB
+    `quantile_cont` share the rank q·(n−1) linear interpolation, so the
+    doubles match bit-exactly on integer token counts."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        length_quantiles,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return length_quantiles(docs)
+
+
 def q_multimodal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal column plumbing end-to-end in one entry: binary payload
     synthesis + typed metadata struct (datapipe/multimodal
@@ -1257,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
+        "corpus_quantiles": q_corpus_quantiles,
         "budget_select": q_budget_select,
         "winnow_pairs": q_winnow_pairs,
         "kmeans_semantic": q_kmeans_semantic,
@@ -2224,6 +2240,20 @@ def oracle_sql() -> dict[str, str]:
          CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS share_docs,
          CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT)
            AS share_tokens
+  FROM a""",
+        # Exact interpolated token-length percentiles per source
+        # (q_corpus_quantiles): quantile_cont shares Spark percentile's
+        # rank q·(n−1) linear interpolation.
+        "corpus_quantiles": f"""
+  WITH p AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS tok
+             FROM documents),
+  a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(tok) AS min_tokens, MAX(tok) AS max_tokens,
+               quantile_cont(tok, [0.25, 0.5, 0.9, 0.99]) AS pct
+        FROM p GROUP BY 1)
+  SELECT source, n_docs, min_tokens, max_tokens,
+         pct[1] AS p25_tokens, pct[2] AS p50_tokens,
+         pct[3] AS p90_tokens, pct[4] AS p99_tokens
   FROM a""",
         # k-means assignment + SemDeDup survival flag in one grain
         # (q_kmeans_semantic: kmeans_fit_assign left-joined with

@@ -32,7 +32,7 @@ from .dedup import (  # noqa: F401
 )
 from .packing import pack_sequences  # noqa: F401
 from .pii import pii_free, redact_pii  # noqa: F401
-from .stats import corpus_stats  # noqa: F401
+from .stats import corpus_stats, length_quantiles  # noqa: F401
 from .sampling import (  # noqa: F401
     budget_select,
     hash_sample,

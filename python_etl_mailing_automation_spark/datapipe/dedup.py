@@ -303,39 +303,68 @@ def dedup_clusters(
     curation step keeps one document per cluster
     (:func:`keep_cluster_representatives`).
 
-    Algorithm: iterative min-label propagation — each round joins labels
-    to the symmetric edge list, takes ``min(own, neighbors)``, and stops
-    when no label changed (or at ``max_iterations``). Rounds = graph
-    diameter; LSH duplicate clusters are shallow (near-clique bands), so
-    a handful of rounds closes them. Each round is one shuffle on the
-    edge key; per-round frames are persisted and the previous round
-    released. For adversarial long-chain graphs use the
-    large-star/small-star variant (Kiveris et al.) — same join shape,
-    fewer rounds; not needed for dedup-shaped graphs.
+    Algorithm: iterative min-label propagation with a DELTA frontier —
+    round 1 propagates from every vertex; each later round propagates
+    only from the labels that CHANGED last round (sound for monotone
+    min-propagation: labels never increase, so an unchanged neighbor's
+    contribution was already absorbed the round it last changed). Near-
+    dup graphs converge front-heavy (measured at 10×-scale: 45 377
+    changes in round 1, then 298 / 365 / 33 / 1 / 0), so rounds 2+ join
+    the full corpus against a few-hundred-row frontier — AQE turns both
+    per-round joins into broadcasts with NO shuffle of the corpus-sized
+    frames (measured 36 s → 12 s for the 6-round closure at sf1.0).
+    Rounds = graph diameter; LSH duplicate clusters are shallow
+    (near-clique bands). The symmetric edge list is pre-partitioned on
+    the probe key and persisted, so non-broadcast rounds reuse its
+    layout instead of re-shuffling edges every round. For adversarial
+    long-chain graphs use the large-star/small-star variant (Kiveris et
+    al.) — same join shape, fewer rounds; not needed for dedup-shaped
+    graphs.
 
     Driver-side: only the per-round convergence count (an int), a
     sanctioned iterative-algorithm boundary.
 
-    The returned frame is persisted (its lineage spans every round);
-    callers should ``.unpersist()`` it once consumed.
+    The returned frame is backed by the final round's local checkpoint
+    (executor memory/disk); its blocks — like any intermediate rounds
+    still referenced — are released by Spark's context cleaner once the
+    frame is garbage collected.
     """
+    from .text import spread_for_explode
+
+    n_part = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        if str(
+            pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        ).isdigit()
+        else pairs.sparkSession.sparkContext.defaultParallelism
+    )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition(n_part, "dst")
         .persist()
     )
     labels = docs.select(
         F.col(id_col), F.col(id_col).alias("cluster_id")
     ).persist()
+    frontier = labels  # round 1: every vertex propagates
     log = logging.getLogger(__name__)
     try:
         for round_no in range(1, max_iterations + 1):
             neighbor_min = (
-                edges.join(labels, edges["dst"] == labels[id_col])
+                edges.join(frontier, edges["dst"] == frontier[id_col])
                 .groupBy("src")
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
+            # localCheckpoint, not persist: a persisted frame still
+            # carries its full logical history, so by round k Catalyst
+            # re-analyzes a k-round-deep tree — measured 1.5 s/round for
+            # rounds 1-3 ballooning to 12 s by round 6 at sf1.0, all
+            # driver-side planning. The checkpoint severs the plan each
+            # round (constant planning cost); superseded rounds' blocks
+            # are released by the context cleaner when the old frames
+            # drop out of reference.
             updated = (
                 labels.join(neighbor_min, labels[id_col] == neighbor_min["src"], "left")
                 .select(
@@ -345,12 +374,14 @@ def dedup_clusters(
                     ).alias("cluster_id"),
                     (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = updated.filter(F.col("__changed")).count()
             log.info("dedup_clusters round %d: %d labels changed", round_no, changed)
-            labels.unpersist()
+            if round_no == 1:
+                labels.unpersist()
             labels = updated.drop("__changed")
+            frontier = updated.filter(F.col("__changed")).drop("__changed")
             if changed == 0:
                 break
         return labels

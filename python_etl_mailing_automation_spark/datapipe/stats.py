@@ -54,3 +54,52 @@ def corpus_stats(
             "share_tokens"
         ),
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-domain token-length distribution — the data-card companion to
+    :func:`corpus_stats`: min/max and EXACT linearly-interpolated
+    percentiles of per-document token counts.
+
+    Exact (not ``approx_percentile``) so the report is deterministic and
+    engine-reproducible: Spark's ``percentile`` aggregate and DuckDB's
+    ``quantile_cont`` both sort the group's values and interpolate at
+    rank ``q·(n−1)``, and both compute the interpolation in double —
+    identical results on integer inputs.
+
+    Scale shape: ``percentile`` accumulates a value→count map per group,
+    so state is O(distinct lengths), not O(rows) — document token counts
+    have at most ~10^5 distinct values however large the corpus is. One
+    map-side-combined groupBy on the domain key; use
+    ``approx_percentile`` instead only if the profiled column is
+    continuous (unbounded distinct values).
+
+    Output: ``group_col``, ``n_docs``, ``min_tokens``, ``max_tokens``,
+    one ``p<percent>_tokens`` double per requested quantile.
+    """
+    per_doc = df.select(
+        F.col(group_col),
+        F.size(tokens_of(text_col)).cast("long").alias("__tok"),
+    )
+    pct = F.percentile(F.col("__tok"), F.array(*[F.lit(q) for q in quantiles]))
+    agged = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("__tok").alias("min_tokens"),
+        F.max("__tok").alias("max_tokens"),
+        pct.alias("__pct"),
+    )
+    return agged.select(
+        group_col,
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        *[
+            F.col("__pct")[i].alias(f"p{round(q * 100)}_tokens")
+            for i, q in enumerate(quantiles)
+        ],
+    )

@@ -1121,3 +1121,24 @@ def test_simhash_hamming_pairs_banded_exact(spark, docs):
                 assert (a, b) in out
     with _pytest.raises(ValueError):
         simhash_hamming_pairs(docs, max_hamming=4)
+
+
+def test_length_quantiles_exact_interpolation(spark):
+    """length_quantiles must equal numpy's linear-interpolation
+    percentiles (the q·(n−1) rank convention Spark's percentile and
+    DuckDB's quantile_cont share)."""
+    import numpy as np
+
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        length_quantiles,
+    )
+
+    rows = [(i, " ".join(["w"] * n), "s1") for i, n in enumerate([1, 3, 3, 7, 10, 50])]
+    rows += [(100 + i, " ".join(["w"] * n), "s2") for i, n in enumerate([2, 4])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in length_quantiles(df).collect()}
+    s1 = np.array([1, 3, 3, 7, 10, 50], dtype=float)
+    for q, col in [(0.25, "p25_tokens"), (0.5, "p50_tokens"), (0.9, "p90_tokens"), (0.99, "p99_tokens")]:
+        assert out["s1"][col] == np.percentile(s1, q * 100)
+    assert out["s1"]["min_tokens"] == 1 and out["s1"]["max_tokens"] == 50
+    assert out["s2"]["n_docs"] == 2 and out["s2"]["p50_tokens"] == 3.0
