@@ -99,12 +99,21 @@ def run_mailing_job(
     state_path: str | Path | None = None,
     make_archive: bool = False,
     counted_report: bool = False,
+    robot_time_in_name: bool = False,
+    run_time: datetime | None = None,
 ) -> JobResult:
     """End-to-end run: mirrors ``main.py:23-95`` stage for stage.
 
     ``counted_report=True`` additionally records the reference's
     per-stage count table and renders it (``result.rendered_report``) —
     extra materialization per stage, so opt-in.
+
+    ``robot_time_in_name=True`` reproduces the reference's robot
+    filename shape EXACTLY — ``{prefix}{slot}_{HHMMSS}_{ddmmyyyy}.csv``
+    (gerador_robo_mestre.py:126-135) — so consecutive runs coexist.
+    The default omits the HHMMSS component so re-runs overwrite
+    deterministically (idempotent batch jobs). ``run_time`` pins the
+    timestamp for reproducible tests; default is now().
     """
     output_dir = Path(output_dir)
     result = JobResult()
@@ -188,10 +197,11 @@ def run_mailing_job(
     # Reference-shaped output names, driven by config:
     # human  {output_file_prefix}mailing_{produto}_{date}.csv
     #        (data_exporter.py:57-64)
-    # robot  {robot_prefix}{slot}_{date}.csv
-    #        (gerador_robo_mestre.py:126-135; the reference also embeds
-    #        HHMMSS — omitted so re-runs overwrite deterministically)
-    date_str = datetime.now().strftime(config.output_date_format)
+    # robot  {robot_prefix}{slot}_{date}.csv, or the reference-exact
+    #        {robot_prefix}{slot}_{HHMMSS}_{ddmmyyyy}.csv with
+    #        robot_time_in_name (gerador_robo_mestre.py:126-135)
+    now = run_time if run_time is not None else datetime.now()
+    date_str = now.strftime(config.output_date_format)
     human_name = f"{config.output_file_prefix}mailing_{{key}}_{date_str}.csv"
     try:
         result.human_files = write_partitioned_by_key(
@@ -207,9 +217,15 @@ def run_mailing_job(
 
         slots = route_by_time_slot(robot, config) if config.robot_time_slot_groups else {"mestre": robot}
         for slot, df in slots.items():
-            robot_name = (
-                f"{config.robot_output_file_prefix}{sanitize_filename(slot)}_{date_str}.csv"
-            )
+            if robot_time_in_name:
+                robot_name = (
+                    f"{config.robot_output_file_prefix}{sanitize_filename(slot)}"
+                    f"_{now.strftime('%H%M%S')}_{now.strftime('%d%m%Y')}.csv"
+                )
+            else:
+                robot_name = (
+                    f"{config.robot_output_file_prefix}{sanitize_filename(slot)}_{date_str}.csv"
+                )
             result.robot_files.append(
                 write_exact_csv(df, output_dir / "robo" / robot_name, sep="|")
             )

@@ -296,3 +296,31 @@ def test_human_file_rows_priority_ordered(spark, tmp_path):
     cpfs = [ln.split(";")[0] for ln in lines[1:]]
     # 222: DESLIGADO -> level 0 first; then level-1 rows by debt desc: 333 (50) before 111 (10)
     assert cpfs == ["222", "333", "111"]
+
+
+def test_run_mailing_job_reference_exact_robot_names(spark, input_dir, tmp_path):
+    """robot_time_in_name=True reproduces the reference's
+    {prefix}{slot}_{HHMMSS}_{ddmmyyyy}.csv shape
+    (gerador_robo_mestre.py:126-135), pinned via run_time."""
+    from datetime import datetime
+
+    cfg = PipelineConfig(
+        blocklist=["bloqueado"],
+        corte_humano_maior_igual=50.0,
+        robot_time_slot_groups={"08HRS": ["EPB", "EMT"]},
+    )
+    fixed = datetime(2026, 8, 14, 9, 30, 5)
+    result = run_mailing_job(
+        spark,
+        cfg,
+        input_dir=input_dir,
+        output_dir=tmp_path / "out2",
+        mailing_pattern="MAILING_NUCLEO_*.csv",
+        enrichment_pattern="Pontuacao*.csv",
+        regras_pattern="Tabulacoes*.csv",
+        robot_time_in_name=True,
+        run_time=fixed,
+    )
+    assert result.robot_files[0].name == (
+        f"{cfg.robot_output_file_prefix}08HRS_093005_14082026.csv"
+    )
