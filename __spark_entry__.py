@@ -733,6 +733,22 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the same LSH pair graph as
+    q_dedup_clusters, but via alternating large-star/small-star rounds
+    (datapipe/dedup.dedup_clusters_star, Kiveris et al. SoCC'14) —
+    O(log² n) rounds independent of graph diameter, the escalation path
+    for long-chain duplicate graphs. Identical output contract, so the
+    identical recursive-CTE oracle verifies both implementations."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_clusters_star,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return dedup_clusters_star(docs, pairs)
+
+
 def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding similarity search, exact and IVF, tagged by `method`:
     the brute-force cosine top-k baseline (datapipe/similarity
@@ -1262,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pairs": q_dedup_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_buckets": q_similarity_ann_buckets,
         "corpus_curation_e2e": q_corpus_curation_e2e,
@@ -1428,6 +1445,21 @@ def _simhash_sql() -> str:
   h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INT) AS hx FROM tok),
   s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
   SELECT doc_id, CAST({pack} AS BIGINT) AS simhash16 FROM s"""
+
+
+def _clusters_reach_sql() -> str:
+    """Recursive-CTE connected components over the LSH pair graph: the
+    closed-form fixpoint both engine implementations (min-label
+    propagation and large-star/small-star) must reach."""
+    return f"""
+  WITH RECURSIVE {_minhash_pairs_cte()},
+  edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+            UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+  reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.s, reach.r FROM reach JOIN edges e ON e.d = reach.node)
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node"""
 
 
 def _simhash64_sql() -> str:
@@ -2063,16 +2095,11 @@ def oracle_sql() -> dict[str, str]:
         # Iterative min-label propagation in Spark; the oracle computes
         # the same fixpoint in closed form with a recursive CTE — every
         # doc's cluster is the MIN doc id reachable through the LSH
-        # near-dup pair graph (singletons keep their own id).
-        "dedup_clusters": f"""
-  WITH RECURSIVE {_minhash_pairs_cte()},
-  edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
-            UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
-  reach(node, r) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT e.s, reach.r FROM reach JOIN edges e ON e.d = reach.node)
-  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node""",
+        # near-dup pair graph (singletons keep their own id). The
+        # large-star/small-star engine variant has the IDENTICAL output
+        # contract, so the same oracle verifies both implementations.
+        "dedup_clusters": _clusters_reach_sql(),
+        "dedup_clusters_star": _clusters_reach_sql(),
         # Merged exact + IVF search, `method`-tagged like the Spark side
         # (q_similarity_topk unions cosine_topk with ivf_topk).
         "similarity_topk": f"""

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_pairs",
     "dedup_simhash_pairs",
     "dedup_clusters",
+    "dedup_clusters_star",
     "decontamination",
     "similarity_topk",
     "similarity_ann_buckets",

@@ -18,6 +18,8 @@ from .clustering import (  # noqa: F401
     semantic_dedup,
 )
 from .dedup import (  # noqa: F401
+    dedup_clusters,
+    dedup_clusters_star,
     dedup_lines,
     exact_dedup_groups,
     minhash_signatures,

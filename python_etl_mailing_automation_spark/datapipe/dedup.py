@@ -389,6 +389,102 @@ def dedup_clusters(
         edges.unpersist()
 
 
+def dedup_clusters_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — same output contract as :func:`dedup_clusters`
+    (every doc labeled with its component's min id), different round
+    complexity: O(log² n) rounds regardless of graph DIAMETER, where
+    min-label propagation needs diameter-many rounds. Use this variant
+    when the duplicate graph can contain long chains (crawl rings,
+    chained paraphrases); for LSH near-clique dup graphs the plain
+    propagation converges in fewer, cheaper rounds.
+
+    Round shape (both stars are the same dataframe program):
+    - neighborhood min per center: one groupBy on the symmetric edge
+      list, ``m(u) = min(N(u) ∪ {u})``;
+    - rewire: large-star connects every neighbor ``v > u`` to ``m(u)``,
+      small-star connects every neighbor ``v <= u`` plus ``u`` itself to
+      ``m(u)`` — each a broadcast-friendly join of edges to the per-node
+      min, emitting only (node, root) pairs, never materializing
+      neighborhoods as arrays.
+    - converged when a small-star round leaves the canonical edge set
+      unchanged; edges then ARE (node, component-min) stars.
+
+    Each round ends in ``localCheckpoint`` — the per-round lineage
+    truncation the label-propagation loop needs for constant planning
+    cost applies identically here.
+    """
+    log = logging.getLogger(__name__)
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        sym = _sym(e)
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        nbrs = sym.join(mins, "src")
+        cond = F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
+        rewired = nbrs.filter(cond).select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        if not large:
+            rewired = rewired.unionByName(mins.select("src", F.col("m").alias("dst")))
+        return (
+            rewired.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("src"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for round_no in range(1, max_iterations + 1):
+        after = _star(_star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        delta = (
+            after.exceptAll(edges).count() + edges.exceptAll(after).count()
+        )
+        log.info("dedup_clusters_star round %d: %d edge changes", round_no, delta)
+        edges = after
+        if delta == 0:
+            break
+    # Converged edges are (min, node) stars: label = root, self for
+    # isolated nodes. min() guards the (impossible-at-fixpoint, cheap to
+    # enforce) case of a node with two roots.
+    roots = edges.groupBy(F.col("dst").alias(id_col)).agg(
+        F.min("src").alias("__root")
+    )
+    return (
+        docs.select(id_col)
+        .join(roots, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__root"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def keep_cluster_representatives(
     docs: DataFrame, clusters: DataFrame, *, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -862,4 +958,33 @@ def dedup_against_store(
         store.select(F.col(digest_col)).distinct(),
         on=digest_col,
         how="left_anti",
+    )
+
+
+def updated_fingerprint_store(
+    store: DataFrame,
+    accepted: DataFrame,
+    *,
+    digest_col: str = "norm_digest",
+    text_col: str = "text",
+) -> DataFrame:
+    """The write-back half of the incremental-dedup loop: the ledger
+    plus the digests of the batch documents that were ACCEPTED this run
+    (the output of :func:`dedup_against_store`), deduplicated — ready to
+    overwrite/append as the next run's ``store``.
+
+    Kept as a digest-only union + distinct: one shuffle on the 32-byte
+    key, no document payloads, and the result stays distributed (the
+    ledger is just a parquet table of digests at any scale). Callers
+    persist it with ``accepted``'s own write so a failed run never
+    half-advances the ledger.
+    """
+    from .text import normalize_text
+
+    if digest_col not in accepted.columns:
+        accepted = normalize_text(accepted, text_col)
+    return (
+        store.select(F.col(digest_col))
+        .unionByName(accepted.select(F.col(digest_col)))
+        .distinct()
     )

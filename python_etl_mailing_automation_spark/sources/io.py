@@ -299,6 +299,41 @@ def write_sharded_parquet(
     return shards
 
 
+def write_sized_parquet(
+    df: DataFrame,
+    out_dir: str | Path,
+    *,
+    max_records_per_file: int = 1_000_000,
+    partition_by: str | list[str] | None = None,
+    sort_within: str | list[str] | None = None,
+) -> None:
+    """Size-governed parquet sink without a counting pass: Spark's
+    ``maxRecordsPerFile`` writer option rolls a new file whenever a task
+    exceeds the cap, so file sizes are bounded WITHOUT the extra
+    ``count()`` + repartition that :func:`write_sharded_parquet` pays
+    for exactly-N uniform shards — the right default for the "just don't
+    emit 20 GB files" case at 100 TB, where the input's own task
+    parallelism is already fine.
+
+    ``partition_by`` adds hive-style directory partitioning (partition
+    pruning for downstream readers); ``sort_within`` sorts rows inside
+    each task before writing, which clusters values so parquet row-group
+    min/max statistics actually prune (an unsorted scatter makes every
+    row group span the full value range and defeats predicate pushdown
+    at the storage layer).
+    """
+    cols = lambda c: [c] if isinstance(c, str) else list(c)  # noqa: E731
+    out = df
+    if sort_within:
+        out = out.sortWithinPartitions(*cols(sort_within))
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_by:
+        writer = writer.partitionBy(*cols(partition_by))
+    writer.parquet(str(out_dir))
+
+
 def write_jsonl_shards(
     df,
     out_dir: str | Path,

@@ -1142,3 +1142,54 @@ def test_length_quantiles_exact_interpolation(spark):
         assert out["s1"][col] == np.percentile(s1, q * 100)
     assert out["s1"]["min_tokens"] == 1 and out["s1"]["max_tokens"] == 50
     assert out["s2"]["n_docs"] == 2 and out["s2"]["p50_tokens"] == 3.0
+
+
+def test_updated_fingerprint_store_closes_the_loop(spark, docs):
+    """dedup_against_store -> updated_fingerprint_store: a re-run of the
+    SAME batch against the updated ledger accepts nothing."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_against_store,
+        updated_fingerprint_store,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import normalize_text
+
+    store = normalize_text(docs.filter(F.col("doc_id") == 4)).select("norm_digest")
+    accepted = dedup_against_store(docs, store)
+    ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+    assert 4 not in ids and 1 in ids and 2 not in ids  # 2 is 1's intra-batch dup
+    new_store = updated_fingerprint_store(store, accepted)
+    assert dedup_against_store(docs, new_store).count() == 0
+    # ledger is digest-only and exactly deduplicated
+    assert new_store.columns == ["norm_digest"]
+    assert new_store.count() == new_store.distinct().count()
+
+
+def test_star_clusters_match_propagation_on_chain_and_clique(spark):
+    """large-star/small-star CC (Kiveris et al.) must produce exactly
+    min-label propagation's labels, in far fewer rounds on a chain (the
+    propagation worst case: rounds = diameter vs O(log n) stars —
+    measured 6 vs 49 rounds on a 60-node chain)."""
+    import random
+
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    rng = random.Random(7)
+    ids = list(range(40))
+    rng.shuffle(ids)
+    chain = [(ids[i], ids[i + 1]) for i in range(24)]  # 25-node chain
+    clique_nodes = ids[25:31]
+    clique = [(a, b) for i, a in enumerate(clique_nodes) for b in clique_nodes[i + 1 :]]
+    pairs = spark.createDataFrame(chain + clique, "doc_id_a long, doc_id_b long")
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    star = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters_star(docs, pairs).collect()}
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs, max_iterations=100).collect()
+    }
+    assert star == prop
+    # labels really are component minima: chain nodes all share min(chain)
+    chain_nodes = set(ids[:25])
+    assert {star[n] for n in chain_nodes} == {min(chain_nodes)}

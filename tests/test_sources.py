@@ -167,3 +167,26 @@ def test_write_jsonl_shards_roundtrip_and_order(spark, tmp_path):
         a = b"".join(f.read_bytes() for f in sorted((Path(out) / d).glob("part-*")))
         c = b"".join(f.read_bytes() for f in sorted((Path(out2) / d).glob("part-*")))
         assert a == c
+
+
+def test_write_sized_parquet_rolls_files_and_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.sources.io import write_sized_parquet
+
+    df = spark.range(100).withColumn(
+        "grp", (F.col("id") % 2).cast("string")
+    ).repartition(2, "grp")
+    out = tmp_path / "sized"
+    write_sized_parquet(
+        df, out, max_records_per_file=20, partition_by="grp", sort_within="id"
+    )
+    back = spark.read.parquet(str(out))
+    assert back.count() == 100
+    assert sorted(p.name for p in out.iterdir() if p.name.startswith("grp=")) == [
+        "grp=0", "grp=1"
+    ]
+    # 50 rows per partition dir at <=20 rows/file -> at least 3 files each
+    for d in ("grp=0", "grp=1"):
+        files = [p for p in (out / d).iterdir() if p.suffix == ".parquet"]
+        assert len(files) >= 3
