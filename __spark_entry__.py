@@ -946,6 +946,33 @@ def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_stats(docs)
 
 
+def q_text_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-free text clustering: hashing-trick bag-of-words
+    features (datapipe/text.featurize_hashing — md5 token buckets,
+    64-dim count vectors, zero shuffle) piped straight into the
+    decimal-exact Lloyd k-means (datapipe/clustering.kmeans_fit_assign).
+    The composition that turns every embedding operator into a text
+    operator when no embedding column exists; the oracle rebuilds the
+    identical features in SQL and reuses the unrolled Lloyd CTEs."""
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        kmeans_fit_assign,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        featurize_hashing,
+    )
+
+    docs = _t(spark, sf, "documents")
+    feats = featurize_hashing(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    assigned, _ = kmeans_fit_assign(feats, k=8, n_iter=2)
+    return assigned.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "dist_sq",
+    )
+
+
 def q_corpus_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source token-length distribution (datapipe/stats
     .length_quantiles): min/max plus EXACT interpolated p25/p50/p90/p99
@@ -1290,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "corpus_stats": q_corpus_stats,
         "corpus_quantiles": q_corpus_quantiles,
+        "text_clusters": q_text_clusters,
         "budget_select": q_budget_select,
         "winnow_pairs": q_winnow_pairs,
         "kmeans_semantic": q_kmeans_semantic,
@@ -2268,6 +2296,18 @@ def oracle_sql() -> dict[str, str]:
          CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT)
            AS share_tokens
   FROM a""",
+        # Hashing-trick features + Lloyd k-means (q_text_clusters): the
+        # feature CTE rebuilds the md5-bucket count vectors, then the
+        # same unrolled k-means CTEs run over them via src=.
+        "text_clusters": f"""
+  WITH tc_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  tc_feats AS (SELECT doc_id AS vec_id,
+      list_transform(range(64), i -> CAST(len(list_filter(toks,
+        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 = i))
+        AS DOUBLE)) AS embedding
+    FROM tc_tok)
+  SELECT vec_id AS doc_id, cluster_id, dist_sq
+  FROM ({_kmeans_sql(src="tc_feats")})""",
         # Exact interpolated token-length percentiles per source
         # (q_corpus_quantiles): quantile_cont shares Spark percentile's
         # rank q·(n−1) linear interpolation.

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_lines",
     "corpus_stats",
     "corpus_quantiles",
+    "text_clusters",
     "budget_select",
     "winnow_pairs",
     "kmeans_semantic",

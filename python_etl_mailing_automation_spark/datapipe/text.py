@@ -182,6 +182,48 @@ def rolling_hash(text_col: Column | str, *, base: int = 31, mod: int = 2**31 - 1
     )
 
 
+def featurize_hashing(
+    df: DataFrame,
+    *,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Hashing-trick bag-of-words featurizer: token → md5 bucket
+    (mod ``dim``), feature vector = per-bucket token counts as doubles
+    — the model-free text representation that makes every embedding
+    operator in this engine (k-means, SemDeDup, IVF, cosine search)
+    applicable to a corpus with NO embedding column. md5 buckets keep
+    the vector engine-reproducible (the same construction rebuilt in
+    DuckDB produces identical doubles), unlike Spark's private
+    ``HashingTF`` murmur buckets.
+
+    Per-row column algebra: one fold over the token array maintaining a
+    ``dim``-counter accumulator (``zip_with`` increment, O(dim) per
+    token) — zero shuffle, scan speed, no vocabulary to fit or
+    broadcast. Integer counts in double are exact, so downstream
+    decimal-exact k-means stays oracle-checkable end to end.
+    """
+    buckets = F.transform(
+        tokens_of(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % F.lit(dim),
+    )
+    ks = F.sequence(F.lit(0), F.lit(dim - 1))
+    counts = F.aggregate(
+        buckets,
+        F.transform(ks, lambda _: F.lit(0)),
+        lambda acc, b: F.zip_with(
+            acc,
+            ks,
+            lambda v, i: v + F.when(i == b.cast("int"), 1).otherwise(0),
+        ),
+        lambda acc: F.transform(acc, lambda v: v.cast("double")),
+    )
+    return df.select(F.col(id_col), counts.alias(out_col))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 of the sorted distinct token
     set. Word-order- and duplication-insensitive, so lightly shuffled or

@@ -1193,3 +1193,21 @@ def test_star_clusters_match_propagation_on_chain_and_clique(spark):
     # labels really are component minima: chain nodes all share min(chain)
     chain_nodes = set(ids[:25])
     assert {star[n] for n in chain_nodes} == {min(chain_nodes)}
+
+
+def test_featurize_hashing_matches_reference_counts(spark, docs):
+    """The hashing-trick vector must equal an independent python
+    md5-bucket count, and total mass must equal the token count."""
+    import hashlib
+    import re
+
+    from python_etl_mailing_automation_spark.datapipe.text import featurize_hashing
+
+    got = {r["doc_id"]: list(r["embedding"]) for r in featurize_hashing(docs).collect()}
+    for row in docs.collect():
+        toks = re.split(r"\s+", row["text"].strip())
+        counts = [0.0] * 64
+        for t in toks:
+            counts[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64] += 1.0
+        assert got[row["doc_id"]] == counts
+        assert sum(got[row["doc_id"]]) == len(toks)
