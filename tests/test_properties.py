@@ -315,3 +315,83 @@ def test_chunk_documents_covers_every_token_exactly(spark, docs, chunk_tokens, o
                 range(r["chunk_start"], r["chunk_start"] + r["n_chunk_tokens"])
             )
         assert covered == set(range(n_eff))
+
+
+def ref_simhash64(text: str) -> int:
+    """Independent python reference of with_simhash64."""
+    import hashlib
+
+    votes = [0] * 64
+    for t in re.split(r"\s+", text.strip()):
+        h = hashlib.md5(t.encode()).hexdigest()
+        v = (int(h[0:8], 16) << 32) | int(h[8:16], 16)
+        for k in range(64):
+            votes[k] += 1 if (v >> k) & 1 else -1
+    fp = sum(1 << k for k in range(64) if votes[k] >= 0)
+    return fp - 2**64 if fp >= 2**63 else fp
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Zs", "Cc")), min_size=1, max_size=8),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_simhash64_matches_reference_on_random_texts(spark, texts):
+    from python_etl_mailing_automation_spark.datapipe.dedup import with_simhash64
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash64"] for r in with_simhash64(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref_simhash64(t)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_star_cc_equals_propagation_on_random_graphs(spark, edges):
+    """Both CC implementations must agree with a python union-find on
+    arbitrary random graphs (not just the chain/clique fixtures)."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(31)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_id_a long, doc_id_b long"
+    )
+    if not edges:
+        pairs = pairs.filter("doc_id_a != doc_id_b")  # empty edge set
+
+    parent = list(range(31))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(31)}
+
+    star = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters_star(docs, pairs).collect()}
+    prop = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs, max_iterations=100).collect()}
+    assert star == expect
+    assert prop == expect
