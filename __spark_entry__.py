@@ -1283,6 +1283,42 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_fuzzy_join_edit1(spark: SparkSession, sf: str) -> DataFrame:
+    """SymSpell-style edit-distance-1 record linkage
+    (operators/linkage.fuzzy_join_edit): customer names vs an in-query
+    corrupted feed (one char deleted at a key-derived position — the
+    deterministic stand-in for a dirty mailing list). Deletion-variant
+    explode → md5 bucket equi-join → levenshtein verify on candidates
+    only; never an all-pairs product."""
+    from python_etl_mailing_automation_spark.operators.linkage import (
+        fuzzy_join_edit,
+    )
+
+    cust = _t(spark, sf, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"),
+        F.lower(F.col("c_name")).alias("lname"),
+    )
+    s = F.lower(F.col("c_name"))
+    p = (F.col("c_custkey") % F.length(s)) + F.lit(1)
+    right = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.concat(
+            F.substr(s, F.lit(1), p - F.lit(1)),
+            F.substr(s, p + F.lit(1), F.length(s)),
+        ).alias("rname"),
+    )
+    return fuzzy_join_edit(
+        left,
+        right,
+        left_id="lid",
+        right_id="rid",
+        left_col="lname",
+        right_col="rname",
+        max_dist=1,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -1347,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "tfidf_topk": q_tfidf_topk,
         "shard_assign": q_shard_assign,
+        "fuzzy_join_edit1": q_fuzzy_join_edit1,
         "semantic_curation_e2e": q_semantic_curation_e2e,
     }
 
@@ -2495,6 +2532,28 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Deletion-neighborhood fuzzy join: candidates from a variant
+        # equi-join (the SymSpell construction), exact levenshtein on
+        # candidates only — mirrors operators/linkage.fuzzy_join_edit.
+        "fuzzy_join_edit1": """
+  WITH fz_l AS (SELECT c_custkey AS lid, lower(c_name) AS lname FROM customer),
+  fz_rb AS (SELECT c_custkey AS rid, lower(c_name) AS s,
+                   1 + (c_custkey % length(lower(c_name))) AS p FROM customer),
+  fz_r AS (SELECT rid, substr(s, 1, p - 1) || substr(s, p + 1, length(s)) AS rname
+           FROM fz_rb),
+  fz_lv AS (SELECT lid, lname, unnest(list_distinct(list_prepend(lname,
+                [substr(lname, 1, q - 1) || substr(lname, q + 1, length(lname))
+                 for q in generate_series(1, length(lname))]))) AS v
+            FROM fz_l),
+  fz_rv AS (SELECT rid, rname, unnest(list_distinct(list_prepend(rname,
+                [substr(rname, 1, q - 1) || substr(rname, q + 1, length(rname))
+                 for q in generate_series(1, length(rname))]))) AS v
+            FROM fz_r),
+  fz_cand AS (SELECT DISTINCT lid, rid, lname, rname
+              FROM fz_lv JOIN fz_rv USING (v))
+  SELECT lid, rid, lname, rname,
+         CAST(levenshtein(lname, rname) AS INT) AS dist
+  FROM fz_cand WHERE levenshtein(lname, rname) <= 1""",
         # Shard = first-8-hex of the salted md5 mod 8; pos = rank under
         # the full-digest order within the shard (id tiebreak).
         "shard_assign": """

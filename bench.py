@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "tfidf_topk",
     "shard_assign",
+    "fuzzy_join_edit1",
     "semantic_curation_e2e",
 ]
 

@@ -284,3 +284,78 @@ def test_interval_join_no_key_and_multi_bin(spark):
     rows = out.collect()
     # exactly one match despite the interval covering 25 bins (left bin unique)
     assert [(r.event_id, r.tag) for r in rows] == [(1, "day1")]
+
+
+def test_deletion_variants_radius1_and_2(spark):
+    from python_etl_mailing_automation_spark.operators.linkage import (
+        deletion_variants,
+    )
+
+    df = spark.createDataFrame([("abc",), ("aa",)], ["s"])
+    got = {
+        r.s: set(r.v)
+        for r in df.select("s", deletion_variants("s").alias("v")).collect()
+    }
+    assert got["abc"] == {"abc", "bc", "ac", "ab"}
+    # duplicate deletions collapse ("aa" -> "a" once)
+    assert got["aa"] == {"aa", "a"}
+    got2 = {
+        r.s: set(r.v)
+        for r in df.select(
+            "s", deletion_variants("s", radius=2).alias("v")
+        ).collect()
+    }
+    assert got2["abc"] == {"abc", "bc", "ac", "ab", "a", "b", "c"}
+    assert got2["aa"] == {"aa", "a", ""}
+
+
+def test_fuzzy_join_edit_exact_pairs(spark):
+    from python_etl_mailing_automation_spark.operators.linkage import (
+        fuzzy_join_edit,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "maria"), (2, "joao"), (3, "ana")], ["lid", "lname"]
+    )
+    right = spark.createDataFrame(
+        # marla: substitution (d1); joo: deletion (d1); annna: d2; zz: far
+        [(10, "marla"), (20, "joo"), (30, "annna"), (40, "zz")],
+        ["rid", "rname"],
+    )
+    out = fuzzy_join_edit(
+        left, right, left_id="lid", right_id="rid",
+        left_col="lname", right_col="rname", max_dist=1,
+    )
+    got = {(r.lid, r.rid, r.dist) for r in out.collect()}
+    assert got == {(1, 10, 1), (2, 20, 1)}
+    # radius 2 additionally reaches annna (ana + 2 insertions)
+    out2 = fuzzy_join_edit(
+        left, right, left_id="lid", right_id="rid",
+        left_col="lname", right_col="rname", max_dist=2,
+    )
+    got2 = {(r.lid, r.rid, r.dist) for r in out2.collect()}
+    assert got2 == {(1, 10, 1), (2, 20, 1), (3, 30, 2)}
+    # no all-pairs: candidate join is an equi (hash) join on variant md5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_edit_max_bucket_cut(spark):
+    from python_etl_mailing_automation_spark.operators.linkage import (
+        fuzzy_join_edit,
+    )
+
+    # 5 identical left values -> every variant bucket has 5 entries;
+    # max_bucket=4 drops them all (documented recall trade), the
+    # distinct value still matches.
+    left = spark.createDataFrame(
+        [(i, "aaaa") for i in range(5)] + [(9, "xyz")], ["lid", "lname"]
+    )
+    right = spark.createDataFrame([(1, "aaab"), (2, "xyw")], ["rid", "rname"])
+    out = fuzzy_join_edit(
+        left, right, left_id="lid", right_id="rid",
+        left_col="lname", right_col="rname", max_dist=1, max_bucket=4,
+    )
+    got = {(r.lid, r.rid) for r in out.collect()}
+    assert got == {(9, 2)}
