@@ -1283,6 +1283,19 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style statistical-LM quality signal (datapipe/lm
+    .lm_quality_score): bigram model trained on the corpus itself (two
+    hash aggs), every doc scored by its average bigram conditional
+    probability — ln-free, scaled-integer-exact across engines."""
+    from python_etl_mailing_automation_spark.datapipe.lm import (
+        lm_quality_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return lm_quality_score(docs)
+
+
 def q_fuzzy_join_edit1(spark: SparkSession, sf: str) -> DataFrame:
     """SymSpell-style edit-distance-1 record linkage
     (operators/linkage.fuzzy_join_edit): customer names vs an in-query
@@ -1384,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "shard_assign": q_shard_assign,
         "fuzzy_join_edit1": q_fuzzy_join_edit1,
+        "lm_score": q_lm_score,
         "semantic_curation_e2e": q_semantic_curation_e2e,
     }
 
@@ -2532,6 +2546,30 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Bigram LM quality score: p = c2/c1 (one double division of
+        # exact integers), per-doc sum on the floor(p*2^40) integer
+        # grid, fixed-order final division — mirrors datapipe/lm.py.
+        "lm_score": f"""
+  WITH lm_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  lm_bg AS (SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(len(toks) - 1),
+                               i -> toks[i + 1] || ' ' || toks[i + 2])
+                          ELSE [] END) AS bg
+            FROM lm_tok),
+  lm_c2 AS (SELECT bg, COUNT(*) AS c2 FROM lm_bg GROUP BY 1),
+  lm_c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1
+            FROM lm_c2 GROUP BY 1),
+  lm_p AS (SELECT bg, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+           FROM lm_c2 JOIN lm_c1 ON split_part(bg, ' ', 1) = w1),
+  lm_sc AS (SELECT doc_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(p * 1099511627776.0) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM lm_bg JOIN lm_p USING (bg) GROUP BY 1)
+  SELECT d.doc_id,
+         COALESCE(n, 0) AS n_bigrams,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1099511627776.0 AS avg_p
+  FROM documents d LEFT JOIN lm_sc USING (doc_id)""",
         # Deletion-neighborhood fuzzy join: candidates from a variant
         # equi-join (the SymSpell construction), exact levenshtein on
         # candidates only — mirrors operators/linkage.fuzzy_join_edit.

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "shard_assign",
     "fuzzy_join_edit1",
+    "lm_score",
     "semantic_curation_e2e",
 ]
 

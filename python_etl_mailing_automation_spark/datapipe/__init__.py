@@ -32,6 +32,7 @@ from .dedup import (  # noqa: F401
     with_simhash64,
     with_tokens,
 )
+from .lm import bigram_probs, doc_bigrams, lm_quality_score  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
 from .pii import pii_free, redact_pii  # noqa: F401
 from .stats import corpus_stats, length_quantiles  # noqa: F401

@@ -1211,3 +1211,49 @@ def test_featurize_hashing_matches_reference_counts(spark, docs):
             counts[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64] += 1.0
         assert got[row["doc_id"]] == counts
         assert sum(got[row["doc_id"]]) == len(toks)
+
+
+def test_lm_quality_score_hand_computed(spark):
+    from python_etl_mailing_automation_spark.datapipe.lm import (
+        bigram_probs,
+        doc_bigrams,
+        lm_quality_score,
+    )
+
+    # corpus bigrams: "a b" x2 (docs 1,2), "b a" x1, "a c" x1, so
+    # contexts: a->3 (b:2, c:1), b->1 (a:1)
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "solo")], ["doc_id", "text"]
+    )
+    probs = {
+        r.bg: r.p for r in bigram_probs(doc_bigrams(docs)).collect()
+    }
+    assert probs == {"a b": 2 / 3, "b a": 1 / 1, "a c": 1 / 3}
+    out = {r.doc_id: r for r in lm_quality_score(docs).collect()}
+    # doc1: mean(2/3, 1, 1/3) = 2/3 on the floor(p*2^40) grid
+    assert out[1].n_bigrams == 3
+    s = sum(int(p * 2**40) for p in (2 / 3, 1.0, 1 / 3))
+    assert out[1].avg_p == s / 3 / 2**40
+    assert abs(out[1].avg_p - 2 / 3) < 1e-9
+    assert out[2].n_bigrams == 1 and out[2].avg_p == (int((2 / 3) * 2**40)) / 2**40
+    # single-token doc: zero bigrams, NULL score
+    assert out[3].n_bigrams == 0 and out[3].avg_p is None
+
+
+def test_lm_quality_score_external_model_oov(spark):
+    from python_etl_mailing_automation_spark.datapipe.lm import (
+        bigram_probs,
+        doc_bigrams,
+        lm_quality_score,
+    )
+
+    train = spark.createDataFrame([(1, "x y x y")], ["doc_id", "text"])
+    probs = bigram_probs(doc_bigrams(train))
+    # "x y" in-vocab (p=1 under context x... contexts: x->2 (y:2), y->1 (x:1))
+    score = lm_quality_score(
+        spark.createDataFrame([(9, "x y zzz")], ["doc_id", "text"]),
+        probs=probs,
+        broadcast_probs=True,
+    ).collect()[0]
+    # OOV bigram "y zzz" drops out of the average (inner-join semantics)
+    assert score.n_bigrams == 1 and score.avg_p == 1.0
