@@ -1283,6 +1283,19 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication coverage (datapipe/dedup
+    .dup_span_stats, Lee et al. 2022 re-expressed as window-hash
+    algebra): stride-1 8-token windows, md5 occurrence count >= 2 marks
+    duplicated text, per-doc distinct-position coverage."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dup_span_stats,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return dup_span_stats(docs, k=8)
+
+
 def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style statistical-LM quality signal (datapipe/lm
     .lm_quality_score): bigram model trained on the corpus itself (two
@@ -1398,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "fuzzy_join_edit1": q_fuzzy_join_edit1,
         "lm_score": q_lm_score,
+        "dup_spans": q_dup_spans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
     }
 
@@ -2546,6 +2560,35 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Exact-substring duplication coverage: 8-token window hashes,
+        # corpus occurrence count >= 2, distinct-position coverage —
+        # mirrors datapipe/dedup.dup_span_stats (1-based widx grid).
+        "dup_spans": f"""
+  WITH dsp_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  dsp_w AS (SELECT doc_id, i AS widx,
+                   md5(array_to_string(toks[i:i+7], ' ')) AS whash
+            FROM dsp_tok, unnest(CASE WHEN len(toks) >= 8
+                 THEN generate_series(1, len(toks) - 7) ELSE [] END) AS u(i)),
+  dsp_dup AS (SELECT whash FROM
+                (SELECT whash, COUNT(*) AS c FROM dsp_w GROUP BY 1)
+              WHERE c >= 2),
+  dsp_dw AS (SELECT doc_id, widx FROM dsp_w JOIN dsp_dup USING (whash)),
+  dsp_cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS dup_tokens
+              FROM (SELECT doc_id,
+                           unnest(generate_series(widx, widx + 7)) AS pos
+                    FROM dsp_dw) GROUP BY 1),
+  dsp_ndw AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM dsp_dw GROUP BY 1),
+  dsp_nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM dsp_w GROUP BY 1)
+  SELECT d.doc_id,
+         COALESCE(w.n_windows, 0) AS n_windows,
+         COALESCE(dw.n_dup_windows, 0) AS n_dup_windows,
+         COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+           / CAST(len({_TOKS}) AS DOUBLE) AS dup_frac
+  FROM documents d
+  LEFT JOIN dsp_nw w USING (doc_id)
+  LEFT JOIN dsp_ndw dw USING (doc_id)
+  LEFT JOIN dsp_cov c USING (doc_id)""",
         # Bigram LM quality score: p = c2/c1 (one double division of
         # exact integers), per-doc sum on the floor(p*2^40) integer
         # grid, fixed-order final division — mirrors datapipe/lm.py.

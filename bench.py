@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "shard_assign",
     "fuzzy_join_edit1",
     "lm_score",
+    "dup_spans",
     "semantic_curation_e2e",
 ]
 

@@ -988,3 +988,110 @@ def updated_fingerprint_store(
         .unionByName(accepted.select(F.col(digest_col)))
         .distinct()
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication statistics (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    k-token window that appears more than once ANYWHERE in the corpus is
+    duplicated text; per document this reports how much of it is covered
+    by such windows. The published pipeline builds a corpus-wide suffix
+    array — a sequential single-machine structure; the distributed
+    re-expression is the standard window-hash form: every stride-1
+    k-token window hashes to md5, one groupBy finds hashes with
+    occurrence count >= 2, and a join back marks the duplicated windows.
+    Exact for duplicate runs of length >= k (a suffix array also finds
+    shorter ones; k IS the published match-length cutoff, 50 tokens
+    there, configurable here).
+
+    Output per input row: ``(id_col, n_windows, n_dup_windows,
+    dup_tokens, dup_frac)`` where ``dup_tokens`` counts distinct token
+    positions covered by at least one duplicated window and ``dup_frac``
+    divides by the doc's token count (one double division). Documents
+    shorter than ``k`` tokens have zero windows and dup_frac 0.0.
+
+    Scale shape: window hashing is per-row algebra (O(n·k) concat work,
+    ~n× row amplification → ``spread_for_explode`` first); the count and
+    the mark-back both key on uniform md5 values — the usual bucket
+    shapes, never a suffix-array-style global sort. Boilerplate windows
+    repeated millions of times make a hot join key on the occurrence
+    side; AQE skew-join splits those buckets (the dup-hash side is one
+    row per hash by construction).
+    """
+    from .text import spread_for_explode
+
+    t = F.col("__toks")
+    win = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("widx"),
+                F.md5(F.array_join(F.slice(t, i, k), " ")).alias("whash"),
+            ),
+        ),
+    ).otherwise(F.lit([]).cast("array<struct<widx:int,whash:string>>"))
+    base = (
+        spread_for_explode(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.size(tokens_of(text_col)).cast("long").alias("__n_tokens"),
+            tokens_of(text_col).alias("__toks"),
+        )
+    )
+    w = base.select(
+        id_col, "__n_tokens", F.explode_outer(win).alias("__w")
+    ).select(
+        id_col,
+        "__n_tokens",
+        F.col("__w.widx").alias("widx"),
+        F.col("__w.whash").alias("whash"),
+    )
+    dup = (
+        w.filter(F.col("whash").isNotNull())
+        .groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("whash")
+    )
+    dup_w = w.join(dup, on="whash")
+    covered = (
+        dup_w.select(
+            id_col, F.explode(F.sequence(F.col("widx"), F.col("widx") + (k - 1))).alias("__pos")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    dup_counts = dup_w.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    per_doc = w.groupBy(id_col, "__n_tokens").agg(
+        F.count(F.col("whash")).alias("n_windows")
+    )
+    return (
+        per_doc.join(dup_counts, on=id_col, how="left")
+        .join(covered, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias(
+                "dup_tokens"
+            ),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("__n_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

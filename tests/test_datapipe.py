@@ -1257,3 +1257,32 @@ def test_lm_quality_score_external_model_oov(spark):
     ).collect()[0]
     # OOV bigram "y zzz" drops out of the average (inner-join semantics)
     assert score.n_bigrams == 1 and score.avg_p == 1.0
+
+
+def test_dup_span_stats_hand_computed(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dup_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x a b c"), (3, "p q")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs, k=3).collect()}
+    # "a b c" occurs in docs 1 and 2 -> duplicated window
+    assert (out[1].n_windows, out[1].n_dup_windows, out[1].dup_tokens) == (2, 1, 3)
+    assert out[1].dup_frac == 3 / 4
+    assert (out[2].n_windows, out[2].n_dup_windows, out[2].dup_tokens) == (2, 1, 3)
+    # shorter than k: zero windows, zero coverage
+    assert (out[3].n_windows, out[3].n_dup_windows, out[3].dup_frac) == (0, 0, 0.0)
+
+
+def test_dup_span_stats_within_doc_and_overlap_merge(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dup_span_stats,
+    )
+
+    # every 3-window repeats WITHIN the one doc; overlapping covered
+    # positions merge to the full token range
+    docs = spark.createDataFrame([(7, "a b c a b c a b")], ["doc_id", "text"])
+    r = dup_span_stats(docs, k=3).collect()[0]
+    assert (r.n_windows, r.n_dup_windows, r.dup_tokens, r.dup_frac) == (6, 6, 8, 1.0)
