@@ -1283,6 +1283,42 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join
+    (streaming/joins.attribution_join): click credited to same-user
+    views in the preceding 2 h; identical condition runs under
+    readStream with watermarks (test_streaming.py)."""
+    from python_etl_mailing_automation_spark.functions.dates import (
+        epoch_micros,
+    )
+    from python_etl_mailing_automation_spark.streaming.joins import (
+        attribution_join,
+    )
+
+    events = _t(spark, sf, "events")
+    dtype = dict(events.dtypes)["ts"]
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = attribution_join(views, clicks, horizon_s=7200)
+    return pairs.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (
+            epoch_micros("click_ts", dtype=dtype)
+            - epoch_micros("view_ts", dtype=dtype)
+        ).alias("gap_us"),
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring duplication coverage (datapipe/dedup
     .dup_span_stats, Lee et al. 2022 re-expressed as window-hash
@@ -1412,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_edit1": q_fuzzy_join_edit1,
         "lm_score": q_lm_score,
         "dup_spans": q_dup_spans,
+        "attribution_join": q_attribution_join,
         "semantic_curation_e2e": q_semantic_curation_e2e,
     }
 
@@ -2560,6 +2597,19 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Attribution pairs: user equi-join + 2 h range bound — the
+        # batch twin of the watermarked stream-stream join.
+        "attribution_join": """
+  WITH at_v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                FROM events WHERE event_type = 'view'),
+  at_c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+  SELECT v.user_id, view_id, click_id,
+         date_diff('microsecond', view_ts, click_ts) AS gap_us
+  FROM at_v v JOIN at_c c
+    ON v.user_id = c.user_id
+   AND click_ts >= view_ts
+   AND click_ts <= view_ts + INTERVAL 7200 SECONDS""",
         # Exact-substring duplication coverage: 8-token window hashes,
         # corpus occurrence count >= 2, distinct-position coverage —
         # mirrors datapipe/dedup.dup_span_stats (1-based widx grid).

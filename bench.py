@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "fuzzy_join_edit1",
     "lm_score",
     "dup_spans",
+    "attribution_join",
     "semantic_curation_e2e",
 ]
 

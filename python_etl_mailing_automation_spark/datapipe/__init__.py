@@ -21,6 +21,7 @@ from .dedup import (  # noqa: F401
     dedup_clusters,
     dedup_clusters_star,
     dedup_lines,
+    dup_span_stats,
     exact_dedup_groups,
     minhash_signatures,
     ngram_jaccard_pairs,

@@ -215,3 +215,65 @@ def test_streaming_curation_matches_batch_prefix(spark):
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream attribution join emits exactly the
+    batch twin's pairs when both sides arrive via readStream."""
+    import shutil
+    import tempfile
+
+    from python_etl_mailing_automation_spark.streaming.joins import (
+        attribution_join,
+    )
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    batch = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in attribution_join(views, clicks, horizon_s=7200).collect()
+    }
+    assert batch  # non-degenerate fixture
+
+    v_dir = tempfile.mkdtemp(prefix="attr_v_")
+    c_dir = tempfile.mkdtemp(prefix="attr_c_")
+    ckpt = tempfile.mkdtemp(prefix="attr_ckpt_")
+    try:
+        views.write.mode("overwrite").parquet(v_dir)
+        clicks.write.mode("overwrite").parquet(c_dir)
+        sv = spark.readStream.schema(views.schema).parquet(v_dir)
+        sc = spark.readStream.schema(clicks.schema).parquet(c_dir)
+        joined = attribution_join(
+            sv, sc, horizon_s=7200, watermark="2 hours"
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attr_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            streamed = {
+                (r["user_id"], r["view_id"], r["click_id"])
+                for r in spark.sql("select * from attr_test").collect()
+            }
+        finally:
+            q.stop()
+        assert streamed == batch
+    finally:
+        shutil.rmtree(v_dir, ignore_errors=True)
+        shutil.rmtree(c_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
