@@ -122,6 +122,11 @@ DEEP_QUERIES = [
     "sessionization",
     "stream_curation_batch",
     "text_clusters",
+    # Window-hash/bigram-explode operators: both amplify rows ~n_tokens×
+    # before keyed aggregation, so the deep datapoint catches any
+    # superlinear blowup in the explode→agg→mark-back chain.
+    "dup_spans",
+    "lm_score",
     # The two SemDeDup compositions: codebook size scales with the
     # corpus (k ∝ N) so the within-cluster pair join stays linear — the
     # deep datapoint guards that k-scaling rule.

@@ -249,3 +249,42 @@ def test_simhash_pairs_band_join_no_cartesian(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_fuzzy_join_is_bucketed_equi_join_no_cartesian(plans):
+    """Deletion-neighborhood linkage: candidates come from an equi join
+    on variant md5 buckets — an all-pairs levenshtein would show up as a
+    nested-loop/cartesian here."""
+    p = plans("fuzzy_join_edit1")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lm_score_partial_aggregation_no_cartesian(plans):
+    """Bigram LM: model training and doc scoring are hash aggregations
+    with map-side partials; every join is keyed (bg / w1 / doc_id)."""
+    p = plans("lm_score")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
+
+
+def test_dup_spans_window_hash_join_no_cartesian(plans):
+    """Exact-substring coverage: window explode (Generate) feeds keyed
+    aggregations/joins on md5 — never an all-pairs or a global sort."""
+    p = plans("dup_spans")
+    assert "Generate" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "GlobalSort" not in p and ", true, 0" not in p  # no Sort global
+
+
+def test_attribution_join_is_keyed_equi_join(plans):
+    """The time-range bound must compile as a post-filter of the user
+    equi join, not a nested-loop range join."""
+    p = plans("attribution_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
