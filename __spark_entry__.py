@@ -1283,6 +1283,58 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (operators/funnel
+    .funnel_stages): k nested conditional window minima over ONE user
+    partitioning — one shuffle for the whole funnel, no self-joins."""
+    from python_etl_mailing_automation_spark.functions.dates import (
+        epoch_micros,
+    )
+    from python_etl_mailing_automation_spark.operators.funnel import (
+        funnel_stages,
+    )
+
+    events = _t(spark, sf, "events")
+    dtype = dict(events.dtypes)["ts"]
+    out = funnel_stages(events, ["view", "click", "purchase"])
+    # stage columns inherit the input ts dtype; epoch micros keeps the
+    # oracle compare timezone-flavor-proof
+    cols = [F.col("user_id")] + [
+        epoch_micros(f"stage{i}_ts", dtype=dtype).alias(f"stage{i}_us")
+        for i in range(3)
+    ]
+    return out.select(*cols, F.col("stages_reached"))
+
+
+def q_quantile_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-quantile quality bucketing (datapipe/stats
+    .quantile_bucket_assign): per-lang quartile boundaries of n_chars
+    broadcast back, scan-level boundary fold — the feeder for
+    budget_select's quality tiers."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        quantile_bucket_assign,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_bucket_assign(
+        docs, "n_chars", n_buckets=4, group_col="lang"
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (datapipe/sampling
+    .temperature_sample, T=4): per-lang keep rate (n_min/n)^(3/4) via
+    the sqrt-chain (pow/ln-free), md5-bucket kept set."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return temperature_sample(docs, "lang", temperature=4.0).select(
+        "doc_id", "lang"
+    )
+
+
 def q_attribution_join(spark: SparkSession, sf: str) -> DataFrame:
     """Batch twin of the stream-stream attribution join
     (streaming/joins.attribution_join): click credited to same-user
@@ -1449,6 +1501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "dup_spans": q_dup_spans,
         "attribution_join": q_attribution_join,
+        "temperature_mixture": q_temperature_mixture,
+        "quantile_buckets": q_quantile_buckets,
+        "funnel": q_funnel,
         "semantic_curation_e2e": q_semantic_curation_e2e,
     }
 
@@ -2597,6 +2652,58 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Ordered funnel: nested conditional window minima, epoch-us
+        # output; at-or-after (inclusive) stage ordering.
+        "funnel": """
+  WITH fn_s0 AS (SELECT user_id, event_type, ts,
+                        MIN(CASE WHEN event_type = 'view' THEN ts END)
+                          OVER (PARTITION BY user_id) AS s0
+                 FROM events),
+  fn_s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= s0
+                          THEN ts END)
+                        OVER (PARTITION BY user_id) AS s1
+            FROM fn_s0),
+  fn_s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= s1
+                          THEN ts END)
+                        OVER (PARTITION BY user_id) AS s2
+            FROM fn_s1)
+  SELECT user_id,
+         epoch_us(MIN(s0)) AS stage0_us,
+         epoch_us(MIN(s1)) AS stage1_us,
+         epoch_us(MIN(s2)) AS stage2_us,
+         CAST((CASE WHEN MIN(s0) IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN MIN(s1) IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN MIN(s2) IS NULL THEN 0 ELSE 1 END)
+              AS INT) AS stages_reached
+  FROM fn_s2 GROUP BY user_id""",
+        # Quantile buckets: per-lang interpolated quartile boundaries
+        # (quantile_cont ≡ Spark percentile on integer inputs), bucket =
+        # count of boundaries strictly below the value.
+        "quantile_buckets": """
+  WITH qb_b AS (SELECT lang,
+                       [quantile_cont(CAST(n_chars AS DOUBLE), 0.25),
+                        quantile_cont(CAST(n_chars AS DOUBLE), 0.5),
+                        quantile_cont(CAST(n_chars AS DOUBLE), 0.75)] AS bs
+                FROM documents GROUP BY 1)
+  SELECT d.doc_id, d.lang, d.n_chars,
+         CAST(len(list_filter(bs, b -> CAST(d.n_chars AS DOUBLE) > b))
+              AS INT) AS bucket
+  FROM documents d JOIN qb_b USING (lang)""",
+        # Temperature mixture: rate = (nmin/n)^(3/4) as an explicit
+        # sqrt-chain (left-assoc multiply, same op order as the Spark
+        # column) — then the shared md5-bucket keep rule.
+        "temperature_mixture": """
+  WITH tm_c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+  tm_m AS (SELECT MIN(n) AS nmin FROM tm_c),
+  tm_r AS (SELECT lang,
+                  CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                       * sqrt(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * 65536.0) AS INT) AS thr
+           FROM tm_c, tm_m)
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN tm_r USING (lang)
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4)
+             AS INT) < thr""",
         # Attribution pairs: user equi-join + 2 h range bound — the
         # batch twin of the watermarked stream-stream join.
         "attribution_join": """

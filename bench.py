@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "lm_score",
     "dup_spans",
     "attribution_join",
+    "temperature_mixture",
+    "quantile_buckets",
+    "funnel",
     "semantic_curation_e2e",
 ]
 

@@ -36,13 +36,18 @@ from .dedup import (  # noqa: F401
 from .lm import bigram_probs, doc_bigrams, lm_quality_score  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
 from .pii import pii_free, redact_pii  # noqa: F401
-from .stats import corpus_stats, length_quantiles  # noqa: F401
+from .stats import (  # noqa: F401
+    corpus_stats,
+    length_quantiles,
+    quantile_bucket_assign,
+)
 from .sampling import (  # noqa: F401
     budget_select,
     hash_sample,
     mixture_sample,
     shard_assign,
     stratified_sample,
+    temperature_sample,
 )
 from .similarity import ann_bucket_topk, cosine_topk  # noqa: F401
 from .text import (  # noqa: F401

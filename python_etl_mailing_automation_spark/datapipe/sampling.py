@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,6 +113,71 @@ def mixture_sample(
         F.lit(int(default_fraction * 65536)),
     )
     return df.filter(bucket < thr)
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    *,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual/multi-source
+    rebalancing rule (XLM-R, mT5: sample source s with probability
+    ∝ (n_s/N)^(1/T)) realized as deterministic downsampling: the largest
+    sources are thinned toward the tempered shares while the SMALLEST
+    source keeps every row (filters cannot upsample). The per-source
+    keep rate follows from k_s = r_s·n_s ∝ n_s^(1/T):
+
+        r_s = (n_min / n_s)^((T-1)/T)
+
+    ``temperature`` must be a power of two (2, 4, 8, …): the exponent
+    (T-1)/T then expands into a chain of ``sqrt`` calls and
+    multiplications — ``sqrt`` is IEEE-correctly-rounded in every
+    engine, unlike ``pow``/``ln`` whose libm variation this engine's
+    oracle discipline forbids. T→∞ approaches uniform source shares;
+    T=1 would be a no-op (r_s = 1).
+
+    Scale shape: one tiny per-domain count aggregate, a one-row min
+    folded in by cross-joining the broadcast singleton, and a broadcast
+    join of the #domains-sized rate table back onto the scan — the
+    per-row decision is the same md5-bucket rule as
+    :func:`mixture_sample` (scan-level, reproducible, ``fraction``-
+    superset property per domain), so the corpus itself never shuffles.
+    """
+    k = math.log2(temperature)
+    if temperature <= 1 or k != int(k):
+        raise ValueError(
+            "temperature_sample: temperature must be a power of two > 1"
+        )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    x = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    # (T-1)/T = sum_{i=1..k} 2^-i: multiply the iterated square roots.
+    rate = F.lit(1.0)
+    y = x
+    for _ in range(int(k)):
+        y = F.sqrt(y)
+        rate = rate * y
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        domain_col, F.floor(rate * F.lit(65536.0)).cast("int").alias("__thr")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    return (
+        df.join(F.broadcast(rates), on=domain_col)
+        # "< thr" with thr = floor(r·65536) keeps every row of the
+        # smallest source only when r rounds up to the full 65536 —
+        # r_s = 1 exactly there, so it does.
+        .filter(bucket < F.col("__thr"))
+        .drop("__thr")
+    )
+
 
 def budget_select(
     df: DataFrame,

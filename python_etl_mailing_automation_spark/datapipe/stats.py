@@ -103,3 +103,53 @@ def length_quantiles(
             for i, q in enumerate(quantiles)
         ],
     )
+
+
+def quantile_bucket_assign(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 4,
+    group_col: str | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign every row its exact-quantile bucket of ``value_col``:
+    bucket b means the value exceeds the b lowest of the ``n_buckets-1``
+    interior quantile boundaries (linearly interpolated, computed over
+    the whole frame, or per ``group_col`` when given). The feeder for
+    quality-tiered selection (:func:`~..sampling.budget_select` consumes
+    exactly such a bucket column).
+
+    Bucket-by-VALUE-boundary (not ``ntile``'s bucket-by-rank): ties get
+    the same bucket deterministically, no global sort exists anywhere,
+    and the per-row decision is reproducible from the boundary values
+    alone. Both engines interpolate quantiles identically on integer
+    inputs (see :func:`length_quantiles`), and the comparison
+    ``value > boundary`` is double-exact, so bucket assignments are
+    cross-engine stable.
+
+    Scale shape: one ``percentile`` aggregate whose state is O(distinct
+    values) per group (use only on bounded-cardinality columns — doc
+    lengths, scores on a grid), broadcast of the one-row-per-group
+    boundary frame back, then a scan-level fold over the ≤ n_buckets-1
+    boundary literals. The corpus never shuffles.
+    """
+    if n_buckets < 2:
+        raise ValueError("quantile_bucket_assign: n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    pct = F.percentile(
+        F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])
+    ).alias("__bs")
+    if group_col is None:
+        bounds = F.broadcast(df.agg(pct))
+        joined = df.crossJoin(bounds)
+    else:
+        bounds = F.broadcast(df.groupBy(group_col).agg(pct))
+        joined = df.join(bounds, on=group_col)
+    bucket = F.aggregate(
+        F.col("__bs"),
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col(value_col).cast("double") > b, 1).otherwise(0),
+    )
+    return joined.withColumn(out_col, bucket.cast("int")).drop("__bs")

@@ -1286,3 +1286,52 @@ def test_dup_span_stats_within_doc_and_overlap_merge(spark):
     docs = spark.createDataFrame([(7, "a b c a b c a b")], ["doc_id", "text"])
     r = dup_span_stats(docs, k=3).collect()[0]
     assert (r.n_windows, r.n_dup_windows, r.dup_tokens, r.dup_frac) == (6, 6, 8, 1.0)
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    import hashlib
+
+    import pytest as _pytest
+
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        temperature_sample,
+    )
+
+    rows = (
+        [(f"a{0}", "a")]
+        + [(f"b{i}", "b") for i in range(4)]
+        + [(f"c{i}", "c") for i in range(16)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "dom"])
+    out = {r.doc_id for r in temperature_sample(df, "dom", temperature=2.0, id_col="doc_id").collect()}
+    # T=2: r_s = sqrt(n_min/n_s) -> thresholds a:65536 b:32768 c:16384
+    thr = {"a": 65536, "b": 32768, "c": 16384}
+    expect = {
+        d
+        for d, dom in rows
+        if int(hashlib.md5(f"{d}|".encode()).hexdigest()[:4], 16) < thr[dom]
+    }
+    assert out == expect
+    assert {d for d, dom in rows if dom == "a"} <= out  # smallest source intact
+    with _pytest.raises(ValueError):
+        temperature_sample(df, "dom", temperature=3.0)
+
+
+def test_quantile_bucket_assign_global_and_grouped(spark):
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        quantile_bucket_assign,
+    )
+
+    # values 1..8: quartile boundaries (2.75, 4.5, 6.25) -> buckets 0-3
+    df = spark.createDataFrame(
+        [(i, "g1" if i <= 4 else "g2", i) for i in range(1, 9)],
+        ["doc_id", "g", "v"],
+    )
+    out = {r.doc_id: r.bucket for r in quantile_bucket_assign(df, "v").collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+    # per-group: g1 has 1..4 (boundaries 1.75, 2.5, 3.25), g2 has 5..8
+    outg = {
+        r.doc_id: r.bucket
+        for r in quantile_bucket_assign(df, "v", group_col="g").collect()
+    }
+    assert outg == {1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 1, 7: 2, 8: 3}

@@ -359,3 +359,42 @@ def test_fuzzy_join_edit_max_bucket_cut(spark):
     )
     got = {(r.lid, r.rid) for r in out.collect()}
     assert got == {(9, 2)}
+
+
+def test_funnel_stages_order_and_horizon(spark):
+    from python_etl_mailing_automation_spark.operators.funnel import (
+        funnel_stages,
+    )
+
+    rows = [
+        # u1 completes in order
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:30:00"),
+        # u2: click BEFORE any view -> stage1 must use the later click
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "purchase", "2024-01-01 11:00:00"),
+        # u3: never clicks -> purchase cannot count (order enforced)
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "purchase", "2024-01-01 09:00:00"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "event_type", "ts_s"]).select(
+        "user_id", "event_type", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = {
+        r.user_id: r
+        for r in funnel_stages(events, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1].stages_reached == 3
+    assert out[2].stages_reached == 1  # click precedes view; no click after
+    assert out[3].stages_reached == 1
+    assert out[3].stage1_ts is None and out[3].stage2_ts is None
+    # horizon: u1's purchase is 25 min after the click; 10-min horizon cuts it
+    hor = {
+        r.user_id: r.stages_reached
+        for r in funnel_stages(
+            events, ["view", "click", "purchase"], horizon_s=600
+        ).collect()
+    }
+    assert hor[1] == 2
