@@ -1283,6 +1283,44 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-lang outlier flags (datapipe/stats.mad_outliers):
+    Iglewicz-Hoaglin modified z-score over n_chars — two broadcast-back
+    median aggregates, corpus never shuffles."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        mad_outliers,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return mad_outliers(docs, "n_chars", group_col="lang")
+
+
+def q_scd_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-1 snapshot merge (operators/dedup.upsert_latest): an in-query
+    CDC batch (every 3rd customer, +100 balance; every 6th arrives with
+    a TIED version to exercise update-beats-base) merged into the
+    customer base — window-free min_by reduction."""
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        upsert_latest,
+    )
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    base = cust.withColumn("version", F.lit(1))
+    updates = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+        .withColumn(
+            "version",
+            F.when(F.col("c_custkey") % 6 == 0, F.lit(1)).otherwise(F.lit(2)),
+        )
+    )
+    return upsert_latest(
+        base, updates, key="c_custkey", version_col="version"
+    )
+
+
 def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered view→click→purchase funnel (operators/funnel
     .funnel_stages): k nested conditional window minima over ONE user
@@ -1504,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,
         "funnel": q_funnel,
+        "mad_outliers": q_mad_outliers,
+        "scd_upsert": q_scd_upsert,
         "semantic_curation_e2e": q_semantic_curation_e2e,
     }
 
@@ -2652,6 +2692,39 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # MAD outliers: two interpolated medians (quantile_cont ≡ Spark
+        # percentile on the integer/half-integer grid), score arithmetic
+        # in the same left-assoc op order as the Spark column.
+        "mad_outliers": """
+  WITH mo_med AS (SELECT lang,
+                         quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+                  FROM documents GROUP BY 1),
+  mo_mad AS (SELECT d.lang,
+                    quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - med), 0.5)
+                      AS mad
+             FROM documents d JOIN mo_med USING (lang) GROUP BY 1)
+  SELECT d.doc_id, d.lang, d.n_chars,
+         (mad > 0 AND
+          0.6745 * abs(CAST(d.n_chars AS DOUBLE) - med) / mad > 3.5)
+           AS is_outlier
+  FROM documents d
+  JOIN mo_med USING (lang)
+  JOIN mo_mad USING (lang)""",
+        # SCD-1 merge: highest version wins, update beats base on the
+        # tie (src desc), NULL versions oldest — mirrors the min_by
+        # sort keys of operators/dedup.upsert_latest.
+        "scd_upsert": """
+  WITH su_b AS (SELECT c_custkey, c_name, c_acctbal,
+                       1 AS version, 0 AS src FROM customer),
+  su_u AS (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+                  CASE WHEN c_custkey % 6 = 0 THEN 1 ELSE 2 END AS version,
+                  1 AS src
+           FROM customer WHERE c_custkey % 3 = 0),
+  su_all AS (SELECT * FROM su_b UNION ALL SELECT * FROM su_u)
+  SELECT c_custkey, c_name, c_acctbal, version
+  FROM su_all
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey
+                             ORDER BY version DESC NULLS LAST, src DESC) = 1""",
         # Ordered funnel: nested conditional window minima, epoch-us
         # output; at-or-after (inclusive) stage ordering.
         "funnel": """

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "temperature_mixture",
     "quantile_buckets",
     "funnel",
+    "mad_outliers",
+    "scd_upsert",
     "semantic_curation_e2e",
 ]
 

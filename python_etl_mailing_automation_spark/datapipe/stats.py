@@ -153,3 +153,57 @@ def quantile_bucket_assign(
         + F.when(F.col(value_col).cast("double") > b, 1).otherwise(0),
     )
     return joined.withColumn(out_col, bucket.cast("int")).drop("__bs")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+    threshold: float = 3.5,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust outlier flagging by median absolute deviation (the
+    Iglewicz-Hoaglin modified z-score, the standard robust alternative
+    to mean/stddev cuts — a handful of giant documents cannot drag the
+    cut-off the way they drag a mean): a row is an outlier when
+
+        0.6745 * |value - median| / MAD > threshold
+
+    with MAD = median(|value - median|), computed globally or per
+    ``group_col``. Degenerate groups (MAD = 0, i.e. > half the values
+    identical) flag nothing — the rule's standard convention.
+
+    Cross-engine exactness: both medians are interpolated ``percentile``
+    values (engine-identical on integer/double inputs, see
+    :func:`length_quantiles`); the score arithmetic is a fixed sequence
+    of IEEE double ops, so the boolean is reproducible anywhere.
+
+    Scale shape: two grouped ``percentile`` aggregates (state O(distinct
+    values) each) with the one-row-per-group results broadcast back —
+    the corpus is scanned, never shuffled. The second pass re-reads the
+    input rather than caching it: a scan is cheaper than materializing
+    a 100 TB frame.
+    """
+    v = F.col(value_col).cast("double")
+    med_agg = F.percentile(v, F.lit(0.5)).alias("__med")
+    if group_col is None:
+        with_med = df.crossJoin(F.broadcast(df.agg(med_agg)))
+    else:
+        with_med = df.join(
+            F.broadcast(df.groupBy(group_col).agg(med_agg)), on=group_col
+        )
+    dev = F.abs(v - F.col("__med"))
+    mad_agg = F.percentile(dev, F.lit(0.5)).alias("__mad")
+    if group_col is None:
+        scored = with_med.crossJoin(F.broadcast(with_med.agg(mad_agg)))
+    else:
+        scored = with_med.join(
+            F.broadcast(with_med.groupBy(group_col).agg(mad_agg)),
+            on=group_col,
+        )
+    flag = (
+        (F.col("__mad") > 0)
+        & (F.lit(0.6745) * F.abs(v - F.col("__med")) / F.col("__mad") > threshold)
+    )
+    return scored.withColumn(out_col, flag).drop("__med", "__mad")

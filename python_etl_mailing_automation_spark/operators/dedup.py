@@ -91,3 +91,43 @@ def dedup_keep_best_maxby(
     ).alias("__best")
     out = df.groupBy(*keys).agg(best)
     return out.select(*keys, *[F.col(f"__best.{c}").alias(c) for c in payload])
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    *,
+    key: str | list[str],
+    version_col: str,
+) -> DataFrame:
+    """SCD-type-1 snapshot merge ("MERGE INTO ... WHEN MATCHED UPDATE"):
+    the next snapshot keeps, per key, the row with the highest
+    ``version_col`` across base ∪ updates — an update beats the base row
+    on a version tie (the update is the newer fact under equal
+    timestamps, the standard last-writer-wins CDC convention).
+
+    Composition, not new machinery: unionByName + the skew-hardened
+    :func:`dedup_keep_best_maxby` reduction — one shuffle on the key,
+    per-partition partial minima (no window sort), so a hot key costs
+    each partition O(1) state even when one entity receives millions of
+    updates. This is the batch-merge pattern lakehouse MERGE executes
+    under the hood; expressing it as the engine's own dedup keeps the
+    deterministic tie rules oracle-checkable.
+
+    Rows whose ``version_col`` is NULL sort as oldest (kept only if a
+    key has no versioned row at all).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    # min_by on (-version, -src): highest version wins, updates beat
+    # base on ties; NULL versions coalesce to the smallest priority.
+    sort_keys = [
+        F.coalesce(
+            -F.col(version_col).cast("double"), F.lit(float("inf"))
+        ),
+        -F.col("__src"),
+    ]
+    merged = dedup_keep_best_maxby(tagged, keys, sort_keys)
+    return merged.drop("__src")

@@ -1335,3 +1335,42 @@ def test_quantile_bucket_assign_global_and_grouped(spark):
         for r in quantile_bucket_assign(df, "v", group_col="g").collect()
     }
     assert outg == {1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 1, 7: 2, 8: 3}
+
+
+def test_mad_outliers_flags_and_degenerate_group(spark):
+    from python_etl_mailing_automation_spark.datapipe.stats import mad_outliers
+
+    # g1: values 1..9 plus a 1000 spike -> spike flagged, rest not.
+    # g2: all-identical values -> MAD 0 -> nothing flagged by convention.
+    rows = [(i, "g1", v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    rows += [(100 + i, "g2", 7) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "g", "v"])
+    out = {r.doc_id: r.is_outlier for r in mad_outliers(df, "v", group_col="g").collect()}
+    assert out[9] is True  # the 1000 spike
+    assert all(out[i] is False for i in range(9))
+    assert all(out[100 + i] is False for i in range(6))
+
+
+def test_upsert_latest_versions_ties_and_nulls(spark):
+    from python_etl_mailing_automation_spark.operators.dedup import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 5), (3, "c", None), (4, "d", 2)],
+        "k int, payload string, version int",
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2", 2),   # higher version wins
+         (2, "b2", 5),   # tie -> update wins
+         (3, "c2", None),  # both null -> update wins (src tiebreak)
+         (5, "e", 1)],   # brand-new key inserted
+        "k int, payload string, version int",
+    )
+    out = {r.k: (r.payload, r.version) for r in
+           upsert_latest(base, updates, key="k", version_col="version").collect()}
+    assert out == {
+        1: ("a2", 2),
+        2: ("b2", 5),
+        3: ("c2", None),
+        4: ("d", 2),
+        5: ("e", 1),
+    }
