@@ -288,3 +288,43 @@ def test_attribution_join_is_keyed_equi_join(plans):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
         "ShuffledHashJoin" in p
     )
+
+
+def test_funnel_single_user_exchange(plans):
+    """All k stage windows share one user partitioning: Spark reuses a
+    single hash exchange for the whole funnel (plus the final group-agg
+    which AQE may satisfy from the same partitioning)."""
+    p = plans("funnel")
+    assert "SortMergeJoin" not in p and "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_temperature_mixture_broadcasts_rates(plans):
+    """The #domains-sized rate table broadcasts back; the corpus side is
+    filtered at the scan — no corpus-sized shuffle, no sort."""
+    p = plans("temperature_mixture")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_quantile_buckets_broadcast_no_sort(plans):
+    p = plans("quantile_buckets")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mad_outliers_broadcasts_both_medians(plans):
+    """Two broadcast-back joins (median, then MAD); corpus never
+    shuffles, no windows."""
+    p = plans("mad_outliers")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+
+
+def test_scd_upsert_is_partial_aggregation_no_window(plans):
+    """The merge is the min_by reduction: map-side partial + final hash
+    aggregate, never a row_number window."""
+    p = plans("scd_upsert")
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p

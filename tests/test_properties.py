@@ -395,3 +395,53 @@ def test_star_cc_equals_propagation_on_random_graphs(spark, edges):
     prop = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs, max_iterations=100).collect()}
     assert star == expect
     assert prop == expect
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=5), min_size=1, max_size=12
+    ),
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=5), min_size=1, max_size=12
+    ),
+)
+@SETTINGS
+def test_fuzzy_join_edit_equals_brute_force(spark, ls, rs):
+    """Deletion-neighborhood candidates lose no true pair: the operator's
+    output equals the brute-force all-pairs levenshtein filter on random
+    short strings over a tiny alphabet (dense edit-distance collisions)."""
+    from python_etl_mailing_automation_spark.operators.linkage import (
+        fuzzy_join_edit,
+    )
+
+    def lev(a: str, b: str) -> int:
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ls)], "lid int, lname string"
+    )
+    right = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rs)], "rid int, rname string"
+    )
+    for d in (1, 2):
+        got = {
+            (r.lid, r.rid, r.dist)
+            for r in fuzzy_join_edit(
+                left, right, left_id="lid", right_id="rid",
+                left_col="lname", right_col="rname", max_dist=d,
+            ).collect()
+        }
+        want = {
+            (i, j, lev(a, b))
+            for i, a in enumerate(ls)
+            for j, b in enumerate(rs)
+            if lev(a, b) <= d
+        }
+        assert got == want
