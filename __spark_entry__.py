@@ -1283,6 +1283,69 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Burst debounce (operators/aggregates.debounce_events): first
+    event of each (user, type) burst, 10-min gap rule, one lag window."""
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        debounce_events,
+    )
+
+    events = _t(spark, sf, "events")
+    out = debounce_events(
+        events,
+        key_cols=["user_id", "event_type"],
+        gap_s=600,
+        tiebreak_col="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_rolling_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 24 h per-user rolling count/sum (operators/aggregates
+    .rolling_window_sum): RANGE frame over epoch micros, integer-cent
+    exact totals."""
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        rolling_window_sum,
+    )
+
+    events = _t(spark, sf, "events").withColumn(
+        "cents",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"),
+    )
+    out = rolling_window_sum(
+        events, key_cols=["user_id"], value_col="cents", window_s=86400
+    )
+    return out.select("event_id", "user_id", "rolling_n", "rolling_sum")
+
+
+def q_fk_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit (pipeline/diagnostics
+    .fk_orphan_stats): per-relation orphan counts; the third relation
+    restricts the parent in-query so detection (not just clean tables)
+    is exercised."""
+    from python_etl_mailing_automation_spark.pipeline.diagnostics import (
+        fk_orphan_stats,
+    )
+
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    ev = _t(spark, sf, "events")
+    return fk_orphan_stats(
+        [
+            ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            (
+                "events->customer_small",
+                ev,
+                "user_id",
+                cust.filter(F.col("c_custkey") < 50),
+                "c_custkey",
+            ),
+        ]
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Robust per-lang outlier flags (datapipe/stats.mad_outliers):
     Iglewicz-Hoaglin modified z-score over n_chars — two broadcast-back
@@ -1544,6 +1607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "mad_outliers": q_mad_outliers,
         "scd_upsert": q_scd_upsert,
+        "debounce": q_debounce,
+        "rolling_spend": q_rolling_spend,
+        "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
     }
 
@@ -2692,6 +2758,46 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Debounce: LAG over (epoch us, id tiebreak); strict > gap.
+        "debounce": """
+  WITH db_e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+                FROM events),
+  db_l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY us, event_id) AS prev
+           FROM db_e)
+  SELECT event_id, user_id, event_type
+  FROM db_l WHERE prev IS NULL OR us - prev > 600000000""",
+        # Rolling spend: RANGE frame over epoch micros; integer cents
+        # (floor(v*100+0.5) — identical double ops both engines).
+        "rolling_spend": """
+  WITH rs_e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events)
+  SELECT event_id, user_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n,
+         CAST(SUM(cents) OVER w AS BIGINT) AS rolling_sum
+  FROM rs_e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""",
+        # FK audit: per-relation left-join orphan counts (distinct
+        # parent keys only), third relation parent-restricted.
+        "fk_orphans": """
+  SELECT 'orders->customer' AS relation, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM (SELECT o_custkey AS ck FROM orders WHERE o_custkey IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p ON c.ck = p.pk
+  UNION ALL
+  SELECT 'lineitem->orders', COUNT(*),
+         CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT l_orderkey AS ck FROM lineitem WHERE l_orderkey IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p ON c.ck = p.pk
+  UNION ALL
+  SELECT 'events->customer_small', COUNT(*),
+         CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT user_id AS ck FROM events WHERE user_id IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer
+             WHERE c_custkey < 50) p ON c.ck = p.pk""",
         # MAD outliers: two interpolated medians (quantile_cont ≡ Spark
         # percentile on the integer/half-integer grid), score arithmetic
         # in the same left-assoc op order as the Spark column.

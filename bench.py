@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "funnel",
     "mad_outliers",
     "scd_upsert",
+    "debounce",
+    "rolling_spend",
+    "fk_orphans",
     "semantic_curation_e2e",
 ]
 

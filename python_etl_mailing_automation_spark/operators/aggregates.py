@@ -91,3 +91,70 @@ def completeness_count(cols: list[Column | str]) -> Column:
     for t in terms[1:]:
         total = total + t
     return total
+
+
+def debounce_events(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_s: int = 60,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Debounce: within each key, keep an event only if it is the first
+    of its burst — i.e. more than ``gap_s`` seconds after the previous
+    kept-or-dropped event of the same key (plain previous-row gap, the
+    standard sensor/click debounce; the first event per key always
+    survives).
+
+    One ``lag`` window per key ordering by time — a single shuffle on
+    the key, the same session-window partitioning shape as
+    streaming/sessions.py (which is this rule's stateful twin with
+    "previous event" tracked in state instead of a lag column).
+    """
+    from ..functions.dates import epoch_micros
+
+    us = epoch_micros(ts_col, dtype=dict(df.dtypes)[ts_col])
+    order = [us.asc()]
+    if tiebreak_col is not None:
+        # deterministic burst-first choice under equal timestamps
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(us).over(w)
+    keep = prev.isNull() | (us - prev > int(gap_s) * 1_000_000)
+    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+
+
+def rolling_window_sum(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 86400,
+) -> DataFrame:
+    """Per-row trailing-window aggregate: for every event, the count and
+    exact sum of the key's values in the ``window_s`` seconds ending at
+    (and including) the event — the "7-day rolling spend" shape. A
+    RANGE window frame over exact epoch microseconds: one shuffle on the key, and
+    Spark evaluates the sliding frame with two pointers over each key's
+    sorted run, O(n) per key, never O(n·window).
+
+    ``value_col``'s dtype flows through the sum: pre-scale money to
+    integer cents (or decimal) for partition-order-independent exact
+    totals — the engine's cross-row float-sum rule; the rolling count
+    is exact long.
+    Ties in ``ts`` share a frame (RANGE, not ROWS): every simultaneous
+    event sees the same trailing total, deterministically.
+    """
+    from ..functions.dates import epoch_micros
+
+    epoch = epoch_micros(ts_col, dtype=dict(df.dtypes)[ts_col])
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(epoch)
+        .rangeBetween(-int(window_s) * 1_000_000, 0)
+    )
+    return df.withColumn(
+        "rolling_n", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn("rolling_sum", F.sum(F.col(value_col)).over(w))

@@ -84,3 +84,39 @@ def schema_drift(base: DataFrame, new: DataFrame) -> SchemaDrift:
     common_b = [c for c in b if c in n]
     common_n = [c for c in n if c in b]
     return SchemaDrift(added=added, removed=removed, reordered=common_b != common_n)
+
+
+def fk_orphan_stats(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each ``(name, child, child_key,
+    parent, parent_key)`` relation, count the child rows (non-null key)
+    and how many of them reference a missing parent — the pre-load FK
+    check every warehouse ETL runs, as one lazy unioned frame (one row
+    per relation: ``relation, n_rows, n_orphans``).
+
+    Shape per relation: distinct parent keys (keys only — never parent
+    payloads), left join the child's key column, conditional count. AQE
+    broadcasts the key set when dimension-sized; fact-to-fact relations
+    shuffle on the key. The audit frame is O(#relations) rows.
+    """
+    outs = []
+    for name, child, child_key, parent, parent_key in relations:
+        pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+        stats = (
+            child.select(F.col(child_key).alias("__ck"))
+            .filter(F.col("__ck").isNotNull())
+            .join(pk, on=F.col("__ck") == F.col("__pk"), how="left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+        outs.append(stats)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

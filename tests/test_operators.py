@@ -398,3 +398,78 @@ def test_funnel_stages_order_and_horizon(spark):
         ).collect()
     }
     assert hor[1] == 2
+
+
+def test_debounce_events_bursts(spark):
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        debounce_events,
+    )
+
+    rows = [
+        # u1 burst: 0s, 30s, 50s (one keep), then 200s (new burst)
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:00:30"),
+        (3, 1, "2024-01-01 10:00:50"),
+        (4, 1, "2024-01-01 10:03:20"),
+        # u2: single event
+        (5, 2, "2024-01-01 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts_s"]).select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    kept = {
+        r.event_id
+        for r in debounce_events(
+            ev, key_cols=["user_id"], gap_s=60, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert kept == {1, 4, 5}
+
+
+def test_rolling_window_sum_range_and_ties(spark):
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        rolling_window_sum,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", 10),
+        (2, 1, "2024-01-01 10:30:00", 20),
+        # tie with event 4: RANGE frame -> both see the same total
+        (3, 1, "2024-01-01 11:30:00", 5),
+        (4, 1, "2024-01-01 11:30:00", 7),
+        # outside the 1h window of events 1-2
+        (5, 1, "2024-01-01 13:00:00", 100),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts_s", "v"]).select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"),
+        F.col("v").cast("long").alias("v"),
+    )
+    out = {
+        r.event_id: (r.rolling_n, r.rolling_sum)
+        for r in rolling_window_sum(
+            ev, key_cols=["user_id"], value_col="v", window_s=3600
+        ).collect()
+    }
+    assert out[1] == (1, 10)
+    assert out[2] == (2, 30)
+    assert out[3] == (3, 32) and out[4] == (3, 32)  # tie shares the frame
+    assert out[5] == (1, 100)
+
+
+def test_fk_orphan_stats_detects_missing_parents(spark):
+    from python_etl_mailing_automation_spark.pipeline.diagnostics import (
+        fk_orphan_stats,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    out = {
+        r.relation: (r.n_rows, r.n_orphans)
+        for r in fk_orphan_stats(
+            [("c->p", child, "fk", parent, "pk")]
+        ).collect()
+    }
+    # null FK rows are excluded from the audit; 99 is the orphan
+    assert out == {"c->p": (3, 1)}
