@@ -1283,6 +1283,19 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source total-variation divergence vs the corpus unigram
+    mix (datapipe/stats.token_tv_divergence): integer-numerator decimal
+    sums, absent-token mass folded in analytically — ln-free KL stand-in
+    for distribution-shift data cards."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        token_tv_divergence,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return token_tv_divergence(docs, group_col="source")
+
+
 def q_debounce(spark: SparkSession, sf: str) -> DataFrame:
     """Burst debounce (operators/aggregates.debounce_events): first
     event of each (user, type) burst, 10-min gap rule, one lag window."""
@@ -1608,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "scd_upsert": q_scd_upsert,
         "debounce": q_debounce,
+        "source_divergence": q_source_divergence,
         "rolling_spend": q_rolling_spend,
         "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
@@ -2758,6 +2772,29 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Exact TV divergence: |cst·W − ct·Ws| integer numerators summed
+        # in DECIMAL(38,0); absent-token mass (W−B)/W added analytically;
+        # final double expression in the same op order as the column.
+        "source_divergence": f"""
+  WITH tv_tok AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+  tv_pg AS (SELECT source, t, COUNT(*) AS cst FROM tv_tok GROUP BY 1, 2),
+  tv_ws AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS ws
+            FROM tv_pg GROUP BY 1),
+  tv_ct AS (SELECT t, CAST(SUM(cst) AS BIGINT) AS ct FROM tv_pg GROUP BY 1),
+  tv_w AS (SELECT CAST(SUM(ct) AS BIGINT) AS w FROM tv_ct),
+  tv_j AS (SELECT p.source, p.cst, c.ct, s.ws, w.w
+           FROM tv_pg p JOIN tv_ct c USING (t)
+           JOIN tv_ws s USING (source), tv_w w),
+  tv_a AS (SELECT source, MIN(ws) AS ws, MIN(w) AS w,
+                  SUM(abs(CAST(cst AS DECIMAL(38,0)) * w
+                          - CAST(ct AS DECIMAL(38,0)) * ws)) AS a,
+                  CAST(SUM(ct) AS BIGINT) AS b
+           FROM tv_j GROUP BY 1)
+  SELECT source, CAST(ws AS BIGINT) AS n_tokens,
+         (CAST(a AS DOUBLE) / (CAST(ws AS DOUBLE) * CAST(w AS DOUBLE))
+          + CAST(w - b AS DOUBLE) / CAST(w AS DOUBLE)) * 0.5
+           AS tv_divergence
+  FROM tv_a""",
         # Debounce: LAG over (epoch us, id tiebreak); strict > gap.
         "debounce": """
   WITH db_e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us

@@ -18,6 +18,15 @@ flagged robot_pipeline_e2e "regression" recovered with zero code change.
 The deep tier is pinned by the MANIFEST content hash reported in the
 ``deep`` block: timings are only comparable between rounds with equal
 ``dir_hash``.
+
+Known r4→r5 per-query deltas that are semantics upgrades, not
+regressions: ``similarity_topk`` ~1.8→~3.5 s because the IVF path now
+TRAINS its codebook (kmeans_fit_assign, the production index-build)
+instead of sampling fixed centroids; ``dedup_clusters_star`` is the
+deliberately-included alternating large-star/small-star algorithm —
+per-round fixed overhead dominates at sf0.1 (the delta-frontier
+``dedup_clusters`` is the fast path at this scale; star exists for the
+high-diameter-graph regime where propagation iterations explode).
 """
 
 from __future__ import annotations
@@ -94,6 +103,7 @@ BENCH_QUERIES = [
     "debounce",
     "rolling_spend",
     "fk_orphans",
+    "source_divergence",
     "semantic_curation_e2e",
 ]
 

@@ -39,7 +39,9 @@ from .pii import pii_free, redact_pii  # noqa: F401
 from .stats import (  # noqa: F401
     corpus_stats,
     length_quantiles,
+    mad_outliers,
     quantile_bucket_assign,
+    token_tv_divergence,
 )
 from .sampling import (  # noqa: F401
     budget_select,

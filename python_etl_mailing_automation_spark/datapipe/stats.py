@@ -207,3 +207,78 @@ def mad_outliers(
         & (F.lit(0.6745) * F.abs(v - F.col("__med")) / F.col("__mad") > threshold)
     )
     return scored.withColumn(out_col, flag).drop("__med", "__mad")
+
+
+def token_tv_divergence(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT total-variation distance between each group's unigram
+    distribution and the corpus-wide one — the distribution-shift /
+    "which source looks least like the mix" data-card metric. TV is
+    used instead of KL because it needs no ``ln`` (cross-engine libm
+    hazard) and it is finite when a token is absent from a group.
+
+    Exactness: with per-group counts c_st (group total W_s) and corpus
+    counts c_t (total W),
+
+        TV_s = 1/2 · Σ_t |c_st/W_s − c_t/W|
+
+    splits over tokens PRESENT in the group plus the absent mass:
+    Σ_absent c_t/W = (W − B_s)/W with B_s = Σ_present c_t. The present
+    part's numerators |c_st·W − c_t·W_s| are exact integers summed in
+    DECIMAL(38,0) (partition-order-independent, overflow-free), so the
+    whole metric reduces to two exact integer sums and a final
+    fixed-order double expression — bit-identical on any engine. The
+    absent-token term means the |groups|×|vocab| dense grid is NEVER
+    materialized: only (group, token) pairs that occur are touched.
+
+    Scale shape: token explode (behind ``spread_for_explode``) → one
+    (group, token) count aggregate → a token-keyed join to the corpus
+    count table (uniform key, AQE-splittable hot stopwords) → one
+    per-group reduction. Output: one row per group:
+    ``(group_col, n_tokens, tv_divergence)``.
+    """
+    from .text import spread_for_explode, tokens_of
+
+    toks = (
+        spread_for_explode(df.select(group_col, text_col))
+        .select(group_col, F.explode(tokens_of(text_col)).alias("__t"))
+    )
+    per_group = toks.groupBy(group_col, "__t").agg(
+        F.count(F.lit(1)).alias("__cst")
+    )
+    totals = per_group.groupBy(group_col).agg(
+        F.sum("__cst").alias("__ws")
+    )
+    corpus = per_group.groupBy("__t").agg(F.sum("__cst").alias("__ct"))
+    w_total = corpus.agg(F.sum("__ct").alias("__w"))
+    joined = (
+        per_group.join(corpus, on="__t")
+        .join(F.broadcast(totals), on=group_col)
+        .crossJoin(F.broadcast(w_total))
+    )
+    agg = joined.groupBy(group_col).agg(
+        F.first("__ws").alias("__ws"),
+        F.first("__w").alias("__w"),
+        F.sum(
+            F.abs(
+                F.col("__cst").cast("decimal(38,0)") * F.col("__w")
+                - F.col("__ct").cast("decimal(38,0)") * F.col("__ws")
+            )
+        ).alias("__a"),
+        F.sum("__ct").alias("__b"),
+    )
+    tv = (
+        F.col("__a").cast("double")
+        / (F.col("__ws").cast("double") * F.col("__w").cast("double"))
+        + (F.col("__w") - F.col("__b")).cast("double")
+        / F.col("__w").cast("double")
+    ) * F.lit(0.5)
+    return agg.select(
+        group_col,
+        F.col("__ws").alias("n_tokens"),
+        tv.alias("tv_divergence"),
+    )

@@ -7,13 +7,21 @@ Catalyst sees one lazy plan end-to-end.
 
 from .aggregates import (  # noqa: F401
     completeness_count,
+    debounce_events,
     group_count_having,
+    rolling_window_sum,
     with_distinct_list,
     with_group_sum,
 )
-from .dedup import dedup_keep_best, dedup_keep_best_maxby  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_keep_best,
+    dedup_keep_best_maxby,
+    upsert_latest,
+)
 from .filters import blocklist_filter, segment_by_cutoff  # noqa: F401
+from .funnel import funnel_stages  # noqa: F401
 from .joins import anti_join_on_keys, enrich_with_ordered_list  # noqa: F401
+from .linkage import deletion_variants, fuzzy_join_edit  # noqa: F401
 from .ordering import rank_in_group, top_k_per_group, with_priority_level  # noqa: F401
 from .phones import spread_phone_columns  # noqa: F401
 from .pivot import rank_pivot_wide  # noqa: F401

@@ -1374,3 +1374,29 @@ def test_upsert_latest_versions_ties_and_nulls(spark):
         4: ("d", 2),
         5: ("e", 1),
     }
+
+
+def test_token_tv_divergence_hand_computed(spark):
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        token_tv_divergence,
+    )
+
+    # s1: a a b (W_s=3); s2: b c c (W_s=3); corpus: a:2 b:2 c:2 (W=6)
+    docs = spark.createDataFrame(
+        [(1, "s1", "a a b"), (2, "s2", "b c c")], ["doc_id", "source", "text"]
+    )
+    out = {
+        r.source: r
+        for r in token_tv_divergence(docs, group_col="source").collect()
+    }
+    # TV(s1) = 1/2*(|2/3-1/3| + |1/3-1/3| + |0-1/3|) = 1/3; symmetric s2
+    assert out["s1"].n_tokens == 3 and out["s2"].n_tokens == 3
+    assert abs(out["s1"].tv_divergence - 1 / 3) < 1e-12
+    assert out["s1"].tv_divergence == out["s2"].tv_divergence
+    # identical distribution -> zero divergence
+    same = spark.createDataFrame(
+        [(1, "x", "a b"), (2, "y", "a b")], ["doc_id", "source", "text"]
+    )
+    tv = {r.source: r.tv_divergence for r in
+          token_tv_divergence(same, group_col="source").collect()}
+    assert tv == {"x": 0.0, "y": 0.0}
