@@ -1283,6 +1283,32 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_not_in_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL NOT IN under three-valued logic (operators/joins
+    .anti_join_not_in), two tagged branches: a clean subquery (plain
+    null-aware anti join) and one poisoned with a NULL (must yield ZERO
+    rows — the 3VL trap left_anti silently gets wrong)."""
+    from python_etl_mailing_automation_spark.operators.joins import (
+        anti_join_not_in,
+    )
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    clean_keys = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_custkey").alias("bk"))
+    )
+    null_keys = clean_keys.unionByName(
+        cust.limit(1).select(F.lit(None).cast("long").alias("bk"))
+    )
+    a = anti_join_not_in(
+        cust, clean_keys, df_key="c_custkey", keys_key="bk"
+    ).withColumn("method", F.lit("clean"))
+    b = anti_join_not_in(
+        cust, null_keys, df_key="c_custkey", keys_key="bk"
+    ).withColumn("method", F.lit("with_null"))
+    return a.unionByName(b).select("method", "c_custkey", "c_mktsegment")
+
+
 def q_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-source total-variation divergence vs the corpus unigram
     mix (datapipe/stats.token_tv_divergence): integer-numerator decimal
@@ -1622,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd_upsert": q_scd_upsert,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
+        "not_in_semantics": q_not_in_semantics,
         "rolling_spend": q_rolling_spend,
         "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
@@ -2772,6 +2799,17 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # NOT IN 3VL: the oracle uses DuckDB's actual NOT IN — the
+        # with_null branch must produce zero rows in both engines.
+        "not_in_semantics": """
+  SELECT 'clean' AS method, c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey NOT IN
+        (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+  UNION ALL
+  SELECT 'with_null', c_custkey, c_mktsegment FROM customer
+  WHERE c_custkey NOT IN
+        (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0
+         UNION ALL SELECT NULL)""",
         # Exact TV divergence: |cst·W − ct·Ws| integer numerators summed
         # in DECIMAL(38,0); absent-token mass (W−B)/W added analytically;
         # final double expression in the same op order as the column.

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "rolling_spend",
     "fk_orphans",
     "source_divergence",
+    "not_in_semantics",
     "semantic_curation_e2e",
 ]
 

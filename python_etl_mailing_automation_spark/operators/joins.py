@@ -81,3 +81,53 @@ def anti_join_on_keys(
     left = F.col(df_key) if isinstance(df_key, str) else df_key
     right = F.col(keys_key) if isinstance(keys_key, str) else keys_key
     return df.join(keys_df, on=left == right, how="left_anti")
+
+
+def anti_join_not_in(
+    df: DataFrame,
+    keys_df: DataFrame,
+    *,
+    df_key: str,
+    keys_key: str,
+) -> DataFrame:
+    """SQL ``NOT IN (subquery)`` with its full three-valued-logic
+    semantics, distributed. ``left_anti`` (:func:`anti_join_on_keys`) is
+    the right operator for business blocklists, but it is NOT what SQL
+    ``NOT IN`` means: under 3VL a NULL probe row never qualifies, and a
+    single NULL in the subquery makes ``NOT IN`` unsatisfiable for
+    EVERY row (x <> NULL is unknown). Engines implement this with a
+    null-aware anti join; this is that plan expressed in DataFrame
+    algebra, so migrated SQL keeps its exact semantics:
+
+    - subquery empty → every row kept (NULL probes included);
+    - subquery contains a NULL → nothing kept;
+    - otherwise → non-NULL probes without a match kept.
+
+    Scale shape: the subquery reduces to a broadcast 1-row (count,
+    has-null) summary plus its distinct non-null key set for the anti
+    join — the key set shuffles/broadcasts exactly as the plain anti
+    join does; the summary adds one tiny aggregate. No
+    BroadcastNestedLoopJoin (Spark's own fallback plan for null-aware
+    anti joins on non-broadcastable sides).
+    """
+    stats = keys_df.agg(
+        F.count(F.lit(1)).alias("__n_keys"),
+        F.max(
+            F.when(F.col(keys_key).isNull(), 1).otherwise(0)
+        ).alias("__has_null"),
+    )
+    gated = (
+        df.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("__n_keys") == 0)
+            | (
+                (F.col("__has_null") == 0)
+                & F.col(df_key).isNotNull()
+            )
+        )
+        .drop("__n_keys", "__has_null")
+    )
+    nonnull_keys = keys_df.filter(F.col(keys_key).isNotNull())
+    return gated.join(
+        nonnull_keys, on=F.col(df_key) == F.col(keys_key), how="left_anti"
+    )

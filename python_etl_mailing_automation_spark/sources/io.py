@@ -374,3 +374,31 @@ def write_jsonl_shards(
         .json(str(out_dir))
     )
     return n_shards
+
+
+def write_globally_sorted(
+    df: DataFrame,
+    out_dir: str | Path,
+    *,
+    sort_cols: list[str],
+    n_ranges: int = 32,
+) -> None:
+    """Byte-order-deliverable export: the output parquet files, read in
+    file order, replay one global ``sort_cols`` order — WITHOUT a global
+    sort. ``repartitionByRange`` samples range boundaries (Spark's
+    distributed range partitioner), each task sorts only its range, and
+    zero-padded ``range=NNNNN`` directory names make the file order the
+    range order for any lexicographic lister.
+
+    This is the documented alternative in SCALING.md's "no global
+    sorts" rule: when a consumer genuinely requires totally-ordered
+    files (the reference's priority-ordered CSV exports would be the
+    case here), range-partition + within-partition sort delivers the
+    order at shuffle cost with ``n_ranges``-way parallelism, instead of
+    serializing the corpus through one task's sort.
+    """
+    ranged = df.repartitionByRange(n_ranges, *[F.col(c) for c in sort_cols])
+    ranged = ranged.sortWithinPartitions(*sort_cols).withColumn(
+        "range", F.format_string("%05d", F.spark_partition_id())
+    )
+    ranged.write.mode("overwrite").partitionBy("range").parquet(str(out_dir))

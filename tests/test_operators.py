@@ -473,3 +473,31 @@ def test_fk_orphan_stats_detects_missing_parents(spark):
     }
     # null FK rows are excluded from the audit; 99 is the orphan
     assert out == {"c->p": (3, 1)}
+
+
+def test_anti_join_not_in_three_valued_logic(spark):
+    from python_etl_mailing_automation_spark.operators.joins import (
+        anti_join_not_in,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "k int"
+    )
+    empty = spark.createDataFrame([], "bk int")
+    some = spark.createDataFrame([(2,)], "bk int")
+    with_null = spark.createDataFrame([(2,), (None,)], "bk int")
+
+    def run(keys):
+        return {
+            r.k
+            for r in anti_join_not_in(
+                df, keys, df_key="k", keys_key="bk"
+            ).collect()
+        }
+
+    # empty subquery: everything kept, NULL probe included
+    assert run(empty) == {1, 2, 3, None}
+    # plain: match dropped, NULL probe dropped (x NOT IN S is UNKNOWN)
+    assert run(some) == {1, 3}
+    # NULL in subquery: unsatisfiable for every row
+    assert run(with_null) == set()
