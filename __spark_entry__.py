@@ -1283,6 +1283,52 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end: SymSpell fuzzy pairs between the
+    clean customer list and its corrupted feed (operators/linkage) →
+    connected-component closure (datapipe/dedup.dedup_clusters) →
+    min-id representative per entity cluster. The round's linkage +
+    clustering machinery composed the way a dirty-CRM merge uses it;
+    oracle closes the same fixpoint with a recursive CTE. Restricted to
+    custkey < 300 so the oracle's closure stays small at gate scale."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_clusters,
+    )
+    from python_etl_mailing_automation_spark.operators.linkage import (
+        fuzzy_join_edit,
+    )
+
+    cust = _t(spark, sf, "customer").filter(F.col("c_custkey") < 300)
+    left = cust.select(
+        F.col("c_custkey").alias("lid"),
+        F.lower(F.col("c_name")).alias("lname"),
+    )
+    s = F.lower(F.col("c_name"))
+    p = (F.col("c_custkey") % F.length(s)) + F.lit(1)
+    right = cust.select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("rid"),
+        F.concat(
+            F.substr(s, F.lit(1), p - F.lit(1)),
+            F.substr(s, p + F.lit(1), F.length(s)),
+        ).alias("rname"),
+    )
+    pairs = fuzzy_join_edit(
+        left, right, left_id="lid", right_id="rid",
+        left_col="lname", right_col="rname", max_dist=1,
+    ).select(
+        F.col("lid").alias("doc_id_a"), F.col("rid").alias("doc_id_b")
+    )
+    nodes = left.select(F.col("lid").alias("doc_id")).unionByName(
+        right.select(F.col("rid").alias("doc_id"))
+    )
+    clusters = dedup_clusters(nodes, pairs, max_iterations=50)
+    return clusters.select(
+        F.col("doc_id").alias("entity_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
+    )
+
+
 def q_not_in_semantics(spark: SparkSession, sf: str) -> DataFrame:
     """SQL NOT IN under three-valued logic (operators/joins
     .anti_join_not_in), two tagged branches: a clean subquery (plain
@@ -1649,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
+        "entity_resolution": q_entity_resolution,
         "rolling_spend": q_rolling_spend,
         "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
@@ -2799,6 +2846,40 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Entity resolution: deletion-variant candidate pairs (bipartite
+        # clean×corrupted), recursive-CTE component closure, min-label
+        # representative — the composed linkage+clustering fixpoint.
+        "entity_resolution": """
+  WITH RECURSIVE
+  er_l AS (SELECT c_custkey AS id, lower(c_name) AS s FROM customer
+           WHERE c_custkey < 300),
+  er_rb AS (SELECT c_custkey + 10000000 AS id, lower(c_name) AS s0,
+                   1 + (c_custkey % length(lower(c_name))) AS p
+            FROM customer WHERE c_custkey < 300),
+  er_r AS (SELECT id, substr(s0, 1, p - 1) || substr(s0, p + 1, length(s0))
+                    AS s
+           FROM er_rb),
+  er_lv AS (SELECT id, s, unnest(list_distinct(list_prepend(s,
+                [substr(s, 1, q - 1) || substr(s, q + 1, length(s))
+                 for q in generate_series(1, length(s))]))) AS v FROM er_l),
+  er_rv AS (SELECT id, s, unnest(list_distinct(list_prepend(s,
+                [substr(s, 1, q - 1) || substr(s, q + 1, length(s))
+                 for q in generate_series(1, length(s))]))) AS v FROM er_r),
+  er_pairs AS (SELECT DISTINCT l.id AS a, r.id AS b, l.s AS ls, r.s AS rs
+               FROM er_lv l JOIN er_rv r USING (v)),
+  er_edges AS (SELECT a AS s, b AS d FROM er_pairs
+               WHERE levenshtein(ls, rs) <= 1
+               UNION ALL
+               SELECT b, a FROM er_pairs WHERE levenshtein(ls, rs) <= 1),
+  er_nodes AS (SELECT id FROM er_l UNION ALL SELECT id FROM er_r),
+  er_reach(node, r) AS (
+    SELECT id, id FROM er_nodes
+    UNION
+    SELECT e.s, er_reach.r FROM er_reach
+    JOIN er_edges e ON e.d = er_reach.node)
+  SELECT node AS entity_id, MIN(r) AS cluster_id,
+         (node = MIN(r)) AS is_rep
+  FROM er_reach GROUP BY node""",
         # NOT IN 3VL: the oracle uses DuckDB's actual NOT IN — the
         # with_null branch must produce zero rows in both engines.
         "not_in_semantics": """

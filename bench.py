@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "fk_orphans",
     "source_divergence",
     "not_in_semantics",
+    "entity_resolution",
     "semantic_curation_e2e",
 ]
 
