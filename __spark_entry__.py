@@ -1283,6 +1283,18 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-lang fixed-width histogram of n_chars (datapipe/stats
+    .value_histogram): min/max broadcast back, floor-bin count agg,
+    sparse bins only."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        value_histogram,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return value_histogram(docs, "n_chars", n_bins=20, group_col="lang")
+
+
 def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     """Entity resolution end-to-end: SymSpell fuzzy pairs between the
     clean customer list and its corrupted feed (operators/linkage) →
@@ -1696,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
         "entity_resolution": q_entity_resolution,
+        "histogram": q_histogram,
         "rolling_spend": q_rolling_spend,
         "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
@@ -2846,6 +2859,24 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Histogram: floor-bin on (v-lo)/((hi-lo)/n), clamp to n-1,
+        # degenerate min==max group to bin 0 — same double op order.
+        "histogram": """
+  WITH vh_mm AS (SELECT lang, MIN(CAST(n_chars AS DOUBLE)) AS lo,
+                        MAX(CAST(n_chars AS DOUBLE)) AS hi
+                 FROM documents GROUP BY 1),
+  vh_b AS (SELECT d.lang,
+                  CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(CAST(floor((CAST(n_chars AS DOUBLE) - lo)
+                                  / ((hi - lo) / 20.0)) AS INT), 19) END
+                    AS bin,
+                  lo, hi
+           FROM documents d JOIN vh_mm USING (lang))
+  SELECT lang, bin,
+         lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0) AS bin_lo,
+         lo + CAST(bin + 1 AS DOUBLE) * ((hi - lo) / 20.0) AS bin_hi,
+         COUNT(*) AS n
+  FROM vh_b GROUP BY lang, bin, lo, hi""",
         # Entity resolution: deletion-variant candidate pairs (bipartite
         # clean×corrupted), recursive-CTE component closure, min-label
         # representative — the composed linkage+clustering fixpoint.

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "source_divergence",
     "not_in_semantics",
     "entity_resolution",
+    "histogram",
     "semantic_curation_e2e",
 ]
 

@@ -282,3 +282,70 @@ def token_tv_divergence(
         F.col("__ws").alias("n_tokens"),
         tv.alias("tv_divergence"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 20,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` (optionally per group):
+    bin i covers [min + i·w, min + (i+1)·w) with w = (max−min)/n_bins,
+    the max itself folded into the last bin — the data-card/dashboard
+    staple. Output: one row per non-empty bin — ``(group_col?, bin,
+    bin_lo, bin_hi, n)``.
+
+    Determinism: bin edges derive from the exact min/max; the per-row
+    bin index is ``floor((v−min)/w)`` — each step one IEEE double op,
+    identical on any engine; the clamp to n_bins−1 is integer. Empty
+    bins are omitted (no dense grid materialization; renderers fill
+    zeros — keeping the output sparse is what scales when n_bins is
+    large or groups are many).
+
+    Scale shape: one min/max aggregate broadcast back, then one
+    (group, bin) count aggregate with map-side partials — two scans, no
+    corpus shuffle beyond the tiny count agg.
+    """
+    if n_bins < 1:
+        raise ValueError("value_histogram: n_bins must be >= 1")
+    v = F.col(value_col).cast("double")
+    mm = [
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+    ]
+    if group_col is None:
+        based = df.crossJoin(F.broadcast(df.agg(*mm)))
+        grp: list[str] = []
+    else:
+        based = df.join(
+            F.broadcast(df.groupBy(group_col).agg(*mm)), on=group_col
+        )
+        grp = [group_col]
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    raw = F.floor((v - F.col("__lo")) / w).cast("int")
+    # degenerate group (min == max): everything lands in bin 0
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(raw, F.lit(n_bins - 1))
+    )
+    return (
+        based.withColumn("bin", bin_)
+        .groupBy(*grp, "bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *grp,
+            "bin",
+            (
+                F.col("__lo")
+                + F.col("bin").cast("double")
+                * ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+            ).alias("bin_lo"),
+            (
+                F.col("__lo")
+                + (F.col("bin") + F.lit(1)).cast("double")
+                * ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+            ).alias("bin_hi"),
+            "n",
+        )
+    )

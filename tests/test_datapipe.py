@@ -1400,3 +1400,22 @@ def test_token_tv_divergence_hand_computed(spark):
     tv = {r.source: r.tv_divergence for r in
           token_tv_divergence(same, group_col="source").collect()}
     assert tv == {"x": 0.0, "y": 0.0}
+
+
+def test_value_histogram_bins_and_degenerate(spark):
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        value_histogram,
+    )
+
+    # values 0..10 in 5 bins of width 2; max folds into the last bin
+    df = spark.createDataFrame([(i, float(i)) for i in range(11)], ["id", "v"])
+    out = {r.bin: (r.bin_lo, r.bin_hi, r.n) for r in
+           value_histogram(df, "v", n_bins=5).collect()}
+    assert out == {
+        0: (0.0, 2.0, 2), 1: (2.0, 4.0, 2), 2: (4.0, 6.0, 2),
+        3: (6.0, 8.0, 2), 4: (8.0, 10.0, 3),
+    }
+    # degenerate: all-equal values land in bin 0
+    same = spark.createDataFrame([(i, 5.0) for i in range(4)], ["id", "v"])
+    rows = value_histogram(same, "v", n_bins=5).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 4
