@@ -1283,6 +1283,43 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_retrieval_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG retrieval composition: chunk the corpus (text.chunk_documents,
+    32-token windows / stride 24) → hashing-trick chunk vectors
+    (text.featurize_hashing) → exact cosine top-3 chunks per query doc
+    (similarity.cosine_topk; query side is 4 docs — the small side of
+    the labeled brute-force product). The full embedding-free retrieval
+    index build + search, each stage reusing its already-oracled piece."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        cosine_topk,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        chunk_documents,
+        featurize_hashing,
+    )
+
+    docs = _t(spark, sf, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).withColumn(
+        "cid",
+        F.lit(1_000_000) + F.col("doc_id") * 1000 + F.col("chunk_idx"),
+    )
+    corpus = featurize_hashing(
+        chunks, id_col="cid", text_col="chunk_text"
+    ).select(F.col("cid").alias("vec_id"), "embedding")
+    queries = featurize_hashing(docs.filter(F.col("doc_id") < 4)).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    out = cosine_topk(queries, corpus, k=3)
+    return out.select(
+        "vec_id",
+        "neighbor_id",
+        F.expr("(neighbor_id - 1000000) div 1000").alias("neighbor_doc"),
+        (F.col("neighbor_id") % 1000).alias("neighbor_chunk"),
+        "sim_rank",
+        "cos_sim",
+    )
+
+
 def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Per-lang fixed-width histogram of n_chars (datapipe/stats
     .value_histogram): min/max broadcast back, floor-bin count agg,
@@ -1709,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "not_in_semantics": q_not_in_semantics,
         "entity_resolution": q_entity_resolution,
         "histogram": q_histogram,
+        "retrieval_e2e": q_retrieval_e2e,
         "rolling_spend": q_rolling_spend,
         "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
@@ -2859,6 +2897,48 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Retrieval e2e: chunk grid (stride 24 / window 32) → hashing
+        # features over chunk tokens → sequential-fold cosine, top-3 per
+        # query — every stage reuses an already-verified oracle idiom.
+        "retrieval_e2e": f"""
+  WITH rg_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  rg_ch AS (SELECT doc_id, chunk_start // 24 AS chunk_idx,
+                   array_to_string(list_slice(toks, chunk_start + 1,
+                                              chunk_start + 32), ' ')
+                     AS chunk_text
+            FROM (SELECT doc_id, toks,
+                         UNNEST(range(0, len(toks), 24)) AS chunk_start
+                  FROM rg_tok)),
+  rg_cf AS (SELECT 1000000 + doc_id * 1000 + chunk_idx AS vid,
+                   list_transform(range(64), i -> CAST(len(list_filter(
+                     string_split_regex(trim(chunk_text), '\\s+'),
+                     t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64
+                          = i)) AS DOUBLE)) AS v
+            FROM rg_ch),
+  rg_qf AS (SELECT doc_id AS vid,
+                   list_transform(range(64), i -> CAST(len(list_filter(
+                     toks,
+                     t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64
+                          = i)) AS DOUBLE)) AS v
+            FROM rg_tok WHERE doc_id < 4),
+  rg_cn AS (SELECT vid, v, sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm
+            FROM rg_cf),
+  rg_qn AS (SELECT vid, v, sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm
+            FROM rg_qf),
+  rg_p AS (SELECT q.vid AS vec_id, c.vid AS neighbor_id,
+                  {_COS_DOT.format(a="q.v", b="c.v")} / (q.nrm * c.nrm)
+                    AS cos_sim
+           FROM rg_qn q JOIN rg_cn c ON q.vid != c.vid)
+  SELECT vec_id, neighbor_id,
+         (neighbor_id - 1000000) // 1000 AS neighbor_doc,
+         neighbor_id % 1000 AS neighbor_chunk,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, neighbor_id)
+              AS BIGINT) AS sim_rank,
+         cos_sim
+  FROM rg_p
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY cos_sim DESC, neighbor_id) <= 3""",
         # Histogram: floor-bin on (v-lo)/((hi-lo)/n), clamp to n-1,
         # degenerate min==max group to bin 0 — same double op order.
         "histogram": """

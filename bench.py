@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "not_in_semantics",
     "entity_resolution",
     "histogram",
+    "retrieval_e2e",
     "semantic_curation_e2e",
 ]
 

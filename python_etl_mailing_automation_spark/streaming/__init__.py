@@ -4,6 +4,7 @@ engine's aggregations for the `events` stream shape)."""
 
 from .events import tumbling_event_counts, tumbling_event_counts_stream  # noqa: F401
 from .joins import attribution_join  # noqa: F401
+from .sinks import idempotent_parquet_sink  # noqa: F401
 from .stateful import (  # noqa: F401
     dedup_stream_against_store,
     streaming_first_seen_dedup,

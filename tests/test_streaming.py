@@ -277,3 +277,62 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
         shutil.rmtree(v_dir, ignore_errors=True)
         shutil.rmtree(c_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_idempotent_sink_replay_overwrites_not_duplicates(spark, sf_dir):
+    """Replaying a batch id (Spark's at-least-once restart behavior)
+    overwrites that batch's directory instead of appending duplicates."""
+    import shutil
+    import tempfile
+
+    from python_etl_mailing_automation_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    out = tempfile.mkdtemp(prefix="idem_sink_")
+    try:
+        sink = idempotent_parquet_sink(out)
+        b0 = spark.range(0, 10).select(F.col("id"))
+        b1 = spark.range(100, 105).select(F.col("id"))
+        sink(b0, 0)
+        sink(b1, 1)
+        sink(b0, 0)  # replay of batch 0 after a simulated restart
+        got = spark.read.parquet(out)
+        assert got.count() == 15  # 10 + 5, no duplicates from the replay
+        per_batch = {
+            r.batch_id: r.n
+            for r in got.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_batch == {0: 10, 1: 5}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_idempotent_sink_under_real_stream(spark):
+    """The sink wired into an actual writeStream.foreachBatch run."""
+    import shutil
+    import tempfile
+
+    from python_etl_mailing_automation_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    src = tempfile.mkdtemp(prefix="idem_src_")
+    out = tempfile.mkdtemp(prefix="idem_out_")
+    ckpt = tempfile.mkdtemp(prefix="idem_ckpt_")
+    try:
+        spark.range(0, 50).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("id long").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.read.parquet(out).select("id").distinct().count() == 50
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
