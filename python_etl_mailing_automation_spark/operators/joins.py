@@ -106,9 +106,11 @@ def anti_join_not_in(
     Scale shape: the subquery reduces to a broadcast 1-row (count,
     has-null) summary plus its distinct non-null key set for the anti
     join — the key set shuffles/broadcasts exactly as the plain anti
-    join does; the summary adds one tiny aggregate. No
-    BroadcastNestedLoopJoin (Spark's own fallback plan for null-aware
-    anti joins on non-broadcastable sides).
+    join does; the summary adds one tiny aggregate and enters the plan
+    as a 1-ROW broadcast cross join (constant build side — harmless at
+    any scale). The key-vs-key comparison itself stays a HASH anti
+    join: the per-row nested-loop scan of Spark's own null-aware-anti-
+    join fallback over the whole key set never appears (plan-asserted).
     """
     stats = keys_df.agg(
         F.count(F.lit(1)).alias("__n_keys"),

@@ -328,3 +328,31 @@ def test_scd_upsert_is_partial_aggregation_no_window(plans):
     p = plans("scd_upsert")
     assert "Window" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_entity_resolution_no_cartesian(plans):
+    """Linkage pairs + closure: candidates stay bucketed equi joins all
+    the way through the iterative component labels."""
+    p = plans("entity_resolution")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_not_in_key_join_is_hash_anti(plans):
+    """The 3VL key-set comparison compiles to a HASH anti join. The
+    only nested-loop allowed is the 1-ROW summary broadcast (a constant
+    build side — the gate predicate), never a key-vs-key product."""
+    p = plans("not_in_semantics")
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+    # every BNLJ in this plan is the Cross against the 1-row summary
+    import re
+
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line and "__n_keys" in line
+
+
+def test_histogram_broadcast_no_sort(plans):
+    p = plans("histogram")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
