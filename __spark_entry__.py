@@ -1283,6 +1283,51 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_rollup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-level ROLLUP aggregation (Spark `rollup` ≡ SQL GROUP BY
+    ROLLUP): per (lang, source), per lang, and grand-total document
+    counts + exact token sums with grouping_id disambiguating NULL
+    group values from rollup levels. One shuffle; Catalyst expands the
+    grouping sets map-side."""
+    from python_etl_mailing_automation_spark.datapipe.text import tokens_of
+
+    docs = _t(spark, sf, "documents").select(
+        "lang", "source", F.size(tokens_of("text")).cast("long").alias("__nt")
+    )
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select("lang", "source", "gid", "n_docs", "n_tokens")
+    )
+
+
+def q_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly event counts per type with previous-period delta: the
+    tumbling aggregation (streaming/events.tumbling_event_counts shape)
+    re-windowed by a lag over the AGGREGATED series — the second window
+    touches O(hours × types) rows, not events."""
+    events = _t(spark, sf, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    return hourly.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        (F.col("n") - F.lag("n").over(w)).alias("delta"),
+    )
+
+
 def q_retrieval_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """RAG retrieval composition: chunk the corpus (text.chunk_documents,
     32-token windows / stride 24) → hashing-trick chunk vectors
@@ -1747,6 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "histogram": q_histogram,
         "retrieval_e2e": q_retrieval_e2e,
+        "rollup_stats": q_rollup_stats,
+        "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
         "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
@@ -2897,6 +2944,22 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # ROLLUP: GROUPING bitmask shares Spark's grouping_id convention
+        # (leftmost column = most significant bit).
+        "rollup_stats": f"""
+  SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+         COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM (SELECT lang, source, {_TOKS} AS toks FROM documents)
+  GROUP BY ROLLUP (lang, source)""",
+        # Period-over-period: lag over the AGGREGATED hourly series.
+        "period_over_period": """
+  WITH pp AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+  SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY h) AS prev_n,
+         n - LAG(n) OVER (PARTITION BY event_type ORDER BY h) AS delta
+  FROM pp""",
         # Retrieval e2e: chunk grid (stride 24 / window 32) → hashing
         # features over chunk tokens → sequential-fold cosine, top-3 per
         # query — every stage reuses an already-verified oracle idiom.

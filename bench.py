@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "entity_resolution",
     "histogram",
     "retrieval_e2e",
+    "rollup_stats",
+    "period_over_period",
     "semantic_curation_e2e",
 ]
 
