@@ -151,6 +151,10 @@ DEEP_QUERIES = [
     # superlinear blowup in the explode→agg→mark-back chain.
     "dup_spans",
     "lm_score",
+    # Event-window operators at 10× event volume: per-user RANGE frames
+    # and the attribution equi+range join must stay linear in events.
+    "rolling_spend",
+    "attribution_join",
     # The two SemDeDup compositions: codebook size scales with the
     # corpus (k ∝ N) so the within-cluster pair join stays linear — the
     # deep datapoint guards that k-scaling rule.

@@ -336,3 +336,69 @@ def test_idempotent_sink_under_real_stream(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    """Sliding (hopping) windows: streaming with watermark produces the
+    batch twin's rows — each event lands in duration/slide windows."""
+    from python_etl_mailing_automation_spark.streaming.events import (
+        sliding_event_counts,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["min_value"], r["max_value"])
+        for r in sliding_event_counts(events).collect()
+    }
+    assert batch
+
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="slide_in_")
+    ckpt = tempfile.mkdtemp(prefix="slide_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(stage)
+        stream_in = spark.readStream.schema(events.schema).parquet(stage)
+        agg = (
+            stream_in.withWatermark("ts", "2 hours")
+            .groupBy(
+                F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "min_value",
+                "max_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sliding_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            streamed = {
+                (r["window_start"], r["event_type"]): (
+                    r["n_events"], r["min_value"], r["max_value"]
+                )
+                for r in spark.sql("select * from sliding_test").collect()
+            }
+        finally:
+            q.stop()
+        assert streamed == batch
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
