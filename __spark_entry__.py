@@ -1283,6 +1283,56 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent co-occurring part pairs within orders (the market-basket
+    candidate-generation pass): lineitem self-joined on o_orderkey with
+    a < b ordering, pair counts, support >= 3. Per-basket pair fan-out
+    is quadratic in BASKET size only (~7 for TPC-H), shuffles key on
+    the uniform orderkey — linear in orders at any corpus scale."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = a.join(
+        b, on=[F.col("ok") == F.col("ok2"), F.col("pa") < F.col("pb")]
+    )
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, then
+    distinct (user, week) activity counted per (cohort week, weeks
+    since) — two aggregations plus one min-window, the standard
+    retention triangle. Output counts only (no per-user rows leave the
+    aggregate)."""
+    events = _t(spark, sf, "events")
+    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
+    ua = events.select(
+        "user_id", wk.alias("w")
+    ).distinct()
+    first = ua.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    joined = ua.join(first, on="user_id")
+    offset = (
+        (F.unix_micros(F.col("w")) - F.unix_micros(F.col("cohort_w")))
+        / F.lit(604_800_000_000)
+    ).cast("long")
+    return (
+        joined.select(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q_rollup_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-level ROLLUP aggregation (Spark `rollup` ≡ SQL GROUP BY
     ROLLUP): per (lang, source), per lang, and grand-total document
@@ -1793,6 +1843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "retrieval_e2e": q_retrieval_e2e,
         "rollup_stats": q_rollup_stats,
+        "copurchase_pairs": q_copurchase_pairs,
+        "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
         "fk_orphans": q_fk_orphans,
@@ -2944,6 +2996,24 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Market-basket pairs: orderkey self-join, a<b canonical order.
+        "copurchase_pairs": """
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3""",
+        # Cohort retention: weeks are exact 604800e6-us multiples under
+        # the UTC session, so the offset division is integer-exact.
+        "cohort_retention": """
+  WITH cr_ua AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                 FROM events),
+  cr_fw AS (SELECT user_id, MIN(w) AS cw FROM cr_ua GROUP BY 1)
+  SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+         CAST(date_diff('microsecond', cw, w) / 604800000000.0 AS BIGINT)
+           AS weeks_since,
+         COUNT(*) AS n_users
+  FROM cr_ua JOIN cr_fw USING (user_id)
+  GROUP BY 1, 2""",
         # ROLLUP: GROUPING bitmask shares Spark's grouping_id convention
         # (leftmost column = most significant bit).
         "rollup_stats": f"""

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "retrieval_e2e",
     "rollup_stats",
     "period_over_period",
+    "copurchase_pairs",
+    "cohort_retention",
     "semantic_curation_e2e",
 ]
 
