@@ -445,3 +445,78 @@ def test_fuzzy_join_edit_equals_brute_force(spark, ls, rs):
             if lev(a, b) <= d
         }
         assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 500), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_debounce_idempotent_and_spaced(spark, rows):
+    """Debounce is a fixpoint: every kept event is > gap after its
+    predecessor EVENT, so kept events are pairwise > gap apart and a
+    second debounce pass keeps them all."""
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        debounce_events,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, k, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}.{v:03d}")
+            for i, (k, s, v) in enumerate(rows)
+        ],
+        ["event_id", "k", "ts_s"],
+    ).select(
+        "event_id", "k", F.to_timestamp("ts_s").alias("ts")
+    )
+    once = debounce_events(
+        df, key_cols=["k"], gap_s=30, tiebreak_col="event_id"
+    )
+    twice = debounce_events(
+        once, key_cols=["k"], gap_s=30, tiebreak_col="event_id"
+    )
+    got_once = sorted(r.event_id for r in once.collect())
+    assert got_once == sorted(r.event_id for r in twice.collect())
+    # pairwise spacing within each key
+    per_key: dict = {}
+    for r in once.collect():
+        per_key.setdefault(r.k, []).append(r.ts)
+    for ts_list in per_key.values():
+        ts_list.sort()
+        for a, b in zip(ts_list, ts_list[1:]):
+            assert (b - a).total_seconds() > 30
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.text("ab", max_size=3),
+                  st.one_of(st.none(), st.integers(0, 5))),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 8), st.text("ab", max_size=3),
+                  st.one_of(st.none(), st.integers(0, 5))),
+        min_size=0, max_size=25,
+    ),
+)
+@SETTINGS
+def test_upsert_latest_idempotent(spark, base_rows, upd_rows):
+    """Merging the same CDC batch twice is a no-op (SCD-1 fixpoint)."""
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        upsert_latest,
+    )
+
+    # one row per key per side (frames are snapshots/batches)
+    base_rows = list({k: (k, p, v) for k, p, v in base_rows}.values())
+    upd_rows = list({k: (k, p, v) for k, p, v in upd_rows}.values())
+    base = spark.createDataFrame(base_rows, "k int, p string, version int")
+    upd = spark.createDataFrame(
+        upd_rows, "k int, p string, version int"
+    ) if upd_rows else spark.createDataFrame([], "k int, p string, version int")
+    once = upsert_latest(base, upd, key="k", version_col="version")
+    twice = upsert_latest(once, upd, key="k", version_col="version")
+    canon = lambda df: sorted((r.k, r.p, r.version) for r in df.collect())
+    assert canon(once) == canon(twice)
