@@ -1283,6 +1283,19 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-preserving pseudonymization (datapipe/pii.pseudonymize):
+    salted per-column md5 tokens over customer name/segment; the
+    demonstration keeps c_custkey so the oracle can verify token
+    determinism AND cross-column unlinkability."""
+    from python_etl_mailing_automation_spark.datapipe.pii import pseudonymize
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return pseudonymize(cust, ["c_name", "c_mktsegment"], salt="s1")
+
+
 def q_copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Frequent co-occurring part pairs within orders (the market-basket
     candidate-generation pass): lineitem self-joined on o_orderkey with
@@ -1844,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_e2e": q_retrieval_e2e,
         "rollup_stats": q_rollup_stats,
         "copurchase_pairs": q_copurchase_pairs,
+        "pseudonymize": q_pseudonymize,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -2996,6 +3010,17 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Pseudonymize: per-column-salted md5 prefixes, NULL-preserving.
+        "pseudonymize": """
+  SELECT c_custkey,
+         CASE WHEN c_name IS NOT NULL THEN
+           substr(md5('c_name|s1|' || CAST(c_name AS VARCHAR)), 1, 16)
+         END AS c_name,
+         CASE WHEN c_mktsegment IS NOT NULL THEN
+           substr(md5('c_mktsegment|s1|' || CAST(c_mktsegment AS VARCHAR)),
+                  1, 16)
+         END AS c_mktsegment
+  FROM customer""",
         # Market-basket pairs: orderkey self-join, a<b canonical order.
         "copurchase_pairs": """
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support

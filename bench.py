@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "period_over_period",
     "copurchase_pairs",
     "cohort_retention",
+    "pseudonymize",
     "semantic_curation_e2e",
 ]
 

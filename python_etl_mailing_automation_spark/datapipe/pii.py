@@ -75,3 +75,46 @@ def pii_free(
         this = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
         pred = this if pred is None else (pred & this)
     return df.filter(pred)
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    salt: str = "",
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Deterministic pseudonymization: each listed column's value is
+    replaced by the first ``prefix_len`` hex chars of
+    ``md5(col_name || '|' || salt || '|' || value)`` — the
+    privacy-preserving analytics transform that keeps JOINABILITY
+    (equal values map to equal tokens, per column) while removing the
+    identifier itself. NULLs stay NULL (a pseudonym would leak
+    "was present").
+
+    The per-column name in the hash input keeps tokens UNLINKABLE
+    across columns (the same phone appearing in two different columns
+    yields different tokens); a secret ``salt`` defeats dictionary
+    attacks — rotate it to break linkability between releases, keep it
+    fixed to allow longitudinal joins. md5 here is a pseudonym
+    generator, not a security boundary: with the salt public, a brute
+    dictionary over low-entropy identifiers (CPFs are 11 digits)
+    reverses it — treat the salt as a key.
+
+    Scale: pure per-row projection, zero shuffle, codegen'd.
+    """
+    out = df
+    for c in cols:
+        token = F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{c}|{salt}|"), F.col(c).cast("string")
+                )
+            ),
+            1,
+            prefix_len,
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), token)
+        )
+    return out

@@ -1419,3 +1419,23 @@ def test_value_histogram_bins_and_degenerate(spark):
     same = spark.createDataFrame([(i, 5.0) for i in range(4)], ["id", "v"])
     rows = value_histogram(same, "v", n_bins=5).collect()
     assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 4
+
+
+def test_pseudonymize_joinable_unlinkable_null_preserving(spark):
+    from python_etl_mailing_automation_spark.datapipe.pii import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "alice", "alice"), (2, "alice", "bob"), (3, None, "alice")],
+        ["id", "a", "b"],
+    )
+    out = {r.id: (r.a, r.b) for r in pseudonymize(df, ["a", "b"], salt="k").collect()}
+    # equal values -> equal tokens within a column (joinability)
+    assert out[1][0] == out[2][0]
+    # same value across DIFFERENT columns -> different tokens (unlinkable)
+    assert out[1][0] != out[1][1]
+    assert out[3][1] == out[1][1]
+    # NULL stays NULL; different salt rewrites the token space
+    assert out[3][0] is None
+    out2 = {r.id: r.a for r in pseudonymize(df, ["a"], salt="k2").collect()}
+    assert out2[1] != out[1][0]
+    assert all(len(v) == 16 for v in (out[1][0], out[1][1]))
