@@ -35,7 +35,7 @@ from .dedup import (  # noqa: F401
 )
 from .lm import bigram_probs, doc_bigrams, lm_quality_score  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
-from .pii import pii_free, redact_pii  # noqa: F401
+from .pii import pii_free, pseudonymize, redact_pii  # noqa: F401
 from .stats import (  # noqa: F401
     corpus_stats,
     length_quantiles,
