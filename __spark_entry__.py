@@ -1283,6 +1283,35 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-lang z-score of n_chars (datapipe/stats
+    .zscore_normalize): integer moments in DECIMAL(38,0), floating
+    point only in the final fixed-order expression."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        zscore_normalize,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return zscore_normalize(docs, "n_chars", group_col="lang")
+
+
+def q_exact_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Pearson correlation quantity↔extendedprice-cents per
+    returnflag (datapipe/stats.exact_corr): all five moments exact
+    integers — unlike corr(), whose streaming co-moments are
+    merge-order-dependent on a real cluster."""
+    from python_etl_mailing_automation_spark.datapipe.stats import exact_corr
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_returnflag"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return exact_corr(li, "qty", "cents", group_col="l_returnflag")
+
+
 def q_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
     """Join-preserving pseudonymization (datapipe/pii.pseudonymize):
     salted per-column md5 tokens over customer name/segment; the
@@ -1858,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_stats": q_rollup_stats,
         "copurchase_pairs": q_copurchase_pairs,
         "pseudonymize": q_pseudonymize,
+        "zscore": q_zscore,
+        "exact_corr": q_exact_corr,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3010,6 +3041,43 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Z-score: HUGEINT moments ≡ Spark's DECIMAL(38,0) moments
+        # (equal integers → equal doubles); same fixed op order.
+        "zscore": """
+  WITH zs_m AS (SELECT lang, COUNT(*) AS n,
+                       SUM(CAST(n_chars AS HUGEINT)) AS s1,
+                       SUM(CAST(n_chars AS HUGEINT)
+                           * CAST(n_chars AS HUGEINT)) AS s2
+                FROM documents GROUP BY 1)
+  SELECT d.doc_id, d.lang, d.n_chars,
+         CASE WHEN CAST(n AS HUGEINT) * s2 - s1 * s1 > 0 THEN
+           (CAST(n_chars AS DOUBLE)
+              - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         END AS zscore
+  FROM documents d JOIN zs_m USING (lang)""",
+        # Exact Pearson r from integer moments; cents bridge identical
+        # to rolling_spend's.
+        "exact_corr": """
+  WITH ec_b AS (SELECT l_returnflag,
+                       CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) AS x,
+                       CAST(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                 AS BIGINT) AS HUGEINT) AS y
+                FROM lineitem),
+  ec_m AS (SELECT l_returnflag, COUNT(*) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                  SUM(x * y) AS sxy
+           FROM ec_b GROUP BY 1)
+  SELECT l_returnflag, n,
+         CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+               AND CAST(n AS HUGEINT) * syy - sy * sy > 0 THEN
+           CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)))
+         END AS r
+  FROM ec_m""",
         # Pseudonymize: per-column-salted md5 prefixes, NULL-preserving.
         "pseudonymize": """
   SELECT c_custkey,

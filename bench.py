@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "copurchase_pairs",
     "cohort_retention",
     "pseudonymize",
+    "zscore",
+    "exact_corr",
     "semantic_curation_e2e",
 ]
 

@@ -349,3 +349,97 @@ def value_histogram(
             "n",
         )
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Population z-score of an INTEGER-valued column, exactly: the
+    mean and variance come from exact integer moments
+
+        var = (n·Σx² − (Σx)²) / n²      mean = Σx / n
+
+    accumulated in DECIMAL(38,0) (partition-order-independent; x up to
+    ~10^9 keeps n·Σx² inside 38 digits at petascale row counts), so the
+    only floating point is the final fixed-order expression
+    ``(x − mean)/sqrt(var)`` — sqrt is IEEE-correctly-rounded, giving
+    bit-identical scores on any engine. Degenerate groups (var = 0)
+    yield NULL scores.
+
+    The feature-normalization step before any distance-based operator
+    (k-means, cosine) when features are counts. One tiny moment
+    aggregate broadcast back; the corpus never shuffles.
+    """
+    x = F.col(value_col).cast("decimal(38,0)")
+    moments = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__s1"),
+        F.sum(x * x).alias("__s2"),
+    ]
+    if group_col is None:
+        based = df.crossJoin(F.broadcast(df.agg(*moments)))
+        grp: list[str] = []
+    else:
+        based = df.join(
+            F.broadcast(df.groupBy(group_col).agg(*moments)), on=group_col
+        )
+        grp = [group_col]
+    n = F.col("__n").cast("double")
+    mean = F.col("__s1").cast("double") / n
+    var = (
+        (
+            F.col("__n").cast("decimal(38,0)") * F.col("__s2")
+            - F.col("__s1") * F.col("__s1")
+        ).cast("double")
+        / (n * n)
+    )
+    z = F.when(
+        var > 0,
+        (F.col(value_col).cast("double") - mean) / F.sqrt(var),
+    )
+    return based.withColumn(out_col, z).drop("__n", "__s1", "__s2")
+
+
+def exact_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pearson correlation of two INTEGER-valued columns from exact
+    integer moments (Σx, Σy, Σx², Σy², Σxy in DECIMAL(38,0)):
+
+        r = (n·Σxy − Σx·Σy) /
+            (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+
+    Numerator and both radicands are exact integers; the division and
+    the two correctly-rounded sqrts are the only floating point — the
+    result is bit-identical across engines and partitionings, unlike
+    ``corr()`` whose streaming co-moment accumulation is
+    merge-order-dependent on a real cluster. Zero-variance groups give
+    NULL. Output: one row per group — ``(group_col?, n, r)``.
+    """
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    grp = [] if group_col is None else [group_col]
+    agg = df.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    nd = F.col("__n").cast("decimal(38,0)")
+    num = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (nd * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    r = F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy)))
+    return agg.select(
+        *grp, F.col("__n").alias("n"), r.alias("r")
+    )

@@ -1439,3 +1439,35 @@ def test_pseudonymize_joinable_unlinkable_null_preserving(spark):
     out2 = {r.id: r.a for r in pseudonymize(df, ["a"], salt="k2").collect()}
     assert out2[1] != out[1][0]
     assert all(len(v) == 16 for v in (out[1][0], out[1][1]))
+
+
+def test_zscore_and_exact_corr_hand_computed(spark):
+    import math
+
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        exact_corr,
+        zscore_normalize,
+    )
+
+    # values 1..5: mean 3, population var 2
+    df = spark.createDataFrame([(i, i) for i in range(1, 6)], ["id", "v"])
+    z = {r.id: r.zscore for r in zscore_normalize(df, "v").collect()}
+    for i in range(1, 6):
+        assert abs(z[i] - (i - 3) / math.sqrt(2)) < 1e-12
+    # constant column -> NULL scores
+    const = spark.createDataFrame([(i, 7) for i in range(3)], ["id", "v"])
+    assert all(
+        r.zscore is None for r in zscore_normalize(const, "v").collect()
+    )
+    # exact corr: y = 2x + 1 -> r = 1; y = -x -> r = -1; x constant -> NULL
+    pairs = spark.createDataFrame(
+        [("a", i, 2 * i + 1) for i in range(1, 6)]
+        + [("b", i, -i) for i in range(1, 6)]
+        + [("c", 4, i) for i in range(1, 6)],
+        ["g", "x", "y"],
+    )
+    out = {r.g: r.r for r in exact_corr(pairs, "x", "y", group_col="g").collect()}
+    # sqrt(vx)*sqrt(vy) rounds once each: deterministic, within 1 ulp of
+    # the algebraic +/-1
+    assert abs(out["a"] - 1.0) < 1e-15 and abs(out["b"] + 1.0) < 1e-15
+    assert out["c"] is None
