@@ -38,10 +38,13 @@ from .packing import pack_sequences  # noqa: F401
 from .pii import pii_free, pseudonymize, redact_pii  # noqa: F401
 from .stats import (  # noqa: F401
     corpus_stats,
+    exact_corr,
     length_quantiles,
     mad_outliers,
     quantile_bucket_assign,
     token_tv_divergence,
+    value_histogram,
+    zscore_normalize,
 )
 from .sampling import (  # noqa: F401
     budget_select,
