@@ -1283,6 +1283,34 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot CDC diff (operators/dedup.snapshot_diff): yesterday's
+    customer table vs an in-query tomorrow (every 10th key deleted,
+    every 7th rebalanced, 49 inserts) classified insert/update/delete
+    with the changed-column list."""
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        snapshot_diff,
+    )
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    modified = cust.filter(F.col("c_custkey") % 10 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(1.0)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    inserts = cust.filter(F.col("c_custkey") < 50).select(
+        (F.col("c_custkey") + F.lit(2_000_000)).alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    new = modified.unionByName(inserts)
+    return snapshot_diff(cust, new, key="c_custkey")
+
+
 def q_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-lang z-score of n_chars (datapipe/stats
     .zscore_normalize): integer moments in DECIMAL(38,0), floating
@@ -1889,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize": q_pseudonymize,
         "zscore": q_zscore,
         "exact_corr": q_exact_corr,
+        "snapshot_diff": q_snapshot_diff,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3041,6 +3070,39 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Snapshot diff: full outer on key, IS DISTINCT FROM per column
+        # (≡ Spark eqNullSafe negation), sorted changed-name list.
+        "snapshot_diff": """
+  WITH sd_o AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+                FROM customer),
+  sd_n AS (SELECT c_custkey, c_name,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0
+                       ELSE c_acctbal END AS c_acctbal,
+                  c_mktsegment
+           FROM customer WHERE c_custkey % 10 != 0
+           UNION ALL
+           SELECT c_custkey + 2000000, c_name, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey < 50),
+  sd_j AS (SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+                  o.c_acctbal IS DISTINCT FROM n.c_acctbal AS d_bal,
+                  o.c_mktsegment IS DISTINCT FROM n.c_mktsegment AS d_seg,
+                  o.c_name IS DISTINCT FROM n.c_name AS d_name
+           FROM sd_o o FULL OUTER JOIN sd_n n
+             ON o.c_custkey = n.c_custkey),
+  sd_c AS (SELECT COALESCE(ok, nk) AS c_custkey,
+                  CASE WHEN ok IS NOT NULL AND nk IS NULL THEN 'delete'
+                       WHEN ok IS NULL THEN 'insert'
+                       WHEN d_bal OR d_seg OR d_name THEN 'update'
+                  END AS op,
+                  CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN
+                    array_to_string(list_sort(
+                      [x FOR x IN [CASE WHEN d_bal THEN 'c_acctbal' END,
+                                   CASE WHEN d_seg THEN 'c_mktsegment' END,
+                                   CASE WHEN d_name THEN 'c_name' END]
+                       IF x IS NOT NULL]), ',')
+                  ELSE '' END AS changed
+           FROM sd_j)
+  SELECT c_custkey, op, changed FROM sd_c WHERE op IS NOT NULL""",
         # Z-score: HUGEINT moments ≡ Spark's DECIMAL(38,0) moments
         # (equal integers → equal doubles); same fixed op order.
         "zscore": """

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "pseudonymize",
     "zscore",
     "exact_corr",
+    "snapshot_diff",
     "semantic_curation_e2e",
 ]
 

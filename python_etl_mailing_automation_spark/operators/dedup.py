@@ -131,3 +131,75 @@ def upsert_latest(
     ]
     merged = dedup_keep_best_maxby(tagged, keys, sort_keys)
     return merged.drop("__src")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data capture between two snapshots: full outer join on the
+    key, rows classified ``insert`` (key only in new), ``delete`` (only
+    in old), ``update`` (present in both with any compared column
+    differing — NULL-safe comparison, so NULL→value and value→NULL both
+    count as changes). Unchanged rows are dropped. Output: key columns,
+    ``op``, and ``changed`` (sorted comma-joined names of differing
+    columns; empty for insert/delete).
+
+    The "what changed since yesterday's load" primitive every warehouse
+    reconciliation runs; emitting it as a frame makes the diff joinable
+    and auditable. One shuffle on the key (or broadcast under AQE when
+    a side is small); the column comparison is per-row algebra.
+    ``compare_cols`` defaults to all shared non-key columns.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = compare_cols or [
+        c for c in old.columns if c in set(new.columns) and c not in keys
+    ]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    cond = [F.col(f"__ok_{k}") == F.col(f"__nk_{k}") for k in keys]
+    j = o.join(n, on=cond, how="full_outer")
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    diffs = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                        F.lit(c),
+                    )
+                    for c in cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    op = (
+        F.when(in_old & ~in_new, F.lit("delete"))
+        .when(~in_old & in_new, F.lit("insert"))
+        .when(F.size(diffs) > 0, F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+        for k in keys
+    ]
+    return (
+        j.select(
+            *out_keys,
+            op.alias("op"),
+            F.when(
+                in_old & in_new, F.array_join(diffs, ",")
+            ).otherwise(F.lit("")).alias("changed"),
+        )
+        .filter(F.col("op").isNotNull())
+    )

@@ -501,3 +501,29 @@ def test_anti_join_not_in_three_valued_logic(spark):
     assert run(some) == {1, 3}
     # NULL in subquery: unsatisfiable for every row
     assert run(with_null) == set()
+
+
+def test_snapshot_diff_classification(spark):
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k int, name string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),      # unchanged -> dropped
+         (2, "b2", 21),     # two columns changed
+         (3, "c", 30),      # NULL -> value counts as change
+         (5, "e", 50)],     # insert; 4 deleted
+        "k int, name string, v int",
+    )
+    out = {r.k: (r.op, r.changed) for r in
+           snapshot_diff(old, new, key="k").collect()}
+    assert out == {
+        2: ("update", "name,v"),
+        3: ("update", "v"),
+        4: ("delete", ""),
+        5: ("insert", ""),
+    }
