@@ -1283,6 +1283,25 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_hierarchy_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Forest flattening by pointer jumping (operators/hierarchy
+    .pointer_jump_roots, O(log depth) self-joins): customers arranged
+    as the binary tree parent(k)=k div 2 — every node resolved to its
+    root and exact depth; recursive-CTE oracle walks the same chains."""
+    from python_etl_mailing_automation_spark.operators.hierarchy import (
+        pointer_jump_roots,
+    )
+
+    cust = _t(spark, sf, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") <= 1, F.col("c_custkey"))
+        .otherwise(F.expr("c_custkey div 2"))
+        .alias("parent"),
+    )
+    return pointer_jump_roots(edges)
+
+
 def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot CDC diff (operators/dedup.snapshot_diff): yesterday's
     customer table vs an in-query tomorrow (every 10th key deleted,
@@ -1918,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore": q_zscore,
         "exact_corr": q_exact_corr,
         "snapshot_diff": q_snapshot_diff,
+        "hierarchy_depth": q_hierarchy_depth,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3070,6 +3090,21 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Hierarchy depth: recursive walk to the self-parent root; the
+        # deepest row per node is its resolution.
+        "hierarchy_depth": """
+  WITH RECURSIVE hd_e AS (
+    SELECT c_custkey AS node,
+           CASE WHEN c_custkey <= 1 THEN c_custkey
+                ELSE c_custkey // 2 END AS parent
+    FROM customer),
+  hd_w(node, cur, d) AS (
+    SELECT node, node, CAST(0 AS BIGINT) FROM hd_e
+    UNION ALL
+    SELECT w.node, e.parent, w.d + 1
+    FROM hd_w w JOIN hd_e e ON e.node = w.cur AND e.parent != w.cur)
+  SELECT node, cur AS root, d AS depth FROM hd_w
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY d DESC) = 1""",
         # Snapshot diff: full outer on key, IS DISTINCT FROM per column
         # (≡ Spark eqNullSafe negation), sorted changed-name list.
         "snapshot_diff": """

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "zscore",
     "exact_corr",
     "snapshot_diff",
+    "hierarchy_depth",
     "semantic_curation_e2e",
 ]
 

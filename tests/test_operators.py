@@ -527,3 +527,29 @@ def test_snapshot_diff_classification(spark):
         4: ("delete", ""),
         5: ("insert", ""),
     }
+
+
+def test_pointer_jump_roots_forest_and_cycle(spark):
+    import pytest as _pytest
+
+    from python_etl_mailing_automation_spark.operators.hierarchy import (
+        pointer_jump_roots,
+    )
+
+    # two trees: 1<-2<-4<-8 chain and 3 root with children 6,7; NULL
+    # parent also means root
+    edges = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 2), (8, 4), (3, None), (6, 3), (7, 3)],
+        "node int, parent int",
+    )
+    out = {r.node: (r.root, r.depth) for r in pointer_jump_roots(edges).collect()}
+    assert out == {
+        1: (1, 0), 2: (1, 1), 4: (1, 2), 8: (1, 3),
+        3: (3, 0), 6: (3, 1), 7: (3, 1),
+    }
+    # a 3-cycle must raise, not silently self-resolve
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (9, 9)], "node int, parent int"
+    )
+    with _pytest.raises(ValueError, match="cycle"):
+        pointer_jump_roots(cyc)

@@ -402,3 +402,48 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """Spark 3.5+ dropDuplicatesWithinWatermark: duplicates arriving
+    within the watermark horizon are suppressed even when their event
+    times differ (plain dropDuplicates would keep both); state is
+    bounded by the watermark instead of growing forever."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="ddww_src_")
+    ckpt = tempfile.mkdtemp(prefix="ddww_ckpt_")
+    try:
+        rows = [
+            (1, "k1", "2024-01-01 10:00:00"),
+            (2, "k1", "2024-01-01 10:05:00"),  # same key, later ts -> dup
+            (3, "k2", "2024-01-01 10:01:00"),
+            (4, "k2", "2024-01-01 10:02:00"),  # dup
+            (5, "k3", "2024-01-01 10:03:00"),
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "k", "ts_s"]).select(
+            "event_id", "k", F.to_timestamp("ts_s").alias("ts")
+        )
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName("ddww_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            kept = {
+                r["k"] for r in spark.sql("select * from ddww_test").collect()
+            }
+            n = spark.sql("select count(*) n from ddww_test").collect()[0]["n"]
+        finally:
+            q.stop()
+        assert kept == {"k1", "k2", "k3"} and n == 3
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
