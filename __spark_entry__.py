@@ -1283,6 +1283,40 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_snowflake_join(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-style snowflake chain (lineitem ⨝ orders ⨝ customer ⨝
+    nation ⨝ region): revenue per (region, year). The fact table joins
+    up the dimension chain — Catalyst broadcasts every dimension
+    (plan-asserted: zero sort-merge joins), the one shuffle is the final
+    group-by, and revenue accumulates in DECIMAL (order-independent)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    # revenue on the 10^-4 integer grid (floor(x·10^4 + 0.5) — identical
+    # double ops in both engines; a direct DOUBLE→DECIMAL cast rounds
+    # differently across engines, see datapipe/clustering.py)
+    rev_i = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(1e4)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(rev_i).cast("double") / F.lit(1e4)).alias("revenue"),
+        )
+    )
+
+
 def q_hierarchy_depth(spark: SparkSession, sf: str) -> DataFrame:
     """Forest flattening by pointer jumping (operators/hierarchy
     .pointer_jump_roots, O(log depth) self-joins): customers arranged
@@ -1938,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_corr": q_exact_corr,
         "snapshot_diff": q_snapshot_diff,
         "hierarchy_depth": q_hierarchy_depth,
+        "snowflake_join": q_snowflake_join,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3090,6 +3125,21 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Snowflake chain: same 10^-4 integer revenue grid, same
+        # left-assoc op order as the Spark column.
+        "snowflake_join": """
+  SELECT r.r_name AS region,
+         CAST(year(o.o_orderdate) AS INT) AS year,
+         COUNT(*) AS n_items,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2""",
         # Hierarchy depth: recursive walk to the self-parent root; the
         # deepest row per node is its resolution.
         "hierarchy_depth": """

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "exact_corr",
     "snapshot_diff",
     "hierarchy_depth",
+    "snowflake_join",
     "semantic_curation_e2e",
 ]
 
@@ -162,6 +163,9 @@ DEEP_QUERIES = [
     # and the attribution equi+range join must stay linear in events.
     "rolling_spend",
     "attribution_join",
+    # The fact-to-dim broadcast chain at 10× fact volume: dims stay
+    # broadcast, so deep time should track the lineitem scan linearly.
+    "snowflake_join",
     # The two SemDeDup compositions: codebook size scales with the
     # corpus (k ∝ N) so the within-cluster pair join stays linear — the
     # deep datapoint guards that k-scaling rule.

@@ -356,3 +356,11 @@ def test_histogram_broadcast_no_sort(plans):
     p = plans("histogram")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_snowflake_chain_all_dims_broadcast(plans):
+    """The 4 dimension joins all broadcast (no sort-merge); the only
+    hash exchange is the final group-by."""
+    p = plans("snowflake_join")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
