@@ -1283,6 +1283,36 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionized conversion: gap-sessionization (streaming/sessions
+    .sessionize) composed with the ordered funnel (operators/funnel
+    .funnel_stages) partitioned per (user, session) — how far each
+    SESSION got through view→click→purchase. Both pieces reuse their
+    already-oracled window machinery on a composite key."""
+    from python_etl_mailing_automation_spark.operators.funnel import (
+        funnel_stages,
+    )
+    from python_etl_mailing_automation_spark.streaming.sessions import (
+        sessionize,
+    )
+
+    events = _t(spark, sf, "events")
+    sess = sessionize(events).withColumn(
+        "__sk",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.col("session_seq").cast("string"),
+        ),
+    )
+    fun = funnel_stages(sess, ["view", "click", "purchase"], user_col="__sk")
+    return fun.select(
+        F.split(F.col("__sk"), r"\|")[0].cast("long").alias("user_id"),
+        F.split(F.col("__sk"), r"\|")[1].cast("long").alias("session_seq"),
+        "stages_reached",
+    )
+
+
 def q_snowflake_join(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H-style snowflake chain (lineitem ⨝ orders ⨝ customer ⨝
     nation ⨝ region): revenue per (region, year). The fact table joins
@@ -1973,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "hierarchy_depth": q_hierarchy_depth,
         "snowflake_join": q_snowflake_join,
+        "session_funnel": q_session_funnel,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3125,6 +3156,38 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Sessionized funnel: the sessionization CTE feeds the funnel's
+        # nested window minima partitioned by (user, session).
+        "session_funnel": """
+  WITH sf_l AS (
+    SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id) AS prev
+    FROM events),
+  sf_m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                          THEN 1 ELSE 0 END AS is_new FROM sf_l),
+  sf_s AS (SELECT event_id, user_id, event_type, ts,
+                  CAST(SUM(is_new) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS session_seq
+           FROM sf_m),
+  sf_s0 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                        OVER (PARTITION BY user_id, session_seq) AS s0
+            FROM sf_s),
+  sf_s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= s0
+                          THEN ts END)
+                        OVER (PARTITION BY user_id, session_seq) AS s1
+            FROM sf_s0),
+  sf_s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= s1
+                          THEN ts END)
+                        OVER (PARTITION BY user_id, session_seq) AS s2
+            FROM sf_s1)
+  SELECT user_id, session_seq,
+         CAST((CASE WHEN MIN(s0) IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN MIN(s1) IS NULL THEN 0 ELSE 1 END)
+            + (CASE WHEN MIN(s2) IS NULL THEN 0 ELSE 1 END) AS INT)
+           AS stages_reached
+  FROM sf_s2 GROUP BY user_id, session_seq""",
         # Snowflake chain: same 10^-4 integer revenue grid, same
         # left-assoc op order as the Spark column.
         "snowflake_join": """

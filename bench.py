@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "hierarchy_depth",
     "snowflake_join",
+    "session_funnel",
     "semantic_curation_e2e",
 ]
 
