@@ -1283,6 +1283,25 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering key (operators/ordering.morton_key): custkey ×
+    order-day bits interleaved — the multi-dim data-skipping layout key;
+    feed it to write_globally_sorted to give every file a tight 2-D
+    bounding box for min/max pruning."""
+    from python_etl_mailing_automation_spark.operators.ordering import (
+        morton_key,
+    )
+
+    orders = _t(spark, sf, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    )
+    return orders.select(
+        "o_orderkey",
+        morton_key(F.col("o_custkey"), day, bits=16).alias("zkey"),
+    )
+
+
 def q_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionized conversion: gap-sessionization (streaming/sessions
     .sessionize) composed with the ordered funnel (operators/funnel
@@ -2004,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_depth": q_hierarchy_depth,
         "snowflake_join": q_snowflake_join,
         "session_funnel": q_session_funnel,
+        "zorder_key": q_zorder_key,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3156,6 +3176,16 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Z-order key: identical shift/mask interleave terms.
+        "zorder_key": f"""
+  WITH zk AS (SELECT o_orderkey, o_custkey AS x,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS y
+              FROM orders)
+  SELECT o_orderkey,
+         CAST({" + ".join(f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})" for i in range(16))}
+              AS BIGINT) AS zkey
+  FROM zk""",
         # Sessionized funnel: the sessionization CTE feeds the funnel's
         # nested window minima partitioned by (user, session).
         "session_funnel": """

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "hierarchy_depth",
     "snowflake_join",
     "session_funnel",
+    "zorder_key",
     "semantic_curation_e2e",
 ]
 

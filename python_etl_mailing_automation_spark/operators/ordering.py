@@ -85,3 +85,35 @@ def head_row_per_group(
     w = Window.partitionBy(*keys).orderBy(*order_by)
     rn = "__head_rn"
     return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)
+
+
+def morton_key(
+    x: Column | str,
+    y: Column | str,
+    *,
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) interleaving of two non-negative integer
+    dimensions — the multi-dimensional clustering key behind lakehouse
+    Z-ORDER data skipping: sorting/range-partitioning files by this key
+    (``sources.io.write_globally_sorted``) gives every file a tight
+    bounding box in BOTH dimensions, so min/max pruning works for
+    predicates on either column, not just the leading sort key.
+
+    Pure bit algebra (2·``bits`` shift/mask terms, codegen'd, no UDF):
+    bit i of x lands at position 2i, bit i of y at 2i+1. Inputs are
+    masked to ``bits`` (callers quantize/clamp first — rank or bucket
+    the raw values when their range exceeds 2^bits). bits <= 31 keeps
+    the result in a signed 64-bit long.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("morton_key: bits must be in [1, 31]")
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key + (
+            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key

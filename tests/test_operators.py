@@ -553,3 +553,29 @@ def test_pointer_jump_roots_forest_and_cycle(spark):
     )
     with _pytest.raises(ValueError, match="cycle"):
         pointer_jump_roots(cyc)
+
+
+def test_morton_key_interleaves_and_preserves_locality(spark):
+    import pytest as _pytest
+
+    from python_etl_mailing_automation_spark.operators.ordering import (
+        morton_key,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (65535, 65535)],
+        "x long, y long",
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", morton_key("x", "y").alias("z")).collect()
+    }
+    # hand-interleaved: bit i of x -> 2i, bit i of y -> 2i+1
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    # x=3 (11), y=5 (101): z = 1+2? no: x bits at 0,2 -> 1+4=5; y bits
+    # at positions 1,5 (y bits 0 and 2) -> 2+32=34; total 39
+    assert got[(3, 5)] == 39
+    assert got[(65535, 65535)] == (1 << 32) - 1
+    with _pytest.raises(ValueError):
+        morton_key("x", "y", bits=40)
