@@ -54,3 +54,27 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, no_broadcast):
 
     # Aggregation on the bucket key is also exchange-free.
     assert "Exchange" not in _plan(a.groupBy("o_custkey").count())
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Hive-style partition columns prune at planning time: the scan's
+    PartitionFilters carry the predicate and only the matching
+    directory is read — the other 100 TB of partitions never open."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "parted")
+    (
+        spark.range(0, 1000)
+        .withColumn("part", (F.col("id") % 10).cast("int"))
+        .write.partitionBy("part")
+        .parquet(out)
+    )
+    scan = spark.read.parquet(out).filter(F.col("part") == 3)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan
+    # only the one directory's rows flow
+    assert scan.count() == 100
+    # predicate on a DATA column reaches the reader as PushedFilters
+    scan2 = spark.read.parquet(out).filter(F.col("id") < 5)
+    plan2 = scan2._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), LessThan(id,5)]" in plan2
