@@ -1283,6 +1283,41 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured column processing: the events.props JSON string
+    parsed at scan speed (get_json_object — Jackson-based, no UDF) and
+    aggregated per event_type: count, distinct k values, exact mean of
+    k on the integer grid."""
+    events = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("n_k"),
+            (
+                F.sum("k").cast("double") / F.count("k").cast("double")
+            ).alias("mean_k"),
+        )
+    )
+
+
+def q_unpivot_melt(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long UNPIVOT (Spark `unpivot`, the inverse of the rank_pivot
+    surface): customer metrics melted to (key, metric, value) rows —
+    per-row expansion, no shuffle."""
+    cust = _t(spark, sf, "customer")
+    wide = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        "c_custkey", ["acctbal", "nationkey"], "metric", "value"
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order clustering key (operators/ordering.morton_key): custkey ×
     order-day bits interleaved — the multi-dim data-skipping layout key;
@@ -2024,6 +2059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snowflake_join": q_snowflake_join,
         "session_funnel": q_session_funnel,
         "zorder_key": q_zorder_key,
+        "json_props": q_json_props,
+        "unpivot_melt": q_unpivot_melt,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3176,6 +3213,23 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # JSON props: json_extract_string ≡ get_json_object; exact mean
+        # (long sum / long count, one double division).
+        "json_props": """
+  WITH jp AS (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+  SELECT event_type, COUNT(*) AS n,
+         COUNT(DISTINCT k) AS n_k,
+         CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE) AS mean_k
+  FROM jp GROUP BY 1""",
+        # Melt: UNION ALL twin of Spark's unpivot (row order irrelevant
+        # to the driver's order-insensitive compare).
+        "unpivot_melt": """
+  SELECT c_custkey, 'acctbal' AS metric,
+         CAST(c_acctbal AS DOUBLE) AS value FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer""",
         # Z-order key: identical shift/mask interleave terms.
         "zorder_key": f"""
   WITH zk AS (SELECT o_orderkey, o_custkey AS x,
