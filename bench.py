@@ -167,6 +167,9 @@ DEEP_QUERIES = [
     # and the attribution equi+range join must stay linear in events.
     "rolling_spend",
     "attribution_join",
+    # Deletion-variant linkage at 10× customers: candidate buckets stay
+    # md5-uniform, so time must track the variant explode linearly.
+    "fuzzy_join_edit1",
     # The fact-to-dim broadcast chain at 10× fact volume: dims stay
     # broadcast, so deep time should track the lineitem scan linearly.
     "snowflake_join",
