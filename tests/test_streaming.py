@@ -447,3 +447,50 @@ def test_drop_duplicates_within_watermark(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_curation_into_idempotent_sink(spark, sf_dir):
+    """Full streaming ingest pipeline: quality gate + exact dedup
+    (curate_document_stream) feeding the batch-id-keyed exactly-once
+    parquet sink; the landed table equals the batch twin's output."""
+    import shutil
+    import tempfile
+
+    from python_etl_mailing_automation_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+    from python_etl_mailing_automation_spark.streaming.stateful import (
+        curate_document_stream,
+        curate_documents_batch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch_ids = {
+        r["doc_id"] for r in curate_documents_batch(docs).select("doc_id").collect()
+    }
+    assert batch_ids
+
+    src = tempfile.mkdtemp(prefix="scur_src_")
+    out = tempfile.mkdtemp(prefix="scur_out_")
+    ckpt = tempfile.mkdtemp(prefix="scur_ckpt_")
+    try:
+        docs.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        curated = curate_document_stream(stream)
+        q = (
+            curated.writeStream.foreachBatch(idempotent_parquet_sink(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        landed = {
+            r["doc_id"]
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        assert landed == batch_ids
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
