@@ -1283,6 +1283,18 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_dup_spans_excise(spark: SparkSession, sf: str) -> DataFrame:
+    """The removal half of dup_spans (datapipe/dedup.remove_dup_spans):
+    tokens under corpus-duplicated 8-windows excised, text rebuilt —
+    the Lee et al. training-set transform itself."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        remove_dup_spans,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return remove_dup_spans(docs, k=8)
+
+
 def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured column processing: the events.props JSON string
     parsed at scan speed (get_json_object — Jackson-based, no UDF) and
@@ -2061,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "json_props": q_json_props,
         "unpivot_melt": q_unpivot_melt,
+        "dup_spans_excise": q_dup_spans_excise,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3213,6 +3226,33 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Span excision: same window grid as dup_spans; 1-based list
+        # lambdas index identically in both engines.
+        "dup_spans_excise": f"""
+  WITH de_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  de_w AS (SELECT doc_id, i AS widx,
+                  md5(array_to_string(toks[i:i+7], ' ')) AS whash
+           FROM de_tok, unnest(CASE WHEN len(toks) >= 8
+                THEN generate_series(1, len(toks) - 7) ELSE [] END) AS u(i)),
+  de_dup AS (SELECT whash FROM
+               (SELECT whash, COUNT(*) AS c FROM de_w GROUP BY 1)
+             WHERE c >= 2),
+  de_cov AS (SELECT doc_id, list(DISTINCT pos) AS cov
+             FROM (SELECT doc_id,
+                          unnest(generate_series(widx, widx + 7)) AS pos
+                   FROM de_w JOIN de_dup USING (whash)) GROUP BY 1)
+  SELECT t.doc_id,
+         -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+         -- array_join: normalize the fully-excised case
+         COALESCE(array_to_string(list_transform(
+           list_filter(list_transform(toks, (x, i) -> i),
+                       i -> NOT list_contains(COALESCE(cov, []), i)),
+           i -> toks[i]), ' '), '') AS clean_text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(list_transform(toks, (x, i) -> i),
+              i -> list_contains(COALESCE(cov, []), i))) AS BIGINT)
+           AS n_removed
+  FROM de_tok t LEFT JOIN de_cov USING (doc_id)""",
         # JSON props: json_extract_string ≡ get_json_object; exact mean
         # (long sum / long count, one double division).
         "json_props": """

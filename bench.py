@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "zorder_key",
     "json_props",
     "unpivot_melt",
+    "dup_spans_excise",
     "semantic_curation_e2e",
 ]
 

@@ -1095,3 +1095,78 @@ def dup_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The ACT half of :func:`dup_span_stats`: excise every token
+    covered by a corpus-duplicated k-window and rebuild the text — the
+    Lee et al. pipeline's actual training-set transform (they cut the
+    duplicated spans, not the documents). Detection is the same
+    window-hash machinery; the removal joins each doc's covered
+    positions back (one array per doc — O(covered positions), bounded
+    by doc length) and filters the token array by position.
+
+    Output: ``(id_col, clean_text, n_tokens, n_removed)``. Documents
+    with nothing duplicated pass through verbatim.
+    """
+    from .text import spread_for_explode
+
+    t = F.col("__toks")
+    win = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("widx"),
+                F.md5(F.array_join(F.slice(t, i, k), " ")).alias("whash"),
+            ),
+        ),
+    ).otherwise(F.lit([]).cast("array<struct<widx:int,whash:string>>"))
+    base = spread_for_explode(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens_of(text_col).alias("__toks")
+    )
+    w = base.select(id_col, F.explode(win).alias("__w")).select(
+        id_col,
+        F.col("__w.widx").alias("widx"),
+        F.col("__w.whash").alias("whash"),
+    )
+    dup = (
+        w.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("whash")
+    )
+    covered = (
+        w.join(dup, on="whash")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("widx"), F.col("widx") + (k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos").alias("__cov"))
+    )
+    joined = base.join(covered, on=id_col, how="left").withColumn(
+        "__cov", F.coalesce(F.col("__cov"), F.lit([]).cast("array<int>"))
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: ~F.array_contains(F.col("__cov"), i),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(t, i)), " "
+        ).alias(out_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        (F.size(t) - F.size(kept_idx)).cast("long").alias("n_removed"),
+    )

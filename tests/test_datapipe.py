@@ -1471,3 +1471,26 @@ def test_zscore_and_exact_corr_hand_computed(spark):
     # the algebraic +/-1
     assert abs(out["a"] - 1.0) < 1e-15 and abs(out["b"] + 1.0) < 1e-15
     assert out["c"] is None
+
+
+def test_remove_dup_spans_excises_and_passes_through(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x a b c"), (3, "p q r s t")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(docs, k=3).collect()}
+    # "a b c" duplicated across docs 1,2 -> covered tokens excised
+    assert out[1].clean_text == "d" and out[1].n_removed == 3
+    assert out[2].clean_text == "x" and out[2].n_removed == 3
+    # untouched doc passes through verbatim
+    assert out[3].clean_text == "p q r s t" and out[3].n_removed == 0
+    # fully-duplicated doc -> empty string (not NULL)
+    dup2 = spark.createDataFrame(
+        [(1, "m n o"), (2, "m n o")], ["doc_id", "text"]
+    )
+    full = {r.doc_id: r for r in remove_dup_spans(dup2, k=3).collect()}
+    assert full[1].clean_text == "" and full[1].n_removed == 3
