@@ -1283,6 +1283,28 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle count (datapipe/dedup.triangle_count, Suri-Vassilvitskii
+    oriented two-join) over the co-purchase graph (parts co-occurring in
+    >= 2 orders) — the graph-metric composition on top of the
+    market-basket pairs."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        triangle_count,
+    )
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, on=[F.col("ok") == F.col("ok2"), F.col("pa") < F.col("pb")])
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
 def q_dup_spans_excise(spark: SparkSession, sf: str) -> DataFrame:
     """The removal half of dup_spans (datapipe/dedup.remove_dup_spans):
     tokens under corpus-duplicated 8-windows excised, text rebuilt —
@@ -2074,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "unpivot_melt": q_unpivot_melt,
         "dup_spans_excise": q_dup_spans_excise,
+        "triangles": q_triangles,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3226,6 +3249,19 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Triangles: oriented wedge join closed against the edge list.
+        "triangles": """
+  WITH tr_p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+  tr_e AS (SELECT DISTINCT LEAST(pa, pb) AS a, GREATEST(pa, pb) AS b
+           FROM tr_p WHERE pa != pb),
+  tr_w AS (SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc
+           FROM tr_e e1 JOIN tr_e e2 ON e1.a = e2.a AND e1.b < e2.b)
+  SELECT COUNT(*) AS n_triangles
+  FROM tr_w JOIN tr_e e ON tr_w.wb = e.a AND tr_w.wc = e.b""",
         # Span excision: same window grid as dup_spans; 1-based list
         # lambdas index identically in both engines.
         "dup_spans_excise": f"""

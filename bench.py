@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "json_props",
     "unpivot_melt",
     "dup_spans_excise",
+    "triangles",
     "semantic_curation_e2e",
 ]
 

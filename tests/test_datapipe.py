@@ -1494,3 +1494,20 @@ def test_remove_dup_spans_excises_and_passes_through(spark):
     )
     full = {r.doc_id: r for r in remove_dup_spans(dup2, k=3).collect()}
     assert full[1].clean_text == "" and full[1].n_removed == 3
+
+
+def test_triangle_count_known_graphs(spark):
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        triangle_count,
+    )
+
+    def n_tri(edge_list):
+        df = spark.createDataFrame(edge_list, "src int, dst int")
+        return triangle_count(df).collect()[0].n_triangles
+
+    # K4 has 4 triangles; direction/duplication/self-loops are normalized
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert n_tri(k4) == 4
+    assert n_tri([(1, 2), (2, 3), (3, 1)]) == 1
+    assert n_tri([(2, 1), (3, 2), (1, 3), (1, 1)]) == 1  # reversed + loop
+    assert n_tri([(1, 2), (2, 3), (3, 4)]) == 0  # path: no triangle
