@@ -1283,6 +1283,25 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_window_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic-window breadth on one partitioning: ntile quartiles,
+    percent_rank, cume_dist, lead/lag of order value per customer under
+    a total (date, key) order — one shuffle serves all five."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
 def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle count (datapipe/dedup.triangle_count, Suri-Vassilvitskii
     oriented two-join) over the co-purchase graph (parts co-occurring in
@@ -2097,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_melt": q_unpivot_melt,
         "dup_spans_excise": q_dup_spans_excise,
         "triangles": q_triangles,
+        "window_functions": q_window_functions,
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
@@ -3249,6 +3269,18 @@ def oracle_sql() -> dict[str, str]:
            AS tfidf_rank
   FROM tf JOIN dfq USING (term)
   QUALIFY tfidf_rank <= 3""",
+        # Window breadth: standard SQL definitions are engine-identical
+        # under the explicit total (date, key) order.
+        "window_functions": """
+  SELECT o_orderkey, o_custkey,
+         CAST(NTILE(4) OVER w AS INT) AS quartile,
+         PERCENT_RANK() OVER w AS pct_rank,
+         CUME_DIST() OVER w AS cume,
+         LAG(o_totalprice) OVER w AS prev_price,
+         LEAD(o_totalprice) OVER w AS next_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC)""",
         # Triangles: oriented wedge join closed against the edge list.
         "triangles": """
   WITH tr_p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb

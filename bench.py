@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "unpivot_melt",
     "dup_spans_excise",
     "triangles",
+    "window_functions",
     "semantic_curation_e2e",
 ]
 
