@@ -25,8 +25,10 @@ from .dedup import (  # noqa: F401
     exact_dedup_groups,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_dup_spans,
     simhash_16,
     simhash_hamming_pairs,
+    triangle_count,
     winnow_candidate_pairs,
     winnow_fingerprints,
     with_shingles,

@@ -990,6 +990,36 @@ def updated_fingerprint_store(
     )
 
 
+def _window_hash_structs(t: Column, k: int) -> Column:
+    """Shared stride-1 k-token window grid for the exact-substring pair
+    (:func:`dup_span_stats` MEASURE / :func:`remove_dup_spans` ACT):
+    array of (widx 1-based, whash md5-of-joined-window) structs, empty
+    below ``k`` tokens. One definition so the two halves of the
+    transform can never disagree on the grid."""
+    return F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("widx"),
+                F.md5(F.array_join(F.slice(t, i, k), " ")).alias("whash"),
+            ),
+        ),
+    ).otherwise(F.lit([]).cast("array<struct<widx:int,whash:string>>"))
+
+
+def _duplicated_hashes(w: DataFrame) -> DataFrame:
+    """Window hashes with corpus occurrence count >= 2 (the Lee et al.
+    duplicated-substring criterion), from a (.., whash) frame."""
+    return (
+        w.filter(F.col("whash").isNotNull())
+        .groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("whash")
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     *,
@@ -1027,16 +1057,7 @@ def dup_span_stats(
     from .text import spread_for_explode
 
     t = F.col("__toks")
-    win = F.when(
-        F.size(t) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (k - 1)),
-            lambda i: F.struct(
-                i.alias("widx"),
-                F.md5(F.array_join(F.slice(t, i, k), " ")).alias("whash"),
-            ),
-        ),
-    ).otherwise(F.lit([]).cast("array<struct<widx:int,whash:string>>"))
+    win = _window_hash_structs(t, k)
     base = (
         spread_for_explode(df.select(id_col, text_col))
         .select(
@@ -1053,13 +1074,7 @@ def dup_span_stats(
         F.col("__w.widx").alias("widx"),
         F.col("__w.whash").alias("whash"),
     )
-    dup = (
-        w.filter(F.col("whash").isNotNull())
-        .groupBy("whash")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("whash")
-    )
+    dup = _duplicated_hashes(w)
     dup_w = w.join(dup, on="whash")
     covered = (
         dup_w.select(
@@ -1119,16 +1134,7 @@ def remove_dup_spans(
     from .text import spread_for_explode
 
     t = F.col("__toks")
-    win = F.when(
-        F.size(t) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (k - 1)),
-            lambda i: F.struct(
-                i.alias("widx"),
-                F.md5(F.array_join(F.slice(t, i, k), " ")).alias("whash"),
-            ),
-        ),
-    ).otherwise(F.lit([]).cast("array<struct<widx:int,whash:string>>"))
+    win = _window_hash_structs(t, k)
     base = spread_for_explode(df.select(id_col, text_col)).select(
         F.col(id_col), tokens_of(text_col).alias("__toks")
     )
@@ -1137,12 +1143,7 @@ def remove_dup_spans(
         F.col("__w.widx").alias("widx"),
         F.col("__w.whash").alias("whash"),
     )
-    dup = (
-        w.groupBy("whash")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("whash")
-    )
+    dup = _duplicated_hashes(w)
     covered = (
         w.join(dup, on="whash")
         .select(

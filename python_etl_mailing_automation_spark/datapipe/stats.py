@@ -363,8 +363,12 @@ def zscore_normalize(
 
         var = (n·Σx² − (Σx)²) / n²      mean = Σx / n
 
-    accumulated in DECIMAL(38,0) (partition-order-independent; x up to
-    ~10^9 keeps n·Σx² inside 38 digits at petascale row counts), so the
+    accumulated in DECIMAL(38,0) (partition-order-independent). The
+    overflow envelope is n·Σx² < 10^38 — roughly n·x² ≲ 10^37, e.g.
+    10^10 rows of x ≈ 10^9, far past any per-group cardinality this
+    operator targets but NOT "any petascale count": Spark's non-ANSI
+    decimal overflow returns NULL, which would read as the degenerate
+    var=0 case, so keep groups inside the envelope. The final step is
     only floating point is the final fixed-order expression
     ``(x − mean)/sqrt(var)`` — sqrt is IEEE-correctly-rounded, giving
     bit-identical scores on any engine. Degenerate groups (var = 0)
@@ -382,12 +386,10 @@ def zscore_normalize(
     ]
     if group_col is None:
         based = df.crossJoin(F.broadcast(df.agg(*moments)))
-        grp: list[str] = []
     else:
         based = df.join(
             F.broadcast(df.groupBy(group_col).agg(*moments)), on=group_col
         )
-        grp = [group_col]
     n = F.col("__n").cast("double")
     mean = F.col("__s1").cast("double") / n
     var = (
@@ -417,7 +419,9 @@ def exact_corr(
         r = (n·Σxy − Σx·Σy) /
             (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
 
-    Numerator and both radicands are exact integers; the division and
+    Numerator and both radicands are exact integers (same DECIMAL(38,0)
+    overflow envelope as :func:`zscore_normalize` — n·Σxy must stay
+    under 10^38; pre-scale or sample beyond it); the division and
     the two correctly-rounded sqrts are the only floating point — the
     result is bit-identical across engines and partitionings, unlike
     ``corr()`` whose streaming co-moment accumulation is

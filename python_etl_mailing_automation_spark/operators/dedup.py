@@ -106,9 +106,9 @@ def upsert_latest(
     on a version tie (the update is the newer fact under equal
     timestamps, the standard last-writer-wins CDC convention).
 
-    Composition, not new machinery: unionByName + the skew-hardened
-    :func:`dedup_keep_best_maxby` reduction — one shuffle on the key,
-    per-partition partial minima (no window sort), so a hot key costs
+    Same skew-hardened shape as :func:`dedup_keep_best_maxby`: one
+    ``max_by`` reduction after unionByName — one shuffle on the key,
+    per-partition partial maxima (no window sort), so a hot key costs
     each partition O(1) state even when one entity receives millions of
     updates. This is the batch-merge pattern lakehouse MERGE executes
     under the hood; expressing it as the engine's own dedup keeps the
@@ -121,16 +121,31 @@ def upsert_latest(
     tagged = base.withColumn("__src", F.lit(0)).unionByName(
         updates.withColumn("__src", F.lit(1))
     )
-    # min_by on (-version, -src): highest version wins, updates beat
-    # base on ties; NULL versions coalesce to the smallest priority.
-    sort_keys = [
-        F.coalesce(
-            -F.col(version_col).cast("double"), F.lit(float("inf"))
+    # Ranking in the version's OWN dtype (a double cast would collapse
+    # 64-bit versions above 2^53 into ties and let an older update win).
+    # min_by needs the smallest tuple to win, so invert each component:
+    # null-ness first (non-null beats null), then the version under a
+    # descending rank via max_by-style negated flags — expressed as
+    # min_by over (has_no_version, <version descending>, -src). Struct
+    # comparison handles any orderable dtype; the NULL version is
+    # coalesced inside its group so no struct field is ever NULL.
+    ver_dtype = dict(tagged.dtypes)[version_col]
+    zero = F.lit(0).cast(ver_dtype)
+    best = F.max_by(
+        F.struct(
+            *[F.col(c) for c in tagged.columns if c not in keys]
         ),
-        -F.col("__src"),
-    ]
-    merged = dedup_keep_best_maxby(tagged, keys, sort_keys)
-    return merged.drop("__src")
+        F.struct(
+            F.col(version_col).isNotNull().cast("int").alias("has_v"),
+            F.coalesce(F.col(version_col), zero).alias("v"),
+            F.col("__src").alias("src"),
+        ),
+    ).alias("__best")
+    payload = [c for c in tagged.columns if c not in keys]
+    merged = tagged.groupBy(*keys).agg(best)
+    return merged.select(
+        *keys, *[F.col(f"__best.{c}").alias(c) for c in payload]
+    ).drop("__src")
 
 
 def snapshot_diff(
@@ -158,18 +173,26 @@ def snapshot_diff(
     cols = compare_cols or [
         c for c in old.columns if c in set(new.columns) and c not in keys
     ]
+    # Presence markers instead of key-nullability probes, and null-safe
+    # key equality: a NULL key is a legal (if unusual) entity id — with
+    # plain == it would never match its counterpart and both presence
+    # probes would read false, misclassifying the row.
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in cols],
+        F.lit(1).alias("__o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in cols],
+        F.lit(1).alias("__n_present"),
     )
-    cond = [F.col(f"__ok_{k}") == F.col(f"__nk_{k}") for k in keys]
+    cond = [
+        F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in keys
+    ]
     j = o.join(n, on=cond, how="full_outer")
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     diffs = F.array_sort(
         F.filter(
             F.array(

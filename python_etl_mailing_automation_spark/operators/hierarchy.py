@@ -64,12 +64,20 @@ def pointer_jump_roots(
             F.col("anc").alias("__h_anc"),
             F.col("depth").alias("__h_depth"),
         )
+        # LEFT join: a pointer whose ancestor has no node row (a
+        # DANGLING parent) keeps its current ancestor instead of
+        # silently vanishing from the result — it then "converges"
+        # pointing at the dangling id, which the root post-check below
+        # rejects loudly.
         nxt = (
-            state.join(hop, on=F.col("anc") == F.col("__h_node"))
+            state.join(hop, on=F.col("anc") == F.col("__h_node"), how="left")
             .select(
                 "node",
-                F.col("__h_anc").alias("anc"),
-                (F.col("depth") + F.col("__h_depth")).alias("depth"),
+                F.coalesce(F.col("__h_anc"), F.col("anc")).alias("anc"),
+                (
+                    F.col("depth")
+                    + F.coalesce(F.col("__h_depth"), F.lit(0).cast("long"))
+                ).alias("depth"),
             )
             .localCheckpoint(eager=True)
         )
@@ -101,7 +109,8 @@ def pointer_jump_roots(
             if bad:
                 raise ValueError(
                     f"pointer_jump_roots: {bad} nodes resolve to a "
-                    "non-root ancestor — the graph contains a cycle"
+                    "non-root ancestor — the graph contains a cycle or "
+                    "a dangling parent id with no node row"
                 )
             return result
     raise ValueError(

@@ -93,6 +93,14 @@ def fuzzy_join_edit(
 
     if max_dist not in (1, 2):
         raise ValueError("fuzzy_join_edit: max_dist must be 1 or 2")
+    if {left_id, left_col} & {right_id, right_col}:
+        # both sides' columns survive into one joined frame — shared
+        # names would make the final select ambiguous (self-linkage
+        # callers alias one side first, as entity resolution does)
+        raise ValueError(
+            "fuzzy_join_edit: left and right id/value column names must "
+            "be disjoint — alias one side before joining"
+        )
 
     def side(df: DataFrame, id_c: str, s_c: str, prefix: str) -> DataFrame:
         # ~len^radius row amplification — rebalance tiny scans first

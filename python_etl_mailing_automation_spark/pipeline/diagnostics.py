@@ -100,6 +100,8 @@ def fk_orphan_stats(
     broadcasts the key set when dimension-sized; fact-to-fact relations
     shuffle on the key. The audit frame is O(#relations) rows.
     """
+    if not relations:
+        raise ValueError("fk_orphan_stats: relations list is empty")
     outs = []
     for name, child, child_key, parent, parent_key in relations:
         pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
@@ -109,8 +111,13 @@ def fk_orphan_stats(
             .join(pk, on=F.col("__ck") == F.col("__pk"), how="left")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(
-                    F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                # coalesce: sum over ZERO rows (all-NULL FKs filtered
+                # out) is NULL, which would dodge n_orphans == 0 gates
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).cast("long").alias("n_orphans"),
             )
             .select(F.lit(name).alias("relation"), "n_rows", "n_orphans")

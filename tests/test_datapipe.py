@@ -1511,3 +1511,20 @@ def test_triangle_count_known_graphs(spark):
     assert n_tri([(1, 2), (2, 3), (3, 1)]) == 1
     assert n_tri([(2, 1), (3, 2), (1, 3), (1, 1)]) == 1  # reversed + loop
     assert n_tri([(1, 2), (2, 3), (3, 4)]) == 0  # path: no triangle
+
+
+def test_upsert_latest_preserves_64bit_version_precision(spark):
+    """Versions above 2^53 must not collapse into double-precision ties
+    (epoch-nanosecond CDC versions live there)."""
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        upsert_latest,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "newer_base", 2**53 + 1)], "k int, p string, version long"
+    )
+    updates = spark.createDataFrame(
+        [(1, "older_update", 2**53)], "k int, p string, version long"
+    )
+    out = upsert_latest(base, updates, key="k", version_col="version").collect()
+    assert out[0].p == "newer_base" and out[0].version == 2**53 + 1

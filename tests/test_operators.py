@@ -579,3 +579,53 @@ def test_morton_key_interleaves_and_preserves_locality(spark):
     assert got[(65535, 65535)] == (1 << 32) - 1
     with _pytest.raises(ValueError):
         morton_key("x", "y", bits=40)
+
+
+def test_pointer_jump_roots_dangling_parent_raises(spark):
+    import pytest as _pytest
+
+    from python_etl_mailing_automation_spark.operators.hierarchy import (
+        pointer_jump_roots,
+    )
+
+    # parent 99 has no node row: must raise, not silently drop node 3
+    edges = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 99)], "node int, parent int"
+    )
+    with _pytest.raises(ValueError, match="dangling"):
+        pointer_jump_roots(edges)
+
+
+def test_fuzzy_join_edit_rejects_shared_column_names(spark):
+    import pytest as _pytest
+
+    from python_etl_mailing_automation_spark.operators.linkage import (
+        fuzzy_join_edit,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with _pytest.raises(ValueError, match="disjoint"):
+        fuzzy_join_edit(
+            df, df, left_id="id", right_id="id",
+            left_col="name", right_col="name",
+        )
+
+
+def test_snapshot_diff_null_keys(spark):
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(None, "x", 1), (1, "a", 1)], "k int, name string, v int"
+    )
+    new = spark.createDataFrame([(1, "a", 1)], "k int, name string, v int")
+    out = {r.k: r.op for r in snapshot_diff(old, new, key="k").collect()}
+    # the NULL-key entity disappeared -> delete, not a phantom update
+    assert out == {None: "delete"}
+    # NULL key present in both with a change -> update
+    new2 = spark.createDataFrame(
+        [(None, "y", 1), (1, "a", 1)], "k int, name string, v int"
+    )
+    out2 = {(r.k, r.op, r.changed) for r in snapshot_diff(old, new2, key="k").collect()}
+    assert out2 == {(None, "update", "name")}
