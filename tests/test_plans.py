@@ -364,3 +364,26 @@ def test_snowflake_chain_all_dims_broadcast(plans):
     p = plans("snowflake_join")
     assert p.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in p
+
+
+def test_upsert_latest_stays_partial_aggregation(spark):
+    """The 64-bit-safe version ranking must keep the max_by reduction
+    shape: map-side partial + final hash aggregate, never a window sort
+    (the skew-hardening the operator promises)."""
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        upsert_latest,
+    )
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("b").alias("p"),
+        F.col("id").alias("version"),
+    )
+    upd = base.withColumn("p", F.lit("u")).withColumn(
+        "version", F.col("version") + 1
+    )
+    out = upsert_latest(base, upd, key="k", version_col="version")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "max_by" in plan or "HashAggregate" in plan or "ObjectHashAggregate" in plan
