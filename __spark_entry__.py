@@ -1501,6 +1501,18 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     return snapshot_diff(cust, new, key="c_custkey")
 
 
+def q_skew_kurt(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-lang skewness/kurtosis of n_chars (datapipe/stats
+    .exact_skew_kurt): integer raw moments to m3/m2^1.5 and m4/m2² —
+    the distribution-shape data card, engine-exact."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        exact_skew_kurt,
+    )
+
+    docs = _t(spark, sf, "documents").select("lang", "n_chars")
+    return exact_skew_kurt(docs, "n_chars", group_col="lang")
+
+
 def q_zscore(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-lang z-score of n_chars (datapipe/stats
     .zscore_normalize): integer moments in DECIMAL(38,0), floating
@@ -2107,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize": q_pseudonymize,
         "zscore": q_zscore,
         "exact_corr": q_exact_corr,
+        "skew_kurt": q_skew_kurt,
         "snapshot_diff": q_snapshot_diff,
         "hierarchy_depth": q_hierarchy_depth,
         "snowflake_join": q_snowflake_join,
@@ -3459,6 +3472,36 @@ def oracle_sql() -> dict[str, str]:
                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
          END AS zscore
   FROM documents d JOIN zs_m USING (lang)""",
+        # Skew/kurtosis: HUGEINT central-moment numerators, then the
+        # same fixed-order double expression as the Spark column.
+        "skew_kurt": """
+  WITH sk_m AS (SELECT lang, COUNT(*) AS n,
+                       SUM(CAST(n_chars AS HUGEINT)) AS s1,
+                       SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+                       SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars)
+                         AS s3,
+                       SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars
+                           * n_chars) AS s4
+                FROM documents GROUP BY 1),
+  sk_c AS (SELECT lang, n,
+                  CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m2,
+                  CAST(CAST(n AS HUGEINT) * n * s3
+                       - 3 * CAST(n AS HUGEINT) * s1 * s2
+                       + 2 * s1 * s1 * s1 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE)) AS m3,
+                  CAST(CAST(n AS HUGEINT) * n * n * s4
+                       - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+                       + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+                       - 3 * s1 * s1 * s1 * s1 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m4
+           FROM sk_m)
+  SELECT lang, n,
+         CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+         CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurtosis
+  FROM sk_c""",
         # Exact Pearson r from integer moments; cents bridge identical
         # to rolling_spend's.
         "exact_corr": """

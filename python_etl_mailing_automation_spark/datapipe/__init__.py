@@ -41,6 +41,7 @@ from .pii import pii_free, pseudonymize, redact_pii  # noqa: F401
 from .stats import (  # noqa: F401
     corpus_stats,
     exact_corr,
+    exact_skew_kurt,
     length_quantiles,
     mad_outliers,
     quantile_bucket_assign,

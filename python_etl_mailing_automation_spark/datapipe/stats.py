@@ -447,3 +447,60 @@ def exact_corr(
     return agg.select(
         *grp, F.col("__n").alias("n"), r.alias("r")
     )
+
+
+def exact_skew_kurt(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Population skewness g1 = m3/m2^1.5 and (non-excess) kurtosis
+    g2 = m4/m2² of an INTEGER-valued column from exact raw moments —
+    the rest of the distribution family next to
+    :func:`zscore_normalize` (mean/var) and :func:`exact_corr`. Central
+    moments expand to integer combinations of Σx..Σx⁴:
+
+        n²·m2 = n·Σx² − S1²
+        n³·m3 = n²·Σx³ − 3n·S1·Σx² + 2·S1³
+        n⁴·m4 = n³·Σx⁴ − 4n²·S1·Σx³ + 6n·S1²·Σx² − 3·S1⁴
+
+    all accumulated/combined in DECIMAL(38,0) (DuckDB mirror: HUGEINT),
+    so both engines agree bit-for-bit after the final fixed-order double
+    expression. Envelope: the S1⁴ term caps |Σx| at ~3.6·10^9 (n·x̄ per
+    group) — far past per-group document-stat cardinalities, but not
+    unbounded; Spark's non-ANSI decimal overflow NULLs the result, so
+    stay inside it. Zero-variance groups yield NULLs. Output: one row
+    per group — ``(group_col?, n, skewness, kurtosis)``.
+    """
+    x = F.col(value_col).cast("decimal(38,0)")
+    grp = [] if group_col is None else [group_col]
+    agg = df.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__s1"),
+        F.sum(x * x).alias("__s2"),
+        F.sum(x * x * x).alias("__s3"),
+        F.sum(x * x * x * x).alias("__s4"),
+    )
+    nd = F.col("__n").cast("decimal(38,0)")
+    s1, s2, s3, s4 = (F.col(f"__s{i}") for i in (1, 2, 3, 4))
+    v2 = nd * s2 - s1 * s1
+    v3 = nd * nd * s3 - F.lit(3).cast("decimal(38,0)") * nd * s1 * s2 + F.lit(2).cast("decimal(38,0)") * s1 * s1 * s1
+    v4 = (
+        nd * nd * nd * s4
+        - F.lit(4).cast("decimal(38,0)") * nd * nd * s1 * s3
+        + F.lit(6).cast("decimal(38,0)") * nd * s1 * s1 * s2
+        - F.lit(3).cast("decimal(38,0)") * s1 * s1 * s1 * s1
+    )
+    n = F.col("__n").cast("double")
+    m2 = v2.cast("double") / (n * n)
+    m3 = v3.cast("double") / (n * n * n)
+    m4 = v4.cast("double") / (n * n * n * n)
+    skew = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+    kurt = F.when(m2 > 0, m4 / (m2 * m2))
+    return agg.select(
+        *grp,
+        F.col("__n").alias("n"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis"),
+    )

@@ -1528,3 +1528,26 @@ def test_upsert_latest_preserves_64bit_version_precision(spark):
     )
     out = upsert_latest(base, updates, key="k", version_col="version").collect()
     assert out[0].p == "newer_base" and out[0].version == 2**53 + 1
+
+
+def test_exact_skew_kurt_hand_computed(spark):
+    import math
+
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        exact_skew_kurt,
+    )
+
+    # symmetric 1..5: skew 0; kurtosis m4/m2^2 = (sum d^4/5)/(2^2)
+    df = spark.createDataFrame([("g", i) for i in range(1, 6)], ["g", "v"])
+    r = exact_skew_kurt(df, "v", group_col="g").collect()[0]
+    d4 = sum((i - 3) ** 4 for i in range(1, 6)) / 5
+    assert r.n == 5 and r.skewness == 0.0
+    assert abs(r.kurtosis - d4 / 4.0) < 1e-12
+    # right-skewed: 0,0,0,4 -> m2=3, m3=(3*(-1)^3+27)/4=6, g1=6/3^1.5
+    df2 = spark.createDataFrame([("g", v) for v in (0, 0, 0, 4)], ["g", "v"])
+    r2 = exact_skew_kurt(df2, "v", group_col="g").collect()[0]
+    assert abs(r2.skewness - 6 / (3 * math.sqrt(3))) < 1e-12
+    # constant column -> NULLs
+    df3 = spark.createDataFrame([("g", 7)] * 3, ["g", "v"])
+    r3 = exact_skew_kurt(df3, "v", group_col="g").collect()[0]
+    assert r3.skewness is None and r3.kurtosis is None
