@@ -2042,57 +2042,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's CORRECTNESS gate checks only the first
+    # 50 dict entries each round (rounds 1-5 all cap at 48-50 rows), so
+    # the battery is rotated per round to put never-driver-verified
+    # queries inside the window. Round 6 leads with the 42 queries
+    # registered in round 5 (verified only by the driver-identical local
+    # tools/check_parity.py so far) plus the round-6 additions, then the
+    # most load-bearing already-driver-signed queries, then the rest.
     return {
-        "per_key_windowed_sum": q_per_key_windowed_sum,
-        "distinct_list_per_key": q_distinct_list_per_key,
-        "group_count_having": q_group_count_having,
-        "threshold_anti_join": q_threshold_anti_join,
-        "smart_dedup": q_smart_dedup,
-        "completeness_dedup": q_completeness_dedup,
-        "rank_in_group": q_rank_in_group,
-        "topk_per_group": q_topk_per_group,
-        "rank_pivot": q_rank_pivot,
-        "head_row_per_group": q_head_row_per_group,
-        "priority_case_sort": q_priority_case_sort,
-        "blocklist_split": q_blocklist_split,
-        "segmentation": q_segmentation,
-        "enrichment_phones": q_enrichment_phones,
-        "scalar_functions": q_scalar_functions,
-        "union_sheets": q_union_sheets,
-        "mailing_pipeline_e2e": q_mailing_pipeline_e2e,
-        "robot_pipeline_e2e": q_robot_pipeline_e2e,
-        "export_human_layout": q_export_human_layout,
-        "skew_salted_join": q_skew_salted_join,
-        "value_profile": q_value_profile,
-        "audit_blocklist_clean": q_audit_blocklist_clean,
-        "sessionization": q_sessionization,
-        "asof_join": q_asof_join,
-        "window_counts": q_window_counts,
-        "text_metrics": q_text_metrics,
-        "text_transforms": q_text_transforms,
-        "dedup_exact": q_dedup_exact,
-        "dedup_fingerprints": q_dedup_fingerprints,
-        "dedup_pairs": q_dedup_pairs,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann_buckets": q_similarity_ann_buckets,
-        "corpus_curation_e2e": q_corpus_curation_e2e,
-        "embedding_near_dup": q_embedding_near_dup,
-        "sampling_suite": q_sampling_suite,
-        "decontamination": q_decontamination,
-        "pii_redact": q_pii_redact,
-        "sequence_pack": q_sequence_pack,
-        "dedup_lines": q_dedup_lines,
-        "corpus_stats": q_corpus_stats,
-        "corpus_quantiles": q_corpus_quantiles,
-        "text_clusters": q_text_clusters,
-        "budget_select": q_budget_select,
-        "winnow_pairs": q_winnow_pairs,
-        "kmeans_semantic": q_kmeans_semantic,
-        "top_ngrams": q_top_ngrams,
-        "dedup_incremental": q_dedup_incremental,
         "stream_curation_batch": q_stream_curation_batch,
         "interval_join": q_interval_join,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -2135,6 +2092,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_spend": q_rolling_spend,
         "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
+        # --- already driver-signed in CORRECTNESS_r05; most load-bearing
+        # re-checked inside the window, the rest below it (all still run
+        # by bench + tools/check_parity.py every round).
+        "mailing_pipeline_e2e": q_mailing_pipeline_e2e,
+        "robot_pipeline_e2e": q_robot_pipeline_e2e,
+        "dedup_pairs": q_dedup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "kmeans_semantic": q_kmeans_semantic,
+        "enrichment_phones": q_enrichment_phones,
+        "smart_dedup": q_smart_dedup,
+        "corpus_curation_e2e": q_corpus_curation_e2e,
+        # --- driver window ends around here (50 entries) ---
+        "per_key_windowed_sum": q_per_key_windowed_sum,
+        "distinct_list_per_key": q_distinct_list_per_key,
+        "group_count_having": q_group_count_having,
+        "threshold_anti_join": q_threshold_anti_join,
+        "completeness_dedup": q_completeness_dedup,
+        "rank_in_group": q_rank_in_group,
+        "topk_per_group": q_topk_per_group,
+        "rank_pivot": q_rank_pivot,
+        "head_row_per_group": q_head_row_per_group,
+        "priority_case_sort": q_priority_case_sort,
+        "blocklist_split": q_blocklist_split,
+        "segmentation": q_segmentation,
+        "scalar_functions": q_scalar_functions,
+        "union_sheets": q_union_sheets,
+        "export_human_layout": q_export_human_layout,
+        "skew_salted_join": q_skew_salted_join,
+        "value_profile": q_value_profile,
+        "audit_blocklist_clean": q_audit_blocklist_clean,
+        "sessionization": q_sessionization,
+        "asof_join": q_asof_join,
+        "window_counts": q_window_counts,
+        "text_metrics": q_text_metrics,
+        "text_transforms": q_text_transforms,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprints": q_dedup_fingerprints,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_buckets": q_similarity_ann_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
+        "sampling_suite": q_sampling_suite,
+        "decontamination": q_decontamination,
+        "pii_redact": q_pii_redact,
+        "sequence_pack": q_sequence_pack,
+        "dedup_lines": q_dedup_lines,
+        "corpus_stats": q_corpus_stats,
+        "corpus_quantiles": q_corpus_quantiles,
+        "text_clusters": q_text_clusters,
+        "budget_select": q_budget_select,
+        "winnow_pairs": q_winnow_pairs,
+        "top_ngrams": q_top_ngrams,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2168,8 +2179,14 @@ def _kmeans_sql(
         "WITH e AS (SELECT vec_id, list_transform(embedding, "
         f"x -> CAST(x AS DOUBLE)) AS v FROM {src}),",
         f"  g AS (SELECT UNNEST(range({dim})) AS i),",
-        "  c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v"
-        f" FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})),",
+        # Seed = k globally-smallest (md5(id), id) — mirrors
+        # clustering._seed_topk (whose hash-threshold pre-prune is a pure
+        # optimization with an identical result, so the oracle needs no
+        # filter/fallback branch).
+        "  c0 AS (SELECT ROW_NUMBER() OVER "
+        "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v"
+        " FROM (SELECT vec_id, v FROM e "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})),",
     ]
     for it in range(n_iter + 1):
         parts.append(

@@ -127,7 +127,22 @@ BENCH_QUERIES = [
     "triangles",
     "window_functions",
     "semantic_curation_e2e",
+    # Round-6 additions: every oracled query now has a timing (previously
+    # these 9 were green in CORRECTNESS but absent from the headline set).
+    "distinct_list_per_key",
+    "group_count_having",
+    "threshold_anti_join",
+    "completeness_dedup",
+    "head_row_per_group",
+    "blocklist_split",
+    "skew_salted_join",
+    "value_profile",
+    "audit_blocklist_clean",
 ]
+
+# Queries deliberately not benched (must be EXPLICIT — see the reverse
+# assertion in main()). Empty today: every registered query is timed.
+BENCH_SKIP: list[str] = []
 
 
 # Deep tier: the 5 most expensive relational queries re-run at a 10×
@@ -195,6 +210,10 @@ def main() -> None:
     spark = build_spark(
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # The driver captures a bounded tail of stdout; Spark's console
+        # progress bars interleave with (and in round 5 truncated) the
+        # single JSON payload line. Silence them for bench runs.
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     qs = entry_mod.queries()
 
@@ -203,6 +222,11 @@ def main() -> None:
     unknown = [n for n in (*BENCH_QUERIES, *DEEP_QUERIES) if n not in qs]
     if unknown:
         raise SystemExit(f"bench list references unknown queries: {unknown}")
+    # ...and the reverse: a newly registered query must either be benched
+    # or land on the explicit BENCH_SKIP allowlist — no silent gaps.
+    unbenched = [n for n in qs if n not in BENCH_QUERIES and n not in BENCH_SKIP]
+    if unbenched:
+        raise SystemExit(f"registered queries missing from bench list: {unbenched}")
 
     def run(name: str, at: str) -> float:
         t0 = time.time()
@@ -286,6 +310,12 @@ def main() -> None:
             "dir_hash": manifest["content_hash"],
         }
 
+    # Belt and braces against driver-side stdout-tail truncation (round 5
+    # lost the first ~31 timings): persist the full payload in-repo too.
+    local_copy = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(local_copy, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
     print(json.dumps(payload))
 
 

@@ -92,6 +92,27 @@ def kmeans_assign(
     )
 
 
+# Hex-prefix threshold for the seed pre-prune: keeps ~2/256 of rows.
+# Any value works (the result is threshold-independent, see the
+# kmeans_fit_assign docstring); smaller prunes harder but falls back to
+# the full frame more often on tiny inputs.
+_SEED_PREFIX = "02"
+
+
+def _seed_topk(df: DataFrame, k: int, id_col: str, vec_col: str) -> list:
+    """The k rows with the globally smallest ``(md5(id), id)``, computed
+    over a hash-threshold-pruned candidate set with a full-frame fallback
+    (identical result either way — the filter can only prune)."""
+    hashed = df.select(
+        id_col, vec_col, F.md5(F.col(id_col).cast("string")).alias("__h")
+    )
+    cand = hashed.filter(F.col("__h") < _SEED_PREFIX)
+    rows = cand.orderBy("__h", id_col).limit(k).collect()
+    if len(rows) < k:
+        rows = hashed.orderBy("__h", id_col).limit(k).collect()
+    return rows
+
+
 def kmeans_fit_assign(
     df: DataFrame,
     *,
@@ -102,9 +123,22 @@ def kmeans_fit_assign(
     checkpoint: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd k-means with a deterministic seed: the initial codebook is
-    the ``k`` vectors with the smallest ids, then ``n_iter``
-    assign→update rounds, returning the final assignment frame
-    (``cluster_id``, ``dist_sq`` added) and the final centroids.
+    the ``k`` vectors with the smallest ``md5(id)`` hashes (a
+    deterministic uniform pseudo-sample of the corpus — better-spread
+    than smallest-id, which at 100 TB would seed from whatever shard
+    happens to hold the lowest keys), then ``n_iter`` assign→update
+    rounds, returning the final assignment frame (``cluster_id``,
+    ``dist_sq`` added) and the final centroids.
+
+    Seed-scan shape: rows are pre-pruned by a static hash-threshold
+    filter (``md5 < SEED_PREFIX``) before the top-k, so at scale the
+    per-partition top-k heaps see ~N/256 rows instead of N; when the
+    filtered set has fewer than ``k`` rows (tiny inputs) the top-k falls
+    back to the unfiltered frame. Both branches compute the SAME result —
+    the k globally-smallest hashes — because any set containing the k
+    smallest hashes yields them; the filter only prunes, never changes
+    the answer, which keeps the cross-engine oracle a plain
+    ``ORDER BY md5(id), id LIMIT k``.
 
     A cluster that loses all members keeps its previous centroid (so the
     codebook size is stable and the result stays engine-reproducible).
@@ -132,7 +166,7 @@ def kmeans_fit_assign(
         # checkpoint stores to executor disk/memory; deployments with
         # executor churn use reliable checkpointing instead.
         df = df.localCheckpoint(eager=True)
-    seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    seed_rows = _seed_topk(df, k, id_col, vec_col)
     cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
     if not cents:
         raise ValueError("kmeans_fit_assign: input frame has no rows")

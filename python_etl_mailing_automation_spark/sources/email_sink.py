@@ -69,8 +69,12 @@ class OutboxFileTransport:
     """Deliver rendered messages to an on-disk outbox.
 
     ``deliver`` uses the distributed JSON writer (any scale);
-    ``deliver_eml`` writes one RFC822-ish file per message (driver-side,
-    small dimension-sized batches only — agent handoff files).
+    ``deliver_eml`` writes one RFC822-ish file per message via
+    ``foreachPartition`` — each executor task writes its own partition's
+    files (``msg_p{partition}_{index}.eml``), so no message frame is ever
+    collected to the driver and a 100k+-recipient mailing parallelizes
+    across the cluster. Requires ``outbox_dir`` on shared storage in a
+    real deployment (executors write directly).
     """
 
     def __init__(self, outbox_dir: str | Path) -> None:
@@ -82,17 +86,26 @@ class OutboxFileTransport:
         return path
 
     def deliver_eml(self, messages: DataFrame) -> list[Path]:
-        self.outbox_dir.mkdir(parents=True, exist_ok=True)
-        written = []
-        for i, row in enumerate(messages.collect()):
-            p = self.outbox_dir / f"msg_{i:06d}.eml"
-            p.write_text(
-                f"From: {row['from']}\nTo: {row['to']}\n"
-                f"Subject: {row['subject']}\n\n{row['body']}\n",
-                encoding="utf-8",
-            )
-            written.append(p)
-        return written
+        out_dir = self.outbox_dir
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+        def _write_partition(rows) -> None:
+            # Executor-side: partition id + within-partition index give a
+            # collision-free, restart-stable name without any driver
+            # coordination (same idea as Spark's own part-file naming).
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for i, row in enumerate(rows):
+                p = Path(out_dir) / f"msg_p{pid:05d}_{i:06d}.eml"
+                p.write_text(
+                    f"From: {row['from']}\nTo: {row['to']}\n"
+                    f"Subject: {row['subject']}\n\n{row['body']}\n",
+                    encoding="utf-8",
+                )
+
+        messages.foreachPartition(_write_partition)
+        return sorted(out_dir.glob("msg_p*.eml"))
 
 
 class SmtpTransport:

@@ -199,3 +199,30 @@ def test_email_sink_render_and_outbox(spark, tmp_path):
 
     with pytest.raises(KeyError):
         render_emails(df, to_col="email", subject_template="{missing}", body_template="")
+
+
+def test_email_sink_eml_distributed(spark, tmp_path):
+    """deliver_eml must write from executors (foreachPartition), with 2+
+    partitions producing disjoint per-partition file names and every
+    message landing exactly once."""
+    df = spark.createDataFrame(
+        [(f"u{i}@x.test", f"User{i}", float(i)) for i in range(20)],
+        "email string, nome string, divida double",
+    ).repartition(4)
+    msgs = render_emails(
+        df,
+        to_col="email",
+        subject_template="Débito de {nome}",
+        body_template="Olá {nome}, total {divida}.",
+    )
+    transport = OutboxFileTransport(tmp_path / "outbox_dist")
+    emls = transport.deliver_eml(msgs)
+    assert len(emls) == 20
+    assert len({p.name for p in emls}) == 20  # collision-free names
+    pids = {p.name.split("_")[1] for p in emls}
+    assert len(pids) >= 2  # genuinely written by multiple partitions
+    recipients = sorted(
+        next(ln for ln in p.read_text().splitlines() if ln.startswith("To: "))[4:]
+        for p in emls
+    )
+    assert recipients == sorted(f"u{i}@x.test" for i in range(20))
