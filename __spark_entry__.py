@@ -3634,9 +3634,13 @@ def oracle_sql() -> dict[str, str]:
                         MAX(CAST(n_chars AS DOUBLE)) AS hi
                  FROM documents GROUP BY 1),
   vh_b AS (SELECT d.lang,
-                  CASE WHEN hi = lo THEN 0
+                  -- outer CAST: DuckDB's LEAST(INT, literal) widens to
+                  -- BIGINT while the Spark side emits INT; pin the raw
+                  -- dtype so a strict schema compare agrees.
+                  CAST(CASE WHEN hi = lo THEN 0
                        ELSE LEAST(CAST(floor((CAST(n_chars AS DOUBLE) - lo)
                                   / ((hi - lo) / 20.0)) AS INT), 19) END
+                       AS INT)
                     AS bin,
                   lo, hi
            FROM documents d JOIN vh_mm USING (lang))
@@ -3820,8 +3824,9 @@ def oracle_sql() -> dict[str, str]:
                         quantile_cont(CAST(n_chars AS DOUBLE), 0.75)] AS bs
                 FROM documents GROUP BY 1)
   SELECT d.doc_id, d.lang, d.n_chars,
-         CAST(len(list_filter(bs, b -> CAST(d.n_chars AS DOUBLE) > b))
-              AS INT) AS bucket
+         CASE WHEN d.n_chars IS NULL THEN NULL
+              ELSE CAST(len(list_filter(bs, b -> CAST(d.n_chars AS DOUBLE) > b))
+                   AS INT) END AS bucket
   FROM documents d JOIN qb_b USING (lang)""",
         # Temperature mixture: rate = (nmin/n)^(3/4) as an explicit
         # sqrt-chain (left-assoc multiply, same op order as the Spark

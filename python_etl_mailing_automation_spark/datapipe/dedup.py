@@ -1125,8 +1125,11 @@ def remove_dup_spans(
     Lee et al. pipeline's actual training-set transform (they cut the
     duplicated spans, not the documents). Detection is the same
     window-hash machinery; the removal joins each doc's covered
-    positions back (one array per doc — O(covered positions), bounded
-    by doc length) and filters the token array by position.
+    positions back (one array per doc, bounded by doc length), sorts
+    them, and rebuilds the kept tokens from the GAPS between covered
+    runs — O(covered·log covered + n_tokens) per document, not the
+    O(n_tokens × covered) a per-position membership scan would cost on
+    long, heavily duplicated docs.
 
     Output: ``(id_col, clean_text, n_tokens, n_removed)``. Documents
     with nothing duplicated pass through verbatim.
@@ -1159,9 +1162,23 @@ def remove_dup_spans(
     joined = base.join(covered, on=id_col, how="left").withColumn(
         "__cov", F.coalesce(F.col("__cov"), F.lit([]).cast("array<int>"))
     )
-    kept_idx = F.filter(
-        F.sequence(F.lit(1), F.size(t)),
-        lambda i: ~F.array_contains(F.col("__cov"), i),
+    # Kept positions = the gaps between covered runs: pad the sorted
+    # (distinct-by-construction) covered positions with sentinels 0 and
+    # n+1, then emit sequence(lo+1, hi-1) for each adjacent pair. Linear
+    # in tokens; the old per-position array_contains scan was
+    # O(n_tokens × covered). Guard the when(): Spark's sequence() runs
+    # DESCENDING when start > stop, it does not return empty.
+    pad = F.concat(
+        F.array(F.lit(0)), F.array_sort(F.col("__cov")), F.array(F.size(t) + 1)
+    )
+    kept_idx = F.flatten(
+        F.zip_with(
+            F.slice(pad, F.lit(1), F.size(pad) - 1),
+            F.slice(pad, F.lit(2), F.size(pad) - 1),
+            lambda lo, hi: F.when(
+                lo + 1 <= hi - 1, F.sequence(lo + 1, hi - 1)
+            ).otherwise(F.lit([]).cast("array<int>")),
+        )
     )
     return joined.select(
         id_col,

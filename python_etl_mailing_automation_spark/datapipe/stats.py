@@ -123,7 +123,8 @@ def quantile_bucket_assign(
     Bucket-by-VALUE-boundary (not ``ntile``'s bucket-by-rank): ties get
     the same bucket deterministically, no global sort exists anywhere,
     and the per-row decision is reproducible from the boundary values
-    alone. Both engines interpolate quantiles identically on integer
+    alone. Rows whose ``value_col`` is NULL get a NULL bucket (they are
+    not silently filed with the bottom quartile). Both engines interpolate quantiles identically on integer
     inputs (see :func:`length_quantiles`), and the comparison
     ``value > boundary`` is double-exact, so bucket assignments are
     cross-engine stable.
@@ -152,7 +153,11 @@ def quantile_bucket_assign(
         lambda acc, b: acc
         + F.when(F.col(value_col).cast("double") > b, 1).otherwise(0),
     )
-    return joined.withColumn(out_col, bucket.cast("int")).drop("__bs")
+    # NULL values get a NULL bucket: `NULL > boundary` folds to 0 at
+    # every boundary, which would silently file NULLs with the genuine
+    # bottom-quartile rows — make the unknown explicit instead.
+    bucket = F.when(F.col(value_col).isNotNull(), bucket.cast("int"))
+    return joined.withColumn(out_col, bucket).drop("__bs")
 
 
 def mad_outliers(

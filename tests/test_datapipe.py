@@ -1335,6 +1335,13 @@ def test_quantile_bucket_assign_global_and_grouped(spark):
         for r in quantile_bucket_assign(df, "v", group_col="g").collect()
     }
     assert outg == {1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 1, 7: 2, 8: 3}
+    # NULL values must get a NULL bucket, not silently land in bucket 0
+    dfn = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4), (9, None)],
+        "doc_id int, v int",
+    )
+    outn = {r.doc_id: r.bucket for r in quantile_bucket_assign(dfn, "v").collect()}
+    assert outn[9] is None and outn[1] == 0
 
 
 def test_mad_outliers_flags_and_degenerate_group(spark):
