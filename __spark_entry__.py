@@ -1283,6 +1283,58 @@ def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     return shard_assign(docs, 8).select("doc_id", "source", "shard", "pos")
 
 
+def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-shard export manifest — the sizing/invariant view of the
+    sharded training export (datapipe/sampling.shard_assign feeding
+    sources/io.write_jsonl_shards): row count, distinct sources, max
+    within-shard position (dense 0-based ⇒ max_pos == n_rows-1), total
+    payload chars, and the resulting file count at 1000 rows/file (the
+    writer's documented rows-per-file sizing). One shard-keyed shuffle +
+    an 8-row aggregate; nothing driver-side."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import shard_assign
+
+    docs = _t(spark, sf, "documents")
+    sharded = shard_assign(docs, 8)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        F.max("pos").alias("max_pos"),
+        F.sum(F.length("text").cast("long")).alias("sum_chars"),
+        F.ceil(F.count(F.lit(1)) / F.lit(1000.0)).cast("long").alias("n_files"),
+    )
+
+
+def q_dedup_ledger_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """The write-back half of the incremental-dedup loop
+    (datapipe/dedup.updated_fingerprint_store): run dedup_against_store
+    with the q_dedup_incremental planted-duplicate setup, then merge the
+    accepted batch digests into the ledger — the state the NEXT run's
+    anti-join reads. Digest-only union + distinct: one shuffle on the
+    32-byte key, no payloads."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_against_store,
+        updated_fingerprint_store,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 >= 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("shared with store"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("repeated batch doc"))
+        .otherwise(F.col("text")),
+    )
+    store = normalize_text(
+        docs.filter(F.col("doc_id") % 10 < 3).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 9 == 0, F.lit("shared with store"))
+            .otherwise(F.col("text")),
+        )
+    )
+    accepted = dedup_against_store(batch, store)
+    return updated_fingerprint_store(store, accepted)
+
+
 def q_window_functions(spark: SparkSession, sf: str) -> DataFrame:
     """Analytic-window breadth on one partitioning: ntile quartiles,
     percent_rank, cume_dist, lead/lag of order value per customer under
@@ -2092,6 +2144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_spend": q_rolling_spend,
         "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
+        # --- round-6 additions (never driver-verified yet) ---
+        "dedup_ledger_merge": q_dedup_ledger_merge,
+        "shard_manifest": q_shard_manifest,
         # --- already driver-signed in CORRECTNESS_r05; most load-bearing
         # re-checked inside the window, the rest below it (all still run
         # by bench + tools/check_parity.py every round).
@@ -2101,9 +2156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "kmeans_semantic": q_kmeans_semantic,
         "enrichment_phones": q_enrichment_phones,
+        # --- driver window ends here (50 entries) ---
         "smart_dedup": q_smart_dedup,
         "corpus_curation_e2e": q_corpus_curation_e2e,
-        # --- driver window ends around here (50 entries) ---
         "per_key_windowed_sum": q_per_key_windowed_sum,
         "distinct_list_per_key": q_distinct_list_per_key,
         "group_count_having": q_group_count_having,
@@ -3175,6 +3230,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM bd GROUP BY norm_digest)
   SELECT f.doc_id, f.norm_digest
   FROM first_ids f ANTI JOIN sd s ON f.norm_digest = s.norm_digest""",
+        # Ledger-after-merge: the accepted batch digests unioned into the
+        # store's digest set (updated_fingerprint_store) — same planted
+        # setup as dedup_incremental, distinct over the union.
+        "dedup_ledger_merge": f"""
+  WITH batch AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN 'shared with store'
+                WHEN doc_id % 7 = 0 THEN 'repeated batch doc'
+                ELSE text END AS text
+         FROM documents WHERE doc_id % 10 >= 3),
+  store AS (SELECT CASE WHEN doc_id % 9 = 0 THEN 'shared with store'
+                 ELSE text END AS text
+          FROM documents WHERE doc_id % 10 < 3),
+  bd AS (SELECT doc_id, md5({_norm_expr()}) AS norm_digest FROM batch),
+  sd AS (SELECT md5({_norm_expr()}) AS norm_digest FROM store),
+  first_ids AS (SELECT norm_digest, MIN(doc_id) AS doc_id
+                FROM bd GROUP BY norm_digest),
+  accepted AS (SELECT f.norm_digest
+               FROM first_ids f
+               ANTI JOIN (SELECT DISTINCT norm_digest FROM sd) s
+                 ON f.norm_digest = s.norm_digest)
+  SELECT DISTINCT norm_digest FROM
+    (SELECT norm_digest FROM sd UNION ALL SELECT norm_digest FROM accepted)""",
         # Batch-equivalent of the streaming curation job: gate → digest
         # → min-id exact dedup → ledger anti-join (q_stream_curation_batch).
         "stream_curation_batch": f"""
@@ -3942,6 +4019,25 @@ def oracle_sql() -> dict[str, str]:
            PARTITION BY CAST('0x' || substr(dg, 1, 8) AS BIGINT) % 8
            ORDER BY dg, doc_id) - 1 AS pos
   FROM d""",
+        # Per-shard export manifest: counts, distinct sources, dense-pos
+        # max, payload chars, file count at 1000 rows/file — the
+        # write_jsonl_shards sizing view of the same shard assignment.
+        "shard_manifest": """
+  WITH d AS (SELECT doc_id, source, text,
+                    md5(CAST(doc_id AS VARCHAR) || '|') AS dg FROM documents),
+  s AS (SELECT *,
+               CAST('0x' || substr(dg, 1, 8) AS BIGINT) % 8 AS shard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY CAST('0x' || substr(dg, 1, 8) AS BIGINT) % 8
+                 ORDER BY dg, doc_id) - 1 AS pos
+        FROM d)
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(MAX(pos) AS BIGINT) AS max_pos,
+         CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+         CAST(ceil(COUNT(*) / 1000.0) AS BIGINT) AS n_files
+  FROM s GROUP BY shard""",
         # Cross-modal composition: text quality gate + canonical-digest
         # exact dedup pick the surviving doc ids; the k-means/SemDeDup
         # CTE chains then run over `surv` (the filtered embeddings) —

@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "skew_salted_join",
     "value_profile",
     "audit_blocklist_clean",
+    "dedup_ledger_merge",
+    "shard_manifest",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -309,6 +311,34 @@ def main() -> None:
             "total_sec": round(sum(deep_timings.values()), 3),
             "dir_hash": manifest["content_hash"],
         }
+
+        # Skew tier: the same deep data with one key deliberately holding
+        # ~10% of orders/events rows (tools/make_sf.make_skewed_sf) —
+        # measures the keep-best, sessionization, and rolling-window
+        # operators against the hot-key shape SCALING.md argues against.
+        # Compare each entry with its uniform deep twin above.
+        skew_dir = os.environ.get(
+            "SPARK_GRAFT_SKEW_DIR", "/tmp/spark_graft_sf1.0_skew"
+        )
+        skew_manifest_path = os.path.join(skew_dir, "MANIFEST.json")
+        skew_manifest = None
+        if os.path.exists(skew_manifest_path):
+            with open(skew_manifest_path) as fh:
+                skew_manifest = json.load(fh)
+            if skew_manifest.get("base") != os.path.abspath(deep_dir):
+                skew_manifest = None
+        if skew_manifest is None:
+            from tools.make_sf import make_skewed_sf
+
+            make_skewed_sf(deep_dir, skew_dir, spark=spark)
+        skew_timings = {}
+        for name in ("smart_dedup", "sessionization", "rolling_spend"):
+            try:
+                skew_timings[name] = round(best_of(name, skew_dir), 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"skew:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
+                payload["errors"] = errors
+        payload["deep"]["skew"] = {"hot_frac": 0.1, "queries": skew_timings}
 
     # Belt and braces against driver-side stdout-tail truncation (round 5
     # lost the first ~31 timings): persist the full payload in-repo too.

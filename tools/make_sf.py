@@ -133,6 +133,59 @@ def make_scaled_sf(base: str, out: str, copies: int, spark=None) -> str:
     return out
 
 
+HOT_KEY = 424_242  # the deliberately hot entity in the skewed variant
+
+
+def make_skewed_sf(base: str, out: str, spark=None, hot_mod: int = 10) -> str:
+    """Deliberately SKEWED variant of a scale dir: every ``hot_mod``-th
+    row of ``orders``/``events`` is reassigned to one hot key
+    (``HOT_KEY`` holds ~1/hot_mod of all rows), all other columns
+    untouched. This is the scale-killer shape SCALING.md argues against
+    (hot CPF / hot session user); the skew bench tier measures the
+    keep-best, sessionization, and rolling-window operators against it
+    so "skew-hardened" is a recorded number, not a claim.
+
+    Only the two tables the skew-tier queries read are written — the
+    variant is a measurement fixture, not a full dataset.
+    """
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.session import build_spark
+    from python_etl_mailing_automation_spark.sources.io import read_table
+
+    own_session = spark is None
+    if own_session:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = build_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    orders = read_table(spark, base, "orders")
+    orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % hot_mod == 0, F.lit(HOT_KEY)).otherwise(
+            F.col("o_custkey")
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    events = read_table(spark, base, "events")
+    events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % hot_mod == 0, F.lit(HOT_KEY)).otherwise(
+            F.col("user_id")
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    import json
+
+    with open(f"{out}/MANIFEST.json", "w") as fh:
+        json.dump(
+            {"base": os.path.abspath(base), "hot_mod": hot_mod, "skew": True}, fh
+        )
+
+    if own_session:
+        spark.stop()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
