@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "audit_blocklist_clean",
     "dedup_ledger_merge",
     "shard_manifest",
+    "gopher_quality",
+    "url_dedup",
+    "cross_decontamination",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -194,6 +197,9 @@ DEEP_QUERIES = [
     # The fact-to-dim broadcast chain at 10× fact volume: dims stay
     # broadcast, so deep time should track the lineitem scan linearly.
     "snowflake_join",
+    # Uniform twin for the skew tier's keep-best entry (the skew block
+    # below compares each of its queries against these deep numbers).
+    "smart_dedup",
     # The two SemDeDup compositions: codebook size scales with the
     # corpus (k ∝ N) so the within-cluster pair join stays linear — the
     # deep datapoint guards that k-scaling rule.
@@ -338,7 +344,20 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 errors[f"skew:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
                 payload["errors"] = errors
-        payload["deep"]["skew"] = {"hot_frac": 0.1, "queries": skew_timings}
+        payload["deep"]["skew"] = {
+            "hot_frac": 0.1,
+            "queries": skew_timings,
+            # Self-contained comparison: the same queries on the uniform
+            # deep data (from the tier above). Expect ~1× for the
+            # aggregation-shaped entries (keep-best min_by); the per-key
+            # window entries (sessionization, rolling_spend) are bounded
+            # below by one task scanning the hot key's rows — see
+            # SCALING.md "skew tier".
+            "uniform_twin": {
+                n: deep_timings.get(n)
+                for n in ("smart_dedup", "sessionization", "rolling_spend")
+            },
+        }
 
     # Belt and braces against driver-side stdout-tail truncation (round 5
     # lost the first ~31 timings): persist the full payload in-repo too.

@@ -57,10 +57,15 @@ from .sampling import (  # noqa: F401
     stratified_sample,
     temperature_sample,
 )
+from .contamination import (  # noqa: F401
+    cross_corpus_overlap,
+    flag_contaminated,
+)
 from .similarity import ann_bucket_topk, cosine_topk  # noqa: F401
 from .text import (  # noqa: F401
     chunk_documents,
     doc_fingerprint,
+    gopher_quality,
     lang_id,
     quality_score,
     repetition_metrics,
@@ -68,3 +73,4 @@ from .text import (  # noqa: F401
     tfidf_topk,
     token_count,
 )
+from .web import url_canonical, url_dedup, url_host  # noqa: F401

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import with_shingles, with_tokens
+from .dedup import band_entries, minhash_signatures, with_shingles, with_tokens
 
 
 def _shingle_entries(
@@ -77,4 +77,82 @@ def flag_contaminated(
                 F.coalesce(F.col("n_shared_shingles"), F.lit(0)) >= min_overlap
             ).cast("int").alias("is_contaminated"),
         )
+    )
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate decontamination between two corpora: MinHash+LSH
+    candidate pairs restricted to train×benchmark, verified with exact
+    distinct-token Jaccard — the scale path when the benchmark side is
+    too large to broadcast as a shingle set (cross-crawl dedup, train
+    split vs held-out split) or when paraphrased/near-verbatim leakage
+    must be caught, not just exact shingle hits
+    (:func:`flag_contaminated` is the broadcast-semi-join exact
+    complement).
+
+    Returns ``(train_id, bench_id, jaccard)`` for every cross pair with
+    Jaccard ≥ ``min_jaccard``. Ids need not be disjoint across the two
+    frames — sides are tracked structurally, never by id arithmetic.
+
+    Scale shape: both sides shuffle ONCE keyed on (band_idx, band_val)
+    — uniform md5 space, no skew — and only cross-side bucket
+    collisions survive; the verify join then touches candidate pairs
+    only. No broadcast of either corpus, no all-pairs product anywhere.
+    """
+    t_sig = minhash_signatures(
+        train,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    b_sig = minhash_signatures(
+        benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    t_entries = band_entries(t_sig, id_col).withColumnRenamed(
+        id_col, "train_id"
+    )
+    b_entries = band_entries(b_sig, id_col).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    cand = (
+        t_entries.join(b_entries, on=["band_idx", "band_val"])
+        .select("train_id", "bench_id")
+        .distinct()
+    )
+    t_sets = with_tokens(train, text_col).select(
+        F.col(id_col).alias("train_id"),
+        F.array_distinct(F.col("toks")).alias("__ta"),
+    )
+    b_sets = with_tokens(benchmark, text_col).select(
+        F.col(id_col).alias("bench_id"),
+        F.array_distinct(F.col("toks")).alias("__tb"),
+    )
+    joined = cand.join(t_sets, "train_id").join(b_sets, "bench_id")
+    inter = F.size(
+        F.filter(F.col("__ta"), lambda x: F.array_contains(F.col("__tb"), x))
+    )
+    union = F.size(F.col("__ta")) + F.size(F.col("__tb")) - inter
+    return (
+        joined.withColumn(
+            "jaccard", inter.cast("double") / union.cast("double")
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("train_id", "bench_id", "jaccard")
     )

@@ -111,6 +111,33 @@ def minhash_signatures(
     return out.drop("toks", "shingles")
 
 
+def band_entries(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exploded ``(id, band_idx, band_val)`` rows from a
+    :func:`minhash_signatures` frame (null bands — too-short docs —
+    dropped): the join key of every LSH bucket join, shared by the
+    within-corpus pair search below and the cross-corpus
+    decontamination join (:mod:`.contamination`)."""
+    band_cols = [c for c in signatures.columns if c.startswith("band_")]
+    return (
+        signatures.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.col(c).alias("band_val"),
+                        )
+                        for i, c in enumerate(band_cols)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.band_idx", "b.band_val")
+        .filter(F.col("band_val").isNotNull())
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, *, id_col: str = "doc_id", cache_entries: bool = True
 ) -> DataFrame:
@@ -125,18 +152,7 @@ def lsh_candidate_pairs(
     cache Spark computes that branch twice. Entries are tiny (id + band
     hash per band) regardless of document size.
     """
-    band_cols = [c for c in signatures.columns if c.startswith("band_")]
-    entries = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band_idx"), F.col(c).alias("band_val"))
-                    for i, c in enumerate(band_cols)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "b.band_idx", "b.band_val").filter(F.col("band_val").isNotNull())
+    entries = band_entries(signatures, id_col)
     if cache_entries:
         entries = entries.cache()
     a = entries.alias("a")

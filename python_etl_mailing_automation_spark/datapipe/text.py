@@ -113,6 +113,124 @@ def quality_score(
     )
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """The Gopher / MassiveText document-quality rule set (Rae et al.
+    2021, §A1.1 of the Gopher paper; the same rules Dolma/RefinedWeb
+    reuse) as one scan of pure column algebra — per-rule measures, one
+    boolean per rule, and the conjunction ``gopher_pass``.
+
+    Rules (all thresholds are the published defaults, overridable per
+    corpus): word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio (``#`` chars and ``...`` runs) at most
+    0.1; at least 80% of words contain an alphabetic character; at
+    least 2 of the 8 designated stop words present; at most 90% of
+    lines starting with a bullet; at most 30% of lines ending in an
+    ellipsis; at most 30% of lines duplicated within the document.
+
+    Cross-engine exactness: every measure is integer counting
+    (lengths, filtered-list sizes, replace-length deltas) followed by
+    one double division, so flags are bit-reproducible on any engine —
+    the same discipline as :func:`quality_score`.
+
+    Scale: zero shuffles, zero UDFs — one whole-stage-codegen scan; the
+    standard first gate of a crawl-curation pipeline, upstream of the
+    (shuffling) dedup stages.
+    """
+    toks = tokens_of(text_col)
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    n_words = F.size(toks).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stop_arr, lambda w: F.array_contains(toks, w))
+    ).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("* ")
+            | ln.startswith("•"),
+        )
+    ).cast("long")
+    n_ell_end = F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast(
+        "long"
+    )
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines)).cast("long")
+
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            sum_word_len.cast("double") / n_words.cast("double"),
+        )
+        .withColumn(
+            "symbol_ratio",
+            (n_hash.cast("double") + n_ellipsis.cast("double"))
+            / n_words.cast("double"),
+        )
+        .withColumn(
+            "alpha_word_frac",
+            n_alpha_words.cast("double") / n_words.cast("double"),
+        )
+        .withColumn("stop_hits", stop_hits)
+        .withColumn(
+            "bullet_line_frac",
+            n_bullet.cast("double") / n_lines.cast("double"),
+        )
+        .withColumn(
+            "ellipsis_line_frac",
+            n_ell_end.cast("double") / n_lines.cast("double"),
+        )
+        .withColumn(
+            "dup_line_frac",
+            n_dup_lines.cast("double") / n_lines.cast("double"),
+        )
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (
+            F.col("n_words").between(min_words, max_words)
+            & F.col("mean_word_len").between(
+                min_mean_word_len, max_mean_word_len
+            )
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+            & (F.col("stop_hits") >= min_stop_hits)
+            & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+            & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+            & (F.col("dup_line_frac") <= max_dup_line_frac)
+        ).cast("int"),
+    )
+
+
 def lang_id(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,96 @@
+"""Web/crawl-specific column algebra — URL canonicalization and
+host extraction, the keys a crawl-curation pipeline dedups and
+aggregates on (one crawl sees the same page as ``http://`` vs
+``https://``, with/without ``www.``, with tracking params, fragments,
+and trailing slashes — all one logical document).
+
+Everything here is pure string algebra (regexp_replace / regexp_extract
+chains) so it stays inside whole-stage codegen and mirrors 1:1 into any
+SQL engine for oracle checks. At 100 TB the canonical URL is THE dedup
+key for crawl snapshots: an exact groupBy on ``url_canon`` replaces a
+far more expensive text-level near-dup pass for the (dominant) fraction
+of duplicates that are literal re-crawls of one page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking params stripped during canonicalization: the standard
+# utm_* family plus the common click ids. Kept minimal and explicit —
+# a deployment extends the list, the mechanics don't change.
+_TRACKING_PARAM_RE = r"(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_host(col: Column | str) -> Column:
+    """Lower-cased host of a URL, ``www.`` prefix dropped. NULL-safe:
+    a value with no authority-ish prefix yields its first path-less
+    segment (garbage in, deterministic garbage out — never an error)."""
+    no_scheme = F.regexp_replace(_c(col), r"(?i)^[a-z][a-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(no_scheme, r"^([^/?#]+)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_canonical(col: Column | str) -> Column:
+    """Canonical form of a URL: lower-cased de-``www``-ed host +
+    case-preserved path with tracking params, empty query and fragment
+    stripped, and any trailing slash removed.
+
+    Op order (each step mirrors to one SQL regexp_replace, in the same
+    order, for cross-engine exactness):
+
+    1. trim, drop scheme (case-insensitive)
+    2. split authority/rest at the first ``/?#``
+    3. host: lower + strip leading ``www.``
+    4. rest: drop fragment, drop tracking params, collapse dangling
+       ``?``/``&``, drop trailing ``/``
+
+    Paths stay case-sensitive (lower-casing them would merge genuinely
+    distinct documents); only the authority is case-folded.
+    """
+    no_scheme = F.regexp_replace(
+        F.trim(_c(col)), r"(?i)^[a-z][a-z0-9+.-]*://", ""
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(no_scheme, r"^([^/?#]+)", 1)), r"^www\.", ""
+    )
+    rest = F.regexp_replace(no_scheme, r"^[^/?#]+", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, _TRACKING_PARAM_RE, "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(host, rest)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup by canonical URL: keep the smallest ``id_col`` per
+    ``url_canonical(url_col)`` group (the deterministic representative —
+    same keep rule as the digest dedup family). Adds ``url_canon`` and
+    ``host``; drops the losing re-crawls.
+
+    Scale shape: one shuffle keyed on the canonical URL (uniform —
+    URLs are near-unique by construction after canonicalization), an
+    aggregate-to-min + self-join-free keep via the (key, min_id) frame.
+    No windows, no collects.
+    """
+    canon = df.withColumn("url_canon", url_canonical(url_col)).withColumn(
+        "host", url_host(url_col)
+    )
+    keep = canon.groupBy("url_canon").agg(F.min(F.col(id_col)).alias("__keep"))
+    return (
+        canon.join(keep, on="url_canon")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )

@@ -1558,3 +1558,97 @@ def test_exact_skew_kurt_hand_computed(spark):
     df3 = spark.createDataFrame([("g", 7)] * 3, ["g", "v"])
     r3 = exact_skew_kurt(df3, "v", group_col="g").collect()[0]
     assert r3.skewness is None and r3.kurtosis is None
+
+
+def test_gopher_quality_rules(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import gopher_quality
+
+    good = "the cat and dog have fun with that tree " * 6  # 60 words, stops
+    short = "tiny doc"
+    symbolic = ("the of and that have with " + "# " * 30) * 2
+    bullets = "\n".join(["- the item of note and that have with be to"] * 10)
+    dup_lines = "\n".join(
+        ["the same line of text and that have with"] * 6
+        + [f"unique line {i} of text and that have with" for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, short),
+            (3, symbolic),
+            (4, bullets),
+            (5, dup_lines),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in gopher_quality(df, min_words=20).collect()}
+    assert out[1].gopher_pass == 1
+    assert out[2].gopher_pass == 0 and out[2].n_words == 2
+    assert out[3].gopher_pass == 0 and out[3].symbol_ratio > 0.1
+    # 10/10 bullet lines > 0.9 cap fails; dup-line frac 5/10 > 0.3 fails
+    assert out[4].gopher_pass == 0 and out[4].bullet_line_frac == 1.0
+    assert out[5].gopher_pass == 0 and abs(out[5].dup_line_frac - 0.5) < 1e-12
+    # per-rule measures on the good doc
+    assert out[1].stop_hits >= 2 and out[1].alpha_word_frac == 1.0
+
+
+def test_url_canonical_and_dedup(spark):
+    from python_etl_mailing_automation_spark.datapipe.web import (
+        url_canonical,
+        url_dedup,
+        url_host,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM/Path/Page/"),
+        (2, "http://example.com/Path/Page?utm_source=x&utm_medium=y"),
+        (3, "example.com/Path/Page#section-2"),
+        (4, "https://example.com/Path/Page?id=7&utm_source=x"),
+        (5, "https://other.org/Path/Page"),
+        (6, "https://example.com/path/page"),  # different path CASE: distinct
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    canon = {
+        r.doc_id: (r.c, r.h)
+        for r in df.select(
+            "doc_id",
+            url_canonical("url").alias("c"),
+            url_host("url").alias("h"),
+        ).collect()
+    }
+    assert canon[1] == ("example.com/Path/Page", "example.com")
+    assert canon[2][0] == "example.com/Path/Page"
+    assert canon[3][0] == "example.com/Path/Page"
+    assert canon[4][0] == "example.com/Path/Page?id=7"
+    assert canon[5][0] == "other.org/Path/Page"
+    assert canon[6][0] == "example.com/path/page"
+    kept = {r.doc_id for r in url_dedup(df).collect()}
+    # 1,2,3 collapse (min id 1 kept); 4, 5, 6 are distinct canons
+    assert kept == {1, 4, 5, 6}
+
+
+def test_cross_corpus_overlap_planted(spark):
+    from python_etl_mailing_automation_spark.datapipe.contamination import (
+        cross_corpus_overlap,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    train = spark.createDataFrame(
+        [
+            (10, shared + " with two extras"),
+            (11, "completely different text about spark query engines here"),
+            (12, shared + " with two extras"),  # within-train dup: NOT a result
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(90, shared), (91, "unrelated benchmark question about geometry")],
+        ["doc_id", "text"],
+    )
+    out = cross_corpus_overlap(train, bench, min_jaccard=0.5).collect()
+    pairs = {(r.train_id, r.bench_id) for r in out}
+    assert (10, 90) in pairs and (12, 90) in pairs
+    assert all(b == 90 for _, b in pairs)  # only cross-side pairs, to bench 90
+    j = {r.train_id: r.jaccard for r in out}
+    # distinct-token jaccard: shared has 12 distinct, train adds 2
+    assert 0.5 <= j[10] < 1.0
