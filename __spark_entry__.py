@@ -1426,6 +1426,45 @@ def q_cross_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     return cross_corpus_overlap(train, bench, min_jaccard=0.5)
 
 
+def q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted index build (datapipe/text.posting_lists): term → df,
+    total tf, ordered posting list; the stop-term cut (max_df) runs
+    before any posting array is built. min_df=2 drops hapaxes, max_df
+    caps boilerplate terms."""
+    from python_etl_mailing_automation_spark.datapipe.text import posting_lists
+
+    docs = _t(spark, sf, "documents")
+    return posting_lists(docs, min_df=2, max_df=400)
+
+
+def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic id-stable train/val/test assignment
+    (datapipe/sampling.dataset_split): md5-bucket thresholds on the
+    16-bit grid, 90/5/5, engine-reproducible and growth-stable (a doc
+    keeps its split forever)."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import dataset_split
+
+    docs = _t(spark, sf, "documents")
+    return dataset_split(docs).select("doc_id", "source", "split")
+
+
+def q_sft_format(spark: SparkSession, sf: str) -> DataFrame:
+    """Document → SFT chat-formatted training text
+    (datapipe/packing.to_prompt_completion + format_chat_text): fixed
+    16-token prompt boundary, ChatML-ish tags, char budget column —
+    zero shuffles."""
+    from python_etl_mailing_automation_spark.datapipe.packing import (
+        format_chat_text,
+        to_prompt_completion,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = to_prompt_completion(docs, n_prompt_tokens=16, min_completion_tokens=4)
+    return format_chat_text(
+        pairs, system="You are a helpful assistant."
+    ).select("doc_id", "chat_text", "chat_n_chars")
+
+
 def q_window_functions(spark: SparkSession, sf: str) -> DataFrame:
     """Analytic-window breadth on one partitioning: ntile quartiles,
     percent_rank, cume_dist, lead/lag of order value per customer under
@@ -2241,13 +2280,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "url_dedup": q_url_dedup,
         "cross_decontamination": q_cross_decontamination,
-        # --- already driver-signed in CORRECTNESS_r05; most load-bearing
-        # re-checked inside the window, the rest below it (all still run
-        # by bench + tools/check_parity.py every round).
+        "posting_lists": q_posting_lists,
+        "dataset_split": q_dataset_split,
+        "sft_format": q_sft_format,
+        # --- driver window ends here (50 entries, all never-signed) ---
+        # Already driver-signed in CORRECTNESS_r05 (all still run by
+        # bench + tools/check_parity.py every round).
         "mailing_pipeline_e2e": q_mailing_pipeline_e2e,
         "robot_pipeline_e2e": q_robot_pipeline_e2e,
         "dedup_pairs": q_dedup_pairs,
-        # --- driver window ends here (50 entries) ---
         "dedup_clusters": q_dedup_clusters,
         "kmeans_semantic": q_kmeans_semantic,
         "enrichment_phones": q_enrichment_phones,
@@ -2523,6 +2564,19 @@ def _minhash_pairs_cte() -> str:
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id)"""
+
+
+def _split_thresholds() -> tuple[int, int]:
+    """The exact integer thresholds sampling.dataset_split derives for
+    the default 90/5/5 weights — replicated with the SAME float
+    accumulation so the oracle literal can never drift from the engine."""
+    splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(splits.values()))
+    out, acc = [], 0.0
+    for name in list(splits)[:-1]:
+        acc += splits[name] / total
+        out.append(int(acc * 65536))
+    return out[0], out[1]
 
 
 def _cross_decon_sql() -> str:
@@ -3483,6 +3537,46 @@ def oracle_sql() -> dict[str, str]:
         # CTEs, cross-side-only band join, distinct-token Jaccard verify
         # (mirrors contamination.cross_corpus_overlap).
         "cross_decontamination": _cross_decon_sql(),
+        # Inverted index: per-(term, doc) tf, frequency cut, ordered
+        # comma-joined postings (text.posting_lists, min_df=2 max_df=400).
+        "posting_lists": f"""
+  WITH plt AS (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents),
+  plpd AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM plt GROUP BY term, doc_id),
+  plf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS total_tf
+          FROM plpd GROUP BY term
+          HAVING COUNT(*) >= 2 AND COUNT(*) <= 400)
+  SELECT f.term, f.df, f.total_tf,
+         array_to_string(list(p.doc_id ORDER BY p.doc_id), ',') AS postings
+  FROM plf f JOIN plpd p ON f.term = p.term
+  GROUP BY f.term, f.df, f.total_tf""",
+        # Train/val/test split: md5 16-bit bucket vs the same cumulative
+        # integer thresholds dataset_split derives (sampling.dataset_split).
+        "dataset_split": f"""
+  SELECT doc_id, source,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'),
+                         1, 4) AS INT) < {_split_thresholds()[0]} THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'),
+                         1, 4) AS INT) < {_split_thresholds()[1]} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents""",
+        # SFT chat formatting: 16-token prompt slice + remainder
+        # completion, ChatML-ish tags (packing.to_prompt_completion +
+        # format_chat_text).
+        "sft_format": f"""
+  WITH sftt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  sftc AS (SELECT doc_id,
+             '<|system|>' || chr(10) || 'You are a helpful assistant.'
+             || chr(10) || '<|user|>' || chr(10)
+             || array_to_string(toks[1:16], ' ')
+             || chr(10) || '<|assistant|>' || chr(10)
+             || array_to_string(toks[17:], ' ')
+             || '<|end|>' AS chat_text
+           FROM sftt WHERE len(toks) >= 20)
+  SELECT doc_id, chat_text,
+         CAST(length(chat_text) AS BIGINT) AS chat_n_chars
+  FROM sftc""",
         # Batch-equivalent of the streaming curation job: gate → digest
         # → min-id exact dedup → ledger anti-join (q_stream_curation_batch).
         "stream_curation_batch": f"""

@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "gopher_quality",
     "url_dedup",
     "cross_decontamination",
+    "posting_lists",
+    "dataset_split",
+    "sft_format",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -36,7 +36,11 @@ from .dedup import (  # noqa: F401
     with_tokens,
 )
 from .lm import bigram_probs, doc_bigrams, lm_quality_score  # noqa: F401
-from .packing import pack_sequences  # noqa: F401
+from .packing import (  # noqa: F401
+    format_chat_text,
+    pack_sequences,
+    to_prompt_completion,
+)
 from .pii import pii_free, pseudonymize, redact_pii  # noqa: F401
 from .stats import (  # noqa: F401
     corpus_stats,
@@ -51,6 +55,7 @@ from .stats import (  # noqa: F401
 )
 from .sampling import (  # noqa: F401
     budget_select,
+    dataset_split,
     hash_sample,
     mixture_sample,
     shard_assign,
@@ -67,6 +72,7 @@ from .text import (  # noqa: F401
     doc_fingerprint,
     gopher_quality,
     lang_id,
+    posting_lists,
     quality_score,
     repetition_metrics,
     spread_for_explode,

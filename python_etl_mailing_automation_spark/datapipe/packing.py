@@ -85,3 +85,72 @@ def pack_sequences(
         )
     )
     return out.drop("__end")
+
+
+def to_prompt_completion(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_prompt_tokens: int = 16,
+    min_completion_tokens: int = 4,
+) -> DataFrame:
+    """Split documents into (prompt, completion) pairs on a fixed token
+    boundary — the simplest document→SFT-pair transform (continuation
+    training data): the first ``n_prompt_tokens`` whitespace tokens
+    become the prompt, the rest the completion. Documents whose
+    completion would run shorter than ``min_completion_tokens`` are
+    dropped (nothing to learn from).
+
+    Pure per-row array algebra (slice + join) — zero shuffles at any
+    scale.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    prompt = F.array_join(F.slice(toks, 1, n_prompt_tokens), " ")
+    completion = F.array_join(
+        F.slice(
+            toks,
+            n_prompt_tokens + 1,
+            F.greatest(F.size(toks) - n_prompt_tokens, F.lit(0)),
+        ),
+        " ",
+    )
+    return (
+        df.filter(F.size(toks) >= n_prompt_tokens + min_completion_tokens)
+        .withColumn("prompt", prompt)
+        .withColumn("completion", completion)
+    )
+
+
+def format_chat_text(
+    df: DataFrame,
+    *,
+    prompt_col: str = "prompt",
+    completion_col: str = "completion",
+    system: str | None = None,
+    user_tag: str = "<|user|>",
+    assistant_tag: str = "<|assistant|>",
+    system_tag: str = "<|system|>",
+    end_tag: str = "<|end|>",
+    out_col: str = "chat_text",
+) -> DataFrame:
+    """Render (prompt, completion) rows into the single chat-formatted
+    training string an SFT loader consumes::
+
+        [<|system|>\\n{system}\\n]<|user|>\\n{prompt}\\n<|assistant|>\\n{completion}<|end|>
+
+    plus ``chat_n_chars`` for budget accounting. Tags are parameters —
+    any ChatML-ish template renders through the same concat. Pure
+    column concatenation: zero shuffles, stays in whole-stage codegen.
+    """
+    parts = []
+    if system is not None:
+        parts += [F.lit(f"{system_tag}\n{system}\n")]
+    parts += [
+        F.lit(f"{user_tag}\n"),
+        F.coalesce(F.col(prompt_col).cast("string"), F.lit("")),
+        F.lit(f"\n{assistant_tag}\n"),
+        F.coalesce(F.col(completion_col).cast("string"), F.lit("")),
+        F.lit(end_tag),
+    ]
+    out = df.withColumn(out_col, F.concat(*parts))
+    return out.withColumn("chat_n_chars", F.length(F.col(out_col)).cast("long"))

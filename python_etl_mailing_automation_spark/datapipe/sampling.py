@@ -50,6 +50,51 @@ def hash_sample(
     return df.filter(bucket < int(fraction * 65536))
 
 
+def dataset_split(
+    df: DataFrame,
+    splits: dict[str, float] | None = None,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is
+    decided by where its 16-bit md5 bucket (``md5(id || '|' || salt)``,
+    the house sampling grid — see :func:`hash_sample`) falls among the
+    cumulative split boundaries. Weights are normalized, so
+    ``{"train": 9, "val": 0.5, "test": 0.5}`` and fractions both work.
+
+    Properties a training pipeline needs and random() can't give:
+    id-stable (a document keeps its split across reruns AND across
+    corpus growth — no leakage of yesterday's val docs into today's
+    train), engine-reproducible (md5, not an engine RNG), and
+    cluster-order-independent (pure per-row algebra, zero shuffles).
+    Different ``salt`` values draw independent partitions.
+    """
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not splits or any(w <= 0 for w in splits.values()):
+        raise ValueError("dataset_split: weights must be positive")
+    total = float(sum(splits.values()))
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name] / total
+        cond = bucket < int(acc * 65536)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

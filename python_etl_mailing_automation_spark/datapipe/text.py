@@ -481,6 +481,60 @@ _ACCENT_SRC = "Ã¡Ã Ã¢Ã£Ã¤Ã¥Ã©Ã¨ÃªÃ«Ã­Ã¬Ã®Ã¯Ã³Ã²Ã´ÃµÃ¶ÃºÃ¹Ã»Ã¼Ã½Ã¿Ã§Ã±ÃÃ€Ã‚ÃƒÃ„Ã
 _ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
 
 
+def posting_lists(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted index build: one row per term with its document
+    frequency, total term frequency, and the ordered posting list â€”
+    the retrieval-side complement of :func:`tfidf_topk` (that ranks
+    terms per doc; this lists docs per term).
+
+    Returns ``(term, df, total_tf, postings)`` with ``postings`` the
+    ascending comma-joined doc ids (string form, the house convention
+    for oracle-comparable lists).
+
+    Scale shape: explode â†’ (term, id) aggregate (map-side combined),
+    then the frequency CUT runs *before* the posting arrays are built â€”
+    a stop term appearing in half the corpus is dropped from a
+    count-only frame, never materialized as a giant array (the same
+    hot-key discipline as winnow_candidate_pairs' max_df cut). Posting
+    arrays for surviving terms are bounded by ``max_df`` by
+    construction, so per-group state is capped.
+    """
+    entries = spread_for_explode(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens_of(text_col)).alias("term")
+    )
+    per_doc = entries.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__tf")
+    )
+    freq = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("__tf").cast("long").alias("total_tf"),
+    )
+    freq = freq.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        freq = freq.filter(F.col("df") <= max_df)
+    posts = (
+        per_doc.join(freq.select("term"), on="term")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return freq.join(posts, on="term")
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

@@ -1652,3 +1652,65 @@ def test_cross_corpus_overlap_planted(spark):
     j = {r.train_id: r.jaccard for r in out}
     # distinct-token jaccard: shared has 12 distinct, train adds 2
     assert 0.5 <= j[10] < 1.0
+
+
+def test_posting_lists_frequency_cut_and_order(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import posting_lists
+
+    df = spark.createDataFrame(
+        [
+            (10, "apple banana apple"),
+            (2, "banana cherry"),
+            (7, "banana date apple"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.term: r for r in posting_lists(df, min_df=2).collect()}
+    # hapaxes (cherry, date) cut by min_df=2
+    assert set(out) == {"apple", "banana"}
+    assert out["apple"].df == 2 and out["apple"].total_tf == 3
+    assert out["apple"].postings == "7,10"  # numeric order, not lexicographic
+    assert out["banana"].df == 3 and out["banana"].postings == "2,7,10"
+    # max_df stop-term cut
+    capped = {r.term for r in posting_lists(df, min_df=1, max_df=2).collect()}
+    assert "banana" not in capped and "cherry" in capped
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    from python_etl_mailing_automation_spark.datapipe.sampling import dataset_split
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    out = dataset_split(df)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    # id-stable: the same doc gets the same split in a half-sized corpus
+    half = dataset_split(df.filter(F.col("doc_id") < 10000))
+    full_map = {r.doc_id: r.split for r in out.filter(F.col("doc_id") < 10000).collect()}
+    assert all(full_map[r.doc_id] == r.split for r in half.collect())
+    with pytest.raises(ValueError):
+        dataset_split(df, {"train": 0.0})
+
+
+def test_sft_format_boundary_and_template(spark):
+    from python_etl_mailing_automation_spark.datapipe.packing import (
+        format_chat_text,
+        to_prompt_completion,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "too short")], ["doc_id", "text"]
+    )
+    pairs = to_prompt_completion(df, n_prompt_tokens=6, min_completion_tokens=3)
+    rows = {r.doc_id: r for r in pairs.collect()}
+    assert set(rows) == {1}  # doc 2 dropped (completion too short)
+    assert rows[1].prompt == "w0 w1 w2 w3 w4 w5"
+    assert rows[1].completion == "w6 w7 w8 w9"
+    chat = format_chat_text(pairs, system="sys").collect()[0]
+    assert chat.chat_text == (
+        "<|system|>\nsys\n<|user|>\nw0 w1 w2 w3 w4 w5"
+        "\n<|assistant|>\nw6 w7 w8 w9<|end|>"
+    )
+    assert chat.chat_n_chars == len(chat.chat_text)
