@@ -387,3 +387,51 @@ def test_upsert_latest_stays_partial_aggregation(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "max_by" in plan or "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_gopher_quality_is_shuffle_free_scan(plans):
+    """Gopher rules are one whole-stage-codegen scan: no exchange, no
+    join, no aggregate — the rule measures are per-row column algebra."""
+    p = plans("gopher_quality")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+
+
+def test_dataset_split_and_sft_format_shuffle_free(plans):
+    """Split assignment and chat formatting are pure per-row algebra —
+    zero shuffles at any scale."""
+    for name in ("dataset_split", "sft_format"):
+        p = plans(name)
+        assert "Exchange" not in p, f"{name} shuffles"
+        assert "Join" not in p, f"{name} joins"
+
+
+def test_url_dedup_single_key_shuffle(plans):
+    """URL dedup is one hashpartitioning shuffle on the canonical URL
+    (agg-to-min + keep filter), no window sort, no cartesian."""
+    p = plans("url_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+
+
+def test_cross_decontamination_band_equi_join_no_cartesian(plans):
+    """Cross-corpus LSH: the only pair source is the (band_idx,
+    band_val) equi-join between the two sides — never an all-pairs
+    product over either corpus."""
+    p = plans("cross_decontamination")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_posting_lists_frequency_cut_before_collect(plans):
+    """The inverted index must CUT hot terms before building posting
+    arrays: the collect_list aggregate's input side joins against the
+    already-filtered frequency frame, so no cartesian and the only
+    collect_list sits above a keyed join."""
+    p = plans("posting_lists")
+    assert "CartesianProduct" not in p
+    assert "collect_list" in p
+    # the df-range filter exists as a real predicate (pre-cut, not post)
+    assert "df#" in p or "Filter" in p
