@@ -1426,6 +1426,19 @@ def q_cross_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     return cross_corpus_overlap(train, bench, min_jaccard=0.5)
 
 
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (datapipe/lm.dsir_select, Xie et al.
+    2023 in the engine's ln-free exact form): target model = the 'src0'
+    domain, raw model = the whole corpus; weight = ratio of the two
+    average bigram conditional probabilities; deterministic md5-grid
+    keep at min(1, 0.25*weight)."""
+    from python_etl_mailing_automation_spark.datapipe.lm import dsir_select
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return dsir_select(docs, target, base_rate=0.25)
+
+
 def q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted index build (datapipe/text.posting_lists): term → df,
     total tf, ordered posting list; the stop-term cut (max_df) runs
@@ -2283,9 +2296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_lists": q_posting_lists,
         "dataset_split": q_dataset_split,
         "sft_format": q_sft_format,
-        # --- driver window ends here (50 entries, all never-signed) ---
+        # --- driver window ends here (50 entries; dsir_select and any
+        # later additions queue for the round-7 rotation) ---
         # Already driver-signed in CORRECTNESS_r05 (all still run by
         # bench + tools/check_parity.py every round).
+        "dsir_select": q_dsir_select,
         "mailing_pipeline_e2e": q_mailing_pipeline_e2e,
         "robot_pipeline_e2e": q_robot_pipeline_e2e,
         "dedup_pairs": q_dedup_pairs,
@@ -3537,6 +3552,56 @@ def oracle_sql() -> dict[str, str]:
         # CTEs, cross-side-only band join, distinct-token Jaccard verify
         # (mirrors contamination.cross_corpus_overlap).
         "cross_decontamination": _cross_decon_sql(),
+        # DSIR importance resampling: two bigram models (target = src0,
+        # raw = corpus), weight = avg_p ratio, md5-grid keep at
+        # min(1, 0.25*weight) — mirrors lm.dsir_select op-for-op.
+        "dsir_select": f"""
+  WITH dstok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+  dsbg AS (SELECT doc_id, source,
+                  unnest(CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(len(toks) - 1),
+                              i -> toks[i + 1] || ' ' || toks[i + 2])
+                         ELSE [] END) AS bg
+           FROM dstok),
+  -- raw-corpus model
+  dsc2 AS (SELECT bg, COUNT(*) AS c2 FROM dsbg GROUP BY 1),
+  dsc1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1
+           FROM dsc2 GROUP BY 1),
+  dsp AS (SELECT bg, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+          FROM dsc2 JOIN dsc1 ON split_part(bg, ' ', 1) = w1),
+  -- target-domain model (src0)
+  dtc2 AS (SELECT bg, COUNT(*) AS c2 FROM dsbg WHERE source = 'src0'
+           GROUP BY 1),
+  dtc1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1
+           FROM dtc2 GROUP BY 1),
+  dtp AS (SELECT bg, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+          FROM dtc2 JOIN dtc1 ON split_part(bg, ' ', 1) = w1),
+  dss AS (SELECT doc_id, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor(p * 1099511627776.0) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM dsbg JOIN dsp USING (bg) GROUP BY 1),
+  dts AS (SELECT doc_id, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor(p * 1099511627776.0) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM dsbg JOIN dtp USING (bg) GROUP BY 1),
+  dsw AS (SELECT d.doc_id,
+                 CASE WHEN t.n IS NOT NULL AND r.n IS NOT NULL
+                      AND (CAST(r.s AS DOUBLE) / CAST(r.n AS DOUBLE)
+                           / 1099511627776.0) > 0
+                      THEN (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+                            / 1099511627776.0)
+                         / (CAST(r.s AS DOUBLE) / CAST(r.n AS DOUBLE)
+                            / 1099511627776.0)
+                      ELSE 0.0 END AS weight
+          FROM documents d
+          LEFT JOIN dss r ON d.doc_id = r.doc_id
+          LEFT JOIN dts t ON d.doc_id = t.doc_id)
+  SELECT doc_id, weight,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4)
+                   AS INT)
+              < CAST(floor(least(weight * 0.25, 1.0) * 65536.0) AS INT)
+              AS INT) AS kept
+  FROM dsw""",
         # Inverted index: per-(term, doc) tf, frequency cut, ordered
         # comma-joined postings (text.posting_lists, min_df=2 max_df=400).
         "posting_lists": f"""

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "posting_lists",
     "dataset_split",
     "sft_format",
+    "dsir_select",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

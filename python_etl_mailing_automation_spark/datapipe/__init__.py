@@ -35,7 +35,12 @@ from .dedup import (  # noqa: F401
     with_simhash64,
     with_tokens,
 )
-from .lm import bigram_probs, doc_bigrams, lm_quality_score  # noqa: F401
+from .lm import (  # noqa: F401
+    bigram_probs,
+    doc_bigrams,
+    dsir_select,
+    lm_quality_score,
+)
 from .packing import (  # noqa: F401
     format_chat_text,
     pack_sequences,

@@ -136,3 +136,62 @@ def lm_quality_score(
             ).alias("avg_p"),
         )
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_rate: float = 0.25,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
+    in this engine's ln-free exact form: score every raw document under
+    a TARGET-domain bigram model and under the RAW-corpus model, take
+    the ratio as the importance weight, and keep each document with
+    probability ``min(1, weight * base_rate)`` via the deterministic
+    md5 16-bit grid (the house sampling idiom — reproducible, id-stable,
+    engine-portable; no RNG).
+
+    The published method resamples by exp(log-likelihood ratio) of two
+    hashed n-gram models; here the ratio of the two average bigram
+    conditional probabilities (:func:`lm_quality_score`) plays the same
+    role with the same monotonicity, while staying bit-exact across
+    engines (no ln/exp — the oracle discipline of this module).
+    Documents the target model cannot score at all (zero in-vocabulary
+    bigrams) get weight 0 and are never kept.
+
+    Output: ``(id_col, weight, kept)`` for every raw document.
+
+    Scale shape: two model trainings (keyed aggregations over bigram
+    explodes, map-side combined) + two scoring joins on the bigram key
+    — exactly 2× the lm_quality_score cost; the keep rule is per-row
+    algebra. The target side is usually small (a curated domain
+    sample), so its model frame broadcasts in the scoring join.
+    """
+    t_probs = bigram_probs(doc_bigrams(target, id_col=id_col, text_col=text_col))
+    s_t = lm_quality_score(
+        df, id_col=id_col, text_col=text_col, probs=t_probs, broadcast_probs=True
+    ).select(F.col(id_col), F.col("avg_p").alias("__pt"))
+    s_s = lm_quality_score(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("avg_p").alias("__ps")
+    )
+    joined = s_s.join(s_t, on=id_col, how="left")
+    weight = F.when(
+        F.col("__pt").isNotNull() & F.col("__ps").isNotNull() & (F.col("__ps") > 0),
+        F.col("__pt") / F.col("__ps"),
+    ).otherwise(F.lit(0.0))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"))), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    threshold = F.floor(
+        F.least(weight * F.lit(base_rate), F.lit(1.0)) * F.lit(65536.0)
+    ).cast("int")
+    return joined.select(
+        F.col(id_col),
+        weight.alias("weight"),
+        (bucket < threshold).cast("int").alias("kept"),
+    )

@@ -1714,3 +1714,27 @@ def test_sft_format_boundary_and_template(spark):
         "\n<|assistant|>\nw6 w7 w8 w9<|end|>"
     )
     assert chat.chat_n_chars == len(chat.chat_text)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from python_etl_mailing_automation_spark.datapipe.lm import dsir_select
+
+    target_like = "the model trains on clean structured prose every day"
+    off_domain = "zzz qqq xxx www vvv uuu ttt sss rrr"
+    raw = spark.createDataFrame(
+        [(i, target_like) for i in range(10)]
+        + [(100 + i, off_domain) for i in range(10)]
+        + [(200, "x")],  # < 2 tokens: weight 0, never kept
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, target_like) for i in range(5)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dsir_select(raw, target, base_rate=1.0).collect()}
+    assert len(out) == 21
+    # target-like docs score equally under both models -> weight ~1, all
+    # kept at base_rate 1.0; off-domain docs have zero in-vocab bigrams
+    # under the target model -> weight exactly 0, never kept
+    assert all(out[i].weight > 0.9 and out[i].kept == 1 for i in range(10))
+    assert all(out[100 + i].weight == 0.0 and out[100 + i].kept == 0 for i in range(10))
+    assert out[200].weight == 0.0 and out[200].kept == 0
