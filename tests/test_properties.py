@@ -520,3 +520,70 @@ def test_upsert_latest_idempotent(spark, base_rows, upd_rows):
     twice = upsert_latest(once, upd, key="k", version_col="version")
     canon = lambda df: sorted((r.k, r.p, r.version) for r in df.collect())
     assert canon(once) == canon(twice)
+
+
+url_parts = st.tuples(
+    st.sampled_from(["", "http://", "HTTPS://", "https://www.", "HtTp://WWW."]),
+    st.from_regex(r"[A-Za-z0-9-]{1,10}\.(com|org|NET)", fullmatch=True),
+    st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,3}/?", fullmatch=True),
+    st.sampled_from(
+        ["", "?utm_source=a", "?id=7", "?id=7&utm_medium=b&x=1", "#frag", "?utm_campaign=c#f"]
+    ),
+)
+
+
+@given(st.lists(url_parts, min_size=1, max_size=25))
+@SETTINGS
+def test_url_canonical_idempotent_and_scheme_insensitive(spark, parts):
+    from python_etl_mailing_automation_spark.datapipe.web import url_canonical
+
+    urls = ["".join(p) for p in parts]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], ["i", "url"]
+    )
+    out = df.select(
+        "i",
+        url_canonical("url").alias("c1"),
+        url_canonical(url_canonical("url")).alias("c2"),
+    ).collect()
+    for r in out:
+        # idempotent: canonicalizing a canonical URL is the identity
+        assert r.c1 == r.c2, (urls[r.i], r.c1, r.c2)
+        # no scheme / www / fragment / tracking survives
+        assert "://" not in r.c1 and "#" not in r.c1
+        assert not r.c1.startswith("www.") and "utm_" not in r.c1
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200, unique=True))
+@SETTINGS
+def test_dataset_split_total_partition(spark, ids):
+    from python_etl_mailing_automation_spark.datapipe.sampling import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = dataset_split(df).collect()
+    assert len(out) == len(ids)
+    assert all(r.split in ("train", "val", "test") for r in out)
+    # id-stable under subsetting: splitting half the ids gives the same labels
+    half_ids = ids[: len(ids) // 2] or ids
+    half = {r.doc_id: r.split for r in dataset_split(
+        spark.createDataFrame([(i,) for i in half_ids], ["doc_id"])).collect()}
+    full = {r.doc_id: r.split for r in out}
+    assert all(full[i] == half[i] for i in half_ids)
+
+
+@given(st.lists(st.from_regex(r"([a-d]{1,3} ){1,12}[a-d]{1,3}", fullmatch=True), min_size=1, max_size=20))
+@SETTINGS
+def test_posting_lists_df_sums_to_distinct_pairs(spark, texts):
+    from python_etl_mailing_automation_spark.datapipe.text import posting_lists
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = posting_lists(df, min_df=1).collect()
+    n_pairs = sum(r.df for r in out)
+    expect = len({(i, w) for i, t in enumerate(texts) for w in t.split()})
+    assert n_pairs == expect
+    for r in out:
+        ids = r.postings.split(",")
+        assert len(ids) == r.df and ids == sorted(ids, key=int)
+        assert r.total_tf >= r.df
