@@ -1441,13 +1441,16 @@ def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted index build (datapipe/text.posting_lists): term → df,
-    total tf, ordered posting list; the stop-term cut (max_df) runs
-    before any posting array is built. min_df=2 drops hapaxes, max_df
-    caps boilerplate terms."""
+    total tf, ordered posting list. min_df=2 drops hapaxes; no max_df
+    here because the synthetic corpus draws from a tiny ubiquitous
+    vocabulary (nearly every term sits in >half the docs — any
+    boilerplate cut would empty the index); the pre-array max_df cut
+    itself is unit- and plan-tested
+    (test_posting_lists_frequency_cut_and_order)."""
     from python_etl_mailing_automation_spark.datapipe.text import posting_lists
 
     docs = _t(spark, sf, "documents")
-    return posting_lists(docs, min_df=2, max_df=400)
+    return posting_lists(docs, min_df=2)
 
 
 def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -3611,7 +3614,7 @@ def oracle_sql() -> dict[str, str]:
   plf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
                  CAST(SUM(tf) AS BIGINT) AS total_tf
           FROM plpd GROUP BY term
-          HAVING COUNT(*) >= 2 AND COUNT(*) <= 400)
+          HAVING COUNT(*) >= 2)
   SELECT f.term, f.df, f.total_tf,
          array_to_string(list(p.doc_id ORDER BY p.doc_id), ',') AS postings
   FROM plf f JOIN plpd p ON f.term = p.term
