@@ -69,7 +69,10 @@ def dataset_split(
     corpus growth — no leakage of yesterday's val docs into today's
     train), engine-reproducible (md5, not an engine RNG), and
     cluster-order-independent (pure per-row algebra, zero shuffles).
-    Different ``salt`` values draw independent partitions.
+    Different ``salt`` values draw independent partitions. Rows with a
+    NULL ``id_col`` get a NULL split (an unkeyed row has no stable
+    assignment — filing it anywhere would silently leak it into that
+    subset on every rerun).
     """
     if splits is None:
         splits = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -92,7 +95,9 @@ def dataset_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, out)
+    return df.withColumn(
+        out_col, F.when(F.col(id_col).isNotNull(), out)
+    )
 
 
 def stratified_sample(

@@ -156,8 +156,12 @@ def gopher_quality(
     toks = tokens_of(text_col)
     text = F.col(text_col)
     lines = F.split(text, "\n")
-    n_words = F.size(toks).cast("long")
-    n_lines = F.size(lines).cast("long")
+    # NULL text ⇒ every measure and the verdict are NULL. Explicit guard
+    # because with ANSI off `size(NULL)` is -1 (legacy sizeOfNull), which
+    # would otherwise poison the ratios into plausible-looking numbers.
+    present = text.isNotNull()
+    n_words = F.when(present, F.size(toks)).cast("long")
+    n_lines = F.when(present, F.size(lines)).cast("long")
     sum_word_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
     )
@@ -169,8 +173,9 @@ def gopher_quality(
         F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
     ).cast("long")
     stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
-    stop_hits = F.size(
-        F.filter(stop_arr, lambda w: F.array_contains(toks, w))
+    stop_hits = F.when(
+        present,
+        F.size(F.filter(stop_arr, lambda w: F.array_contains(toks, w))),
     ).cast("long")
     n_bullet = F.size(
         F.filter(

@@ -80,6 +80,11 @@ def url_dedup(
     same keep rule as the digest dedup family). Adds ``url_canon`` and
     ``host``; drops the losing re-crawls.
 
+    Rows whose URL is NULL or canonicalizes to the empty string carry
+    no dedup key and pass through UNTOUCHED — collapsing every url-less
+    document into one "duplicate" group would silently drop them all
+    but one.
+
     Scale shape: one shuffle keyed on the canonical URL (uniform —
     URLs are near-unique by construction after canonicalization), an
     aggregate-to-min + self-join-free keep via the (key, min_id) frame.
@@ -88,9 +93,12 @@ def url_dedup(
     canon = df.withColumn("url_canon", url_canonical(url_col)).withColumn(
         "host", url_host(url_col)
     )
-    keep = canon.groupBy("url_canon").agg(F.min(F.col(id_col)).alias("__keep"))
+    keyless = F.col("url_canon").isNull() | (F.col("url_canon") == "")
+    keyed = canon.filter(~keyless)
+    keep = keyed.groupBy("url_canon").agg(F.min(F.col(id_col)).alias("__keep"))
     return (
-        canon.join(keep, on="url_canon")
+        keyed.join(keep, on="url_canon")
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__keep")
+        .unionByName(canon.filter(keyless))
     )

@@ -1738,3 +1738,30 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert all(out[i].weight > 0.9 and out[i].kept == 1 for i in range(10))
     assert all(out[100 + i].weight == 0.0 and out[100 + i].kept == 0 for i in range(10))
     assert out[200].weight == 0.0 and out[200].kept == 0
+
+
+def test_round6_null_edges(spark):
+    """Edge cases the battery queries never reach: NULL url / empty
+    canon pass through url_dedup untouched; NULL ids get a NULL split;
+    NULL text yields NULL gopher measures (not a crash, not a pass)."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import dataset_split
+    from python_etl_mailing_automation_spark.datapipe.text import gopher_quality
+    from python_etl_mailing_automation_spark.datapipe.web import url_dedup
+
+    urls = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "https://a.com/x"),
+         (6, "http://a.com/x")],
+        "doc_id int, url string",
+    )
+    kept = {r.doc_id for r in url_dedup(urls).collect()}
+    # both NULLs and both empties survive; the two real variants collapse
+    assert kept == {1, 2, 3, 4, 5}
+
+    ids = spark.createDataFrame([(1,), (None,)], "doc_id int")
+    splits = {r.doc_id: r.split for r in dataset_split(ids).collect()}
+    assert splits[1] in ("train", "val", "test") and splits[None] is None
+
+    g = gopher_quality(
+        spark.createDataFrame([(1, None)], "doc_id int, text string")
+    ).collect()[0]
+    assert g.gopher_pass is None and g.n_words is None
