@@ -1405,7 +1405,9 @@ def q_cross_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     Jaccard verify — the scale path when the benchmark can't broadcast
     or leakage is near-verbatim rather than exact. Train = doc_id%10>=3
     with a planted near-copy at %13; benchmark = %10<3 with the shared
-    text at %9 (Jaccard 12/15 = 0.8 across sides)."""
+    text at %9 (distinct-token Jaccard 11/14 ≈ 0.786 across sides —
+    the shared sentence has 11 distinct tokens, 'the' repeating, and
+    the train copy adds 3)."""
     from python_etl_mailing_automation_spark.datapipe.contamination import (
         cross_corpus_overlap,
     )
@@ -3540,11 +3542,11 @@ def oracle_sql() -> dict[str, str]:
                           regexp_replace(
                             regexp_replace(ns, '^[^/?#]+', ''),
                             '#.*$', ''),
-                          '(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*', '',
-                          'g'),
-                        '[?&]+$', ''),
-                      '\\?&', '?'),
-                    '&&+', '&', 'g'),
+                          '([?&])(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*',
+                          '\\1', 'g'),
+                        '&&+', '&', 'g'),
+                      '\\?&+', '?', 'g'),
+                    '[?&]+$', ''),
                   '/+$', '') AS rest
          FROM u1),
   canon AS (SELECT doc_id, host, host || rest AS url_canon FROM u2),
@@ -3600,8 +3602,8 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN dss r ON d.doc_id = r.doc_id
           LEFT JOIN dts t ON d.doc_id = t.doc_id)
   SELECT doc_id, weight,
-         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4)
-                   AS INT)
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir'),
+                   1, 4) AS INT)
               < CAST(floor(least(weight * 0.25, 1.0) * 65536.0) AS INT)
               AS INT) AS kept
   FROM dsw""",
@@ -3623,10 +3625,12 @@ def oracle_sql() -> dict[str, str]:
         # integer thresholds dataset_split derives (sampling.dataset_split).
         "dataset_split": f"""
   SELECT doc_id, source,
-         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'),
-                         1, 4) AS INT) < {_split_thresholds()[0]} THEN 'train'
-              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'),
-                         1, 4) AS INT) < {_split_thresholds()[1]} THEN 'val'
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                         || '|split'), 1, 4) AS INT)
+                < {_split_thresholds()[0]} THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                         || '|split'), 1, 4) AS INT)
+                < {_split_thresholds()[1]} THEN 'val'
               ELSE 'test' END AS split
   FROM documents""",
         # SFT chat formatting: 16-token prompt slice + remainder

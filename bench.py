@@ -335,12 +335,20 @@ def main() -> None:
         if os.path.exists(skew_manifest_path):
             with open(skew_manifest_path) as fh:
                 skew_manifest = json.load(fh)
-            if skew_manifest.get("base") != os.path.abspath(deep_dir):
+            # Both the base PATH and the base GENERATION must match — a
+            # regenerated deep dir (new content_hash) invalidates any
+            # skew variant derived from the old data.
+            if skew_manifest.get("base") != os.path.abspath(deep_dir) or (
+                skew_manifest.get("base_hash") != manifest["content_hash"]
+            ):
                 skew_manifest = None
         if skew_manifest is None:
             from tools.make_sf import make_skewed_sf
 
-            make_skewed_sf(deep_dir, skew_dir, spark=spark)
+            make_skewed_sf(
+                deep_dir, skew_dir, spark=spark,
+                base_hash=manifest["content_hash"],
+            )
         skew_timings = {}
         for name in ("smart_dedup", "sessionization", "rolling_spend"):
             try:

@@ -136,23 +136,15 @@ def cross_corpus_overlap(
         .select("train_id", "bench_id")
         .distinct()
     )
-    t_sets = with_tokens(train, text_col).select(
-        F.col(id_col).alias("train_id"),
-        F.array_distinct(F.col("toks")).alias("__ta"),
+    from .dedup import jaccard_on_pairs
+
+    verified = jaccard_on_pairs(
+        cand,
+        train,
+        id_col=id_col,
+        text_col=text_col,
+        right_docs=benchmark,
+        left_col="train_id",
+        right_col="bench_id",
     )
-    b_sets = with_tokens(benchmark, text_col).select(
-        F.col(id_col).alias("bench_id"),
-        F.array_distinct(F.col("toks")).alias("__tb"),
-    )
-    joined = cand.join(t_sets, "train_id").join(b_sets, "bench_id")
-    inter = F.size(
-        F.filter(F.col("__ta"), lambda x: F.array_contains(F.col("__tb"), x))
-    )
-    union = F.size(F.col("__ta")) + F.size(F.col("__tb")) - inter
-    return (
-        joined.withColumn(
-            "jaccard", inter.cast("double") / union.cast("double")
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("train_id", "bench_id", "jaccard")
-    )
+    return verified.filter(F.col("jaccard") >= min_jaccard)

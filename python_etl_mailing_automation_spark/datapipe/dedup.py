@@ -181,24 +181,37 @@ def jaccard_on_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int | None = None,
+    right_docs: DataFrame | None = None,
+    left_col: str = "doc_id_a",
+    right_col: str = "doc_id_b",
 ) -> DataFrame:
     """Attach exact Jaccard similarity (over distinct tokens, or distinct
-    ``shingle_n``-gram shingles) to candidate id pairs."""
-    base = with_tokens(docs, text_col)
-    if shingle_n:
-        base = with_shingles(base, n=shingle_n)
-        elems = F.array_distinct(F.col("shingles"))
-    else:
-        elems = F.array_distinct(F.col("toks"))
-    sets = base.select(F.col(id_col), elems.alias("elems"))
-    a = sets.select(F.col(id_col).alias("doc_id_a"), F.col("elems").alias("ea"))
-    b = sets.select(F.col(id_col).alias("doc_id_b"), F.col("elems").alias("eb"))
-    joined = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+    ``shingle_n``-gram shingles) to candidate id pairs.
+
+    Within-corpus by default (both pair sides resolve against ``docs``);
+    pass ``right_docs`` for CROSS-corpus pairs (e.g. train×benchmark
+    decontamination) where the two id columns come from different
+    frames. ``left_col``/``right_col`` name the pair columns."""
+
+    def elem_sets(frame: DataFrame) -> DataFrame:
+        base = with_tokens(frame, text_col)
+        if shingle_n:
+            base = with_shingles(base, n=shingle_n)
+            elems = F.array_distinct(F.col("shingles"))
+        else:
+            elems = F.array_distinct(F.col("toks"))
+        return base.select(F.col(id_col), elems.alias("elems"))
+
+    sets_l = elem_sets(docs)
+    sets_r = elem_sets(right_docs) if right_docs is not None else sets_l
+    a = sets_l.select(F.col(id_col).alias(left_col), F.col("elems").alias("ea"))
+    b = sets_r.select(F.col(id_col).alias(right_col), F.col("elems").alias("eb"))
+    joined = pairs.join(a, left_col).join(b, right_col)
     inter = F.size(F.filter(F.col("ea"), lambda x: F.array_contains(F.col("eb"), x)))
     union = F.size(F.col("ea")) + F.size(F.col("eb")) - inter
     return joined.withColumn(
         "jaccard", inter.cast("double") / union.cast("double")
-    ).select("doc_id_a", "doc_id_b", "jaccard")
+    ).select(left_col, right_col, "jaccard")
 
 
 def ngram_jaccard_pairs(

@@ -145,6 +145,7 @@ def dsir_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     base_rate: float = 0.25,
+    salt: str = "dsir",
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
     in this engine's ln-free exact form: score every raw document under
@@ -152,7 +153,10 @@ def dsir_select(
     the ratio as the importance weight, and keep each document with
     probability ``min(1, weight * base_rate)`` via the deterministic
     md5 16-bit grid (the house sampling idiom — reproducible, id-stable,
-    engine-portable; no RNG).
+    engine-portable; no RNG). The default ``salt`` ("dsir") is distinct
+    from hash_sample's and dataset_split's so composed selections draw
+    independent grids instead of the same bucket against different
+    thresholds.
 
     The published method resamples by exp(log-likelihood ratio) of two
     hashed n-gram models; here the ratio of the two average bigram
@@ -183,7 +187,9 @@ def dsir_select(
         F.col("__pt") / F.col("__ps"),
     ).otherwise(F.lit(0.0))
     bucket = F.conv(
-        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"))), 1, 4),
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 4
+        ),
         16,
         10,
     ).cast("int")

@@ -55,7 +55,7 @@ def dataset_split(
     splits: dict[str, float] | None = None,
     *,
     id_col: str = "doc_id",
-    salt: str = "",
+    salt: str = "split",
     out_col: str = "split",
 ) -> DataFrame:
     """Deterministic train/val/test assignment: each row's split is
@@ -73,6 +73,13 @@ def dataset_split(
     NULL ``id_col`` get a NULL split (an unkeyed row has no stable
     assignment — filing it anywhere would silently leak it into that
     subset on every rerun).
+
+    The default salt is ``"split"``, deliberately DIFFERENT from
+    :func:`hash_sample`'s ``""``: with a shared salt the two draws are
+    the SAME md5 bucket compared to different thresholds, so
+    ``dataset_split(hash_sample(df, 0.1))`` would label the entire
+    sample "train" and leave val/test empty. Distinct default salts
+    make library compositions independent by default.
     """
     if splits is None:
         splits = {"train": 0.9, "val": 0.05, "test": 0.05}

@@ -19,8 +19,13 @@ from pyspark.sql import functions as F
 
 # Tracking params stripped during canonicalization: the standard
 # utm_* family plus the common click ids. Kept minimal and explicit —
-# a deployment extends the list, the mechanics don't change.
-_TRACKING_PARAM_RE = r"(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+# a deployment extends the list, the mechanics don't change. The
+# leading ([?&]) boundary is load-bearing: without it the pattern
+# matches INSIDE other param names ('href=...' loses its 'ref=...'
+# suffix) and inside path segments ('/dp/B01/ref=sr_1_1'), merging
+# genuinely distinct URLs. The delimiter is kept via the $1 group and
+# cleaned up by the later collapse steps.
+_TRACKING_PARAM_RE = r"([?&])(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
 
 
 def _c(col: Column | str) -> Column:
@@ -47,8 +52,14 @@ def url_canonical(col: Column | str) -> Column:
     1. trim, drop scheme (case-insensitive)
     2. split authority/rest at the first ``/?#``
     3. host: lower + strip leading ``www.``
-    4. rest: drop fragment, drop tracking params, collapse dangling
-       ``?``/``&``, drop trailing ``/``
+    4. rest: drop fragment; drop ``[?&]``-anchored tracking params
+       (keeping the delimiter); collapse ``&&`` runs, then a leading
+       ``?&``; strip dangling ``?``/``&`` and trailing ``/``
+
+    The collapse ORDER matters: ``&&+ → &`` must run before
+    ``?&+ → ?`` or two leading tracking params leave a stray ``&``
+    (``?utm_a=..&utm_b=..&x=1`` → ``?&&x=1`` → ``?&x=1`` → ``?x=1``),
+    which would break the idempotency this function promises.
 
     Paths stay case-sensitive (lower-casing them would merge genuinely
     distinct documents); only the authority is case-folded.
@@ -61,10 +72,10 @@ def url_canonical(col: Column | str) -> Column:
     )
     rest = F.regexp_replace(no_scheme, r"^[^/?#]+", "")
     rest = F.regexp_replace(rest, r"#.*$", "")
-    rest = F.regexp_replace(rest, _TRACKING_PARAM_RE, "")
-    rest = F.regexp_replace(rest, r"[?&]+$", "")
-    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, _TRACKING_PARAM_RE, "$1")
     rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(host, rest)
 

@@ -88,6 +88,12 @@ class OutboxFileTransport:
     def deliver_eml(self, messages: DataFrame) -> list[Path]:
         out_dir = self.outbox_dir
         out_dir.mkdir(parents=True, exist_ok=True)
+        # Overwrite semantics, like deliver()'s mode("overwrite"): clear
+        # prior .eml files first, so the returned glob lists exactly THIS
+        # delivery — a re-delivery with fewer partitions must not report
+        # the previous run's leftover per-partition files as delivered.
+        for stale in out_dir.glob("msg_p*.eml"):
+            stale.unlink()
 
         def _write_partition(rows) -> None:
             # Executor-side: partition id + within-partition index give a

@@ -1626,6 +1626,28 @@ def test_url_canonical_and_dedup(spark):
     # 1,2,3 collapse (min id 1 kept); 4, 5, 6 are distinct canons
     assert kept == {1, 4, 5, 6}
 
+    # review-confirmed hazards: tracking strip must be [?&]-anchored
+    # (href= keeps its value, /ref= path segments survive) and two
+    # leading tracking params must collapse cleanly (no stray '&')
+    hazards = spark.createDataFrame(
+        [
+            (1, "https://a.com/p?href=abc"),
+            (2, "https://a.com/dp/B01/ref=sr_1_1"),
+            (3, "https://a.com/p?utm_source=a&utm_medium=b&x=1"),
+            (4, "https://a.com/p?x=1"),
+        ],
+        ["doc_id", "url"],
+    )
+    hz = {
+        r.doc_id: r.c
+        for r in hazards.select(
+            "doc_id", url_canonical("url").alias("c")
+        ).collect()
+    }
+    assert hz[1] == "a.com/p?href=abc"
+    assert hz[2] == "a.com/dp/B01/ref=sr_1_1"
+    assert hz[3] == "a.com/p?x=1" and hz[3] == hz[4]
+
 
 def test_cross_corpus_overlap_planted(spark):
     from python_etl_mailing_automation_spark.datapipe.contamination import (
@@ -1650,8 +1672,9 @@ def test_cross_corpus_overlap_planted(spark):
     assert (10, 90) in pairs and (12, 90) in pairs
     assert all(b == 90 for _, b in pairs)  # only cross-side pairs, to bench 90
     j = {r.train_id: r.jaccard for r in out}
-    # distinct-token jaccard: shared has 12 distinct, train adds 2
-    assert 0.5 <= j[10] < 1.0
+    # distinct-token jaccard: the shared sentence has 11 distinct tokens
+    # ('the' repeats), train adds 3 ('with','two','extras') -> 11/14
+    assert abs(j[10] - 11 / 14) < 1e-12
 
 
 def test_posting_lists_frequency_cut_and_order(spark):

@@ -527,7 +527,22 @@ url_parts = st.tuples(
     st.from_regex(r"[A-Za-z0-9-]{1,10}\.(com|org|NET)", fullmatch=True),
     st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,3}/?", fullmatch=True),
     st.sampled_from(
-        ["", "?utm_source=a", "?id=7", "?id=7&utm_medium=b&x=1", "#frag", "?utm_campaign=c#f"]
+        [
+            "",
+            "?utm_source=a",
+            "?id=7",
+            "?id=7&utm_medium=b&x=1",
+            "#frag",
+            "?utm_campaign=c#f",
+            # two consecutive LEADING tracking params: the case that
+            # caught the ?&-before-&& collapse-order bug in review
+            "?utm_source=a&utm_medium=b&x=1",
+            "?utm_source=a&gclid=z",
+            # substring hazards: href= must NOT lose its ref= suffix,
+            # path /ref= segments must survive
+            "?href=abc",
+            "/ref=sr_1_1?x=2",
+        ]
     ),
 )
 

@@ -136,7 +136,9 @@ def make_scaled_sf(base: str, out: str, copies: int, spark=None) -> str:
 HOT_KEY = 424_242  # the deliberately hot entity in the skewed variant
 
 
-def make_skewed_sf(base: str, out: str, spark=None, hot_mod: int = 10) -> str:
+def make_skewed_sf(
+    base: str, out: str, spark=None, hot_mod: int = 10, base_hash: str | None = None
+) -> str:
     """Deliberately SKEWED variant of a scale dir: every ``hot_mod``-th
     row of ``orders``/``events`` is reassigned to one hot key
     (``HOT_KEY`` holds ~1/hot_mod of all rows), all other columns
@@ -176,9 +178,19 @@ def make_skewed_sf(base: str, out: str, spark=None, hot_mod: int = 10) -> str:
 
     import json
 
+    # base_hash pins WHICH generation of the base data this skew variant
+    # derives from: a regenerated deep dir (new content_hash) must force
+    # a skew rebuild, or the skew-vs-uniform comparison silently mixes
+    # two different datasets.
     with open(f"{out}/MANIFEST.json", "w") as fh:
         json.dump(
-            {"base": os.path.abspath(base), "hot_mod": hot_mod, "skew": True}, fh
+            {
+                "base": os.path.abspath(base),
+                "base_hash": base_hash,
+                "hot_mod": hot_mod,
+                "skew": True,
+            },
+            fh,
         )
 
     if own_session:
