@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "dataset_split",
     "sft_format",
     "dsir_select",
+    "kmv_distinct",
+    "pagerank",
+    "bloom_blocklist",
+    "cms_freq",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -1,0 +1,222 @@
+"""Mergeable probabilistic sketches — Bloom membership and Count-Min
+frequency — in the engine's deterministic md5 idiom, completing the
+sketch family next to the KMV distinct-count sketch in :mod:`.stats`.
+
+Why sketches at 100 TB: decontamination and blocklist checks against a
+big corpus are semi-joins whose build side may not be broadcastable as
+raw keys but IS broadcastable as a Bloom filter (m_bits/8 bytes,
+independent of key width); frequency cutoffs (drop docs from hosts seen
+> N times, boilerplate n-grams) need counts per key without shipping
+the full key->count map to every executor. Both sketches here are
+relational frames of words/cells, so they merge by re-aggregation
+(bit_or / sum) and broadcast-join into the probe side — no driver
+state, no UDFs, no randomness.
+
+Determinism contract (the oracle discipline): positions come from the
+60-bit md5 prefix (exact in BIGINT on any engine) of
+``value '#' hash_index``; words hold bits 0..61 only, because a 1<<63
+BIGINT shift is an overflow error in DuckDB while Java wraps to the
+sign bit — 62 usable bits per word keeps every engine in defined,
+positive-shift territory. Identical inputs therefore give bit-identical
+sketch frames and probe verdicts everywhere.
+
+Sizing (public formulas): Bloom false-positive rate ~ (1 - e^{-kn/m})^k
+— m_bits ≈ 1.44 · k · n_distinct for the k-optimal point; Count-Min
+overestimate ≤ e/width · N with probability 1 - e^{-depth} (Cormode &
+Muthukrishnan 2005). Both sketches only ever OVER-report (no false
+negatives / no undercounts), which is the safe direction for
+decontamination and frequency-cap filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BITS_PER_WORD = 62
+
+
+def _pos60(value_col: str, salt: int) -> "F.Column":
+    """60-bit md5 prefix of ``value '#' salt`` as a non-negative long."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(value_col).cast("string"), F.lit(str(salt)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over the distinct non-NULL values of
+    ``value_col``. Returns the filter as a relational frame
+    ``(word_idx long, word long)`` — only non-zero words are present,
+    so an empty input yields an empty frame (probes all miss).
+
+    Scale shape: distinct -> k-row explode (constant factor) -> one
+    groupBy(word_idx).bit_or — a single shuffle bounded by
+    ``m_bits / 62`` output rows. Two filters over split inputs merge by
+    unioning the frames and re-running the same bit_or groupBy.
+    """
+    if m_bits < _BITS_PER_WORD:
+        raise ValueError("bloom_build: m_bits must be >= 62")
+    if k_hashes < 1:
+        raise ValueError("bloom_build: k_hashes must be >= 1")
+    vals = df.select(F.col(value_col).cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).distinct()
+    pos = vals.select(
+        F.explode(
+            F.array(*[(_pos60("__v", i) % m_bits).alias(str(i)) for i in range(k_hashes)])
+        ).alias("__p")
+    )
+    return (
+        pos.select(
+            (F.col("__p") / F.lit(_BITS_PER_WORD)).cast("long").alias("word_idx"),
+            # shiftleft's python binding takes only a literal shift;
+            # the SQL form accepts a column
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__p % {_BITS_PER_WORD} AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__m").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    *,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Append boolean ``out_col``: True iff every one of the value's
+    ``k_hashes`` bits is set in ``bloom`` (a ``bloom_build`` frame with
+    the SAME m_bits / k_hashes). NULL values probe to NULL. No false
+    negatives by construction; false positives at the standard Bloom
+    rate for the chosen sizing.
+
+    Scale shape: membership is decided per DISTINCT value (k rows
+    each), with the sketch frame broadcast (≤ m_bits/62 rows); the
+    verdict then joins back to the full frame on the value — the big
+    side is touched by exactly one shuffle-join on the probe key, never
+    by the k-way explode.
+    """
+    vals = df.select(F.col(value_col).cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).distinct()
+    pos = vals.select(
+        "__v",
+        F.explode(
+            F.array(*[(_pos60("__v", i) % m_bits).alias(str(i)) for i in range(k_hashes)])
+        ).alias("__p"),
+    ).select(
+        "__v",
+        (F.col("__p") / F.lit(_BITS_PER_WORD)).cast("long").alias("word_idx"),
+        (F.col("__p") % _BITS_PER_WORD).cast("int").alias("__b"),
+    )
+    hit = (
+        pos.join(F.broadcast(bloom), on="word_idx", how="left")
+        .select(
+            "__v",
+            F.when(
+                F.expr(
+                    "(shiftright(coalesce(word, CAST(0 AS BIGINT)), __b)"
+                    " & CAST(1 AS BIGINT)) = 1"
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("__hit"),
+        )
+        .groupBy("__v")
+        .agg((F.min("__hit") == 1).alias(out_col))
+    )
+    return df.join(
+        hit, on=F.col(value_col).cast("string") == F.col("__v"), how="left"
+    ).drop("__v")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Build a Count-Min sketch of the occurrence counts of
+    ``value_col`` (NULLs ignored). Returns ``(row_idx int, col_idx
+    long, cnt long)`` — only touched cells are materialized; absent
+    cells are zero.
+
+    Scale shape: depth-row explode -> one groupBy((row, col)).sum with
+    map-side partial aggregation; output bounded by width · depth
+    regardless of input size. Sketches over shards merge by union +
+    the same sum groupBy. Counts are exact BIGINT sums — the estimate
+    is engine-exact even though it is approximate w.r.t. truth.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("cms_build: width and depth must be >= 1")
+    vals = df.select(F.col(value_col).cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    cells = vals.select(
+        F.posexplode(
+            F.array(*[(_pos60("__v", i) % width).alias(str(i)) for i in range(depth)])
+        ).alias("row_idx", "col_idx")
+    )
+    return (
+        cells.groupBy(
+            F.col("row_idx").cast("int").alias("row_idx"), "col_idx"
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    value_col: str,
+    cms: DataFrame,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    out_col: str = "est_cnt",
+) -> DataFrame:
+    """Append ``out_col``: the Count-Min estimate (min over the depth
+    rows; an untouched cell counts as 0) of each row's value under a
+    ``cms_build`` frame with the SAME width / depth. NULL values
+    estimate to NULL. Estimates never undercount the true frequency.
+
+    Scale shape: mirrors :func:`bloom_probe` — per-distinct-value
+    probe against the broadcast (≤ width · depth rows) sketch, joined
+    back on the value key.
+    """
+    vals = df.select(F.col(value_col).cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).distinct()
+    cells = vals.select(
+        "__v",
+        F.posexplode(
+            F.array(*[(_pos60("__v", i) % width).alias(str(i)) for i in range(depth)])
+        ).alias("row_idx", "col_idx"),
+    ).select("__v", F.col("row_idx").cast("int").alias("row_idx"), "col_idx")
+    est = (
+        cells.join(F.broadcast(cms), on=["row_idx", "col_idx"], how="left")
+        .groupBy("__v")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(out_col)
+        )
+    )
+    return df.join(
+        est, on=F.col(value_col).cast("string") == F.col("__v"), how="left"
+    ).drop("__v")

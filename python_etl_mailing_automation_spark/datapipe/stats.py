@@ -160,6 +160,61 @@ def quantile_bucket_assign(
     return joined.withColumn(out_col, bucket).drop("__bs")
 
 
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002):
+    per group, keep the ``k`` smallest md5 hashes of the distinct values;
+    the cardinality estimate is ``(k-1) / h_(k)`` with ``h_(k)`` the
+    k-th smallest hash normalized to (0, 1]. Groups with fewer than
+    ``k`` distinct values report their EXACT count (the sketch holds
+    every value).
+
+    Unlike HLL (`approx_count_distinct`), KMV over md5 is fully
+    DETERMINISTIC and ENGINE-EXACT — the same data gives the same
+    estimate on any engine, platform, or partitioning, so the estimate
+    itself is oracle-checkable and diffable across pipeline runs (a
+    drifting profile row means the data changed, never the engine).
+    The k-hash state is mergeable (union → k smallest), the property
+    that makes it a sketch rather than a sample.
+
+    Output: ``(group_col?, n_kept, est_distinct)``.
+
+    Scale shape: distinct on (group, hash) — one shuffle — then a
+    per-group top-k via min-ordered row_number window over FIXED-WIDTH
+    hash rows (not payloads), bounded by the distinct-value count. The
+    64-bit hash prefix keeps the estimator in exact BIGINT space.
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct: k must be >= 2")
+    keys = [group_col] if group_col else []
+    hashed = df.select(
+        *keys, F.md5(F.col(value_col).cast("string")).alias("__h")
+    ).filter(F.col("__h").isNotNull()).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("__h")
+    topk = hashed.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= k
+    )
+    # normalized k-th smallest hash: first 15 hex digits (60 bits —
+    # exact in BIGINT and in a double mantissa) over 16^15.
+    hval = F.conv(F.substring(F.max_by("__h", "__r"), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**15))
+    grouped = topk.groupBy(*keys) if keys else topk.groupBy()
+    return grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(F.lit(float(k - 1)) / hval)
+        .alias("est_distinct"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,

@@ -1788,3 +1788,130 @@ def test_round6_null_edges(spark):
         spark.createDataFrame([(1, None)], "doc_id int, text string")
     ).collect()[0]
     assert g.gopher_pass is None and g.n_words is None
+
+
+def test_kmv_distinct_exact_below_k_estimate_above(spark):
+    """Groups with < k distinct values report the EXACT count; a
+    large group's estimate lands within 15% of truth for k=256 (SE
+    ~1/sqrt(k-2) = 6.3%, so 15% = 2.4 sigma; the md5 draw is
+    deterministic, so the pass is stable, not flaky); NULLs
+    are ignored; re-running gives the identical estimate (KMV over md5
+    is deterministic, unlike rand-seeded sampling)."""
+    from python_etl_mailing_automation_spark.datapipe.stats import kmv_distinct
+
+    small = spark.createDataFrame(
+        [("a", i % 7) for i in range(50)] + [("a", None)],
+        "g string, v int",
+    )
+    row = kmv_distinct(small, "v", group_col="g", k=64).collect()[0]
+    assert row.n_kept == 7 and row.est_distinct == 7.0
+
+    big = spark.range(0, 5000).select(
+        F.lit("b").alias("g"), (F.col("id") % 3000).alias("v")
+    )
+    r1 = kmv_distinct(big, "v", group_col="g", k=256).collect()[0]
+    r2 = kmv_distinct(big, "v", group_col="g", k=256).collect()[0]
+    assert r1.n_kept == 256
+    assert abs(r1.est_distinct - 3000) / 3000 < 0.15
+    assert r1.est_distinct == r2.est_distinct
+
+    with pytest.raises(ValueError):
+        kmv_distinct(big, "v", k=1)
+
+    glob = kmv_distinct(big, "v", k=64).collect()[0]
+    assert glob.n_kept == 64
+
+
+def test_pagerank_star_and_cycle(spark):
+    """Hand-checkable graphs: on a directed cycle every node keeps
+    pr = 1/N at every iteration; on a star (leaves -> hub) the hub
+    accumulates and leaves hold the teleport floor; ranks sum to ~1
+    when every node has out-edges."""
+    from python_etl_mailing_automation_spark.datapipe.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src int, dst int"
+    )
+    prs = {r.node: r.pr for r in pagerank(cycle, n_iter=3).collect()}
+    assert all(abs(p - 0.2) < 1e-9 for p in prs.values())
+    assert abs(sum(prs.values()) - 1.0) < 1e-9
+
+    star = spark.createDataFrame(
+        [(i, 99) for i in range(1, 5)], "src int, dst int"
+    )
+    prs = {r.node: r.pr for r in pagerank(star, n_iter=2).collect()}
+    base = 0.15 / 5
+    assert all(abs(prs[i] - base) < 1e-9 for i in range(1, 5))
+    assert prs[99] > 4 * prs[1]
+
+    with pytest.raises(ValueError):
+        pagerank(
+            spark.createDataFrame([], "src int, dst int"), n_iter=1
+        )
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value probes True (no false negatives — the
+    Bloom guarantee filtering correctness depends on); NULL probes to
+    NULL; two shard filters merged by union + re-bit_or equal the
+    filter built over the union of inputs (mergeability is what makes
+    it a sketch)."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(60)], "v int")
+    b = spark.createDataFrame([(i,) for i in range(60, 120)], "v int")
+    both = a.unionByName(b)
+    merged = (
+        bloom_build(a, "v", m_bits=2048, k_hashes=3)
+        .unionByName(bloom_build(b, "v", m_bits=2048, k_hashes=3))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    direct = bloom_build(both, "v", m_bits=2048, k_hashes=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(None,)], "v int"
+    )
+    res = bloom_probe(probe, "v", direct, m_bits=2048, k_hashes=3).collect()
+    assert all(r.maybe_member for r in res if r.v is not None and r.v < 120)
+    assert [r.maybe_member for r in res if r.v is None] == [None]
+
+    with pytest.raises(ValueError):
+        bloom_build(a, "v", m_bits=10)
+    with pytest.raises(ValueError):
+        bloom_build(a, "v", k_hashes=0)
+
+
+def test_cms_overcounts_only_and_exact_at_low_load(spark):
+    """Count-Min estimates are >= the true count for every present
+    value and 0 for absent ones; at load far below width the estimate
+    is exact; weighted duplicates accumulate (build is a plain sum)."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    freq = spark.createDataFrame(
+        [(i % 10,) for i in range(1000)], "v int"
+    )
+    cms = cms_build(freq, "v", width=256, depth=4)
+    probes = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(77,), (None,)], "v int"
+    )
+    est = {
+        r.v: r.est_cnt
+        for r in cms_estimate(probes, "v", cms, width=256, depth=4).collect()
+    }
+    assert all(est[i] >= 100 for i in range(10))
+    assert est[77] == 0 and est[None] is None
+    # 10 distinct values over width 256: collision-free, so exact
+    assert all(est[i] == 100 for i in range(10))
+
+    with pytest.raises(ValueError):
+        cms_build(freq, "v", width=0)

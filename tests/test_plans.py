@@ -435,3 +435,41 @@ def test_posting_lists_frequency_cut_before_collect(plans):
     assert "collect_list" in p
     # the df-range filter exists as a real predicate (pre-cut, not post)
     assert "df#" in p or "Filter" in p
+
+
+def test_pagerank_iterations_join_edges_no_cartesian(plans):
+    """Each PageRank iteration is an equi-join of the narrow rank
+    frame to the edge list plus one keyed aggregate: no cartesian /
+    nested-loop anywhere, no window, and at least one aggregation per
+    iteration survives in the plan."""
+    p = plans("pagerank")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+
+
+def test_bloom_probe_broadcasts_sketch_side(plans):
+    """The Bloom words frame (<= m_bits/62 rows) must reach the probe
+    side as a broadcast — the whole point of the sketch is that the
+    membership set travels to the data, never the reverse."""
+    p = plans("bloom_blocklist")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cms_probe_broadcasts_sketch_side(plans):
+    """Count-Min estimate: the width x depth cell frame broadcasts to
+    the per-distinct-value probe; no sort-merge join, no cartesian."""
+    p = plans("cms_freq")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_kmv_single_distinct_then_bounded_topk(plans):
+    """KMV: one distinct over (group, hash) then the per-group top-k
+    window over fixed-width hash rows — no join at all in the plan."""
+    p = plans("kmv_distinct")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
