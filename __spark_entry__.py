@@ -1509,6 +1509,65 @@ def q_cms_freq(spark: SparkSession, sf: str) -> DataFrame:
     return cms_estimate(probes, "l_partkey", cms, width=512, depth=4)
 
 
+def q_resample_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series regularization (datapipe/timeseries.resample_fill):
+    per-user purchase amounts resampled onto a 1-day grid from first to
+    last observation, empty days carrying the last value forward — the
+    hypertable gap-fill primitive that makes window arithmetic
+    meaningful over irregular events."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        resample_fill,
+    )
+
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    out = resample_fill(
+        ev, "user_id", "ts", "value", step_seconds=86400
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "value_filled",
+        "observed",
+    )
+
+
+def q_zone_maps(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-shard zone maps (datapipe/stats.zone_maps) over lineitem
+    partitioned by ship month: min/max/null-count per column + row
+    count — the data-skipping index as an inspectable frame; a range
+    predicate's prunable-shard fraction read off it is the scan cost
+    model (stats.prunable_shards)."""
+    from python_etl_mailing_automation_spark.datapipe.stats import zone_maps
+
+    li = _t(spark, sf, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.col("l_orderkey"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return zone_maps(li, "ship_month", ["l_orderkey", "price_cents"])
+
+
+def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-priority OLS trend of order value over time
+    (datapipe/stats.group_ols): slope/intercept of totalprice-cents on
+    order-day from exact DECIMAL(38,0) moments — engine-exact trend
+    detection, the drift question every corpus profile ends with."""
+    from python_etl_mailing_automation_spark.datapipe.stats import group_ols
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_orderdate").cast("double") / F.lit(86400.0))
+        .cast("long")
+        .alias("day"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return group_ols(orders, "day", "cents", group_col="o_orderpriority")
+
+
 def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance resampling (datapipe/lm.dsir_select, Xie et al.
     2023 in the engine's ln-free exact form): target model = the 'src0'
@@ -2392,6 +2451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queues at the window boundary for the round-7 rotation,
         # covered by tools/check_parity.py meanwhile. ---
         "cms_freq": q_cms_freq,
+        "resample_fill": q_resample_fill,
+        "zone_maps": q_zone_maps,
+        "group_ols": q_group_ols,
         "tfidf_topk": q_tfidf_topk,
         "interval_join": q_interval_join,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -3736,6 +3798,83 @@ def oracle_sql() -> dict[str, str]:
            FROM ppos LEFT JOIN bwords w ON h // 62 = w.word_idx)
   SELECT o_custkey, MIN(hit) = 1 AS maybe_blocked
   FROM phit GROUP BY o_custkey""",
+        # Gap-fill resample: day buckets on the floor(epoch/step) grid,
+        # per-bucket last-by-(ts, value) pick, per-key generate_series
+        # grid, IGNORE NULLS forward fill (timeseries.resample_fill).
+        "resample_fill": """
+  WITH rf_obs AS (SELECT user_id,
+                         CAST(floor(epoch(ts) / 86400.0) * 86400
+                              AS BIGINT) AS b,
+                         ts, value
+                  FROM events
+                  WHERE event_type = 'purchase'
+                    AND ts IS NOT NULL AND value IS NOT NULL),
+  rf_pick AS (SELECT user_id, b, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, b
+                                        ORDER BY ts DESC, value DESC) AS r
+              FROM rf_obs),
+  rf_pb AS (SELECT user_id, b, value FROM rf_pick WHERE r = 1),
+  rf_span AS (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi
+              FROM rf_pb GROUP BY 1),
+  rf_grid AS (SELECT user_id, UNNEST(generate_series(lo, hi, 86400)) AS b
+              FROM rf_span),
+  rf_j AS (SELECT g.user_id, g.b, p.value
+           FROM rf_grid g LEFT JOIN rf_pb p
+             ON g.user_id = p.user_id AND g.b = p.b)
+  SELECT user_id,
+         strftime(to_timestamp(b), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+         last_value(value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_filled,
+         value IS NOT NULL AS observed
+  FROM rf_j""",
+        # Zone maps: one groupBy on the shard key; min/max/nulls per
+        # column + row count (stats.zone_maps).
+        "zone_maps": """
+  WITH zm_b AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                       l_orderkey,
+                       CAST(floor(l_extendedprice * 100.0 + 0.5)
+                            AS BIGINT) AS price_cents
+                FROM lineitem)
+  SELECT ship_month,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(l_orderkey) AS l_orderkey_min,
+         MAX(l_orderkey) AS l_orderkey_max,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS l_orderkey_nulls,
+         MIN(price_cents) AS price_cents_min,
+         MAX(price_cents) AS price_cents_max,
+         CAST(SUM(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS price_cents_nulls
+  FROM zm_b GROUP BY 1""",
+        # Per-group OLS from exact HUGEINT moments; intercept re-derives
+        # the slope expression with the identical op order
+        # (stats.group_ols).
+        "group_ols": """
+  WITH go_b AS (SELECT o_orderpriority,
+                       CAST(CAST(floor(epoch(o_orderdate) / 86400.0)
+                                 AS BIGINT) AS HUGEINT) AS x,
+                       CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                 AS BIGINT) AS HUGEINT) AS y
+                FROM orders),
+  go_m AS (SELECT o_orderpriority, COUNT(*) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * x) AS sxx, SUM(x * y) AS sxy
+           FROM go_b GROUP BY 1)
+  SELECT o_orderpriority, n,
+         CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0 THEN
+           CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+         END AS slope,
+         CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0 THEN
+           (CAST(sy AS DOUBLE)
+            - (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE)
+         END AS intercept
+  FROM go_m""",
         # Count-Min estimates: depth-4 salted positions mod 512, exact
         # BIGINT cell sums, min-over-rows probe with absent cells = 0
         # (sketches.cms_build/cms_estimate).

@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "pagerank",
     "bloom_blocklist",
     "cms_freq",
+    "resample_fill",
+    "zone_maps",
+    "group_ols",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -564,3 +564,104 @@ def exact_skew_kurt(
         skew.alias("skewness"),
         kurt.alias("kurtosis"),
     )
+
+
+def group_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS) of INTEGER-valued y on
+    INTEGER-valued x from the same exact-moment machinery as
+    :func:`exact_corr` — the trend-detection member of the
+    distribution family (is this source's doc quality drifting over
+    time? is spend per day rising?):
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n     (evaluated in doubles,
+                                             one fixed op order)
+
+    Numerator and denominator of the slope are exact DECIMAL(38,0)
+    integers (DuckDB mirror: HUGEINT), so the only floating point is
+    the final two divisions and one multiply — bit-identical across
+    engines and partitionings. Zero-x-variance groups yield NULL
+    slope/intercept. Same 10^38 overflow envelope as exact_corr:
+    pre-scale x (e.g. days, not epoch-seconds) to stay inside it.
+    Output: one row per group — ``(group_col?, n, slope, intercept)``.
+    """
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    grp = [] if group_col is None else [group_col]
+    agg = df.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    nd = F.col("__n").cast("decimal(38,0)")
+    num = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    slope = F.when(den > 0, num / den)
+    intercept = F.when(
+        den > 0,
+        (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double"))
+        / F.col("__n").cast("double"),
+    )
+    return agg.select(
+        *grp,
+        F.col("__n").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def zone_maps(
+    df: DataFrame,
+    shard_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Per-shard zone maps — min / max / null count for each listed
+    column plus the shard row count — the data-skipping index a
+    lakehouse keeps per file/row-group, here materialized relationally
+    so skipping effectiveness is inspectable and diffable. Pairs with
+    ``sampling.assign_shards`` (which shard does a row land in) and
+    ``ordering.zorder_key`` (cluster so ranges don't straddle every
+    shard): after a Z-order write, a predicate's prunable-shard
+    fraction read off this frame IS the scan cost model.
+
+    One map-side-combined groupBy on the shard key; output is
+    shards × (2 + 3·|cols|) cells regardless of input size. Output:
+    ``(shard_col, n_rows, {col}_min, {col}_max, {col}_nulls, ...)``.
+    """
+    if not cols:
+        raise ValueError("zone_maps: cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}_nulls")
+        )
+    return df.groupBy(shard_col).agg(*aggs)
+
+
+def prunable_shards(
+    maps: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Shards a ``[lo, hi]`` range predicate on ``col`` can SKIP under
+    the zone maps: the shard's [min, max] envelope misses the range
+    entirely (all-NULL shards, with NULL min/max, are also skippable —
+    NULL never matches a range predicate). Returns the maps frame
+    filtered to skippable shards."""
+    mn, mx = F.col(f"{col}_min"), F.col(f"{col}_max")
+    return maps.filter(
+        mn.isNull() | (mx < F.lit(lo)) | (mn > F.lit(hi))
+    )

@@ -1915,3 +1915,81 @@ def test_cms_overcounts_only_and_exact_at_low_load(spark):
 
     with pytest.raises(ValueError):
         cms_build(freq, "v", width=0)
+
+
+def test_resample_fill_grid_and_ffill(spark):
+    """Hand-built series: observations on days 0 and 3 produce a dense
+    4-day grid with days 1-2 carried forward and flagged unobserved;
+    two observations in one bucket pick the LATER ts; NULL values are
+    ignored; a key's grid never starts before its first observation."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        resample_fill,
+    )
+
+    d = 86400
+    rows = [
+        ("a", 0.0, 1.0),
+        ("a", 100.0, 1.5),          # same bucket as above, later ts wins
+        ("a", 3.0 * d + 5, 2.0),
+        ("a", 2.0 * d, None),       # ignored
+        ("b", 5.0 * d, 9.0),        # single-point key: one bucket
+    ]
+    df = spark.createDataFrame(rows, "k string, sec double, v double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    out = resample_fill(df, "k", "ts", "v", step_seconds=d)
+    got = {
+        (r.k, r.bucket_ts.timestamp()): (r.value_filled, r.observed)
+        for r in out.collect()
+    }
+    assert got[("a", 0.0)] == (1.5, True)
+    assert got[("a", float(d))] == (1.5, False)
+    assert got[("a", float(2 * d))] == (1.5, False)
+    assert got[("a", float(3 * d))] == (2.0, True)
+    assert got[("b", float(5 * d))] == (9.0, True)
+    assert len(got) == 5
+
+    with pytest.raises(ValueError):
+        resample_fill(df, "k", "ts", "v", step_seconds=0)
+
+
+def test_zone_maps_and_prunable_shards(spark):
+    """Zone maps carry min/max/nulls per column; prunable_shards skips
+    shards whose envelope misses the range, including all-NULL
+    shards (NULL never matches a range predicate)."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        prunable_shards,
+        zone_maps,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", 1), ("s1", 10), ("s2", 100), ("s2", 200), ("s3", None)],
+        "shard string, x int",
+    )
+    maps = zone_maps(df, "shard", ["x"])
+    by = {r.shard: r for r in maps.collect()}
+    assert (by["s1"].x_min, by["s1"].x_max, by["s1"].x_nulls) == (1, 10, 0)
+    assert (by["s2"].x_min, by["s2"].x_max) == (100, 200)
+    assert by["s3"].x_nulls == 1 and by["s3"].x_min is None
+    assert by["s1"].n_rows == 2
+
+    skip = {r.shard for r in prunable_shards(maps, "x", 50, 150).collect()}
+    assert skip == {"s1", "s3"}  # s2 overlaps [50,150]; s1 below; s3 all-NULL
+
+    with pytest.raises(ValueError):
+        zone_maps(df, "shard", [])
+
+
+def test_group_ols_exact_line_and_degenerate(spark):
+    """A perfect line recovers slope/intercept exactly (the moments are
+    exact integers, the closed form divides exactly); a zero-x-variance
+    group yields NULLs rather than a division blowup."""
+    from python_etl_mailing_automation_spark.datapipe.stats import group_ols
+
+    line = [("g", x, 2 * x + 3) for x in range(10)]
+    flat = [("h", 4, y) for y in (1, 5, 9)]
+    df = spark.createDataFrame(line + flat, "g string, x int, y int")
+    by = {r.g: r for r in group_ols(df, "x", "y", group_col="g").collect()}
+    assert by["g"].slope == 2.0 and by["g"].intercept == 3.0
+    assert by["g"].n == 10
+    assert by["h"].slope is None and by["h"].intercept is None

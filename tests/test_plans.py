@@ -473,3 +473,31 @@ def test_kmv_single_distinct_then_bounded_topk(plans):
     p = plans("kmv_distinct")
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_resample_fill_key_exchanges_only(plans):
+    """Gap fill: every exchange hashes on (key[, bucket]) — no global
+    sort-for-join, no cartesian; the grid explode (Generate) sits above
+    a keyed aggregate, bounded by span/step rows per key."""
+    p = plans("resample_fill")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p
+
+
+def test_zone_maps_single_aggregate(plans):
+    """Zone maps are ONE map-side-combined aggregation on the shard
+    key: a single exchange, no join, no window."""
+    p = plans("zone_maps")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_group_ols_single_aggregate_no_join(plans):
+    """OLS from moments is one keyed aggregation — a single exchange,
+    no join, no window, all arithmetic in the projection."""
+    p = plans("group_ols")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "Window" not in p
