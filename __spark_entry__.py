@@ -1568,6 +1568,20 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training (datapipe/tokenizer.bpe_train, 6 merges):
+    the ordered merge table learned from the documents corpus via the
+    word-frequency compression — one corpus scan, then vocabulary-sized
+    rounds with a single driver row each. Merge application is the
+    textbook greedy fold (Catalyst `aggregate`), which the oracle
+    replicates as a recursive-CTE fold — single-pass replace() is NOT
+    equivalent on runs like 'aaaa'."""
+    from python_etl_mailing_automation_spark.datapipe.tokenizer import bpe_train
+
+    docs = _t(spark, sf, "documents")
+    return bpe_train(docs, "text", n_merges=6)
+
+
 def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance resampling (datapipe/lm.dsir_select, Xie et al.
     2023 in the engine's ln-free exact form): target model = the 'src0'
@@ -2454,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_fill": q_resample_fill,
         "zone_maps": q_zone_maps,
         "group_ols": q_group_ols,
+        "bpe_train": q_bpe_train,
         "tfidf_topk": q_tfidf_topk,
         "interval_join": q_interval_join,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -2792,6 +2807,58 @@ def _pagerank_sql(n_iter: int = 3) -> str:
         )
     body = "\n".join(parts).rstrip(",")
     return f"WITH {body}\n  SELECT node, pr FROM pr{n_iter}"
+
+
+def _bpe_sql(n_merges: int = 6) -> str:
+    """Unrolled BPE training oracle: word-frequency table, then per
+    round a pair-count aggregate, a deterministic top-1 pick, and the
+    greedy merge fold as a RECURSIVE CTE consuming one symbol per step
+    (pop-and-push when (acc[-1], next) equals the round's merge) —
+    op-for-op the Catalyst `aggregate` fold in tokenizer.bpe_train."""
+    parts = [
+        """wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY 1),""",
+        "  bw0 AS MATERIALIZED (SELECT word, freq,"
+        " array_to_string(list_transform(range(1, length(word) + 1),"
+        " i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq FROM wf),",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"  bp{r} AS MATERIALIZED (SELECT s[CAST(i AS INT)] AS lhs,"
+            " s[CAST(i AS INT) + 1] AS rhs,"
+            " CAST(SUM(freq) AS BIGINT) AS pair_count"
+            f" FROM (SELECT freq, string_split(seq, ' ') AS s FROM bw{r}),"
+            " UNNEST(range(1, len(s))) AS u(i) GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"  bt{r} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM bp{r}"
+            " ORDER BY pair_count DESC, lhs, rhs LIMIT 1),"
+        )
+        parts.append(
+            f"  bm{r} AS ("
+            " SELECT word, freq, string_split(seq, ' ') AS rest,"
+            f" CAST([] AS VARCHAR[]) AS acc FROM bw{r}"
+            " UNION ALL"
+            " SELECT m.word, m.freq, m.rest[2:],"
+            " CASE WHEN len(m.acc) > 0 AND m.acc[-1] = t.lhs"
+            " AND m.rest[1] = t.rhs"
+            " THEN m.acc[:len(m.acc) - 1] || [t.lhs || t.rhs]"
+            " ELSE m.acc || [m.rest[1]] END"
+            f" FROM bm{r} m, bt{r} t WHERE len(m.rest) > 0),"
+        )
+        parts.append(
+            f"  bw{r + 1} AS MATERIALIZED (SELECT word, freq,"
+            f" array_to_string(acc, ' ') AS seq FROM bm{r}"
+            " WHERE len(rest) = 0),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    ranks = "\n  UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INT) AS rank, lhs, rhs, pair_count FROM bt{r}"
+        for r in range(n_merges)
+    )
+    return f"WITH RECURSIVE {body}\n  {ranks}"
 
 
 def _cross_decon_sql() -> str:
@@ -3798,6 +3865,9 @@ def oracle_sql() -> dict[str, str]:
            FROM ppos LEFT JOIN bwords w ON h // 62 = w.word_idx)
   SELECT o_custkey, MIN(hit) = 1 AS maybe_blocked
   FROM phit GROUP BY o_custkey""",
+        # BPE training: unrolled rounds, recursive-CTE greedy fold
+        # (tokenizer.bpe_train).
+        "bpe_train": _bpe_sql(6),
         # Gap-fill resample: day buckets on the floor(epoch/step) grid,
         # per-bucket last-by-(ts, value) pick, per-key generate_series
         # grid, IGNORE NULLS forward fill (timeseries.resample_fill).

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "resample_fill",
     "zone_maps",
     "group_ols",
+    "bpe_train",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

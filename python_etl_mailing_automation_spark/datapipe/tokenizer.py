@@ -1,0 +1,178 @@
+"""Tokenizer training — byte-pair-encoding merge learning (Sennrich et
+al. 2016) over the word-frequency compression of a corpus, the step
+every LLM data pipeline runs before it can count a single token.
+
+Iterative-algorithm shape (the house discipline, same as
+:mod:`.clustering`'s Lloyd fit and :mod:`.graph`'s PageRank): the
+corpus is scanned ONCE into a ``(word, freq)`` table — the classic BPE
+compression, vocabulary-sized, not corpus-sized — and every merge
+round runs over that small frame: one pair-count aggregate, one
+driver-collected top pair (a single row per round), one column-level
+merge application. At 100 TB the corpus scan dominates and everything
+after is vocabulary-bounded.
+
+Merge application is the TEXTBOOK greedy left-to-right fold — a
+single-pass string ``replace`` is NOT equivalent ('a a a a' under
+merge (a,a) must become '(aa) (aa)', but replace's resume-after-match
+scan yields '(aa) a a') — implemented as a Catalyst ``aggregate``
+higher-order fold over the symbol array: if the accumulator's last
+symbol is the merge's left and the next symbol its right, pop and push
+the merged symbol. Deterministic, engine-mirrorable (the oracle runs
+the identical fold as a recursive CTE), and JVM-side — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str, *, min_freq: int = 1
+) -> DataFrame:
+    """Whitespace-token frequency table ``(word, freq)`` — the
+    corpus-to-vocabulary compression BPE trains on. One explode + one
+    keyed aggregate; NULL texts and empty tokens are dropped."""
+    return (
+        df.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+
+
+def _sql_quote(sym: str) -> str:
+    return sym.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency."""
+    return (
+        words.filter(F.size(F.split(F.col("seq"), " ")) >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(seq, ' ')) - 1),"
+                    " i -> struct(element_at(split(seq, ' '), i) AS lhs,"
+                    "             element_at(split(seq, ' '), i + 1) AS rhs))"
+                )
+            ).alias("__p"),
+        )
+        .groupBy(F.col("__p.lhs").alias("lhs"), F.col("__p.rhs").alias("rhs"))
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 5,
+    min_freq: int = 1,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge table ``(rank int, lhs string, rhs string,
+    pair_count long)`` — rank 1 is the first (most frequent) merge;
+    ``pair_count`` is the frequency-weighted count at the time the
+    merge was chosen. Ties break on (lhs, rhs) ascending, so the merge
+    sequence is fully deterministic.
+
+    Driver traffic: exactly one (lhs, rhs, count) row per round.
+    ``checkpoint=True`` truncates the symbol-sequence lineage each
+    round (localCheckpoint, same opt-out contract as
+    clustering.kmeans_fit_assign) — the sequence column otherwise
+    accumulates one fold expression per merge.
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    words = word_frequencies(df, text_col, min_freq=min_freq).select(
+        "word",
+        "freq",
+        F.expr(
+            "array_join(transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1)), ' ')"
+        ).alias("seq"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(
+                F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0].lhs, top[0].rhs, top[0].pair_count
+        merges.append((rank, lhs, rhs, cnt))
+        ql, qr = _sql_quote(lhs), _sql_quote(rhs)
+        qm = _sql_quote(lhs + rhs)
+        words = words.select(
+            "word",
+            "freq",
+            F.expr(
+                "array_join(aggregate(split(seq, ' '),"
+                " cast(array() as array<string>),"
+                " (acc, x) -> CASE WHEN size(acc) > 0"
+                f" AND element_at(acc, -1) = '{ql}' AND x = '{qr}'"
+                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
+                " ELSE concat(acc, array(x)) END), ' ')"
+            ).alias("seq"),
+        )
+        if checkpoint:
+            words = words.localCheckpoint(eager=False)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    merges: DataFrame,
+    *,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply a learned merge table to tokenize ``text_col``: each
+    whitespace word is exploded to characters and every merge is
+    folded over it in rank order. Returns ``df`` with ``out_col`` as
+    an array of subword tokens.
+
+    The merge table is collected to the driver (vocabulary-sized by
+    construction — n_merges rows) and compiled into one chained
+    Catalyst fold expression; the data side stays a single projection,
+    no joins, no UDFs.
+    """
+    ordered = [
+        (r.lhs, r.rhs) for r in merges.orderBy("rank").collect()
+    ]
+    seq = (
+        "transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"
+    )
+    for lhs, rhs in ordered:
+        ql, qr, qm = _sql_quote(lhs), _sql_quote(rhs), _sql_quote(lhs + rhs)
+        seq = (
+            f"aggregate({seq}, cast(array() as array<string>),"
+            " (acc, x) -> CASE WHEN size(acc) > 0"
+            f" AND element_at(acc, -1) = '{ql}' AND x = '{qr}'"
+            f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
+            " ELSE concat(acc, array(x)) END)"
+        )
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.expr(
+                f"transform(split({text_col}, '\\\\s+'),"
+                f" __w -> CASE WHEN __w = '' THEN cast(array() as array<string>)"
+                f" ELSE {seq} END)"
+            )
+        ),
+    )

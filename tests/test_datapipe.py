@@ -1993,3 +1993,53 @@ def test_group_ols_exact_line_and_degenerate(spark):
     assert by["g"].slope == 2.0 and by["g"].intercept == 3.0
     assert by["g"].n == 10
     assert by["h"].slope is None and by["h"].intercept is None
+
+
+def test_bpe_train_greedy_fold_semantics(spark):
+    """Hand corpus 'aaaa aaaa aa': round 1 must count (a,a) = 7
+    (3 per 'aaaa' x2 + 1) and the merge application must be the
+    textbook greedy fold — 'aaaa' becomes (aa)(aa), NOT (aa)a a (the
+    single-pass replace() bug) — so round 2 finds (aa,aa) = 2."""
+    from python_etl_mailing_automation_spark.datapipe.tokenizer import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aa")], "doc_id int, text string"
+    )
+    merges = bpe_train(docs, "text", n_merges=2)
+    rows = {r.rank: r for r in merges.collect()}
+    assert (rows[1].lhs, rows[1].rhs, rows[1].pair_count) == ("a", "a", 7)
+    assert (rows[2].lhs, rows[2].rhs, rows[2].pair_count) == ("aa", "aa", 2)
+
+    seg = bpe_segment(
+        spark.createDataFrame(
+            [(1, "aaaa b aa"), (2, ""), (3, "aaaaa")],
+            "doc_id int, text string",
+        ),
+        "text",
+        merges,
+    )
+    toks = {r.doc_id: r.tokens for r in seg.collect()}
+    assert toks[1] == ["aaaa", "b", "aa"]
+    assert toks[2] == []
+    assert toks[3] == ["aaaa", "a"]  # greedy leftmost, leftover single
+
+    with pytest.raises(ValueError):
+        bpe_train(docs, "text", n_merges=0)
+
+
+def test_bpe_train_ties_and_exhaustion(spark):
+    """Deterministic (lhs, rhs) tie-break; asking for more merges than
+    the corpus supports returns only the feasible ones (a word fully
+    merged to one symbol yields no pairs)."""
+    from python_etl_mailing_automation_spark.datapipe.tokenizer import bpe_train
+
+    docs = spark.createDataFrame([(1, "ab cd ab cd")], "i int, text string")
+    merges = bpe_train(docs, "text", n_merges=5).collect()
+    # (a,b) and (c,d) both count 2 -> lexicographic lhs order first
+    assert [(m.rank, m.lhs, m.rhs) for m in merges] == [
+        (1, "a", "b"),
+        (2, "c", "d"),
+    ]
