@@ -1568,6 +1568,30 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_loghist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile sketch (datapipe/sketches.loghist_build/
+    loghist_quantiles): p50/p90/p99 of order-value cents per priority
+    from the ≤64-bucket log histogram — the streaming/profile-friendly
+    sibling of the exact corpus_quantiles, with 2× bounded relative
+    error and exact-integer bucket math (bit length, no floating
+    log)."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        loghist_build,
+        loghist_quantiles,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    sk = loghist_build(orders, "cents", group_col="o_orderpriority")
+    return loghist_quantiles(
+        sk, [(1, 2), (9, 10), (99, 100)], group_col="o_orderpriority"
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer training (datapipe/tokenizer.bpe_train, 6 merges):
     the ordered merge table learned from the documents corpus via the
@@ -2469,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_maps": q_zone_maps,
         "group_ols": q_group_ols,
         "bpe_train": q_bpe_train,
+        "loghist_quantiles": q_loghist_quantiles,
         "tfidf_topk": q_tfidf_topk,
         "interval_join": q_interval_join,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -3868,6 +3893,46 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # Log-histogram quantiles: bit-length buckets (exact integer,
+        # no float log), cumulative window, ceil-rank pick per rational
+        # quantile (sketches.loghist_build/loghist_quantiles).
+        "loghist_quantiles": """
+  WITH lh_b AS (SELECT o_orderpriority AS g,
+                       CAST(floor(o_totalprice * 100.0 + 0.5)
+                            AS BIGINT) AS v
+                FROM orders),
+  lh_s AS (SELECT g,
+                  CASE WHEN v = 0 THEN 0
+                       ELSE CAST(length(bin(v)) AS INT) END AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lh_b WHERE v IS NOT NULL AND v >= 0 GROUP BY 1, 2),
+  lh_c AS (SELECT g, bucket,
+                  SUM(cnt) OVER (PARTITION BY g ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+                  SUM(cnt) OVER (PARTITION BY g) AS n
+           FROM lh_s),
+  lh_q AS (
+    SELECT g, CAST(1 AS INT) AS q_num, CAST(2 AS INT) AS q_den,
+           MIN(CASE WHEN cum >= CAST((n * 1 + 1) / 2 AS BIGINT)
+                    THEN bucket END) AS bucket
+    FROM lh_c GROUP BY g
+    UNION ALL
+    SELECT g, CAST(9 AS INT), CAST(10 AS INT),
+           MIN(CASE WHEN cum >= CAST((n * 9 + 9) / 10 AS BIGINT)
+                    THEN bucket END)
+    FROM lh_c GROUP BY g
+    UNION ALL
+    SELECT g, CAST(99 AS INT), CAST(100 AS INT),
+           MIN(CASE WHEN cum >= CAST((n * 99 + 99) / 100 AS BIGINT)
+                    THEN bucket END)
+    FROM lh_c GROUP BY g)
+  SELECT g AS o_orderpriority, q_num, q_den, bucket,
+         CASE WHEN bucket <= 0 THEN 0
+              ELSE 1::BIGINT << (bucket - 1) END AS est_lo,
+         CASE WHEN bucket <= 0 THEN 0
+              ELSE (1::BIGINT << bucket) - 1 END AS est_hi
+  FROM lh_q""",
         # Gap-fill resample: day buckets on the floor(epoch/step) grid,
         # per-bucket last-by-(ts, value) pick, per-key generate_series
         # grid, IGNORE NULLS forward fill (timeseries.resample_fill).

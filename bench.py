@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "zone_maps",
     "group_ols",
     "bpe_train",
+    "loghist_quantiles",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -217,6 +218,14 @@ DEEP_QUERIES = [
     # deep datapoint guards that k-scaling rule.
     "kmeans_semantic",
     "semantic_curation_e2e",
+    # Round-6 iterative/sketch operators at 10×: PageRank's per-
+    # iteration join must track the edge count linearly; BPE rounds are
+    # vocabulary-bounded so 10× corpus should cost ~1× extra per round
+    # after the one corpus scan; the gap-fill grid is span-bounded per
+    # key, so 10× events must NOT mean 10× grid.
+    "pagerank",
+    "bpe_train",
+    "resample_fill",
 ]
 
 

@@ -1,6 +1,7 @@
-"""Mergeable probabilistic sketches — Bloom membership and Count-Min
-frequency — in the engine's deterministic md5 idiom, completing the
-sketch family next to the KMV distinct-count sketch in :mod:`.stats`.
+"""Mergeable probabilistic sketches — Bloom membership, Count-Min
+frequency, and log-histogram quantiles — in the engine's deterministic
+idiom, completing the sketch family next to the KMV distinct-count
+sketch in :mod:`.stats`.
 
 Why sketches at 100 TB: decontamination and blocklist checks against a
 big corpus are semi-joins whose build side may not be broadcastable as
@@ -30,7 +31,7 @@ decontamination and frequency-cap filtering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BITS_PER_WORD = 62
@@ -220,3 +221,100 @@ def cms_estimate(
     return df.join(
         est, on=F.col(value_col).cast("string") == F.col("__v"), how="left"
     ).drop("__v")
+
+
+def loghist_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Log-histogram sketch of a NON-NEGATIVE integer column: bucket b
+    holds values in [2^(b-1), 2^b - 1] (bucket 0 holds exactly 0), so
+    at most 64 buckets summarize any BIGINT distribution. The bucket
+    index is the value's binary bit length — ``length(bin(x))`` —
+    an exact integer on every engine (no floating log, whose boundary
+    rounding at exact powers of two is engine-dependent).
+
+    NULL and negative values are dropped (count them upstream if they
+    matter). Returns ``(group_col?, bucket int, cnt long)``; sketches
+    merge by union + re-sum — the mergeable quantile state for
+    streaming/profile use, next to the exact `corpus_quantiles` when a
+    full shuffle is affordable.
+    """
+    v = F.col(value_col).cast("long")
+    keys = [group_col] if group_col else []
+    bucket = F.when(v == 0, F.lit(0)).otherwise(
+        F.length(F.bin(v)).cast("int")
+    )
+    return (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(*keys, bucket.alias("bucket"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def loghist_quantiles(
+    sketch: DataFrame,
+    qs: list[tuple[int, int]],
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Quantile estimates from a :func:`loghist_build` sketch: for each
+    quantile q (given as an exact rational ``(num, den)`` — never a
+    float, so the rank threshold ``ceil(q·N)`` is integer-exact), the
+    first bucket whose cumulative count reaches the threshold, reported
+    as its value range [est_lo, est_hi] (relative error bounded by 2×
+    by construction). Output: one row per group × quantile —
+    ``(group_col?, q_num, q_den, bucket, est_lo, est_hi)``.
+
+    The sketch frame is at most 64 rows per group, so the cumulative
+    window and the per-q pick are driver-free but trivially cheap.
+    """
+    for num, den in qs:
+        if not (0 < num <= den):
+            raise ValueError(f"loghist_quantiles: bad quantile {num}/{den}")
+    keys = [group_col] if group_col else []
+    w_cum = (
+        Window.partitionBy(*[F.col(c) for c in keys])
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*[F.col(c) for c in keys])
+    cum = sketch.select(
+        *keys,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("__cum"),
+        F.sum("cnt").over(w_tot).alias("__n"),
+    )
+    picks = []
+    for num, den in qs:
+        # ceil(num*N/den) in exact integer arithmetic
+        thr = (F.col("__n") * F.lit(num) + F.lit(den - 1)) / F.lit(den)
+        thr = thr.cast("long")
+        b = F.min(F.when(F.col("__cum") >= thr, F.col("bucket")))
+        picks.append(
+            cum.groupBy(*keys).agg(
+                F.lit(num).alias("q_num"),
+                F.lit(den).alias("q_den"),
+                b.alias("bucket"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    est_lo = F.when(F.col("bucket") <= 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    )
+    est_hi = F.when(F.col("bucket") <= 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+    )
+    return out.select(
+        *keys,
+        "q_num",
+        "q_den",
+        "bucket",
+        est_lo.cast("long").alias("est_lo"),
+        est_hi.cast("long").alias("est_hi"),
+    )

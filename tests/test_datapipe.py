@@ -2043,3 +2043,46 @@ def test_bpe_train_ties_and_exhaustion(spark):
         (1, "a", "b"),
         (2, "c", "d"),
     ]
+
+
+def test_loghist_sketch_quantiles_and_merge(spark):
+    """Bucket = bit length (1->1, 2-3->2, 4-7->3...); the q-rank pick
+    lands in the bucket an exact quantile would (2x error envelope by
+    construction); zero goes to bucket 0; shard sketches merged by
+    union + re-sum equal the direct sketch; bad rationals raise."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        loghist_build,
+        loghist_quantiles,
+    )
+
+    vals = [0] + [1] * 10 + [5] * 10 + [100] * 79  # n=100
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    sk = loghist_build(df, "v")
+    by = {r.bucket: r.cnt for r in sk.collect()}
+    assert by == {0: 1, 1: 10, 3: 10, 7: 79}
+
+    qs = loghist_quantiles(sk, [(1, 2), (1, 10), (99, 100)])
+    got = {(r.q_num, r.q_den): (r.bucket, r.est_lo, r.est_hi)
+           for r in qs.collect()}
+    # p50: rank 50 falls in the 100s bucket (cum 1,11,21,100)
+    assert got[(1, 2)] == (7, 64, 127)
+    # p10: rank 10 falls in the 1s bucket
+    assert got[(1, 10)] == (1, 1, 1)
+    assert got[(99, 100)] == (7, 64, 127)
+
+    half_a = spark.createDataFrame([(v,) for v in vals[:50]], "v int")
+    half_b = spark.createDataFrame([(v,) for v in vals[50:]], "v int")
+    merged = (
+        loghist_build(half_a, "v")
+        .unionByName(loghist_build(half_b, "v"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {(r.bucket, r.cnt) for r in merged.collect()} == {
+        (b, c) for b, c in by.items()
+    }
+
+    with pytest.raises(ValueError):
+        loghist_quantiles(sk, [(0, 2)])
+    with pytest.raises(ValueError):
+        loghist_quantiles(sk, [(3, 2)])
