@@ -602,3 +602,143 @@ def test_posting_lists_df_sums_to_distinct_pairs(spark, texts):
         ids = r.postings.split(",")
         assert len(ids) == r.df and ids == sorted(ids, key=int)
         assert r.total_tf >= r.df
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=8
+    ),
+    n_merges=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_bpe_train_matches_pure_python_reference(spark, texts, n_merges):
+    """The engine's fold-based BPE (Catalyst aggregate) must equal a
+    pure-Python textbook implementation (Sennrich et al. 2016 counting
+    + greedy leftmost merge), including tie-breaks."""
+    from collections import Counter
+
+    from python_etl_mailing_automation_spark.datapipe.tokenizer import bpe_train
+
+    freqs = Counter(w for t in texts for w in t.split() if w)
+    seqs = {w: list(w) for w in freqs}
+    expected = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freqs[w]
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, lhs, rhs, cnt))
+        for w, syms in seqs.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == lhs and x == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(x)
+            seqs[w] = out
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.rank, r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(df, "text", n_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10**12),
+                  min_size=1, max_size=60),
+    q=st.tuples(st.integers(1, 99), st.just(100)),
+)
+@SETTINGS
+def test_loghist_quantile_brackets_true_quantile(spark, vals, q):
+    """The sketch's [est_lo, est_hi] must bracket the exact ceil-rank
+    quantile (the value at 1-based rank ceil(q·n) in sorted order) —
+    the 2x-error contract, on random value sets."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        loghist_build,
+        loghist_quantiles,
+    )
+
+    num, den = q
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = loghist_build(df, "v")
+    row = loghist_quantiles(sk, [(num, den)]).collect()[0]
+    true_q = sorted(vals)[(len(vals) * num + den - 1) // den - 1]
+    assert row.est_lo <= true_q <= row.est_hi
+
+
+@given(
+    members=st.sets(st.integers(0, 10**6), min_size=0, max_size=40),
+    probes=st.sets(st.integers(0, 10**6), min_size=1, max_size=40),
+)
+@SETTINGS
+def test_bloom_and_cms_over_report_only(spark, members, probes):
+    """Sketch safety contracts on random sets: Bloom never misses a
+    member; Count-Min never undercounts; absent values estimate >= 0."""
+    from collections import Counter
+
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+        cms_estimate,
+    )
+
+    mdf = spark.createDataFrame([(v,) for v in members] or [(None,)], "v long")
+    pdf = spark.createDataFrame([(v,) for v in probes], "v long")
+    bloom = bloom_build(mdf, "v", m_bits=1024, k_hashes=3)
+    res = bloom_probe(pdf, "v", bloom, m_bits=1024, k_hashes=3).collect()
+    for r in res:
+        if r.v in members:
+            assert r.maybe_member is True
+
+    truth = Counter(members)
+    cms = cms_build(mdf, "v", width=64, depth=3)
+    for r in cms_estimate(pdf, "v", cms, width=64, depth=3).collect():
+        assert r.est_cnt >= truth[r.v]
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=20
+    ).map(lambda s: [(a, b) for a, b in s if a != b]),
+)
+@SETTINGS
+def test_pagerank_matches_grid_reference(spark, edges):
+    """Fixed-iteration PageRank must equal a pure-Python reference
+    running the identical 2^-40 grid arithmetic on random digraphs."""
+    import math
+
+    from python_etl_mailing_automation_spark.datapipe.graph import pagerank
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.pr for r in pagerank(df, n_iter=2).collect()}
+
+    es = sorted(set(edges))
+    nodes = sorted({a for a, _ in es} | {b for _, b in es})
+    n = len(nodes)
+    deg = {}
+    for a, _ in es:
+        deg[a] = deg.get(a, 0) + 1
+    base = (1.0 - 0.85) / float(n)
+    pr = {v: 1.0 / float(n) for v in nodes}
+    for _ in range(2):
+        s = {v: 0 for v in nodes}
+        for a, b in es:
+            s[b] += math.floor(pr[a] / float(deg[a]) * 2.0**40)
+        pr = {
+            v: base + 0.85 * (float(s[v]) / 2.0**40) for v in nodes
+        }
+    assert set(got) == set(pr)
+    for v in nodes:
+        assert got[v] == pr[v], (v, got[v], pr[v])
