@@ -1568,6 +1568,22 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_jaccard_join_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact set-similarity self-join (datapipe/ssjoin, prefix
+    filtering per Bayardo et al. 2007): all document pairs with
+    3-shingle Jaccard >= 4/5, NO false negatives — the provably
+    complete complement to the LSH candidate paths, all accept/reject
+    decisions in integer arithmetic."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        jaccard_join_exact,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return jaccard_join_exact(
+        docs, "doc_id", "text", threshold=(4, 5), shingle=3
+    )
+
+
 def q_loghist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable quantile sketch (datapipe/sketches.loghist_build/
     loghist_quantiles): p50/p90/p99 of order-value cents per priority
@@ -2494,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_ols": q_group_ols,
         "bpe_train": q_bpe_train,
         "loghist_quantiles": q_loghist_quantiles,
+        "jaccard_join_exact": q_jaccard_join_exact,
         "tfidf_topk": q_tfidf_topk,
         "interval_join": q_interval_join,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -3893,6 +3910,45 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # Exact prefix-filter similarity join: rarest-first global token
+        # order, p = sz - ceil(t*sz) + 1 prefixes, integer size filter +
+        # integer Jaccard acceptance (ssjoin.jaccard_join_exact,
+        # t = 4/5, 3-shingles).
+        "jaccard_join_exact": """
+  WITH sj_w AS (SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+  sj_t AS (SELECT DISTINCT doc_id,
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+                  || ' ' || ws[CAST(i AS INT) + 2] AS tok
+           FROM sj_w, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+  sj_sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM sj_t GROUP BY 1),
+  sj_f AS (SELECT tok, COUNT(*) AS tf FROM sj_t GROUP BY 1),
+  sj_r AS (SELECT t.doc_id, t.tok, s.sz,
+                  ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                     ORDER BY f.tf ASC, t.tok ASC) AS pos
+           FROM sj_t t JOIN sj_f f ON t.tok = f.tok
+           JOIN sj_sz s ON t.doc_id = s.doc_id),
+  sj_p AS (SELECT doc_id, tok, sz FROM sj_r
+           WHERE pos <= sz - CAST((sz * 4 + 4) / 5 AS BIGINT) + 1),
+  sj_c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sz AS size_a, b.sz AS size_b
+           FROM sj_p a JOIN sj_p b
+             ON a.tok = b.tok AND a.doc_id < b.doc_id
+            AND b.sz * 5 >= a.sz * 4 AND a.sz * 5 >= b.sz * 4),
+  sj_i AS (SELECT c.id_a, c.id_b, c.size_a, c.size_b,
+                  CAST(COUNT(*) AS BIGINT) AS inter
+           FROM sj_c c
+           JOIN sj_t x ON x.doc_id = c.id_a
+           JOIN sj_t y ON y.doc_id = c.id_b AND y.tok = x.tok
+           GROUP BY 1, 2, 3, 4)
+  SELECT id_a, id_b, inter, size_a, size_b,
+         CAST(inter AS DOUBLE)
+         / CAST(size_a + size_b - inter AS DOUBLE) AS jaccard
+  FROM sj_i
+  WHERE inter * 5 >= 4 * (size_a + size_b - inter)""",
         # Log-histogram quantiles: bit-length buckets (exact integer,
         # no float log), cumulative window, ceil-rank pick per rational
         # quantile (sketches.loghist_build/loghist_quantiles).

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "group_ols",
     "bpe_train",
     "loghist_quantiles",
+    "jaccard_join_exact",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

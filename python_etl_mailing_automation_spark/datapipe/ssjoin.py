@@ -1,0 +1,152 @@
+"""Exact set-similarity self-join via prefix filtering (the
+AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008): every
+document pair with token-set Jaccard >= t, with NO false negatives —
+the exact complement to the LSH candidate paths in :mod:`.dedup`
+(which trade recall for fewer candidates) when the dedup policy must
+be provably complete.
+
+Prefix principle: order every document's tokens by one global total
+order (frequency ascending, token ascending — rarest first, so
+prefixes carry the most selective tokens); with prefix length
+``p = |x| - ceil(t·|x|) + 1``, any two sets with Jaccard >= t share at
+least one token in BOTH prefixes (the minimum-ranked shared token
+cannot sit in either suffix: a suffix holds only ceil(t·|x|) - 1
+tokens, fewer than the required overlap). So the candidate space is
+the prefix-token equi-join — selective because frequent tokens rarely
+reach a prefix — and every candidate is then verified exactly.
+
+Exactness discipline: the threshold is a RATIONAL ``(num, den)``; the
+prefix length, the symmetric size filter ``t·|a| <= |b| <= |a|/t``,
+and the final Jaccard acceptance ``inter·den >= num·(|a|+|b|-inter)``
+are all integer arithmetic — no float enters any decision, so the
+pair set is bit-reproducible on any engine.
+
+Scale shape: one token-frequency aggregate, one per-doc window over
+(freq, token) to rank prefixes, an equi-join on prefix tokens (each
+token's candidate fan-out bounded by its prefix frequency — the cut
+frequent tokens never reach), and a verify join on the candidate
+pairs' token sets. No cartesian anywhere; skew lives only in prefix
+tokens shared by many docs, which the frequency-ascending order
+minimizes by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def jaccard_join_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (1, 2),
+    shingle: int = 1,
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` whose token SETS have Jaccard >=
+    num/den. ``shingle=1`` compares whitespace-word sets; ``shingle=k``
+    compares k-word shingle sets (far more selective prefixes on
+    small-vocabulary corpora — a document with fewer than k words has
+    no tokens and joins nothing). Returns ``(id_a, id_b, inter,
+    size_a, size_b, jaccard)`` — jaccard is the only float, computed
+    after the exact integer acceptance test.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"jaccard_join_exact: bad threshold {num}/{den}")
+    if shingle < 1:
+        raise ValueError("jaccard_join_exact: shingle must be >= 1")
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+        ).alias("__ws"),
+    )
+    if shingle == 1:
+        tok = F.explode(F.col("__ws")).alias("tok")
+    else:
+        parts = ", ".join(
+            f"element_at(__ws, i + {j})" for j in range(shingle)
+        )
+        # sequence(1, 0) DESCENDS in Spark, so guard short docs with an
+        # explicit empty array
+        tok = F.explode(
+            F.expr(
+                f"CASE WHEN size(__ws) >= {shingle} THEN"
+                f" transform(sequence(1, size(__ws) - {shingle - 1}),"
+                f" i -> concat_ws(' ', {parts}))"
+                " ELSE cast(array() as array<string>) END"
+            )
+        ).alias("tok")
+    toks = words.select("__id", tok).distinct()
+    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = (
+        toks.join(freq, on="tok")
+        .join(sizes, on="__id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.col("tf").asc(), F.col("tok").asc()
+                )
+            ),
+        )
+    )
+    # prefix length p = sz - ceil(num*sz/den) + 1, all integer
+    ceil_t_sz = ((F.col("sz") * num + F.lit(den - 1)) / den).cast("long")
+    prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_t_sz + 1).select(
+        "__id", "tok", "sz"
+    )
+    a = prefix.select(
+        F.col("__id").alias("id_a"),
+        F.col("tok").alias("tok_a"),
+        F.col("sz").alias("size_a"),
+    )
+    b = prefix.select(
+        F.col("__id").alias("id_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("sz").alias("size_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("tok_a") == F.col("tok_b"),
+                F.col("id_a") < F.col("id_b"),
+                # symmetric size filter: num*size_a <= den*size_b and
+                # num*size_b <= den*size_a  (t·|a| <= |b| <= |a|/t)
+                F.col("size_b") * den >= F.col("size_a") * num,
+                F.col("size_a") * den >= F.col("size_b") * num,
+            ],
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("__id").alias("id_a"), F.col("tok").alias("ta"))
+    tb = toks.select(F.col("__id").alias("__idb"), F.col("tok").alias("tb"))
+    inter = (
+        cands.join(ta, on="id_a")
+        .join(
+            tb,
+            on=[F.col("id_b") == F.col("__idb"), F.col("ta") == F.col("tb")],
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    keep = inter.filter(
+        F.col("inter") * den
+        >= F.lit(num) * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    )
+    return keep.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        (
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )

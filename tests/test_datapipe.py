@@ -2086,3 +2086,52 @@ def test_loghist_sketch_quantiles_and_merge(spark):
         loghist_quantiles(sk, [(0, 2)])
     with pytest.raises(ValueError):
         loghist_quantiles(sk, [(3, 2)])
+
+
+def test_jaccard_join_exact_matches_brute_force(spark):
+    """Prefix-filter similarity join equals brute-force all-pairs on a
+    hand corpus (word tokens, t = 1/2), including the exact integer
+    boundary acceptance; empty docs and singletons behave."""
+    from itertools import combinations
+
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        jaccard_join_exact,
+    )
+
+    docs = [
+        (1, "a b c d"), (2, "a b c e"), (3, "a b c d"), (4, "x y z"),
+        (5, "x y z w"), (6, "q"), (7, "q"), (8, ""),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.jaccard)
+        for r in jaccard_join_exact(
+            df, "id", "text", threshold=(1, 2)
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs if t}
+    exp = {}
+    for x, y in combinations(sorted(sets), 2):
+        inter = len(sets[x] & sets[y])
+        union = len(sets[x] | sets[y])
+        if 2 * inter >= union:
+            exp[(x, y)] = (inter, inter / union)
+    assert got == exp
+
+    # 3-shingles: docs shorter than the shingle produce no tokens
+    short = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "p q r s"), (4, "p q r s")],
+        "id int, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in jaccard_join_exact(
+            short, "id", "text", threshold=(1, 2), shingle=3
+        ).collect()
+    }
+    assert pairs == {(3, 4)}
+
+    with pytest.raises(ValueError):
+        jaccard_join_exact(df, "id", "text", threshold=(3, 2))
+    with pytest.raises(ValueError):
+        jaccard_join_exact(df, "id", "text", shingle=0)

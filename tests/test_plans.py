@@ -501,3 +501,13 @@ def test_group_ols_single_aggregate_no_join(plans):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
     assert "Window" not in p
+
+
+def test_jaccard_join_exact_equi_joins_only(plans):
+    """The exact similarity join's pair source is the prefix-token
+    equi-join and its verify is a token equi-join — no cartesian or
+    nested-loop product anywhere despite being an all-pairs-complete
+    operator."""
+    p = plans("jaccard_join_exact")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

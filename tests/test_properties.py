@@ -742,3 +742,40 @@ def test_pagerank_matches_grid_reference(spark, edges):
     assert set(got) == set(pr)
     for v in nodes:
         assert got[v] == pr[v], (v, got[v], pr[v])
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=16),
+        min_size=2,
+        max_size=10,
+    ),
+    thr=st.sampled_from([(1, 2), (2, 3), (4, 5)]),
+)
+@SETTINGS
+def test_jaccard_join_exact_complete_on_random_corpora(spark, texts, thr):
+    """The prefix-filter join's completeness guarantee (no false
+    negatives) and exactness, against brute-force all-pairs on random
+    corpora — the property the LSH paths deliberately trade away."""
+    from itertools import combinations
+
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        jaccard_join_exact,
+    )
+
+    num, den = thr
+    df = spark.createDataFrame(list(enumerate(texts)), "id int, text string")
+    got = {
+        (r.id_a, r.id_b): r.inter
+        for r in jaccard_join_exact(
+            df, "id", "text", threshold=thr
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in enumerate(texts) if t.split()}
+    exp = {}
+    for x, y in combinations(sorted(sets), 2):
+        inter = len(sets[x] & sets[y])
+        union = len(sets[x] | sets[y])
+        if den * inter >= num * union:
+            exp[(x, y)] = inter
+    assert got == exp
