@@ -1568,6 +1568,56 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-2 dimension history (operators/dedup.scd2_intervals): each
+    customer's order log becomes validity intervals — valid_from /
+    exclusive valid_to / version / is_current — one window on the key,
+    deterministic same-timestamp order via the orderkey tiebreak."""
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        scd2_intervals,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    out = scd2_intervals(
+        orders, key="o_custkey", ts_col="o_orderdate", tiebreak="o_orderkey"
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "version",
+        "is_current",
+    )
+
+
+def q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-contract validation (datapipe/quality.constraint_report):
+    six constraint kinds over orders — the row-local four fold into ONE
+    aggregate pass; unique adds one keyed agg; the FK check is one
+    broadcast anti-join against customer."""
+    from python_etl_mailing_automation_spark.datapipe.quality import (
+        constraint_report,
+    )
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return constraint_report(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("range", "o_totalprice", 0.0, 1000000.0),
+            ("accepted", "o_orderstatus", ["O", "F", "P"]),
+            ("regexp", "o_orderpriority", "^[1-5]-"),
+            ("unique", "o_orderkey"),
+            ("fk", "o_custkey", "customer"),
+        ],
+        fk_tables={"customer": (cust, "c_custkey")},
+    )
+
+
 def q_jaccard_join_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact set-similarity self-join (datapipe/ssjoin, prefix
     filtering per Bayardo et al. 2007): all document pairs with
@@ -2511,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "loghist_quantiles": q_loghist_quantiles,
         "jaccard_join_exact": q_jaccard_join_exact,
+        "scd2_intervals": q_scd2_intervals,
+        "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
         "interval_join": q_interval_join,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -3910,6 +3962,62 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # SCD-2 intervals: one LEAD/ROW_NUMBER window per key with the
+        # orderkey tiebreak (operators/dedup.scd2_intervals).
+        "scd2_intervals": """
+  SELECT o_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         strftime(LEAD(o_orderdate) OVER w,
+                  '%Y-%m-%d %H:%M:%S') AS valid_to,
+         CAST(ROW_NUMBER() OVER w AS INT) AS version,
+         LEAD(o_orderdate) OVER w IS NULL AS is_current
+  FROM orders WHERE o_orderdate IS NOT NULL
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey)""",
+        # Data-contract report: row-local constraints as one-pass SUMs,
+        # unique as sum(c-1), fk as NOT EXISTS count
+        # (datapipe/quality.constraint_report).
+        "dq_report": """
+  WITH dq_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+  SELECT r."constraint", r."column", r.violations, n.n_rows
+  FROM (
+    SELECT 'not_null' AS "constraint", 'o_custkey' AS "column",
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'range', 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0.0
+                               OR o_totalprice > 1000000.0)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted', 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'regexp', 'o_orderpriority',
+           CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority,
+                                                 '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders
+          WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'fk', 'o_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+  ) r CROSS JOIN dq_n n""",
         # Exact prefix-filter similarity join: rarest-first global token
         # order, p = sz - ceil(t*sz) + 1 prefixes, integer size filter +
         # integer Jaccard acceptance (ssjoin.jaccard_join_exact,

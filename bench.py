@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "bpe_train",
     "loghist_quantiles",
     "jaccard_join_exact",
+    "scd2_intervals",
+    "dq_report",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

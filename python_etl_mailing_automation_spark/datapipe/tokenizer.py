@@ -98,6 +98,11 @@ def bpe_train(
             " i -> substring(word, i, 1)), ' ')"
         ).alias("seq"),
     )
+    if checkpoint:
+        # materializes during round 1's pair count; without this, round
+        # 2's action re-scans the corpus to realize round 1's lazy
+        # checkpoint (two corpus scans instead of one)
+        words = words.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (

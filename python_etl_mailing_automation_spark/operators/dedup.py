@@ -226,3 +226,38 @@ def snapshot_diff(
         )
         .filter(F.col("op").isNotNull())
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    *,
+    key: str | list[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Change log → SCD-type-2 dimension history: per key, each change
+    row becomes a validity interval — ``valid_from`` = its timestamp,
+    ``valid_to`` = the NEXT change's timestamp (exclusive; NULL on the
+    latest row), plus ``version`` (1-based change order) and
+    ``is_current``. The as-of lookup against this history is then a
+    plain ``valid_from <= t < valid_to`` filter (or the engine's
+    :mod:`..operators.asof` union-merge join).
+
+    One window over (key, ts[, tiebreak]) — a single shuffle on the
+    key; ``tiebreak`` makes same-timestamp change order deterministic
+    (required whenever the log can carry ties, e.g. a sequence or
+    arrival id). NULL timestamps are rejected upstream concerns and
+    dropped here.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        changes.filter(F.col(ts_col).isNotNull())
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -629,3 +629,83 @@ def test_snapshot_diff_null_keys(spark):
     )
     out2 = {(r.k, r.op, r.changed) for r in snapshot_diff(old, new2, key="k").collect()}
     assert out2 == {(None, "update", "name")}
+
+
+def test_scd2_intervals_history_semantics(spark):
+    """Hand change log: intervals chain (valid_to = next valid_from),
+    exactly one current row per key, version is 1-based change order,
+    ties break on the tiebreak column, NULL timestamps are dropped."""
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.operators.dedup import (
+        scd2_intervals,
+    )
+
+    rows = [
+        ("k1", 1, 10.0), ("k1", 2, 20.0), ("k1", 3, 30.0),
+        ("k2", 4, 10.0), ("k2", 5, 10.0),        # tie -> id order
+        ("k3", 6, None),                          # dropped
+    ]
+    df = spark.createDataFrame(rows, "k string, id int, sec double").select(
+        "k", "id", F.timestamp_seconds("sec").alias("ts")
+    )
+    out = scd2_intervals(df, key="k", ts_col="ts", tiebreak="id").collect()
+    byk = {}
+    for r in out:
+        byk.setdefault(r.k, []).append(r)
+    assert "k3" not in byk
+    k1 = sorted(byk["k1"], key=lambda r: r.version)
+    assert [r.id for r in k1] == [1, 2, 3]
+    assert [r.is_current for r in k1] == [False, False, True]
+    for prev, nxt in zip(k1, k1[1:]):
+        assert prev.valid_to == nxt.valid_from
+    k2 = sorted(byk["k2"], key=lambda r: r.version)
+    assert [r.id for r in k2] == [4, 5]          # tiebreak ordering
+    assert sum(r.is_current for r in out) == 2   # one current per key
+
+
+def test_constraint_report_counts(spark):
+    """Every constraint kind counts exactly its violations; NULLs are
+    not range/accepted/regexp violations; unique counts rows beyond
+    the first; fk counts non-NULL orphans."""
+    import pytest as _pytest
+    from python_etl_mailing_automation_spark.datapipe.quality import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "O", "1-URGENT"),
+            (1, -2.0, "X", "bad"),
+            (None, 99999.0, None, None),
+            (2, None, "F", "5-LOW"),
+        ],
+        "k int, v double, s string, p string",
+    )
+    dim = spark.createDataFrame([(1,)], "d int")
+    rep = {
+        (r.constraint, r.column): (r.violations, r.n_rows)
+        for r in constraint_report(
+            df,
+            [
+                ("not_null", "k"),
+                ("range", "v", 0.0, 100.0),
+                ("accepted", "s", ["O", "F"]),
+                ("regexp", "p", "^[1-5]-"),
+                ("unique", "k"),
+                ("fk", "k", "dim"),
+            ],
+            fk_tables={"dim": (dim, "d")},
+        ).collect()
+    }
+    assert rep[("not_null", "k")] == (1, 4)
+    assert rep[("range", "v")] == (2, 4)      # -2 and 99999; NULL passes
+    assert rep[("accepted", "s")] == (1, 4)   # X; NULL passes
+    assert rep[("regexp", "p")] == (1, 4)     # bad; NULL passes
+    assert rep[("unique", "k")] == (1, 4)     # two 1s -> 1 extra
+    assert rep[("fk", "k")] == (1, 4)         # the 2; NULL not an orphan
+
+    with _pytest.raises(ValueError):
+        constraint_report(df, [])
+    with _pytest.raises(ValueError):
+        constraint_report(df, [("nope", "k")])

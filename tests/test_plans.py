@@ -511,3 +511,23 @@ def test_jaccard_join_exact_equi_joins_only(plans):
     p = plans("jaccard_join_exact")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_scd2_intervals_single_key_exchange(plans):
+    """SCD-2 history: LEAD + ROW_NUMBER share one window frame — a
+    single hashpartitioning exchange on the key, no join."""
+    p = plans("scd2_intervals")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_dq_report_rowlocal_constraints_one_pass(plans):
+    """The four row-local constraints share ONE aggregate scan (their
+    sums appear in a single HashAggregate), the fk check is a broadcast
+    anti-join, and the only nested-loop is the 1-row n_rows attach."""
+    p = plans("dq_report")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    # scans: row-local one-pass agg + unique + fk (orders & customer)
+    # + n_rows = 5 — NOT one scan per constraint
+    assert p.count("FileScan") <= 6
