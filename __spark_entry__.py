@@ -1568,6 +1568,22 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact asymmetric containment join (datapipe/ssjoin
+    .containment_join_exact): ordered doc pairs with |A∩B|/|A| >= 9/10
+    over 3-shingles — the doc-subset detector symmetric Jaccard misses
+    when the containing side is much larger; contained-side-only prefix
+    pruning, integer acceptance."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        containment_join_exact,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return containment_join_exact(
+        docs, "doc_id", "text", threshold=(9, 10), shingle=3
+    )
+
+
 def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """SCD-2 dimension history (operators/dedup.scd2_intervals): each
     customer's order log becomes validity intervals — valid_from /
@@ -2561,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "loghist_quantiles": q_loghist_quantiles,
         "jaccard_join_exact": q_jaccard_join_exact,
+        "containment_join": q_containment_join,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -3962,6 +3979,43 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # Containment join: contained-side prefix vs full index,
+        # inter*den >= num*size_a acceptance (ssjoin
+        # .containment_join_exact, t = 9/10, 3-shingles).
+        "containment_join": """
+  WITH cj_w AS (SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+  cj_t AS (SELECT DISTINCT doc_id,
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+                  || ' ' || ws[CAST(i AS INT) + 2] AS tok
+           FROM cj_w, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+  cj_sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM cj_t GROUP BY 1),
+  cj_f AS (SELECT tok, COUNT(*) AS tf FROM cj_t GROUP BY 1),
+  cj_r AS (SELECT t.doc_id, t.tok, s.sz,
+                  ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                     ORDER BY f.tf ASC, t.tok ASC) AS pos
+           FROM cj_t t JOIN cj_f f ON t.tok = f.tok
+           JOIN cj_sz s ON t.doc_id = s.doc_id),
+  cj_p AS (SELECT doc_id, tok, sz FROM cj_r
+           WHERE pos <= sz - ((sz * 9 + 9) // 10) + 1),
+  cj_c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sz AS size_a, bs.sz AS size_b
+           FROM cj_p a JOIN cj_t b
+             ON a.tok = b.tok AND a.doc_id <> b.doc_id
+           JOIN cj_sz bs ON b.doc_id = bs.doc_id),
+  cj_i AS (SELECT c.id_a, c.id_b, c.size_a, c.size_b,
+                  CAST(COUNT(*) AS BIGINT) AS inter
+           FROM cj_c c
+           JOIN cj_t x ON x.doc_id = c.id_a
+           JOIN cj_t y ON y.doc_id = c.id_b AND y.tok = x.tok
+           GROUP BY 1, 2, 3, 4)
+  SELECT id_a, id_b, inter, size_a, size_b,
+         CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
+  FROM cj_i
+  WHERE inter * 10 >= 9 * size_a""",
         # SCD-2 intervals: one LEAD/ROW_NUMBER window per key with the
         # orderkey tiebreak (operators/dedup.scd2_intervals).
         "scd2_intervals": """
@@ -4040,7 +4094,7 @@ def oracle_sql() -> dict[str, str]:
            FROM sj_t t JOIN sj_f f ON t.tok = f.tok
            JOIN sj_sz s ON t.doc_id = s.doc_id),
   sj_p AS (SELECT doc_id, tok, sz FROM sj_r
-           WHERE pos <= sz - CAST((sz * 4 + 4) / 5 AS BIGINT) + 1),
+           WHERE pos <= sz - ((sz * 4 + 4) // 5) + 1),
   sj_c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                   a.sz AS size_a, b.sz AS size_b
            FROM sj_p a JOIN sj_p b
@@ -4078,17 +4132,17 @@ def oracle_sql() -> dict[str, str]:
            FROM lh_s),
   lh_q AS (
     SELECT g, CAST(1 AS INT) AS q_num, CAST(2 AS INT) AS q_den,
-           MIN(CASE WHEN cum >= CAST((n * 1 + 1) / 2 AS BIGINT)
+           MIN(CASE WHEN cum >= ((n * 1 + 1) // 2)
                     THEN bucket END) AS bucket
     FROM lh_c GROUP BY g
     UNION ALL
     SELECT g, CAST(9 AS INT), CAST(10 AS INT),
-           MIN(CASE WHEN cum >= CAST((n * 9 + 9) / 10 AS BIGINT)
+           MIN(CASE WHEN cum >= ((n * 9 + 9) // 10)
                     THEN bucket END)
     FROM lh_c GROUP BY g
     UNION ALL
     SELECT g, CAST(99 AS INT), CAST(100 AS INT),
-           MIN(CASE WHEN cum >= CAST((n * 99 + 99) / 100 AS BIGINT)
+           MIN(CASE WHEN cum >= ((n * 99 + 99) // 100)
                     THEN bucket END)
     FROM lh_c GROUP BY g)
   SELECT g AS o_orderpriority, q_num, q_den, bucket,

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "loghist_quantiles",
     "jaccard_join_exact",
+    "containment_join",
     "scd2_intervals",
     "dq_report",
 ]
@@ -229,6 +230,10 @@ DEEP_QUERIES = [
     "pagerank",
     "bpe_train",
     "resample_fill",
+    # Exact prefix-filter similarity join: candidates scale with the
+    # near-dup structure, not quadratically — the deep datapoint guards
+    # the prefix selectivity claim.
+    "jaccard_join_exact",
 ]
 
 

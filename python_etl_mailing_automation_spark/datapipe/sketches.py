@@ -290,9 +290,10 @@ def loghist_quantiles(
     )
     picks = []
     for num, den in qs:
-        # ceil(num*N/den) in exact integer arithmetic
-        thr = (F.col("__n") * F.lit(num) + F.lit(den - 1)) / F.lit(den)
-        thr = thr.cast("long")
+        # ceil(num*N/den) via SQL `div` — exact integer division (a
+        # double divide + cast misfloors past 2^53; the DuckDB oracle
+        # mirrors with `//`)
+        thr = F.expr(f"(__n * {num} + {den - 1}) div {den}")
         b = F.min(F.when(F.col("__cum") >= thr, F.col("bucket")))
         picks.append(
             cum.groupBy(*keys).agg(

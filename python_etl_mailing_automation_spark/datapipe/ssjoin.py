@@ -36,27 +36,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def jaccard_join_exact(
+def _tokens_and_prefix(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
-    threshold: tuple[int, int] = (1, 2),
-    shingle: int = 1,
-) -> DataFrame:
-    """All pairs ``(id_a < id_b)`` whose token SETS have Jaccard >=
-    num/den. ``shingle=1`` compares whitespace-word sets; ``shingle=k``
-    compares k-word shingle sets (far more selective prefixes on
-    small-vocabulary corpora — a document with fewer than k words has
-    no tokens and joins nothing). Returns ``(id_a, id_b, inter,
-    size_a, size_b, jaccard)`` — jaccard is the only float, computed
-    after the exact integer acceptance test.
-    """
-    num, den = threshold
-    if not (0 < num <= den):
-        raise ValueError(f"jaccard_join_exact: bad threshold {num}/{den}")
+    num: int,
+    den: int,
+    shingle: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tokenization + prefix machinery: distinct token frame
+    ``(__id, tok)`` and its ``sz - ceil(t·sz) + 1`` rarest-first
+    prefix ``(__id, tok, sz)``."""
     if shingle < 1:
-        raise ValueError("jaccard_join_exact: shingle must be >= 1")
+        raise ValueError("similarity join: shingle must be >= 1")
     words = df.select(
         F.col(id_col).alias("__id"),
         F.expr(
@@ -94,10 +87,38 @@ def jaccard_join_exact(
             ),
         )
     )
-    # prefix length p = sz - ceil(num*sz/den) + 1, all integer
-    ceil_t_sz = ((F.col("sz") * num + F.lit(den - 1)) / den).cast("long")
+    # prefix length p = sz - ceil(num*sz/den) + 1, all integer; SQL
+    # `div` is exact integer division at any magnitude (double-divide
+    # + cast would misfloor past 2^53, and DuckDB's cast-from-double
+    # ROUNDS while Spark's truncates — the oracle uses `//`)
+    ceil_t_sz = F.expr(f"(sz * {num} + {den - 1}) div {den}")
     prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_t_sz + 1).select(
         "__id", "tok", "sz"
+    )
+    return toks, prefix
+
+
+def jaccard_join_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (1, 2),
+    shingle: int = 1,
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` whose token SETS have Jaccard >=
+    num/den. ``shingle=1`` compares whitespace-word sets; ``shingle=k``
+    compares k-word shingle sets (far more selective prefixes on
+    small-vocabulary corpora — a document with fewer than k words has
+    no tokens and joins nothing). Returns ``(id_a, id_b, inter,
+    size_a, size_b, jaccard)`` — jaccard is the only float, computed
+    after the exact integer acceptance test.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"jaccard_join_exact: bad threshold {num}/{den}")
+    toks, prefix = _tokens_and_prefix(
+        df, id_col, text_col, num=num, den=den, shingle=shingle
     )
     a = prefix.select(
         F.col("__id").alias("id_a"),
@@ -149,4 +170,76 @@ def jaccard_join_exact(
             F.col("inter").cast("double")
             / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
         ).alias("jaccard"),
+    )
+
+
+def containment_join_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (9, 10),
+    shingle: int = 1,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment self-join: ordered pairs
+    ``(id_a, id_b)``, ``a != b``, with ``|A∩B| / |A| >= num/den`` — the
+    doc-subset detector (quotes, mirrors, page-in-site, prompt-in-
+    transcript) that symmetric Jaccard misses when |B| >> |A|.
+
+    Prefix principle, one-sided: only the CONTAINED side prunes — A
+    emits its ``|A| - ceil(t·|A|) + 1`` rarest-first prefix tokens
+    (an overlap of ceil(t·|A|) tokens cannot hide in the
+    ceil(t·|A|) - 1 token suffix), while B indexes ALL tokens (no size
+    bound exists on the containing side). Candidate fan-out is the
+    FULL document frequency of A's prefix tokens — still rare by the
+    rarest-first order. Acceptance is pure integer arithmetic.
+
+    Returns ``(id_a, id_b, inter, size_a, size_b, containment)``.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"containment_join_exact: bad threshold {num}/{den}")
+    toks, prefix = _tokens_and_prefix(
+        df, id_col, text_col, num=num, den=den, shingle=shingle
+    )
+    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    a = prefix.select(
+        F.col("__id").alias("id_a"),
+        F.col("tok").alias("tok_a"),
+        F.col("sz").alias("size_a"),
+    )
+    ball = toks.join(sizes, on="__id").select(
+        F.col("__id").alias("id_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("sz").alias("size_b"),
+    )
+    cands = (
+        a.join(
+            ball,
+            on=[F.col("tok_a") == F.col("tok_b"), F.col("id_a") != F.col("id_b")],
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("__id").alias("id_a"), F.col("tok").alias("ta"))
+    tb = toks.select(F.col("__id").alias("__idb"), F.col("tok").alias("tb"))
+    inter = (
+        cands.join(ta, on="id_a")
+        .join(
+            tb,
+            on=[F.col("id_b") == F.col("__idb"), F.col("ta") == F.col("tb")],
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    keep = inter.filter(F.col("inter") * den >= F.lit(num) * F.col("size_a"))
+    return keep.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        (F.col("inter").cast("double") / F.col("size_a").cast("double")).alias(
+            "containment"
+        ),
     )

@@ -2135,3 +2135,44 @@ def test_jaccard_join_exact_matches_brute_force(spark):
         jaccard_join_exact(df, "id", "text", threshold=(3, 2))
     with pytest.raises(ValueError):
         jaccard_join_exact(df, "id", "text", shingle=0)
+
+
+def test_containment_join_asymmetric(spark):
+    """Containment finds doc-in-doc pairs symmetric Jaccard misses:
+    a 2-token doc fully inside an 8-token doc scores containment 1.0
+    but Jaccard 0.25; exact-boundary acceptance (inter*den == num*sz)
+    is kept — the case that exposed DuckDB's round-vs-truncate cast."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        containment_join_exact,
+        jaccard_join_exact,
+    )
+
+    docs = [
+        (1, "a b"),
+        (2, "a b c d e f g h"),
+        (3, "a b x"),
+        (4, "p q r"),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_join_exact(
+            df, "id", "text", threshold=(1, 1)
+        ).collect()
+    }
+    assert cont == {(1, 2): 1.0, (1, 3): 1.0}
+    jac = {
+        (r.id_a, r.id_b)
+        for r in jaccard_join_exact(df, "id", "text", threshold=(1, 2)).collect()
+    }
+    assert (1, 2) not in jac  # the asymmetric pair Jaccard misses
+
+    # exact boundary: |A|=10, inter=9, t=9/10 -> accepted
+    a = "t%d " * 10 % tuple(range(10))
+    b = "t%d " * 9 % tuple(range(9)) + "zz"
+    bdf = spark.createDataFrame([(1, a), (2, b)], "id int, text string")
+    hit = containment_join_exact(bdf, "id", "text", threshold=(9, 10)).collect()
+    assert {(r.id_a, r.id_b) for r in hit} >= {(2, 1)}
+
+    with pytest.raises(ValueError):
+        containment_join_exact(df, "id", "text", threshold=(2, 1))
