@@ -1568,6 +1568,19 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_stream_loghist_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of the streaming per-window log-histogram sketch
+    (streaming/events.windowed_loghist — the same definition runs under
+    readStream with a watermark, equality pytest-pinned): quantile
+    sketch state per tumbling hour, <= 64 rows per window however many
+    events arrive."""
+    from python_etl_mailing_automation_spark.streaming.events import (
+        windowed_loghist,
+    )
+
+    return windowed_loghist(_t(spark, sf, "events"))
+
+
 def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     """Exact asymmetric containment join (datapipe/ssjoin
     .containment_join_exact): ordered doc pairs with |A∩B|/|A| >= 9/10
@@ -2578,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loghist_quantiles": q_loghist_quantiles,
         "jaccard_join_exact": q_jaccard_join_exact,
         "containment_join": q_containment_join,
+        "stream_loghist_batch": q_stream_loghist_batch,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -3979,6 +3993,20 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # Streaming log-histogram batch twin: hour windows (exact
+        # epoch-hour trunc) x bit-length buckets
+        # (streaming/events.windowed_loghist).
+        "stream_loghist_batch": """
+  WITH sl_b AS (SELECT date_trunc('hour', ts) AS h,
+                       CAST(floor(value) AS BIGINT) AS v
+                FROM events),
+  sl_s AS (SELECT h,
+                  CASE WHEN v = 0 THEN 0
+                       ELSE CAST(length(bin(v)) AS INT) END AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM sl_b WHERE v IS NOT NULL AND v >= 0 GROUP BY 1, 2)
+  SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, bucket, cnt
+  FROM sl_s""",
         # Containment join: contained-side prefix vs full index,
         # inter*den >= num*size_a acceptance (ssjoin
         # .containment_join_exact, t = 9/10, 3-shingles).

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "loghist_quantiles",
     "jaccard_join_exact",
     "containment_join",
+    "stream_loghist_batch",
     "scd2_intervals",
     "dq_report",
 ]

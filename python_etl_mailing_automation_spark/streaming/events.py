@@ -93,3 +93,59 @@ def tumbling_event_counts_stream(
         "min_value",
         "max_value",
     )
+
+
+def windowed_loghist(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_expr: str = "CAST(floor(value) AS BIGINT)",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Batch form: the :mod:`..datapipe.sketches` log-histogram sketch
+    per tumbling window — ``(window_start, bucket, cnt)``. The sketch
+    is a pure keyed COUNT over (window, bit-length bucket), so the
+    identical definition runs under ``readStream`` with a watermark
+    (see :func:`windowed_loghist_stream`): per-window sketch state is
+    ≤ 64 rows however many events arrive, the property that makes a
+    quantile profile affordable as a live stream metric. Negative and
+    NULL values are dropped (the sketch's domain contract). The default
+    value_expr floors explicitly: a bare double->BIGINT cast TRUNCATES
+    on Spark but ROUNDS on DuckDB."""
+    v = F.expr(value_expr)
+    bucket = F.when(v == 0, F.lit(0)).otherwise(
+        F.length(F.bin(v)).cast("int")
+    )
+    return (
+        events.filter(v.isNotNull() & (v >= 0))
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "bucket",
+            "cnt",
+        )
+    )
+
+
+def windowed_loghist_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_expr: str = "CAST(floor(value) AS BIGINT)",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`windowed_loghist`: add the watermark,
+    keep the definition."""
+    return windowed_loghist(
+        events.withWatermark(ts_col, watermark),
+        ts_col=ts_col,
+        value_expr=value_expr,
+        window_duration=window_duration,
+    )

@@ -494,3 +494,46 @@ def test_streaming_curation_into_idempotent_sink(spark, sf_dir):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_loghist_matches_batch(spark, sf_dir):
+    """The mergeable quantile sketch as a live stream metric: the
+    streamed per-window log histogram equals the batch twin exactly
+    (counts are associative, so state-store merge order is
+    invisible)."""
+    from python_etl_mailing_automation_spark.streaming.events import (
+        windowed_loghist,
+        windowed_loghist_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    batch = {
+        (r.window_start, r.bucket): r.cnt
+        for r in windowed_loghist(events).collect()
+    }
+
+    stage_dir = tempfile.mkdtemp(prefix="lh_in_")
+    ckpt = tempfile.mkdtemp(prefix="lh_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(stage_dir)
+        stream_in = spark.readStream.schema(events.schema).parquet(stage_dir)
+        agg = windowed_loghist_stream(stream_in)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("loghist_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            streamed = {
+                (r.window_start, r.bucket): r.cnt
+                for r in spark.sql("select * from loghist_test").collect()
+            }
+        finally:
+            q.stop()
+        assert streamed == batch and len(streamed) > 0
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
