@@ -231,9 +231,12 @@ DEEP_QUERIES = [
     "pagerank",
     "bpe_train",
     "resample_fill",
-    # Exact prefix-filter similarity join: candidates scale with the
-    # near-dup structure, not quadratically — the deep datapoint guards
-    # the prefix selectivity claim.
+    # Exact prefix-filter similarity join. NOTE the deep number is
+    # OUTPUT-bound, not candidate-waste: make_sf's 10-copy replication
+    # puts every doc in a 10-clone group, so the TRUE pair count grows
+    # ~45x per doc (sf1.0 emits ~249k pairs vs sf0.1's ~2.5k) — wall
+    # time growing ~14x is sublinear in the answer size, which is the
+    # prefix-selectivity claim holding, not failing.
     "jaccard_join_exact",
 ]
 
