@@ -779,3 +779,39 @@ def test_jaccard_join_exact_complete_on_random_corpora(spark, texts, thr):
         if den * inter >= num * union:
             exp[(x, y)] = inter
     assert got == exp
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=16),
+        min_size=2,
+        max_size=10,
+    ),
+    thr=st.sampled_from([(1, 2), (3, 4), (1, 1)]),
+)
+@SETTINGS
+def test_containment_join_complete_on_random_corpora(spark, texts, thr):
+    """The one-sided prefix prune never loses a containment pair:
+    brute-force |A∩B|/|A| >= t over all ORDERED pairs on random
+    corpora equals the operator's output exactly."""
+    from itertools import permutations
+
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        containment_join_exact,
+    )
+
+    num, den = thr
+    df = spark.createDataFrame(list(enumerate(texts)), "id int, text string")
+    got = {
+        (r.id_a, r.id_b): r.inter
+        for r in containment_join_exact(
+            df, "id", "text", threshold=thr
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in enumerate(texts) if t.split()}
+    exp = {}
+    for x, y in permutations(sorted(sets), 2):
+        inter = len(sets[x] & sets[y])
+        if den * inter >= num * len(sets[x]):
+            exp[(x, y)] = inter
+    assert got == exp
