@@ -1568,6 +1568,22 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-baseline anomaly flags (datapipe/timeseries
+    .seasonal_anomalies): events whose value exceeds 2x their
+    (event_type, hour-of-day) mean — grid-exact baselines broadcast
+    back, flag as a scan-side projection."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        seasonal_anomalies,
+    )
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    out = seasonal_anomalies(ev, "ts", "event_type", "value", factor=2.0)
+    return out.select(
+        "event_id", "event_type", "season_bucket", "value", "baseline", "ratio"
+    )
+
+
 def q_stream_loghist_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Batch twin of the streaming per-window log-histogram sketch
     (streaming/events.windowed_loghist — the same definition runs under
@@ -2592,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_exact": q_jaccard_join_exact,
         "containment_join": q_containment_join,
         "stream_loghist_batch": q_stream_loghist_batch,
+        "seasonal_anomalies": q_seasonal_anomalies,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -3993,6 +4010,27 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # Seasonal anomalies: grid-exact hour-of-day baselines, 2x
+        # threshold (timeseries.seasonal_anomalies).
+        "seasonal_anomalies": """
+  WITH sa_b AS (SELECT event_type, CAST(hour(ts) AS INT) AS season_bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(floor(value * 1099511627776.0)
+                                AS BIGINT)) AS s
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1, 2),
+  sa_m AS (SELECT event_type, season_bucket,
+                  (CAST(s AS DOUBLE) / 1099511627776.0)
+                  / CAST(n AS DOUBLE) AS baseline
+           FROM sa_b)
+  SELECT e.event_id, e.event_type,
+         CAST(hour(e.ts) AS INT) AS season_bucket,
+         e.value, m.baseline, e.value / m.baseline AS ratio
+  FROM events e JOIN sa_m m
+    ON e.event_type = m.event_type
+   AND CAST(hour(e.ts) AS INT) = m.season_bucket
+  WHERE e.value IS NOT NULL AND e.ts IS NOT NULL
+    AND e.value > 2.0e0 * m.baseline""",
         # Streaming log-histogram batch twin: hour windows (exact
         # epoch-hour trunc) x bit-length buckets
         # (streaming/events.windowed_loghist).

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "jaccard_join_exact",
     "containment_join",
     "stream_loghist_batch",
+    "seasonal_anomalies",
     "scd2_intervals",
     "dq_report",
 ]

@@ -96,3 +96,69 @@ def resample_fill(
             F.col("__v").isNotNull().alias(out_observed),
         )
     )
+
+
+_GRID = 2.0**40
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    factor: float = 2.0,
+    season: str = "hour_of_day",
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the metrics-pipeline
+    primitive: per (key, season bucket) the mean value is the
+    baseline, and rows with ``value > factor · baseline`` are flagged.
+    ``season``: ``hour_of_day`` (0-23) or ``day_of_week`` (1-7,
+    Sunday=1 — Spark's dayofweek, mirrored by DuckDB's dow+1).
+
+    Exactness: baselines are grid-exact means (floor(v·2^40) summed as
+    BIGINT, divided back in one fixed op order), so the flag decision
+    is bit-reproducible; pick a ``factor`` exactly representable in
+    binary (2.0, 1.5, 2.5 — not 1.1) to keep the threshold itself
+    engine-exact.
+
+    Scale shape: one (key, season) aggregate — at most keys × 24 (or
+    × 7) baseline rows, broadcast back to the stream; the flag is then
+    a scan-side projection. Returns the flagged rows with ``season_
+    bucket``, ``baseline`` and ``ratio`` appended.
+    """
+    if season == "hour_of_day":
+        bucket = F.hour(F.col(ts_col))
+    elif season == "day_of_week":
+        bucket = F.dayofweek(F.col(ts_col))
+    else:
+        raise ValueError(f"seasonal_anomalies: unknown season {season!r}")
+    v = F.col(value_col)
+    base = (
+        df.filter(v.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col),
+            bucket.alias("season_bucket"),
+            F.floor(v * F.lit(_GRID)).cast("long").alias("__g"),
+        )
+        .groupBy(key_col, "season_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__g").alias("__s"),
+        )
+        .select(
+            key_col,
+            "season_bucket",
+            (
+                (F.col("__s").cast("double") / F.lit(_GRID))
+                / F.col("__n").cast("double")
+            ).alias("baseline"),
+        )
+    )
+    flagged = (
+        df.filter(v.isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("season_bucket", bucket)
+        .join(F.broadcast(base), on=[key_col, "season_bucket"])
+        .filter(v > F.lit(factor) * F.col("baseline"))
+    )
+    return flagged.withColumn("ratio", v / F.col("baseline"))

@@ -2176,3 +2176,37 @@ def test_containment_join_asymmetric(spark):
 
     with pytest.raises(ValueError):
         containment_join_exact(df, "id", "text", threshold=(2, 1))
+
+
+def test_seasonal_anomalies_flags_and_baseline(spark):
+    """Hand series: hour-0 baseline mean(10, 10, 100) = 40 flags only
+    the 100 (> 2x40); hour-1's uniform values flag nothing; NULLs are
+    dropped; unknown season raises; day_of_week mode runs."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        seasonal_anomalies,
+    )
+
+    rows = [
+        (1, 0.0, "a", 10.0),
+        (2, 100.0, "a", 10.0),
+        (3, 200.0, "a", 100.0),      # hour 0, > 2*40 -> flagged
+        (4, 3600.0, "a", 50.0),      # hour 1 alone: baseline 50, not > 100
+        (5, 300.0, "a", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, sec double, event_type string, value double"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type", "value")
+    out = seasonal_anomalies(df, "ts", "event_type", "value", factor=2.0)
+    got = {r.event_id: (r.baseline, r.ratio) for r in out.collect()}
+    assert set(got) == {3}
+    assert got[3][0] == 40.0 and got[3][1] == 2.5
+
+    assert (
+        seasonal_anomalies(
+            df, "ts", "event_type", "value", season="day_of_week"
+        ).count()
+        >= 0
+    )
+    with pytest.raises(ValueError):
+        seasonal_anomalies(df, "ts", "event_type", "value", season="weekly")

@@ -531,3 +531,12 @@ def test_dq_report_rowlocal_constraints_one_pass(plans):
     # scans: row-local one-pass agg + unique + fk (orders & customer)
     # + n_rows = 5 — NOT one scan per constraint
     assert p.count("FileScan") <= 6
+
+
+def test_seasonal_anomalies_broadcasts_baseline(plans):
+    """The keys x 24 baseline frame broadcasts back to the events scan;
+    no sort-merge join, no window."""
+    p = plans("seasonal_anomalies")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
