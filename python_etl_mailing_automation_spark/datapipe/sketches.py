@@ -288,23 +288,31 @@ def loghist_quantiles(
         F.sum("cnt").over(w_cum).alias("__cum"),
         F.sum("cnt").over(w_tot).alias("__n"),
     )
-    picks = []
-    for num, den in qs:
-        # ceil(num*N/den) via SQL `div` — exact integer division (a
-        # double divide + cast misfloors past 2^53; the DuckDB oracle
-        # mirrors with `//`)
+    # ONE aggregation pass picks every quantile (a union of per-q
+    # groupBys would re-plan — and re-run — the cumulative window per
+    # quantile), then explode to long format. ceil(num*N/den) via SQL
+    # `div` — exact integer division (a double divide + cast misfloors
+    # past 2^53; the DuckDB oracle mirrors with `//`).
+    aggs = []
+    for i, (num, den) in enumerate(qs):
         thr = F.expr(f"(__n * {num} + {den - 1}) div {den}")
-        b = F.min(F.when(F.col("__cum") >= thr, F.col("bucket")))
-        picks.append(
-            cum.groupBy(*keys).agg(
-                F.lit(num).alias("q_num"),
-                F.lit(den).alias("q_den"),
-                b.alias("bucket"),
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= thr, F.col("bucket"))).alias(
+                f"__b{i}"
             )
         )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
+    row = cum.groupBy(*keys).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(num).alias("q_num"),
+            F.lit(den).alias("q_den"),
+            F.col(f"__b{i}").alias("bucket"),
+        )
+        for i, (num, den) in enumerate(qs)
+    ]
+    out = row.select(
+        *keys, F.explode(F.array(*structs)).alias("__q")
+    ).select(*keys, "__q.q_num", "__q.q_den", "__q.bucket")
     est_lo = F.when(F.col("bucket") <= 0, F.lit(0)).otherwise(
         F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
     )
