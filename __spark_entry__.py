@@ -1568,6 +1568,46 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_agg_state_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate-state maintenance (operators/aggregates
+    .merge_agg_states): orders split into two date batches, each
+    aggregated to per-priority partial states (decimal cent sums +
+    counts), then merged WITHOUT rescanning — the oracle computes the
+    full aggregate directly, so a green row PROVES merge == re-run."""
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        merge_agg_states,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    cut = "1995-01-01"
+
+    def state(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum("cents").alias("total_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+
+    old = state(orders.filter(F.col("o_orderdate") < F.lit(cut)))
+    new = state(orders.filter(F.col("o_orderdate") >= F.lit(cut)))
+    merged = merge_agg_states(
+        [old, new],
+        ["o_orderpriority"],
+        sum_cols=["total_cents"],
+        count_col="n_orders",
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("total_cents").cast("long").alias("total_cents"),
+        "n_orders",
+    )
+
+
 def q_seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     """Seasonal-baseline anomaly flags (datapipe/timeseries
     .seasonal_anomalies): events whose value exceeds 2x their
@@ -2609,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": q_containment_join,
         "stream_loghist_batch": q_stream_loghist_batch,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "agg_state_merge": q_agg_state_merge,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -4010,6 +4051,16 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # Incremental agg-state merge: the oracle aggregates the FULL
+        # input directly — a green row proves the batch-split merge
+        # equals the re-run (operators/aggregates.merge_agg_states).
+        "agg_state_merge": """
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                            AS BIGINT) AS HUGEINT)) AS BIGINT)
+           AS total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1""",
         # Seasonal anomalies: grid-exact hour-of-day baselines, 2x
         # threshold (timeseries.seasonal_anomalies).
         "seasonal_anomalies": """

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "containment_join",
     "stream_loghist_batch",
     "seasonal_anomalies",
+    "agg_state_merge",
     "scd2_intervals",
     "dq_report",
 ]

@@ -158,3 +158,39 @@ def rolling_window_sum(
     return df.withColumn(
         "rolling_n", F.count(F.lit(1)).over(w).cast("long")
     ).withColumn("rolling_sum", F.sum(F.col(value_col)).over(w))
+
+
+def merge_agg_states(
+    states: list[DataFrame],
+    keys: list[str],
+    *,
+    sum_cols: list[str],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Incremental materialized-view maintenance for ADDITIVE
+    aggregates: partial states (same schema: keys + decimal/integer
+    sum columns + optional count) from different batches/partitions
+    merge by union + re-sum into the state the full input would have
+    produced — no re-scan of history when a new batch lands, which is
+    the entire economics of incremental aggregation at 100 TB (the
+    aggregate sibling of ``datapipe.dedup.incremental_dedup``'s
+    fingerprint ledger).
+
+    Exactness: additive merge is only re-run-identical when sums are
+    order-independent — keep money/metric sums in DECIMAL (the
+    engine's decimal-sum rule); float sums would make the merged state
+    depend on batch arrival order.
+
+    One shuffle on the keys; output is one row per key.
+    """
+    if not states:
+        raise ValueError("merge_agg_states: states must be non-empty")
+    if not sum_cols and count_col is None:
+        raise ValueError("merge_agg_states: nothing to merge")
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if count_col is not None:
+        aggs.append(F.sum(count_col).alias(count_col))
+    return merged.groupBy(*keys).agg(*aggs)

@@ -709,3 +709,42 @@ def test_constraint_report_counts(spark):
         constraint_report(df, [])
     with _pytest.raises(ValueError):
         constraint_report(df, [("nope", "k")])
+
+
+def test_merge_agg_states_equals_direct(spark):
+    """Partial states from arbitrary batch splits merge to exactly the
+    direct full aggregate (decimal sums — order-independent); empty
+    state list and empty col spec raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        merge_agg_states,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(20)] + [("b", 1, 5.0)],
+        "k string, n int, v double",
+    ).withColumn("dv", F.col("v").cast("decimal(38,2)"))
+
+    def state(d):
+        return d.groupBy("k").agg(
+            F.sum("dv").alias("s"), F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    parts = [
+        state(df.filter(F.col("n") % 3 == i)) for i in range(3)
+    ]
+    merged = {
+        (r.k): (r.s, r.c)
+        for r in merge_agg_states(
+            parts, ["k"], sum_cols=["s"], count_col="c"
+        ).collect()
+    }
+    direct = {(r.k): (r.s, r.c) for r in state(df).collect()}
+    assert merged == direct
+
+    with _pytest.raises(ValueError):
+        merge_agg_states([], ["k"], sum_cols=["s"])
+    with _pytest.raises(ValueError):
+        merge_agg_states(parts, ["k"], sum_cols=[])
