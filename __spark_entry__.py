@@ -1441,20 +1441,26 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Directed both-ways co-purchase edge list (parts co-occurring in
-    >= 2 orders) — shared by q_triangles (oriented form) and
-    q_pagerank."""
+def _copurchase_oriented(spark: SparkSession, sf: str) -> DataFrame:
+    """Oriented (src < dst) co-purchase edge list — parts co-occurring
+    in >= 2 orders. Used directly by q_triangles; q_pagerank
+    symmetrizes it via :func:`_copurchase_edges`."""
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
-    und = (
+    return (
         a.join(b, on=[F.col("ok") == F.col("ok2"), F.col("pa") < F.col("pb")])
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= 2)
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
+
+
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed both-ways form of :func:`_copurchase_oriented` (the
+    PageRank input)."""
+    und = _copurchase_oriented(spark, sf)
     return und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -1593,7 +1599,15 @@ def q_agg_state_merge(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
 
-    old = state(orders.filter(F.col("o_orderdate") < F.lit(cut)))
+    # NULL dates fold into the "old" batch so the two filters PARTITION
+    # the table — otherwise NULL-date rows would vanish from both
+    # states while the full-aggregate oracle counts them
+    old = state(
+        orders.filter(
+            (F.col("o_orderdate") < F.lit(cut))
+            | F.col("o_orderdate").isNull()
+        )
+    )
     new = state(orders.filter(F.col("o_orderdate") >= F.lit(cut)))
     merged = merge_agg_states(
         [old, new],
@@ -1840,17 +1854,7 @@ def q_triangles(spark: SparkSession, sf: str) -> DataFrame:
         triangle_count,
     )
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, on=[F.col("ok") == F.col("ok2"), F.col("pa") < F.col("pb")])
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .filter(F.col("s") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
-    return triangle_count(edges)
+    return triangle_count(_copurchase_oriented(spark, sf))
 
 
 def q_dup_spans_excise(spark: SparkSession, sf: str) -> DataFrame:
@@ -2630,15 +2634,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posting_lists": q_posting_lists,
         "dataset_split": q_dataset_split,
         "sft_format": q_sft_format,
-        # --- driver window ends here (50 entries; every query from
-        # here down has a driver-signed row in some CORRECTNESS_r0N,
-        # and all still run by bench + tools/check_parity.py every
-        # round). interval_join / multimodal_pipeline / doc_chunks
-        # were swapped out of the window for the three round-6
-        # newcomers above (signed in r05 via the window's tail).
-        # cms_freq is this session's one over-budget newcomer: it
-        # queues at the window boundary for the round-7 rotation,
-        # covered by tools/check_parity.py meanwhile. ---
+        # --- driver window ends here (50 entries, all never-signed
+        # until this round's driver run). Below the boundary: the 13
+        # round-6 over-budget NEWCOMERS (cms_freq .. dq_report — no
+        # driver row yet, verified by tools/check_parity.py at sf0.01
+        # AND sf0.1; they lead the round-7 rotation) followed by the
+        # already-driver-signed r01-r05 queries (interval_join /
+        # multimodal_pipeline / doc_chunks were swapped out of the
+        # window for round-6 newcomers; all still run by bench +
+        # check_parity every round). ---
         "cms_freq": q_cms_freq,
         "resample_fill": q_resample_fill,
         "zone_maps": q_zone_maps,
@@ -4067,7 +4071,7 @@ def oracle_sql() -> dict[str, str]:
   WITH sa_b AS (SELECT event_type, CAST(hour(ts) AS INT) AS season_bucket,
                        CAST(COUNT(*) AS BIGINT) AS n,
                        SUM(CAST(floor(value * 1099511627776.0)
-                                AS BIGINT)) AS s
+                                AS HUGEINT)) AS s
                 FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
                 GROUP BY 1, 2),
   sa_m AS (SELECT event_type, season_bucket,

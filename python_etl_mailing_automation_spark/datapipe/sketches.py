@@ -272,6 +272,8 @@ def loghist_quantiles(
     The sketch frame is at most 64 rows per group, so the cumulative
     window and the per-q pick are driver-free but trivially cheap.
     """
+    if not qs:
+        raise ValueError("loghist_quantiles: qs must be non-empty")
     for num, den in qs:
         if not (0 < num <= den):
             raise ValueError(f"loghist_quantiles: bad quantile {num}/{den}")

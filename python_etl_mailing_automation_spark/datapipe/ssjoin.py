@@ -44,10 +44,10 @@ def _tokens_and_prefix(
     num: int,
     den: int,
     shingle: int,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared tokenization + prefix machinery: distinct token frame
-    ``(__id, tok)`` and its ``sz - ceil(t·sz) + 1`` rarest-first
-    prefix ``(__id, tok, sz)``."""
+    ``(__id, tok)``, per-doc sizes ``(__id, sz)``, and the
+    ``sz - ceil(t·sz) + 1`` rarest-first prefix ``(__id, tok, sz)``."""
     if shingle < 1:
         raise ValueError("similarity join: shingle must be >= 1")
     words = df.select(
@@ -95,7 +95,7 @@ def _tokens_and_prefix(
     prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_t_sz + 1).select(
         "__id", "tok", "sz"
     )
-    return toks, prefix
+    return toks, sizes, prefix
 
 
 def jaccard_join_exact(
@@ -117,7 +117,7 @@ def jaccard_join_exact(
     num, den = threshold
     if not (0 < num <= den):
         raise ValueError(f"jaccard_join_exact: bad threshold {num}/{den}")
-    toks, prefix = _tokens_and_prefix(
+    toks, _, prefix = _tokens_and_prefix(
         df, id_col, text_col, num=num, den=den, shingle=shingle
     )
     a = prefix.select(
@@ -199,10 +199,9 @@ def containment_join_exact(
     num, den = threshold
     if not (0 < num <= den):
         raise ValueError(f"containment_join_exact: bad threshold {num}/{den}")
-    toks, prefix = _tokens_and_prefix(
+    toks, sizes, prefix = _tokens_and_prefix(
         df, id_col, text_col, num=num, den=den, shingle=shingle
     )
-    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     a = prefix.select(
         F.col("__id").alias("id_a"),
         F.col("tok").alias("tok_a"),

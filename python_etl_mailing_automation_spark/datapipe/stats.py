@@ -187,7 +187,9 @@ def kmv_distinct(
     Scale shape: distinct on (group, hash) — one shuffle — then a
     per-group top-k via min-ordered row_number window over FIXED-WIDTH
     hash rows (not payloads), bounded by the distinct-value count. The
-    64-bit hash prefix keeps the estimator in exact BIGINT space.
+    60-bit hash prefix parses exactly into BIGINT; its cast to double
+    rounds identically on every IEEE engine, which is what keeps the
+    estimate cross-engine-exact.
     """
     if k < 2:
         raise ValueError("kmv_distinct: k must be >= 2")
@@ -200,7 +202,9 @@ def kmv_distinct(
         F.col("__r") <= k
     )
     # normalized k-th smallest hash: first 15 hex digits (60 bits —
-    # exact in BIGINT and in a double mantissa) over 16^15.
+    # exact in BIGINT; the cast to double is correctly ROUNDED past the
+    # 53-bit mantissa, identically on every IEEE engine, which is what
+    # parity rests on) over 16^15.
     hval = F.conv(F.substring(F.max_by("__h", "__r"), 1, 15), 16, 10).cast(
         "double"
     ) / F.lit(float(16**15))

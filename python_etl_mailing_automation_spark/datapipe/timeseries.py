@@ -116,11 +116,14 @@ def seasonal_anomalies(
     ``season``: ``hour_of_day`` (0-23) or ``day_of_week`` (1-7,
     Sunday=1 — Spark's dayofweek, mirrored by DuckDB's dow+1).
 
-    Exactness: baselines are grid-exact means (floor(v·2^40) summed as
-    BIGINT, divided back in one fixed op order), so the flag decision
-    is bit-reproducible; pick a ``factor`` exactly representable in
-    binary (2.0, 1.5, 2.5 — not 1.1) to keep the threshold itself
-    engine-exact.
+    Exactness: baselines are grid-exact means (floor(v·2^40) summed in
+    DECIMAL(38,0) — overflow envelope n·v̄ < 10^38/2^40 ≈ 3.6·10^26 per
+    bucket, effectively unbounded; a BIGINT sum would wrap at
+    n·v̄ ≈ 2^23 — divided back in one fixed op order), so the flag
+    decision is bit-reproducible; pick a ``factor`` exactly
+    representable in binary (2.0, 1.5, 2.5 — not 1.1) to keep the
+    threshold itself engine-exact. Per-row values must stay under
+    2^63/2^40 ≈ 8.4e6 for the floor-grid cast itself.
 
     Scale shape: one (key, season) aggregate — at most keys × 24 (or
     × 7) baseline rows, broadcast back to the stream; the flag is then
@@ -139,7 +142,7 @@ def seasonal_anomalies(
         .select(
             F.col(key_col),
             bucket.alias("season_bucket"),
-            F.floor(v * F.lit(_GRID)).cast("long").alias("__g"),
+            F.floor(v * F.lit(_GRID)).cast("decimal(38,0)").alias("__g"),
         )
         .groupBy(key_col, "season_bucket")
         .agg(

@@ -145,6 +145,8 @@ def bpe_segment(
     merges: DataFrame,
     *,
     out_col: str = "tokens",
+    batch_size: int = 16,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Apply a learned merge table to tokenize ``text_col``: each
     whitespace word is exploded to characters and every merge is
@@ -152,32 +154,47 @@ def bpe_segment(
     an array of subword tokens.
 
     The merge table is collected to the driver (vocabulary-sized by
-    construction — n_merges rows) and compiled into one chained
-    Catalyst fold expression; the data side stays a single projection,
-    no joins, no UDFs.
+    construction) and compiled into chained Catalyst fold expressions
+    — no joins, no UDFs. Merges are applied in ``batch_size`` chunks
+    with a ``localCheckpoint`` barrier between chunks: a single
+    expression nesting one ``aggregate`` per merge would grow the
+    Catalyst tree linearly in vocabulary size and overflow the
+    analyzer/codegen stack at real merge counts (thousands), and
+    Catalyst's CollapseProject would re-fuse consecutive projections
+    back into that deep tree — the materialization barrier is what
+    actually caps the depth. ``checkpoint=False`` skips the barriers
+    (only safe for small merge tables). The per-word symbol lists stay
+    nested (``array<array<string>>``) between batches so merges can
+    never cross word boundaries; the flatten happens once at the end.
     """
-    ordered = [
-        (r.lhs, r.rhs) for r in merges.orderBy("rank").collect()
-    ]
-    seq = (
-        "transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"
-    )
-    for lhs, rhs in ordered:
-        ql, qr, qm = _sql_quote(lhs), _sql_quote(rhs), _sql_quote(lhs + rhs)
-        seq = (
-            f"aggregate({seq}, cast(array() as array<string>),"
-            " (acc, x) -> CASE WHEN size(acc) > 0"
-            f" AND element_at(acc, -1) = '{ql}' AND x = '{qr}'"
-            f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
-            " ELSE concat(acc, array(x)) END)"
-        )
-    return df.withColumn(
-        out_col,
-        F.flatten(
-            F.expr(
-                f"transform(split({text_col}, '\\\\s+'),"
-                f" __w -> CASE WHEN __w = '' THEN cast(array() as array<string>)"
-                f" ELSE {seq} END)"
-            )
+    if batch_size < 1:
+        raise ValueError("bpe_segment: batch_size must be >= 1")
+    ordered = [(r.lhs, r.rhs) for r in merges.orderBy("rank").collect()]
+    work = df.withColumn(
+        "__wsyms",
+        F.expr(
+            f"transform(filter(split({text_col}, '\\\\s+'), x -> x != ''),"
+            " __w -> transform(sequence(1, length(__w)),"
+            " i -> substring(__w, i, 1)))"
         ),
+    )
+    for start in range(0, len(ordered), batch_size):
+        expr = "__inner"
+        for lhs, rhs in ordered[start : start + batch_size]:
+            ql, qr = _sql_quote(lhs), _sql_quote(rhs)
+            qm = _sql_quote(lhs + rhs)
+            expr = (
+                f"aggregate({expr}, cast(array() as array<string>),"
+                " (acc, x) -> CASE WHEN size(acc) > 0"
+                f" AND element_at(acc, -1) = '{ql}' AND x = '{qr}'"
+                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
+                " ELSE concat(acc, array(x)) END)"
+            )
+        work = work.withColumn(
+            "__wsyms", F.expr(f"transform(__wsyms, __inner -> {expr})")
+        )
+        if checkpoint and start + batch_size < len(ordered):
+            work = work.localCheckpoint(eager=False)
+    return work.withColumn(out_col, F.flatten(F.col("__wsyms"))).drop(
+        "__wsyms"
     )

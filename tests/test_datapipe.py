@@ -2210,3 +2210,33 @@ def test_seasonal_anomalies_flags_and_baseline(spark):
     )
     with pytest.raises(ValueError):
         seasonal_anomalies(df, "ts", "event_type", "value", season="weekly")
+
+
+def test_bpe_segment_batched_equals_single_expression(spark):
+    """batch_size=1 (a checkpoint barrier between every merge) and a
+    single-batch run produce identical tokenizations — the barrier only
+    caps expression depth, never changes fold semantics — and merges
+    still never cross word boundaries."""
+    from python_etl_mailing_automation_spark.datapipe.tokenizer import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "ba ba baba")], "doc_id int, text string"
+    )
+    merges = bpe_train(corpus, "text", n_merges=3)
+    probe = spark.createDataFrame(
+        [(1, "abab ba"), (2, "a b ab")], "doc_id int, text string"
+    )
+    one = {r.doc_id: r.tokens
+           for r in bpe_segment(probe, "text", merges, batch_size=99).collect()}
+    many = {r.doc_id: r.tokens
+            for r in bpe_segment(probe, "text", merges, batch_size=1).collect()}
+    assert one == many
+    # word boundary: "a b" must not merge even if (a,b) is a merge
+    assert all(t in ("a", "b", "ab", "ba", "abab", "bab", "aba")
+               for t in one[2])
+
+    with pytest.raises(ValueError):
+        bpe_segment(probe, "text", merges, batch_size=0)
