@@ -1574,6 +1574,31 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_contract_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level contract gate (datapipe/quality.contract_gate): every
+    order tagged with the list of row-local constraints it violates —
+    a pure projection, so the identical call runs under readStream
+    (quarantine = size(violated) > 0 into a side sink); batch/stream
+    equality is pytest-pinned."""
+    from python_etl_mailing_automation_spark.datapipe.quality import (
+        contract_gate,
+    )
+
+    orders = _t(spark, sf, "orders")
+    out = contract_gate(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("range", "o_totalprice", 1000.0, 500000.0),
+            ("accepted", "o_orderstatus", ["O", "F"]),
+            ("regexp", "o_orderpriority", "^[1-3]-"),
+        ],
+    )
+    return out.select(
+        "o_orderkey", "violated", F.size("violated").alias("n_violated")
+    )
+
+
 def q_agg_state_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental aggregate-state maintenance (operators/aggregates
     .merge_agg_states): orders split into two date batches, each
@@ -2654,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_loghist_batch": q_stream_loghist_batch,
         "seasonal_anomalies": q_seasonal_anomalies,
         "agg_state_merge": q_agg_state_merge,
+        "contract_gate": q_contract_gate,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -4055,6 +4081,35 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # Row-level contract gate: list of violated row-local
+        # constraint labels per row (quality.contract_gate).
+        "contract_gate": """
+  SELECT o_orderkey,
+         list_filter([
+           CASE WHEN o_custkey IS NULL THEN 'not_null:o_custkey' END,
+           CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 1000.0 OR o_totalprice > 500000.0)
+                THEN 'range:o_totalprice' END,
+           CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F')
+                THEN 'accepted:o_orderstatus' END,
+           CASE WHEN o_orderpriority IS NOT NULL
+                 AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                THEN 'regexp:o_orderpriority' END
+         ], x -> x IS NOT NULL) AS violated,
+         CAST(len(list_filter([
+           CASE WHEN o_custkey IS NULL THEN 'x' END,
+           CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 1000.0 OR o_totalprice > 500000.0)
+                THEN 'x' END,
+           CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F')
+                THEN 'x' END,
+           CASE WHEN o_orderpriority IS NOT NULL
+                 AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                THEN 'x' END
+         ], x -> x IS NOT NULL)) AS INT) AS n_violated
+  FROM orders""",
         # Incremental agg-state merge: the oracle aggregates the FULL
         # input directly — a green row proves the batch-split merge
         # equals the re-run (operators/aggregates.merge_agg_states).

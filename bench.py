@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "stream_loghist_batch",
     "seasonal_anomalies",
     "agg_state_merge",
+    "contract_gate",
     "scd2_intervals",
     "dq_report",
 ]

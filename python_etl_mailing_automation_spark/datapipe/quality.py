@@ -140,3 +140,48 @@ def constraint_report(
     return report.crossJoin(F.broadcast(n_total)).select(
         "constraint", "column", "violations", F.col("__n").alias("n_rows")
     )
+
+
+def contract_gate(
+    df: DataFrame,
+    constraints: list[tuple],
+    *,
+    out_col: str = "violated",
+) -> DataFrame:
+    """Row-level contract gate: append ``out_col`` — the LIST of
+    constraint labels this row violates (empty = clean). Only
+    row-local constraint kinds are accepted (``not_null``, ``range``,
+    ``accepted``, ``regexp``): the gate is a pure projection, so the
+    SAME call works on a batch frame and on a streaming frame (no
+    aggregation state, no watermark needed) — quarantine is then a
+    ``size(violated) > 0`` filter into a side sink, the streaming
+    sibling of :func:`constraint_report`'s counting view.
+    """
+    if not constraints:
+        raise ValueError("contract_gate: constraints must be non-empty")
+    flags = []
+    for c in constraints:
+        kind, col = c[0], c[1]
+        if kind == "not_null":
+            expr = F.col(col).isNull()
+        elif kind == "range":
+            _, _, lo, hi = c
+            expr = F.col(col).isNotNull() & (
+                (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
+            )
+        elif kind == "accepted":
+            _, _, vals = c
+            expr = F.col(col).isNotNull() & ~F.col(col).isin(list(vals))
+        elif kind == "regexp":
+            _, _, pat = c
+            expr = F.col(col).isNotNull() & ~F.col(col).rlike(pat)
+        else:
+            raise ValueError(
+                f"contract_gate: constraint {kind!r} is not row-local "
+                "(unique/fk need cross-row state — use constraint_report)"
+            )
+        flags.append(F.when(expr, F.lit(f"{kind}:{col}")))
+    return df.withColumn(
+        out_col,
+        F.filter(F.array(*flags), lambda x: x.isNotNull()),
+    )

@@ -537,3 +537,72 @@ def test_streaming_loghist_matches_batch(spark, sf_dir):
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_contract_gate_stream_matches_batch(spark, sf_dir):
+    """The row-local contract gate is a pure projection, so the same
+    call under readStream tags exactly the rows the batch form tags;
+    quarantine (size > 0) splits identically."""
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.datapipe.quality import (
+        contract_gate,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    constraints = [
+        ("not_null", "user_id"),
+        ("range", "value", 0.0, 50.0),
+        ("accepted", "event_type", ["click", "view", "purchase"]),
+    ]
+    batch = {
+        r.event_id: tuple(r.violated)
+        for r in contract_gate(events, constraints)
+        .select("event_id", "violated")
+        .collect()
+    }
+
+    stage_dir = tempfile.mkdtemp(prefix="gate_in_")
+    ckpt = tempfile.mkdtemp(prefix="gate_ckpt_")
+    try:
+        events.write.mode("overwrite").parquet(stage_dir)
+        stream_in = spark.readStream.schema(events.schema).parquet(stage_dir)
+        gated = contract_gate(stream_in, constraints).select(
+            "event_id", "violated"
+        )
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("gate_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            streamed = {
+                r.event_id: tuple(r.violated)
+                for r in spark.sql("select * from gate_test").collect()
+            }
+        finally:
+            q.stop()
+        assert streamed == batch and len(streamed) > 0
+        assert any(v for v in streamed.values())  # some rows violate
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_contract_gate_rejects_stateful_kinds(spark):
+    """unique/fk need cross-row state and must be refused by the
+    row-local gate."""
+    import pytest as _pytest
+
+    from python_etl_mailing_automation_spark.datapipe.quality import (
+        contract_gate,
+    )
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with _pytest.raises(ValueError):
+        contract_gate(df, [("unique", "k")])
+    with _pytest.raises(ValueError):
+        contract_gate(df, [])
