@@ -1574,6 +1574,19 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set-algebra (datapipe/stats.kmv_jaccard, k=256): Jaccard
+    overlap of the URGENT-ordering vs LOW-ordering customer SETS
+    estimated from k-row sketches instead of a corpus-sized distinct
+    join — deterministic md5, so the estimate itself is oracle-exact."""
+    from python_etl_mailing_automation_spark.datapipe.stats import kmv_jaccard
+
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    return kmv_jaccard(a, "o_custkey", b, "o_custkey", k=256)
+
+
 def q_contract_gate(spark: SparkSession, sf: str) -> DataFrame:
     """Row-level contract gate (datapipe/quality.contract_gate): every
     order tagged with the list of row-local constraints it violates —
@@ -2680,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "agg_state_merge": q_agg_state_merge,
         "contract_gate": q_contract_gate,
+        "kmv_jaccard": q_kmv_jaccard,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -4081,6 +4095,31 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # KMV Jaccard: per-side k-smallest md5 sketches, union top-k,
+        # shared-hash count / k (stats.kmv_jaccard).
+        "kmv_jaccard": """
+  WITH kj_a AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+                  AND md5(CAST(o_custkey AS VARCHAR)) IS NOT NULL),
+  kj_ar AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+                           FROM kj_a) WHERE r <= 256),
+  kj_b AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h
+           FROM orders WHERE o_orderpriority = '5-LOW'
+             AND md5(CAST(o_custkey AS VARCHAR)) IS NOT NULL),
+  kj_br AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+                           FROM kj_b) WHERE r <= 256),
+  kj_m AS (SELECT COALESCE(a.h, b.h) AS h,
+                  CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS ia,
+                  CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS ib
+           FROM kj_ar a FULL OUTER JOIN kj_br b ON a.h = b.h),
+  kj_t AS (SELECT ia, ib FROM (SELECT ia, ib,
+                                      ROW_NUMBER() OVER (ORDER BY h) AS r
+                               FROM kj_m) WHERE r <= 256)
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(ia * ib) AS BIGINT) AS n_both,
+         CAST(SUM(ia * ib) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS jaccard_est
+  FROM kj_t""",
         # Row-level contract gate: list of violated row-local
         # constraint labels per row (quality.contract_gate).
         "contract_gate": """

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "seasonal_anomalies",
     "agg_state_merge",
     "contract_gate",
+    "kmv_jaccard",
     "scd2_intervals",
     "dq_report",
 ]

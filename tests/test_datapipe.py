@@ -2240,3 +2240,37 @@ def test_bpe_segment_batched_equals_single_expression(spark):
 
     with pytest.raises(ValueError):
         bpe_segment(probe, "text", merges, batch_size=0)
+
+
+def test_kmv_jaccard_exact_below_k_and_accuracy(spark):
+    """Below k the sketch Jaccard is EXACT (identical sets -> 1.0,
+    disjoint -> 0.0, half-overlap -> exact ratio); above k a known
+    0.5-overlap lands within the sketch's error envelope; rerun gives
+    the identical estimate (md5-deterministic)."""
+    from python_etl_mailing_automation_spark.datapipe.stats import kmv_jaccard
+
+    a = spark.createDataFrame([(i,) for i in range(40)], "v int")
+    b = spark.createDataFrame([(i,) for i in range(20, 60)], "v int")
+    r = kmv_jaccard(a, "v", b, "v", k=256).collect()[0]
+    # |A∩B| = 20, |A∪B| = 60 -> exact 1/3 below k
+    assert r.k_used == 60 and r.n_both == 20
+    assert abs(r.jaccard_est - 1 / 3) < 1e-12
+
+    same = kmv_jaccard(a, "v", a, "v", k=256).collect()[0]
+    assert same.jaccard_est == 1.0
+    disj = kmv_jaccard(
+        a, "v", spark.createDataFrame([(i,) for i in range(100, 140)], "v int"),
+        "v", k=256,
+    ).collect()[0]
+    assert disj.jaccard_est == 0.0
+
+    big_a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    big_b = spark.range(1000, 4000).select(F.col("id").alias("v"))
+    est1 = kmv_jaccard(big_a, "v", big_b, "v", k=256).collect()[0]
+    est2 = kmv_jaccard(big_a, "v", big_b, "v", k=256).collect()[0]
+    # true J = 2000/4000 = 0.5; k=256 SE ~ sqrt(J(1-J)/k) ~ 0.031
+    assert abs(est1.jaccard_est - 0.5) < 0.12
+    assert est1.jaccard_est == est2.jaccard_est
+
+    with pytest.raises(ValueError):
+        kmv_jaccard(a, "v", b, "v", k=1)
