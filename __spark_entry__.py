@@ -1574,6 +1574,35 @@ def q_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols(orders, "day", "cents", group_col="o_orderpriority")
 
 
+def q_impute_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric cleaning pipeline (datapipe/stats.impute_missing +
+    winsorize_clip): event values on the cents grid, NULLs planted
+    deterministically (event_id % 19) then median-imputed per type,
+    then clipped to the per-type [p05, p95] envelope — fill and clip
+    both from broadcast one-row-per-group boundaries."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        impute_missing,
+        winsorize_clip,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 19 != 0,
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"),
+        ).alias("cents"),
+    )
+    filled = impute_missing(
+        ev, "cents", strategy="median", group_col="event_type",
+        out_col="cents_filled",
+    ).drop("cents")
+    return winsorize_clip(
+        filled, "cents_filled", p_lo=0.05, p_hi=0.95,
+        group_col="event_type", out_col="cents_clipped",
+    ).select("event_id", "event_type", "cents_filled", "cents_clipped")
+
+
 def q_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """KMV set-algebra (datapipe/stats.kmv_jaccard, k=256): Jaccard
     overlap of the URGENT-ordering vs LOW-ordering customer SETS
@@ -2694,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_state_merge": q_agg_state_merge,
         "contract_gate": q_contract_gate,
         "kmv_jaccard": q_kmv_jaccard,
+        "impute_winsorize": q_impute_winsorize,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -4095,6 +4125,28 @@ def oracle_sql() -> dict[str, str]:
         # BPE training: unrolled rounds, recursive-CTE greedy fold
         # (tokenizer.bpe_train).
         "bpe_train": _bpe_sql(6),
+        # Impute + winsorize: per-type median fill then [p05, p95]
+        # clip, both on the cents half-integer grid where quantile
+        # interpolation is engine-exact (stats.impute_missing /
+        # winsorize_clip).
+        "impute_winsorize": """
+  WITH iw_v AS (SELECT event_id, event_type,
+                       CASE WHEN event_id % 19 <> 0 THEN
+                         CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                              AS DOUBLE) END AS cents
+                FROM events),
+  iw_m AS (SELECT event_type, quantile_cont(cents, 0.5) AS fill
+           FROM iw_v GROUP BY 1),
+  iw_f AS (SELECT v.event_id, v.event_type,
+                  COALESCE(v.cents, m.fill) AS cents_filled
+           FROM iw_v v JOIN iw_m m ON v.event_type = m.event_type),
+  iw_b AS (SELECT event_type,
+                  quantile_cont(cents_filled, 0.05) AS lo,
+                  quantile_cont(cents_filled, 0.95) AS hi
+           FROM iw_f GROUP BY 1)
+  SELECT f.event_id, f.event_type, f.cents_filled,
+         LEAST(GREATEST(f.cents_filled, b.lo), b.hi) AS cents_clipped
+  FROM iw_f f JOIN iw_b b ON f.event_type = b.event_type""",
         # KMV Jaccard: per-side k-smallest md5 sketches, union top-k,
         # shared-hash count / k (stats.kmv_jaccard).
         "kmv_jaccard": """

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "agg_state_merge",
     "contract_gate",
     "kmv_jaccard",
+    "impute_winsorize",
     "scd2_intervals",
     "dq_report",
 ]

@@ -736,3 +736,107 @@ def kmv_jaccard(
             / F.count(F.lit(1)).cast("double")
         ).alias("jaccard_est"),
     )
+
+
+def winsorize_clip(
+    df: DataFrame,
+    value_col: str,
+    *,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize ``value_col``: clip to the [p_lo, p_hi] exact
+    interpolated percentiles (per group when ``group_col`` is given) —
+    the outlier-taming transform feature pipelines apply before
+    normalization, as a column transform rather than a row filter (no
+    data loss). NULLs stay NULL.
+
+    Exactness/scale: same contract as :func:`quantile_bucket_assign` —
+    the percentile state is O(distinct values) per group (use on
+    bounded-cardinality columns), boundaries broadcast back as one row
+    per group, and the clip is a scan-side ``least/greatest``. Both
+    engines interpolate identically on integer-grid inputs.
+    """
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError("winsorize_clip: need 0 <= p_lo < p_hi <= 1")
+    out_col = out_col or value_col
+    pct = F.percentile(
+        F.col(value_col).cast("double"),
+        F.array(F.lit(p_lo), F.lit(p_hi)),
+    ).alias("__wb")
+    if group_col is None:
+        joined = df.crossJoin(F.broadcast(df.agg(pct)))
+    else:
+        joined = df.join(
+            F.broadcast(df.groupBy(group_col).agg(pct)), on=group_col
+        )
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.col("__wb")[0]),
+        F.col("__wb")[1],
+    )
+    return joined.withColumn(
+        out_col, F.when(F.col(value_col).isNotNull(), clipped)
+    ).drop("__wb")
+
+
+def impute_missing(
+    df: DataFrame,
+    value_col: str,
+    *,
+    strategy: str = "median",
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULLs in ``value_col`` with the group's ``median`` (exact
+    interpolated percentile), ``mean`` (grid-exact: floor(v·2^40)
+    summed in DECIMAL(38,0)), or ``mode`` (most frequent value, ties
+    to the smallest — deterministic). A group with no non-NULL values
+    keeps its NULLs.
+
+    Scale shape: one aggregate to one row per group, broadcast back,
+    scan-side coalesce. Mode adds one keyed (group, value) count
+    aggregate first — state O(distinct values per group).
+    """
+    out_col = out_col or value_col
+    v = F.col(value_col).cast("double")
+    keys = [group_col] if group_col else []
+    if strategy == "median":
+        fill = F.percentile(v, F.lit(0.5)).alias("__fill")
+        agged = (df.groupBy(*keys).agg(fill)) if keys else df.agg(fill)
+    elif strategy == "mean":
+        g = F.floor(v * F.lit(2.0**40)).cast("decimal(38,0)")
+        agged = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+            F.sum(g).alias("__s"),
+            F.count(v).alias("__n"),
+        )
+        agged = agged.select(
+            *keys,
+            F.when(
+                F.col("__n") > 0,
+                (F.col("__s").cast("double") / F.lit(2.0**40))
+                / F.col("__n").cast("double"),
+            ).alias("__fill"),
+        )
+    elif strategy == "mode":
+        counts = (
+            df.filter(v.isNotNull())
+            .groupBy(*keys, v.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        agged = (counts.groupBy(*keys) if keys else counts.groupBy()).agg(
+            F.max_by(
+                F.col("__v"), F.struct(F.col("__c"), -F.col("__v"))
+            ).alias("__fill")
+        )
+    else:
+        raise ValueError(f"impute_missing: unknown strategy {strategy!r}")
+    joined = (
+        df.join(F.broadcast(agged), on=keys)
+        if keys
+        else df.crossJoin(F.broadcast(agged))
+    )
+    return joined.withColumn(
+        out_col, F.coalesce(v, F.col("__fill"))
+    ).drop("__fill")

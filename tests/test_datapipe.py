@@ -2274,3 +2274,50 @@ def test_kmv_jaccard_exact_below_k_and_accuracy(spark):
 
     with pytest.raises(ValueError):
         kmv_jaccard(a, "v", b, "v", k=1)
+
+
+def test_winsorize_and_impute_semantics(spark):
+    """Winsorize clips to exact percentile bounds and leaves NULLs
+    NULL; imputation fills NULLs with per-group median / grid-exact
+    mean / deterministic mode (ties to smallest); an all-NULL group
+    keeps its NULLs; bad args raise."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        impute_missing,
+        winsorize_clip,
+    )
+
+    vals = [("g", float(i)) for i in range(1, 11)] + [("g", None)]
+    df = spark.createDataFrame(vals, "k string, v double")
+    w = winsorize_clip(df, "v", p_lo=0.1, p_hi=0.9, group_col="k",
+                       out_col="c").collect()
+    # p10 of 1..10 = 1.9, p90 = 9.1 (rank q*(n-1) interpolation)
+    got = sorted((r.v, r.c) for r in w if r.v is not None)
+    assert got[0] == (1.0, 1.9) and got[-1] == (10.0, 9.1)
+    assert got[5][0] == got[5][1]  # interior untouched
+    assert [r.c for r in w if r.v is None] == [None]
+
+    med = impute_missing(df, "v", strategy="median", group_col="k",
+                         out_col="f").collect()
+    assert [r.f for r in med if r.v is None] == [5.5]
+    mean = impute_missing(df, "v", strategy="mean", group_col="k",
+                          out_col="f").collect()
+    assert [r.f for r in mean if r.v is None] == [5.5]
+
+    mo = spark.createDataFrame(
+        [("g", 2.0), ("g", 2.0), ("g", 1.0), ("g", 1.0), ("g", 3.0),
+         ("g", None)],
+        "k string, v double",
+    )
+    mode = impute_missing(mo, "v", strategy="mode", group_col="k",
+                          out_col="f").collect()
+    assert [r.f for r in mode if r.v is None] == [1.0]  # tie -> smallest
+
+    empty = spark.createDataFrame([("e", None)], "k string, v double")
+    still = impute_missing(empty, "v", strategy="median",
+                           group_col="k", out_col="f").collect()
+    assert still[0].f is None
+
+    with pytest.raises(ValueError):
+        winsorize_clip(df, "v", p_lo=0.9, p_hi=0.1)
+    with pytest.raises(ValueError):
+        impute_missing(df, "v", strategy="mystery")
