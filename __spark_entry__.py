@@ -2702,7 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "sft_format": q_sft_format,
         # --- driver window ends here (50 entries, all never-signed
-        # until this round's driver run). Below the boundary: the 13
+        # until this round's driver run). Below the boundary: the 16
         # round-6 over-budget NEWCOMERS (cms_freq .. dq_report — no
         # driver row yet, verified by tools/check_parity.py at sf0.01
         # AND sf0.1; they lead the round-7 rotation) followed by the
