@@ -131,8 +131,16 @@ def test_runner_fanout_reads_from_cache(spark, input_dir, tmp_path, monkeypatch)
         robot_time_slot_groups={"08HRS": ["EPB", "EMT"]},
     )
     # Other tests in the shared session may hold their own caches; the
-    # assertion below is that THIS run adds none.
-    baseline_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # assertion below is that THIS run adds none. Compare ID SETS, not
+    # sizes: the async ContextCleaner may release earlier tests' GC'd
+    # caches mid-test, legitimately SHRINKING the map under load.
+    def cached_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toString()
+            .strip("[]").replace(" ", "").split(",")
+        ) - {""}
+
+    baseline_cached = cached_ids()
     run_mailing_job(
         spark, cfg, input_dir=input_dir, output_dir=tmp_path / "out_cache",
         mailing_pattern="MAILING_NUCLEO_*.csv",
@@ -142,8 +150,9 @@ def test_runner_fanout_reads_from_cache(spark, input_dir, tmp_path, monkeypatch)
     # write_partitioned_by_key wraps it internally for human files.
     assert captured, "spy saw no writes"
     assert all("InMemoryRelation" in plan for plan in captured)
-    # unpersist ran: no cached RDDs left behind by the job.
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline_cached
+    # unpersist ran: no cached RDDs left behind by the job (cleaner
+    # shrinkage of pre-existing ids is fine).
+    assert cached_ids() <= baseline_cached
 
 
 def test_runner_multisheet_enrichment(spark, input_dir, tmp_path, monkeypatch):
