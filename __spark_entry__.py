@@ -2227,6 +2227,32 @@ def q_rollup_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cube_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Full CUBE aggregation (Spark `cube` ≡ SQL GROUP BY CUBE) —
+    ROLLUP's complement covering ALL grouping sets incl. the
+    source-only margin: order counts + exact decimal cent sums per
+    (priority, status), each margin, and the grand total, with
+    grouping_id disambiguating genuine NULLs from margin rows. One
+    shuffle; Catalyst expands the 4 grouping sets map-side."""
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders",
+                "total_cents")
+    )
+
+
 def q_period_over_period(spark: SparkSession, sf: str) -> DataFrame:
     """Hourly event counts per type with previous-period delta: the
     tumbling aggregation (streaming/events.tumbling_event_counts shape)
@@ -2724,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_gate": q_contract_gate,
         "kmv_jaccard": q_kmv_jaccard,
         "impute_winsorize": q_impute_winsorize,
+        "cube_stats": q_cube_stats,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -5010,6 +5037,17 @@ def oracle_sql() -> dict[str, str]:
          COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
   FROM (SELECT lang, source, {_TOKS} AS toks FROM documents)
   GROUP BY ROLLUP (lang, source)""",
+        # Full CUBE: all 4 grouping sets, HUGEINT cent sums, GROUPING
+        # bitmask ≡ grouping_id (leftmost = MSB).
+        "cube_stats": """
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                            AS BIGINT) AS HUGEINT)) AS BIGINT)
+           AS total_cents
+  FROM orders
+  GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
         # Period-over-period: lag over the AGGREGATED hourly series.
         "period_over_period": """
   WITH pp AS (SELECT date_trunc('hour', ts) AS h, event_type,

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "contract_gate",
     "kmv_jaccard",
     "impute_winsorize",
+    "cube_stats",
     "scd2_intervals",
     "dq_report",
 ]

@@ -155,11 +155,15 @@ def cms_build(
     *,
     width: int = 1024,
     depth: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a Count-Min sketch of the occurrence counts of
-    ``value_col`` (NULLs ignored). Returns ``(row_idx int, col_idx
-    long, cnt long)`` — only touched cells are materialized; absent
-    cells are zero.
+    ``value_col`` (NULLs ignored) — or, with ``weight_col``, of exact
+    INTEGER weight sums per value (e.g. token counts per host, bytes
+    per source), the frequency-CAP use case where "count" means
+    volume, not rows. Returns ``(row_idx int, col_idx long, cnt
+    long)`` — only touched cells are materialized; absent cells are
+    zero.
 
     Scale shape: depth-row explode -> one groupBy((row, col)).sum with
     map-side partial aggregation; output bounded by width · depth
@@ -169,18 +173,24 @@ def cms_build(
     """
     if width < 1 or depth < 1:
         raise ValueError("cms_build: width and depth must be >= 1")
-    vals = df.select(F.col(value_col).cast("string").alias("__v")).filter(
-        F.col("__v").isNotNull()
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
     )
+    vals = df.select(
+        F.col(value_col).cast("string").alias("__v"), w.alias("__w")
+    ).filter(F.col("__v").isNotNull() & F.col("__w").isNotNull())
     cells = vals.select(
+        "__w",
         F.posexplode(
             F.array(*[(_pos60("__v", i) % width).alias(str(i)) for i in range(depth)])
-        ).alias("row_idx", "col_idx")
+        ).alias("row_idx", "col_idx"),
     )
     return (
         cells.groupBy(
             F.col("row_idx").cast("int").alias("row_idx"), "col_idx"
-        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        ).agg(F.sum("__w").cast("long").alias("cnt"))
     )
 
 

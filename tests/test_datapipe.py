@@ -2321,3 +2321,27 @@ def test_winsorize_and_impute_semantics(spark):
         winsorize_clip(df, "v", p_lo=0.9, p_hi=0.1)
     with pytest.raises(ValueError):
         impute_missing(df, "v", strategy="mystery")
+
+
+def test_cms_weighted_build(spark):
+    """weight_col turns cell counts into exact weight sums: estimates
+    bound the true weighted volume from above; unweighted behavior is
+    unchanged (weight 1)."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 100), ("c", None)],
+        "v string, w int",
+    )
+    cms = cms_build(df, "v", width=64, depth=3, weight_col="w")
+    probes = spark.createDataFrame([("a",), ("b",), ("z",)], "v string")
+    est = {
+        r.v: r.est_cnt
+        for r in cms_estimate(probes, "v", cms, width=64, depth=3).collect()
+    }
+    assert est["a"] >= 15 and est["b"] >= 100 and est["z"] >= 0
+    # collision-free at this load: exact
+    assert est["a"] == 15 and est["b"] == 100 and est["z"] == 0
