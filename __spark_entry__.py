@@ -1838,6 +1838,21 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=6)
 
 
+def q_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank (datapipe/graph.pagerank with seeds,
+    Haveliwala 2002): co-purchase authority RELATIVE to the seed parts
+    (partkey % 50 == 0) — teleport mass flows only to seeds, the
+    related-items scoring a recommender builds on the same cached
+    edge frame as the global ranks."""
+    from python_etl_mailing_automation_spark.datapipe.graph import pagerank
+
+    edges = _copurchase_edges(spark, sf)
+    seeds = edges.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 50 == 0
+    )
+    return pagerank(edges, n_iter=3, seeds=seeds)
+
+
 def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance resampling (datapipe/lm.dsir_select, Xie et al.
     2023 in the engine's ln-free exact form): target model = the 'src0'
@@ -2751,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard": q_kmv_jaccard,
         "impute_winsorize": q_impute_winsorize,
         "cube_stats": q_cube_stats,
+        "personalized_pagerank": q_personalized_pagerank,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -3050,14 +3066,16 @@ def _split_thresholds() -> tuple[int, int]:
     return out[0], out[1]
 
 
-def _pagerank_sql(n_iter: int = 3) -> str:
+def _pagerank_sql(n_iter: int = 3, seed_pred: str | None = None) -> str:
     """Unrolled fixed-iteration PageRank CTEs over the co-purchase
     graph, mirroring datapipe/graph.pagerank: per-edge contributions on
     the 2^-40 grid summed as BIGINT, scalars derived in-engine with the
     same IEEE op order ((1.0-0.85)/N, 1.0/N). The teleport constant uses
     e0 (DOUBLE) literals: DuckDB parses bare `1.0 - 0.85` as exact
     DECIMAL (= 0.15), one ULP off the IEEE double subtraction Spark
-    performs (0.15000000000000002)."""
+    performs (0.15000000000000002). ``seed_pred`` (a boolean SQL
+    expression over ``node``) switches to the personalized form:
+    teleport mass only to seeds, denominator |S| instead of N."""
     parts = [
         """pgu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
         FROM lineitem a JOIN lineitem b
@@ -3065,13 +3083,16 @@ def _pagerank_sql(n_iter: int = 3) -> str:
         GROUP BY 1, 2 HAVING COUNT(*) >= 2),""",
         "  pge AS (SELECT src, dst FROM pgu"
         " UNION ALL SELECT dst, src FROM pgu),",
-        "  pgn AS (SELECT DISTINCT node FROM (SELECT src AS node FROM pge"
+        "  pgn0 AS (SELECT DISTINCT node FROM (SELECT src AS node FROM pge"
         " UNION ALL SELECT dst FROM pge)),",
+        f"  pgn AS (SELECT node, {seed_pred or 'TRUE'} AS seed FROM pgn0),",
         "  pgd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg"
         " FROM pge GROUP BY 1),",
-        "  pgc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pgn),",
-        "  pr0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS pr"
-        " FROM pgn, pgc),",
+        "  pgc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM pgn WHERE seed),",
+        "  pr0 AS (SELECT node,"
+        " CASE WHEN seed THEN 1.0e0 / CAST(n AS DOUBLE)"
+        " ELSE 0.0e0 END AS pr FROM pgn, pgc),",
     ]
     for it in range(n_iter):
         parts.append(
@@ -3083,7 +3104,9 @@ def _pagerank_sql(n_iter: int = 3) -> str:
         )
         parts.append(
             f"  pr{it + 1} AS (SELECT n.node,"
+            " CASE WHEN n.seed THEN"
             " (1.0e0 - 0.85e0) / CAST(nn.n AS DOUBLE)"
+            " ELSE 0.0e0 END"
             " + 0.85 * (CAST(COALESCE(c.s, 0) AS DOUBLE)"
             " / 1099511627776.0) AS pr"
             f" FROM pgn n CROSS JOIN pgc nn"
@@ -4124,6 +4147,9 @@ def oracle_sql() -> dict[str, str]:
         # Fixed-3-iteration PageRank over the co-purchase graph —
         # unrolled CTEs, 2^-40 grid sums (graph.pagerank).
         "pagerank": _pagerank_sql(3),
+        # Personalized variant: teleport restricted to node % 50 = 0
+        # seeds, denominator |S| (graph.pagerank with seeds).
+        "personalized_pagerank": _pagerank_sql(3, seed_pred="node % 50 = 0"),
         # Bloom membership: 4 salted 60-bit md5 positions mod 4096,
         # 62-bit words (1<<63 overflows DuckDB BIGINT), bit_or build,
         # min-over-hashes probe (sketches.bloom_build/bloom_probe).

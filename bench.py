@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "kmv_jaccard",
     "impute_winsorize",
     "cube_stats",
+    "personalized_pagerank",
     "scd2_intervals",
     "dq_report",
 ]

@@ -36,6 +36,8 @@ def pagerank(
     dst_col: str = "dst",
     n_iter: int = 3,
     damping: float = 0.85,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Fixed-``n_iter`` PageRank over a directed edge list. Returns
     ``(node, pr)`` for every node appearing as a source or destination.
@@ -44,6 +46,13 @@ def pagerank(
     with the Σ accumulated on the 2^-40 fixed-point grid (exact,
     order-independent) and every scalar (1/N, (1-d)/N) derived with one
     fixed sequence of IEEE double ops.
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala 2002):
+    teleport mass flows only to the seed set S (restricted to nodes in
+    the graph) — pr_0 and the (1-d) term become 1/|S| on seeds, 0
+    elsewhere — so ranks read "authority relative to S" (related-items
+    scoring, topic-conditioned crawl weighting). The seed flag is one
+    left-semi-derived boolean on the cached node frame.
 
     The edge and degree frames feed every iteration, so they are cached
     once; the per-iteration rank frame is a narrow (node, pr) pair.
@@ -55,16 +64,33 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
     )
+    if seeds is not None:
+        sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+        flagged = nodes.join(
+            sd.withColumn("__seed", F.lit(True)), on="node", how="left"
+        ).select(
+            "node", F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed")
+        )
+        nodes = flagged.cache()
+        m = nodes.filter(F.col("__seed")).count()
+        if m == 0:
+            raise ValueError("pagerank: no seed appears in the graph")
+    else:
+        nodes = nodes.withColumn("__seed", F.lit(True)).cache()
+        m = None
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     ed = e.join(deg, on="src").cache()
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty graph")
-    base = (1.0 - damping) / float(n)
+    denom = float(n if m is None else m)
+    base = F.when(
+        F.col("__seed"), F.lit((1.0 - damping) / denom)
+    ).otherwise(F.lit(0.0))
+    init = F.when(F.col("__seed"), F.lit(1.0 / denom)).otherwise(F.lit(0.0))
 
-    pr = nodes.withColumn("pr", F.lit(1.0 / float(n)))
+    pr = nodes.withColumn("pr", init)
     for _ in range(n_iter):
         contrib = (
             ed.join(pr, on=F.col("src") == F.col("node"))
@@ -83,8 +109,9 @@ def pagerank(
             contrib, on=F.col("node") == F.col("dst"), how="left"
         ).select(
             "node",
+            "__seed",
             (
-                F.lit(base)
+                base
                 + F.lit(damping)
                 * (
                     F.coalesce(F.col("__s"), F.lit(0).cast("long")).cast(
@@ -94,4 +121,4 @@ def pagerank(
                 )
             ).alias("pr"),
         )
-    return pr
+    return pr.select("node", "pr")

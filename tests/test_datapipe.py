@@ -2345,3 +2345,28 @@ def test_cms_weighted_build(spark):
     assert est["a"] >= 15 and est["b"] >= 100 and est["z"] >= 0
     # collision-free at this load: exact
     assert est["a"] == 15 and est["b"] == 100 and est["z"] == 0
+
+
+def test_personalized_pagerank_teleports_to_seeds_only(spark):
+    """On a star graph with leaves -> hub, seeding one leaf gives zero
+    rank to unseeded leaves (no teleport, no in-edges), seed rank =
+    teleport share, and hub rank inherits the seed's mass; seeding a
+    node outside the graph raises."""
+    from python_etl_mailing_automation_spark.datapipe.graph import pagerank
+
+    star = spark.createDataFrame(
+        [(i, 99) for i in range(1, 5)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    prs = {r.node: r.pr for r in pagerank(star, n_iter=1, seeds=seeds).collect()}
+    assert prs[1] == (1.0 - 0.85) / 1.0  # (1-d)/|S|, IEEE op order
+    assert prs[2] == 0.0 and prs[3] == 0.0 and prs[4] == 0.0
+    # d * the seed's full initial mass flows to the hub (grid-exact:
+    # floor(1.0 * 2^40) / 2^40 == 1.0)
+    assert prs[99] == 0.85
+
+    with pytest.raises(ValueError):
+        pagerank(
+            star, n_iter=1,
+            seeds=spark.createDataFrame([(12345,)], "node int"),
+        )
