@@ -1838,6 +1838,28 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=6)
 
 
+def q_rendezvous_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous (HRW) sharding (datapipe/sampling.rendezvous_shard):
+    every document's shard under 8 AND under 9 shards, with the moved
+    flag — the consistent-rebalancing property (a moved row can only
+    move TO the new shard, expected 1/9 of rows) is thereby part of
+    the oracled result, not just a docstring claim."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        rendezvous_shard,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    out = rendezvous_shard(
+        rendezvous_shard(docs, 8, out_col="shard8"), 9, out_col="shard9"
+    )
+    return out.select(
+        "doc_id",
+        "shard8",
+        "shard9",
+        (F.col("shard8") != F.col("shard9")).alias("moved"),
+    )
+
+
 def q_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Personalized PageRank (datapipe/graph.pagerank with seeds,
     Haveliwala 2002): co-purchase authority RELATIVE to the seed parts
@@ -2767,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_winsorize": q_impute_winsorize,
         "cube_stats": q_cube_stats,
         "personalized_pagerank": q_personalized_pagerank,
+        "rendezvous_shard": q_rendezvous_shard,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -4150,6 +4173,24 @@ def oracle_sql() -> dict[str, str]:
         # Personalized variant: teleport restricted to node % 50 = 0
         # seeds, denominator |S| (graph.pagerank with seeds).
         "personalized_pagerank": _pagerank_sql(3, seed_pred="node % 50 = 0"),
+        # Rendezvous sharding: per-(doc, shard) md5 argmax; the padded
+        # composite key mirrors Spark's (hash, shard) struct order
+        # (sampling.rendezvous_shard, n=8 then n=9).
+        "rendezvous_shard": """
+  WITH rv_s AS (SELECT d.doc_id, u.s,
+                       md5(CAST(d.doc_id AS VARCHAR) || '|#'
+                           || CAST(u.s AS VARCHAR)) AS h
+                FROM documents d, UNNEST(range(0, 9)) AS u(s)),
+  rv_a AS (SELECT doc_id,
+                  max_by(s, h || lpad(CAST(s AS VARCHAR), 2, '0'))
+                    FILTER (WHERE s < 8) AS shard8,
+                  max_by(s, h || lpad(CAST(s AS VARCHAR), 2, '0'))
+                    AS shard9
+           FROM rv_s GROUP BY 1)
+  SELECT doc_id, CAST(shard8 AS INT) AS shard8,
+         CAST(shard9 AS INT) AS shard9,
+         shard8 <> shard9 AS moved
+  FROM rv_a""",
         # Bloom membership: 4 salted 60-bit md5 positions mod 4096,
         # 62-bit words (1<<63 overflows DuckDB BIGINT), bit_or build,
         # min-over-hashes probe (sketches.bloom_build/bloom_probe).

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "impute_winsorize",
     "cube_stats",
     "personalized_pagerank",
+    "rendezvous_shard",
     "scd2_intervals",
     "dq_report",
 ]

@@ -333,3 +333,51 @@ def shard_assign(
     return out.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("long")
     ).drop("__digest")
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — Thaler &
+    Ravishankar 1998: each row goes to the shard whose
+    ``md5(id '|' salt '#' shard)`` is LARGEST. Unlike ``shard_assign``'s
+    ``hash mod n`` (which relocates ~(n-1)/n of all rows when n
+    changes), growing n -> n+1 moves ONLY the rows the new shard wins —
+    an expected 1/(n+1) fraction — and never moves a row between two
+    pre-existing shards. That is the property that lets a 100 TB corpus
+    be re-sharded incrementally: copy the new shard's rows, leave
+    everything else in place.
+
+    Deterministic md5 argmax (ties broken by higher shard id via the
+    hash tuple, vanishing-probability anyway), so assignments are
+    engine-exact. Cost: an n_shards-way per-row explode + max_by — one
+    projection + one keyed-free aggregation per row group, no shuffle
+    at all (the winner is computed row-locally via array algebra).
+    NULL ids get a NULL shard.
+    """
+    if n_shards <= 0:
+        raise ValueError("rendezvous_shard: n_shards must be positive")
+    scores = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f"|{salt}#{s}"),
+                    )
+                ).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    winner = F.array_max(scores)["s"]
+    return df.withColumn(
+        out_col,
+        F.when(F.col(id_col).isNotNull(), winner).cast("int"),
+    )

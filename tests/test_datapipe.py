@@ -2370,3 +2370,37 @@ def test_personalized_pagerank_teleports_to_seeds_only(spark):
             star, n_iter=1,
             seeds=spark.createDataFrame([(12345,)], "node int"),
         )
+
+
+def test_rendezvous_shard_stability_and_balance(spark):
+    """The HRW property: growing 8 -> 9 shards moves rows ONLY to the
+    new shard (never between pre-existing ones), an expected ~1/9
+    fraction; assignment is deterministic; distribution is roughly
+    balanced; NULL ids get NULL shards."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        rendezvous_shard,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    both = rendezvous_shard(
+        rendezvous_shard(df, 8, out_col="s8"), 9, out_col="s9"
+    ).collect()
+    moved = [r for r in both if r.s8 != r.s9]
+    assert all(r.s9 == 8 for r in moved)          # only TO the new shard
+    frac = len(moved) / len(both)
+    assert 0.05 < frac < 0.18                      # ~1/9 expected
+    from collections import Counter
+    sizes = Counter(r.s8 for r in both)
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2.0 * min(sizes.values())
+
+    again = {
+        r.doc_id: r.s8
+        for r in rendezvous_shard(df, 8, out_col="s8").collect()
+    }
+    assert all(again[r.doc_id] == r.s8 for r in both)  # deterministic
+
+    nul = spark.createDataFrame([(None,)], "doc_id long")
+    assert rendezvous_shard(nul, 4).collect()[0].shard is None
+    with pytest.raises(ValueError):
+        rendezvous_shard(df, 0)
