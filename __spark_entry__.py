@@ -1838,6 +1838,42 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=6)
 
 
+def q_bpe_tokenize_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """FLAGSHIP tokenizer-to-export composition: train 6 BPE merges,
+    segment every document with the learned vocabulary
+    (tokenizer.bpe_train -> bpe_segment, the Catalyst greedy fold),
+    and pack the token stream into 32-token training chunks — per
+    chunk an order-pinned md5 fingerprint, so the oracle verifies the
+    EXACT token sequence end to end, not just counts."""
+    from python_etl_mailing_automation_spark.datapipe.tokenizer import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf, "documents")
+    merges = bpe_train(docs, "text", n_merges=6)
+    seg = bpe_segment(docs.select("doc_id", "text"), "text", merges)
+    tok = seg.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "tok")
+    )
+    return (
+        tok.withColumn("chunk_idx", F.expr("CAST(pos div 32 AS INT)"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_fp"),
+        )
+    )
+
+
 def q_rendezvous_shard(spark: SparkSession, sf: str) -> DataFrame:
     """Rendezvous (HRW) sharding (datapipe/sampling.rendezvous_shard):
     every document's shard under 8 AND under 9 shards, with the moved
@@ -2790,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_stats": q_cube_stats,
         "personalized_pagerank": q_personalized_pagerank,
         "rendezvous_shard": q_rendezvous_shard,
+        "bpe_tokenize_pack": q_bpe_tokenize_pack,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -3189,6 +3226,43 @@ def _bpe_sql(n_merges: int = 6) -> str:
         for r in range(n_merges)
     )
     return f"WITH RECURSIVE {body}\n  {ranks}"
+
+
+def _bpe_pack_sql(n_merges: int = 6, seq_len: int = 32) -> str:
+    """Tokenize-and-pack oracle: reuse _bpe_sql's training CTEs up to
+    the final word table bw{n} (word -> merged symbol sequence), then
+    re-tokenize every document by joining its words (with position)
+    against that table, lay tokens out in document order via a
+    cumulative word-length offset, and chunk at ``seq_len`` with an
+    order-pinned fingerprint per chunk."""
+    train = _bpe_sql(n_merges)
+    body = train.split("\n  SELECT CAST(1 AS INT)")[0]
+    return (
+        body
+        + f""",
+  tpw AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+  tpd AS (SELECT t.doc_id, CAST(u.i AS INT) AS wpos,
+                 t.ws[CAST(u.i AS INT)] AS w
+          FROM tpw t, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+  tpt AS (SELECT d.doc_id, d.wpos, string_split(b.seq, ' ') AS toks
+          FROM tpd d JOIN bw{n_merges} b ON d.w = b.word),
+  tpo AS (SELECT doc_id, wpos, toks,
+                 COALESCE(SUM(len(toks)) OVER (PARTITION BY doc_id
+                   ORDER BY wpos ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS off
+          FROM tpt),
+  tpk AS (SELECT doc_id,
+                 off + u.j - 1 AS pos,
+                 toks[CAST(u.j AS INT)] AS tok
+          FROM tpo, UNNEST(range(1, len(toks) + 1)) AS u(j))
+  SELECT doc_id, CAST(pos // {seq_len} AS INT) AS chunk_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+  FROM tpk GROUP BY 1, 2"""
+    )
 
 
 def _cross_decon_sql() -> str:
@@ -4173,6 +4247,11 @@ def oracle_sql() -> dict[str, str]:
         # Personalized variant: teleport restricted to node % 50 = 0
         # seeds, denominator |S| (graph.pagerank with seeds).
         "personalized_pagerank": _pagerank_sql(3, seed_pred="node % 50 = 0"),
+        # Tokenize-and-pack e2e: BPE training CTEs + per-doc word-join
+        # re-tokenization + offset layout + 32-token chunks with
+        # order-pinned fingerprints (tokenizer.bpe_train/bpe_segment
+        # + chunking).
+        "bpe_tokenize_pack": _bpe_pack_sql(6, 32),
         # Rendezvous sharding: per-(doc, shard) md5 argmax; the padded
         # composite key mirrors Spark's (hash, shard) struct order
         # (sampling.rendezvous_shard, n=8 then n=9).

@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "cube_stats",
     "personalized_pagerank",
     "rendezvous_shard",
+    "bpe_tokenize_pack",
     "scd2_intervals",
     "dq_report",
 ]
