@@ -215,3 +215,54 @@ def test_write_globally_sorted_replays_order(spark, tmp_path):
     assert seen == sorted(seen) and len(seen) == 1000
     # plan never funnels through a single-partition global sort: the
     # writer is range-exchange + per-partition sort by construction
+
+
+def test_sized_parquet_rowgroup_stats_actually_prune(spark, tmp_path):
+    """Hard evidence for the sink's data-skipping claim, read from the
+    parquet FOOTERS with pyarrow: with sort_within, row-group min/max
+    envelopes are narrow (a point predicate prunes most row groups);
+    without it, every row group spans ~the full value range and
+    nothing prunes."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.sources.io import (
+        write_sized_parquet,
+    )
+
+    df = (
+        spark.range(0, 40000)
+        .select((F.col("id") * 37 % 40000).alias("k"))
+        .repartition(2)
+    )
+
+    def envelopes(d):
+        spans = []
+        for f in Path(d).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                spans.append((st.min, st.max))
+        return spans
+
+    write_sized_parquet(
+        df, tmp_path / "sorted", max_records_per_file=5000, sort_within="k"
+    )
+    write_sized_parquet(
+        df, tmp_path / "unsorted", max_records_per_file=5000
+    )
+    sorted_spans = envelopes(tmp_path / "sorted")
+    unsorted_spans = envelopes(tmp_path / "unsorted")
+    assert len(sorted_spans) >= 4 and len(unsorted_spans) >= 4
+
+    def prunable(spans, point=12345):
+        return sum(1 for lo, hi in spans if point < lo or point > hi)
+
+    # sorted: the point lies in ~1 envelope per task; unsorted: in all
+    assert prunable(sorted_spans) >= len(sorted_spans) - 2
+    assert prunable(unsorted_spans) == 0
+    # sorted envelopes are narrow (each 5000-row file spans ~1/4 of a
+    # task's range); unsorted span ~the full range
+    avg_sorted = sum(hi - lo for lo, hi in sorted_spans) / len(sorted_spans)
+    avg_unsorted = sum(hi - lo for lo, hi in unsorted_spans) / len(unsorted_spans)
+    assert avg_sorted * 3 < avg_unsorted
