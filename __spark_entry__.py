@@ -1838,6 +1838,18 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=6)
 
 
+def q_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-dimension covariance (datapipe/similarity
+    .embedding_covariance): the upper-triangle 64x64 matrix as a
+    grid-exact relational frame — the PCA/whitening/decorrelation
+    input an embedding-quality audit starts from."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(_t(spark, sf, "embeddings"))
+
+
 def q_bpe_tokenize_pack(spark: SparkSession, sf: str) -> DataFrame:
     """FLAGSHIP tokenizer-to-export composition: train 6 BPE merges,
     segment every document with the learned vocabulary
@@ -2827,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "rendezvous_shard": q_rendezvous_shard,
         "bpe_tokenize_pack": q_bpe_tokenize_pack,
+        "embedding_covariance": q_embedding_covariance,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -4247,6 +4260,31 @@ def oracle_sql() -> dict[str, str]:
         # Personalized variant: teleport restricted to node % 50 = 0
         # seeds, denominator |S| (graph.pagerank with seeds).
         "personalized_pagerank": _pagerank_sql(3, seed_pred="node % 50 = 0"),
+        # Embedding covariance: dim self-join on vec_id, 2^-40 grid
+        # HUGEINT sums, (S/G)/n - mu_i*mu_j fixed op order
+        # (similarity.embedding_covariance).
+        "embedding_covariance": """
+  WITH ec_v AS (SELECT vec_id, u.i - 1 AS i,
+                       CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+                FROM embeddings e,
+                     UNNEST(range(1, len(e.embedding) + 1)) AS u(i)),
+  ec_p AS (SELECT a.i AS i, b.i AS j,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(floor(a.x * b.x * 1099511627776.0)
+                           AS HUGEINT)) AS s,
+                  SUM(CAST(floor(a.x * 1099511627776.0)
+                           AS HUGEINT)) AS sa,
+                  SUM(CAST(floor(b.x * 1099511627776.0)
+                           AS HUGEINT)) AS sb
+           FROM ec_v a JOIN ec_v b
+             ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY 1, 2)
+  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+         (CAST(s AS DOUBLE) / 1099511627776.0) / CAST(n AS DOUBLE)
+         - ((CAST(sa AS DOUBLE) / 1099511627776.0) / CAST(n AS DOUBLE))
+           * ((CAST(sb AS DOUBLE) / 1099511627776.0) / CAST(n AS DOUBLE))
+           AS cov
+  FROM ec_p""",
         # Tokenize-and-pack e2e: BPE training CTEs + per-doc word-join
         # re-tokenization + offset layout + 32-token chunks with
         # order-pinned fingerprints (tokenizer.bpe_train/bpe_segment

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "personalized_pagerank",
     "rendezvous_shard",
     "bpe_tokenize_pack",
+    "embedding_covariance",
     "scd2_intervals",
     "dq_report",
 ]

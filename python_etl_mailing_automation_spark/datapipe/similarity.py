@@ -286,3 +286,60 @@ def ann_bucket_topk(
         .filter(F.col("sim_rank") <= k)
         .select("vec_id", "bucket", "neighbor_id", "sim_rank")
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", *, id_col: str = "vec_id"
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions —
+    the PCA/whitening/decorrelation input an embedding-quality audit
+    starts from — as a relational frame ``(i, j, n, cov)`` with
+    ``i <= j``, exact enough to diff across runs: every cross-row sum
+    (per-dimension means and pairwise second moments) accumulates on
+    the 2^-40 grid in DECIMAL(38,0), and the final
+    ``cov = (S_ij/2^40)/n − μ_i·μ_j`` is one fixed IEEE op sequence.
+    NULL vectors are dropped. ``id_col`` keys the dimension self-join
+    (an explicit unique id, never monotonically_increasing_id — that
+    would be partition-layout-dependent across the two join branches).
+
+    Scale shape: one explode to (row, dim, value) — dim× amplification
+    — then an equi-self-join on the row id restricted to ``i <= j``
+    (dim²/2× on the exploded frame, the inherent cost of a dense
+    covariance) and a (i, j)-keyed aggregate bounded by dim² rows
+    output. For very high dim, subsample rows first — the estimator
+    degrades gracefully, the shape does not change.
+    """
+    vals = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__rid"),
+            F.posexplode(_dec_vec(F.col(vec_col))).alias("i", "x"),
+        )
+    )
+    a = vals.select("__rid", F.col("i").alias("i"), F.col("x").alias("xa"))
+    b = vals.select("__rid", F.col("i").alias("j"), F.col("x").alias("xb"))
+    grid = F.lit(2.0**40)
+    pair = (
+        a.join(b, on="__rid")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.floor(F.col("xa") * F.col("xb") * grid).cast("decimal(38,0)")
+            ).alias("__s"),
+            F.sum(F.floor(F.col("xa") * grid).cast("decimal(38,0)")).alias(
+                "__sa"
+            ),
+            F.sum(F.floor(F.col("xb") * grid).cast("decimal(38,0)")).alias(
+                "__sb"
+            ),
+        )
+    )
+    n = F.col("__n").cast("double")
+    mu_a = (F.col("__sa").cast("double") / grid) / n
+    mu_b = (F.col("__sb").cast("double") / grid) / n
+    cov = (F.col("__s").cast("double") / grid) / n - mu_a * mu_b
+    return pair.select(
+        "i", "j", F.col("__n").cast("long").alias("n"), cov.alias("cov")
+    )

@@ -2404,3 +2404,25 @@ def test_rendezvous_shard_stability_and_balance(spark):
     assert rendezvous_shard(nul, 4).collect()[0].shard is None
     with pytest.raises(ValueError):
         rendezvous_shard(df, 0)
+
+
+def test_embedding_covariance_hand_computed(spark):
+    """2-dim hand case: cov recovered to grid precision, variance on
+    the diagonal, symmetry by upper-triangle convention, NULL vectors
+    dropped, n correct."""
+    import numpy as np
+
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        embedding_covariance,
+    )
+
+    vecs = [(1, [1.0, 2.0]), (2, [3.0, 6.0]), (3, [5.0, 4.0]), (4, None)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = {(r.i, r.j): r for r in embedding_covariance(df).collect()}
+    assert set(rows) == {(0, 0), (0, 1), (1, 1)}
+    assert all(r.n == 3 for r in rows.values())
+    x = np.array([1.0, 3.0, 5.0])
+    y = np.array([2.0, 6.0, 4.0])
+    assert abs(rows[(0, 0)].cov - x.var()) < 1e-9
+    assert abs(rows[(1, 1)].cov - y.var()) < 1e-9
+    assert abs(rows[(0, 1)].cov - ((x * y).mean() - x.mean() * y.mean())) < 1e-9
