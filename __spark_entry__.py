@@ -1838,6 +1838,19 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=6)
 
 
+def q_pca_pc1(spark: SparkSession, sf: str) -> DataFrame:
+    """PC1 scores by relational power iteration (datapipe/similarity
+    .pca_project_pc1, 8 fixed iterations): the dominant variance
+    direction of the embedding space and every vector's projection on
+    it — covariance, iterations, and projection all grid-exact, so
+    even the eigenvector itself hash-matches the unrolled oracle."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        pca_project_pc1,
+    )
+
+    return pca_project_pc1(_t(spark, sf, "embeddings"), n_iter=8)
+
+
 def q_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-dimension covariance (datapipe/similarity
     .embedding_covariance): the upper-triangle 64x64 matrix as a
@@ -2840,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shard": q_rendezvous_shard,
         "bpe_tokenize_pack": q_bpe_tokenize_pack,
         "embedding_covariance": q_embedding_covariance,
+        "pca_pc1": q_pca_pc1,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -3239,6 +3253,67 @@ def _bpe_sql(n_merges: int = 6) -> str:
         for r in range(n_merges)
     )
     return f"WITH RECURSIVE {body}\n  {ranks}"
+
+
+def _pca_sql(n_iter: int = 8) -> str:
+    """PC1 power-iteration oracle: the grid-exact covariance CTEs
+    (mirrored to the full symmetric matrix), ``n_iter`` unrolled
+    matrix-vector iterations with 2^-40-grid HUGEINT accumulation and
+    sqrt normalization, then the grid-exact projection — op-for-op
+    similarity.pca_project_pc1. Every per-iteration CTE is
+    MATERIALIZED (the BPE-oracle lesson: plain CTE inlining
+    re-evaluates the chain exponentially)."""
+    g = "1099511627776.0"
+    parts = [
+        """pq_v AS MATERIALIZED (
+     SELECT vec_id, u.i - 1 AS i,
+            CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+     FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+     WHERE embedding IS NOT NULL),""",
+        f"""  pq_p AS MATERIALIZED (
+     SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(floor(a.x * b.x * {g}) AS HUGEINT)) AS s,
+            SUM(CAST(floor(a.x * {g}) AS HUGEINT)) AS sa,
+            SUM(CAST(floor(b.x * {g}) AS HUGEINT)) AS sb
+     FROM pq_v a JOIN pq_v b ON a.vec_id = b.vec_id AND a.i <= b.i
+     GROUP BY 1, 2),""",
+        f"""  pq_t AS MATERIALIZED (
+     SELECT i, j,
+            (CAST(s AS DOUBLE) / {g}) / CAST(n AS DOUBLE)
+            - ((CAST(sa AS DOUBLE) / {g}) / CAST(n AS DOUBLE))
+              * ((CAST(sb AS DOUBLE) / {g}) / CAST(n AS DOUBLE)) AS cov
+     FROM pq_p),""",
+        "  pq_c AS MATERIALIZED (SELECT i, j, cov FROM pq_t"
+        " UNION ALL SELECT j AS i, i AS j, cov FROM pq_t WHERE i <> j),",
+        "  pq_d AS MATERIALIZED (SELECT DISTINCT i AS j FROM pq_c),",
+        "  pq_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM pq_d),",
+        "  pv0 AS MATERIALIZED (SELECT j,"
+        " 1.0e0 / sqrt(CAST(nd AS DOUBLE)) AS v FROM pq_d, pq_n),",
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"  pw{t} AS MATERIALIZED (SELECT c.i AS j,"
+            f" CAST(SUM(CAST(floor(c.cov * p.v * {g}) AS HUGEINT))"
+            f" AS DOUBLE) / {g} AS w"
+            f" FROM pq_c c JOIN pv{t} p ON c.j = p.j GROUP BY 1),"
+        )
+        parts.append(
+            f"  pn{t} AS MATERIALIZED (SELECT"
+            f" sqrt(CAST(SUM(CAST(floor(w * w * {g}) AS HUGEINT))"
+            f" AS DOUBLE) / {g}) AS nrm FROM pw{t}),"
+        )
+        parts.append(
+            f"  pv{t + 1} AS MATERIALIZED (SELECT j, w / nrm AS v"
+            f" FROM pw{t}, pn{t}),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"WITH {body}\n"
+        f"  SELECT x.vec_id,"
+        f" CAST(SUM(CAST(floor(x.x * p.v * {g}) AS HUGEINT))"
+        f" AS DOUBLE) / {g} AS pc1\n"
+        f"  FROM pq_v x JOIN pv{n_iter} p ON x.i = p.j GROUP BY 1"
+    )
 
 
 def _bpe_pack_sql(n_merges: int = 6, seq_len: int = 32) -> str:
@@ -4260,6 +4335,10 @@ def oracle_sql() -> dict[str, str]:
         # Personalized variant: teleport restricted to node % 50 = 0
         # seeds, denominator |S| (graph.pagerank with seeds).
         "personalized_pagerank": _pagerank_sql(3, seed_pred="node % 50 = 0"),
+        # PC1 power iteration: unrolled grid-exact matrix-vector
+        # rounds over the mirrored covariance (similarity
+        # .pca_project_pc1).
+        "pca_pc1": _pca_sql(8),
         # Embedding covariance: dim self-join on vec_id, 2^-40 grid
         # HUGEINT sums, (S/G)/n - mu_i*mu_j fixed op order
         # (similarity.embedding_covariance).

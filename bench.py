@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "rendezvous_shard",
     "bpe_tokenize_pack",
     "embedding_covariance",
+    "pca_pc1",
     "scd2_intervals",
     "dq_report",
 ]

@@ -343,3 +343,91 @@ def embedding_covariance(
     return pair.select(
         "i", "j", F.col("__n").cast("long").alias("n"), cov.alias("cov")
     )
+
+
+def pca_project_pc1(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    id_col: str = "vec_id",
+    n_iter: int = 8,
+) -> DataFrame:
+    """First principal component by fixed-``n_iter`` power iteration
+    over the grid-exact covariance frame, then every vector's PC1
+    score — the one-line embedding-quality audit (how much variance a
+    single direction explains; anisotropy flags collapsed embedding
+    spaces).
+
+    Everything is relational and engine-exact: the covariance comes
+    from :func:`embedding_covariance` (mirrored to the full symmetric
+    matrix), each iteration is one (i, j) join + keyed aggregate with
+    the matrix-vector products accumulated on the 2^-40 grid (64-term
+    float sums would be association-order-dependent), normalization
+    divides by the correctly-rounded sqrt of a grid-exact sum, and the
+    deterministic start vector is uniform 1/sqrt(dim). The sign is
+    pinned by the start vector (power iteration converges toward the
+    dominant eigenvector up to sign; a fixed positive start makes the
+    sign reproducible).
+
+    Returns ``(id_col, pc1)``. Iteration frames are dim-sized (64
+    rows) — the only corpus-scale passes are the covariance build and
+    the final projection scan.
+    """
+    grid = F.lit(2.0**40)
+    tri = embedding_covariance(df, vec_col, id_col=id_col)
+    cov = tri.select("i", "j", "cov").unionByName(
+        tri.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    cov = cov.localCheckpoint(eager=False)
+    dims = cov.select(F.col("i").alias("j")).distinct()
+    n_dims = dims.count()
+    # math.sqrt is IEEE-correctly-rounded (x ** 0.5 goes through libm
+    # pow, which the engine's exactness rules forbid)
+    import math
+
+    v = dims.withColumn("v", F.lit(1.0 / math.sqrt(float(n_dims))))
+    for _ in range(n_iter):
+        w = (
+            cov.join(v, on="j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.floor(F.col("cov") * F.col("v") * grid).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("__s")
+            )
+            .select(
+                F.col("i").alias("j"),
+                (F.col("__s").cast("double") / grid).alias("w"),
+            )
+        )
+        norm2 = w.agg(
+            F.sum(
+                F.floor(F.col("w") * F.col("w") * grid).cast("decimal(38,0)")
+            ).alias("__n2")
+        ).select(
+            F.sqrt(F.col("__n2").cast("double") / grid).alias("__norm")
+        )
+        v = w.crossJoin(F.broadcast(norm2)).select(
+            "j", (F.col("w") / F.col("__norm")).alias("v")
+        )
+        v = v.localCheckpoint(eager=False)
+    vals = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(_dec_vec(F.col(vec_col))).alias("j", "x"),
+    )
+    return (
+        vals.join(F.broadcast(v), on="j")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.floor(F.col("x") * F.col("v") * grid).cast("decimal(38,0)")
+            ).alias("__s")
+        )
+        .select(
+            id_col, (F.col("__s").cast("double") / grid).alias("pc1")
+        )
+    )

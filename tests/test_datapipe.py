@@ -2426,3 +2426,29 @@ def test_embedding_covariance_hand_computed(spark):
     assert abs(rows[(0, 0)].cov - x.var()) < 1e-9
     assert abs(rows[(1, 1)].cov - y.var()) < 1e-9
     assert abs(rows[(0, 1)].cov - ((x * y).mean() - x.mean() * y.mean())) < 1e-9
+
+
+def test_pca_pc1_recovers_dominant_direction(spark):
+    """Points spread along the (3,4)/5 axis with small orthogonal
+    noise: PC1 scores approximate the signed coordinate along that
+    axis (sign pinned by the positive start vector), and the ratio of
+    PC1 variance to total variance is near 1."""
+    import numpy as np
+
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        pca_project_pc1,
+    )
+
+    rng = np.random.RandomState(7)
+    ts = rng.uniform(-10, 10, 60)
+    noise = rng.uniform(-0.1, 0.1, 60)
+    pts = [
+        (i, [float(0.6 * t - 0.8 * e), float(0.8 * t + 0.6 * e)])
+        for i, (t, e) in enumerate(zip(ts, noise))
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.pc1 for r in pca_project_pc1(df, n_iter=12).collect()}
+    err = [abs(got[i] - t) for i, (t, _) in enumerate(zip(ts, noise))]
+    assert max(err) < 0.2
+    var_pc1 = np.var([got[i] for i in range(60)])
+    assert var_pc1 / (np.var(ts) + np.var(noise)) > 0.95
