@@ -2826,10 +2826,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "sft_format": q_sft_format,
         # --- driver window ends here (50 entries, all never-signed
-        # until this round's driver run). Below the boundary: the 16
-        # round-6 over-budget NEWCOMERS (cms_freq .. dq_report — no
-        # driver row yet, verified by tools/check_parity.py at sf0.01
-        # AND sf0.1; they lead the round-7 rotation) followed by the
+        # until this round's driver run). Below the boundary: EVERY
+        # entry in the cms_freq .. dq_report span is a round-6
+        # over-budget NEWCOMER (no driver row yet, verified by
+        # tools/check_parity.py at sf0.01 AND sf0.1; they lead the
+        # round-7 rotation — count them from CORRECTNESS files, the
+        # span keeps growing) followed by the
         # already-driver-signed r01-r05 queries (interval_join /
         # multimodal_pipeline / doc_chunks were swapped out of the
         # window for round-6 newcomers; all still run by bench +
@@ -3255,9 +3257,45 @@ def _bpe_sql(n_merges: int = 6) -> str:
     return f"WITH RECURSIVE {body}\n  {ranks}"
 
 
+def _cov_ctes(prefix: str) -> str:
+    """Shared covariance CTE text (value explode + grid-exact upper-
+    triangle moments + cov derivation) — ONE implementation feeding
+    both the embedding_covariance oracle and the PC1 oracle, so the
+    grid constant / op order can never drift between them."""
+    g = "1099511627776.0"
+    return f"""{prefix}v AS MATERIALIZED (
+     SELECT vec_id, u.i - 1 AS i,
+            CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
+     FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+     WHERE embedding IS NOT NULL),
+  {prefix}p AS MATERIALIZED (
+     SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(floor(a.x * b.x * {g}) AS HUGEINT)) AS s,
+            SUM(CAST(floor(a.x * {g}) AS HUGEINT)) AS sa,
+            SUM(CAST(floor(b.x * {g}) AS HUGEINT)) AS sb
+     FROM {prefix}v a JOIN {prefix}v b
+       ON a.vec_id = b.vec_id AND a.i <= b.i
+     GROUP BY 1, 2),
+  {prefix}t AS MATERIALIZED (
+     SELECT i, j, n,
+            (CAST(s AS DOUBLE) / {g}) / CAST(n AS DOUBLE)
+            - ((CAST(sa AS DOUBLE) / {g}) / CAST(n AS DOUBLE))
+              * ((CAST(sb AS DOUBLE) / {g}) / CAST(n AS DOUBLE)) AS cov
+     FROM {prefix}p)"""
+
+
+def _cov_sql() -> str:
+    """embedding_covariance oracle: the shared CTEs + triangle select."""
+    return (
+        f"WITH {_cov_ctes('ec_')}\n"
+        "  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n, cov"
+        " FROM ec_t"
+    )
+
+
 def _pca_sql(n_iter: int = 8) -> str:
-    """PC1 power-iteration oracle: the grid-exact covariance CTEs
-    (mirrored to the full symmetric matrix), ``n_iter`` unrolled
+    """PC1 power-iteration oracle: the shared grid-exact covariance
+    CTEs (mirrored to the full symmetric matrix), ``n_iter`` unrolled
     matrix-vector iterations with 2^-40-grid HUGEINT accumulation and
     sqrt normalization, then the grid-exact projection — op-for-op
     similarity.pca_project_pc1. Every per-iteration CTE is
@@ -3265,24 +3303,7 @@ def _pca_sql(n_iter: int = 8) -> str:
     re-evaluates the chain exponentially)."""
     g = "1099511627776.0"
     parts = [
-        """pq_v AS MATERIALIZED (
-     SELECT vec_id, u.i - 1 AS i,
-            CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
-     FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
-     WHERE embedding IS NOT NULL),""",
-        f"""  pq_p AS MATERIALIZED (
-     SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n,
-            SUM(CAST(floor(a.x * b.x * {g}) AS HUGEINT)) AS s,
-            SUM(CAST(floor(a.x * {g}) AS HUGEINT)) AS sa,
-            SUM(CAST(floor(b.x * {g}) AS HUGEINT)) AS sb
-     FROM pq_v a JOIN pq_v b ON a.vec_id = b.vec_id AND a.i <= b.i
-     GROUP BY 1, 2),""",
-        f"""  pq_t AS MATERIALIZED (
-     SELECT i, j,
-            (CAST(s AS DOUBLE) / {g}) / CAST(n AS DOUBLE)
-            - ((CAST(sa AS DOUBLE) / {g}) / CAST(n AS DOUBLE))
-              * ((CAST(sb AS DOUBLE) / {g}) / CAST(n AS DOUBLE)) AS cov
-     FROM pq_p),""",
+        _cov_ctes("pq_") + ",",
         "  pq_c AS MATERIALIZED (SELECT i, j, cov FROM pq_t"
         " UNION ALL SELECT j AS i, i AS j, cov FROM pq_t WHERE i <> j),",
         "  pq_d AS MATERIALIZED (SELECT DISTINCT i AS j FROM pq_c),",
@@ -4342,28 +4363,7 @@ def oracle_sql() -> dict[str, str]:
         # Embedding covariance: dim self-join on vec_id, 2^-40 grid
         # HUGEINT sums, (S/G)/n - mu_i*mu_j fixed op order
         # (similarity.embedding_covariance).
-        "embedding_covariance": """
-  WITH ec_v AS (SELECT vec_id, u.i - 1 AS i,
-                       CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS x
-                FROM embeddings e,
-                     UNNEST(range(1, len(e.embedding) + 1)) AS u(i)),
-  ec_p AS (SELECT a.i AS i, b.i AS j,
-                  CAST(COUNT(*) AS BIGINT) AS n,
-                  SUM(CAST(floor(a.x * b.x * 1099511627776.0)
-                           AS HUGEINT)) AS s,
-                  SUM(CAST(floor(a.x * 1099511627776.0)
-                           AS HUGEINT)) AS sa,
-                  SUM(CAST(floor(b.x * 1099511627776.0)
-                           AS HUGEINT)) AS sb
-           FROM ec_v a JOIN ec_v b
-             ON a.vec_id = b.vec_id AND a.i <= b.i
-           GROUP BY 1, 2)
-  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
-         (CAST(s AS DOUBLE) / 1099511627776.0) / CAST(n AS DOUBLE)
-         - ((CAST(sa AS DOUBLE) / 1099511627776.0) / CAST(n AS DOUBLE))
-           * ((CAST(sb AS DOUBLE) / 1099511627776.0) / CAST(n AS DOUBLE))
-           AS cov
-  FROM ec_p""",
+        "embedding_covariance": _cov_sql(),
         # Tokenize-and-pack e2e: BPE training CTEs + per-doc word-join
         # re-tokenization + offset layout + 32-token chunks with
         # order-pinned fingerprints (tokenizer.bpe_train/bpe_segment
@@ -4465,32 +4465,24 @@ def oracle_sql() -> dict[str, str]:
         # Row-level contract gate: list of violated row-local
         # constraint labels per row (quality.contract_gate).
         "contract_gate": """
-  SELECT o_orderkey,
-         list_filter([
-           CASE WHEN o_custkey IS NULL THEN 'not_null:o_custkey' END,
-           CASE WHEN o_totalprice IS NOT NULL
-                 AND (o_totalprice < 1000.0 OR o_totalprice > 500000.0)
-                THEN 'range:o_totalprice' END,
-           CASE WHEN o_orderstatus IS NOT NULL
-                 AND o_orderstatus NOT IN ('O', 'F')
-                THEN 'accepted:o_orderstatus' END,
-           CASE WHEN o_orderpriority IS NOT NULL
-                 AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
-                THEN 'regexp:o_orderpriority' END
-         ], x -> x IS NOT NULL) AS violated,
-         CAST(len(list_filter([
-           CASE WHEN o_custkey IS NULL THEN 'x' END,
-           CASE WHEN o_totalprice IS NOT NULL
-                 AND (o_totalprice < 1000.0 OR o_totalprice > 500000.0)
-                THEN 'x' END,
-           CASE WHEN o_orderstatus IS NOT NULL
-                 AND o_orderstatus NOT IN ('O', 'F')
-                THEN 'x' END,
-           CASE WHEN o_orderpriority IS NOT NULL
-                 AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
-                THEN 'x' END
-         ], x -> x IS NOT NULL)) AS INT) AS n_violated
-  FROM orders""",
+  SELECT o_orderkey, violated,
+         CAST(len(violated) AS INT) AS n_violated
+  FROM (SELECT o_orderkey,
+               list_filter([
+                 CASE WHEN o_custkey IS NULL
+                      THEN 'not_null:o_custkey' END,
+                 CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 1000.0
+                            OR o_totalprice > 500000.0)
+                      THEN 'range:o_totalprice' END,
+                 CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F')
+                      THEN 'accepted:o_orderstatus' END,
+                 CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                      THEN 'regexp:o_orderpriority' END
+               ], x -> x IS NOT NULL) AS violated
+        FROM orders)""",
         # Incremental agg-state merge: the oracle aggregates the FULL
         # input directly — a green row proves the batch-split merge
         # equals the re-run (operators/aggregates.merge_agg_states).

@@ -72,10 +72,12 @@ def pagerank(
         ).select(
             "node", F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed")
         )
-        nodes = flagged.cache()
-        m = nodes.filter(F.col("__seed")).count()
+        # validate BEFORE caching: raising after .cache() would leak a
+        # pinned RDD in the shared session on every bad-seed call
+        m = flagged.filter(F.col("__seed")).count()
         if m == 0:
             raise ValueError("pagerank: no seed appears in the graph")
+        nodes = flagged.cache()
     else:
         nodes = nodes.withColumn("__seed", F.lit(True)).cache()
         m = None

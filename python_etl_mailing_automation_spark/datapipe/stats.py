@@ -707,11 +707,12 @@ def kmv_jaccard(
             .filter(F.col("__h").isNotNull())
             .distinct()
         )
-        w = Window.orderBy("__h")
-        return (
-            hashed.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= k)
-            .select("__h", F.lit(1).alias(flag))
+        # orderBy + limit plans as TakeOrderedAndProject — per-partition
+        # k-row heaps merged on the driver side of the exchange — where
+        # an unpartitioned row_number window would funnel EVERY distinct
+        # hash through one task's sort
+        return hashed.orderBy("__h").limit(k).select(
+            "__h", F.lit(1).alias(flag)
         )
 
     a = side(df_a, value_a, "__a")
