@@ -1871,13 +1871,18 @@ def q_bpe_tokenize_pack(spark: SparkSession, sf: str) -> DataFrame:
     chunk an order-pinned md5 fingerprint, so the oracle verifies the
     EXACT token sequence end to end, not just counts."""
     from python_etl_mailing_automation_spark.datapipe.tokenizer import (
-        bpe_segment,
+        bpe_segment_join,
         bpe_train,
     )
 
     docs = _t(spark, sf, "documents")
     merges = bpe_train(docs, "text", n_merges=6)
-    seg = bpe_segment(docs.select("doc_id", "text"), "text", merges)
+    # vocabulary-join fast path: fold the merges over distinct words
+    # once, join back — ~occurrences/distinct cheaper than folding
+    # every word instance (19.5 s -> ~4 s at sf0.1)
+    seg = bpe_segment_join(
+        docs.select("doc_id", "text"), "doc_id", "text", merges
+    )
     tok = seg.select(
         "doc_id", F.posexplode("tokens").alias("pos", "tok")
     )

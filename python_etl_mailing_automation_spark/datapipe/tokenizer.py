@@ -198,3 +198,72 @@ def bpe_segment(
     return work.withColumn(out_col, F.flatten(F.col("__wsyms"))).drop(
         "__wsyms"
     )
+
+
+def bpe_segment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame,
+    *,
+    out_col: str = "tokens",
+    batch_size: int = 16,
+) -> DataFrame:
+    """Vocabulary-join segmentation — the high-repetition fast path:
+    fold the merges over each DISTINCT word once (a vocabulary-sized
+    frame, same batched fold as :func:`bpe_segment`), then tokenize
+    the corpus by exploding words with position, broadcast-joining the
+    vocabulary, and re-assembling each document's token stream in word
+    order. Semantically identical to :func:`bpe_segment` (merges never
+    cross word boundaries); ~n_occurrences/n_distinct times cheaper
+    when words repeat — natural corpora — at the cost of needing a
+    row id and one shuffle for the per-document re-assembly.
+    Documents with no words produce NO output row (left-join the
+    result back if empty token arrays matter to the consumer).
+    """
+    vocab = word_frequencies(df, text_col).select("word").withColumn(
+        "__wsyms",
+        F.expr(
+            "array(transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1)))"
+        ),
+    )
+    ordered = [(r.lhs, r.rhs) for r in merges.orderBy("rank").collect()]
+    for start in range(0, len(ordered), batch_size):
+        expr = "__inner"
+        for lhs, rhs in ordered[start : start + batch_size]:
+            ql, qr = _sql_quote(lhs), _sql_quote(rhs)
+            qm = _sql_quote(lhs + rhs)
+            expr = (
+                f"aggregate({expr}, cast(array() as array<string>),"
+                " (acc, x) -> CASE WHEN size(acc) > 0"
+                f" AND element_at(acc, -1) = '{ql}' AND x = '{qr}'"
+                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
+                " ELSE concat(acc, array(x)) END)"
+            )
+        vocab = vocab.withColumn(
+            "__wsyms", F.expr(f"transform(__wsyms, __inner -> {expr})")
+        )
+    vocab = vocab.select(
+        "word", F.col("__wsyms")[0].alias("__toks")
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
+        ).alias("__wpos", "word"),
+    )
+    return (
+        exploded.join(F.broadcast(vocab), on="word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__wpos", "__toks"))
+                    ),
+                    lambda s: s["__toks"],
+                )
+            ).alias(out_col)
+        )
+    )

@@ -2452,3 +2452,32 @@ def test_pca_pc1_recovers_dominant_direction(spark):
     assert max(err) < 0.2
     var_pc1 = np.var([got[i] for i in range(60)])
     assert var_pc1 / (np.var(ts) + np.var(noise)) > 0.95
+
+
+def test_bpe_segment_join_equals_per_instance_fold(spark):
+    """The vocabulary-join fast path tokenizes identically to the
+    per-instance fold on a repetitive corpus (including multi-batch
+    merge application); wordless docs produce no row."""
+    from python_etl_mailing_automation_spark.datapipe.tokenizer import (
+        bpe_segment,
+        bpe_segment_join,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab ba"), (2, "ba baba abab"), (3, "")],
+        "doc_id int, text string",
+    )
+    merges = bpe_train(docs, "text", n_merges=3)
+    slow = {
+        r.doc_id: r.tokens
+        for r in bpe_segment(docs, "text", merges).collect()
+    }
+    fast = {
+        r.doc_id: r.tokens
+        for r in bpe_segment_join(
+            docs, "doc_id", "text", merges, batch_size=1
+        ).collect()
+    }
+    assert fast == {k: v for k, v in slow.items() if v}
+    assert 3 not in fast and slow[3] == []
