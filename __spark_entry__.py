@@ -1734,6 +1734,22 @@ def q_containment_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The containment-dedup ACTION (datapipe/ssjoin
+    .containment_dedup): documents surviving after dropping everything
+    >= 9/10 contained (3-shingles) in a larger document — the
+    detect/act split of the similarity-join family (containment_join
+    is the detector)."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        containment_dedup,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return containment_dedup(
+        docs, "doc_id", "text", threshold=(9, 10), shingle=3
+    ).select("doc_id", "source")
+
+
 def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """SCD-2 dimension history (operators/dedup.scd2_intervals): each
     customer's order log becomes validity intervals — valid_from /
@@ -2861,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_pack": q_bpe_tokenize_pack,
         "embedding_covariance": q_embedding_covariance,
         "pca_pc1": q_pca_pc1,
+        "containment_dedup": q_containment_dedup,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -3260,6 +3277,41 @@ def _bpe_sql(n_merges: int = 6) -> str:
         for r in range(n_merges)
     )
     return f"WITH RECURSIVE {body}\n  {ranks}"
+
+
+def _containment_ctes() -> str:
+    """Shared containment-pair CTE text (3-shingles, t = 9/10) feeding
+    both the containment_join oracle and the containment_dedup oracle
+    — one copy of the prefix/index/verify machinery."""
+    return """cj_w AS (SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+  cj_t AS (SELECT DISTINCT doc_id,
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+                  || ' ' || ws[CAST(i AS INT) + 2] AS tok
+           FROM cj_w, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+  cj_sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM cj_t GROUP BY 1),
+  cj_f AS (SELECT tok, COUNT(*) AS tf FROM cj_t GROUP BY 1),
+  cj_r AS (SELECT t.doc_id, t.tok, s.sz,
+                  ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                     ORDER BY f.tf ASC, t.tok ASC) AS pos
+           FROM cj_t t JOIN cj_f f ON t.tok = f.tok
+           JOIN cj_sz s ON t.doc_id = s.doc_id),
+  cj_p AS (SELECT doc_id, tok, sz FROM cj_r
+           WHERE pos <= sz - ((sz * 9 + 9) // 10) + 1),
+  cj_c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sz AS size_a, bs.sz AS size_b
+           FROM cj_p a JOIN cj_t b
+             ON a.tok = b.tok AND a.doc_id <> b.doc_id
+           JOIN cj_sz bs ON b.doc_id = bs.doc_id),
+  cj_i AS (SELECT c.id_a, c.id_b, c.size_a, c.size_b,
+                  CAST(COUNT(*) AS BIGINT) AS inter
+           FROM cj_c c
+           JOIN cj_t x ON x.doc_id = c.id_a
+           JOIN cj_t y ON y.doc_id = c.id_b AND y.tok = x.tok
+           GROUP BY 1, 2, 3, 4)"""
 
 
 def _cov_ctes(prefix: str) -> str:
@@ -4536,40 +4588,22 @@ def oracle_sql() -> dict[str, str]:
         # Containment join: contained-side prefix vs full index,
         # inter*den >= num*size_a acceptance (ssjoin
         # .containment_join_exact, t = 9/10, 3-shingles).
-        "containment_join": """
-  WITH cj_w AS (SELECT doc_id,
-                       list_filter(string_split_regex(text, '\\s+'),
-                                   x -> x <> '') AS ws
-                FROM documents),
-  cj_t AS (SELECT DISTINCT doc_id,
-                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
-                  || ' ' || ws[CAST(i AS INT) + 2] AS tok
-           FROM cj_w, UNNEST(range(1, len(ws) - 1)) AS u(i)),
-  cj_sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
-            FROM cj_t GROUP BY 1),
-  cj_f AS (SELECT tok, COUNT(*) AS tf FROM cj_t GROUP BY 1),
-  cj_r AS (SELECT t.doc_id, t.tok, s.sz,
-                  ROW_NUMBER() OVER (PARTITION BY t.doc_id
-                                     ORDER BY f.tf ASC, t.tok ASC) AS pos
-           FROM cj_t t JOIN cj_f f ON t.tok = f.tok
-           JOIN cj_sz s ON t.doc_id = s.doc_id),
-  cj_p AS (SELECT doc_id, tok, sz FROM cj_r
-           WHERE pos <= sz - ((sz * 9 + 9) // 10) + 1),
-  cj_c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  a.sz AS size_a, bs.sz AS size_b
-           FROM cj_p a JOIN cj_t b
-             ON a.tok = b.tok AND a.doc_id <> b.doc_id
-           JOIN cj_sz bs ON b.doc_id = bs.doc_id),
-  cj_i AS (SELECT c.id_a, c.id_b, c.size_a, c.size_b,
-                  CAST(COUNT(*) AS BIGINT) AS inter
-           FROM cj_c c
-           JOIN cj_t x ON x.doc_id = c.id_a
-           JOIN cj_t y ON y.doc_id = c.id_b AND y.tok = x.tok
-           GROUP BY 1, 2, 3, 4)
+        "containment_join": "WITH " + _containment_ctes() + """
   SELECT id_a, id_b, inter, size_a, size_b,
          CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
   FROM cj_i
   WHERE inter * 10 >= 9 * size_a""",
+        # Containment DEDUP action: drop docs contained in a larger
+        # one (ties keep the smaller id) — survivors via NOT EXISTS
+        # (ssjoin.containment_dedup).
+        "containment_dedup": "WITH " + _containment_ctes() + """,
+  cd_dp AS (SELECT DISTINCT id_a FROM cj_i
+            WHERE inter * 10 >= 9 * size_a
+              AND (size_a < size_b
+                   OR (size_a = size_b AND id_a > id_b)))
+  SELECT d.doc_id, d.source
+  FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM cd_dp x WHERE x.id_a = d.doc_id)""",
         # SCD-2 intervals: one LEAD/ROW_NUMBER window per key with the
         # orderkey tiebreak (operators/dedup.scd2_intervals).
         "scd2_intervals": """

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "bpe_tokenize_pack",
     "embedding_covariance",
     "pca_pc1",
+    "containment_dedup",
     "scd2_intervals",
     "dq_report",
 ]

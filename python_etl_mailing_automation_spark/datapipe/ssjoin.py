@@ -242,3 +242,41 @@ def containment_join_exact(
             "containment"
         ),
     )
+
+
+def containment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (9, 10),
+    shingle: int = 1,
+) -> DataFrame:
+    """The curation ACTION on top of :func:`containment_join_exact`
+    (the detect/act split of dup_spans vs remove_dup_spans): drop every
+    document whose token set is >= num/den contained in a LARGER
+    document — subsumed quotes, page-in-site mirrors, prompt-in-
+    transcript — keeping the container. Mutual containment (identical
+    sets) keeps the smaller id, so exactly one survivor per clique and
+    the operation is idempotent. Returns the surviving rows of ``df``.
+
+    Scale shape: the pair join's cost (see containment_join_exact)
+    plus one distinct-ids frame and one left-anti join back — the
+    survivors keep their full payload without ever being shuffled into
+    the pair machinery.
+    """
+    pairs = containment_join_exact(
+        df, id_col, text_col, threshold=threshold, shingle=shingle
+    )
+    dropped = (
+        pairs.filter(
+            (F.col("size_a") < F.col("size_b"))
+            | (
+                (F.col("size_a") == F.col("size_b"))
+                & (F.col("id_a") > F.col("id_b"))
+            )
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, on=id_col, how="left_anti")

@@ -2481,3 +2481,26 @@ def test_bpe_segment_join_equals_per_instance_fold(spark):
     }
     assert fast == {k: v for k, v in slow.items() if v}
     assert 3 not in fast and slow[3] == []
+
+
+def test_containment_dedup_keeps_container_and_is_idempotent(spark):
+    """The subset doc is dropped, the container kept; identical docs
+    keep exactly the smaller id; unrelated docs survive; running the
+    dedup twice changes nothing."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        containment_dedup,
+    )
+
+    docs = [
+        (1, "a b c"),
+        (2, "a b c d e f g h"),   # contains 1
+        (3, "p q r"),
+        (4, "p q r"),             # identical to 3 -> keep 3
+        (5, "x y z"),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    once = containment_dedup(df, "id", "text", threshold=(1, 1))
+    kept = {r.id for r in once.collect()}
+    assert kept == {2, 3, 5}
+    twice = containment_dedup(once, "id", "text", threshold=(1, 1))
+    assert {r.id for r in twice.collect()} == kept
