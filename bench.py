@@ -379,8 +379,10 @@ def main() -> None:
             # Both the base PATH and the base GENERATION must match — a
             # regenerated deep dir (new content_hash) invalidates any
             # skew variant derived from the old data.
-            if skew_manifest.get("base") != os.path.abspath(deep_dir) or (
-                skew_manifest.get("base_hash") != manifest["content_hash"]
+            if (
+                skew_manifest.get("base") != os.path.abspath(deep_dir)
+                or skew_manifest.get("base_hash") != manifest["content_hash"]
+                or skew_manifest.get("version") != 3
             ):
                 skew_manifest = None
         if skew_manifest is None:
@@ -391,7 +393,14 @@ def main() -> None:
                 base_hash=manifest["content_hash"],
             )
         skew_timings = {}
-        for name in ("smart_dedup", "sessionization", "rolling_spend"):
+        # jaccard_join_exact runs against the hot-DOCUMENT variant
+        # (~1% of docs pairwise identical): its output is quadratic in
+        # the clone-group size by definition, so the datapoint checks
+        # candidate generation stays output-bound, not worse.
+        for name in (
+            "smart_dedup", "sessionization", "rolling_spend",
+            "jaccard_join_exact",
+        ):
             try:
                 skew_timings[name] = round(best_of(name, skew_dir), 3)
             except Exception as exc:  # noqa: BLE001
@@ -408,7 +417,10 @@ def main() -> None:
             # SCALING.md "skew tier".
             "uniform_twin": {
                 n: deep_timings.get(n)
-                for n in ("smart_dedup", "sessionization", "rolling_spend")
+                for n in (
+                    "smart_dedup", "sessionization", "rolling_spend",
+                    "jaccard_join_exact",
+                )
             },
         }
 

@@ -176,6 +176,24 @@ def make_skewed_sf(
         ),
     ).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
+    # Hot-DOCUMENT skew for the similarity-join tier: every
+    # doc_hot_mod-th document's text is replaced by one fixed clone
+    # text — the worst shape for an exact similarity join (its OUTPUT
+    # is quadratic in the clone-group size; candidate generation must
+    # not be worse than the output). 1% keeps the quadratic output
+    # (~125k clone pairs at sf1.0) benchable under min-of-2; 10% would
+    # be 12.5M pairs and ~2 min per run (measured — runtime stayed
+    # output-sublinear even there: 51x output for 2.3x time).
+    doc_hot_mod = hot_mod * 10
+    docs = read_table(spark, base, "documents")
+    hot_text = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
+    docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % doc_hot_mod == 0, F.lit(hot_text)).otherwise(
+            F.col("text")
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
     import json
 
     # base_hash pins WHICH generation of the base data this skew variant
@@ -189,6 +207,9 @@ def make_skewed_sf(
                 "base_hash": base_hash,
                 "hot_mod": hot_mod,
                 "skew": True,
+                # bump when the variant gains tables/shape so stale
+                # dirs regenerate instead of failing on missing files
+                "version": 3,
             },
             fh,
         )
