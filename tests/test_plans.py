@@ -540,3 +540,49 @@ def test_seasonal_anomalies_broadcasts_baseline(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "Window" not in p
+
+
+def test_rendezvous_shard_is_pure_projection(plans):
+    """HRW assignment must stay a scan-side projection: no exchange,
+    no join, no window — the operational basis of the no-shuffle
+    claim."""
+    p = plans("rendezvous_shard")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_contract_gate_is_pure_projection(plans):
+    """The row-local gate compiles to a single scan projection —
+    which is exactly why the same call runs under readStream."""
+    p = plans("contract_gate")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+
+
+def test_cube_single_expand_exchange(plans):
+    """CUBE plans as one Expand + one hashpartitioning exchange —
+    grouping sets never multiply shuffles."""
+    p = plans("cube_stats")
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_impute_winsorize_boundaries_broadcast(plans):
+    """Median fill and clip boundaries both return as broadcasts; the
+    corpus is never sort-merge joined."""
+    p = plans("impute_winsorize")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_containment_dedup_survivors_via_anti_join(plans):
+    """The dedup action keeps survivors through a LeftAnti against the
+    dropped-ids frame — payloads never enter the pair machinery — and
+    no cartesian exists anywhere."""
+    p = plans("containment_dedup")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
