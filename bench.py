@@ -371,6 +371,8 @@ def main() -> None:
         skew_dir = os.environ.get(
             "SPARK_GRAFT_SKEW_DIR", "/tmp/spark_graft_sf1.0_skew"
         )
+        from tools.make_sf import SKEW_VERSION
+
         skew_manifest_path = os.path.join(skew_dir, "MANIFEST.json")
         skew_manifest = None
         if os.path.exists(skew_manifest_path):
@@ -382,7 +384,7 @@ def main() -> None:
             if (
                 skew_manifest.get("base") != os.path.abspath(deep_dir)
                 or skew_manifest.get("base_hash") != manifest["content_hash"]
-                or skew_manifest.get("version") != 3
+                or skew_manifest.get("version") != SKEW_VERSION
             ):
                 skew_manifest = None
         if skew_manifest is None:
@@ -407,7 +409,10 @@ def main() -> None:
                 errors[f"skew:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
                 payload["errors"] = errors
         payload["deep"]["skew"] = {
+            # hot_frac labels the orders/events hot KEY; the document
+            # clone rate behind jaccard_join_exact is 1/(hot_mod*10)
             "hot_frac": 0.1,
+            "doc_clone_frac": 0.01,
             "queries": skew_timings,
             # Self-contained comparison: the same queries on the uniform
             # deep data (from the tier above). Expect ~1× for the

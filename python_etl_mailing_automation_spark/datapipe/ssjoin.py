@@ -260,6 +260,14 @@ def containment_dedup(
     sets) keeps the smaller id, so exactly one survivor per clique and
     the operation is idempotent. Returns the surviving rows of ``df``.
 
+    ONE-PASS policy caveat: containment at t < 1 is not transitive — a
+    dropped doc's container may itself have been dropped by a larger
+    one, and the chain can lose up to (1-t) of content per hop, so a
+    dropped doc is not guaranteed t-covered by a SURVIVOR. Use t = 1/1
+    for lossless exact-subset pruning, or re-run to a fixpoint when
+    the corpus has deep containment chains and coverage by survivors
+    is contractual.
+
     Scale shape: the pair join's cost (see containment_join_exact)
     plus one distinct-ids frame and one left-anti join back — the
     survivors keep their full payload without ever being shuffled into

@@ -244,6 +244,10 @@ def bpe_segment_join(
         vocab = vocab.withColumn(
             "__wsyms", F.expr(f"transform(__wsyms, __inner -> {expr})")
         )
+        # same barrier rationale as bpe_segment: CollapseProject would
+        # re-fuse the batches into one merge-count-deep expression
+        if start + batch_size < len(ordered):
+            vocab = vocab.localCheckpoint(eager=False)
     vocab = vocab.select(
         "word", F.col("__wsyms")[0].alias("__toks")
     )
@@ -253,8 +257,11 @@ def bpe_segment_join(
             F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
         ).alias("__wpos", "word"),
     )
+    # no broadcast hint: AQE broadcasts a small vocabulary on its own,
+    # while a web-scale vocabulary (unbounded distinct words) falls back
+    # to a shuffle join instead of breaking the 8 GB broadcast limit
     return (
-        exploded.join(F.broadcast(vocab), on="word")
+        exploded.join(vocab, on="word")
         .groupBy(id_col)
         .agg(
             F.flatten(

@@ -134,6 +134,9 @@ def make_scaled_sf(base: str, out: str, copies: int, spark=None) -> str:
 
 
 HOT_KEY = 424_242  # the deliberately hot entity in the skewed variant
+#: bump when the skew variant gains tables/shape; bench.py imports this
+#: so the writer and the validity check can never drift apart
+SKEW_VERSION = 3
 
 
 def make_skewed_sf(
@@ -186,13 +189,17 @@ def make_skewed_sf(
     # output-sublinear even there: 51x output for 2.3x time).
     doc_hot_mod = hot_mod * 10
     docs = read_table(spark, base, "documents")
-    hot_text = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
-    docs.withColumn(
-        "text",
-        F.when(F.col("doc_id") % doc_hot_mod == 0, F.lit(hot_text)).otherwise(
-            F.col("text")
-        ),
-    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    first = docs.orderBy("doc_id").limit(1).collect()
+    if first:
+        docs = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % doc_hot_mod == 0, F.lit(first[0]["text"])
+            ).otherwise(F.col("text")),
+        )
+    # empty base: write the (empty) table unchanged so the skew dir is
+    # always complete for its readers
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     import json
 
@@ -207,9 +214,7 @@ def make_skewed_sf(
                 "base_hash": base_hash,
                 "hot_mod": hot_mod,
                 "skew": True,
-                # bump when the variant gains tables/shape so stale
-                # dirs regenerate instead of failing on missing files
-                "version": 3,
+                "version": SKEW_VERSION,
             },
             fh,
         )
