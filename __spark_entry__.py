@@ -1498,6 +1498,39 @@ def q_bloom_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bloom_fpr(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom false-positive CALIBRATION (datapipe/sketches): probe the
+    delinquent-customer filter with keys guaranteed absent (custkey +
+    10^7 — outside every key range) and count the positives — the
+    sketch's advertised rate as a deterministic, oracle-checked number
+    instead of a formula in a docstring."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = _t(spark, sf, "customer").filter(F.col("c_acctbal") < 0)
+    bloom = bloom_build(cust, "c_custkey", m_bits=4096, k_hashes=4)
+    probes = (
+        _t(spark, sf, "customer")
+        .select((F.col("c_custkey") + F.lit(10_000_000)).alias("probe_key"))
+        .distinct()
+    )
+    flagged = bloom_probe(
+        probes, "probe_key", bloom, m_bits=4096, k_hashes=4
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fp"),
+        (
+            F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
 def q_cms_freq(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min frequency estimates (datapipe/sketches.cms_build/
     cms_estimate, width=512, depth=4) for every part ordered: the
@@ -2858,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window for round-6 newcomers; all still run by bench +
         # check_parity every round). ---
         "cms_freq": q_cms_freq,
+        "bloom_fpr": q_bloom_fpr,
         "resample_fill": q_resample_fill,
         "zone_maps": q_zone_maps,
         "group_ols": q_group_ols,
@@ -4816,6 +4850,37 @@ def oracle_sql() -> dict[str, str]:
            / CAST(n AS DOUBLE)
          END AS intercept
   FROM go_m""",
+        # Bloom FPR calibration: same build CTEs as bloom_blocklist,
+        # probes shifted outside every key range, positive count
+        # (sketches.bloom_build/bloom_probe).
+        "bloom_fpr": """
+  WITH salts(i) AS (VALUES (0), (1), (2), (3)),
+  bfm AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+          FROM customer WHERE c_acctbal < 0),
+  bfp AS (SELECT CAST('0x' || substr(md5(m.v || '#' || CAST(s.i AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 4096 AS p
+          FROM bfm m, salts s),
+  bfw AS (SELECT p // 62 AS word_idx,
+                 bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS word
+          FROM bfp GROUP BY 1),
+  bfv AS (SELECT DISTINCT c_custkey + 10000000 AS probe_key,
+                 CAST(c_custkey + 10000000 AS VARCHAR) AS v
+          FROM customer),
+  bfh AS (SELECT p.probe_key,
+                 CAST('0x' || substr(md5(p.v || '#' || CAST(s.i AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 4096 AS h
+          FROM bfv p, salts s),
+  bft AS (SELECT probe_key,
+                 CASE WHEN ((COALESCE(w.word, 0) >> CAST(h % 62 AS INT))
+                            & 1) = 1 THEN 1 ELSE 0 END AS hit
+          FROM bfh LEFT JOIN bfw w ON h // 62 = w.word_idx),
+  bfr AS (SELECT probe_key, MIN(hit) = 1 AS mm
+          FROM bft GROUP BY probe_key)
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(CASE WHEN mm THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+         CAST(SUM(CASE WHEN mm THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS fp_rate
+  FROM bfr""",
         # Count-Min estimates: depth-4 salted positions mod 512, exact
         # BIGINT cell sums, min-over-rows probe with absent cells = 0
         # (sketches.cms_build/cms_estimate).

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "pagerank",
     "bloom_blocklist",
+    "bloom_fpr",
     "cms_freq",
     "resample_fill",
     "zone_maps",
