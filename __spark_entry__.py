@@ -1548,6 +1548,39 @@ def q_cms_freq(spark: SparkSession, sf: str) -> DataFrame:
     return cms_estimate(probes, "l_partkey", cms, width=512, depth=4)
 
 
+def q_cms_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min overcount CALIBRATION (sketches.cms_build/estimate,
+    the bloom_fpr sibling): estimates joined against TRUE part
+    frequencies — the never-undercounts guarantee and the collision
+    overcount distribution as one oracled summary row (n_keys,
+    n_exact, max and grid-exact mean overcount)."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    cms = cms_build(li, "l_partkey", width=512, depth=4)
+    truth = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    est = cms_estimate(truth, "l_partkey", cms, width=512, depth=4)
+    err = est.select(
+        (F.col("est_cnt") - F.col("true_cnt")).alias("over")
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("over") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.min("over").cast("long").alias("min_over"),
+        F.max("over").cast("long").alias("max_over"),
+        (
+            F.sum("over").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_over"),
+    )
+
+
 def q_resample_fill(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series regularization (datapipe/timeseries.resample_fill):
     per-user purchase amounts resampled onto a 1-day grid from first to
@@ -2892,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check_parity every round). ---
         "cms_freq": q_cms_freq,
         "bloom_fpr": q_bloom_fpr,
+        "cms_error": q_cms_error,
         "resample_fill": q_resample_fill,
         "zone_maps": q_zone_maps,
         "group_ols": q_group_ols,
@@ -4773,6 +4807,36 @@ def oracle_sql() -> dict[str, str]:
          CASE WHEN bucket <= 0 THEN 0
               ELSE (1::BIGINT << bucket) - 1 END AS est_hi
   FROM lh_q""",
+        # CMS overcount calibration: estimates vs true counts, one
+        # summary row (same cell CTEs as cms_freq).
+        "cms_error": """
+  WITH salts(i) AS (VALUES (0), (1), (2), (3)),
+  cev AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+  cec AS (SELECT s.i AS row_idx,
+                 CAST('0x' || substr(md5(c.v || '#' || CAST(s.i AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 512 AS col_idx,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM cev c, salts s GROUP BY 1, 2),
+  cet AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt,
+                 CAST(l_partkey AS VARCHAR) AS v
+          FROM lineitem GROUP BY 1),
+  cep AS (SELECT t.l_partkey, t.true_cnt, s.i AS row_idx,
+                 CAST('0x' || substr(md5(t.v || '#' || CAST(s.i AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 512 AS col_idx
+          FROM cet t, salts s),
+  cee AS (SELECT p.l_partkey, p.true_cnt,
+                 MIN(CAST(COALESCE(c.cnt, 0) AS BIGINT)) AS est
+          FROM cep p LEFT JOIN cec c
+            ON p.row_idx = c.row_idx AND p.col_idx = c.col_idx
+          GROUP BY 1, 2),
+  ceo AS (SELECT est - true_cnt AS over FROM cee)
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN over = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+         CAST(MIN(over) AS BIGINT) AS min_over,
+         CAST(MAX(over) AS BIGINT) AS max_over,
+         CAST(SUM(over) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_over
+  FROM ceo""",
         # Gap-fill resample: day buckets on the floor(epoch/step) grid,
         # per-bucket last-by-(ts, value) pick, per-key generate_series
         # grid, IGNORE NULLS forward fill (timeseries.resample_fill).

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "pagerank",
     "bloom_blocklist",
     "bloom_fpr",
+    "cms_error",
     "cms_freq",
     "resample_fill",
     "zone_maps",
