@@ -55,7 +55,11 @@ def pagerank(
     left-semi-derived boolean on the cached node frame.
 
     The edge and degree frames feed every iteration, so they are cached
-    once; the per-iteration rank frame is a narrow (node, pr) pair.
+    once; the per-iteration rank frame is a narrow (node, pr) pair. The
+    result is materialized (localCheckpoint) before both caches are
+    unpersisted in a ``finally`` — repeated calls in a long-lived shared
+    session leave no pinned RDDs behind (same no-cache-leak contract the
+    pipeline runner asserts for the mailing job).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -83,44 +87,54 @@ def pagerank(
         m = None
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     ed = e.join(deg, on="src").cache()
-    n = nodes.count()
-    if n == 0:
-        raise ValueError("pagerank: empty graph")
-    denom = float(n if m is None else m)
-    base = F.when(
-        F.col("__seed"), F.lit((1.0 - damping) / denom)
-    ).otherwise(F.lit(0.0))
-    init = F.when(F.col("__seed"), F.lit(1.0 / denom)).otherwise(F.lit(0.0))
+    try:
+        n = nodes.count()
+        if n == 0:
+            raise ValueError("pagerank: empty graph")
+        denom = float(n if m is None else m)
+        base = F.when(
+            F.col("__seed"), F.lit((1.0 - damping) / denom)
+        ).otherwise(F.lit(0.0))
+        init = F.when(F.col("__seed"), F.lit(1.0 / denom)).otherwise(
+            F.lit(0.0)
+        )
 
-    pr = nodes.withColumn("pr", init)
-    for _ in range(n_iter):
-        contrib = (
-            ed.join(pr, on=F.col("src") == F.col("node"))
-            .select(
-                "dst",
-                F.floor(
-                    F.col("pr") / F.col("deg").cast("double") * F.lit(_GRID)
-                )
-                .cast("long")
-                .alias("__c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("__c").alias("__s"))
-        )
-        pr = nodes.join(
-            contrib, on=F.col("node") == F.col("dst"), how="left"
-        ).select(
-            "node",
-            "__seed",
-            (
-                base
-                + F.lit(damping)
-                * (
-                    F.coalesce(F.col("__s"), F.lit(0).cast("long")).cast(
-                        "double"
+        pr = nodes.withColumn("pr", init)
+        for _ in range(n_iter):
+            contrib = (
+                ed.join(pr, on=F.col("src") == F.col("node"))
+                .select(
+                    "dst",
+                    F.floor(
+                        F.col("pr") / F.col("deg").cast("double") * F.lit(_GRID)
                     )
-                    / F.lit(_GRID)
+                    .cast("long")
+                    .alias("__c"),
                 )
-            ).alias("pr"),
-        )
-    return pr.select("node", "pr")
+                .groupBy("dst")
+                .agg(F.sum("__c").alias("__s"))
+            )
+            pr = nodes.join(
+                contrib, on=F.col("node") == F.col("dst"), how="left"
+            ).select(
+                "node",
+                "__seed",
+                (
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__s"), F.lit(0).cast("long")).cast(
+                            "double"
+                        )
+                        / F.lit(_GRID)
+                    )
+                ).alias("pr"),
+            )
+        # materialize BEFORE releasing the caches the lineage depends on
+        # (executor-local checkpoint: cheap, and the n_iter-deep
+        # join-tree lineage is gone either way — a lost-executor replay
+        # on a real cluster re-runs the operator, same as any collect)
+        return pr.select("node", "pr").localCheckpoint(eager=True)
+    finally:
+        nodes.unpersist()
+        ed.unpersist()

@@ -111,8 +111,13 @@ def constraint_report(
         else:
             raise ValueError(f"constraint_report: unknown constraint {kind!r}")
         alias = f"__v{len(row_names)}"
+        # coalesce: F.sum over ZERO rows is NULL, and an empty batch's
+        # report must read "0 violations" (clean), not unknown — a
+        # downstream `violations == 0` gate would otherwise never fire.
         row_aggs.append(
-            F.sum(F.when(expr, 1).otherwise(0)).cast("long").alias(alias)
+            F.coalesce(F.sum(F.when(expr, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(alias)
         )
         row_names.append((kind, col))
 

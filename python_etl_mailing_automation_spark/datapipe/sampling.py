@@ -41,6 +41,12 @@ def hash_sample(
     -out splits); the threshold form means the ``fraction=0.2`` sample is
     a SUPERSET of the ``fraction=0.1`` sample for the same salt — handy
     for growing a corpus without resampling.
+
+    Rows with a NULL ``id_col`` are DROPPED (their md5 bucket is NULL,
+    and a NULL comparison filters false): an unkeyed row has no stable
+    sampling decision, and keeping it unconditionally would bias every
+    fraction upward. Same contract as :func:`dataset_split`'s NULL
+    split — filter or key such rows before sampling.
     """
     bucket = F.conv(
         F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 4),
@@ -153,6 +159,12 @@ def mixture_sample(
     ``0.1`` sample. Scale: the per-domain threshold is a small literal
     map looked up per row — a scan-level filter, no shuffle, no join,
     no driver state.
+
+    NULL handling (same contract as :func:`hash_sample`): NULL
+    ``id_col`` rows are dropped — no id, no stable draw. A NULL
+    ``domain_col`` falls through to ``default_fraction`` (the map
+    lookup misses, coalesce supplies the default), so unlabeled rows
+    are sampled at the default rate, not silently removed.
     """
     bucket = F.conv(
         F.substring(
@@ -201,6 +213,11 @@ def temperature_sample(
     per-row decision is the same md5-bucket rule as
     :func:`mixture_sample` (scan-level, reproducible, ``fraction``-
     superset property per domain), so the corpus itself never shuffles.
+
+    NULL handling: a NULL ``domain_col`` is its own source (groupBy
+    counts it; the null-safe rate join matches it back), so unlabeled
+    rows are tempered like any other domain rather than dropped. NULL
+    ``id_col`` rows are dropped, as everywhere in this module.
     """
     k = math.log2(temperature)
     if temperature <= 1 or k != int(k):
@@ -217,7 +234,8 @@ def temperature_sample(
         y = F.sqrt(y)
         rate = rate * y
     rates = counts.crossJoin(F.broadcast(nmin)).select(
-        domain_col, F.floor(rate * F.lit(65536.0)).cast("int").alias("__thr")
+        F.col(domain_col).alias("__dom"),
+        F.floor(rate * F.lit(65536.0)).cast("int").alias("__thr"),
     )
     bucket = F.conv(
         F.substring(
@@ -227,12 +245,19 @@ def temperature_sample(
         10,
     ).cast("int")
     return (
-        df.join(F.broadcast(rates), on=domain_col)
+        # eqNullSafe: groupBy already counted NULL-domain rows as their
+        # own source, so the rate join must match that group back — a
+        # plain equi-join's NULL != NULL would silently drop every
+        # unlabeled row instead of tempering it like any other source.
+        df.join(
+            F.broadcast(rates),
+            on=F.col(domain_col).eqNullSafe(F.col("__dom")),
+        )
         # "< thr" with thr = floor(r·65536) keeps every row of the
         # smallest source only when r rounds up to the full 65536 —
         # r_s = 1 exactly there, so it does.
         .filter(bucket < F.col("__thr"))
-        .drop("__thr")
+        .drop("__dom", "__thr")
     )
 
 

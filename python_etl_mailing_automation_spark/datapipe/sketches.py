@@ -163,7 +163,9 @@ def cms_build(
     per source), the frequency-CAP use case where "count" means
     volume, not rows. Returns ``(row_idx int, col_idx long, cnt
     long)`` — only touched cells are materialized; absent cells are
-    zero.
+    zero. Weights must be non-negative (negative-weight rows are
+    dropped — see the scan-filter note below); the never-undercount
+    property of :func:`cms_estimate` holds only under that contract.
 
     Scale shape: depth-row explode -> one groupBy((row, col)).sum with
     map-side partial aggregation; output bounded by width · depth
@@ -178,9 +180,18 @@ def cms_build(
         if weight_col is not None
         else F.lit(1).cast("long")
     )
+    # weights must be NON-NEGATIVE: a negative-sum cell silently breaks
+    # cms_estimate's never-undercount contract (the min over depth rows
+    # picks the poisoned cell), so negative-weight rows are dropped at
+    # the scan like NULLs — signed deltas need an (adds, retractions)
+    # sketch pair estimated separately.
     vals = df.select(
         F.col(value_col).cast("string").alias("__v"), w.alias("__w")
-    ).filter(F.col("__v").isNotNull() & F.col("__w").isNotNull())
+    ).filter(
+        F.col("__v").isNotNull()
+        & F.col("__w").isNotNull()
+        & (F.col("__w") >= 0)
+    )
     cells = vals.select(
         "__w",
         F.posexplode(
@@ -206,7 +217,10 @@ def cms_estimate(
     """Append ``out_col``: the Count-Min estimate (min over the depth
     rows; an untouched cell counts as 0) of each row's value under a
     ``cms_build`` frame with the SAME width / depth. NULL values
-    estimate to NULL. Estimates never undercount the true frequency.
+    estimate to NULL. Estimates never undercount the true frequency —
+    guaranteed by :func:`cms_build`'s non-negative-weight contract
+    (negative weights would poison the min-over-depth with an
+    undercounting cell, which is why the builder drops them).
 
     Scale shape: mirrors :func:`bloom_probe` — per-distinct-value
     probe against the broadcast (≤ width · depth rows) sketch, joined

@@ -125,10 +125,12 @@ def seasonal_anomalies(
     threshold itself engine-exact. Per-row values must stay under
     2^63/2^40 ≈ 8.4e6 for the floor-grid cast itself.
 
-    Scale shape: one (key, season) aggregate — at most keys × 24 (or
-    × 7) baseline rows, broadcast back to the stream; the flag is then
-    a scan-side projection. Returns the flagged rows with ``season_
-    bucket``, ``baseline`` and ``ratio`` appended.
+    Scale shape: one (key, season) aggregate — keys × 24 (or × 7)
+    baseline rows, joined back WITHOUT a broadcast hint: the baseline's
+    size is unbounded in key cardinality, so AQE picks broadcast when
+    the measured size allows and a shuffle join otherwise. The flag is
+    then a scan-side projection. Returns the flagged rows with
+    ``season_bucket``, ``baseline`` and ``ratio`` appended.
     """
     if season == "hour_of_day":
         bucket = F.hour(F.col(ts_col))
@@ -161,7 +163,12 @@ def seasonal_anomalies(
     flagged = (
         df.filter(v.isNotNull() & F.col(ts_col).isNotNull())
         .withColumn("season_bucket", bucket)
-        .join(F.broadcast(base), on=[key_col, "season_bucket"])
+        # no forced broadcast: the baseline is keys × season_buckets
+        # rows, UNBOUNDED in key cardinality (per-user keys at 100 TB
+        # blow any broadcast limit) — AQE broadcasts it when it measures
+        # small and falls back to a shuffle join when it doesn't, the
+        # same posture as tokenizer.bpe_segment_join.
+        .join(base, on=[key_col, "season_bucket"])
         .filter(v > F.lit(factor) * F.col("baseline"))
     )
     return flagged.withColumn("ratio", v / F.col("baseline"))

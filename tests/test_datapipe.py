@@ -1316,6 +1316,21 @@ def test_temperature_sample_rates_and_determinism(spark):
     with _pytest.raises(ValueError):
         temperature_sample(df, "dom", temperature=3.0)
 
+    # NULL domain is a SOURCE, not a silent drop: the null-safe rate
+    # join tempers unlabeled rows like any other domain (here NULL is
+    # the unique smallest source -> all its rows kept)
+    withnull = spark.createDataFrame(
+        [("n0", None)] + [(f"b{i}", "b") for i in range(4)],
+        "doc_id string, dom string",
+    )
+    outn = {
+        r.doc_id
+        for r in temperature_sample(
+            withnull, "dom", temperature=2.0, id_col="doc_id"
+        ).collect()
+    }
+    assert "n0" in outn
+
 
 def test_quantile_bucket_assign_global_and_grouped(spark):
     from python_etl_mailing_automation_spark.datapipe.stats import (
@@ -1850,6 +1865,42 @@ def test_pagerank_star_and_cycle(spark):
         )
 
 
+def test_pagerank_leaves_no_pinned_caches(spark):
+    """pagerank caches its node and edge+degree frames per call; the
+    result must be usable AFTER the caches are released and repeated
+    calls in a shared session must leave no pinned RDDs behind (the
+    runner's no-cache-leak contract, extended to the graph module).
+    Compare ID SETS, not sizes: the async ContextCleaner may release
+    earlier tests' GC'd caches mid-test."""
+    from python_etl_mailing_automation_spark.datapipe.graph import pagerank
+
+    def cached_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toString()
+            .strip("[]").replace(" ", "").split(",")
+        ) - {""}
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,)], "node int")
+    baseline = cached_ids()
+    out = pagerank(edges, n_iter=2)
+    out_p = pagerank(edges, n_iter=2, seeds=seeds)
+    # each call may pin exactly ONE new RDD — its materialized result
+    # checkpoint, which is caller-owned and ContextCleaner-released
+    # when the frame is GC'd. The internal nodes/ed caches (2 per
+    # call) must be gone; accumulation across calls would show as >2.
+    assert len(cached_ids() - baseline) <= 2
+    # frames stay correct after the internal unpersists
+    assert abs(sum(r.pr for r in out.collect()) - 1.0) < 1e-9
+    assert out_p.count() == 5
+    # the bad-seed path raises BEFORE caching — adds nothing
+    with pytest.raises(ValueError):
+        pagerank(edges, n_iter=1, seeds=spark.createDataFrame([(42,)], "node int"))
+    assert len(cached_ids() - baseline) <= 2
+
+
 def test_bloom_no_false_negatives_and_merge(spark):
     """Every inserted value probes True (no false negatives — the
     Bloom guarantee filtering correctness depends on); NULL probes to
@@ -2345,6 +2396,19 @@ def test_cms_weighted_build(spark):
     assert est["a"] >= 15 and est["b"] >= 100 and est["z"] >= 0
     # collision-free at this load: exact
     assert est["a"] == 15 and est["b"] == 100 and est["z"] == 0
+
+    # negative weights are dropped at build (they would let a poisoned
+    # cell make the min-over-depth estimate UNDERCOUNT, breaking the
+    # cms_estimate contract): 'a' keeps its positive rows only
+    neg = spark.createDataFrame(
+        [("a", 10), ("a", -7), ("b", -1)], "v string, w int"
+    )
+    cms2 = cms_build(neg, "v", width=64, depth=3, weight_col="w")
+    est2 = {
+        r.v: r.est_cnt
+        for r in cms_estimate(probes, "v", cms2, width=64, depth=3).collect()
+    }
+    assert est2["a"] == 10 and est2["b"] == 0
 
 
 def test_personalized_pagerank_teleports_to_seeds_only(spark):

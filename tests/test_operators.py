@@ -710,6 +710,24 @@ def test_constraint_report_counts(spark):
     with _pytest.raises(ValueError):
         constraint_report(df, [("nope", "k")])
 
+    # an EMPTY batch reports 0 violations everywhere (clean), never
+    # NULL (unknown/poisoned) — `violations == 0` gates must fire
+    empty = df.limit(0)
+    rep0 = {
+        (r.constraint, r.column): (r.violations, r.n_rows)
+        for r in constraint_report(
+            empty,
+            [
+                ("not_null", "k"),
+                ("range", "v", 0.0, 100.0),
+                ("unique", "k"),
+                ("fk", "k", "dim"),
+            ],
+            fk_tables={"dim": (dim, "d")},
+        ).collect()
+    }
+    assert all(v == (0, 0) for v in rep0.values())
+
 
 def test_merge_agg_states_equals_direct(spark):
     """Partial states from arbitrary batch splits merge to exactly the
