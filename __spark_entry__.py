@@ -1816,6 +1816,33 @@ def q_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_containment_dedup_fix(spark: SparkSession, sf: str) -> DataFrame:
+    """Coverage-preserving containment dedup (datapipe/ssjoin
+    .containment_dedup with to_fixpoint=True): rounds drop a document
+    only when a containing LARGER document is itself safe (uncontained)
+    that round, repeated on survivors to a fixpoint — so every dropped
+    doc stays 9/10-covered (3-shingles) by a FINAL survivor, the
+    guarantee the one-pass containment_dedup documents as its caveat.
+    The oracle unrolls the same rounds as CTEs (the pagerank/pointer-
+    jump house idiom); its pair generation skips the prefix filter —
+    a pure optimization, legal because the containing side indexes ALL
+    tokens, so the accepted pair set is identical."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        containment_dedup,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return containment_dedup(
+        docs,
+        "doc_id",
+        "text",
+        threshold=(9, 10),
+        shingle=3,
+        to_fixpoint=True,
+        max_rounds=3,
+    ).select("doc_id", "source")
+
+
 def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """SCD-2 dimension history (operators/dedup.scd2_intervals): each
     customer's order log becomes validity intervals — valid_from /
@@ -2974,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "pca_pc1": q_pca_pc1,
         "containment_dedup": q_containment_dedup,
+        "containment_dedup_fix": q_containment_dedup_fix,
         "scd2_intervals": q_scd2_intervals,
         "dq_report": q_dq_report,
         "tfidf_topk": q_tfidf_topk,
@@ -3409,6 +3437,51 @@ def _containment_ctes() -> str:
            JOIN cj_t x ON x.doc_id = c.id_a
            JOIN cj_t y ON y.doc_id = c.id_b AND y.tok = x.tok
            GROUP BY 1, 2, 3, 4)"""
+
+
+def _containment_fix_sql(rounds: int = 3) -> str:
+    """Unrolled coverage-preserving containment dedup (the house
+    recursive-CTE idiom): round k computes the oriented containment
+    pairs among survivors s{k}, drops only docs whose container is SAFE
+    (not itself a contained side that round), and s{k+1} is the
+    survivor set. Pair generation reuses the GLOBAL rarest-first prefix
+    cj_p — legal because the containing side indexes ALL tokens, so ANY
+    (sz - ceil(t·sz) + 1)-subset of the contained side finds every true
+    pair; the per-round tf reordering the Spark side performs changes
+    candidates, never accepted pairs."""
+    parts = [
+        "WITH " + _containment_ctes() + ",",
+        "  s0 AS (SELECT doc_id FROM documents),",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""  i{k} AS (SELECT c.id_a, c.id_b, c.size_a, c.size_b,
+                  CAST(COUNT(*) AS BIGINT) AS inter
+           FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sz AS size_a, bs.sz AS size_b
+                 FROM cj_p a
+                 JOIN s{k} pa ON a.doc_id = pa.doc_id
+                 JOIN cj_t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                 JOIN s{k} pb ON b.doc_id = pb.doc_id
+                 JOIN cj_sz bs ON b.doc_id = bs.doc_id) c
+           JOIN cj_t x ON x.doc_id = c.id_a
+           JOIN cj_t y ON y.doc_id = c.id_b AND y.tok = x.tok
+           GROUP BY 1, 2, 3, 4),
+  o{k} AS (SELECT id_a, id_b FROM i{k}
+           WHERE inter * 10 >= 9 * size_a
+             AND (size_a < size_b
+                  OR (size_a = size_b AND id_a > id_b))),
+  d{k} AS (SELECT DISTINCT id_a FROM o{k} o
+           WHERE NOT EXISTS (SELECT 1 FROM o{k} q WHERE q.id_a = o.id_b)),
+  s{k + 1} AS (SELECT doc_id FROM s{k} s
+           WHERE NOT EXISTS (SELECT 1 FROM d{k} d WHERE d.id_a = s.doc_id)),"""
+        )
+    parts.append(
+        f"""  fin AS (SELECT doc_id FROM s{rounds})
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN fin f ON d.doc_id = f.doc_id"""
+    )
+    return "\n".join(parts)
 
 
 def _cov_ctes(prefix: str) -> str:
@@ -4701,6 +4774,9 @@ def oracle_sql() -> dict[str, str]:
   SELECT d.doc_id, d.source
   FROM documents d
   WHERE NOT EXISTS (SELECT 1 FROM cd_dp x WHERE x.id_a = d.doc_id)""",
+        # Coverage-preserving containment dedup: per-round safe-drop
+        # CTEs unrolled to the Spark side's max_rounds.
+        "containment_dedup_fix": _containment_fix_sql(rounds=3),
         # SCD-2 intervals: one LEAD/ROW_NUMBER window per key with the
         # orderkey tiebreak (operators/dedup.scd2_intervals).
         "scd2_intervals": """

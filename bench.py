@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "containment_dedup",
     "scd2_intervals",
     "dq_report",
+    # Round-7 additions.
+    "containment_dedup_fix",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -251,6 +251,8 @@ def containment_dedup(
     *,
     threshold: tuple[int, int] = (9, 10),
     shingle: int = 1,
+    to_fixpoint: bool = False,
+    max_rounds: int = 4,
 ) -> DataFrame:
     """The curation ACTION on top of :func:`containment_join_exact`
     (the detect/act split of dup_spans vs remove_dup_spans): drop every
@@ -260,31 +262,83 @@ def containment_dedup(
     sets) keeps the smaller id, so exactly one survivor per clique and
     the operation is idempotent. Returns the surviving rows of ``df``.
 
-    ONE-PASS policy caveat: containment at t < 1 is not transitive — a
-    dropped doc's container may itself have been dropped by a larger
-    one, and the chain can lose up to (1-t) of content per hop, so a
-    dropped doc is not guaranteed t-covered by a SURVIVOR. Use t = 1/1
-    for lossless exact-subset pruning, or re-run to a fixpoint when
-    the corpus has deep containment chains and coverage by survivors
-    is contractual.
+    ONE-PASS policy caveat (``to_fixpoint=False``): containment at
+    t < 1 is not transitive — a dropped doc's container may itself have
+    been dropped by a larger one, and the chain can lose up to (1-t) of
+    content per hop, so a dropped doc is not guaranteed t-covered by a
+    SURVIVOR. Use t = 1/1 for lossless exact-subset pruning, or
+    ``to_fixpoint=True`` when coverage by survivors is contractual.
 
-    Scale shape: the pair join's cost (see containment_join_exact)
-    plus one distinct-ids frame and one left-anti join back — the
-    survivors keep their full payload without ever being shuffled into
-    the pair machinery.
+    ``to_fixpoint=True`` is the coverage-preserving variant: each round
+    drops a document only when some containing larger document is SAFE
+    — itself not contained in anything larger this round — and rounds
+    repeat on the survivors until nothing drops (or ``max_rounds``).
+    Safe containers can never be dropped later (maximality is monotone
+    as the corpus shrinks), so EVERY dropped doc is t-covered by a
+    final survivor. Convergence: the oriented pair relation is a
+    finite DAG (size strictly decreasing, id-ordered at ties), so a
+    round with any pair always has a maximal (safe) container and
+    drops at least one doc — rounds are bounded by the containment
+    chain DEPTH, and at the fixpoint the survivor set is pair-free,
+    hence idempotent. If ``max_rounds`` cuts the loop early the result
+    is still coverage-safe, just possibly under-deduplicated.
+
+    Scale shape: one-pass is the pair join's cost (see
+    containment_join_exact) plus one distinct-ids frame and one
+    left-anti join back — survivors keep their full payload without
+    ever being shuffled into the pair machinery. Fixpoint repeats the
+    pair join on the shrinking survivor set; per round the driver sync
+    is one count of a tiny materialized id frame (chain-depth-bounded,
+    the clustering/pagerank iterative discipline), and the survivor
+    lineage stays shallow because drops accumulate in an id ledger
+    anti-joined against the ORIGINAL frame.
     """
-    pairs = containment_join_exact(
-        df, id_col, text_col, threshold=threshold, shingle=shingle
-    )
-    dropped = (
-        pairs.filter(
+    if not to_fixpoint:
+        pairs = containment_join_exact(
+            df, id_col, text_col, threshold=threshold, shingle=shingle
+        )
+        dropped = (
+            pairs.filter(
+                (F.col("size_a") < F.col("size_b"))
+                | (
+                    (F.col("size_a") == F.col("size_b"))
+                    & (F.col("id_a") > F.col("id_b"))
+                )
+            )
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+        return df.join(dropped, on=id_col, how="left_anti")
+
+    if max_rounds < 1:
+        raise ValueError("containment_dedup: max_rounds must be >= 1")
+    surv = df
+    ledger: DataFrame | None = None
+    for _ in range(max_rounds):
+        oriented = containment_join_exact(
+            surv, id_col, text_col, threshold=threshold, shingle=shingle
+        ).filter(
             (F.col("size_a") < F.col("size_b"))
             | (
                 (F.col("size_a") == F.col("size_b"))
                 & (F.col("id_a") > F.col("id_b"))
             )
         )
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
-    )
-    return df.join(dropped, on=id_col, how="left_anti")
+        # a container is SAFE iff it is not itself a contained side
+        # this round; only drops with a safe container are applied
+        contained = oriented.select(
+            F.col("id_a").alias("id_b")
+        ).distinct()
+        drops = (
+            oriented.join(contained, on="id_b", how="left_anti")
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+            # materialize the tiny id frame NOW: truncates the heavy
+            # pair-join lineage and makes the count below free
+            .localCheckpoint(eager=True)
+        )
+        if drops.count() == 0:
+            break
+        ledger = drops if ledger is None else ledger.unionByName(drops)
+        surv = df.join(ledger, on=id_col, how="left_anti")
+    return surv

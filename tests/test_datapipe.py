@@ -2568,3 +2568,57 @@ def test_containment_dedup_keeps_container_and_is_idempotent(spark):
     assert kept == {2, 3, 5}
     twice = containment_dedup(once, "id", "text", threshold=(1, 1))
     assert {r.id for r in twice.collect()} == kept
+
+
+def test_containment_dedup_fixpoint_preserves_coverage(spark):
+    """to_fixpoint=True is the coverage-preserving variant: in a
+    containment CHAIN a1 ⊂ a2 ⊂ a3 where a1 is 3/4-contained in a2
+    and a2 in a3 but a1 is NOT 3/4-contained in a3, one-pass drops
+    BOTH a1 and a2 (a1's cover vanishes with a2); the fixpoint drops
+    only a2 (whose container a3 is safe) and keeps a1 — every dropped
+    doc stays t-covered by a survivor. The fixpoint result is itself
+    a fixpoint (idempotent), and max_rounds=1 equals the first safe
+    round."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        containment_dedup,
+    )
+
+    docs = [
+        # a1 = {a b c d}: 3 of 4 in a2 (c d e f + a b), 2 of 4 in a3
+        (1, "a b c d"),
+        # a2 = {a b c d e f g h} minus... craft: a2 ⊃ 3/4 of a1, a3 ⊃ 3/4 of a2
+        (2, "a b c e f g"),
+        (3, "b c e f g h m n"),
+        (9, "q r s"),
+    ]
+    # containment(a1 in a2) = |{a,b,c}|/4 = 3/4 >= 3/4  -> candidate
+    # containment(a2 in a3) = |{b,c,e,f,g}|/6 ... need >= 3/4 -> 4.5 -> 5 of 6: yes
+    # containment(a1 in a3) = |{b,c}|/4 = 1/2 < 3/4     -> a1 not covered by a3
+    df = spark.createDataFrame(docs, "id int, text string")
+    onepass = {
+        r.id
+        for r in containment_dedup(
+            df, "id", "text", threshold=(3, 4)
+        ).collect()
+    }
+    assert onepass == {3, 9}  # both a1 and a2 dropped; a1's cover gone
+    fix = containment_dedup(
+        df, "id", "text", threshold=(3, 4), to_fixpoint=True, max_rounds=4
+    )
+    kept = {r.id for r in fix.collect()}
+    assert kept == {1, 3, 9}  # a2 dropped (a3 safe); a1 KEPT
+    # idempotent at the fixpoint
+    again = containment_dedup(
+        fix, "id", "text", threshold=(3, 4), to_fixpoint=True, max_rounds=4
+    )
+    assert {r.id for r in again.collect()} == kept
+    # identical-doc cliques still keep exactly one survivor
+    twins = spark.createDataFrame(
+        [(1, "u v w"), (2, "u v w"), (3, "u v w")], "id int, text string"
+    )
+    assert {
+        r.id
+        for r in containment_dedup(
+            twins, "id", "text", threshold=(1, 1), to_fixpoint=True
+        ).collect()
+    } == {1}
