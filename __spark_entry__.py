@@ -1947,6 +1947,36 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=6)
 
 
+def q_bpe_segment_holdout(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/apply separation for the BPE path: merges learned on the
+    EVEN doc_ids only (tokenizer.bpe_train), then applied to the ODD
+    held-out half (bpe_segment_join) — so the longest-match fold runs
+    on words the trainer may never have seen, the deployment shape of
+    a tokenizer. Per held-out doc: token count and an order-pinned
+    md5 fingerprint of the full token stream, so the oracle proves the
+    EXACT segmentation of unseen text, not just counts. Docs with no
+    words produce no row on either engine (bpe_segment_join contract).
+    """
+    from python_etl_mailing_automation_spark.datapipe.tokenizer import (
+        bpe_segment_join,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf, "documents")
+    merges = bpe_train(docs.filter(F.col("doc_id") % 2 == 0), "text", n_merges=6)
+    seg = bpe_segment_join(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        merges,
+    )
+    return seg.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", " ")).alias("doc_fp"),
+    )
+
+
 def q_pca_pc1(spark: SparkSession, sf: str) -> DataFrame:
     """PC1 scores by relational power iteration (datapipe/similarity
     .pca_project_pc1, 8 fixed iterations): the dominant variance
@@ -2998,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "rendezvous_shard": q_rendezvous_shard,
         "bpe_tokenize_pack": q_bpe_tokenize_pack,
+        "bpe_segment_holdout": q_bpe_segment_holdout,
         "embedding_covariance": q_embedding_covariance,
         "pca_pc1": q_pca_pc1,
         "containment_dedup": q_containment_dedup,
@@ -3352,16 +3383,18 @@ def _pagerank_sql(n_iter: int = 3, seed_pred: str | None = None) -> str:
     return f"WITH {body}\n  SELECT node, pr FROM pr{n_iter}"
 
 
-def _bpe_sql(n_merges: int = 6) -> str:
+def _bpe_sql(n_merges: int = 6, src: str = "documents") -> str:
     """Unrolled BPE training oracle: word-frequency table, then per
     round a pair-count aggregate, a deterministic top-1 pick, and the
     greedy merge fold as a RECURSIVE CTE consuming one symbol per step
     (pop-and-push when (acc[-1], next) equals the round's merge) —
-    op-for-op the Catalyst `aggregate` fold in tokenizer.bpe_train."""
+    op-for-op the Catalyst `aggregate` fold in tokenizer.bpe_train.
+    ``src`` is the training relation (table or parenthesized subquery)
+    so the holdout oracle can train on a corpus SPLIT."""
     parts = [
-        """wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        f"""wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
-              FROM documents)
+              FROM {src})
         WHERE word <> '' GROUP BY 1),""",
         "  bw0 AS MATERIALIZED (SELECT word, freq,"
         " array_to_string(list_transform(range(1, length(word) + 1),"
@@ -3402,6 +3435,62 @@ def _bpe_sql(n_merges: int = 6) -> str:
         for r in range(n_merges)
     )
     return f"WITH RECURSIVE {body}\n  {ranks}"
+
+
+def _bpe_holdout_sql(n_merges: int = 6) -> str:
+    """Train/apply separation oracle: learn the merges on the EVEN
+    doc_ids only (reusing _bpe_sql's training CTEs), then fold each
+    learned merge in rank order over the distinct words of the ODD
+    (held-out) half — the same recursive pop-and-push fold, driven by
+    the bt{r} single-row merge CTEs — and fingerprint every held-out
+    document's full token stream in word order."""
+    train = _bpe_sql(
+        n_merges, src="(SELECT text FROM documents WHERE doc_id % 2 = 0)"
+    )
+    parts = [train.split("\n  SELECT CAST(1 AS INT)")[0] + ","]
+    parts.append(
+        """  hwf AS (SELECT DISTINCT word
+        FROM (SELECT UNNEST(string_split_regex(text, '\\s+')) AS word
+              FROM documents WHERE doc_id % 2 = 1)
+        WHERE word <> ''),
+  hw0 AS MATERIALIZED (SELECT word,
+        array_to_string(list_transform(range(1, length(word) + 1),
+        i -> substr(word, CAST(i AS INT), 1)), ' ') AS seq FROM hwf),"""
+    )
+    for r in range(n_merges):
+        parts.append(
+            f"  hm{r} AS ("
+            " SELECT word, string_split(seq, ' ') AS rest,"
+            f" CAST([] AS VARCHAR[]) AS acc FROM hw{r}"
+            " UNION ALL"
+            " SELECT m.word, m.rest[2:],"
+            " CASE WHEN len(m.acc) > 0 AND m.acc[-1] = t.lhs"
+            " AND m.rest[1] = t.rhs"
+            " THEN m.acc[:len(m.acc) - 1] || [t.lhs || t.rhs]"
+            " ELSE m.acc || [m.rest[1]] END"
+            f" FROM hm{r} m, bt{r} t WHERE len(m.rest) > 0),"
+        )
+        parts.append(
+            f"  hw{r + 1} AS MATERIALIZED (SELECT word,"
+            f" array_to_string(acc, ' ') AS seq FROM hm{r}"
+            " WHERE len(rest) = 0),"
+        )
+    parts.append(
+        f"""  hdw AS (SELECT t.doc_id, t.ws[CAST(u.i AS INT)] AS w,
+               CAST(u.i AS INT) AS wpos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE doc_id % 2 = 1) t,
+             UNNEST(range(1, len(ws) + 1)) AS u(i)),
+  hseg AS (SELECT d.doc_id, d.wpos, b.seq
+           FROM hdw d JOIN hw{n_merges} b ON d.w = b.word)
+  SELECT doc_id,
+         CAST(SUM(len(string_split(seq, ' '))) AS BIGINT) AS n_tokens,
+         md5(string_agg(seq, ' ' ORDER BY wpos)) AS doc_fp
+  FROM hseg GROUP BY 1"""
+    )
+    return "\n".join(parts)
 
 
 def _containment_ctes() -> str:
@@ -4596,6 +4685,9 @@ def oracle_sql() -> dict[str, str]:
         # order-pinned fingerprints (tokenizer.bpe_train/bpe_segment
         # + chunking).
         "bpe_tokenize_pack": _bpe_pack_sql(6, 32),
+        # Train on even doc_ids, segment the odd half — proves the
+        # learned merges generalize via the same fold, not memorization.
+        "bpe_segment_holdout": _bpe_holdout_sql(6),
         # Rendezvous sharding: per-(doc, shard) md5 argmax; the padded
         # composite key mirrors Spark's (hash, shard) struct order
         # (sampling.rendezvous_shard, n=8 then n=9).

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "dq_report",
     # Round-7 additions.
     "containment_dedup_fix",
+    "bpe_segment_holdout",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -74,6 +74,7 @@ def bpe_train(
     n_merges: int = 5,
     min_freq: int = 1,
     checkpoint: bool = True,
+    batch_k: int = 8,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge table ``(rank int, lhs string, rhs string,
@@ -82,14 +83,36 @@ def bpe_train(
     merge was chosen. Ties break on (lhs, rhs) ascending, so the merge
     sequence is fully deterministic.
 
-    Driver traffic: exactly one (lhs, rhs, count) row per round.
-    ``checkpoint=True`` truncates the symbol-sequence lineage each
-    round (localCheckpoint, same opt-out contract as
-    clustering.kmeans_fit_assign) — the sequence column otherwise
-    accumulates one fold expression per merge.
+    Driver traffic: one top-``batch_k`` collect per ROUND, and each
+    round accepts as many merges from that one snapshot as are
+    PROVABLY identical to the strict sequential greedy (the oracle
+    semantics — the result never depends on batch_k):
+
+    - accepted merges are a symbol-disjoint PREFIX of the ranked
+      snapshot — applying one cannot change another's count (their
+      adjacencies share no symbol);
+    - every pair a merge CAN touch shares a symbol with it: decreased
+      pairs literally do, and a created pair (x, ab) is bounded by the
+      old (x, a) count — a conflicted snapshot pair. All conflicted
+      pairs rank at or below the stop point (else the prefix would
+      have stopped earlier), so truncating the accepted list to
+      counts STRICTLY above the stop count (and above the last seen
+      count when the window exhausts — unseen pairs can tie it) makes
+      every accepted merge outrank anything the earlier merges could
+      have created or grown, exactly as sequential recounting would;
+    - a tie that empties the truncation falls back to the single top
+      pair, which is sequential greedy by definition.
+
+    Rounds repeat until ``n_merges`` accepted or pairs run out, so the
+    sync count is n_merges / accepted-per-round (1 in the worst,
+    all-conflicting case). ``checkpoint=True`` truncates the
+    symbol-sequence lineage each round (localCheckpoint, same opt-out
+    contract as clustering.kmeans_fit_assign).
     """
     if n_merges < 1:
         raise ValueError("bpe_train: n_merges must be >= 1")
+    if batch_k < 1:
+        raise ValueError("bpe_train: batch_k must be >= 1")
     words = word_frequencies(df, text_col, min_freq=min_freq).select(
         "word",
         "freq",
@@ -104,33 +127,59 @@ def bpe_train(
         # checkpoint (two corpus scans instead of one)
         words = words.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         top = (
             _pair_counts(words)
             .orderBy(
                 F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
             )
-            .limit(1)
+            .limit(batch_k)
             .collect()
         )
         if not top:
             break
-        lhs, rhs, cnt = top[0].lhs, top[0].rhs, top[0].pair_count
-        merges.append((rank, lhs, rhs, cnt))
-        ql, qr = _sql_quote(lhs), _sql_quote(rhs)
-        qm = _sql_quote(lhs + rhs)
-        words = words.select(
-            "word",
-            "freq",
-            F.expr(
-                "array_join(aggregate(split(seq, ' '),"
-                " cast(array() as array<string>),"
-                " (acc, x) -> CASE WHEN size(acc) > 0"
-                f" AND element_at(acc, -1) = '{ql}' AND x = '{qr}'"
-                f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
-                " ELSE concat(acc, array(x)) END), ' ')"
-            ).alias("seq"),
-        )
+        used: set[str] = set()
+        accepted: list = []
+        stop_count = None
+        for row in top:
+            # stop on the first pair NOT accepted — over budget or
+            # symbol-conflicted. Every unaccepted pair (this one and
+            # all ranked after) has count <= its count, which bounds
+            # anything the accepted merges can create or grow.
+            if len(merges) + len(accepted) >= n_merges or (
+                {row.lhs, row.rhs} & used
+            ):
+                stop_count = row.pair_count
+                break
+            accepted.append(row)
+            used |= {row.lhs, row.rhs}
+        else:
+            # window exhausted conflict-free. A FULL window means
+            # unseen pairs may tie the last seen count — guard like a
+            # conflict; a short window saw every remaining pair, so no
+            # guard is needed.
+            if len(top) == batch_k:
+                stop_count = top[-1].pair_count
+        if stop_count is not None:
+            safe = [r for r in accepted if r.pair_count > stop_count]
+            # a tie at the very top: fall back to plain sequential
+            accepted = safe if safe else [top[0]]
+        for row in accepted:
+            merges.append((len(merges) + 1, row.lhs, row.rhs, row.pair_count))
+            ql, qr = _sql_quote(row.lhs), _sql_quote(row.rhs)
+            qm = _sql_quote(row.lhs + row.rhs)
+            words = words.select(
+                "word",
+                "freq",
+                F.expr(
+                    "array_join(aggregate(split(seq, ' '),"
+                    " cast(array() as array<string>),"
+                    " (acc, x) -> CASE WHEN size(acc) > 0"
+                    f" AND element_at(acc, -1) = '{ql}' AND x = '{qr}'"
+                    f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
+                    " ELSE concat(acc, array(x)) END), ' ')"
+                ).alias("seq"),
+            )
         if checkpoint:
             words = words.localCheckpoint(eager=False)
     spark = df.sparkSession

@@ -2096,6 +2096,37 @@ def test_bpe_train_ties_and_exhaustion(spark):
     ]
 
 
+def test_bpe_train_batched_equals_sequential(spark):
+    """The batched snapshot acceptance (batch_k > 1) must reproduce the
+    strict sequential greedy merge table exactly, including the cases
+    the prefix/truncation guards exist for: a created pair tying a
+    disjoint snapshot pair ('x a b' x10 + 'c d' x10 — after (a,b), the
+    new (x,ab):10 must outrank nothing accepted from the stale
+    snapshot), equal-count conflicting pairs, and plain tie-breaks."""
+    from python_etl_mailing_automation_spark.datapipe.tokenizer import bpe_train
+
+    corpora = [
+        " ".join(["x a b"] * 10 + ["c d"] * 10),   # created-pair tie trap
+        " ".join(["a b"] * 5 + ["b c"] * 5),       # equal-count conflict
+        "aaaa aaaa aa",                             # self-overlap run
+        "ab cd ab cd ef gh ef",                    # disjoint batch win
+    ]
+    for text in corpora:
+        docs = spark.createDataFrame([(1, text)], "i int, text string")
+        seq = [
+            (r.rank, r.lhs, r.rhs, r.pair_count)
+            for r in bpe_train(docs, "text", n_merges=4, batch_k=1)
+            .orderBy("rank").collect()
+        ]
+        for k in (2, 8):
+            got = [
+                (r.rank, r.lhs, r.rhs, r.pair_count)
+                for r in bpe_train(docs, "text", n_merges=4, batch_k=k)
+                .orderBy("rank").collect()
+            ]
+            assert got == seq, (text, k)
+
+
 def test_loghist_sketch_quantiles_and_merge(spark):
     """Bucket = bit length (1->1, 2-3->2, 4-7->3...); the q-rank pick
     lands in the bucket an exact quantile would (2x error envelope by
