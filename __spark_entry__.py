@@ -2687,6 +2687,32 @@ def q_rolling_spend(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "rolling_n", "rolling_sum")
 
 
+def q_rolling_spend_binned(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME trailing 24 h rolling count/sum as rolling_spend, via
+    the skew-parallel binned decomposition (operators/aggregates
+    .rolling_window_sum_binned): same-bin prefix + probe-row prev-bin
+    suffix, every window partitioned by (user, day-bin) so a hot
+    user's serial scan shrinks to one bin. Shares rolling_spend's
+    oracle verbatim — the two plans must be indistinguishable by
+    result."""
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        rolling_window_sum_binned,
+    )
+
+    events = _t(spark, sf, "events").withColumn(
+        "cents",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"),
+    )
+    out = rolling_window_sum_binned(
+        events,
+        key_cols=["user_id"],
+        id_col="event_id",
+        value_col="cents",
+        window_s=86400,
+    )
+    return out.select("event_id", "user_id", "rolling_n", "rolling_sum")
+
+
 def q_fk_orphans(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity audit (pipeline/diagnostics
     .fk_orphan_stats): per-relation orphan counts; the third relation
@@ -2998,6 +3024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "period_over_period": q_period_over_period,
         "rolling_spend": q_rolling_spend,
+        "rolling_spend_binned": q_rolling_spend_binned,
         "fk_orphans": q_fk_orphans,
         "semantic_curation_e2e": q_semantic_curation_e2e,
         "dedup_ledger_merge": q_dedup_ledger_merge,
@@ -5821,6 +5848,18 @@ def oracle_sql() -> dict[str, str]:
         # Rolling spend: RANGE frame over epoch micros; integer cents
         # (floor(v*100+0.5) — identical double ops both engines).
         "rolling_spend": """
+  WITH rs_e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                FROM events)
+  SELECT event_id, user_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n,
+         CAST(SUM(cents) OVER w AS BIGINT) AS rolling_sum
+  FROM rs_e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""",
+        # The binned skew-parallel plan must be result-identical to the
+        # plain RANGE frame — it shares the oracle verbatim.
+        "rolling_spend_binned": """
   WITH rs_e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
                        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
                 FROM events)

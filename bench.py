@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     # Round-7 additions.
     "containment_dedup_fix",
     "bpe_segment_holdout",
+    "rolling_spend_binned",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -225,6 +226,9 @@ DEEP_QUERIES = [
     # Event-window operators at 10× event volume: per-user RANGE frames
     # and the attribution equi+range join must stay linear in events.
     "rolling_spend",
+    # The binned decomposition's uniform-data overhead (~3 shuffles vs
+    # 1) is part of the record: its win is the skew tier below.
+    "rolling_spend_binned",
     "attribution_join",
     # Deletion-variant linkage at 10× customers: candidate buckets stay
     # md5-uniform, so time must track the variant explode linearly.
@@ -406,7 +410,7 @@ def main() -> None:
         # candidate generation stays output-bound, not worse.
         for name in (
             "smart_dedup", "sessionization", "rolling_spend",
-            "jaccard_join_exact",
+            "rolling_spend_binned", "jaccard_join_exact",
         ):
             try:
                 skew_timings[name] = round(best_of(name, skew_dir), 3)
@@ -429,7 +433,7 @@ def main() -> None:
                 n: deep_timings.get(n)
                 for n in (
                     "smart_dedup", "sessionization", "rolling_spend",
-                    "jaccard_join_exact",
+                    "rolling_spend_binned", "jaccard_join_exact",
                 )
             },
         }

@@ -10,6 +10,7 @@ from .aggregates import (  # noqa: F401
     debounce_events,
     group_count_having,
     rolling_window_sum,
+    rolling_window_sum_binned,
     with_distinct_list,
     with_group_sum,
 )

@@ -160,6 +160,129 @@ def rolling_window_sum(
     ).withColumn("rolling_sum", F.sum(F.col(value_col)).over(w))
 
 
+def rolling_window_sum_binned(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    id_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 86400,
+) -> DataFrame:
+    """Skew-parallel twin of :func:`rolling_window_sum` — identical
+    result (same trailing-``window_s`` count/sum semantics, RANGE ties
+    included), different plan: the serial per-key two-pointer scan is
+    decomposed so a HOT key's work spreads over its time bins.
+
+    Decomposition (bin width = the window length W, so a trailing
+    window spans at most 2 bins):
+
+        rolling(e) = same-bin prefix  (events in bin(e) with ts <= e)
+                   + prev-bin suffix  (events in bin(e)-1 with
+                                       ts >= e - W)
+
+    Both terms are windows partitioned by (key, bin) — the hot key's
+    serial run shrinks from ALL its events to one bin's worth. The
+    suffix needs "prev-bin running sum at an arbitrary point e - W",
+    which is the classic probe-row trick: each event contributes a
+    zero-valued PROBE row at (bin - 1, e - W); one ROWS running sum
+    over the union (probes ordered before data at equal ts, so the
+    probe reads the strictly-earlier prefix) gives the cut point, and
+    suffix = per-bin total - cut. Exact tie semantics match the RANGE
+    frame: events at exactly e - W stay inside the window on both
+    paths.
+
+    Cost: ~3 shuffles (union window on (key, bin); per-id recombine;
+    join back on ``id_col``) vs the plain operator's 1 — use THIS
+    variant when a key can hold an unbounded share of rows (the skew
+    tier's hot-user shape), the plain one otherwise. ``id_col`` must
+    uniquely identify rows. Sum stays exact for integer/decimal
+    ``value_col`` (two exact partial sums). ``value_col`` must be
+    NON-NULL: the plain RANGE sum returns NULL for an all-NULL frame,
+    and the two-term recombination cannot distinguish that from an
+    empty suffix (0) — filter or coalesce NULLs first.
+    """
+    from ..functions.dates import epoch_micros
+
+    w_us = int(window_s) * 1_000_000
+    epoch = epoch_micros(ts_col, dtype=dict(df.dtypes)[ts_col])
+    # floor-division bin (pmod keeps pre-1970 epochs on the same grid;
+    # SQL `div` alone truncates toward zero)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(k) for k in key_cols],
+        epoch.alias("__e"),
+        F.col(value_col).alias("__v"),
+    ).withColumn("__bin", F.expr(f"(__e - pmod(__e, {w_us})) div {w_us}"))
+    vtype = dict(base.dtypes)["__v"]
+    data = base.select(
+        "__id", *key_cols, "__bin", "__e", F.lit(1).alias("__is_data"), "__v"
+    )
+    probes = base.select(
+        "__id",
+        *key_cols,
+        (F.col("__bin") - 1).alias("__bin"),
+        (F.col("__e") - F.lit(w_us)).alias("__e"),
+        F.lit(0).alias("__is_data"),
+        F.lit(None).cast(vtype).alias("__v"),
+    )
+    u = data.unionByName(probes)
+    w_rows = (
+        Window.partitionBy(*key_cols, "__bin")
+        .orderBy("__e", "__is_data")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy(*key_cols, "__bin")
+        .orderBy("__e")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.select(
+        "__id",
+        *key_cols,
+        "__bin",
+        "__is_data",
+        # probe cut: data rows strictly before e - W in the prev bin
+        # (equal-ts data sorts after the probe and stays in the suffix)
+        F.sum("__v").over(w_rows).alias("__cut_s"),
+        F.sum("__is_data").over(w_rows).alias("__cut_n"),
+        # data prefix: RANGE, so tied events share a frame exactly as
+        # the plain operator's frame does (probes contribute nothing:
+        # NULL value, 0 to the data count)
+        F.sum("__v").over(w_range).alias("__pre_s"),
+        F.sum("__is_data").over(w_range).alias("__pre_n"),
+    )
+    totals = data.groupBy(*key_cols, "__bin").agg(
+        F.sum("__v").alias("__tot_s"), F.count(F.lit(1)).alias("__tot_n")
+    )
+    contrib = (
+        u.join(totals, on=[*key_cols, "__bin"], how="left")
+        .select(
+            "__id",
+            F.when(
+                F.col("__is_data") == 1, F.col("__pre_s")
+            ).otherwise(
+                F.coalesce(F.col("__tot_s"), F.lit(0).cast(vtype))
+                - F.coalesce(F.col("__cut_s"), F.lit(0).cast(vtype))
+            ).alias("__c_s"),
+            F.when(F.col("__is_data") == 1, F.col("__pre_n"))
+            .otherwise(
+                F.coalesce(F.col("__tot_n"), F.lit(0))
+                - F.coalesce(F.col("__cut_n"), F.lit(0))
+            )
+            .alias("__c_n"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.sum("__c_s").alias("rolling_sum"),
+            F.sum("__c_n").cast("long").alias("rolling_n"),
+        )
+    )
+    return df.join(
+        contrib.withColumnRenamed("__id", id_col), on=id_col
+    )
+
+
 def merge_agg_states(
     states: list[DataFrame],
     keys: list[str],

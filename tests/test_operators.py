@@ -456,6 +456,61 @@ def test_rolling_window_sum_range_and_ties(spark):
     assert out[5] == (1, 100)
 
 
+def test_rolling_window_sum_binned_equals_plain(spark):
+    """The skew-parallel binned decomposition must reproduce the plain
+    RANGE-frame operator exactly — including ties at the event time,
+    events at EXACTLY window_s ago (inclusive frame edge, which is also
+    a bin boundary by construction), multi-key frames, and empty
+    previous bins."""
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        rolling_window_sum,
+        rolling_window_sum_binned,
+    )
+
+    W = 3600
+    # seconds offsets engineered to hit: same-bin runs, exact-W lookback
+    # (event at t and t-W in adjacent bins), ties, bin-boundary events,
+    # gaps that skip whole bins
+    offsets = [0, 1, 5, 3599, 3600, 3601, 7200, 7200, 7201, 10799,
+               10800, 14500, 25000, 25000]
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        for off in offsets:
+            eid += 1
+            rows.append((eid, user, off + user, (eid % 7) + 1))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "off", "v"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.to_timestamp(
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("off"))
+        ).alias("ts"),
+        F.col("v").cast("long").alias("v"),
+    )
+    plain = {
+        r.event_id: (r.rolling_n, r.rolling_sum)
+        for r in rolling_window_sum(
+            ev, key_cols=["user_id"], value_col="v", window_s=W
+        ).collect()
+    }
+    binned = {
+        r.event_id: (r.rolling_n, r.rolling_sum)
+        for r in rolling_window_sum_binned(
+            ev,
+            key_cols=["user_id"],
+            id_col="event_id",
+            value_col="v",
+            window_s=W,
+        ).collect()
+    }
+    assert binned == plain
+    # schema parity for the downstream query surface
+    assert set(binned) == {r[0] for r in rows}
+
+
 def test_fk_orphan_stats_detects_missing_parents(spark):
     from python_etl_mailing_automation_spark.pipeline.diagnostics import (
         fk_orphan_stats,
