@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""ANN recall telemetry: recall@k of the bucketed/probed production
+similarity paths against the exact brute-force cosine top-k, on the
+real embeddings table.
+
+The correctness battery proves each ANN path equals ITS OWN definition
+(oracle parity); this sidecar records the accuracy-cost TRADEOFF those
+definitions imply — recall@5 for SRP sign-buckets at 4/8 bits and for
+IVF (k=8 trained codebook) at n_probe 1/2 — so the docstring claim
+"recall tuned by n_probe/bits" is a measured number in SCALING.md, not
+prose. Prints one JSON line.
+
+Usage:
+    python tools/ann_recall.py [--sf-dir /root/testdata/sf0.1]
+        [--n-queries 64] [--k 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--n-queries", type=int, default=64)
+    ap.add_argument("--k", type=int, default=5)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from python_etl_mailing_automation_spark.datapipe.clustering import (
+        kmeans_fit_assign,
+    )
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        ann_bucket_topk,
+        cosine_topk,
+        ivf_topk,
+    )
+    from python_etl_mailing_automation_spark.session import build_spark
+
+    spark = build_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+    sample = emb.filter(F.col("vec_id") < args.n_queries)
+
+    def neighbor_sets(df) -> dict:
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r.vec_id, set()).add(r.neighbor_id)
+        return out
+
+    t0 = time.time()
+    truth = neighbor_sets(cosine_topk(sample, emb, k=args.k))
+    brute_s = time.time() - t0
+
+    def recall(approx: dict) -> float:
+        num = sum(len(approx.get(v, set()) & t) for v, t in truth.items())
+        den = sum(len(t) for t in truth.values())
+        return round(num / den, 4) if den else 1.0
+
+    results: dict = {
+        "sf_dir": args.sf_dir,
+        "n_queries": len(truth),
+        "k": args.k,
+        "brute_sec": round(brute_s, 2),
+        "methods": {},
+    }
+
+    for bits in (4, 8):
+        t0 = time.time()
+        approx = neighbor_sets(
+            ann_bucket_topk(emb, bits=bits, k=args.k).filter(
+                F.col("vec_id") < args.n_queries
+            )
+        )
+        results["methods"][f"srp_{bits}bit"] = {
+            "recall": recall(approx),
+            "sec": round(time.time() - t0, 2),
+        }
+
+    _, cents = kmeans_fit_assign(emb, k=8, n_iter=2)
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, embedding array<double>",
+    )
+    for n_probe in (1, 2):
+        t0 = time.time()
+        approx = neighbor_sets(
+            ivf_topk(sample, emb, centroids, n_probe=n_probe, k=args.k)
+        )
+        results["methods"][f"ivf_probe{n_probe}"] = {
+            "recall": recall(approx),
+            "sec": round(time.time() - t0, 2),
+        }
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
