@@ -1441,6 +1441,79 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cms_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation from sketches (datapipe/sketches
+    .cms_join_size, AMS inner product): |events ⋈ orders on user =
+    custkey| estimated from two KB-sized Count-Min frames, next to
+    the exact pair count — the row is the calibration, and the
+    estimate can only over-count (cross terms add). The CBO primitive:
+    join sizes between corpora without scanning either side."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        cms_build,
+        cms_join_size,
+    )
+
+    ev = _t(spark, sf, "events")
+    ords = _t(spark, sf, "orders")
+    ca = cms_build(ev, "user_id", width=512, depth=4)
+    cb = cms_build(ords, "o_custkey", width=512, depth=4)
+    est = cms_join_size(ca, cb, depth=4).select(
+        F.col("est_pairs").cast("long").alias("est_pairs")
+    )
+    na = ev.filter(F.col("user_id").isNotNull()).groupBy(
+        F.col("user_id").alias("k")
+    ).agg(F.count(F.lit(1)).alias("na"))
+    nb = ords.filter(F.col("o_custkey").isNotNull()).groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    tru = (
+        na.join(nb, on=na["k"] == nb["k"])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("na") * F.col("nb")).cast("decimal(38,0)")
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("true_pairs")
+        )
+    )
+    return est.crossJoin(tru)
+
+
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog cardinality (datapipe/sketches.hll_build /
+    hll_estimate, p=9 -> 512 registers): estimated distinct customers
+    over orders, with the merge proof IN the result — the same
+    estimate from two parity-split shard sketches union+max-merged
+    (est_merged must equal est_direct: max is associative), next to
+    the true cardinality so the row IS the calibration. The estimate
+    itself hash-matches the oracle: integer md5 registers, exact
+    dyadic harmonic sum in BIGINT, one fixed-order double expression."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ords = _t(spark, sf, "orders")
+    direct = hll_build(ords, "o_custkey", p=9)
+    ev = hll_build(ords.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", p=9)
+    od = hll_build(ords.filter(F.col("o_orderkey") % 2 == 1), "o_custkey", p=9)
+    merged = (
+        ev.unionByName(od).groupBy("reg_idx").agg(F.max("rho").alias("rho"))
+    )
+    d = hll_estimate(direct, p=9).select(
+        F.col("n_registers_used").alias("n_regs"),
+        F.col("est_distinct").alias("est_direct"),
+    )
+    mg = hll_estimate(merged, p=9).select(
+        F.col("est_distinct").alias("est_merged")
+    )
+    tru = ords.agg(
+        F.countDistinct("o_custkey").cast("long").alias("true_distinct")
+    )
+    return d.crossJoin(mg).crossJoin(tru)
+
+
 def _copurchase_oriented(spark: SparkSession, sf: str) -> DataFrame:
     """Oriented (src < dst) co-purchase edge list — parts co-occurring
     in >= 2 orders. Used directly by q_triangles; q_pagerank
@@ -2987,6 +3060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_curation_batch": q_stream_curation_batch,
         "dsir_select": q_dsir_select,
         "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
+        "cms_join_size": q_cms_join_size,
         "pagerank": q_pagerank,
         "bloom_blocklist": q_bloom_blocklist,
         "shard_assign": q_shard_assign,
@@ -4693,6 +4768,78 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT) / 1152921504606846976.0) END
            AS est_distinct
   FROM kvt GROUP BY g""",
+        # HyperLogLog p=9: register = low 9 bits of the 60-bit md5
+        # prefix, rho = leading-zero rank of the 51-bit tail via
+        # length(bin(w)) (both engines print binary without leading
+        # zeros); harmonic sum exact in BIGINT (2^(52-rho)); the
+        # alpha_512 literal and the single double expression mirror
+        # sketches.hll_estimate op-for-op.
+        "hll_distinct": """
+  WITH hh AS (SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                                             || '#0'), 1, 15) AS BIGINT) AS h,
+                     o_orderkey % 2 AS par
+              FROM orders WHERE o_custkey IS NOT NULL),
+  hr AS (SELECT par, CAST(h % 512 AS INT) AS reg_idx, h // 512 AS w FROM hh),
+  hrho AS (SELECT par, reg_idx,
+                  CASE WHEN w = 0 THEN 52
+                       ELSE 51 - length(bin(w)) + 1 END AS rho
+           FROM hr),
+  hreg AS (SELECT reg_idx, MAX(rho) AS rho FROM hrho GROUP BY 1),
+  hpreg AS (SELECT par, reg_idx, MAX(rho) AS rho FROM hrho GROUP BY 1, 2),
+  hmreg AS (SELECT reg_idx, MAX(rho) AS rho FROM hpreg GROUP BY 1),
+  hden AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(1::BIGINT << CAST(52 - rho AS INT)) AS s
+           FROM hreg),
+  hmden AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(1::BIGINT << CAST(52 - rho AS INT)) AS s
+            FROM hmreg),
+  htrue AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+              AS true_distinct FROM orders)
+  SELECT d.n AS n_regs,
+         CAST(0.7197831133217303 AS DOUBLE) * CAST(262144 AS DOUBLE)
+           * CAST(4503599627370496 AS DOUBLE)
+           / CAST(COALESCE(d.s, 0) + (512 - d.n)
+                  * (1::BIGINT << 52) AS DOUBLE) AS est_direct,
+         CAST(0.7197831133217303 AS DOUBLE) * CAST(262144 AS DOUBLE)
+           * CAST(4503599627370496 AS DOUBLE)
+           / CAST(COALESCE(m.s, 0) + (512 - m.n)
+                  * (1::BIGINT << 52) AS DOUBLE) AS est_merged,
+         t.true_distinct
+  FROM hden d, hmden m, htrue t""",
+        # AMS/CMS inner-product join-size estimate: per depth row the
+        # cell-product sum, min over rows; true pairs from exact
+        # per-key count products (sketches.cms_join_size).
+        "cms_join_size": """
+  WITH salts(i) AS (VALUES (0), (1), (2), (3)),
+  jva AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+          WHERE user_id IS NOT NULL),
+  jca AS (SELECT s.i AS row_idx,
+                 CAST('0x' || substr(md5(c.v || '#' || CAST(s.i AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 512 AS col_idx,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM jva c, salts s GROUP BY 1, 2),
+  jvb AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders
+          WHERE o_custkey IS NOT NULL),
+  jcb AS (SELECT s.i AS row_idx,
+                 CAST('0x' || substr(md5(c.v || '#' || CAST(s.i AS VARCHAR)),
+                                     1, 15) AS BIGINT) % 512 AS col_idx,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM jvb c, salts s GROUP BY 1, 2),
+  jip AS (SELECT a.row_idx,
+                 SUM(CAST(a.cnt * b.cnt AS HUGEINT)) AS ip
+          FROM jca a JOIN jcb b
+            ON a.row_idx = b.row_idx AND a.col_idx = b.col_idx
+          GROUP BY 1),
+  jest AS (SELECT CAST(MIN(COALESCE(p.ip, 0)) AS BIGINT) AS est_pairs
+           FROM salts s LEFT JOIN jip p ON s.i = p.row_idx),
+  jtru AS (SELECT CAST(COALESCE(SUM(CAST(a.na * b.nb AS HUGEINT)), 0)
+                       AS BIGINT) AS true_pairs
+           FROM (SELECT user_id AS k, COUNT(*) AS na FROM events
+                 WHERE user_id IS NOT NULL GROUP BY 1) a
+           JOIN (SELECT o_custkey AS k, COUNT(*) AS nb FROM orders
+                 WHERE o_custkey IS NOT NULL GROUP BY 1) b
+             ON a.k = b.k)
+  SELECT e.est_pairs, t.true_pairs FROM jest e, jtru t""",
         # Fixed-3-iteration PageRank over the co-purchase graph —
         # unrolled CTEs, 2^-40 grid sums (graph.pagerank).
         "pagerank": _pagerank_sql(3),

@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "containment_dedup_fix",
     "bpe_segment_holdout",
     "rolling_spend_binned",
+    "hll_distinct",
+    "cms_join_size",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

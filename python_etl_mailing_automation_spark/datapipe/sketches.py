@@ -247,6 +247,163 @@ def cms_estimate(
     ).drop("__v")
 
 
+def cms_join_size(
+    cms_a: DataFrame,
+    cms_b: DataFrame,
+    *,
+    depth: int = 4,
+    out_col: str = "est_pairs",
+) -> DataFrame:
+    """Equi-join SIZE estimate from two :func:`cms_build` sketches with
+    the same width/depth (the AMS/CMS inner-product estimator, Alon-
+    Matias-Szegedy 1996 / Cormode-Muthukrishnan 2005): per depth row,
+    Σ_col a·b over-estimates Σ_v f_A(v)·f_B(v) = |A ⋈ B| (colliding
+    values only ADD cross terms), and the min over the depth rows is
+    the estimate — never an undercount, same one-sided error as
+    :func:`cms_estimate`. Returns one row ``(out_col decimal(38,0))``.
+
+    This is the cost-based-optimizer primitive at 100 TB: join
+    cardinality between two corpora from two KB-sized summaries,
+    no scan of either side — e.g. "how many (event, order) pairs will
+    the user join explode to" before running it. Inner products stay
+    exact in DECIMAL(38,0) (cell counts are exact BIGINTs; a
+    product-sum of two 10^12-row inputs needs ~10^24).
+
+    Scale shape: one equi-join of two ≤ width·depth frames + one
+    depth-sized aggregate — constant cost in the data size.
+    """
+    if depth < 1:
+        raise ValueError("cms_join_size: depth must be >= 1")
+    a = cms_a.select(
+        "row_idx", "col_idx", F.col("cnt").alias("__ca")
+    )
+    b = cms_b.select(
+        "row_idx", "col_idx", F.col("cnt").alias("__cb")
+    )
+    per_row = (
+        a.join(b, on=["row_idx", "col_idx"])
+        .groupBy("row_idx")
+        .agg(
+            F.sum(
+                (F.col("__ca") * F.col("__cb")).cast("decimal(38,0)")
+            ).alias("__ip")
+        )
+    )
+    # a depth row with NO overlapping cells has inner product 0, not
+    # "absent" — materialize all rows before the min
+    rows = cms_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row_idx")
+    )
+    return (
+        rows.join(per_row, on="row_idx", how="left")
+        .agg(
+            F.min(
+                F.coalesce(
+                    F.col("__ip"), F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias(out_col)
+        )
+    )
+
+
+def hll_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    p: int = 9,
+) -> DataFrame:
+    """HyperLogLog register frame over ``value_col`` (NULLs ignored):
+    ``(reg_idx int, rho int)`` — Flajolet et al. 2007, in the engine's
+    deterministic idiom. The 60-bit md5 prefix splits into a register
+    index (low ``p`` bits, m = 2^p registers) and a (60-p)-bit tail
+    whose leading-zero rank is the register's rho; only touched
+    registers materialize (absent = rho 0).
+
+    Scale shape: one projection + one groupBy(reg_idx).max — map-side
+    partial max, output bounded by m regardless of input (the ~KB
+    cardinality summary a 100 TB-corpus profile ships to the driver or
+    joins across shards). Shard sketches merge by union + the same
+    max groupBy — max is associative/commutative/idempotent, so ANY
+    partitioning of the input gives the identical register frame,
+    unlike KMV's rank cut this needs no distinct() first.
+
+    Determinism: registers are pure integer md5 arithmetic
+    (leading-zero rank via length(bin(w)) — both engines print binary
+    without leading zeros), so the frame AND the estimate are
+    bit-identical everywhere. ``p`` in [4, 10] keeps the estimator's
+    exact-integer harmonic sum (see :func:`hll_estimate`) inside
+    BIGINT.
+    """
+    if not (4 <= p <= 10):
+        raise ValueError("hll_build: p must be in [4, 10]")
+    m = 1 << p
+    wbits = 60 - p
+    vals = df.select(F.col(value_col).cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    return (
+        vals.select(_pos60("__v", 0).alias("__h"))
+        .select(
+            (F.col("__h") % m).cast("int").alias("reg_idx"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+        .select(
+            "reg_idx",
+            F.when(F.col("__w") == 0, F.lit(wbits + 1))
+            .otherwise(F.lit(wbits) - F.length(F.bin(F.col("__w"))) + 1)
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("reg_idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    p: int = 9,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """One-row estimate from a :func:`hll_build` register frame with
+    the SAME ``p``: ``(n_registers_used, est_distinct)``.
+
+    est = alpha_m · m² / Σ_j 2^(-rho_j), with never-hit registers at
+    rho 0. Engine-exactness: every 2^(-rho) is a dyadic rational, so
+    the harmonic sum is computed EXACTLY as Σ 2^(shift - rho) in
+    BIGINT (shift = the max rho; bounded by m·2^shift ≤ 2^61 for
+    p ≤ 10) and only ONE fixed-order double expression
+    (alpha · m² · 2^shift / sum) touches floats — the estimate itself
+    hash-matches across engines, retiring the old "unlike HLL" caveat
+    on the KMV sketch. This is the RAW estimator (no small-range
+    linear-counting correction — that needs ln, which the oracle
+    discipline forbids); the calibration query records the observed
+    error against the true cardinality instead.
+    """
+    if not (4 <= p <= 10):
+        raise ValueError("hll_estimate: p must be in [4, 10]")
+    m = 1 << p
+    shift = (60 - p) + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    two_shift = 1 << shift
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - rho)")
+        ).alias("__s"),
+    )
+    denom = (
+        F.coalesce(F.col("__s"), F.lit(0).cast("long"))
+        + (F.lit(m).cast("long") - F.col("__n")) * F.lit(two_shift).cast("long")
+    ).cast("double")
+    return agg.select(
+        F.col("__n").alias("n_registers_used"),
+        (
+            F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(two_shift)) / denom
+        ).alias(out_col),
+    )
+
+
 def loghist_build(
     df: DataFrame,
     value_col: str,

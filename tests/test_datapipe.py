@@ -2442,6 +2442,60 @@ def test_cms_weighted_build(spark):
     assert est2["a"] == 10 and est2["b"] == 0
 
 
+def test_cms_join_size_overestimates_and_exact_at_low_load(spark):
+    """The inner-product estimate bounds the true equi-join size from
+    above; collision-free at low load it is exact; disjoint key sets
+    estimate 0 when no cells collide (and never negative)."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        cms_build,
+        cms_join_size,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 2 + [("z",)], "k string"
+    )
+    b = spark.createDataFrame([("x",)] * 4 + [("y",)] * 1, "k string")
+    ca = cms_build(a, "k", width=256, depth=3)
+    cb = cms_build(b, "k", width=256, depth=3)
+    est = int(cms_join_size(ca, cb, depth=3).collect()[0].est_pairs)
+    true = 3 * 4 + 2 * 1
+    assert est >= true
+    assert est == true  # collision-free at this load
+    c = spark.createDataFrame([("q",)] * 5, "k string")
+    cc = cms_build(c, "k", width=256, depth=3)
+    est2 = int(cms_join_size(ca, cc, depth=3).collect()[0].est_pairs)
+    assert est2 >= 0
+    with pytest.raises(ValueError):
+        cms_join_size(ca, cb, depth=0)
+
+
+def test_hll_accuracy_merge_and_nulls(spark):
+    """HLL estimate lands within the ~3/sqrt(m) envelope on a known
+    cardinality; shard sketches union+max-merged equal the direct
+    sketch exactly (max associativity — the mergeability that makes it
+    a sketch); NULLs are ignored; bad p raises."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)] + [(None,)], "v int")
+    reg = hll_build(df, "v", p=9)
+    row = hll_estimate(reg, p=9).collect()[0]
+    assert abs(row.est_distinct - n) / n < 3 * 1.04 / (512 ** 0.5)
+    a = hll_build(df.filter(F.col("v") % 3 == 0), "v", p=9)
+    b = hll_build(df.filter((F.col("v") % 3) != 0), "v", p=9)
+    merged = a.unionByName(b).groupBy("reg_idx").agg(F.max("rho").alias("rho"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, reg.collect())
+    )
+    with pytest.raises(ValueError):
+        hll_build(df, "v", p=2)
+    with pytest.raises(ValueError):
+        hll_estimate(reg, p=11)
+
+
 def test_personalized_pagerank_teleports_to_seeds_only(spark):
     """On a star graph with leaves -> hub, seeding one leaf gives zero
     rank to unseeded leaves (no teleport, no in-edges), seed rank =
