@@ -2826,6 +2826,39 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return mad_outliers(docs, "n_chars", group_col="lang")
 
 
+def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Full MERGE semantics (operators/dedup.cdc_apply): an I/U/D
+    changelog (lineitem rows keyed by order — several facts per key,
+    shipdate-ordered, linenumber tiebreak, every 4th line a DELETE)
+    applied to an orders-derived base snapshot (keys % 3 != 0, so the
+    log also INSERTS new keys). Last fact per key wins; a winning 'D'
+    removes the key — the delete half upsert_latest doesn't model.
+    Window-free max_by reduction, skew-hardened like the SCD-1 merge."""
+    from python_etl_mailing_automation_spark.operators.dedup import cdc_apply
+
+    ords = _t(spark, sf, "orders")
+    base = ords.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderstatus").alias("tag"),
+    )
+    log = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_extendedprice").alias("val"),
+        F.col("l_returnflag").alias("tag"),
+        F.col("l_shipdate").alias("ts"),
+        F.when(F.col("l_linenumber") % 4 == 0, "D").otherwise("U").alias("op"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    # tiebreak extends through the payload: the synthetic lineitem has
+    # a handful of (order, shipdate, linenumber) duplicates with
+    # different payloads, so (ln, val, tag) makes the order total
+    return cdc_apply(
+        base, log, key="k", ts_col="ts", op_col="op",
+        tiebreak=["ln", "val", "tag"],
+    )
+
+
 def q_scd_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """SCD-1 snapshot merge (operators/dedup.upsert_latest): an in-query
     CDC batch (every 3rd customer, +100 balance; every 6th arrives with
@@ -3074,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "mad_outliers": q_mad_outliers,
         "scd_upsert": q_scd_upsert,
+        "cdc_apply": q_cdc_apply,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -6056,6 +6090,27 @@ def oracle_sql() -> dict[str, str]:
         # SCD-1 merge: highest version wins, update beats base on the
         # tie (src desc), NULL versions oldest — mirrors the min_by
         # sort keys of operators/dedup.upsert_latest.
+        # MERGE with deletes (operators/dedup.cdc_apply): base rows
+        # rank before all log rows, log rows by (ts, linenumber); the
+        # last fact per key wins and 'D' removes the key.
+        "cdc_apply": """
+  WITH ca_b AS (SELECT o_orderkey AS k, o_totalprice AS val,
+                       o_orderstatus AS tag,
+                       CAST(NULL AS DATE) AS ts, 'U' AS op, 0 AS src,
+                       CAST(NULL AS BIGINT) AS tb
+                FROM orders WHERE o_orderkey % 3 <> 0),
+  ca_l AS (SELECT l_orderkey AS k, l_extendedprice AS val,
+                  l_returnflag AS tag, l_shipdate AS ts,
+                  CASE WHEN l_linenumber % 4 = 0 THEN 'D'
+                       ELSE 'U' END AS op,
+                  1 AS src, CAST(l_linenumber AS BIGINT) AS tb
+           FROM lineitem),
+  ca_all AS (SELECT * FROM ca_b UNION ALL SELECT * FROM ca_l),
+  ca_last AS (SELECT k, val, tag, op FROM ca_all
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+                ORDER BY src DESC, ts DESC NULLS LAST, tb DESC,
+                         val DESC, tag DESC) = 1)
+  SELECT k, val, tag FROM ca_last WHERE op <> 'D'""",
         "scd_upsert": """
   WITH su_b AS (SELECT c_custkey, c_name, c_acctbal,
                        1 AS version, 0 AS src FROM customer),

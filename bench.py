@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "rolling_spend_binned",
     "hll_distinct",
     "cms_join_size",
+    "cdc_apply",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

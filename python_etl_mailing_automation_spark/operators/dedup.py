@@ -148,6 +148,85 @@ def upsert_latest(
     ).drop("__src")
 
 
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    *,
+    key: str | list[str],
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak: str | list[str] | None = None,
+) -> DataFrame:
+    """Apply an ordered insert/update/delete changelog to a base
+    snapshot — the full MERGE INTO (matched UPDATE / matched DELETE /
+    not-matched INSERT) that :func:`upsert_latest` covers only the
+    upsert half of. Per key, the LAST fact wins: base rows rank before
+    every log row; log rows order by ``(ts_col, *tiebreak)``. If the
+    winning fact's ``op_col`` is ``'D'`` the key vanishes from the
+    result; any other op (or the base row) contributes its payload.
+    Returns the next snapshot with ``base``'s columns.
+
+    ``changelog`` must carry the key, every base payload column, the
+    op, the timestamp, and the optional ``tiebreak`` column(s) —
+    required for determinism when one key can log twice at the same
+    timestamp (same contract as scd2_intervals; pass enough columns to
+    make the order total, or accept an arbitrary-but-single winner
+    among exact ties). ``base`` must be unique per key (a snapshot).
+
+    Scale shape: the :func:`upsert_latest` skew-hardened reduction —
+    unionByName + one ``max_by`` per key (partial maxima, no window
+    sort, hot entities cost O(1) state per partition), then a
+    scan-side op filter. Late-arriving deletes replay correctly: the
+    log is ordered by event time, not arrival order.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    tbs = (
+        []
+        if tiebreak is None
+        else [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+    )
+    payload = [c for c in base.columns if c not in keys]
+    log_types = dict(changelog.dtypes)
+    b = base.select(
+        *keys,
+        *payload,
+        F.lit(None).cast(log_types[ts_col]).alias("__ts"),
+        F.lit("U").alias("__op"),
+        F.lit(0).alias("__src"),
+        *[
+            F.lit(None).cast(log_types[c]).alias(f"__tb{i}")
+            for i, c in enumerate(tbs)
+        ],
+    )
+    lg = changelog.select(
+        *keys,
+        *payload,
+        F.col(ts_col).alias("__ts"),
+        F.col(op_col).alias("__op"),
+        F.lit(1).alias("__src"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tbs)],
+    )
+    u = b.unionByName(lg)
+    # base (__src 0) loses to every log row, so its NULL ts/tiebreak
+    # fields never decide a comparison (base is unique per key); among
+    # log rows (ts, *tiebreaks) ascending. The ts is coalesced to an
+    # epoch floor anyway so no struct field is NULL on the log side.
+    zero_ts = F.lit("1970-01-01").cast(log_types[ts_col])
+    latest = u.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in [*payload, "__op"]]),
+            F.struct(
+                F.col("__src").alias("src"),
+                F.coalesce(F.col("__ts"), zero_ts).alias("ts"),
+                *[F.col(f"__tb{i}") for i in range(len(tbs))],
+            ),
+        ).alias("__last")
+    )
+    return latest.filter(F.col("__last.__op") != "D").select(
+        *keys, *[F.col(f"__last.{c}").alias(c) for c in payload]
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

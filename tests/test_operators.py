@@ -719,6 +719,40 @@ def test_scd2_intervals_history_semantics(spark):
     assert sum(r.is_current for r in out) == 2   # one current per key
 
 
+def test_cdc_apply_merge_with_deletes(spark):
+    """Full MERGE: unmatched base keys persist, the latest log fact
+    per key wins (ts, then tiebreak), a winning 'D' removes the key
+    (matched-delete), a log-only key inserts unless its last op is a
+    delete, and a delete followed by a later upsert re-inserts."""
+    from python_etl_mailing_automation_spark.operators.dedup import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "a2", "2024-01-01", "U", 1),
+            (1, "a3", "2024-01-02", "U", 1),   # latest wins
+            (2, None, "2024-01-01", "D", 1),   # matched delete
+            (4, "d1", "2024-01-01", "U", 1),   # insert
+            (5, "e1", "2024-01-01", "U", 1),
+            (5, None, "2024-01-02", "D", 1),   # insert then delete -> gone
+            (3, None, "2024-01-01", "D", 1),
+            (3, "c2", "2024-01-02", "U", 1),   # delete then re-insert
+            (6, "x1", "2024-01-01", "U", 1),   # same-ts tie: tiebreak
+            (6, "x2", "2024-01-01", "U", 2),
+        ],
+        "k int, v string, ts_s string, op string, seq int",
+    ).select("k", "v", F.to_date("ts_s").alias("ts"), "op", "seq")
+    out = {
+        r.k: r.v
+        for r in cdc_apply(
+            base, log, key="k", ts_col="ts", op_col="op", tiebreak="seq"
+        ).collect()
+    }
+    assert out == {1: "a3", 3: "c2", 4: "d1", 6: "x2"}
+
+
 def test_constraint_report_counts(spark):
     """Every constraint kind counts exactly its violations; NULLs are
     not range/accepted/regexp violations; unique counts rows beyond
