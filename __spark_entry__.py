@@ -1441,6 +1441,57 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hll_group_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped HLL (datapipe/sketches.hll_build/hll_estimate with
+    group_col): distinct users per event_type — one 512-register
+    sketch per group, estimate next to the exact per-group cardinality
+    so every row is its own calibration. The grouped shape is the
+    production one ("distinct users per domain"); per-group output
+    stays bounded at m rows of registers however large the group."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = _t(spark, sf, "events").filter(F.col("event_type").isNotNull())
+    reg = hll_build(ev, "user_id", p=9, group_col="event_type")
+    est = hll_estimate(reg, p=9, group_col="event_type").select(
+        "event_type",
+        F.col("n_registers_used").alias("n_regs"),
+        "est_distinct",
+    )
+    tru = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return est.join(tru, on="event_type")
+
+
+def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep-line peak concurrency (datapipe/timeseries
+    .max_concurrency): per event_type, the maximum number of
+    simultaneously-open sessions — each event opens a half-open
+    interval of (event_id % 3600 + 60) seconds — and the earliest
+    instant the peak is reached, formatted for cross-engine compare.
+    +1/-1 delta explode, one per-key running sum, one keyed max; the
+    quadratic per-instant join a naive formulation costs is never
+    built."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        max_concurrency,
+    )
+
+    ev = _t(spark, sf, "events").withColumn(
+        "end_ts",
+        F.col("ts")
+        + F.make_interval(secs=(F.col("event_id") % 3600 + 60).cast("int")),
+    )
+    out = max_concurrency(ev, "ts", "end_ts", key_col="event_type")
+    return out.select(
+        "event_type",
+        "peak",
+        F.date_format("peak_at", "yyyy-MM-dd HH:mm:ss").alias("peak_at"),
+    )
+
+
 def q_cms_join_size(spark: SparkSession, sf: str) -> DataFrame:
     """Join-cardinality estimation from sketches (datapipe/sketches
     .cms_join_size, AMS inner product): |events ⋈ orders on user =
@@ -3094,6 +3145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
+        "hll_group_distinct": q_hll_group_distinct,
+        "max_concurrency": q_max_concurrency,
         "cms_join_size": q_cms_join_size,
         "pagerank": q_pagerank,
         "bloom_blocklist": q_bloom_blocklist,
@@ -4840,6 +4893,52 @@ def oracle_sql() -> dict[str, str]:
                   * (1::BIGINT << 52) AS DOUBLE) AS est_merged,
          t.true_distinct
   FROM hden d, hmden m, htrue t""",
+        # Grouped HLL: one register set per event_type, same md5/bin
+        # arithmetic and alpha literal as hll_distinct.
+        "hll_group_distinct": """
+  WITH gh AS (SELECT event_type AS g,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                             || '#0'), 1, 15) AS BIGINT) AS h
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+  gr AS (SELECT g, CAST(h % 512 AS INT) AS reg_idx, h // 512 AS w FROM gh),
+  greg AS (SELECT g, reg_idx,
+                  MAX(CASE WHEN w = 0 THEN 52
+                           ELSE 51 - length(bin(w)) + 1 END) AS rho
+           FROM gr GROUP BY 1, 2),
+  gden AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(1::BIGINT << CAST(52 - rho AS INT)) AS s
+           FROM greg GROUP BY 1),
+  gtru AS (SELECT event_type AS g,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+  SELECT d.g AS event_type, d.n AS n_regs,
+         CAST(0.7197831133217303 AS DOUBLE) * CAST(262144 AS DOUBLE)
+           * CAST(4503599627370496 AS DOUBLE)
+           / CAST(COALESCE(d.s, 0) + (512 - d.n)
+                  * (1::BIGINT << 52) AS DOUBLE) AS est_distinct,
+         t.true_distinct
+  FROM gden d JOIN gtru t ON d.g = t.g""",
+        # Sweep-line peak concurrency: -1 sorts before +1 at equal
+        # time (half-open intervals), peak ties resolve to earliest t.
+        "max_concurrency": """
+  WITH mc_i AS (SELECT event_type AS k, ts,
+                       ts + (event_id % 3600 + 60)
+                            * INTERVAL 1 SECOND AS end_ts
+                FROM events WHERE ts IS NOT NULL),
+  mc_d AS (
+    SELECT k, ts AS t, 1 AS d FROM mc_i WHERE end_ts > ts
+    UNION ALL
+    SELECT k, end_ts, -1 FROM mc_i WHERE end_ts > ts),
+  mc_r AS (SELECT k, t,
+                  CAST(SUM(d) OVER (PARTITION BY k ORDER BY t, d
+                       ROWS UNBOUNDED PRECEDING) AS INT) AS run
+           FROM mc_d),
+  mc_p AS (SELECT k, MAX(run) AS peak FROM mc_r GROUP BY 1)
+  SELECT r.k AS event_type, p.peak,
+         strftime(MIN(r.t), '%Y-%m-%d %H:%M:%S') AS peak_at
+  FROM mc_r r JOIN mc_p p ON r.k = p.k AND r.run = p.peak
+  GROUP BY 1, 2""",
         # AMS/CMS inner-product join-size estimate: per depth row the
         # cell-product sum, min over rows; true pairs from exact
         # per-key count products (sketches.cms_join_size).

@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "hll_distinct",
     "cms_join_size",
     "cdc_apply",
+    "hll_group_distinct",
+    "max_concurrency",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

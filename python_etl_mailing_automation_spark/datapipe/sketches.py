@@ -311,6 +311,7 @@ def hll_build(
     value_col: str,
     *,
     p: int = 9,
+    group_col: str | None = None,
 ) -> DataFrame:
     """HyperLogLog register frame over ``value_col`` (NULLs ignored):
     ``(reg_idx int, rho int)`` — Flajolet et al. 2007, in the engine's
@@ -326,6 +327,8 @@ def hll_build(
     max groupBy — max is associative/commutative/idempotent, so ANY
     partitioning of the input gives the identical register frame,
     unlike KMV's rank cut this needs no distinct() first.
+    ``group_col`` prepends a group key — one sketch per group (the
+    "distinct users per domain" shape), m registers each.
 
     Determinism: registers are pure integer md5 arithmetic
     (leading-zero rank via length(bin(w)) — both engines print binary
@@ -338,23 +341,26 @@ def hll_build(
         raise ValueError("hll_build: p must be in [4, 10]")
     m = 1 << p
     wbits = 60 - p
-    vals = df.select(F.col(value_col).cast("string").alias("__v")).filter(
-        F.col("__v").isNotNull()
-    )
+    grp = [group_col] if group_col is not None else []
+    vals = df.select(
+        *grp, F.col(value_col).cast("string").alias("__v")
+    ).filter(F.col("__v").isNotNull())
     return (
-        vals.select(_pos60("__v", 0).alias("__h"))
+        vals.select(*grp, _pos60("__v", 0).alias("__h"))
         .select(
+            *grp,
             (F.col("__h") % m).cast("int").alias("reg_idx"),
             F.expr(f"__h div {m}").alias("__w"),
         )
         .select(
+            *grp,
             "reg_idx",
             F.when(F.col("__w") == 0, F.lit(wbits + 1))
             .otherwise(F.lit(wbits) - F.length(F.bin(F.col("__w"))) + 1)
             .cast("int")
             .alias("rho"),
         )
-        .groupBy("reg_idx")
+        .groupBy(*grp, "reg_idx")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -364,9 +370,11 @@ def hll_estimate(
     *,
     p: int = 9,
     out_col: str = "est_distinct",
+    group_col: str | None = None,
 ) -> DataFrame:
     """One-row estimate from a :func:`hll_build` register frame with
-    the SAME ``p``: ``(n_registers_used, est_distinct)``.
+    the SAME ``p``: ``(n_registers_used, est_distinct)`` — or one row
+    per group when the frame was built with ``group_col``.
 
     est = alpha_m · m² / Σ_j 2^(-rho_j), with never-hit registers at
     rho 0. Engine-exactness: every 2^(-rho) is a dyadic rational, so
@@ -386,17 +394,20 @@ def hll_estimate(
     shift = (60 - p) + 1
     alpha = 0.7213 / (1.0 + 1.079 / m)
     two_shift = 1 << shift
-    agg = registers.agg(
+    grp = [group_col] if group_col is not None else []
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - rho)")
         ).alias("__s"),
-    )
+    ]
+    agg = registers.groupBy(*grp).agg(*aggs) if grp else registers.agg(*aggs)
     denom = (
         F.coalesce(F.col("__s"), F.lit(0).cast("long"))
         + (F.lit(m).cast("long") - F.col("__n")) * F.lit(two_shift).cast("long")
     ).cast("double")
     return agg.select(
+        *grp,
         F.col("__n").alias("n_registers_used"),
         (
             F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(two_shift)) / denom

@@ -98,6 +98,81 @@ def resample_fill(
     )
 
 
+def max_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Peak number of simultaneously-open half-open intervals
+    ``[start, end)`` — per ``key_col`` when given — and the earliest
+    instant the peak is reached: ``(key?, peak int, peak_at
+    timestamp)``. The capacity-planning primitive (max concurrent
+    sessions / open shipments / in-flight requests) that a naive
+    per-instant join would compute quadratically.
+
+    Sweep line, relationally: each interval explodes to (+1 at start,
+    -1 at end); one running sum per key ordered by (time, delta) —
+    delta -1 sorts first, so an interval ending exactly when another
+    starts never overlaps it (half-open semantics) — and one keyed
+    max(struct(run, -time)) picks the peak with the EARLIEST time at
+    ties, deterministically. Intervals with ``end <= start`` or NULL
+    endpoints are dropped (zero-length intervals are empty under
+    half-open semantics).
+
+    Scale shape: one explode (2 rows per interval), one window shuffle
+    on the key, one keyed aggregate. The per-key running sum is the
+    serial-per-key bound discussed at rolling_window_sum — for a hot
+    key, the binned decomposition there transfers (sum deltas per bin,
+    prefix over bins, scan within bin).
+    """
+    grp = [key_col] if key_col is not None else []
+    base = df.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) > F.col(start_col))
+    )
+    deltas = base.select(
+        *grp,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).cast("timestamp").alias("t"),
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    F.col(end_col).cast("timestamp").alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("__e"),
+    ).select(*grp, F.col("__e.t").alias("__t"), F.col("__e.d").alias("__d"))
+    w = (
+        Window.partitionBy(*grp).orderBy(F.col("__t"), F.col("__d"))
+        if grp
+        else Window.orderBy(F.col("__t"), F.col("__d"))
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = deltas.select(
+        *grp,
+        "__t",
+        F.sum("__d").over(w).cast("int").alias("__run"),
+    )
+    best = runs.groupBy(*grp).agg(
+        F.max(
+            F.struct(
+                F.col("__run").alias("run"),
+                (-F.unix_micros(F.col("__t"))).alias("nts"),
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        *grp,
+        F.col("__b.run").alias("peak"),
+        F.timestamp_micros(-F.col("__b.nts")).alias("peak_at"),
+    )
+
+
 _GRID = 2.0**40
 
 

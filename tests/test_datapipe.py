@@ -2442,6 +2442,60 @@ def test_cms_weighted_build(spark):
     assert est2["a"] == 10 and est2["b"] == 0
 
 
+def test_max_concurrency_sweep_line(spark):
+    """Hand-checkable intervals: overlap counting is exact, half-open
+    semantics (an interval ending exactly when another starts does NOT
+    overlap it), peak ties resolve to the earliest instant, empty and
+    degenerate (end <= start) intervals are dropped, and the ungrouped
+    form works."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        max_concurrency,
+    )
+
+    rows = [
+        # key a: [0,10) [5,15) [10,20) -> peak 2 first at t=5
+        ("a", 0, 10), ("a", 5, 15), ("a", 10, 20),
+        # key b: three on top of each other + one degenerate
+        ("b", 0, 4), ("b", 1, 4), ("b", 2, 4), ("b", 7, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int").select(
+        "k",
+        F.timestamp_seconds(F.col("s") + 1_700_000_000).alias("s_ts"),
+        F.timestamp_seconds(F.col("e") + 1_700_000_000).alias("e_ts"),
+    )
+    out = {
+        r.k: (r.peak, r.peak_at.timestamp() - 1_700_000_000)
+        for r in max_concurrency(df, "s_ts", "e_ts", key_col="k").collect()
+    }
+    assert out == {"a": (2, 5.0), "b": (3, 2.0)}
+    ungrouped = max_concurrency(df, "s_ts", "e_ts").collect()
+    assert len(ungrouped) == 1 and ungrouped[0].peak == 4  # a+b overlap at 2..4
+
+
+def test_hll_grouped(spark):
+    """group_col yields one independent sketch per group: per-group
+    estimates match the ungrouped sketch built on each group's rows."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", i % 700) for i in range(3000)], "g string, v int"
+    )
+    reg = hll_build(df, "v", p=8, group_col="g")
+    ests = {
+        r.g: r.est_distinct
+        for r in hll_estimate(reg, p=8, group_col="g").collect()
+    }
+    for g in ("g0", "g1"):
+        solo = hll_estimate(
+            hll_build(df.filter(F.col("g") == g), "v", p=8), p=8
+        ).collect()[0]
+        assert ests[g] == solo.est_distinct
+        assert abs(solo.est_distinct - 350) / 350 < 0.3
+
+
 def test_cms_join_size_overestimates_and_exact_at_low_load(spark):
     """The inner-product estimate bounds the true equi-join size from
     above; collision-free at low load it is exact; disjoint key sets
