@@ -1441,6 +1441,28 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority sampling (datapipe/sampling.weighted_sample): top-16
+    lineitems per returnflag with inclusion probability proportional
+    to quantity — the weighted quota (documents by token count, hosts
+    by bytes) the unweighted md5 samplers can't express. The kept set
+    is a pure function of (id, weight): q = w·2^60/(h+1), two
+    fixed-order double ops, so the sample itself hash-matches the
+    oracle."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        weighted_sample,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    return weighted_sample(
+        li, 16, "qty", id_col="rid", group_col="l_returnflag"
+    )
+
+
 def q_hll_group_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped HLL (datapipe/sketches.hll_build/hll_estimate with
     group_col): distinct users per event_type — one 512-register
@@ -1588,6 +1610,20 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     return und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection (datapipe/graph.label_propagation, 3
+    synchronous rounds) over the co-purchase graph: every node adopts
+    its neighbors' majority label (ties to smallest), deterministic by
+    construction — the third iterative graph operator next to PageRank
+    and the CC closure, splitting dense sub-communities that mere
+    reachability merges."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(_copurchase_oriented(spark, sf), n_iter=3)
 
 
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
@@ -3146,6 +3182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
         "hll_group_distinct": q_hll_group_distinct,
+        "label_propagation": q_label_propagation,
+        "weighted_sample": q_weighted_sample,
         "max_concurrency": q_max_concurrency,
         "cms_join_size": q_cms_join_size,
         "pagerank": q_pagerank,
@@ -3715,6 +3753,32 @@ def _containment_ctes() -> str:
            JOIN cj_t x ON x.doc_id = c.id_a
            JOIN cj_t y ON y.doc_id = c.id_b AND y.tok = x.tok
            GROUP BY 1, 2, 3, 4)"""
+
+
+def _labelprop_sql(n_iter: int = 3) -> str:
+    """Unrolled synchronous label propagation over the co-purchase
+    graph (graph.label_propagation): per round a neighbor-label count
+    and a (count desc, label asc) argmax."""
+    parts = [
+        """WITH lpu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+  lpe AS (SELECT DISTINCT src, dst FROM
+          (SELECT src, dst FROM lpu
+           UNION ALL SELECT dst, src FROM lpu)),
+  ll0 AS (SELECT DISTINCT src AS node, src AS label FROM lpe),"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""  lc{k} AS (SELECT e.src, l.label, COUNT(*) AS c
+           FROM lpe e JOIN ll{k - 1} l ON e.dst = l.node GROUP BY 1, 2),
+  ll{k} AS (SELECT src AS node, label FROM lc{k}
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY c DESC, label ASC) = 1),"""
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\n  SELECT node, label FROM ll{n_iter}"
 
 
 def _containment_fix_sql(rounds: int = 3) -> str:
@@ -4893,6 +4957,23 @@ def oracle_sql() -> dict[str, str]:
                   * (1::BIGINT << 52) AS DOUBLE) AS est_merged,
          t.true_distinct
   FROM hden d, hmden m, htrue t""",
+        # Priority sampling: q = w * 2^60 / (h+1), identical two-op
+        # double chain, top-16 per group (sampling.weighted_sample).
+        "weighted_sample": """
+  WITH ws_b AS (SELECT l_returnflag,
+                       l_orderkey * 16 + l_linenumber AS rid,
+                       CAST(l_quantity AS DOUBLE) AS qty
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_quantity > 0),
+  ws_q AS (SELECT l_returnflag, rid, qty,
+                  qty * CAST(1152921504606846976 AS DOUBLE)
+                    / CAST(CAST('0x' || substr(md5(CAST(rid AS VARCHAR)
+                                                   || '|'), 1, 15)
+                                AS BIGINT) + 1 AS DOUBLE) AS q
+           FROM ws_b)
+  SELECT l_returnflag, rid, qty FROM ws_q
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                             ORDER BY q DESC, rid ASC) <= 16""",
         # Grouped HLL: one register set per event_type, same md5/bin
         # arithmetic and alpha literal as hll_distinct.
         "hll_group_distinct": """
@@ -4976,6 +5057,9 @@ def oracle_sql() -> dict[str, str]:
         # Fixed-3-iteration PageRank over the co-purchase graph —
         # unrolled CTEs, 2^-40 grid sums (graph.pagerank).
         "pagerank": _pagerank_sql(3),
+        # Synchronous label propagation, same graph, 3 unrolled rounds
+        # (graph.label_propagation).
+        "label_propagation": _labelprop_sql(3),
         # Personalized variant: teleport restricted to node % 50 = 0
         # seeds, denominator |S| (graph.pagerank with seeds).
         "personalized_pagerank": _pagerank_sql(3, seed_pred="node % 50 = 0"),

@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "cdc_apply",
     "hll_group_distinct",
     "max_concurrency",
+    "weighted_sample",
+    "label_propagation",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

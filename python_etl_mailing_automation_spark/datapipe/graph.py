@@ -138,3 +138,69 @@ def pagerank(
     finally:
         nodes.unpersist()
         ed.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, made deterministic): over the symmetrized distinct edge
+    list, every node starts labeled with its own id; each iteration
+    every node adopts the most frequent label among its NEIGHBORS,
+    ties to the smallest label. Fixed ``n_iter`` synchronous rounds —
+    the asynchronous variant's run-order nondeterminism is exactly
+    what an oracle-checked engine can't ship. Returns ``(node,
+    label)`` for every node with at least one edge; a community is a
+    label equivalence class. Complements the connected-component
+    closure in :mod:`.dedup`: CC finds reachability islands, label
+    propagation splits dense sub-communities INSIDE an island.
+
+    Scale shape (the house iterative discipline): per iteration one
+    equi-join of the label frame to the cached edge list plus one
+    (node, label) count aggregate and one keyed argmax (max_by — no
+    window sort); labels are node ids, so ties and the argmax ride
+    exact integer comparisons. The edge cache is released in a
+    ``finally`` after the result materializes (the pagerank
+    no-cache-leak contract).
+    """
+    if n_iter < 1:
+        raise ValueError("label_propagation: n_iter must be >= 1")
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    e = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .cache()
+    )
+    try:
+        labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+        for _ in range(n_iter):
+            counts = (
+                e.join(labels, on=F.col("dst") == F.col("node"))
+                .groupBy("src", "label")
+                .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            )
+            labels = counts.groupBy("src").agg(
+                F.max(
+                    F.struct(
+                        F.col("__c").alias("c"),
+                        (-F.col("label")).alias("nl"),
+                    )
+                ).alias("__b")
+            ).select(
+                F.col("src").alias("node"),
+                (-F.col("__b.nl")).alias("label"),
+            )
+        return labels.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

@@ -261,6 +261,64 @@ def temperature_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — priority
+    (sequential Poisson) sampling, Duffield-Lund-Thorup 2007: each row
+    gets priority q = w / u with u its id's md5-uniform in (0, 1], and
+    the top-``k`` priorities (per ``group_col`` when given) are kept.
+    Inclusion probability ≈ min(1, k·w/ΣW) — the weighted quota the
+    unweighted samplers here can't express (sample documents
+    proportional to token count, hosts by byte volume).
+
+    House determinism: u = (h+1)/2^60 from the id's 60-bit md5 prefix,
+    so q = w · 2^60 / (h+1) is TWO fixed-order IEEE double ops — the
+    kept set is a pure function of (id, weight, salt), reproducible
+    across runs, engines, and partitionings, and oracle-checkable.
+    Rows with NULL ids are dropped (no stable draw — the module
+    contract); NULL or non-positive weights are dropped (they can
+    never be sampled proportionally).
+
+    Scale shape: scan-side priority projection + one per-group top-k
+    window (WindowGroupLimit prunes to k rows per partition before the
+    sort). Ties (identical priority) break on id ascending.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.col(weight_col).cast("double")
+    prio = (
+        w * F.lit(1152921504606846976.0) / (h + F.lit(1)).cast("double")
+    )
+    grp = [group_col] if group_col is not None else []
+    base = df.filter(
+        F.col(id_col).isNotNull() & w.isNotNull() & (w > 0)
+    ).withColumn("__q", prio)
+    win = Window.partitionBy(*grp).orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("__r", F.row_number().over(win))
+        .filter(F.col("__r") <= k)
+        .drop("__q", "__r")
+    )
+
+
 def budget_select(
     df: DataFrame,
     budget_tokens: int,

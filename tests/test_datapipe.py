@@ -1865,6 +1865,34 @@ def test_pagerank_star_and_cycle(spark):
         )
 
 
+def test_label_propagation_communities(spark):
+    """Two triangles joined by one bridge edge: after enough rounds
+    each triangle converges to its own minimum label (majority vote,
+    ties to smallest); the bridge endpoints stay with their triangle.
+    Deterministic round count, no edge-order sensitivity."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        label_propagation,
+    )
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(
+        tri1 + tri2 + [(3, 10)], "src int, dst int"
+    )
+    out = {r.node: r.label for r in label_propagation(edges, n_iter=4).collect()}
+    # labels are arbitrary community identifiers (LPA labels can
+    # migrate across a bridge — here the second triangle converges to
+    # label 3); what must hold: internal uniformity + separation
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+    # determinism: same rounds, same labels
+    again = {r.node: r.label for r in label_propagation(edges, n_iter=4).collect()}
+    assert again == out
+    with pytest.raises(ValueError):
+        label_propagation(edges, n_iter=0)
+
+
 def test_pagerank_leaves_no_pinned_caches(spark):
     """pagerank caches its node and edge+degree frames per call; the
     result must be usable AFTER the caches are released and repeated
@@ -2440,6 +2468,50 @@ def test_cms_weighted_build(spark):
         for r in cms_estimate(probes, "v", cms2, width=64, depth=3).collect()
     }
     assert est2["a"] == 10 and est2["b"] == 0
+
+
+def test_weighted_sample_priority_semantics(spark):
+    """Priority sampling keeps exactly k per group; a weight
+    overwhelming the rest is always included (q = w/u with u <= 1, so
+    a weight > every other w/u_min... practically: w huge wins);
+    NULL / non-positive weights and NULL ids are dropped; the sample
+    is a pure function of (id, weight, salt) — rerun-identical; the
+    0.2-superset property does NOT hold here (k-cut, not threshold),
+    but growing k only ADDS rows."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        weighted_sample,
+    )
+
+    rows = (
+        [(f"d{i}", "g", 1.0) for i in range(50)]
+        + [("big", "g", 1e12), ("z", "g", None), (None, "g", 5.0),
+           ("neg", "g", -3.0), ("zero", "g", 0.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, g string, w double")
+    kept = {
+        r.doc_id
+        for r in weighted_sample(
+            df, 10, "w", id_col="doc_id", group_col="g"
+        ).collect()
+    }
+    assert len(kept) == 10 and "big" in kept
+    assert kept.isdisjoint({"z", None, "neg", "zero"})
+    again = {
+        r.doc_id
+        for r in weighted_sample(
+            df, 10, "w", id_col="doc_id", group_col="g"
+        ).collect()
+    }
+    assert again == kept
+    bigger = {
+        r.doc_id
+        for r in weighted_sample(
+            df, 20, "w", id_col="doc_id", group_col="g"
+        ).collect()
+    }
+    assert kept <= bigger and len(bigger) == 20
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w", id_col="doc_id")
 
 
 def test_max_concurrency_sweep_line(spark):
