@@ -2053,6 +2053,37 @@ def q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_constraint_offenders(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic violation samples (datapipe/quality
+    .constraint_offenders): up to 5 example rows per violated
+    constraint from q_dq_report's contract, chosen by md5(row id)
+    order so the drill-down set is reproducible across engines — the
+    second pass the report's count-first-sample-later scale note
+    prescribes. The range bound is tightened and the accepted set
+    shrunk so violations actually exist at every sf."""
+    from python_etl_mailing_automation_spark.datapipe.quality import (
+        constraint_offenders,
+    )
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return constraint_offenders(
+        orders,
+        [
+            ("range", "o_totalprice", 1000.0, 150000.0),
+            ("accepted", "o_orderstatus", ["O", "F"]),
+            ("regexp", "o_orderpriority", "^[1-3]-"),
+            ("unique", "o_custkey"),
+            ("fk", "o_custkey", "customer"),
+        ],
+        id_col="o_orderkey",
+        k=5,
+        fk_tables={
+            "customer": (cust.filter(F.col("c_custkey") % 7 != 0), "c_custkey")
+        },
+    )
+
+
 def q_jaccard_join_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact set-similarity self-join (datapipe/ssjoin, prefix
     filtering per Bayardo et al. 2007): all document pairs with
@@ -3249,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "agg_state_merge": q_agg_state_merge,
         "contract_gate": q_contract_gate,
+        "constraint_offenders": q_constraint_offenders,
         "kmv_jaccard": q_kmv_jaccard,
         "impute_winsorize": q_impute_winsorize,
         "cube_stats": q_cube_stats,
@@ -5174,6 +5206,42 @@ def oracle_sql() -> dict[str, str]:
   FROM kj_t""",
         # Row-level contract gate: list of violated row-local
         # constraint labels per row (quality.contract_gate).
+        # Per-constraint violator branches, union, md5(row_id) top-5
+        # per (constraint, column) — quality.constraint_offenders.
+        "constraint_offenders": """
+  WITH co_dupk AS (SELECT o_custkey FROM orders
+                   WHERE o_custkey IS NOT NULL
+                   GROUP BY 1 HAVING COUNT(*) > 1),
+  co_all AS (
+    SELECT 'range' AS "constraint", 'o_totalprice' AS "column",
+           CAST(o_orderkey AS VARCHAR) AS row_id,
+           CAST(o_totalprice AS VARCHAR) AS value
+    FROM orders WHERE o_totalprice IS NOT NULL
+      AND (o_totalprice < 1000.0 OR o_totalprice > 150000.0)
+    UNION ALL
+    SELECT 'accepted', 'o_orderstatus', CAST(o_orderkey AS VARCHAR),
+           o_orderstatus
+    FROM orders WHERE o_orderstatus IS NOT NULL
+      AND o_orderstatus NOT IN ('O', 'F')
+    UNION ALL
+    SELECT 'regexp', 'o_orderpriority', CAST(o_orderkey AS VARCHAR),
+           o_orderpriority
+    FROM orders WHERE o_orderpriority IS NOT NULL
+      AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+    UNION ALL
+    SELECT 'unique', 'o_custkey', CAST(o_orderkey AS VARCHAR),
+           CAST(o_custkey AS VARCHAR)
+    FROM orders WHERE o_custkey IN (SELECT o_custkey FROM co_dupk)
+    UNION ALL
+    SELECT 'fk', 'o_custkey', CAST(o_orderkey AS VARCHAR),
+           CAST(o_custkey AS VARCHAR)
+    FROM orders o WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey % 7 <> 0
+                        AND c.c_custkey = o.o_custkey))
+  SELECT "constraint", "column", row_id, value FROM co_all
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY "constraint", "column"
+                             ORDER BY md5(row_id), row_id) <= 5""",
         "contract_gate": """
   SELECT o_orderkey, violated,
          CAST(len(violated) AS INT) AS n_violated

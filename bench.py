@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "max_concurrency",
     "weighted_sample",
     "label_propagation",
+    "constraint_offenders",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

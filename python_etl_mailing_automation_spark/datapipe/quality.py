@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,19 +56,9 @@ def constraint_report(
 
     for c in constraints:
         kind, col = c[0], c[1]
-        if kind == "not_null":
-            expr = F.col(col).isNull()
-        elif kind == "range":
-            _, _, lo, hi = c
-            expr = F.col(col).isNotNull() & (
-                (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
-            )
-        elif kind == "accepted":
-            _, _, vals = c
-            expr = F.col(col).isNotNull() & ~F.col(col).isin(list(vals))
-        elif kind == "regexp":
-            _, _, pat = c
-            expr = F.col(col).isNotNull() & ~F.col(col).rlike(pat)
+        expr = _row_local_violation(c)
+        if expr is not None:
+            pass
         elif kind == "unique":
             dup = (
                 df.filter(F.col(col).isNotNull())
@@ -147,6 +137,113 @@ def constraint_report(
     )
 
 
+def _row_local_violation(c: tuple):
+    """Compile a row-local constraint tuple to its violation predicate
+    — ONE implementation shared by report, gate, and offender sampler
+    so the three surfaces can never disagree on what violates."""
+    kind, col = c[0], c[1]
+    if kind == "not_null":
+        return F.col(col).isNull()
+    if kind == "range":
+        _, _, lo, hi = c
+        return F.col(col).isNotNull() & (
+            (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
+        )
+    if kind == "accepted":
+        _, _, vals = c
+        return F.col(col).isNotNull() & ~F.col(col).isin(list(vals))
+    if kind == "regexp":
+        _, _, pat = c
+        return F.col(col).isNotNull() & ~F.col(col).rlike(pat)
+    return None
+
+
+def constraint_offenders(
+    df: DataFrame,
+    constraints: list[tuple],
+    *,
+    id_col: str,
+    k: int = 5,
+    fk_tables: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """The drill-down :func:`constraint_report`'s scale note promises:
+    up to ``k`` DETERMINISTIC example rows per violated constraint —
+    ``(constraint, column, row_id, value)`` — chosen by md5(row id)
+    order (id tiebreak), never "first k the scan happened to hit".
+    At 100 TB you count violations first (one aggregate) and pull
+    samples only for the constraints that failed; this operator is
+    that second pass, and its sample set is reproducible across runs,
+    engines, and partitionings.
+
+    Same constraint grammar as the report (row-local kinds plus
+    ``unique`` — rows beyond the first per duplicated value — and
+    ``fk`` orphans). ``value`` is the offending column rendered as
+    string (NULL for not_null violations by construction).
+
+    Scale shape: each constraint contributes a filtered scan branch
+    (violators only) tagged with its label; ONE union feeds ONE
+    top-k window per (constraint, column) — WindowGroupLimit caps
+    per-partition state at k. ``unique`` adds a keyed count join;
+    ``fk`` an anti-join, both only over violating rows.
+    """
+    if not constraints:
+        raise ValueError("constraint_offenders: constraints must be non-empty")
+    if k < 1:
+        raise ValueError("constraint_offenders: k must be >= 1")
+    fk_tables = fk_tables or {}
+    branches: list[DataFrame] = []
+
+    def tag(frame: DataFrame, kind: str, col: str) -> DataFrame:
+        return frame.select(
+            F.lit(kind).alias("constraint"),
+            F.lit(col).alias("column"),
+            F.col(id_col).cast("string").alias("row_id"),
+            F.col(col).cast("string").alias("value"),
+        )
+
+    for c in constraints:
+        kind, col = c[0], c[1]
+        expr = _row_local_violation(c)
+        if expr is not None:
+            branches.append(tag(df.filter(expr), kind, col))
+        elif kind == "unique":
+            dups = (
+                df.filter(F.col(col).isNotNull())
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") > 1)
+                .select(col)
+            )
+            offenders = df.join(dups, on=col, how="left_semi")
+            branches.append(tag(offenders, "unique", col))
+        elif kind == "fk":
+            _, _, ref = c
+            ref_df, ref_col = fk_tables[ref]
+            orphans = df.filter(F.col(col).isNotNull()).join(
+                F.broadcast(
+                    ref_df.select(F.col(ref_col).alias(col)).distinct()
+                ),
+                on=col,
+                how="left_anti",
+            )
+            branches.append(tag(orphans, "fk", col))
+        else:
+            raise ValueError(
+                f"constraint_offenders: unknown constraint {kind!r}"
+            )
+    from functools import reduce as _reduce
+
+    allv = _reduce(lambda a, b: a.unionByName(b), branches)
+    w = Window.partitionBy("constraint", "column").orderBy(
+        F.md5(F.col("row_id")), F.col("row_id")
+    )
+    return (
+        allv.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
 def contract_gate(
     df: DataFrame,
     constraints: list[tuple],
@@ -167,20 +264,8 @@ def contract_gate(
     flags = []
     for c in constraints:
         kind, col = c[0], c[1]
-        if kind == "not_null":
-            expr = F.col(col).isNull()
-        elif kind == "range":
-            _, _, lo, hi = c
-            expr = F.col(col).isNotNull() & (
-                (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
-            )
-        elif kind == "accepted":
-            _, _, vals = c
-            expr = F.col(col).isNotNull() & ~F.col(col).isin(list(vals))
-        elif kind == "regexp":
-            _, _, pat = c
-            expr = F.col(col).isNotNull() & ~F.col(col).rlike(pat)
-        else:
+        expr = _row_local_violation(c)
+        if expr is None:
             raise ValueError(
                 f"contract_gate: constraint {kind!r} is not row-local "
                 "(unique/fk need cross-row state — use constraint_report)"

@@ -818,6 +818,43 @@ def test_constraint_report_counts(spark):
     assert all(v == (0, 0) for v in rep0.values())
 
 
+def test_constraint_offenders_deterministic_samples(spark):
+    """Each violated constraint yields at most k offender rows, chosen
+    by md5(row id) — reproducible, never scan-order; clean constraints
+    yield no rows; shares the violation predicates with the report
+    (same rows flagged)."""
+    import hashlib
+
+    from python_etl_mailing_automation_spark.datapipe.quality import (
+        constraint_offenders,
+    )
+
+    df = spark.createDataFrame(
+        [(i, -float(i) if i % 2 else float(i), "X" if i % 5 == 0 else "O")
+         for i in range(1, 21)],
+        "id int, v double, s string",
+    )
+    out = constraint_offenders(
+        df,
+        [
+            ("range", "v", 0.0, 100.0),
+            ("accepted", "s", ["O"]),
+            ("not_null", "id"),
+        ],
+        id_col="id",
+        k=3,
+    ).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.constraint, []).append(r.row_id)
+    # 10 negative v, capped at 3; 4 X rows, capped at 3; id never null
+    assert len(by_c["range"]) == 3 and len(by_c["accepted"]) == 3
+    assert "not_null" not in by_c
+    neg_ids = [str(i) for i in range(1, 21) if i % 2]
+    expect = sorted(neg_ids, key=lambda s: (hashlib.md5(s.encode()).hexdigest(), s))[:3]
+    assert sorted(by_c["range"]) == sorted(expect)
+
+
 def test_merge_agg_states_equals_direct(spark):
     """Partial states from arbitrary batch splits merge to exactly the
     direct full aggregate (decimal sums — order-independent); empty
