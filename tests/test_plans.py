@@ -586,3 +586,82 @@ def test_containment_dedup_survivors_via_anti_join(plans):
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_sample_scan_filter_plus_topk_window(plans):
+    """Priority sampling is a scan-side filter + projection feeding one
+    per-group top-k window: exactly one shuffle, no join, and the k-cut
+    runs as WindowGroupLimit (per-partition state capped at k before
+    the sort)."""
+    p = plans("weighted_sample")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_hll_sketch_aggregate_only(plans):
+    """HLL is projections + hash aggregates; the register/estimate path
+    has no window and no sort-merge join (the tiny estimate singletons
+    combine via broadcast nested-loop cross joins, which is fine at one
+    row each)."""
+    p = plans("hll_distinct")
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cms_join_size_constant_frames_no_bigside_shuffle(plans):
+    """The join-size estimate joins two <= width*depth cell frames —
+    hash aggregates over the scans, then sketch-sized joins; nothing
+    resembling an all-pairs of the inputs."""
+    p = plans("cms_join_size")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cdc_apply_partial_aggregation_no_window(plans):
+    """The MERGE reduction is union + one max_by aggregation per key
+    with map-side partial maxima (SortAggregate here — the ordering
+    struct carries a string field): no window, exactly one exchange."""
+    p = plans("cdc_apply")
+    assert "Window" not in p
+    assert "partial_max_by" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_max_concurrency_single_key_shuffle(plans):
+    """Sweep line: explode + one (key) window + one keyed aggregate —
+    all exchanges hash on the key, no join in the operator itself (the
+    query's output join against the peak frame broadcasts)."""
+    p = plans("max_concurrency")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_label_propagation_no_cartesian_checkpointed(plans):
+    """Label propagation materializes via localCheckpoint (the cache
+    release contract), so its plan is a scan of the checkpointed
+    result — the iteration plan was already executed without cartesian
+    joins (covered by the unit test); here we assert the handed-back
+    frame is checkpoint-backed, not a live n_iter-deep join tree."""
+    p = plans("label_propagation")
+    assert "Scan ExistingRDD" in p or "LogicalRDD" in p
+
+
+def test_containment_dedup_fix_anti_join_ledger(plans):
+    """The fixpoint variant filters survivors through the accumulated
+    id ledger anti-join against the ORIGINAL frame; no cartesian."""
+    p = plans("containment_dedup_fix")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rolling_spend_binned_windows_partition_by_bin(plans):
+    """Every window in the binned decomposition partitions by (user,
+    bin) — a window partitioned by the bare user key would
+    reintroduce the hot-key serial scan."""
+    import re
+
+    p = plans("rolling_spend_binned")
+    specs = re.findall(r"windowspecdefinition\(user_id#\d+L?, (\w+)#", p)
+    assert specs and all(col == "__bin" for col in specs)
