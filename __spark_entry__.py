@@ -2944,6 +2944,30 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return mad_outliers(docs, "n_chars", group_col="lang")
 
 
+def q_join_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance (operators/joins.join_delta): the
+    delta of orders ⋈ lineitem under insert-only batches on BOTH
+    sides, computed as ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — |Δ|-proportional work.
+    The oracle computes the delta the EXPENSIVE way (full new join
+    EXCEPT ALL full old join, bag semantics), so the green row proves
+    the maintenance identity, not just a mirrored plan."""
+    from python_etl_mailing_automation_spark.operators.joins import join_delta
+
+    ords = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("val_a")
+    )
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_extendedprice").alias("val_b"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    base_a = ords.filter(F.col("k") % 10 < 8)
+    delta_a = ords.filter(F.col("k") % 10 >= 8)
+    base_b = li.filter(F.col("ln") % 3 != 0)
+    delta_b = li.filter(F.col("ln") % 3 == 0)
+    return join_delta(base_a, delta_a, base_b, delta_b, on="k")
+
+
 def q_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     """Full MERGE semantics (operators/dedup.cdc_apply): an I/U/D
     changelog (lineitem rows keyed by order — several facts per key,
@@ -3230,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "scd_upsert": q_scd_upsert,
         "cdc_apply": q_cdc_apply,
+        "join_delta": q_join_delta,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -6341,6 +6366,28 @@ def oracle_sql() -> dict[str, str]:
         # SCD-1 merge: highest version wins, update beats base on the
         # tie (src desc), NULL versions oldest — mirrors the min_by
         # sort keys of operators/dedup.upsert_latest.
+        # The maintenance identity proven the expensive way: full new
+        # join minus full old join under bag semantics (EXCEPT ALL).
+        "join_delta": """
+  WITH jd_a0 AS (SELECT o_orderkey AS k, o_totalprice AS val_a
+                 FROM orders WHERE o_orderkey % 10 < 8),
+  jd_da AS (SELECT o_orderkey AS k, o_totalprice AS val_a
+            FROM orders WHERE o_orderkey % 10 >= 8),
+  jd_b0 AS (SELECT l_orderkey AS k, l_extendedprice AS val_b,
+                   l_linenumber AS ln
+            FROM lineitem WHERE l_linenumber % 3 <> 0),
+  jd_db AS (SELECT l_orderkey AS k, l_extendedprice AS val_b,
+                   l_linenumber AS ln
+            FROM lineitem WHERE l_linenumber % 3 = 0),
+  jd_new AS (SELECT a.k, a.val_a, b.val_b, b.ln
+             FROM (SELECT * FROM jd_a0 UNION ALL SELECT * FROM jd_da) a
+             JOIN (SELECT * FROM jd_b0 UNION ALL SELECT * FROM jd_db) b
+               ON a.k = b.k),
+  jd_old AS (SELECT a.k, a.val_a, b.val_b, b.ln
+             FROM jd_a0 a JOIN jd_b0 b ON a.k = b.k)
+  SELECT k, val_a, val_b, ln FROM jd_new
+  EXCEPT ALL
+  SELECT k, val_a, val_b, ln FROM jd_old""",
         # MERGE with deletes (operators/dedup.cdc_apply): base rows
         # rank before all log rows, log rows by (ts, linenumber); the
         # last fact per key wins and 'D' removes the key.

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "label_propagation",
     "constraint_offenders",
+    "join_delta",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -27,6 +27,7 @@ from .joins import (  # noqa: F401
     anti_join_not_in,
     anti_join_on_keys,
     enrich_with_ordered_list,
+    join_delta,
 )
 from .linkage import deletion_variants, fuzzy_join_edit  # noqa: F401
 from .ordering import (  # noqa: F401

@@ -133,3 +133,38 @@ def anti_join_not_in(
     return gated.join(
         nonnull_keys, on=F.col(df_key) == F.col(keys_key), how="left_anti"
     )
+
+
+def join_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    *,
+    on: str | list[str],
+) -> DataFrame:
+    """Incremental view maintenance for an equi-join with INSERT-only
+    deltas: the new rows of ``(A ∪ ΔA) ⋈ (B ∪ ΔB)`` beyond ``A ⋈ B``
+    are exactly
+
+        Δ(A ⋈ B) = ΔA ⋈ B  ∪all  A ⋈ ΔB  ∪all  ΔA ⋈ ΔB
+
+    (exact under BAG semantics — duplicates included with correct
+    multiplicity). At 100 TB this is why a maintained join view costs
+    |Δ|-proportional work per batch instead of re-joining the full
+    inputs: the two big-base terms each join a DELTA side, which is
+    small, so both plan as broadcast joins; only ΔA ⋈ ΔB is
+    delta × delta. Updates/deletes are NOT handled here — route them
+    through :func:`~..dedup.cdc_apply` into snapshot form first, or
+    maintain a retraction stream alongside.
+
+    Column contract: ``delta_a`` shares ``base_a``'s schema, ditto B;
+    output columns follow Spark's equi-join layout (join keys once,
+    then A-side, then B-side payload).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        delta_a.join(base_b, on=keys)
+        .unionByName(base_a.join(delta_b, on=keys))
+        .unionByName(delta_a.join(delta_b, on=keys))
+    )

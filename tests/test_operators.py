@@ -719,6 +719,31 @@ def test_scd2_intervals_history_semantics(spark):
     assert sum(r.is_current for r in out) == 2   # one current per key
 
 
+def test_join_delta_equals_full_join_subtraction(spark):
+    """The three-term delta equals (A∪ΔA)⋈(B∪ΔB) minus A⋈B under bag
+    semantics, including duplicate multiplicities."""
+    from collections import Counter
+
+    from python_etl_mailing_automation_spark.operators.joins import join_delta
+
+    a0 = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b2")], "k int, va string")
+    da = spark.createDataFrame([(2, "b3"), (3, "c")], "k int, va string")
+    b0 = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y")], "k int, vb string")
+    db = spark.createDataFrame([(2, "z"), (3, "w")], "k int, vb string")
+    delta = Counter(
+        (r.k, r.va, r.vb)
+        for r in join_delta(a0, da, b0, db, on="k").collect()
+    )
+    full = Counter(
+        (r.k, r.va, r.vb)
+        for r in a0.unionByName(da).join(b0.unionByName(db), on="k").collect()
+    )
+    old = Counter(
+        (r.k, r.va, r.vb) for r in a0.join(b0, on="k").collect()
+    )
+    assert delta == full - old and sum(delta.values()) > 0
+
+
 def test_cdc_apply_merge_with_deletes(spark):
     """Full MERGE: unmatched base keys persist, the latest log fact
     per key wins (ts, then tiebreak), a winning 'D' removes the key
