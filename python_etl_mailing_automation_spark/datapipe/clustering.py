@@ -219,8 +219,10 @@ def semantic_dedup(
     Scale shape: the pair search is an equi-join on ``cluster_id`` —
     the codebook bounds every comparison to one cell, exactly how the
     published method avoids the corpus-level all-pairs product. The
-    assigned frame feeds both join sides, so it is cached. Adds a
-    ``cluster_id`` column to the survivors.
+    assigned frame feeds both join sides, so it is cached
+    (ContextCleaner-released with the returned frame — the
+    lsh_candidate_pairs lifetime contract). Adds a ``cluster_id``
+    column to the survivors.
 
     Callers that already ran ``kmeans_fit_assign`` pass its result as
     ``assigned`` (must carry ``cluster_id``): the Lloyd fit is n_iter

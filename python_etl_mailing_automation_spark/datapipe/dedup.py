@@ -150,7 +150,11 @@ def lsh_candidate_pairs(
     self-join: both join sides share the same expensive upstream
     (tokenize → shingle → 6 salted md5 mins per doc), and without the
     cache Spark computes that branch twice. Entries are tiny (id + band
-    hash per band) regardless of document size.
+    hash per band) regardless of document size. Cache lifetime: released
+    by the ContextCleaner once the returned frame is garbage-collected —
+    sessions looping this call pass ``cache_entries=False`` or manage
+    persistence themselves (no unpersist hook can exist while the lazy
+    result still needs the cache).
     """
     entries = band_entries(signatures, id_col)
     if cache_entries:
@@ -692,7 +696,8 @@ def simhash_hamming_pairs(
     Band extraction is ``(fp >> 16·i) & 0xFFFF`` — arithmetic shift plus
     mask reads the sign-bit band identically in Spark and DuckDB, no
     unsigned shift needed. The banded frame is cached (it feeds both
-    join sides). Scale: band values are 16-bit, so at corpus scale each
+    join sides; released by the ContextCleaner when the returned frame
+    is garbage-collected — the lsh_candidate_pairs lifetime contract). Scale: band values are 16-bit, so at corpus scale each
     bucket holds ~N/65536 docs per band — the same uniform-key bucket
     join shape as the MinHash LSH path (lsh_candidate_pairs).
     """

@@ -152,7 +152,8 @@ def embedding_near_dup_pairs(
     The bucketed base feeds BOTH self-join sides, and the SRP
     projections (bits × dim multiply-adds per row) are the expensive
     part of it — cached so they compute once, like the LSH band entries
-    in datapipe.dedup.
+    in datapipe.dedup (same lifetime contract: the ContextCleaner
+    releases it when the returned frame is garbage-collected).
     """
     base = (
         with_norm(df, vec_col)
@@ -261,7 +262,8 @@ def ann_bucket_topk(
     sign-quantization bucket. Returns
     ``(vec_id, bucket, neighbor_id, sim_rank)``. The bucketed base is
     cached — both self-join sides read it, and the SRP projections are
-    the dominant per-row cost."""
+    the dominant per-row cost (lsh_candidate_pairs lifetime contract:
+    ContextCleaner-released with the returned frame)."""
     base = (
         with_norm(df, vec_col)
         .withColumn("bucket", sign_bucket(F.col(vec_col), bits))
