@@ -2944,6 +2944,45 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return mad_outliers(docs, "n_chars", group_col="lang")
 
 
+def q_dataset_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Copy-verification digest (datapipe/stats.dataset_fingerprint):
+    lineitem's order-insensitive (n_rows, xor, sum) row-hash triple,
+    plus the same triple recombined from two parity shards — shard
+    merge (count/sum add, xor xors) must reproduce the direct digest,
+    which is what lets a 100 TB copy verify shard-by-shard with no
+    sort and no co-location."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        dataset_fingerprint,
+    )
+
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus",
+    ]
+    li = _t(spark, sf, "lineitem")
+    direct = dataset_fingerprint(li, cols)
+    a = dataset_fingerprint(li.filter(F.col("l_orderkey") % 2 == 0), cols)
+    b = dataset_fingerprint(li.filter(F.col("l_orderkey") % 2 == 1), cols).select(
+        F.col("n_rows").alias("__n2"),
+        F.col("xor_hash").alias("__x2"),
+        F.col("sum_hash").alias("__s2"),
+    )
+    merged = a.crossJoin(b).select(
+        (F.col("n_rows") + F.col("__n2")).alias("n_rows_m"),
+        F.col("xor_hash").bitwiseXOR(F.col("__x2")).alias("xor_hash_m"),
+        (F.col("sum_hash") + F.col("__s2"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_hash_m"),
+    )
+    # sum digests travel as exact decimal STRINGS: DuckDB's HUGEINT
+    # round-trips to pandas as lossy float64, so both engines render
+    # the integer text instead
+    return direct.withColumn(
+        "sum_hash", F.col("sum_hash").cast("string")
+    ).crossJoin(merged)
+
+
 def q_join_delta(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental view maintenance (operators/joins.join_delta): the
     delta of orders ⋈ lineitem under insert-only batches on BOTH
@@ -3255,6 +3294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd_upsert": q_scd_upsert,
         "cdc_apply": q_cdc_apply,
         "join_delta": q_join_delta,
+        "dataset_fingerprint": q_dataset_fingerprint,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -6366,6 +6406,42 @@ def oracle_sql() -> dict[str, str]:
         # SCD-1 merge: highest version wins, update beats base on the
         # tie (src desc), NULL versions oldest — mirrors the min_by
         # sort keys of operators/dedup.upsert_latest.
+        # Row-hash digest triple + shard-merge recombination
+        # (stats.dataset_fingerprint): 60-bit md5 prefix of the
+        # sentinel-coalesced, chr(1)-joined column rendering.
+        "dataset_fingerprint": """
+  WITH fp_r AS (SELECT CAST('0x' || substr(md5(
+           coalesce(CAST(l_orderkey AS VARCHAR), chr(0)||'NULL'||chr(0))
+           || chr(1) ||
+           coalesce(CAST(l_partkey AS VARCHAR), chr(0)||'NULL'||chr(0))
+           || chr(1) ||
+           coalesce(CAST(l_suppkey AS VARCHAR), chr(0)||'NULL'||chr(0))
+           || chr(1) ||
+           coalesce(CAST(l_linenumber AS VARCHAR), chr(0)||'NULL'||chr(0))
+           || chr(1) ||
+           coalesce(l_returnflag, chr(0)||'NULL'||chr(0))
+           || chr(1) ||
+           coalesce(l_linestatus, chr(0)||'NULL'||chr(0))
+         ), 1, 15) AS BIGINT) AS h,
+         l_orderkey % 2 AS par
+        FROM lineitem),
+  fp_d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  COALESCE(bit_xor(h), 0) AS xor_hash,
+                  COALESCE(SUM(CAST(h AS HUGEINT)), 0) AS sum_hash
+           FROM fp_r),
+  fp_p AS (SELECT par, CAST(COUNT(*) AS BIGINT) AS n,
+                  COALESCE(bit_xor(h), 0) AS x,
+                  COALESCE(SUM(CAST(h AS HUGEINT)), 0) AS s
+           FROM fp_r GROUP BY 1),
+  fp_m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows_m,
+                  bit_xor(x) AS xor_hash_m,
+                  SUM(s) AS sum_hash_m
+           FROM fp_p)
+  SELECT d.n_rows, d.xor_hash,
+         CAST(d.sum_hash AS VARCHAR) AS sum_hash,
+         m.n_rows_m, m.xor_hash_m,
+         CAST(m.sum_hash_m AS VARCHAR) AS sum_hash_m
+  FROM fp_d d, fp_m m""",
         # The maintenance identity proven the expensive way: full new
         # join minus full old join under bag semantics (EXCEPT ALL).
         "join_delta": """

@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "label_propagation",
     "constraint_offenders",
     "join_delta",
+    "dataset_fingerprint",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

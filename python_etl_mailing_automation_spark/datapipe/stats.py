@@ -160,6 +160,51 @@ def quantile_bucket_assign(
     return joined.withColumn(out_col, bucket).drop("__bs")
 
 
+def dataset_fingerprint(
+    df: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive dataset digest for copy/migration
+    verification: one row ``(n_rows long, xor_hash long, sum_hash
+    decimal(38,0))`` over per-row md5 hashes. Two copies of a table
+    match iff all three agree — one scan, NO sort, no shuffle beyond
+    the final combine, and shard digests MERGE (count/sum add, xor
+    xors), so a 100 TB copy verifies shard-by-shard without ever
+    co-locating the two sides. The xor term catches any single-row
+    difference; the sum+count terms catch the xor's blind spot
+    (duplicate-pair insertions xor to zero).
+
+    Row hash: 60-bit md5 prefix of the chosen columns rendered to
+    strings, NULLs mapped to an explicit sentinel and fields joined
+    with an unprintable separator (concat_ws would silently SKIP
+    NULLs, making ('a', NULL) collide with (NULL, 'a')). Determinism
+    caveat: cross-ENGINE comparison requires engine-identical string
+    rendering — pre-format floating-point and timestamp columns
+    explicitly (date_format / format_string) before fingerprinting;
+    integers, strings, and dates render identically as-is.
+    """
+    use = cols if cols is not None else df.columns
+    if not use:
+        raise ValueError("dataset_fingerprint: no columns")
+    sent = "\x00NULL\x00"
+    rendered = [
+        F.coalesce(F.col(c).cast("string"), F.lit(sent)) for c in use
+    ]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x01", *rendered)), 1, 15), 16, 10
+    ).cast("long")
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(
+            F.bit_xor(F.col("__h")), F.lit(0).cast("long")
+        ).alias("xor_hash"),
+        F.coalesce(
+            F.sum(F.col("__h").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sum_hash"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     value_col: str,

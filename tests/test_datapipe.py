@@ -2470,6 +2470,45 @@ def test_cms_weighted_build(spark):
     assert est2["a"] == 10 and est2["b"] == 0
 
 
+def test_dataset_fingerprint_detects_diffs_and_merges(spark):
+    """Equal datasets agree on all three digest terms regardless of
+    row order; a one-value change flips the xor; a duplicated-pair
+    insertion (xor blind spot) is caught by count/sum; NULL placement
+    matters (('a', NULL) != (NULL, 'a')); shard digests recombine to
+    the direct digest."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        dataset_fingerprint,
+    )
+
+    rows = [(1, "a"), (2, "b"), (3, None), (None, "c")]
+    df = spark.createDataFrame(rows, "k int, s string")
+    fp = dataset_fingerprint(df).collect()[0]
+    fp_shuffled = dataset_fingerprint(
+        spark.createDataFrame(list(reversed(rows)), "k int, s string")
+    ).collect()[0]
+    assert (fp.n_rows, fp.xor_hash, fp.sum_hash) == (
+        fp_shuffled.n_rows, fp_shuffled.xor_hash, fp_shuffled.sum_hash,
+    )
+    changed = dataset_fingerprint(
+        spark.createDataFrame(rows[:-1] + [(None, "d")], "k int, s string")
+    ).collect()[0]
+    assert changed.xor_hash != fp.xor_hash
+    dup_pair = dataset_fingerprint(
+        spark.createDataFrame(rows + [(1, "a"), (1, "a")], "k int, s string")
+    ).collect()[0]
+    assert dup_pair.xor_hash == fp.xor_hash  # the blind spot...
+    assert (dup_pair.n_rows, dup_pair.sum_hash) != (fp.n_rows, fp.sum_hash)
+    swapped = dataset_fingerprint(
+        spark.createDataFrame(
+            [("1", "a"), ("2", "b"), ("3", None), ("c", None)],
+            "k string, s string",
+        )
+    ).collect()[0]
+    assert swapped.xor_hash != fp.xor_hash  # NULL position distinguishes
+    with pytest.raises(ValueError):
+        dataset_fingerprint(df, [])
+
+
 def test_weighted_sample_priority_semantics(spark):
     """Priority sampling keeps exactly k per group; a weight
     overwhelming the rest is always included (q = w/u with u <= 1, so
