@@ -766,6 +766,7 @@ def dedup_lines(
     min_docs: int = 2,
     keep: str = "none",
     broadcast_common: bool = True,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Line-level dedup across documents (C4 §2.2 / RefinedWeb-style
     boilerplate removal): a line occurring in ``min_docs`` or more
@@ -773,6 +774,14 @@ def dedup_lines(
     license headers) and is removed from every document (``keep="none"``)
     or from every document except its first occurrence — lowest
     ``(id, position)`` — (``keep="first"``).
+
+    ``scope_col`` switches to the CCNet/domain-scoped form: line
+    frequency is counted WITHIN each scope value (domain, source,
+    crawl) and a line is boilerplate only where it repeats inside its
+    own scope — a license header ubiquitous on one site no longer
+    deletes a legitimately popular sentence corpus-wide, and per-site
+    nav chrome is caught even when globally rare. Same output schema;
+    ``keep="first"`` keeps the first occurrence per scope.
 
     Returns one row per input document: ``id_col``, ``text_col`` (the
     cleaned text, lines re-joined on ``sep`` in original order; ``""``
@@ -796,11 +805,25 @@ def dedup_lines(
     """
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    # Internal string-typed scope key, NULL coalesced to a sentinel so
+    # NULL-scope documents form one real scope instead of silently
+    # never matching the frequency join (NULL ≠ NULL under equi-join).
+    scope_keys = ["__scope"] if scope_col is not None else []
+    scope_exprs = (
+        [
+            F.coalesce(
+                F.col(scope_col).cast("string"), F.lit("\x00__null_scope")
+            ).alias("__scope")
+        ]
+        if scope_col is not None
+        else []
+    )
     lines = df.select(
+        *scope_exprs,
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("__pos", "__line"),
     )
-    freq = lines.groupBy("__line").agg(
+    freq = lines.groupBy(*scope_keys, "__line").agg(
         F.countDistinct(id_col).alias("__nd"),
         F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
             "__first"
@@ -809,7 +832,7 @@ def dedup_lines(
     common = freq.filter(F.col("__nd") >= min_docs)
     if broadcast_common:
         common = F.broadcast(common)
-    joined = lines.join(common, on="__line", how="left")
+    joined = lines.join(common, on=[*scope_keys, "__line"], how="left")
     is_common = F.col("__nd").isNotNull()
     if keep == "first":
         is_first = (F.col("__first.i") == F.col(id_col)) & (

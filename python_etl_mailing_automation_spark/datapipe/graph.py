@@ -204,3 +204,145 @@ def label_propagation(
         return labels.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS shortest-hop distance, bounded at ``max_hops``
+    synchronous rounds: every node reachable from the seed set within
+    ``max_hops`` directed hops gets its MINIMUM hop count (seeds are
+    hop 0). Returns ``(node, hop)``; unreached nodes are absent. The
+    crawl-frontier / feature-radius primitive: "how far is every
+    document from the trusted set", the distance companion to
+    :func:`pagerank`'s authority score.
+
+    Scale shape (the house iterative discipline): per round one
+    equi-join of the current distance frame to the cached edge list on
+    the source key plus one ``min`` aggregate on the node key — no
+    windows, no cartesians, all-integer state so the result is exact on
+    any engine. The frontier frame stays ``(node, hop)`` narrow; rounds
+    are bounded by ``max_hops`` (graph diameter work, not graph size).
+    The edge cache is released in a ``finally`` after the result
+    materializes (the pagerank no-cache-leak contract).
+    """
+    if max_hops < 1:
+        raise ValueError("bfs_hops: max_hops must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .cache()
+    )
+    try:
+        dist = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .withColumn("hop", F.lit(0).cast("int"))
+        )
+        for _ in range(max_hops):
+            reached = (
+                e.join(dist, on=F.col("src") == F.col("node"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("hop") + F.lit(1)).cast("int").alias("hop"),
+                )
+            )
+            dist = (
+                dist.unionByName(reached)
+                .groupBy("node")
+                .agg(F.min("hop").alias("hop"))
+            )
+        return dist.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 2,
+) -> DataFrame:
+    """Fixed-iteration HITS hubs-and-authorities (Kleinberg 1999) over
+    a directed edge list, in EXACT integer arithmetic: h_0 = 1 for all
+    nodes; a_{t+1}(v) = Σ_{u→v} h_t(u); h_{t+1}(u) = Σ_{u→v}
+    a_{t+1}(v). The standard per-iteration normalization only rescales
+    (rankings are invariant to it), so the un-normalized integer
+    recurrence is kept — every score is a sum of products of edge
+    counts, accumulated in DECIMAL(38,0), bit-exact and partition-order
+    independent with no float grid at all. Growth is bounded by
+    (max_degree²)^n_iter; the default 2 iterations keeps scores far
+    inside 38 digits on any real link graph.
+
+    Returns ``(node, authority, hub)`` with the exact integer scores
+    rendered as STRINGS — DECIMAL(38,0)/HUGEINT survives engine
+    boundaries only as text (pandas coerces big integers to lossy
+    float64). Rank consumers order by ``(length, text)`` or re-cast.
+
+    Scale shape: two equi-join + keyed-aggregate passes per iteration
+    over the cached edge list — the same shuffle skeleton as
+    :func:`pagerank`, no windows, no cartesians. Nodes with no
+    in-edges (resp. out-edges) keep authority (resp. hub) 0 via the
+    left join to the node universe. Edge cache released in a
+    ``finally`` (no-cache-leak contract).
+    """
+    if n_iter < 1:
+        raise ValueError("hits: n_iter must be >= 1")
+    dec = "decimal(38,0)"
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .cache()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        hub = nodes.withColumn("h", F.lit(1).cast(dec))
+        auth = None
+        for _ in range(n_iter):
+            a_sum = (
+                e.join(hub, on=F.col("src") == F.col("node"))
+                .groupBy("dst")
+                .agg(F.sum("h").cast(dec).alias("a"))
+            )
+            auth = nodes.join(
+                a_sum, on=F.col("node") == F.col("dst"), how="left"
+            ).select(
+                "node",
+                F.coalesce(F.col("a"), F.lit(0).cast(dec)).alias("a"),
+            )
+            h_sum = (
+                e.join(auth, on=F.col("dst") == F.col("node"))
+                .groupBy("src")
+                .agg(F.sum("a").cast(dec).alias("h"))
+            )
+            hub = nodes.join(
+                h_sum, on=F.col("node") == F.col("src"), how="left"
+            ).select(
+                "node",
+                F.coalesce(F.col("h"), F.lit(0).cast(dec)).alias("h"),
+            )
+        out = (
+            auth.join(hub.withColumnRenamed("node", "__hn"),
+                      on=F.col("node") == F.col("__hn"))
+            .select(
+                "node",
+                F.col("a").cast("string").alias("authority"),
+                F.col("h").cast("string").alias("hub"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

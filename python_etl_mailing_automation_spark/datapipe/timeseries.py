@@ -247,3 +247,77 @@ def seasonal_anomalies(
         .filter(v > F.lit(factor) * F.col("baseline"))
     )
     return flagged.withColumn("ratio", v / F.col("baseline"))
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    value_scale_bits: int = 20,
+) -> DataFrame:
+    """Time-weighted average (TWAP) of an irregularly sampled series,
+    per key: each observation holds its value until the next one, so
+    the mean over the key's live span [first_ts, last_ts] weights each
+    value by its holding duration — the correct summary for sensor /
+    price / state series where plain AVG over-counts bursts of dense
+    samples. Returns ``(key_col, twap, span_us, n_obs)``; keys with a
+    single observation (zero span) yield a NULL twap.
+
+    Exactness: per-row weight is the integer microsecond gap to the
+    next observation (a ``lead`` window); the weighted accumulation
+    rides an integer grid — ``floor(value · 2^bits)`` (BIGINT) times
+    the gap, summed in DECIMAL(38,0), partition-order independent —
+    and ONE final double division sequence converts back. Ties on
+    ``ts`` are broken by value descending so the lead is deterministic.
+
+    Scale shape: one per-key window (the same hash exchange the final
+    aggregate reuses — a single shuffle end to end) and one keyed
+    aggregate; state per key is O(1). Grid products are bounded by
+    2^bits · |value| · span_us, far inside DECIMAL(38,0) for any real
+    clock span.
+    """
+    from ..functions.dates import epoch_micros
+
+    k, v = F.col(key_col), F.col(value_col)
+    # epoch_micros, NOT a double round-trip: Spark's double→long cast
+    # truncates while other engines round, and micros/1e6·1e6 is not an
+    # exact integer — the integer extraction sidesteps both (and the
+    # helper absorbs TIMESTAMP vs TIMESTAMP_NTZ).
+    scale = float(2.0**value_scale_bits)
+    rows = df.select(
+        k.alias("__k"),
+        epoch_micros(ts_col, dict(df.dtypes)[ts_col]).alias("__us"),
+        F.floor(v * F.lit(scale)).cast("long").alias("__vg"),
+    ).withColumn(
+        "__gap",
+        (
+            F.lead("__us").over(
+                Window.partitionBy("__k").orderBy(
+                    F.col("__us").asc(), F.col("__vg").desc()
+                )
+            )
+            - F.col("__us")
+        ),
+    )
+    agg = rows.groupBy("__k").agg(
+        F.sum(
+            (F.col("__vg").cast("decimal(38,0)") * F.col("__gap"))
+        ).alias("__wsum"),
+        # a single-observation key has only a NULL gap: its span is 0,
+        # not unknown (same posture as quality.constraint_report's
+        # empty-batch coalesce)
+        F.coalesce(F.sum("__gap"), F.lit(0)).alias("__span"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.when(
+            F.col("__span") > 0,
+            (F.col("__wsum").cast("double") / F.lit(scale))
+            / F.col("__span").cast("double"),
+        ).alias("twap"),
+        F.col("__span").cast("long").alias("span_us"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+    )

@@ -317,3 +317,70 @@ def merge_agg_states(
     if count_col is not None:
         aggs.append(F.sum(count_col).alias(count_col))
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def apply_agg_delta(
+    base: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    *,
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+    op_col: str = "op",
+    insert_op: str = "I",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Retraction-aware incremental aggregate maintenance: fold a
+    changelog of row-level inserts AND deletes into an existing
+    grouped-aggregate state without rescanning history — the
+    materialized-view DELTA rule (insert ⇒ +1/+value, delete ⇒
+    −1/−value per group), the retraction half that
+    :func:`merge_agg_states` (append-only) doesn't cover and the
+    aggregate sibling of ``operators.joins.join_delta``.
+
+    ``base`` holds keys + ``sum_cols`` + ``count_col`` (the state an
+    earlier full aggregation produced); ``changelog`` holds keys +
+    raw value columns named as ``sum_cols`` + ``op_col`` ∈
+    {insert_op, delete_op}. Groups whose maintained count reaches 0
+    are dropped (the group no longer exists — emitting a zero row
+    would diverge from a from-scratch re-aggregation, the invariant
+    this operator is oracle-checked against). A maintained count
+    below 0 means the changelog retracts rows the base never held;
+    that contract violation surfaces as a kept negative-count row
+    rather than a silent clamp.
+
+    Exactness: counts are BIGINT and sums must be DECIMAL/integer
+    (the merge_agg_states order-independence rule); the signed fold is
+    then bit-identical to re-aggregating base ∪ surviving rows.
+
+    Scale: the changelog collapses to one partial-delta row per
+    touched key (map-side combinable) BEFORE meeting the base state,
+    so the merge shuffle moves |base keys| + |touched keys| rows —
+    never raw changelog volume.
+    """
+    if not sum_cols:
+        raise ValueError("apply_agg_delta: sum_cols must be non-empty")
+    sign = (
+        F.when(F.col(op_col) == insert_op, F.lit(1))
+        .when(F.col(op_col) == delete_op, F.lit(-1))
+        .otherwise(F.lit(None))
+    )
+    delta = (
+        changelog.withColumn("__sign", sign)
+        .groupBy(*keys)
+        .agg(
+            F.sum("__sign").cast("long").alias(count_col),
+            *[
+                F.sum(F.col(c) * F.col("__sign")).alias(c)
+                for c in sum_cols
+            ],
+        )
+    )
+    merged = base.select(
+        *keys, count_col, *sum_cols
+    ).unionByName(delta.select(*keys, count_col, *sum_cols))
+    out = merged.groupBy(*keys).agg(
+        F.sum(count_col).cast("long").alias(count_col),
+        *[F.sum(c).alias(c) for c in sum_cols],
+    )
+    return out.filter(F.col(count_col) != 0)

@@ -2872,3 +2872,140 @@ def test_containment_dedup_fixpoint_preserves_coverage(spark):
             twins, "id", "text", threshold=(1, 1), to_fixpoint=True
         ).collect()
     } == {1}
+
+
+def test_bfs_hops_min_distance_and_bound(spark):
+    """Chain 1→2→3→4→5 with a shortcut 1→4: hop(4) takes the shortcut
+    (1), hop(5) = 2; max_hops truncates reach; multi-source takes the
+    minimum over seeds; unreached nodes are absent."""
+    from python_etl_mailing_automation_spark.datapipe.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    out = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    shallow = {
+        r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=1).collect()
+    }
+    assert shallow == {1: 0, 2: 1, 4: 1}
+    multi = bfs_hops(
+        edges, spark.createDataFrame([(1,), (3,)], "node int"), max_hops=2
+    )
+    assert {r.node: r.hop for r in multi.collect()}[4] == 1
+    with pytest.raises(ValueError):
+        bfs_hops(edges, seeds, max_hops=0)
+
+
+def test_hits_star_graph_exact_integers(spark):
+    """Star u→{a,b,c}: after one iteration every leaf has authority 1
+    (exact integer strings), the hub u has hub 3, leaves hub 0, u
+    authority 0. Second iteration scales by the square: hub u = 9."""
+    from python_etl_mailing_automation_spark.datapipe.graph import hits
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src int, dst int"
+    )
+    one = {r.node: (r.authority, r.hub) for r in hits(edges, n_iter=1).collect()}
+    assert one[0] == ("0", "3")
+    assert one[1] == one[2] == one[3] == ("1", "0")
+    two = {r.node: (r.authority, r.hub) for r in hits(edges, n_iter=2).collect()}
+    assert two[0] == ("0", "9")
+    assert two[1] == ("3", "0")
+    with pytest.raises(ValueError):
+        hits(edges, n_iter=0)
+
+
+def test_association_rules_exact_counts(spark):
+    """Hand-checkable baskets: {1,2},{1,2},{1,2},{1,3},{2} → rule 1→2
+    has sup_pair 3, sup_ante 4, confidence 0.75, lift (3·5)/(4·4);
+    2→1 confidence 3/4 as well (sup 2 = 4); the (1,3) pair dies on
+    min_support; the rational confidence floor prunes exactly."""
+    from python_etl_mailing_automation_spark.datapipe.basket import (
+        association_rules,
+    )
+
+    rows = [
+        (100, 1), (100, 2),
+        (101, 1), (101, 2),
+        (102, 1), (102, 2),
+        (103, 1), (103, 3),
+        (104, 2), (104, 2),  # duplicate item row collapses to presence
+    ]
+    df = spark.createDataFrame(rows, "basket int, item int")
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            df, "basket", "item", min_support=3, min_confidence=(1, 2)
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (2, 1)}
+    r12 = out[(1, 2)]
+    assert (r12.sup_pair, r12.sup_ante, r12.sup_cons, r12.n_baskets) == (
+        3, 4, 4, 5
+    )
+    assert r12.confidence == 3.0 / 4.0
+    assert r12.lift == (3.0 * 5.0) / (4.0 * 4.0)
+    # a (num, den) floor of (4, 5) = 0.8 kills both directions
+    none = association_rules(
+        df, "basket", "item", min_support=3, min_confidence=(4, 5)
+    )
+    assert none.count() == 0
+    with pytest.raises(ValueError):
+        association_rules(df, "basket", "item", min_support=0)
+
+
+def test_time_weighted_mean_holding_durations(spark):
+    """Value 10 held 3 s then 40 held 1 s → TWAP (10·3+40·1)/4 = 17.5
+    regardless of a dense burst of identical samples; single-sample
+    keys yield NULL twap with span 0."""
+    import datetime as dt
+
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        time_weighted_mean,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("a", at(0), 10.0),
+        ("a", at(3), 40.0),
+        ("a", at(4), 99.0),  # terminal sample: weight 0
+        ("b", at(0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.k: r for r in time_weighted_mean(df, "k", "ts", "v").collect()}
+    assert out["a"].twap == (10.0 * 3.0 + 40.0 * 1.0) / 4.0
+    assert out["a"].span_us == 4_000_000
+    assert out["a"].n_obs == 3
+    assert out["b"].twap is None and out["b"].span_us == 0
+
+
+def test_dedup_lines_scoped_by_domain(spark):
+    """A banner repeated inside site A is boilerplate there only; the
+    same line appearing once on site B survives on B. Global mode
+    (scope_col=None) removes it everywhere. NULL scopes form one real
+    scope instead of never matching."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import dedup_lines
+
+    rows = [
+        (1, "banner\nalpha", "A"),
+        (2, "banner\nbeta", "A"),
+        (3, "banner\ngamma", "B"),
+        (4, "promo\ndelta", None),
+        (5, "promo\nepsilon", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    scoped = {
+        r.doc_id: r.text
+        for r in dedup_lines(df, scope_col="source").collect()
+    }
+    assert scoped[1] == "alpha" and scoped[2] == "beta"
+    assert scoped[3] == "banner\ngamma"  # unique within B
+    assert scoped[4] == "delta" and scoped[5] == "epsilon"  # NULL scope
+    global_ = {r.doc_id: r.text for r in dedup_lines(df).collect()}
+    assert global_[3] == "gamma"  # removed corpus-wide in global mode

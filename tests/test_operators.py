@@ -917,3 +917,54 @@ def test_merge_agg_states_equals_direct(spark):
         merge_agg_states([], ["k"], sum_cols=["s"])
     with _pytest.raises(ValueError):
         merge_agg_states(parts, ["k"], sum_cols=[])
+
+
+def test_apply_agg_delta_matches_rescan(spark):
+    """Incremental fold of an insert+delete changelog equals a
+    from-scratch re-aggregation: deleted-to-zero groups vanish, new
+    groups appear, sums stay decimal-exact; an over-retraction
+    surfaces as a negative count rather than a silent clamp."""
+    import pytest
+    from decimal import Decimal
+
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        apply_agg_delta,
+    )
+
+    base_rows = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", 4.0)], "k string, v double"
+    ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+    base = base_rows.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").alias("v"),
+    )
+    changelog = spark.createDataFrame(
+        [
+            ("a", 2.5, "D"),   # retract one of a's rows
+            ("b", 4.0, "D"),   # b drops to zero rows → group vanishes
+            ("c", 9.0, "I"),   # brand-new group
+        ],
+        "k string, v double, op string",
+    ).select("k", F.col("v").cast("decimal(18,2)").alias("v"), "op")
+    out = {
+        r.k: (r.n_rows, r.v)
+        for r in apply_agg_delta(
+            base, changelog, ["k"], sum_cols=["v"]
+        ).collect()
+    }
+    assert out == {
+        "a": (1, Decimal("1.50")),
+        "c": (1, Decimal("9.00")),
+    }
+    over = apply_agg_delta(
+        base,
+        changelog.unionByName(
+            spark.createDataFrame([("b", 1.0, "D")], "k string, v double, op string")
+            .select("k", F.col("v").cast("decimal(18,2)").alias("v"), "op")
+        ),
+        ["k"],
+        sum_cols=["v"],
+    )
+    assert {r.k: r.n_rows for r in over.collect()}["b"] == -1
+    with pytest.raises(ValueError):
+        apply_agg_delta(base, changelog, ["k"], sum_cols=[])
