@@ -3216,6 +3216,144 @@ def q_fuzzy_join_edit1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS shortest-hop distance (datapipe/graph.bfs_hops,
+    3 rounds) over the co-purchase graph from every node ≡ 0 (mod 97):
+    the crawl-frontier radius next to PageRank's authority — per round
+    one edge join + one min aggregate, all-integer state, oracle an
+    unrolled min-union CTE chain."""
+    from python_etl_mailing_automation_spark.datapipe.graph import bfs_hops
+
+    edges = _copurchase_edges(spark, sf)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Kleinberg HITS hubs/authorities (datapipe/graph.hits, 2
+    iterations) over the ORIENTED co-purchase graph (a<b direction kept,
+    so hub and authority genuinely differ) in exact DECIMAL(38,0)
+    integer arithmetic — scores cross the compare boundary as strings
+    because HUGEINT/DECIMAL(38,0) survives pandas only as text."""
+    from python_etl_mailing_automation_spark.datapipe.graph import hits
+
+    return hits(_copurchase_oriented(spark, sf), n_iter=2)
+
+
+def q_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed market-basket association rules
+    (datapipe/basket.association_rules) over order baskets: exact
+    integer supports, rational confidence floor 1/10 applied as a
+    cross-multiply, confidence and lift derived in one fixed IEEE
+    sequence over exact integers."""
+    from python_etl_mailing_automation_spark.datapipe.basket import (
+        association_rules,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_support=2, min_confidence=(1, 10)
+    )
+
+
+def q_dedup_lines_scoped(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-scoped boilerplate removal (datapipe/dedup.dedup_lines
+    with scope_col — the CCNet per-domain form): a per-source promo
+    line repeats across every doc of its source and vanishes, while a
+    globally-common-but-locally-rare line (planted on doc_id ≡ 0 mod 6,
+    ~4 docs per source < min_docs=5) SURVIVES — the exact case global
+    line dedup gets wrong."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import dedup_lines
+
+    docs = _t(spark, sf, "documents")
+    lined = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit("subscribe to our newsletter today"),
+            ),
+            F.concat(F.lit("promo code "), F.col("source")),
+            F.concat(
+                F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" unique line")
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return dedup_lines(lined, min_docs=5, scope_col="source").select(
+        "doc_id", "text", "n_lines_kept", "n_lines_removed"
+    )
+
+
+def q_agg_delta_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Retraction-aware incremental aggregate maintenance
+    (operators/aggregates.apply_agg_delta): a per-customer order
+    count+cents state snapshotted before 1997 absorbs a changelog of
+    post-1997 inserts plus deletions of the pre-1997 'F' orders; the
+    oracle re-aggregates from scratch, proving delta-fold ≡ rescan.
+    Money rides an integer cents grid summed in DECIMAL(38,0)."""
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        apply_agg_delta,
+    )
+
+    od = _t(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("decimal(38,0)")
+    # literal cast to the COLUMN's own timestamp flavor (parquet reads
+    # back TIMESTAMP_NTZ here; a TIMESTAMP literal would force a
+    # flavor coercion of the whole column)
+    pre = F.col("o_orderdate") < F.lit("1997-01-01").cast(
+        dict(od.dtypes)["o_orderdate"]
+    )
+    base = (
+        od.filter(pre)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    changelog = (
+        od.filter(~pre)
+        .select("o_custkey", cents.alias("cents"), F.lit("I").alias("op"))
+        .unionByName(
+            od.filter(pre & (F.col("o_orderstatus") == "F")).select(
+                "o_custkey", cents.alias("cents"), F.lit("D").alias("op")
+            )
+        )
+    )
+    out = apply_agg_delta(base, changelog, ["o_custkey"], sum_cols=["cents"])
+    return out.select(
+        "o_custkey", "n_rows", F.col("cents").cast("long").alias("cents")
+    )
+
+
+def q_twap_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user time-weighted average of the event value stream
+    (datapipe/timeseries.time_weighted_mean): integer-microsecond
+    holding gaps times a 2^10 value grid summed in DECIMAL(38,0), one
+    final double division sequence — the irregular-sampling mean plain
+    AVG gets wrong."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        time_weighted_mean,
+    )
+
+    # 2^10 grid: keeps every per-user accumulator below 2^63 so the
+    # oracle can pass it through BIGINT — DuckDB's HUGEINT→DOUBLE cast
+    # is off-by-one-ulp above 2^53 (measured), BIGINT→DOUBLE is exact.
+    return time_weighted_mean(
+        _t(spark, sf, "events"), "user_id", "ts", "value",
+        value_scale_bits=10,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -3295,6 +3433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "join_delta": q_join_delta,
         "dataset_fingerprint": q_dataset_fingerprint,
+        "bfs_hops": q_bfs_hops,
+        "hits_scores": q_hits_scores,
+        "assoc_rules": q_assoc_rules,
+        "dedup_lines_scoped": q_dedup_lines_scoped,
+        "agg_delta_apply": q_agg_delta_apply,
+        "twap_events": q_twap_events,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -4160,6 +4304,75 @@ _CLEAN_PHONE = (
     "NULLIF(regexp_replace(regexp_replace({src}, '\\.0$', ''), "
     "'[^0-9]', '', 'g'), '')"
 )
+
+
+def _bfs_sql(max_hops: int = 3) -> str:
+    """Unrolled min-union BFS CTE chain over the co-purchase graph,
+    seeds = nodes ≡ 0 (mod 97)."""
+    parts = [
+        """bfu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),""",
+        "  bfe AS (SELECT src, dst FROM bfu"
+        " UNION ALL SELECT dst, src FROM bfu),",
+        "  bfd0 AS (SELECT DISTINCT src AS node, 0 AS hop FROM bfe"
+        " WHERE src % 97 = 0),",
+    ]
+    for it in range(max_hops):
+        parts.append(
+            f"  bfr{it} AS (SELECT e.dst AS node, d.hop + 1 AS hop"
+            f" FROM bfe e JOIN bfd{it} d ON e.src = d.node),"
+        )
+        parts.append(
+            f"  bfd{it + 1} AS (SELECT node, MIN(hop) AS hop FROM"
+            f" (SELECT node, hop FROM bfd{it}"
+            f" UNION ALL SELECT node, hop FROM bfr{it}) GROUP BY 1),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"WITH {body}\n  SELECT node, CAST(hop AS INT) AS hop"
+        f" FROM bfd{max_hops}"
+    )
+
+
+def _hits_sql(n_iter: int = 2) -> str:
+    """Unrolled exact-integer HITS over the oriented co-purchase graph;
+    HUGEINT sums rendered as VARCHAR at the boundary."""
+    parts = [
+        """htu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),""",
+        "  htn AS (SELECT DISTINCT node FROM (SELECT src AS node FROM htu"
+        " UNION ALL SELECT dst FROM htu)),",
+        "  hth0 AS (SELECT node, CAST(1 AS HUGEINT) AS h FROM htn),",
+    ]
+    for it in range(n_iter):
+        parts.append(
+            f"  htas{it} AS (SELECT e.dst, SUM(h.h) AS a FROM htu e"
+            f" JOIN hth{it} h ON e.src = h.node GROUP BY 1),"
+        )
+        parts.append(
+            f"  hta{it + 1} AS (SELECT n.node,"
+            f" COALESCE(s.a, CAST(0 AS HUGEINT)) AS a FROM htn n"
+            f" LEFT JOIN htas{it} s ON n.node = s.dst),"
+        )
+        parts.append(
+            f"  hths{it} AS (SELECT e.src, SUM(a.a) AS h FROM htu e"
+            f" JOIN hta{it + 1} a ON e.dst = a.node GROUP BY 1),"
+        )
+        parts.append(
+            f"  hth{it + 1} AS (SELECT n.node,"
+            f" COALESCE(s.h, CAST(0 AS HUGEINT)) AS h FROM htn n"
+            f" LEFT JOIN hths{it} s ON n.node = s.src),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"WITH {body}\n  SELECT a.node, CAST(a.a AS VARCHAR) AS authority,"
+        f" CAST(h.h AS VARCHAR) AS hub"
+        f" FROM hta{n_iter} a JOIN hth{n_iter} h ON a.node = h.node"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6442,6 +6655,91 @@ def oracle_sql() -> dict[str, str]:
          m.n_rows_m, m.xor_hash_m,
          CAST(m.sum_hash_m AS VARCHAR) AS sum_hash_m
   FROM fp_d d, fp_m m""",
+        # Unrolled min-union BFS rounds / exact-integer HITS (HUGEINT
+        # rendered as VARCHAR at the boundary) over the co-purchase
+        # graph — same CTE discipline as the pagerank oracle.
+        "bfs_hops": _bfs_sql(3),
+        "hits_scores": _hits_sql(2),
+        "assoc_rules": """
+  WITH arit AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem),
+  arnb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+           FROM arit),
+  arsup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS s FROM arit GROUP BY 1),
+  arps AS (SELECT a.i AS ia, c.i AS ib, CAST(COUNT(*) AS BIGINT)
+             AS sup_pair
+           FROM arit a JOIN arit c ON a.b = c.b AND a.i < c.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+  ardr AS (SELECT ia AS antecedent, ib AS consequent, sup_pair FROM arps
+           UNION ALL SELECT ib, ia, sup_pair FROM arps),
+  arj AS (SELECT d.antecedent, d.consequent, d.sup_pair,
+                 sa.s AS sup_ante, sc.s AS sup_cons
+          FROM ardr d JOIN arsup sa ON d.antecedent = sa.i
+          JOIN arsup sc ON d.consequent = sc.i
+          WHERE d.sup_pair * 10 >= sa.s * 1)
+  SELECT antecedent, consequent, sup_pair, sup_ante, sup_cons, n_baskets,
+         CAST(sup_pair AS DOUBLE) / CAST(sup_ante AS DOUBLE) AS confidence,
+         (CAST(sup_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+           / (CAST(sup_ante AS DOUBLE) * CAST(sup_cons AS DOUBLE)) AS lift
+  FROM arj, arnb""",
+        "dedup_lines_scoped": """
+  WITH dls_lined AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 6 = 0
+                THEN 'subscribe to our newsletter today' || chr(10)
+                ELSE '' END
+           || 'promo code ' || source || chr(10)
+           || 'doc ' || CAST(doc_id AS VARCHAR) || ' unique line' || chr(10)
+           || text AS text
+    FROM documents),
+  dls_s AS (SELECT doc_id, source, string_split(text, chr(10)) AS parts
+            FROM dls_lined),
+  dls_l AS (
+    SELECT doc_id, source, parts[i] AS line, i AS pos
+    FROM dls_s, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+  dls_f AS (SELECT source, line, COUNT(DISTINCT doc_id) AS nd
+            FROM dls_l GROUP BY 1, 2),
+  dls_k AS (SELECT l.doc_id, l.pos, l.line, (f.nd >= 5) AS rm
+            FROM dls_l l JOIN dls_f f
+              ON l.source = f.source AND l.line = f.line)
+  SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN NOT rm THEN line END, chr(10)
+                             ORDER BY pos), '') AS text,
+         CAST(COUNT(CASE WHEN NOT rm THEN 1 END) AS BIGINT)
+           AS n_lines_kept,
+         CAST(COUNT(CASE WHEN rm THEN 1 END) AS BIGINT)
+           AS n_lines_removed
+  FROM dls_k GROUP BY doc_id""",
+        # The incremental fold proven the expensive way: re-aggregate
+        # from scratch over base-minus-deletes plus inserts.
+        "agg_delta_apply": """
+  WITH ad_eff AS (
+    SELECT o_custkey, o_totalprice FROM orders
+    WHERE (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderstatus <> 'F')
+       OR NOT (o_orderdate < TIMESTAMP '1997-01-01'))
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM ad_eff GROUP BY 1""",
+        "twap_events": """
+  WITH tw_r AS (SELECT user_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 1024.0) AS BIGINT) AS vg
+                FROM events),
+  tw_g AS (SELECT user_id, vg,
+             LEAD(us) OVER (PARTITION BY user_id
+                            ORDER BY us ASC, vg DESC) - us AS gap
+           FROM tw_r),
+  tw_a AS (SELECT user_id, SUM(CAST(vg AS HUGEINT) * gap) AS wsum,
+             COALESCE(SUM(gap), 0) AS span,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+           FROM tw_g GROUP BY 1)
+  SELECT user_id,
+         CASE WHEN span > 0 THEN
+           (CAST(CAST(wsum AS BIGINT) AS DOUBLE) / 1024.0)
+             / CAST(span AS DOUBLE)
+         END AS twap,
+         CAST(span AS BIGINT) AS span_us, n_obs
+  FROM tw_a""",
         # The maintenance identity proven the expensive way: full new
         # join minus full old join under bag semantics (EXCEPT ALL).
         "join_delta": """

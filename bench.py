@@ -189,6 +189,12 @@ BENCH_QUERIES = [
     "constraint_offenders",
     "join_delta",
     "dataset_fingerprint",
+    "bfs_hops",
+    "hits_scores",
+    "assoc_rules",
+    "dedup_lines_scoped",
+    "agg_delta_apply",
+    "twap_events",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -665,3 +665,57 @@ def test_rolling_spend_binned_windows_partition_by_bin(plans):
     p = plans("rolling_spend_binned")
     specs = re.findall(r"windowspecdefinition\(user_id#\d+L?, (\w+)#", p)
     assert specs and all(col == "__bin" for col in specs)
+
+
+def test_bfs_hops_checkpointed_iterations(plans):
+    """BFS materializes via localCheckpoint (cache-release contract);
+    the handed-back frame is checkpoint-backed, the bounded join+min
+    rounds having already run without cartesians (unit-tested)."""
+    p = plans("bfs_hops")
+    assert "Scan ExistingRDD" in p or "LogicalRDD" in p
+
+
+def test_hits_scores_checkpointed_iterations(plans):
+    """Same contract as bfs_hops: HITS hands back a checkpointed
+    frame, not a live 2-iteration join tree."""
+    p = plans("hits_scores")
+    assert "Scan ExistingRDD" in p or "LogicalRDD" in p
+
+
+def test_assoc_rules_equi_joins_plus_onerow_broadcast(plans):
+    """The pair generation and support joins are HASH equi-joins; the
+    only nested-loop is the 1-row n_baskets broadcast-back, never an
+    item-vs-item product."""
+    p = plans("assoc_rules")
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line
+    assert "n_baskets" in p
+
+
+def test_dedup_lines_scoped_broadcasts_frequent_set(plans):
+    """The scoped frequent-line set stays tiny (bounded by
+    lines/min_docs) and must broadcast so the corpus-sized line
+    relation is filtered map-side without a join shuffle."""
+    p = plans("dedup_lines_scoped")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_agg_delta_apply_union_fold_no_join(plans):
+    """Delta maintenance is union + re-aggregate: the changelog
+    collapses to per-key partials and merges with the base state
+    through a groupBy — no join anywhere in the plan."""
+    p = plans("agg_delta_apply")
+    assert "Join" not in p
+    assert "HashAggregate" in p
+
+
+def test_twap_events_single_key_exchange(plans):
+    """The lead-gap window and the final aggregate share one
+    hash-partitioning on the user key: one exchange end to end, no
+    joins, no global sort."""
+    p = plans("twap_events")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p and "Exchange rangepartitioning" not in p
