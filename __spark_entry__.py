@@ -3354,6 +3354,76 @@ def q_twap_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded 4-core peeling (datapipe/graph.kcore, 3 rounds) over the
+    co-purchase graph: iterative degree-filter semi-joins strip the
+    tree-like fringe, keeping the dense core with its internal degree —
+    deterministic fixed rounds, oracle unrolls the same peeling."""
+    from python_etl_mailing_automation_spark.datapipe.graph import kcore
+
+    return kcore(_copurchase_oriented(spark, sf), k=4, max_rounds=3)
+
+
+def q_sssp_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded Bellman-Ford shortest paths (datapipe/graph.sssp_weighted,
+    3 relaxation rounds) over the co-purchase graph with integer edge
+    cost 1000 div support (stronger ties are cheaper), seeds = nodes
+    ≡ 0 (mod 97) — the weighted companion to bfs_hops; min-plus folds
+    stay in exact BIGINT."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        sssp_weighted,
+    )
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, on=[F.col("ok") == F.col("ok2"), F.col("pa") < F.col("pb")])
+        .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst", F.expr("1000 div c").alias("w"))
+    )
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+    )
+    return sssp_weighted(edges, seeds, max_rounds=3)
+
+
+def q_keyword_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive keyword retrieval (datapipe/text.keyword_search):
+    docs containing ALL of {spark, window, table}, ranked by summed
+    term frequency (exact BIGINT), top-20 with id tiebreak — the
+    query-evaluation side of the posting_lists index, planned as
+    TakeOrdered (no global sort shuffle)."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        keyword_search,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return keyword_search(docs, ["spark", "window", "table"], k=20)
+
+
+def q_stratified_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Largest-remainder exact stratified sample
+    (datapipe/sampling.stratified_exact, 3/10): per-source quotas are
+    integer floors plus remainder-ranked extras so the sample is
+    EXACTLY floor(N·3/10) rows — the contractual-split guarantee hash
+    thresholds can't give; membership is the md5-smallest ids per
+    source, deterministic on any engine."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        stratified_exact,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "lang")
+    return stratified_exact(docs, "source", "doc_id", fraction=(3, 10))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -3439,6 +3509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_scoped": q_dedup_lines_scoped,
         "agg_delta_apply": q_agg_delta_apply,
         "twap_events": q_twap_events,
+        "kcore": q_kcore,
+        "sssp_weighted": q_sssp_weighted,
+        "keyword_search": q_keyword_search,
+        "stratified_exact": q_stratified_exact,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -4304,6 +4378,64 @@ _CLEAN_PHONE = (
     "NULLIF(regexp_replace(regexp_replace({src}, '\\.0$', ''), "
     "'[^0-9]', '', 'g'), '')"
 )
+
+
+def _kcore_sql(k: int = 4, max_rounds: int = 3) -> str:
+    """Unrolled k-core peeling rounds over the co-purchase graph:
+    per round a degree aggregate and an IN-filtered edge relation,
+    mirroring graph.kcore's semi-join prune."""
+    parts = [
+        """kcu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),""",
+        "  kce0 AS (SELECT src, dst FROM kcu"
+        " UNION ALL SELECT dst, src FROM kcu),",
+    ]
+    for it in range(max_rounds):
+        parts.append(
+            f"  kck{it} AS (SELECT src FROM kce{it}"
+            f" GROUP BY 1 HAVING COUNT(*) >= {k}),"
+        )
+        parts.append(
+            f"  kce{it + 1} AS (SELECT src, dst FROM kce{it}"
+            f" WHERE src IN (SELECT src FROM kck{it})"
+            f" AND dst IN (SELECT src FROM kck{it})),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"WITH {body}\n  SELECT src AS node,"
+        f" CAST(COUNT(*) AS BIGINT) AS degree"
+        f" FROM kce{max_rounds} GROUP BY 1"
+    )
+
+
+def _sssp_sql(max_rounds: int = 3) -> str:
+    """Unrolled min-plus relaxation rounds with integer edge cost
+    1000 // support over the co-purchase graph."""
+    parts = [
+        """ssu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               1000 // CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),""",
+        "  sse AS (SELECT src, dst, w FROM ssu"
+        " UNION ALL SELECT dst, src, w FROM ssu),",
+        "  ssd0 AS (SELECT DISTINCT src AS node,"
+        " CAST(0 AS BIGINT) AS dist FROM sse WHERE src % 97 = 0),",
+    ]
+    for it in range(max_rounds):
+        parts.append(
+            f"  ssr{it} AS (SELECT e.dst AS node, d.dist + e.w AS dist"
+            f" FROM sse e JOIN ssd{it} d ON e.src = d.node),"
+        )
+        parts.append(
+            f"  ssd{it + 1} AS (SELECT node, MIN(dist) AS dist FROM"
+            f" (SELECT node, dist FROM ssd{it}"
+            f" UNION ALL SELECT node, dist FROM ssr{it}) GROUP BY 1),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"WITH {body}\n  SELECT node, dist FROM ssd{max_rounds}"
 
 
 def _bfs_sql(max_hops: int = 3) -> str:
@@ -6721,6 +6853,41 @@ def oracle_sql() -> dict[str, str]:
          CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
            AS cents
   FROM ad_eff GROUP BY 1""",
+        "kcore": _kcore_sql(4, 3),
+        "sssp_weighted": _sssp_sql(3),
+        "keyword_search": """
+  WITH kse AS (SELECT doc_id,
+                 UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+               FROM documents),
+  ksh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS score,
+                 CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+          FROM kse WHERE term IN ('spark', 'window', 'table')
+          GROUP BY 1)
+  SELECT doc_id, score, n_terms FROM ksh WHERE n_terms = 3
+  ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "stratified_exact": """
+  WITH sxd AS (SELECT doc_id, source, lang FROM documents),
+  sxc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sxd GROUP BY 1),
+  sxq AS (SELECT source, n, (n * 3) // 10 AS fl, (n * 3) % 10 AS rem
+          FROM sxc),
+  sxt AS (SELECT source, fl,
+            row_number() OVER (ORDER BY rem DESC, source ASC NULLS LAST)
+              AS rr,
+            SUM(fl) OVER () AS sfl, SUM(n) OVER () AS tn
+          FROM sxq),
+  sxg AS (SELECT source,
+            fl + CASE WHEN rr <= (tn * 3) // 10 - sfl THEN 1 ELSE 0 END
+              AS target
+          FROM sxt),
+  sxr AS (SELECT doc_id, source, lang,
+            row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+              AS rk
+          FROM sxd)
+  SELECT r.doc_id, r.source, r.lang
+  FROM sxr r JOIN sxg g ON r.source IS NOT DISTINCT FROM g.source
+  WHERE r.rk <= g.target""",
         "twap_events": """
   WITH tw_r AS (SELECT user_id, epoch_us(ts) AS us,
                   CAST(floor(value * 1024.0) AS BIGINT) AS vg

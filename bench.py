@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     "dedup_lines_scoped",
     "agg_delta_apply",
     "twap_events",
+    "kcore",
+    "sssp_weighted",
+    "keyword_search",
+    "stratified_exact",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

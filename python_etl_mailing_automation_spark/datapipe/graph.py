@@ -346,3 +346,133 @@ def hits(
         return out.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 2,
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983) over the symmetrized
+    distinct edge list: repeatedly delete nodes of degree < ``k`` (and
+    their edges) for ``max_rounds`` synchronous rounds. Returns
+    ``(node, degree)`` for the survivors with their degree inside the
+    retained subgraph — the density filter that separates a graph's
+    cohesive core from its tree-like fringe (spam-farm detection,
+    community pre-filtering, feature engineering on link graphs).
+
+    Fixed rounds, not run-to-fixpoint: each round is one degree
+    aggregate plus two semi-joins pruning the edge list, so the result
+    after ``max_rounds`` is deterministic on every engine and the
+    oracle unrolls the same rounds. A true fixpoint needs at most
+    max-degeneracy rounds; callers wanting it raise ``max_rounds`` and
+    assert the last two rounds agree (same posture as the
+    containment-dedup fixpoint's bounded rounds).
+
+    Scale shape: per round one map-side-combinable degree groupBy and
+    two hash semi-joins on node keys — no windows, no cartesians; the
+    edge frame shrinks monotonically. The working edge set is cached
+    per round and released in a ``finally`` (no-cache-leak contract).
+    """
+    if k < 1 or max_rounds < 1:
+        raise ValueError("kcore: k and max_rounds must be >= 1")
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    e = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    cached: list[DataFrame] = []
+    try:
+        for _ in range(max_rounds):
+            e = e.cache()
+            cached.append(e)
+            deg = e.groupBy("src").agg(
+                F.count(F.lit(1)).cast("long").alias("deg")
+            )
+            keep = deg.filter(F.col("deg") >= k).select("src")
+            e = e.join(keep, on="src", how="left_semi").join(
+                keep.select(F.col("src").alias("dst")),
+                on="dst",
+                how="left_semi",
+            )
+        out = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .select(F.col("src").alias("node"), "degree")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    seed_col: str = "node",
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Bounded Bellman-Ford single/multi-source shortest paths over a
+    directed edge list with non-negative INTEGER weights: after
+    ``max_rounds`` relaxation rounds every node holds the exact
+    minimum-cost path from the seed set using at most ``max_rounds``
+    hops. Returns ``(node, dist)``; nodes unreachable within the hop
+    bound are absent. The weighted companion to :func:`bfs_hops` —
+    min-plus semiring iteration, the standard bounded-round form on
+    relational engines (full convergence needs diameter rounds).
+
+    Integer weights keep the min-plus fold exact on any engine (the
+    float analogue would accumulate reassociation-ordering drift).
+
+    Scale shape: per round one equi-join of the distance frame to the
+    cached edge list plus one min aggregate — the bfs_hops skeleton
+    with ``dist + w`` in place of ``hop + 1``. Edge cache released in
+    a ``finally``.
+    """
+    if max_rounds < 1:
+        raise ValueError("sssp_weighted: max_rounds must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("w") >= 0)
+        )
+        .cache()
+    )
+    try:
+        dist = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+        )
+        for _ in range(max_rounds):
+            relaxed = e.join(dist, on=F.col("src") == F.col("node")).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        return dist.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

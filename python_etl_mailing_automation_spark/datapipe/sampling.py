@@ -464,3 +464,92 @@ def rendezvous_shard(
         out_col,
         F.when(F.col(id_col).isNotNull(), winner).cast("int"),
     )
+
+
+def stratified_exact(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    fraction: tuple[int, int] = (1, 10),
+    salt: str = "",
+) -> DataFrame:
+    """EXACT stratified sampling by largest-remainder apportionment
+    (Hamilton's method): the sample holds exactly
+    ``floor(N·num/den)`` rows in total, with each group's quota
+    ``floor(n_g·num/den)`` plus one extra for the groups with the
+    largest remainders (ties to the smaller group key) until the
+    global total is met. Contrast :func:`hash_sample` /
+    :func:`stratified_sample`: hash thresholds only APPROXIMATE the
+    fraction per group (binomial noise ~√n), which is exactly what a
+    contractual train/eval split or a paid-labeling budget can't
+    tolerate. Within each group the selected rows are the md5-smallest
+    ids — deterministic, engine-portable, and auditable.
+
+    ``fraction`` is an exact rational ``(num, den)``; all quota
+    arithmetic is integer (``div``/``mod``), so the sample SIZE never
+    depends on float rounding. Rows whose group is NULL form one real
+    group (null-safe join back). Returns the input rows that made the
+    sample, original schema.
+
+    Scale shape: quotas live on the per-group COUNT frame (tiny —
+    group cardinality), where the remainder ranking is a window over
+    that small frame, never the corpus; the corpus pays one window
+    (rank by md5 within group — the stratified_sample shuffle) and one
+    broadcast-backed quota join. Hot groups serialize only their own
+    top-quota selection, with WindowGroupLimit bounding per-partition
+    state when quotas are small.
+    """
+    num, den = fraction
+    if num < 0 or den < 1:
+        raise ValueError("stratified_exact: bad fraction")
+    g, i = F.col(group_col), F.col(id_col)
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    # integer quota arithmetic on the small per-group frame
+    quota = counts.select(
+        group_col,
+        "__n",
+        F.expr(f"__n * {int(num)} div {int(den)}").alias("__floor"),
+        ((F.col("__n") * F.lit(int(num))) % F.lit(int(den))).alias("__rem"),
+    )
+    wall = Window.orderBy(
+        F.col("__rem").desc(), F.col(group_col).asc_nulls_last()
+    )
+    wglobal = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    totals = quota.select(
+        group_col,
+        "__floor",
+        F.row_number().over(wall).alias("__rr"),
+        F.sum("__floor").over(wglobal).alias("__sum_floor"),
+        F.sum("__n").over(wglobal).alias("__total_n"),
+    )
+    targets = totals.select(
+        group_col,
+        (
+            F.col("__floor")
+            + F.when(
+                F.col("__rr")
+                <= F.expr(f"__total_n * {int(num)} div {int(den)}")
+                - F.col("__sum_floor"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("__target"),
+    )
+    ranked = df.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.md5(F.concat(i.cast("string"), F.lit(salt))).asc(),
+                i.asc(),
+            )
+        ),
+    )
+    joined = ranked.join(
+        F.broadcast(targets),
+        on=ranked[group_col].eqNullSafe(targets[group_col]),
+    ).filter(F.col("__rk") <= F.col("__target"))
+    return joined.select(*[ranked[c] for c in df.columns])

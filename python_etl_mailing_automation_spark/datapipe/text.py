@@ -668,3 +668,53 @@ def tfidf_topk(
         .filter(F.col("tfidf_rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "tfidf_rank")
     )
+
+
+def keyword_search(
+    df: DataFrame,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Conjunctive (AND) keyword retrieval over the corpus: documents
+    containing EVERY query term, ranked by summed term frequency,
+    top-``k`` with a deterministic id tiebreak. The query-evaluation
+    side of :func:`posting_lists` — boolean retrieval with tf ranking,
+    the exact-integer baseline a BM25 layer refines.
+
+    Returns ``(id_col, score, n_terms)`` for at most ``k`` documents:
+    ``score`` = Σ tf(term, doc) over the query terms (BIGINT — ranking
+    never touches floats), ``n_terms`` = number of distinct query
+    terms (constant, = len(terms); kept so downstream sees the AND
+    arity it matched).
+
+    Scale shape: the query-term set is a literal array filter applied
+    AT THE EXPLODE — only matching (doc, term) rows survive the scan
+    stage, so the aggregate state is bounded by |terms| · matching
+    docs, never corpus vocabulary. The AND is a count-distinct-equals
+    check inside the same groupBy, and the top-k is an
+    ``orderBy().limit(k)`` — Spark plans TakeOrdered (per-partition
+    heaps + one k-row merge), no global sort shuffle.
+    """
+    terms = list(dict.fromkeys(terms))
+    if not terms or k < 1:
+        raise ValueError("keyword_search: need >= 1 term and k >= 1")
+    entries = spread_for_explode(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens_of(text_col)).alias("__term")
+    )
+    hits = entries.filter(
+        F.col("__term").isin([str(t) for t in terms])
+    )
+    scored = (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("score"),
+            F.countDistinct("__term").cast("long").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)

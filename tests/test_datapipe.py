@@ -3009,3 +3009,102 @@ def test_dedup_lines_scoped_by_domain(spark):
     assert scoped[4] == "delta" and scoped[5] == "epsilon"  # NULL scope
     global_ = {r.doc_id: r.text for r in dedup_lines(df).collect()}
     assert global_[3] == "gamma"  # removed corpus-wide in global mode
+
+
+def test_kcore_peels_fringe(spark):
+    """Triangle {1,2,3} with pendant 3-4 and a 2-chain 4-5: 2-core
+    peeling removes the chain/pendant nodes, keeping the triangle with
+    internal degree 2; k=3 empties the graph (no 3-core)."""
+    from python_etl_mailing_automation_spark.datapipe.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    out = {r.node: r.degree for r in kcore(edges, k=2, max_rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    assert kcore(edges, k=3, max_rounds=3).count() == 0
+    with pytest.raises(ValueError):
+        kcore(edges, k=0)
+
+
+def test_sssp_weighted_min_plus(spark):
+    """1→2→3 costs 1+1=2 beats the direct 1→3 cost of 5; the bounded
+    rounds cap path length: with max_rounds=1 only direct edges relax,
+    so node 3 reads 5."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        sssp_weighted,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5)], "src int, dst int, w int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    out = {
+        r.node: r.dist
+        for r in sssp_weighted(edges, seeds, max_rounds=3).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2}
+    one = {
+        r.node: r.dist
+        for r in sssp_weighted(edges, seeds, max_rounds=1).collect()
+    }
+    assert one[3] == 5
+    with pytest.raises(ValueError):
+        sssp_weighted(edges, seeds, max_rounds=0)
+
+
+def test_keyword_search_conjunctive_tf_rank(spark):
+    """AND semantics: only docs containing every term match; score is
+    the summed tf with id-ascending tiebreak; k truncates."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        keyword_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window spark"),   # spark tf 2 + window 1 = 3
+            (2, "spark window"),         # 2
+            (3, "spark spark spark"),    # missing 'window' → out
+            (4, "window table"),         # missing 'spark' → out
+        ],
+        "doc_id int, text string",
+    )
+    out = keyword_search(docs, ["spark", "window"], k=10).collect()
+    assert [(r.doc_id, r.score, r.n_terms) for r in out] == [
+        (1, 3, 2),
+        (2, 2, 2),
+    ]
+    assert keyword_search(docs, ["spark", "window"], k=1).count() == 1
+    with pytest.raises(ValueError):
+        keyword_search(docs, [], k=5)
+
+
+def test_stratified_exact_largest_remainder(spark):
+    """Groups of 7, 5, and 3 rows at 1/2: quotas floor to 3+2+1=6,
+    global target floor(15/2)=7, so the single extra goes to the
+    largest remainder (7·1 mod 2 = 1; ties 5 and 3 too — smallest
+    group key wins). Repeat runs pick the identical row set, and the
+    NULL group is a real group."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        stratified_exact,
+    )
+
+    rows = (
+        [("a", i) for i in range(7)]
+        + [("b", 100 + i) for i in range(5)]
+        + [(None, 200 + i) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "g string, id int")
+    out = stratified_exact(df, "g", "id", fraction=(1, 2))
+    got = [(r.g, r.id) for r in out.collect()]
+    assert len(got) == 7  # exactly floor(15/2)
+    by_g = {}
+    for g_, i_ in got:
+        by_g.setdefault(g_, []).append(i_)
+    # every group's remainder is 1 → the extra goes to the smallest
+    # group key, which sorts NULL LAST: 'a' wins the single extra
+    assert len(by_g["a"]) == 4 and len(by_g["b"]) == 2 and len(by_g[None]) == 1
+    again = [(r.g, r.id) for r in stratified_exact(df, "g", "id", fraction=(1, 2)).collect()]
+    assert sorted(got, key=str) == sorted(again, key=str)
+    with pytest.raises(ValueError):
+        stratified_exact(df, "g", "id", fraction=(1, 0))

@@ -719,3 +719,36 @@ def test_twap_events_single_key_exchange(plans):
     p = plans("twap_events")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p and "Exchange rangepartitioning" not in p
+
+
+def test_kcore_checkpointed_iterations(plans):
+    """k-core peeling hands back a checkpointed frame (cache-release
+    contract); the bounded degree+semi-join rounds already ran."""
+    p = plans("kcore")
+    assert "Scan ExistingRDD" in p or "LogicalRDD" in p
+
+
+def test_sssp_weighted_checkpointed_iterations(plans):
+    """Bounded Bellman-Ford hands back a checkpointed frame, not a
+    live relaxation join tree."""
+    p = plans("sssp_weighted")
+    assert "Scan ExistingRDD" in p or "LogicalRDD" in p
+
+
+def test_keyword_search_take_ordered_no_global_sort(plans):
+    """Conjunctive retrieval's top-k must plan as TakeOrdered
+    (per-partition heaps + k-row merge) — a rangepartitioning
+    exchange would be a full corpus sort for 20 rows."""
+    p = plans("keyword_search")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Join" not in p
+
+
+def test_stratified_exact_broadcasts_quota_frame(plans):
+    """The per-group quota frame (group-cardinality rows) broadcasts
+    back to the ranked corpus — the corpus pays one hash exchange for
+    its in-group rank, never a shuffle join against the quotas."""
+    p = plans("stratified_exact")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
