@@ -3424,6 +3424,52 @@ def q_stratified_exact(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_exact(docs, "source", "doc_id", fraction=(3, 10))
 
 
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning (sources/io.compaction_plan):
+    a synthesized per-(source, file) byte manifest is greedily packed
+    into ~8 KiB output bins — exact BIGINT prefix sums and integer
+    division, per-source windows so packing parallelizes across
+    partition scopes (the metadata-sized planner for the small-files
+    problem the sized writers prevent on the write side)."""
+    from python_etl_mailing_automation_spark.sources.io import (
+        compaction_plan,
+    )
+
+    docs = _t(spark, sf, "documents")
+    manifest = docs.groupBy(
+        "source", F.expr("doc_id div 25").alias("file_id")
+    ).agg(F.sum(F.length("text")).cast("long").alias("bytes"))
+    return compaction_plan(
+        manifest,
+        file_col="file_id",
+        size_col="bytes",
+        target_bytes=8192,
+        scope_col="source",
+    )
+
+
+def q_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user linear gap interpolation
+    (datapipe/timeseries.interpolate_linear): every fifth event's value
+    is masked NULL and recovered on the straight line between its
+    non-NULL neighbors (back/forward fill at the edges) — two
+    IGNORE-NULLS window scans on ONE key exchange, interpolation as a
+    fixed IEEE sequence over integer-microsecond deltas."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        interpolate_linear,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("v"),
+    )
+    return interpolate_linear(ev, "user_id", "ts", "v").select(
+        "event_id", "user_id", "value_filled"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -3513,6 +3559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_weighted": q_sssp_weighted,
         "keyword_search": q_keyword_search,
         "stratified_exact": q_stratified_exact,
+        "compaction_plan": q_compaction_plan,
+        "interpolate_linear": q_interpolate_linear,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -6853,6 +6901,41 @@ def oracle_sql() -> dict[str, str]:
          CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
            AS cents
   FROM ad_eff GROUP BY 1""",
+        "compaction_plan": """
+  WITH cp_m AS (SELECT source, doc_id // 25 AS file_id,
+                  CAST(SUM(length(text)) AS BIGINT) AS bytes
+                FROM documents GROUP BY 1, 2),
+  cp_c AS (SELECT source, file_id, bytes,
+             CAST(SUM(bytes) OVER (PARTITION BY source
+               ORDER BY file_id ASC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) - bytes AS cb
+           FROM cp_m)
+  SELECT source, file_id, bytes, cb // 8192 AS bin FROM cp_c""",
+        "interpolate_linear": """
+  WITH il_b AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      CASE WHEN event_id % 5 <> 0 THEN value END AS v
+    FROM events),
+  il_w AS (SELECT event_id, user_id, us, v,
+      last_value(CASE WHEN v IS NOT NULL
+          THEN struct_pack(t := us, x := v) END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY us ASC, v DESC NULLS LAST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+      first_value(CASE WHEN v IS NOT NULL
+          THEN struct_pack(t := us, x := v) END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY us ASC, v DESC NULLS LAST
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+    FROM il_b)
+  SELECT event_id, user_id,
+    CASE WHEN v IS NOT NULL THEN v
+         WHEN p IS NOT NULL AND n IS NOT NULL THEN
+           CASE WHEN n.t = p.t THEN p.x
+                ELSE p.x + (n.x - p.x)
+                  * (CAST(us - p.t AS DOUBLE)
+                     / CAST(n.t - p.t AS DOUBLE)) END
+         WHEN p IS NOT NULL THEN p.x
+         WHEN n IS NOT NULL THEN n.x
+    END AS value_filled
+  FROM il_w""",
         "kcore": _kcore_sql(4, 3),
         "sssp_weighted": _sssp_sql(3),
         "keyword_search": """

@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "sssp_weighted",
     "keyword_search",
     "stratified_exact",
+    "compaction_plan",
+    "interpolate_linear",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

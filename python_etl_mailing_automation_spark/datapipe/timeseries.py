@@ -321,3 +321,76 @@ def time_weighted_mean(
         F.col("__span").cast("long").alias("span_us"),
         F.col("n_obs").cast("long").alias("n_obs"),
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    out_col: str = "value_filled",
+) -> DataFrame:
+    """Linear interpolation of NULL values in a per-key time series:
+    each missing sample is filled on the straight line between its
+    nearest non-NULL neighbors in event time — the gap-completion
+    semantics sensor/metric pipelines want when forward fill
+    (:func:`resample_fill`) would flat-line a ramp. Leading gaps take
+    the next value (back fill), trailing gaps the previous (forward
+    fill), keys with no observed value stay NULL. Non-NULL samples
+    pass through untouched.
+
+    Exactness: neighbor lookup is two IGNORE-NULLS window scans over
+    (value, integer-microsecond ts) structs; the interpolation is one
+    fixed IEEE sequence — ``prev + (next - prev) * (dt / span)`` with
+    both time deltas exact BIGINT-to-double conversions — identical on
+    any engine. Ties on ``ts`` order by value descending (NULLS LAST)
+    so the neighbor choice is deterministic.
+
+    Scale shape: both windows ride ONE hash exchange on the key (same
+    partitioning, same sort), per-row state O(1) — the running-frame
+    form of last/first ignorenulls, no joins, no grid explode.
+    """
+    from ..functions.dates import epoch_micros
+
+    us = epoch_micros(ts_col, dict(df.dtypes)[ts_col])
+    v = F.col(value_col)
+    order = [F.col("__us").asc(), v.desc_nulls_last()]
+    wprev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs = F.when(
+        v.isNotNull(), F.struct(F.col("__us").alias("t"), v.alias("x"))
+    )
+    base = df.withColumn("__us", us)
+    prev_ = F.last(obs, ignorenulls=True).over(wprev)
+    next_ = F.first(obs, ignorenulls=True).over(wnext)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_.isNotNull() & next_.isNotNull(),
+            F.when(
+                next_.getField("t") == prev_.getField("t"),
+                prev_.getField("x"),
+            ).otherwise(
+                prev_.getField("x")
+                + (next_.getField("x") - prev_.getField("x"))
+                * (
+                    (F.col("__us") - prev_.getField("t")).cast("double")
+                    / (
+                        next_.getField("t") - prev_.getField("t")
+                    ).cast("double")
+                )
+            ),
+        )
+        .when(prev_.isNotNull(), prev_.getField("x"))
+        .when(next_.isNotNull(), next_.getField("x"))
+    )
+    return base.withColumn(out_col, filled).drop("__us")

@@ -20,7 +20,7 @@ import shutil
 import tempfile
 from pathlib import Path
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
@@ -402,3 +402,56 @@ def write_globally_sorted(
         "range", F.format_string("%05d", F.spark_partition_id())
     )
     ranged.write.mode("overwrite").partitionBy("range").parquet(str(out_dir))
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    *,
+    file_col: str = "file_id",
+    size_col: str = "bytes",
+    target_bytes: int,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Small-file compaction planner: assign each input file to an
+    output bin by greedy in-order packing — a file starts a new bin
+    when the running total crosses a ``target_bytes`` boundary, so
+    every bin except possibly the last holds at least ``target_bytes``
+    minus one file and files are never split. The read-side cure for
+    the small-files problem the sized writers here prevent on the
+    write side: feed it a table listing (lots of tiny parquet) files
+    and get back which files co-compact into each right-sized output.
+
+    Bin id is ``cum_before div target`` with ``cum_before`` the exact
+    BIGINT prefix sum of sizes before this file — deterministic,
+    integer-only, and order-stable (files are packed in
+    ``(scope, file_id)`` order so the same manifest always yields the
+    same plan). Returns the manifest columns plus ``bin`` (0-based,
+    per scope).
+
+    Scale shape: the manifest is METADATA (one row per file — bounded
+    by file count, not data volume), so the prefix-sum window is
+    cheap; with ``scope_col`` (partition directory, date, source) the
+    window partitions by scope and packing parallelizes across scopes,
+    which is the 100 TB posture — a single global sequential pack is
+    exactly what a petabyte-scale table layout can't serialize.
+    """
+    if target_bytes < 1:
+        raise ValueError("compaction_plan: target_bytes must be >= 1")
+    scope = [scope_col] if scope_col is not None else []
+    w = (
+        Window.partitionBy(*scope)
+        .orderBy(F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(F.col(size_col).cast("long")).over(w) - F.col(
+        size_col
+    ).cast("long")
+    # BIGINT `div`, never float division: exact at any byte magnitude
+    return (
+        manifest.withColumn("__cum_before", cum_before)
+        .withColumn(
+            "bin",
+            F.expr(f"__cum_before div {int(target_bytes)}").cast("long"),
+        )
+        .drop("__cum_before")
+    )

@@ -3108,3 +3108,70 @@ def test_stratified_exact_largest_remainder(spark):
     assert sorted(got, key=str) == sorted(again, key=str)
     with pytest.raises(ValueError):
         stratified_exact(df, "g", "id", fraction=(1, 0))
+
+
+def test_compaction_plan_greedy_bins(spark):
+    """Files of 60/60/100/30/200 at target 128: greedy in-order packing
+    starts a new bin whenever the running total crosses a boundary —
+    never splits a file; per-scope packing is independent."""
+    from python_etl_mailing_automation_spark.sources.io import (
+        compaction_plan,
+    )
+
+    rows = [
+        ("a", 1, 60), ("a", 2, 60), ("a", 3, 100), ("a", 4, 30),
+        ("a", 5, 200), ("b", 1, 10),
+    ]
+    df = spark.createDataFrame(rows, "scope string, file_id int, bytes int")
+    out = {
+        (r.scope, r.file_id): r.bin
+        for r in compaction_plan(
+            df, target_bytes=128, scope_col="scope"
+        ).collect()
+    }
+    # cum_before: 0,60,120,220,250 → bins 0,0,0,1,1
+    assert out == {
+        ("a", 1): 0, ("a", 2): 0, ("a", 3): 0, ("a", 4): 1, ("a", 5): 1,
+        ("b", 1): 0,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compaction_plan(df, target_bytes=0)
+
+
+def test_interpolate_linear_fills_on_the_line(spark):
+    """NULL at t=2 between (t=0, 10) and (t=4, 30) reads 20 (the line);
+    leading gap back-fills, trailing gap forward-fills, an all-NULL
+    key stays NULL, non-NULL samples pass through."""
+    import datetime as dt
+
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        interpolate_linear,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("a", at(0), 10.0),
+        ("a", at(2), None),
+        ("a", at(4), 30.0),
+        ("a", at(5), None),      # trailing → 30
+        ("b", at(0), None),      # leading → 7
+        ("b", at(1), 7.0),
+        ("c", at(0), None),      # no observation at all
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.ts): r.value_filled
+        for r in interpolate_linear(df, "k", "ts", "v").collect()
+    }
+    assert out[("a", at(0))] == 10.0
+    assert out[("a", at(2))] == 20.0
+    assert out[("a", at(4))] == 30.0
+    assert out[("a", at(5))] == 30.0
+    assert out[("b", at(0))] == 7.0
+    assert out[("c", at(0))] is None

@@ -752,3 +752,20 @@ def test_stratified_exact_broadcasts_quota_frame(plans):
     p = plans("stratified_exact")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_compaction_plan_metadata_window_only(plans):
+    """The packing is one per-scope running-sum window over the
+    metadata-sized manifest — no joins, no range partitioning."""
+    p = plans("compaction_plan")
+    assert "Join" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_interpolate_linear_single_key_exchange(plans):
+    """Both IGNORE-NULLS neighbor scans ride one hash exchange on the
+    user key (same partitioning, same sort) — no joins, no grid
+    explode, no global sort."""
+    p = plans("interpolate_linear")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p and "Exchange rangepartitioning" not in p
