@@ -281,6 +281,15 @@ DEEP_QUERIES = [
     # time growing ~14x is sublinear in the answer size, which is the
     # prefix-selectivity claim holding, not failing.
     "jaccard_join_exact",
+    # Round-7 graph/rule-mining family at 10× lineitem: the co-purchase
+    # edge build dominates all three (one lineitem self-join on the
+    # orderkey); past it, BFS rounds are frontier-bounded, the k-core
+    # peel shrinks its edge set monotonically, and the rule join is
+    # per-basket quadratic only — each must track the edge count
+    # linearly, never re-scan lineitem per round.
+    "bfs_hops",
+    "kcore",
+    "assoc_rules",
 ]
 
 
