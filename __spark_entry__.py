@@ -3470,6 +3470,204 @@ def q_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto frontier (datapipe/frontier.skyline_2d): per brand, the
+    parts no other part of the brand beats on BOTH price (lower) and
+    size (higher) — the O(n log n) single-window sweep; the oracle runs
+    the textbook quadratic NOT EXISTS, so the two independently derive
+    the same frontier."""
+    from python_etl_mailing_automation_spark.datapipe.frontier import skyline_2d
+
+    return skyline_2d(
+        _t(spark, sf, "part"), "p_retailprice", "p_size", key_col="p_brand"
+    )
+
+
+def q_cdf_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank/CDF feature scaling (datapipe/stats.cdf_normalize): each
+    order's empirical price quantile within its priority class, with the
+    exact integer witnesses (rank, group size) and one double division —
+    the outlier-immune twin of zscore_normalize."""
+    from python_etl_mailing_automation_spark.datapipe.stats import cdf_normalize
+
+    out = cdf_normalize(
+        _t(spark, sf, "orders"), "o_totalprice", group_col="o_orderpriority"
+    )
+    return out.select("o_orderkey", "o_orderpriority", "rnk", "n_group", "cdf")
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix (datapipe/timeseries.cohort_retention):
+    users grouped by first-activity week (integer epoch-week, never an
+    engine week-truncation convention), per-offset active counts, and
+    the exact n_active/n_cohort rational as ONE double division."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_t(spark, sf, "events"), "user_id", "ts")
+
+
+def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram collocation mining (datapipe/text.collocations): top-30
+    adjacent word pairs by log-free PMI lift — the exact integer
+    rational c_xy·N_tok²/(N_big·c_x·c_y) as one double division, so the
+    ranking is bit-identical cross-engine (log is monotone; this IS the
+    log-PMI order)."""
+    from python_etl_mailing_automation_spark.datapipe.text import collocations
+
+    return collocations(
+        _t(spark, sf, "documents"), min_count=3, top_k=30
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase retrieval (datapipe/text.phrase_search): documents
+    containing the contiguous token run "order fast", match count and
+    first 1-based position, via positional posting intersection — the
+    oracle rescans each token list per row, a genuinely different
+    algorithm for the same contract."""
+    from python_etl_mailing_automation_spark.datapipe.text import phrase_search
+
+    return phrase_search(_t(spark, sf, "documents"), "order fast")
+
+
+def q_edit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance similarity self-join (datapipe/ssjoin
+    .edit_distance_join, PassJoin segment blocking): all customer-name
+    pairs within Levenshtein distance 1, over the customers plus a
+    planted twin per 10th customer (append / substitute / delete one
+    trailing char by custkey mod 30 — exercising all three edit kinds
+    and both the same-length and cross-length probe paths). The oracle
+    is the quadratic cross-join + levenshtein filter; the engine never
+    builds it (segment equi-join + verify only). The default entropy
+    segmenter is load-bearing here: customer names share the constant
+    prefix "Customer#", the even-split pathology SCALING.md measures."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        edit_distance_join,
+    )
+
+    basec = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey").isNotNull() & F.col("c_name").isNotNull())
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("s"))
+    )
+    twins = basec.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.when(F.col("id") % 30 == 0, F.concat(F.col("s"), F.lit("X")))
+        .when(
+            F.col("id") % 30 == 10,
+            F.concat(
+                F.substring(F.col("s"), 1, F.length("s") - 1), F.lit("X")
+            ),
+        )
+        .otherwise(F.substring(F.col("s"), 1, F.length("s") - 1))
+        .alias("s"),
+    )
+    uni = basec.unionByName(twins)
+    return edit_distance_join(uni, "id", "s", max_edits=1)
+
+
+def q_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency profiling (datapipe/quality.fd_violations):
+    does user_id → event_type hold in events? Every violating user with
+    row count, distinct non-NULL event types, and the deterministic
+    min/max example pair — two stacked keyed aggregates, state bounded
+    by distinct dependents per group."""
+    from python_etl_mailing_automation_spark.datapipe.quality import fd_violations
+
+    return fd_violations(_t(spark, sf, "events"), ["user_id"], "event_type")
+
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (datapipe/quality.k_anonymity):
+    quasi-identifiers (nation, market segment) over customers with the
+    account-balance sign as the sensitive attribute — class sizes,
+    violates-k flags at k=5, and per-class sensitive diversity, one
+    shuffle via the (QI, sensitive) pre-aggregate."""
+    from python_etl_mailing_automation_spark.datapipe.quality import k_anonymity
+
+    cust = _t(spark, sf, "customer").withColumn(
+        "bal_sign", F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("pos"))
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="bal_sign"
+    )
+
+
+def q_ewma_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated dyadic EWMA (datapipe/timeseries.ewma_dyadic): per-user
+    exponentially-weighted rolling mean of event values, window 8,
+    weights 2^(7-lag), values on the 2^20 grid — BIGINT sums end to
+    end, ONE double division, so the smoothed series crosses engines
+    bit-identically. The bounded contribution-explode shape, not a
+    per-row array rescan."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import ewma_dyadic
+
+    ev = _t(spark, sf, "events")
+    out = ewma_dyadic(
+        ev, "user_id", "ts", "value",
+        window=8, grid_bits=20, order_cols=["value", "event_id"],
+    )
+    return out.select("user_id", "event_id", "value", "ewma")
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking (datapipe/ssjoin
+    .sorted_neighborhood_pairs): per market segment, candidate pairs
+    within 3 sort positions of each other by name — ONE exchange, pairs
+    from a bounded lead-array explode; the oracle runs the rank
+    self-join the engine never builds."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf, "customer"),
+        "c_custkey",
+        "c_name",
+        window=3,
+        block_col="c_mktsegment",
+    )
+
+
+def q_linkage_clusters_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution composition: PassJoin edit-distance pairs
+    (d=1, entropy-balanced blocking) over customers + planted twins →
+    connected-component closure (datapipe/dedup.dedup_clusters min-label
+    propagation) → (id, cluster_id) mapping. The oracle chains the
+    quadratic levenshtein pair build into the house recursive-CTE
+    reachability fixpoint — two independently-derived closures of the
+    same match graph."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import dedup_clusters
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        edit_distance_join,
+    )
+
+    basec = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey").isNotNull() & F.col("c_name").isNotNull())
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("s"))
+    )
+    twins = basec.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + F.lit(10_000_000)).alias("id"),
+        F.when(F.col("id") % 30 == 0, F.concat(F.col("s"), F.lit("X")))
+        .when(
+            F.col("id") % 30 == 10,
+            F.concat(
+                F.substring(F.col("s"), 1, F.length("s") - 1), F.lit("X")
+            ),
+        )
+        .otherwise(F.substring(F.col("s"), 1, F.length("s") - 1))
+        .alias("s"),
+    )
+    uni = basec.unionByName(twins)
+    pairs = edit_distance_join(uni, "id", "s", max_edits=1)
+    return dedup_clusters(
+        uni, pairs, id_col="id", id_a="id_a", id_b="id_b", max_iterations=30
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -3561,6 +3759,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_exact": q_stratified_exact,
         "compaction_plan": q_compaction_plan,
         "interpolate_linear": q_interpolate_linear,
+        "skyline_parts": q_skyline_parts,
+        "cdf_normalize": q_cdf_normalize,
+        "cohort_retention": q_cohort_retention,
+        "collocations": q_collocations,
+        "phrase_search": q_phrase_search,
+        "edit_join": q_edit_join,
+        "fd_violations": q_fd_violations,
+        "k_anonymity": q_k_anonymity,
+        "ewma_events": q_ewma_events,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "linkage_clusters_e2e": q_linkage_clusters_e2e,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -7239,4 +7448,186 @@ def oracle_sql() -> dict[str, str]:
          CAST(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS kept
   FROM ({_kmeans_sql(src="surv")}) k
   LEFT JOIN ({_semantic_dedup_sql(src="surv")}) s ON k.vec_id = s.vec_id""",
+        # Pareto frontier: the oracle is the textbook quadratic
+        # NOT EXISTS dominance test over distinct points; the engine
+        # never builds it (single-window sweep).
+        "skyline_parts": """
+  WITH sky_pts AS (SELECT p_brand, p_retailprice, p_size,
+                          CAST(COUNT(*) AS BIGINT) AS n_rows
+                   FROM part
+                   WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+                   GROUP BY 1, 2, 3)
+  SELECT p_brand, p_retailprice, p_size, n_rows FROM sky_pts r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sky_pts s
+    WHERE s.p_brand = r.p_brand
+      AND s.p_retailprice <= r.p_retailprice AND s.p_size >= r.p_size
+      AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size))""",
+        # Rank/CDF scaling: RANK ties are tie-stable so no arbitrary
+        # order leaks; (rnk-1)/(n-1) is the single mirrored division.
+        "cdf_normalize": """
+  WITH cdf_r AS (SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice) AS BIGINT) AS rnk,
+           CAST(COUNT(o_totalprice) OVER (
+                             PARTITION BY o_orderpriority) AS BIGINT) AS n_group
+         FROM orders)
+  SELECT o_orderkey, o_orderpriority, rnk, n_group,
+         CASE WHEN n_group = 1 THEN 0.0
+              ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n_group - 1 AS DOUBLE)
+         END AS cdf
+  FROM cdf_r""",
+        # Cohort retention on integer epoch-weeks (days // 7) — immune
+        # to the engines' conflicting week-truncation conventions.
+        "cohort_retention": """
+  WITH cr_a AS (SELECT DISTINCT user_id AS u,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                    AS week
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+  cr_t AS (SELECT u, week,
+                  MIN(week) OVER (PARTITION BY u) AS cohort_week FROM cr_a),
+  cr_c AS (SELECT cohort_week, week - cohort_week AS week_offset,
+                  CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM cr_t GROUP BY 1, 2),
+  cr_s AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+           FROM cr_t WHERE week = cohort_week GROUP BY 1)
+  SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
+         CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention
+  FROM cr_c c JOIN cr_s s USING (cohort_week)""",
+        # Bigram PMI lift as the exact integer rational
+        # c_xy*N_tok^2 / (N_big*c_x*c_y): one mirrored double division,
+        # ranking == log-PMI ranking (log is monotone).
+        "collocations": f"""
+  WITH col_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  col_uni AS (SELECT unnest(toks) AS word FROM col_tok),
+  col_uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w
+             FROM col_uni GROUP BY 1),
+  col_nt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tok FROM col_uc),
+  col_big AS (SELECT unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM col_tok),
+  col_bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+             FROM col_big GROUP BY 1 HAVING COUNT(*) >= 3),
+  col_nb AS (SELECT CAST(SUM(CASE WHEN len(toks) >= 2
+                                  THEN len(toks) - 1 ELSE 0 END) AS BIGINT)
+                      AS n_big FROM col_tok)
+  SELECT b.bigram, b.c_xy, u1.c_w AS c_x, u2.c_w AS c_y,
+         CAST(b.c_xy * t.n_tok * t.n_tok AS DOUBLE)
+           / CAST(n.n_big * u1.c_w * u2.c_w AS DOUBLE) AS lift
+  FROM col_bc b
+  JOIN col_uc u1 ON u1.word = string_split(b.bigram, ' ')[1]
+  JOIN col_uc u2 ON u2.word = string_split(b.bigram, ' ')[2]
+  CROSS JOIN col_nt t CROSS JOIN col_nb n
+  ORDER BY lift DESC, bigram LIMIT 30""",
+        # Phrase retrieval: the oracle rescans each token list per row
+        # (list_filter over positions) — a different algorithm than the
+        # engine's positional-posting joins, same contract.
+        "phrase_search": f"""
+  WITH ph_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  ph_m AS (SELECT doc_id,
+                  list_filter(range(1, len(toks)),
+                    i -> toks[i] = 'order' AND toks[i + 1] = 'fast') AS hits
+           FROM ph_tok)
+  SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+         CAST(hits[1] AS BIGINT) AS first_pos
+  FROM ph_m WHERE len(hits) > 0""",
+        # PassJoin edit-distance join: the oracle IS the quadratic
+        # cross-join + levenshtein the engine's segment blocking avoids.
+        "edit_join": """
+  WITH ej_base AS (SELECT c_custkey AS id, c_name AS s FROM customer
+                   WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+  ej_tw AS (SELECT id + 10000000 AS id,
+                   CASE WHEN id % 30 = 0 THEN s || 'X'
+                        WHEN id % 30 = 10
+                          THEN substr(s, 1, length(s) - 1) || 'X'
+                        ELSE substr(s, 1, length(s) - 1) END AS s
+            FROM ej_base WHERE id % 10 = 0),
+  ej_u AS (SELECT * FROM ej_base UNION ALL SELECT * FROM ej_tw)
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+  FROM ej_u a JOIN ej_u b ON a.id < b.id
+  WHERE levenshtein(a.s, b.s) <= 1""",
+        # FD profiling: distinct NON-NULL dependents per determinant
+        # group (NULL is a marker, not a value — two NULLs don't clash).
+        "fd_violations": """
+  WITH fd_p AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+  fd_g AS (SELECT user_id,
+                  CAST(SUM(n) AS BIGINT) AS n_rows,
+                  CAST(COUNT(event_type) AS BIGINT) AS n_distinct_dep,
+                  MIN(event_type) AS dep_min,
+                  MAX(event_type) AS dep_max
+           FROM fd_p GROUP BY 1)
+  SELECT * FROM fd_g WHERE n_distinct_dep > 1""",
+        # k-anonymity / l-diversity over QI equivalence classes; the
+        # l count rides a (QI, sensitive) pre-aggregate.
+        "k_anonymity": """
+  WITH ka_p AS (SELECT c_nationkey, c_mktsegment,
+                       CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END
+                         AS bal_sign,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM customer GROUP BY 1, 2, 3)
+  SELECT c_nationkey, c_mktsegment,
+         CAST(SUM(n) AS BIGINT) AS class_size,
+         CAST(COUNT(bal_sign) AS BIGINT) AS l_diversity,
+         CAST(CASE WHEN SUM(n) < 5 THEN 1 ELSE 0 END AS INT) AS violates_k
+  FROM ka_p GROUP BY 1, 2""",
+        # Dyadic EWMA: integer weighted sums (value on the 2^20 grid,
+        # weights 1<<(7-lag)), one mirrored double division.
+        "ewma_events": """
+  WITH ew_e AS (SELECT user_id, event_id, ts, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, value, event_id) AS pos,
+                  CAST(floor(value * 1048576.0) AS BIGINT) AS xg
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL),
+  ew_l(i) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7)),
+  ew_c AS (SELECT user_id, pos + i AS tpos,
+                  xg * (1::BIGINT << (7 - i)) AS np,
+                  (1::BIGINT << (7 - i)) AS wp
+           FROM ew_e, ew_l),
+  ew_s AS (SELECT user_id, tpos,
+                  CAST(SUM(np) AS BIGINT) AS num,
+                  CAST(SUM(wp) AS BIGINT) AS den
+           FROM ew_c GROUP BY 1, 2)
+  SELECT e.user_id, e.event_id, e.value,
+         CAST(s.num AS DOUBLE) / CAST(s.den * 1048576 AS DOUBLE) AS ewma
+  FROM ew_e e JOIN ew_s s ON s.user_id = e.user_id AND s.tpos = e.pos""",
+        # SNM blocking: the oracle is the rank self-join the engine's
+        # lead-array explode avoids.
+        "sorted_neighborhood": """
+  WITH snm_b AS (SELECT c_mktsegment AS seg, c_custkey AS id, c_name AS nm
+                 FROM customer
+                 WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+  snm_r AS (SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY seg ORDER BY nm, id) AS rn FROM snm_b)
+  SELECT a.seg AS c_mktsegment, a.id AS id_a, b.id AS id_b,
+         a.nm AS key_a, b.nm AS key_b
+  FROM snm_r a JOIN snm_r b
+    ON a.seg = b.seg AND b.rn > a.rn AND b.rn <= a.rn + 2""",
+        # ER composition: quadratic levenshtein pair build feeding the
+        # house recursive reachability fixpoint.
+        "linkage_clusters_e2e": """
+  WITH RECURSIVE lk_base AS (SELECT c_custkey AS id, c_name AS s FROM customer
+                   WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+  lk_tw AS (SELECT id + 10000000 AS id,
+                   CASE WHEN id % 30 = 0 THEN s || 'X'
+                        WHEN id % 30 = 10
+                          THEN substr(s, 1, length(s) - 1) || 'X'
+                        ELSE substr(s, 1, length(s) - 1) END AS s
+            FROM lk_base WHERE id % 10 = 0),
+  lk_u AS (SELECT * FROM lk_base UNION ALL SELECT * FROM lk_tw),
+  lk_p AS (SELECT a.id AS ia, b.id AS ib
+           FROM lk_u a JOIN lk_u b ON a.id < b.id
+           WHERE levenshtein(a.s, b.s) <= 1),
+  lk_edges AS (SELECT ia AS src, ib AS dst FROM lk_p
+               UNION ALL SELECT ib, ia FROM lk_p),
+  lk_reach(node, r) AS (
+    SELECT id, id FROM lk_u
+    UNION
+    SELECT e.src, lk_reach.r FROM lk_reach
+    JOIN lk_edges e ON e.dst = lk_reach.node)
+  SELECT node AS id, MIN(r) AS cluster_id FROM lk_reach GROUP BY node""",
     }

@@ -201,6 +201,17 @@ BENCH_QUERIES = [
     "stratified_exact",
     "compaction_plan",
     "interpolate_linear",
+    "skyline_parts",
+    "cdf_normalize",
+    "cohort_retention",
+    "collocations",
+    "phrase_search",
+    "edit_join",
+    "fd_violations",
+    "k_anonymity",
+    "ewma_events",
+    "sorted_neighborhood",
+    "linkage_clusters_e2e",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -47,7 +47,12 @@ from .packing import (  # noqa: F401
     to_prompt_completion,
 )
 from .pii import pii_free, pseudonymize, redact_pii  # noqa: F401
+from .frontier import skyline_2d  # noqa: F401
+from .quality import fd_violations, k_anonymity  # noqa: F401
+from .ssjoin import edit_distance_join, sorted_neighborhood_pairs  # noqa: F401
+from .timeseries import cohort_retention, ewma_dyadic  # noqa: F401
 from .stats import (  # noqa: F401
+    cdf_normalize,
     corpus_stats,
     exact_corr,
     exact_skew_kurt,
@@ -74,9 +79,11 @@ from .contamination import (  # noqa: F401
 from .similarity import ann_bucket_topk, cosine_topk  # noqa: F401
 from .text import (  # noqa: F401
     chunk_documents,
+    collocations,
     doc_fingerprint,
     gopher_quality,
     lang_id,
+    phrase_search,
     posting_lists,
     quality_score,
     repetition_metrics,

@@ -275,3 +275,79 @@ def contract_gate(
         out_col,
         F.filter(F.array(*flags), lambda x: x.isNotNull()),
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant_cols: list[str],
+    dependent_col: str,
+) -> DataFrame:
+    """Functional-dependency profiling: for the candidate FD
+    ``determinant_cols → dependent_col``, report every determinant
+    group that witnesses a violation (more than one distinct dependent
+    value), with the group's row count, distinct dependent count, and
+    the lexicographic min/max dependent values as a deterministic
+    example pair — the schema-discovery complement of
+    :func:`constraint_report` (that checks declared row-local rules;
+    this measures whether an UNdeclared key relationship actually
+    holds, the first question of any inherited-table audit).
+
+    Scale shape: one (determinant, dependent) pre-aggregate collapses
+    duplicate facts map-side, then one determinant-keyed aggregate over
+    the distinct pairs — state per group bounded by its distinct
+    dependent values, never its row count. NULL dependents count as a
+    distinct value (an FD to NULL-or-value is still a violation under
+    the SQL-standard "NULL is a marker, not a value" reading we make
+    explicit here: NULL != NULL, so two NULLs alone do NOT violate).
+    """
+    dep = F.col(dependent_col)
+    pairs = df.groupBy(*determinant_cols, dependent_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    out = pairs.groupBy(*determinant_cols).agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(dep).cast("long").alias("n_distinct_dep"),
+        F.min(dep).alias("dep_min"),
+        F.max(dep).alias("dep_max"),
+    )
+    return out.filter(F.col("n_distinct_dep") > 1)
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier columns:
+    one row per QI equivalence class with its size, a ``violates_k``
+    flag (size < k — the class is re-identifiable), and, when
+    ``sensitive_col`` is given, the class's distinct sensitive-value
+    count (its l-diversity — a k-anonymous class with one sensitive
+    value still leaks that value). The release-gate audit a
+    training-data pipeline runs after :func:`redact_pii` and before
+    export: redaction removes direct identifiers; this measures
+    whether the REMAINING columns still single people out.
+
+    Scale shape: one keyed aggregate on the QI tuple (map-side
+    combined); the l-diversity count rides the same shuffle via a
+    (QI, sensitive) pre-aggregate, never a count-distinct expand.
+    NULL QI values group together (SQL GROUP BY semantics) — a NULL
+    birthdate is itself a quasi-identifying fact.
+    """
+    if sensitive_col is None:
+        classes = df.groupBy(*quasi_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("class_size")
+        )
+    else:
+        pre = df.groupBy(*quasi_cols, sensitive_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        classes = pre.groupBy(*quasi_cols).agg(
+            F.sum("__n").cast("long").alias("class_size"),
+            F.count(F.col(sensitive_col)).cast("long").alias("l_diversity"),
+        )
+    return classes.withColumn(
+        "violates_k", (F.col("class_size") < F.lit(int(k))).cast("int")
+    )

@@ -886,3 +886,49 @@ def impute_missing(
     return joined.withColumn(
         out_col, F.coalesce(v, F.col("__fill"))
     ).drop("__fill")
+
+
+def cdf_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+    out_col: str = "cdf",
+) -> DataFrame:
+    """Rank-based (CDF / percent-rank) feature scaling: map each value
+    to its empirical quantile in [0, 1] within its group — the
+    outlier-immune alternative to :func:`zscore_normalize` (a z-score
+    moves with every tail point; a rank only moves if order changes).
+    The house quality-scoring recipe for mixing heterogeneous signals:
+    rank-normalize each, then combine.
+
+    Emits the exact integer witnesses ``rnk`` (1-based, ties share the
+    smallest rank — SQL RANK()) and ``n_group``, plus ``out_col`` =
+    (rnk-1)/(n_group-1) as the ONE double division (0.0 for a
+    single-row group). NULL values pass through with NULL rank/cdf
+    rather than poisoning the group's ranks.
+
+    Scale shape: one per-group window (single hash exchange + in-key
+    sort) and a count over the same window — no join, no second
+    shuffle. Ties make the output deterministic regardless of
+    partitioning: equal values get equal ranks, so no arbitrary
+    tie-break order leaks into the result.
+    """
+    keys = [group_col] if group_col else []
+    v = F.col(value_col)
+    # NULLS FIRST pins every NULL at rank 1 (window ordering treats
+    # NULLs as equal), so non-NULL ranks are the raw rank minus the
+    # group's NULL count — engine-independent, unlike the engines'
+    # conflicting ASC defaults (Spark NULLS FIRST, DuckDB NULLS LAST).
+    w = Window.partitionBy(*keys).orderBy(v.asc_nulls_first())
+    wn = Window.partitionBy(*keys)
+    n_nulls = (F.count(F.lit(1)).over(wn) - F.count(v).over(wn)).cast("long")
+    rnk = F.when(v.isNotNull(), F.rank().over(w) - n_nulls).cast("long")
+    n = F.count(v).over(wn).cast("long")
+    cdf = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).when(n == 1, F.lit(0.0)).otherwise(
+        (rnk - F.lit(1)).cast("double") / (n - F.lit(1)).cast("double")
+    )
+    out = df.withColumn("rnk", rnk).withColumn("n_group", n)
+    return out.withColumn(out_col, cdf)

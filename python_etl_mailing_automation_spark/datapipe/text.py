@@ -718,3 +718,123 @@ def keyword_search(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def collocations(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 30,
+) -> DataFrame:
+    """Bigram collocation mining: rank adjacent word pairs by
+    association strength — the phrase-discovery pass that feeds
+    tokenizer vocabularies and boilerplate phrase lists. The score is
+    the PMI lift ``p(xy) / (p(x)·p(y))`` kept as the exact integer
+    rational ``c_xy·N_tok² / (N_big·c_x·c_y)`` — log-free, so the value
+    (and therefore the ranking) is bit-identical cross-engine: one
+    double division over two exact BIGINT products. (log(score) is
+    monotone, so the log-PMI ranking is THIS ranking.)
+
+    Scale shape: one bigram explode + one unigram explode, each a keyed
+    count with map-side combine; the two corpus totals are one-row
+    frames broadcast back; unigram counts join the bigram frame twice
+    on the word — both sides are vocabulary-sized, orders of magnitude
+    below corpus size, and the hot-key risk is capped because a
+    bigram's count can never exceed its rarer word's. The final top-k
+    is orderBy+limit → TakeOrderedAndProject per-partition heaps.
+
+    Integer range: c_xy·N_tok² stays under int64 through corpus sizes
+    of ~2M tokens with 100k-count bigrams; past that the same algebra
+    should be re-cast to DECIMAL(38,0) (the house HUGEINT twin).
+    """
+    toks = tokens_of(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = spread_for_explode(df, id_col)
+    big = (
+        base.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    uni = (
+        base.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    )
+    totals = uni.agg(
+        F.sum("c_w").cast("long").alias("n_tok"),
+    )
+    n_big = base.select(
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).cast("long").alias("n_big")
+    )
+    split = F.split(F.col("bigram"), " ", 2)
+    scored = (
+        big.withColumn("w1", split.getItem(0))
+        .withColumn("w2", split.getItem(1))
+        .join(uni.select(F.col("word").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_big))
+        .withColumn(
+            "lift",
+            (F.col("c_xy") * F.col("n_tok") * F.col("n_tok")).cast("double")
+            / (F.col("n_big") * F.col("c_x") * F.col("c_y")).cast("double"),
+        )
+    )
+    return scored.select(
+        "bigram", "c_xy", "c_x", "c_y", "lift"
+    ).orderBy(F.col("lift").desc(), F.col("bigram")).limit(top_k)
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase retrieval via positional posting intersection: find
+    every document containing the whitespace-tokenized ``phrase`` as a
+    contiguous token run, with the match count and first position
+    (1-based) — the inverted-index complement of :func:`keyword_search`
+    (that matches ANY term; this matches the exact sequence).
+
+    Scale shape: the positional postings are posexplode rows FILTERED
+    to the phrase's terms before any shuffle (the selective IN
+    predicate runs scan-side, so a 100 TB corpus contributes only its
+    phrase-term occurrences). Term i's postings equi-join term 0's on
+    (doc, pos + i) — len(phrase)-1 hash joins on (doc, position) keys,
+    each side already collapsed to single-term postings; never a
+    per-document array rescan of the corpus. Duplicate-free by
+    construction: (doc, pos) is unique per term.
+    """
+    words = phrase.split()
+    if not words:
+        raise ValueError("phrase_search: empty phrase")
+    toks = tokens_of(text_col)
+    posts = (
+        spread_for_explode(df, id_col)
+        .select(F.col(id_col).alias("__doc"), F.posexplode(toks).alias("pos", "term"))
+        .filter(F.col("term").isin(words))
+        # 1-based positions: the cross-engine convention (DuckDB
+        # list indexes are 1-based).
+        .withColumn("pos", F.col("pos") + F.lit(1))
+    )
+    anchor = posts.filter(F.col("term") == words[0]).select("__doc", "pos")
+    for i, w in enumerate(words[1:], start=1):
+        nxt = posts.filter(F.col("term") == w).select(
+            F.col("__doc"), (F.col("pos") - F.lit(i)).alias("pos")
+        )
+        anchor = anchor.join(nxt, on=["__doc", "pos"])
+    return anchor.groupBy(F.col("__doc").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

@@ -394,3 +394,128 @@ def interpolate_linear(
         .when(next_.isNotNull(), next_.getField("x"))
     )
     return base.withColumn(out_col, filled).drop("__us")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention matrix: group users by first-activity week, then
+    for each (cohort, weeks-since-first) cell count how many of the
+    cohort's users were active — the standard growth/engagement rollup
+    and, for corpus work, the contributor-churn view of a crawl.
+
+    Week index is ``days_since_epoch div 7`` — a pure integer, never an
+    engine's date_trunc week convention (ISO-vs-US week starts are the
+    classic cross-engine mismatch). Retention is emitted as the exact
+    integer pair (``n_active``, ``n_cohort``) plus ONE double division.
+
+    Scale shape: distinct (user, week) collapse, then the per-user
+    cohort week is a window MIN over the SAME user-hash partitioning —
+    no user-level self-join, one exchange covers both. The retention
+    cells are one (cohort, offset) count; cohort sizes live in a frame
+    of one row per cohort week — broadcast back, never a window over
+    the full activity table. NULL user/ts rows are dropped (no
+    activity identity to retain).
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    week = F.expr(
+        f"datediff(cast({ts_col} as date), date'1970-01-01') div 7"
+    ).cast("long")
+    active = (
+        df.filter(u.isNotNull() & t.isNotNull())
+        .select(u.alias("__u"), week.alias("week"))
+        .distinct()
+    )
+    wu = Window.partitionBy("__u")
+    tagged = active.withColumn("cohort_week", F.min("week").over(wu))
+    cells = tagged.groupBy(
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    sizes = (
+        tagged.filter(F.col("week") == F.col("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    )
+    return cells.join(F.broadcast(sizes), on="cohort_week").withColumn(
+        "retention",
+        F.col("n_active").cast("double") / F.col("n_cohort").cast("double"),
+    )
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window: int = 8,
+    grid_bits: int = 20,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average with dyadic
+    decay 1/2: per key, over each row's trailing ``window`` events,
+    the weighted mean with weights 2^(window-1-lag) — the smoothing
+    primitive of monitoring/trend pipelines, built grid-exact so the
+    result crosses engines bit-identically (a float recurrence
+    ``ewma = a*x + (1-a)*ewma`` is order-fragile; this is not).
+
+    Exactness: values land on the floor(v·2^grid_bits) integer grid;
+    every weighted sum is BIGINT; ONE double division at the end
+    (num / (den·2^grid_bits)). Early rows (fewer than ``window``
+    predecessors) renormalize over the weights actually present —
+    the standard "adjusted" EWMA convention.
+
+    Scale shape: NOT a per-row array scan — each event contributes to
+    its next ``window`` positions via a bounded explode (window ×
+    rows), collapsed by one (key, position) aggregate, then one
+    equi-join back to the anchor rows. All exchanges hash on the key;
+    a hot key costs window× its rows, same bound as its window scan.
+    ``order_cols`` breaks timestamp ties deterministically (defaults
+    to the value column — document YOUR tiebreak at call sites).
+    """
+    if window < 1 or window > 62:
+        raise ValueError("ewma_dyadic: window must be in [1, 62]")
+    tiebreak = order_cols or [value_col]
+    w_order = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    grid = F.floor(F.col(value_col).cast("double") * F.lit(float(2 ** grid_bits))).cast("long")
+    base = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .withColumn("__pos", F.row_number().over(w_order).cast("long"))
+        .withColumn("__xg", grid)
+    )
+    lag = F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__lag")
+    weight = F.expr(f"shiftleft(1L, {window - 1} - __lag)").cast("long")
+    contrib = base.select(
+        F.col(key_col).alias("__k"), "__pos", "__xg", lag
+    ).select(
+        "__k",
+        (F.col("__pos") + F.col("__lag")).alias("__tpos"),
+        (F.col("__xg") * weight).alias("__num_part"),
+        weight.alias("__w_part"),
+    )
+    sums = contrib.groupBy("__k", "__tpos").agg(
+        F.sum("__num_part").cast("long").alias("__num"),
+        F.sum("__w_part").cast("long").alias("__den"),
+    )
+    return (
+        base.join(
+            sums,
+            (base["__pos"] == sums["__tpos"])
+            & (base[key_col] == sums["__k"]),
+        )
+        .withColumn(
+            "ewma",
+            F.col("__num").cast("double")
+            / (F.col("__den") * F.lit(2 ** grid_bits)).cast("double"),
+        )
+        .drop("__k", "__tpos", "__pos", "__xg", "__num", "__den")
+    )

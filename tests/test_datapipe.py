@@ -3175,3 +3175,241 @@ def test_interpolate_linear_fills_on_the_line(spark):
     assert out[("a", at(5))] == 30.0
     assert out[("b", at(0))] == 7.0
     assert out[("c", at(0))] is None
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    from python_etl_mailing_automation_spark.datapipe.frontier import skyline_2d
+
+    rows = [
+        ("g", 1.0, 5), ("g", 2.0, 7), ("g", 2.0, 7), ("g", 3.0, 7),
+        ("g", 1.5, 5), ("g", 0.5, 1), ("h", 9.0, 1), ("g", None, 9),
+    ]
+    df = spark.createDataFrame(rows, "k string, price double, qual int")
+    got = {
+        (r.k, r.price, r.qual, r.n_rows)
+        for r in skyline_2d(df, "price", "qual", key_col="k").collect()
+    }
+    # brute force: point survives iff nothing <=price & >=qual strictly better
+    pts = [(k, p, q) for k, p, q in rows if p is not None and q is not None]
+    from collections import Counter
+
+    mult = Counter(pts)
+    expect = set()
+    for (k, p, q), n in mult.items():
+        dominated = any(
+            k2 == k and p2 <= p and q2 >= q and (p2 < p or q2 > q)
+            for (k2, p2, q2) in mult
+        )
+        if not dominated:
+            expect.add((k, p, q, n))
+    assert got == expect
+    # duplicate frontier point carries its multiplicity
+    assert ("g", 2.0, 7, 2) in got
+
+
+def test_cdf_normalize_ranks_ignore_nulls(spark):
+    from python_etl_mailing_automation_spark.datapipe.stats import cdf_normalize
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 30.0), ("a", 10.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    out = {
+        (r.g, r.v, r.rnk, r.n_group, r.cdf)
+        for r in cdf_normalize(df, "v", group_col="g").collect()
+    }
+    # NULL passes through unranked; ties share rank 1; n counts non-NULLs
+    assert ("a", None, None, 3, None) in out
+    assert ("a", 10.0, 1, 3, 0.0) in out
+    assert ("a", 30.0, 3, 3, 1.0) in out
+    # single-row group maps to 0.0, not a 0/0 division
+    assert ("b", 7.0, 1, 1, 0.0) in out
+
+
+def test_cohort_retention_counts_and_offsets(spark):
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        cohort_retention,
+    )
+    import datetime as dt
+
+    day = lambda d: dt.datetime(2024, 1, 1) + dt.timedelta(days=d)  # noqa: E731
+    rows = [
+        ("u1", day(0)), ("u1", day(1)),  # same week: one active cell
+        ("u1", day(14)),                 # offset 2
+        ("u2", day(0)),                  # same cohort as u1
+        ("u3", day(14)),                 # later cohort
+        (None, day(0)), ("u4", None),    # dropped
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset, r.n_active, r.n_cohort)
+        for r in cohort_retention(df, "user", "ts").collect()
+    }
+    w0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days // 7
+    assert got == {
+        (w0, 0, 2, 2),        # u1+u2 in their first week
+        (w0, 2, 1, 2),        # only u1 returns two weeks later
+        (w0 + 2, 0, 1, 1),    # u3's own cohort
+    }
+
+
+def test_collocations_exact_rational_lift(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import collocations
+
+    df = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "x y q")], "doc_id long, text string"
+    )
+    out = {r.bigram: r for r in collocations(df, min_count=2, top_k=10).collect()}
+    r = out["x y"]
+    # c_xy=3, N_tok=8, N_big=6, c_x=3, c_y=3 -> 3*64/(6*9) = 32/9
+    assert (r.c_xy, r.c_x, r.c_y) == (3, 3, 3)
+    assert r.lift == (3 * 8 * 8) / (6 * 3 * 3)
+
+
+def test_phrase_search_counts_overlapping_runs(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a a a"), (3, "b a")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.n_matches, r.first_pos)
+        for r in phrase_search(df, "a b").collect()
+    }
+    assert got == {(1, 2, 1)}
+    # repeated-token phrase: overlapping occurrences all count
+    got2 = {
+        (r.doc_id, r.n_matches, r.first_pos)
+        for r in phrase_search(df, "a a").collect()
+    }
+    assert got2 == {(2, 2, 1)}
+
+
+def test_edit_distance_join_matches_brute_force(spark):
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        edit_distance_join,
+    )
+    import itertools
+
+    words = [
+        (1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "sitting"),
+        (5, "kitten"), (6, "mitten"), (7, "cat"), (8, "act"), (9, "at"),
+        (10, "a"), (11, ""), (12, "kit"),
+    ]
+    df = spark.createDataFrame(words, "id long, s string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for d in (1, 2):
+        expect = {
+            (x[0], y[0], lev(x[1], y[1]))
+            for x, y in itertools.combinations(words, 2)
+            if lev(x[1], y[1]) <= d
+        }
+        for seg in ("entropy", "even"):
+            got = {
+                (r.id_a, r.id_b, r.dist)
+                for r in edit_distance_join(
+                    df, "id", "s", max_edits=d, segmenter=seg
+                ).collect()
+            }
+            assert got == expect, f"d={d} segmenter={seg}"
+        # reversal redistributes blocking entropy but NEVER changes the
+        # pair set (Levenshtein is invariant under reversing both sides)
+        rev = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(
+                df, "id", "s", max_edits=d, reverse_strings=True
+            ).collect()
+        }
+        assert rev == expect, f"reversed d={d}"
+
+
+def test_fd_violations_distinct_dep_counting(spark):
+    from python_etl_mailing_automation_spark.datapipe.quality import fd_violations
+
+    df = spark.createDataFrame(
+        [
+            ("z1", "BR", "São Paulo"), ("z1", "BR", "Rio"),   # violation
+            ("z2", "BR", "Recife"), ("z2", "BR", "Recife"),   # consistent
+            ("z3", "AR", None), ("z3", "AR", None),           # NULL-only: no violation
+            ("z4", "CL", "Santiago"), ("z4", "CL", None),     # value+NULL: 1 distinct
+        ],
+        "zip string, country string, city string",
+    )
+    out = {
+        (r.zip, r.n_rows, r.n_distinct_dep, r.dep_min, r.dep_max)
+        for r in fd_violations(df, ["zip", "country"], "city").collect()
+    }
+    assert out == {("z1", 2, 2, "Rio", "São Paulo")}
+
+
+def test_k_anonymity_class_sizes_and_l_diversity(spark):
+    from python_etl_mailing_automation_spark.datapipe.quality import k_anonymity
+
+    df = spark.createDataFrame(
+        [
+            (30, "F", "flu"), (30, "F", "flu"), (30, "F", "cold"),
+            (40, "M", "flu"),
+            (50, None, "ok"), (50, None, "ok"),
+        ],
+        "age int, sex string, dx string",
+    )
+    out = {
+        (r.age, r.sex, r.class_size, r.l_diversity, r.violates_k)
+        for r in k_anonymity(df, ["age", "sex"], k=2, sensitive_col="dx").collect()
+    }
+    assert out == {
+        (30, "F", 3, 2, 0),
+        (40, "M", 1, 1, 1),      # singleton class: re-identifiable
+        (50, None, 2, 1, 0),     # NULL QI groups together
+    }
+
+
+def test_ewma_dyadic_exact_weights(spark):
+    from python_etl_mailing_automation_spark.datapipe.timeseries import ewma_dyadic
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + dt.timedelta(minutes=i), float(v))
+            for i, v in enumerate([1, 2, 4, 8])]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {r.ts: r.ewma for r in ewma_dyadic(
+        df, "k", "ts", "v", window=3, grid_bits=4).collect()}
+    # window=3 weights (old->new): 1, 2, 4; grid 2^4 keeps these exact
+    assert out[rows[0][1]] == 1.0                      # 4*1/4
+    assert out[rows[1][1]] == (1 * 2 + 2 * 4) / 6      # weights 2,4
+    assert out[rows[2][1]] == (1 * 1 + 2 * 2 + 4 * 4) / 7
+    assert out[rows[3][1]] == (2 * 1 + 4 * 2 + 8 * 4) / 7
+
+
+def test_sorted_neighborhood_window_pairs(spark):
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b", "aa"), (2, "b", "ab"), (3, "b", "ac"), (4, "b", "zz"),
+         (5, "c", "aa"), (6, "c", "ab")],
+        "id long, blk string, name string",
+    )
+    got = {
+        (r.blk, r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=3, block_col="blk"
+        ).collect()
+    }
+    # window 3 = each record pairs with the next 2 in sort order, per block
+    assert got == {
+        ("b", 1, 2), ("b", 1, 3), ("b", 2, 3), ("b", 2, 4), ("b", 3, 4),
+        ("c", 5, 6),
+    }

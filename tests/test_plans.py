@@ -769,3 +769,80 @@ def test_interpolate_linear_single_key_exchange(plans):
     p = plans("interpolate_linear")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p and "Exchange rangepartitioning" not in p
+
+
+def test_skyline_is_windowed_sweep_not_self_join(plans):
+    # O(n log n) frontier: distinct-point agg + one window; the
+    # quadratic NOT EXISTS dominance join must never appear.
+    p = plans("skyline_parts")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_cdf_normalize_single_exchange_no_join(plans):
+    p = plans("cdf_normalize")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_cohort_retention_broadcasts_cohort_sizes(plans):
+    p = plans("cohort_retention")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # cohort-size frame, one row per week
+
+
+def test_collocations_no_cartesian_beyond_one_row_totals(plans):
+    # the two corpus totals ride one-row broadcasts; the word joins are
+    # hash equi-joins — never a cartesian over the vocabulary.
+    p = plans("collocations")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # n_tok / n_big one-row frames
+
+
+def test_phrase_search_positional_equi_joins(plans):
+    p = plans("phrase_search")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_edit_join_segment_blocking_no_cartesian(plans):
+    # PassJoin: candidates come from the (segment#, length, text)
+    # equi-join; the quadratic verify of the oracle must never appear.
+    p = plans("edit_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fd_violations_two_stacked_aggregates_no_join(plans):
+    p = plans("fd_violations")
+    assert "Join" not in p
+
+
+def test_k_anonymity_single_shuffle_pair(plans):
+    # (QI, sensitive) pre-agg + QI agg — no count-distinct expand, no join
+    p = plans("k_anonymity")
+    assert "Join" not in p
+    assert "Expand" not in p
+
+
+def test_ewma_contribution_explode_not_array_rescan(plans):
+    # bounded explode + (key, pos) aggregate + one equi-join back to the
+    # anchor rows; never a cartesian or per-row array state
+    p = plans("ewma_events")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sorted_neighborhood_single_exchange_no_self_join(plans):
+    # pairs come from the lead-array explode, not the oracle's rank
+    # self-join
+    p = plans("sorted_neighborhood")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_linkage_e2e_no_cartesian(plans):
+    p = plans("linkage_clusters_e2e")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
