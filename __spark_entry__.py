@@ -2611,33 +2611,6 @@ def q_copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
-    """Weekly cohort retention: users grouped by first-active week, then
-    distinct (user, week) activity counted per (cohort week, weeks
-    since) — two aggregations plus one min-window, the standard
-    retention triangle. Output counts only (no per-user rows leave the
-    aggregate)."""
-    events = _t(spark, sf, "events")
-    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
-    ua = events.select(
-        "user_id", wk.alias("w")
-    ).distinct()
-    first = ua.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
-    joined = ua.join(first, on="user_id")
-    offset = (
-        (F.unix_micros(F.col("w")) - F.unix_micros(F.col("cohort_w")))
-        / F.lit(604_800_000_000)
-    ).cast("long")
-    return (
-        joined.select(
-            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
-            offset.alias("weeks_since"),
-        )
-        .groupBy("cohort_week", "weeks_since")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
 def q_rollup_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-level ROLLUP aggregation (Spark `rollup` ≡ SQL GROUP BY
     ROLLUP): per (lang, source), per lang, and grand-total document
@@ -3668,6 +3641,55 @@ def q_linkage_clusters_e2e(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric-proximity band join (operators/joins.band_join_self):
+    per-user event pairs within 600 s of each other — bucket-neighbor
+    blocking (3 probe buckets per row) turns the theta-join into an
+    equi-join; the oracle runs the quadratic per-user range join the
+    engine never plans."""
+    from python_etl_mailing_automation_spark.operators.joins import band_join_self
+
+    ev = _t(spark, sf, "events").withColumn(
+        "epoch_s", F.col("ts").cast("long")
+    )
+    return band_join_self(
+        ev, "event_id", "epoch_s", delta=600, key_col="user_id"
+    )
+
+
+def q_domain_quality_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level curation composition (the CCNet/RefinedWeb move:
+    score the DOMAIN, not just the page): per-source token and stopword
+    totals roll up, a source is blocked when its corpus-wide stopword
+    mass exceeds 7% by exact integer cross-multiplication (no float in
+    the decision — the synthetic corpus clusters at 6-7.6%, so the gate
+    genuinely splits it), and documents survive by broadcast semi-join against
+    the good-source frame — one doc-side aggregate, one source-sized
+    broadcast, zero quadratic anything."""
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_src"),
+        F.sum("n_tok").cast("long").alias("tok_src"),
+        F.sum("n_stop").cast("long").alias("stop_src"),
+    )
+    good = per_src.filter(
+        F.col("stop_src") * F.lit(1000) <= F.col("tok_src") * F.lit(70)
+    )
+    return per_doc.join(F.broadcast(good), on="source").select(
+        "doc_id", "source", "n_tok", "n_docs_src", "tok_src", "stop_src"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -3761,7 +3783,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": q_interpolate_linear,
         "skyline_parts": q_skyline_parts,
         "cdf_normalize": q_cdf_normalize,
-        "cohort_retention": q_cohort_retention,
         "collocations": q_collocations,
         "phrase_search": q_phrase_search,
         "edit_join": q_edit_join,
@@ -3770,6 +3791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_events": q_ewma_events,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linkage_clusters_e2e": q_linkage_clusters_e2e,
+        "band_join": q_band_join,
+        "domain_quality_e2e": q_domain_quality_e2e,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -6764,18 +6787,6 @@ def oracle_sql() -> dict[str, str]:
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 3""",
-        # Cohort retention: weeks are exact 604800e6-us multiples under
-        # the UTC session, so the offset division is integer-exact.
-        "cohort_retention": """
-  WITH cr_ua AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
-                 FROM events),
-  cr_fw AS (SELECT user_id, MIN(w) AS cw FROM cr_ua GROUP BY 1)
-  SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
-         CAST(date_diff('microsecond', cw, w) / 604800000000.0 AS BIGINT)
-           AS weeks_since,
-         COUNT(*) AS n_users
-  FROM cr_ua JOIN cr_fw USING (user_id)
-  GROUP BY 1, 2""",
         # ROLLUP: GROUPING bitmask shares Spark's grouping_id convention
         # (leftmost column = most significant bit).
         "rollup_stats": f"""
@@ -7630,4 +7641,35 @@ def oracle_sql() -> dict[str, str]:
     SELECT e.src, lk_reach.r FROM lk_reach
     JOIN lk_edges e ON e.dst = lk_reach.node)
   SELECT node AS id, MIN(r) AS cluster_id FROM lk_reach GROUP BY node""",
+        # Band join: the oracle is the quadratic per-user range join
+        # the engine's bucket-neighbor blocking avoids.
+        "band_join": """
+  WITH bj AS (SELECT user_id, event_id,
+                     date_diff('second', TIMESTAMP '1970-01-01', ts) AS v
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                AND ts IS NOT NULL)
+  SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+         CAST(abs(a.v - b.v) AS BIGINT) AS gap
+  FROM bj a JOIN bj b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+  WHERE abs(a.v - b.v) <= 600""",
+        # Domain-level curation: per-source stopword mass gates whole
+        # sources by integer cross-multiplication; docs survive by
+        # source semi-join.
+        "domain_quality_e2e": f"""
+  WITH dq_d AS (SELECT doc_id, source,
+                  CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                  CAST(len(list_filter({_TOKS},
+                    x -> x IN ('the','a','of','and','to'))) AS BIGINT)
+                    AS n_stop
+                FROM documents),
+  dq_s AS (SELECT source,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs_src,
+                  CAST(SUM(n_tok) AS BIGINT) AS tok_src,
+                  CAST(SUM(n_stop) AS BIGINT) AS stop_src
+           FROM dq_d GROUP BY 1),
+  dq_g AS (SELECT * FROM dq_s WHERE stop_src * 1000 <= tok_src * 70)
+  SELECT d.doc_id, d.source, d.n_tok, g.n_docs_src, g.tok_src, g.stop_src
+  FROM dq_d d JOIN dq_g g ON d.source = g.source""",
     }

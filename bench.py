@@ -111,7 +111,6 @@ BENCH_QUERIES = [
     "rollup_stats",
     "period_over_period",
     "copurchase_pairs",
-    "cohort_retention",
     "pseudonymize",
     "zscore",
     "exact_corr",
@@ -212,6 +211,8 @@ BENCH_QUERIES = [
     "ewma_events",
     "sorted_neighborhood",
     "linkage_clusters_e2e",
+    "band_join",
+    "domain_quality_e2e",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -26,6 +26,7 @@ from .hierarchy import pointer_jump_roots  # noqa: F401
 from .joins import (  # noqa: F401
     anti_join_not_in,
     anti_join_on_keys,
+    band_join_self,
     enrich_with_ordered_list,
     join_delta,
 )

@@ -168,3 +168,78 @@ def join_delta(
         .unionByName(base_a.join(delta_b, on=keys))
         .unionByName(delta_a.join(delta_b, on=keys))
     )
+
+
+def band_join_self(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    delta: int,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Proximity self-join: all pairs (within ``key_col`` when given)
+    whose integer ``value_col`` values differ by at most ``delta`` —
+    the band-join primitive behind "events within 5 minutes of each
+    other", sensor co-occurrence, and near-duplicate numeric readings.
+    The naive form is a quadratic theta-join; no reference operator
+    covers it (the reference's joins are all equi — SURVEY §2 J1-J4),
+    and Spark would plan a raw ``abs(a-b) <= δ`` condition as
+    BroadcastNestedLoopJoin.
+
+    Blocking: bucket ``b = value div delta`` (floor division toward
+    -inf for negatives, mirrored by SQL ``//``). Two values within
+    ``delta`` land in the same or adjacent buckets, so the probe side
+    explodes to buckets {b-1, b, b+1} and the join is a pure equi-join
+    on (key?, bucket) — 3 probe rows per input row, candidates bounded
+    by 3·(bucket population)², never |n|². The exact ``|a-b| <= delta``
+    test then filters candidates; each qualifying pair survives in
+    exactly ONE bucket (the index side's own bucket), so no distinct
+    pass is needed. Pairs are oriented ``id_a < id_b``; NULL
+    ids/values (and NULL keys when keyed) are dropped.
+
+    Returns ``(key_col?, id_a, id_b, gap)`` with ``gap = |a - b|``.
+
+    Scale/skew: bucket population is the operator's honest bound — a
+    timestamp hot-spot (every event in one delta-window) IS a dense
+    band whose output itself is quadratic; like jaccard_join_exact,
+    candidate generation is output-bound, not corpus-bound.
+    """
+    if delta < 1:
+        raise ValueError("band_join_self: delta must be >= 1")
+    keys = [key_col] if key_col else []
+    cond = F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+    if key_col:
+        cond = cond & F.col(key_col).isNotNull()
+    base = df.filter(cond).select(
+        *keys,
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    bucket = F.expr(f"__v div {int(delta)}")
+    index = base.select(
+        *keys,
+        F.col("__id").alias("id_i"),
+        F.col("__v").alias("v_i"),
+        bucket.alias("__b"),
+    )
+    probe = base.select(
+        *keys,
+        F.col("__id").alias("id_p"),
+        F.col("__v").alias("v_p"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("__b"),
+    )
+    pairs = index.join(probe, on=[*keys, "__b"]).filter(
+        (F.col("id_i") < F.col("id_p"))
+        & (F.abs(F.col("v_i") - F.col("v_p")) <= delta)
+        # each pair once: only the probe row visiting the INDEX row's
+        # home bucket survives
+    )
+    return pairs.select(
+        *keys,
+        F.col("id_i").alias("id_a"),
+        F.col("id_p").alias("id_b"),
+        F.abs(F.col("v_i") - F.col("v_p")).cast("long").alias("gap"),
+    )

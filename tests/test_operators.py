@@ -968,3 +968,30 @@ def test_apply_agg_delta_matches_rescan(spark):
     assert {r.k: r.n_rows for r in over.collect()}["b"] == -1
     with pytest.raises(ValueError):
         apply_agg_delta(base, changelog, ["k"], sum_cols=[])
+
+
+def test_band_join_self_matches_brute_force(spark):
+    from python_etl_mailing_automation_spark.operators.joins import band_join_self
+    import itertools
+
+    rows = [
+        # key, id, value — includes negatives (div-vs-floor bucket
+        # corners), exact-delta gaps, and a cross-key decoy
+        ("k", 1, -301), ("k", 2, -299), ("k", 3, -1), ("k", 4, 0),
+        ("k", 5, 299), ("k", 6, 300), ("k", 7, 601), ("k", 8, 899),
+        ("j", 9, 0), ("k", 10, None), (None, 11, 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        (r.g, r.id_a, r.id_b, r.gap)
+        for r in band_join_self(df, "id", "v", delta=300, key_col="g").collect()
+    }
+    clean = [(g, i, v) for g, i, v in rows if g is not None and v is not None]
+    expect = {
+        (g1, min(i1, i2), max(i1, i2), abs(v1 - v2))
+        for (g1, i1, v1), (g2, i2, v2) in itertools.combinations(clean, 2)
+        if g1 == g2 and abs(v1 - v2) <= 300
+    }
+    assert got == expect
+    # boundary: gap == delta is IN, delta+1 is out
+    assert ("k", 5, 6, 1) in got and ("k", 6, 7, 301) not in got

@@ -846,3 +846,17 @@ def test_linkage_e2e_no_cartesian(plans):
     p = plans("linkage_clusters_e2e")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_band_join_is_bucket_equi_join_not_nested_loop(plans):
+    # a raw abs(a-b) <= delta theta-join would plan BroadcastNestedLoop;
+    # the bucket-neighbor blocking keeps it a hash equi-join
+    p = plans("band_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_domain_quality_broadcasts_source_frame(plans):
+    p = plans("domain_quality_e2e")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
