@@ -3690,6 +3690,36 @@ def q_domain_quality_e2e(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix (datapipe/timeseries
+    .event_transitions): per-user event sequences → (from, to) step
+    counts, from-state totals, and the transition probability as one
+    double division over exact counts. One corpus window + one
+    state²-sized window — path analysis without a self-join."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        event_transitions,
+    )
+
+    return event_transitions(
+        _t(spark, sf, "events"), "user_id", "ts", "event_type",
+        order_cols=["event_id"],
+    )
+
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style column profiling (datapipe/stats.table_profile):
+    null counts, exact NDVs, and min/max for four orders columns in ONE
+    aggregate pass (multi-count-distinct via a single Expand), unpivoted
+    by an inline stack — the discovery query every inherited table gets
+    first."""
+    from python_etl_mailing_automation_spark.datapipe.stats import table_profile
+
+    return table_profile(
+        _t(spark, sf, "orders"),
+        ["o_orderpriority", "o_orderstatus", "o_custkey", "o_orderdate"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -3793,6 +3823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_clusters_e2e": q_linkage_clusters_e2e,
         "band_join": q_band_join,
         "domain_quality_e2e": q_domain_quality_e2e,
+        "event_transitions": q_event_transitions,
+        "table_profile": q_table_profile,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -7672,4 +7704,50 @@ def oracle_sql() -> dict[str, str]:
   dq_g AS (SELECT * FROM dq_s WHERE stop_src * 1000 <= tok_src * 70)
   SELECT d.doc_id, d.source, d.n_tok, g.n_docs_src, g.tok_src, g.stop_src
   FROM dq_d d JOIN dq_g g ON d.source = g.source""",
+        # Markov transitions: LEAD per user, (from, to) counts, the
+        # from-total window runs over the state-squared frame only.
+        "event_transitions": """
+  WITH et_s AS (SELECT event_type AS from_state,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_state
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL),
+  et_c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+           FROM et_s WHERE to_state IS NOT NULL GROUP BY 1, 2)
+  SELECT from_state, to_state, n,
+         CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS n_from,
+         CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE) AS prob
+  FROM et_c""",
+        # Column profile: one UNION ALL leg per column — the engine does
+        # it in ONE Expand pass; the oracle re-scans per column.
+        "table_profile": """
+  SELECT 'o_orderpriority' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderpriority) AS VARCHAR) AS min_str,
+         CAST(MAX(o_orderpriority) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderstatus) AS VARCHAR) AS min_str,
+         CAST(MAX(o_orderstatus) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_custkey) AS VARCHAR) AS min_str,
+         CAST(MAX(o_custkey) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderdate) AS VARCHAR) AS min_str,
+         CAST(MAX(o_orderdate) AS VARCHAR) AS max_str
+  FROM orders""",
     }

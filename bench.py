@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "linkage_clusters_e2e",
     "band_join",
     "domain_quality_e2e",
+    "event_transitions",
+    "table_profile",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -302,6 +304,15 @@ DEEP_QUERIES = [
     "bfs_hops",
     "kcore",
     "assoc_rules",
+    # Round-7 batch 4-7 data-bound linear ops at 10x: corpus-window
+    # Markov transitions, the bounded contribution-explode EWMA, and a
+    # per-group rank sort over 1.5M orders. edit_join is deliberately
+    # NOT deep-tiered: on the serial-ID names its true-pair output is
+    # itself ~50x per row (measured 205 s at sf1.0, output-bound like
+    # jaccard_join_exact) — a timing of pair volume, not plan quality.
+    "event_transitions",
+    "ewma_events",
+    "cdf_normalize",
 ]
 
 

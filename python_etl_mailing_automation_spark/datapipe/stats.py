@@ -932,3 +932,53 @@ def cdf_normalize(
     )
     out = df.withColumn("rnk", rnk).withColumn("n_group", n)
     return out.withColumn(out_col, cdf)
+
+
+def table_profile(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """ANALYZE-style column profile: one output row per requested
+    column with the table's row count, the column's null count, exact
+    distinct count, and min/max rendered as strings — the CBO-feeding /
+    data-discovery pass run before anything else touches an inherited
+    table (the profiling sibling of value_histogram and zone_maps).
+
+    Scale shape: ONE aggregate pass over the data computes every
+    column's stats (Catalyst plans the multi-count-distinct via one
+    Expand — k× row amplification for k columns, the standard exact
+    trade; use :func:`~.sketches.hll_build` per column when k×corpus
+    is too hot), then the single stats row unpivots driver-free via an
+    inline stack. Min/max stringification is the caller's contract:
+    pass string/integer/date columns for cross-engine-stable renders
+    (float formatting differs between engines — documented, not
+    hidden).
+    """
+    if not columns:
+        raise ValueError("table_profile: columns must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
+    for c in columns:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"__nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
+    one = df.agg(*aggs)
+    stack_parts = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in columns
+    )
+    return one.select(
+        "__n_rows",
+        F.expr(
+            f"stack({len(columns)}, {stack_parts}) AS "
+            "(column_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+    ).select(
+        "column_name",
+        F.col("__n_rows").alias("n_rows"),
+        "n_nulls",
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )

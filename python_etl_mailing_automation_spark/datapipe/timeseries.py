@@ -519,3 +519,53 @@ def ewma_dyadic(
         )
         .drop("__k", "__tpos", "__pos", "__xg", "__num", "__den")
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts over per-key event
+    sequences: for every adjacent (state → next state) step, the count,
+    the from-state total, and the transition probability as ONE double
+    division over the two exact counts — the path-analysis primitive
+    behind "what do users do after X" and behavioral-model features.
+
+    Scale shape: one per-key window (single hash exchange, rows sorted
+    within key) emits each row's successor via LEAD; the (from, to)
+    aggregate map-side combines; from-state totals ride a second
+    window over the TRANSITION frame — state-cardinality² rows, not
+    corpus rows. Terminal events (no successor) drop out of the
+    matrix; NULL key/ts/state rows are dropped. ``order_cols`` breaks
+    timestamp ties deterministically — pass a unique id column
+    whenever timestamps can collide (same contract as ewma_dyadic).
+    """
+    tiebreak = order_cols or []
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    steps = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(state_col).isNotNull()
+        )
+        .select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wf = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "n_from", F.sum("n").over(wf).cast("long")
+    ).withColumn(
+        "prob", F.col("n").cast("double") / F.col("n_from").cast("double")
+    )

@@ -78,3 +78,29 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     scan2 = spark.read.parquet(out).filter(F.col("id") < 5)
     plan2 = scan2._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), LessThan(id,5)]" in plan2
+
+
+def test_dynamic_partition_pruning_through_join(spark, tmp_path):
+    """DPP: a filter on the DIM side prunes the fact scan's partitions
+    at RUNTIME through the join — the plan's PartitionFilters carry a
+    dynamicpruning subquery, so a 100 TB fact table opens only the
+    partitions the filtered dim actually joins."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "fact")
+    (
+        spark.range(0, 1000)
+        .withColumn("part", (F.col("id") % 10).cast("int"))
+        .write.partitionBy("part")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("part"),
+        (F.col("id") % 3).alias("grp"),
+    )
+    joined = fact.join(dim.filter(F.col("grp") == 0), on="part")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # grp==0 keeps dim parts {0,3,6,9} -> 4 of 10 partitions x 100 rows
+    assert joined.count() == 400

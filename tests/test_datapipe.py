@@ -3413,3 +3413,42 @@ def test_sorted_neighborhood_window_pairs(spark):
         ("b", 1, 2), ("b", 1, 3), ("b", 2, 3), ("b", 2, 4), ("b", 3, 4),
         ("c", 5, 6),
     }
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        event_transitions,
+    )
+    import datetime as dt
+
+    t = lambda i: dt.datetime(2024, 1, 1, 0, i)  # noqa: E731
+    rows = [
+        ("u1", t(0), 1, "view"), ("u1", t(1), 2, "cart"),
+        ("u1", t(2), 3, "view"), ("u1", t(3), 4, "cart"),
+        ("u2", t(0), 5, "view"), ("u2", t(1), 6, "buy"),
+        ("u3", t(0), 7, "buy"),          # terminal only: no transition
+        (None, t(0), 8, "view"),          # dropped
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, eid long, st string")
+    got = {
+        (r.from_state, r.to_state, r.n, r.n_from, r.prob)
+        for r in event_transitions(df, "u", "ts", "st", order_cols=["eid"]).collect()
+    }
+    assert got == {
+        ("view", "cart", 2, 3, 2 / 3),
+        ("view", "buy", 1, 3, 1 / 3),
+        ("cart", "view", 1, 1, 1.0),
+    }
+
+
+def test_table_profile_stats(spark):
+    from python_etl_mailing_automation_spark.datapipe.stats import table_profile
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), (None, 2), ("a", None)],
+        "s string, i int",
+    )
+    got = {r.column_name: r for r in table_profile(df, ["s", "i"]).collect()}
+    s, i = got["s"], got["i"]
+    assert (s.n_rows, s.n_nulls, s.n_distinct, s.min_str, s.max_str) == (4, 1, 2, "a", "b")
+    assert (i.n_rows, i.n_nulls, i.n_distinct, i.min_str, i.max_str) == (4, 1, 2, "1", "2")

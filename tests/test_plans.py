@@ -860,3 +860,16 @@ def test_domain_quality_broadcasts_source_frame(plans):
     p = plans("domain_quality_e2e")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_event_transitions_windows_only_no_join(plans):
+    p = plans("event_transitions")
+    assert "Join" not in p
+
+
+def test_table_profile_single_pass_expand(plans):
+    # one scan + one Expand for all four exact NDVs — never four scans
+    p = plans("table_profile")
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p
+    assert "Join" not in p
