@@ -3720,6 +3720,80 @@ def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct count (operators/aggregates.running_distinct):
+    per user, how many distinct event types seen so far at each event —
+    first-occurrence flag + running sum, two windows on ONE key
+    exchange, never a per-row set."""
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        running_distinct,
+    )
+
+    out = running_distinct(
+        _t(spark, sf, "events"), "user_id", "ts", "event_type",
+        order_tiebreak=["event_id"],
+    )
+    return out.select("user_id", "event_id", "n_distinct_so_far")
+
+
+def q_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands (operators/aggregates.islands): each user's
+    consecutive-active-day streaks from the events table — the
+    value − dense_rank constant-group trick, one window + one keyed
+    aggregate on the same exchange; the oracle mirrors the same
+    derivation (the trick IS the portable spec)."""
+    from python_etl_mailing_automation_spark.operators.aggregates import islands
+
+    days = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("datediff(cast(ts as date), date'1970-01-01')").alias("day_idx"),
+    )
+    return islands(days, "user_id", "day_idx")
+
+
+def q_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH recall calibration (the bloom_fpr/cms_error pattern applied
+    to the dedup candidate path): ground truth = exact 3-shingle
+    Jaccard >= 1/2 pairs (ssjoin.jaccard_join_exact, prefix-filtered,
+    integer acceptance); candidates = the MinHash 3×2-band LSH pair
+    set (dedup.minhash_signatures → lsh_candidate_pairs). One summary
+    row: true-pair count, candidate count, caught count, and recall as
+    the single double division — the docstring claim "LSH trades
+    recall for candidates" becomes a signed measurement."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        jaccard_join_exact,
+    )
+
+    docs = _t(spark, sf, "documents")
+    exact = jaccard_join_exact(
+        docs, "doc_id", "text", threshold=(1, 2), shingle=3
+    ).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).select(
+        F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b")
+    )
+    flagged = exact.join(
+        cand.withColumn("__hit", F.lit(1)), on=["id_a", "id_b"], how="left"
+    )
+    truth = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_caught"),
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    return truth.crossJoin(F.broadcast(n_cand)).select(
+        "n_true",
+        "n_candidates",
+        "n_caught",
+        F.when(F.col("n_true") > 0,
+               F.col("n_caught").cast("double") / F.col("n_true").cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("recall"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -3825,6 +3899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_e2e": q_domain_quality_e2e,
         "event_transitions": q_event_transitions,
         "table_profile": q_table_profile,
+        "running_distinct": q_running_distinct,
+        "islands": q_islands,
+        "lsh_recall": q_lsh_recall,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -7750,4 +7827,84 @@ def oracle_sql() -> dict[str, str]:
          CAST(MIN(o_orderdate) AS VARCHAR) AS min_str,
          CAST(MAX(o_orderdate) AS VARCHAR) AS max_str
   FROM orders""",
+        # Running distinct: first-occurrence flag + running sum — the
+        # standard rewrite of the unsupported COUNT(DISTINCT) OVER.
+        "running_distinct": """
+  WITH rd AS (SELECT user_id, event_id, ts, event_type,
+                CASE WHEN event_type IS NOT NULL
+                      AND ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts, event_id) = 1
+                     THEN 1 ELSE 0 END AS f
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+  SELECT user_id, event_id,
+         CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_distinct_so_far
+  FROM rd""",
+        # Gaps-and-islands: value - dense_rank is constant within a
+        # consecutive run; duplicates advance neither.
+        "islands": """
+  WITH isl_d AS (SELECT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                     AS day_idx
+                 FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+  isl_g AS (SELECT user_id, day_idx,
+                   day_idx - DENSE_RANK() OVER (PARTITION BY user_id
+                                                ORDER BY day_idx) AS g
+            FROM isl_d)
+  SELECT user_id,
+         CAST(MIN(day_idx) AS BIGINT) AS island_start,
+         CAST(MAX(day_idx) AS BIGINT) AS island_end,
+         CAST(COUNT(DISTINCT day_idx) AS BIGINT) AS n_values,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM isl_g GROUP BY user_id, g""",
+        # LSH recall calibration: exact prefix-filtered Jaccard >= 1/2
+        # pairs on 3-shingles vs the MinHash band candidates.
+        "lsh_recall": f"""
+  WITH {_minhash_pairs_cte()}
+  , lr_w AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '') AS ws
+             FROM documents),
+  lr_t AS (SELECT DISTINCT doc_id,
+                  ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+                  || ' ' || ws[CAST(i AS INT) + 2] AS tok
+           FROM lr_w, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+  lr_sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM lr_t GROUP BY 1),
+  lr_f AS (SELECT tok, COUNT(*) AS tf FROM lr_t GROUP BY 1),
+  lr_r AS (SELECT t.doc_id, t.tok, s.sz,
+                  ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                     ORDER BY f.tf ASC, t.tok ASC) AS pos
+           FROM lr_t t JOIN lr_f f ON t.tok = f.tok
+           JOIN lr_sz s ON t.doc_id = s.doc_id),
+  lr_p AS (SELECT doc_id, tok, sz FROM lr_r
+           WHERE pos <= sz - ((sz * 1 + 1) // 2) + 1),
+  lr_c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sz AS size_a, b.sz AS size_b
+           FROM lr_p a JOIN lr_p b
+             ON a.tok = b.tok AND a.doc_id < b.doc_id
+            AND b.sz * 2 >= a.sz * 1 AND a.sz * 2 >= b.sz * 1),
+  lr_i AS (SELECT c.id_a, c.id_b, c.size_a, c.size_b,
+                  CAST(COUNT(*) AS BIGINT) AS inter
+           FROM lr_c c
+           JOIN lr_t x ON x.doc_id = c.id_a
+           JOIN lr_t y ON y.doc_id = c.id_b AND y.tok = x.tok
+           GROUP BY 1, 2, 3, 4),
+  lr_e AS (SELECT id_a, id_b FROM lr_i
+           WHERE inter * 2 >= 1 * (size_a + size_b - inter)),
+  lr_truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+                 CAST(COALESCE(SUM(CASE WHEN p.doc_id_a IS NOT NULL
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_caught
+               FROM lr_e e LEFT JOIN pairs p
+                 ON e.id_a = p.doc_id_a AND e.id_b = p.doc_id_b),
+  lr_nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM pairs)
+  SELECT t.n_true, c.n_candidates, t.n_caught,
+         CASE WHEN t.n_true > 0
+              THEN CAST(t.n_caught AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+         END AS recall
+  FROM lr_truth t CROSS JOIN lr_nc c""",
     }

@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "domain_quality_e2e",
     "event_transitions",
     "table_profile",
+    "running_distinct",
+    "islands",
+    "lsh_recall",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -384,3 +384,102 @@ def apply_agg_delta(
         *[F.sum(c).alias(c) for c in sum_cols],
     )
     return out.filter(F.col(count_col) != 0)
+
+
+def running_distinct(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "n_distinct_so_far",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Cumulative distinct count per key: for every row, how many
+    DISTINCT ``value_col`` values the key has produced up to and
+    including this row — "unique products seen so far", "vocabulary
+    growth per source". SQL has no COUNT(DISTINCT) OVER a running
+    frame; the rewrite is two windows over the SAME key partitioning:
+    sorted by (value, time), a row is its value's first occurrence iff
+    the previous row carries a different value — then a running sum of
+    those flags over the event order.
+
+    Ordering contract: (order_col, *order_tiebreak) must uniquely
+    order each key's rows or the running prefix is not well-defined —
+    same contract as ewma_dyadic. NULL values never count as distinct
+    (flagged 0), matching COUNT(DISTINCT) semantics; NULL keys/orders
+    are dropped.
+
+    Scale shape: both windows partition on ``key_col`` ALONE (the
+    first-occurrence flag comes from lag over a (value, time) sort,
+    never a (key, value) partition, which would cost a second
+    exchange), so Catalyst plans ONE exchange with two in-key sorts —
+    plan-guarded. No join, no distinct, no per-row set state: the
+    membership test is a sort adjacency check.
+    """
+    tiebreak = [F.col(c).asc() for c in (order_tiebreak or [])]
+    base = df.filter(F.col(key_col).isNotNull() & F.col(order_col).isNotNull())
+    w_first = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).asc_nulls_first(), F.col(order_col).asc(), *tiebreak
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(order_col).asc(), *tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_val = F.lag(F.col(value_col)).over(w_first)
+    first_flag = F.when(
+        F.col(value_col).isNotNull()
+        & (prev_val.isNull() | (prev_val != F.col(value_col))),
+        1,
+    ).otherwise(0)
+    return (
+        base.withColumn("__f", first_flag)
+        .withColumn(out_col, F.sum("__f").over(w_run).cast("long"))
+        .drop("__f")
+    )
+
+
+def islands(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    *,
+    step: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's integer sequence values
+    into maximal runs of consecutive values (stride ``step``),
+    returning one row per island with its bounds and size — missing-id
+    detection, contiguous-date coverage, lease/online-interval
+    reconstruction. The classic trick: ``value - step·dense_rank`` is
+    constant exactly within a consecutive run (dense_rank because
+    duplicate values must not break a run; they advance value and rank
+    together only on CHANGE).
+
+    Returns ``(key_col, island_start, island_end, n_values, n_rows)``
+    — ``n_values`` distinct sequence values, ``n_rows`` raw rows.
+    NULL keys/values dropped.
+
+    Scale shape: one window (dense_rank over the key's value order) +
+    one (key, island) aggregate on the same key hash — one exchange.
+    A key's island structure sorts within its partition; islands
+    never cross keys, so no global anything.
+    """
+    if step < 1:
+        raise ValueError("islands: step must be >= 1")
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(seq_col).isNotNull()
+    ).select(F.col(key_col), F.col(seq_col).cast("long").alias("__v"))
+    w = Window.partitionBy(key_col).orderBy(F.col("__v").asc())
+    grp = (F.col("__v") - F.lit(step) * F.dense_rank().over(w)).alias("__g")
+    return (
+        base.withColumn("__g", grp)
+        .groupBy(key_col, "__g")
+        .agg(
+            F.min("__v").alias("island_start"),
+            F.max("__v").alias("island_end"),
+            F.count_distinct(F.col("__v")).cast("long").alias("n_values"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .drop("__g")
+    )

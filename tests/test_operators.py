@@ -995,3 +995,54 @@ def test_band_join_self_matches_brute_force(spark):
     assert got == expect
     # boundary: gap == delta is IN, delta+1 is out
     assert ("k", 5, 6, 1) in got and ("k", 6, 7, 301) not in got
+
+
+def test_running_distinct_counts_first_occurrences(spark):
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        running_distinct,
+    )
+
+    rows = [
+        ("k", 1, "a"), ("k", 2, "b"), ("k", 3, "a"), ("k", 4, None),
+        ("k", 5, "c"), ("j", 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v string")
+    got = {
+        (r.g, r.t, r.n_distinct_so_far)
+        for r in running_distinct(df, "g", "t", "v").collect()
+    }
+    assert got == {
+        ("k", 1, 1), ("k", 2, 2), ("k", 3, 2), ("k", 4, 2), ("k", 5, 3),
+        ("j", 1, 1),
+    }
+
+
+def test_islands_collapses_consecutive_runs(spark):
+    from python_etl_mailing_automation_spark.operators.aggregates import islands
+
+    rows = [
+        ("k", 1), ("k", 2), ("k", 2), ("k", 3),   # island 1-3, dup 2
+        ("k", 7), ("k", 8),                        # island 7-8
+        ("k", 12),                                 # singleton
+        ("j", 5), ("j", 6), ("k", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        (r.g, r.island_start, r.island_end, r.n_values, r.n_rows)
+        for r in islands(df, "g", "v").collect()
+    }
+    assert got == {
+        ("k", 1, 3, 3, 4),
+        ("k", 7, 8, 2, 2),
+        ("k", 12, 12, 1, 1),
+        ("j", 5, 6, 2, 2),
+    }
+    # stride-7 islands: weekly cadence without gaps
+    df2 = spark.createDataFrame(
+        [("k", 0), ("k", 7), ("k", 14), ("k", 28)], "g string, v int"
+    )
+    got2 = {
+        (r.island_start, r.island_end)
+        for r in islands(df2, "g", "v", step=7).collect()
+    }
+    assert got2 == {(0, 14), (28, 28)}

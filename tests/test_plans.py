@@ -873,3 +873,23 @@ def test_table_profile_single_pass_expand(plans):
     assert p.count("Scan parquet") == 1
     assert "Expand" in p
     assert "Join" not in p
+
+
+def test_running_distinct_one_exchange_join_free(plans):
+    p = plans("running_distinct")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_islands_one_exchange_join_free(plans):
+    p = plans("islands")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_lsh_recall_no_cartesian_beyond_one_row_totals(plans):
+    p = plans("lsh_recall")
+    assert "CartesianProduct" not in p
+    # the single-row candidate-count frame rides one nested-loop
+    # broadcast; everything else is hash equi-joins
+    assert p.count("BroadcastNestedLoopJoin") <= 1
