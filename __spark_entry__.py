@@ -3738,10 +3738,11 @@ def q_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_islands(spark: SparkSession, sf: str) -> DataFrame:
     """Gaps-and-islands (operators/aggregates.islands): each user's
-    consecutive-active-day streaks from the events table — the
-    value − dense_rank constant-group trick, one window + one keyed
-    aggregate on the same exchange; the oracle mirrors the same
-    derivation (the trick IS the portable spec)."""
+    consecutive-active-day streaks from the events table — lag-flag +
+    running island id on one key exchange; the oracle derives the same
+    runs via the independent value − dense_rank trick (sound at
+    step 1, which this query uses — the engine's lag form is the
+    general-stride one)."""
     from python_etl_mailing_automation_spark.operators.aggregates import islands
 
     days = _t(spark, sf, "events").select(

@@ -465,9 +465,15 @@ def main() -> None:
         # (~1% of docs pairwise identical): its output is quadratic in
         # the clone-group size by definition, so the datapoint checks
         # candidate generation stays output-bound, not worse.
+        # band_join and event_transitions join the skew tier in round 7:
+        # both window/bucket on the hot user key — band_join's candidate
+        # buckets grow quadratically WITH its output (output-bound, the
+        # jaccard_join_exact argument), event_transitions' hot key is a
+        # serial per-key window scan (the rolling_spend bound).
         for name in (
             "smart_dedup", "sessionization", "rolling_spend",
             "rolling_spend_binned", "jaccard_join_exact",
+            "band_join", "event_transitions",
         ):
             try:
                 skew_timings[name] = round(best_of(name, skew_dir), 3)

@@ -451,17 +451,21 @@ def islands(
     into maximal runs of consecutive values (stride ``step``),
     returning one row per island with its bounds and size — missing-id
     detection, contiguous-date coverage, lease/online-interval
-    reconstruction. The classic trick: ``value - step·dense_rank`` is
-    constant exactly within a consecutive run (dense_rank because
-    duplicate values must not break a run; they advance value and rank
-    together only on CHANGE).
+    reconstruction. A new island starts wherever the gap to the
+    previous distinct value differs from ``step`` (lag flag + running
+    sum). NOT the textbook ``value - step·dense_rank`` constant-group:
+    that trick is only sound for step = 1 — at larger strides it
+    merges values step·k apart across intervening off-grid values
+    (e.g. [7, 8, 11] at step 2 would fuse 7 and 11; caught by the
+    hypothesis reconstruction property in tests/test_properties.py).
 
     Returns ``(key_col, island_start, island_end, n_values, n_rows)``
-    — ``n_values`` distinct sequence values, ``n_rows`` raw rows.
-    NULL keys/values dropped.
+    — ``n_values`` distinct sequence values, ``n_rows`` raw rows
+    (duplicates extend ``n_rows``, never break a run). NULL
+    keys/values dropped.
 
-    Scale shape: one window (dense_rank over the key's value order) +
-    one (key, island) aggregate on the same key hash — one exchange.
+    Scale shape: two windows (lag flag, running island id) and the
+    (key, island) aggregate all on the SAME key hash — one exchange.
     A key's island structure sorts within its partition; islands
     never cross keys, so no global anything.
     """
@@ -471,15 +475,21 @@ def islands(
         F.col(key_col).isNotNull() & F.col(seq_col).isNotNull()
     ).select(F.col(key_col), F.col(seq_col).cast("long").alias("__v"))
     w = Window.partitionBy(key_col).orderBy(F.col("__v").asc())
-    grp = (F.col("__v") - F.lit(step) * F.dense_rank().over(w)).alias("__g")
+    prev = F.lag("__v").over(w)
+    new_island = F.when(
+        prev.isNull()
+        | ((F.col("__v") != prev) & (F.col("__v") - prev != step)),
+        1,
+    ).otherwise(0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        base.withColumn("__g", grp)
-        .groupBy(key_col, "__g")
+        base.withColumn("__i", F.sum(new_island).over(w_run))
+        .groupBy(key_col, "__i")
         .agg(
             F.min("__v").alias("island_start"),
             F.max("__v").alias("island_end"),
             F.count_distinct(F.col("__v")).cast("long").alias("n_values"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
-        .drop("__g")
+        .drop("__i")
     )

@@ -815,3 +815,97 @@ def test_containment_join_complete_on_random_corpora(spark, texts, thr):
         if den * inter >= num * len(sets[x]):
             exp[(x, y)] = inter
     assert got == exp
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g", "h"]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_skyline_dominance_property(spark, rows):
+    """No returned point is dominated; every dropped point is dominated
+    by some returned point — together: exactly the Pareto frontier."""
+    from python_etl_mailing_automation_spark.datapipe.frontier import skyline_2d
+
+    df = spark.createDataFrame(rows, "k string, a double, b int")
+    sky = {
+        (r.k, r.a, r.b)
+        for r in skyline_2d(df, "a", "b", key_col="k").collect()
+    }
+    pts = set(rows)
+
+    def dominated(p, by):
+        (k1, a1, b1), (k2, a2, b2) = p, by
+        return k1 == k2 and a2 <= a1 and b2 >= b1 and (a2 < a1 or b2 > b1)
+
+    for p in pts:
+        is_dom = any(dominated(p, q) for q in pts)
+        assert (p not in sky) == is_dom, (p, is_dom)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-20, 20)),
+        min_size=1,
+        max_size=40,
+    ),
+    delta=st.integers(min_value=1, max_value=7),
+)
+@SETTINGS
+def test_band_join_complete_and_sound(spark, rows, delta):
+    from python_etl_mailing_automation_spark.operators.joins import band_join_self
+    import itertools
+
+    uniq = {i: v for i, v in rows}.items()  # unique ids
+    df = spark.createDataFrame(
+        [(i, v) for i, v in uniq], "id long, v long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.gap)
+        for r in band_join_self(df, "id", "v", delta=delta).collect()
+    }
+    expect = {
+        (min(i1, i2), max(i1, i2), abs(v1 - v2))
+        for (i1, v1), (i2, v2) in itertools.combinations(uniq, 2)
+        if abs(v1 - v2) <= delta
+    }
+    assert got == expect
+
+
+@given(
+    vals=st.lists(st.integers(0, 25), min_size=1, max_size=40),
+    step=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_islands_partition_and_reconstruction(spark, vals, step):
+    """Islands partition the distinct values; consecutive (stride-step)
+    values always share an island; islands are separated by gaps."""
+    from python_etl_mailing_automation_spark.operators.aggregates import islands
+
+    df = spark.createDataFrame([("k", v) for v in vals], "g string, v int")
+    got = sorted(
+        (r.island_start, r.island_end, r.n_values)
+        for r in islands(df, "g", "v", step=step).collect()
+    )
+    distinct = sorted(set(vals))
+    # reconstruct islands in Python
+    expect = []
+    run = [distinct[0]]
+    for v in distinct[1:]:
+        if v - run[-1] == step:
+            run.append(v)
+        else:
+            expect.append((run[0], run[-1], len(run)))
+            run = [v]
+    expect.append((run[0], run[-1], len(run)))
+    # islands() keys runs by v - step*dense_rank, which only merges
+    # EXACT stride-step successors; values off the stride grid start
+    # their own island exactly as the reconstruction does
+    assert got == sorted(expect)
