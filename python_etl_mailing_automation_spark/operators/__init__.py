@@ -9,6 +9,8 @@ from .aggregates import (  # noqa: F401
     completeness_count,
     debounce_events,
     group_count_having,
+    islands,
+    running_distinct,
     rolling_window_sum,
     rolling_window_sum_binned,
     with_distinct_list,

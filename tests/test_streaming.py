@@ -606,3 +606,59 @@ def test_contract_gate_rejects_stateful_kinds(spark):
         contract_gate(df, [("unique", "k")])
     with _pytest.raises(ValueError):
         contract_gate(df, [])
+
+
+def test_streaming_distinct_count_matches_batch_final(spark):
+    """Streaming twin of operators.aggregates.running_distinct's FINAL
+    state: dropDuplicates on (key, value) feeding an update-mode count
+    per key converges to the batch distinct count — the
+    vocabulary-growth monitor as a live stream."""
+    import tempfile
+    import time
+    from datetime import datetime
+
+    from pyspark.sql import functions as SF
+
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0), "view"),
+        ("u1", datetime(2024, 1, 1, 0, 1), "cart"),
+        ("u1", datetime(2024, 1, 1, 0, 2), "view"),   # dup type
+        ("u2", datetime(2024, 1, 1, 0, 0), "view"),
+        ("u2", datetime(2024, 1, 1, 0, 3), "buy"),
+        ("u2", datetime(2024, 1, 1, 0, 4), "cart"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, et string")
+    stage = tempfile.mkdtemp(prefix="rdist_in_")
+    ckpt = tempfile.mkdtemp(prefix="rdist_ck_")
+    try:
+        df.write.mode("overwrite").parquet(stage)
+        stream = spark.readStream.schema(df.schema).parquet(stage)
+        counts = (
+            stream.dropDuplicates(["u", "et"])
+            .groupBy("u")
+            .agg(SF.count(SF.lit(1)).alias("n_distinct"))
+        )
+        q = (
+            counts.writeStream.format("memory").queryName("rdist")
+            .outputMode("complete").option("checkpointLocation", ckpt).start()
+        )
+        try:
+            deadline = time.time() + 90
+            got: dict = {}
+            while time.time() < deadline and got != {"u1": 2, "u2": 3}:
+                got = {
+                    r["u"]: r["n_distinct"]
+                    for r in spark.sql("select * from rdist").collect()
+                }
+                time.sleep(2)
+        finally:
+            q.stop()
+        batch = {
+            r["u"]: r["n"]
+            for r in df.select("u", "et").distinct()
+            .groupBy("u").agg(SF.count(SF.lit(1)).alias("n")).collect()
+        }
+        assert got == batch == {"u1": 2, "u2": 3}
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
