@@ -3886,23 +3886,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_exact": q_stratified_exact,
         "compaction_plan": q_compaction_plan,
         "interpolate_linear": q_interpolate_linear,
-        "skyline_parts": q_skyline_parts,
-        "cdf_normalize": q_cdf_normalize,
-        "collocations": q_collocations,
-        "phrase_search": q_phrase_search,
-        "edit_join": q_edit_join,
-        "fd_violations": q_fd_violations,
-        "k_anonymity": q_k_anonymity,
-        "ewma_events": q_ewma_events,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "linkage_clusters_e2e": q_linkage_clusters_e2e,
-        "band_join": q_band_join,
-        "domain_quality_e2e": q_domain_quality_e2e,
-        "event_transitions": q_event_transitions,
-        "table_profile": q_table_profile,
-        "running_distinct": q_running_distinct,
-        "islands": q_islands,
-        "lsh_recall": q_lsh_recall,
         "debounce": q_debounce,
         "source_divergence": q_source_divergence,
         "not_in_semantics": q_not_in_semantics,
@@ -4021,6 +4004,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "top_ngrams": q_top_ngrams,
         "dedup_incremental": q_dedup_incremental,
+        # Round-7 session additions register LAST so the mechanical
+        # rotation signs the older pending queries first (the driver's
+        # window is ~50 rows; these get their rows next round).
+        "skyline_parts": q_skyline_parts,
+        "cdf_normalize": q_cdf_normalize,
+        "collocations": q_collocations,
+        "phrase_search": q_phrase_search,
+        "edit_join": q_edit_join,
+        "fd_violations": q_fd_violations,
+        "k_anonymity": q_k_anonymity,
+        "ewma_events": q_ewma_events,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "linkage_clusters_e2e": q_linkage_clusters_e2e,
+        "band_join": q_band_join,
+        "domain_quality_e2e": q_domain_quality_e2e,
+        "event_transitions": q_event_transitions,
+        "table_profile": q_table_profile,
+        "running_distinct": q_running_distinct,
+        "islands": q_islands,
+        "lsh_recall": q_lsh_recall,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
