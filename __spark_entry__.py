@@ -3795,6 +3795,71 @@ def q_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (Spark DataFrame.groupingSets ≡ SQL
+    GROUP BY GROUPING SETS): the priority margin, the status margin,
+    and the grand total in one Expand pass — the hand-picked-margins
+    complement of q_rollup_stats/q_cube_stats (those enumerate
+    hierarchical/all subsets; this picks exactly three). Exact decimal
+    cent sums; grouping_id disambiguates margin NULLs."""
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "gid", "n_orders",
+                "total_cents")
+    )
+
+
+def q_lang_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-language detection (chunk_documents → lang_id → rollup):
+    split each document into 32-token chunks (stride 24), language-ID
+    every chunk, then per document the chunk count, distinct predicted
+    languages, majority language (count ties broken by the
+    lexicographically larger language — max(struct) on both engines),
+    and the majority share as one double division — the curation
+    signal a document-level lang_id misses (a half-English half-German
+    page IDs 'en' whole but flags mixed here)."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        chunk_documents,
+        lang_id,
+    )
+
+    chunks = chunk_documents(_t(spark, sf, "documents"), chunk_tokens=32, overlap=8)
+    tagged = lang_id(chunks, "chunk_text")
+    per_lang = tagged.groupBy("doc_id", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    out = per_lang.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max(F.struct(F.col("cnt"), F.col("pred_lang"))).alias("__m"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_langs",
+        F.col("__m.pred_lang").alias("majority_lang"),
+        (F.col("__m.cnt").cast("double") / F.col("n_chunks").cast("double"))
+        .alias("majority_share"),
+        (F.col("n_langs") > 1).cast("int").alias("is_mixed"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -4024,6 +4089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_distinct": q_running_distinct,
         "islands": q_islands,
         "lsh_recall": q_lsh_recall,
+        "grouping_sets": q_grouping_sets,
+        "lang_consistency": q_lang_consistency,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -7911,4 +7978,49 @@ def oracle_sql() -> dict[str, str]:
               THEN CAST(t.n_caught AS DOUBLE) / CAST(t.n_true AS DOUBLE)
          END AS recall
   FROM lr_truth t CROSS JOIN lr_nc c""",
+        # GROUPING SETS: same margins in DuckDB syntax; gid encodes
+        # which columns are margined (priority bit 0... Spark and
+        # DuckDB agree on GROUPING() bit order: first listed column is
+        # the most significant bit).
+        "grouping_sets": """
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(GROUPING(o_orderpriority) * 2
+              + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                       AS HUGEINT)) AS BIGINT) AS total_cents
+  FROM orders
+  GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+        # Per-chunk language ID rollup; the majority pick is
+        # max(struct(cnt, lang)) — lexicographic struct comparison is
+        # identical in both engines; the per-chunk argmax mirrors
+        # lang_id's en-before-es-before-de tie order.
+        "lang_consistency": f"""
+  WITH lc_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  lc_c AS (SELECT doc_id,
+                  list_slice(toks, CAST(cs AS INT) + 1,
+                             CAST(cs AS INT) + 32) AS ctoks
+           FROM lc_tok,
+                UNNEST(range(0, len(toks), 24)) AS u(cs)),
+  lc_s AS (SELECT doc_id,
+             len(list_filter(ctoks, x -> x IN ('the', 'a', 'of'))) AS s_en,
+             len(list_filter(ctoks, x -> x IN ('el', 'la', 'los'))) AS s_es,
+             len(list_filter(ctoks, x -> x IN ('der', 'und', 'das'))) AS s_de
+           FROM lc_c),
+  lc_p AS (SELECT doc_id,
+             CASE WHEN s_es > s_en AND s_es >= s_de THEN 'es'
+                  WHEN s_de > s_en AND s_de > s_es THEN 'de'
+                  ELSE 'en' END AS pred FROM lc_s),
+  lc_g AS (SELECT doc_id, pred, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lc_p GROUP BY 1, 2),
+  lc_d AS (SELECT doc_id,
+                  CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+                  CAST(COUNT(*) AS BIGINT) AS n_langs,
+                  MAX(struct_pack(cnt := cnt, pred := pred)) AS m
+           FROM lc_g GROUP BY 1)
+  SELECT doc_id, n_chunks, n_langs,
+         m.pred AS majority_lang,
+         CAST(m.cnt AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS majority_share,
+         CAST(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS INT) AS is_mixed
+  FROM lc_d""",
     }

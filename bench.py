@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "running_distinct",
     "islands",
     "lsh_recall",
+    "grouping_sets",
+    "lang_consistency",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -893,3 +893,16 @@ def test_lsh_recall_no_cartesian_beyond_one_row_totals(plans):
     # the single-row candidate-count frame rides one nested-loop
     # broadcast; everything else is hash equi-joins
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_grouping_sets_single_expand_pass(plans):
+    p = plans("grouping_sets")
+    assert "Expand" in p
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_lang_consistency_no_join_two_aggs(plans):
+    # chunk explode + per-(doc, lang) agg + per-doc agg: no join at all
+    p = plans("lang_consistency")
+    assert "Join" not in p
