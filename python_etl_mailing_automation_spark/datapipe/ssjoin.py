@@ -438,6 +438,7 @@ def edit_distance_join(
     max_edits: int = 1,
     reverse_strings: bool = False,
     segmenter: str = "entropy",
+    stats_mod: int | None = None,
 ) -> DataFrame:
     """Exact string-similarity self-join: every pair with Levenshtein
     distance <= ``max_edits``, via PassJoin segment blocking (Li, Deng,
@@ -474,6 +475,11 @@ def edit_distance_join(
     hundreds of millions of pairs (the constant half IS one bucket);
     entropy splits confine candidates near the true-pair count.
     ``segmenter="even"`` keeps the textbook scheme (no stats pass).
+    ``stats_mod=k`` computes the entropy stats on the deterministic
+    1/k md5-hash row sample instead of the full corpus — the boundary
+    choice steers selectivity only, never membership, so the pair set
+    is unchanged (unit-tested); at 100 TB the stats pass should never
+    be a full scan.
     ``reverse_strings=True`` additionally blocks on reversed strings
     (Levenshtein is reversal-invariant; an optimal alignment reverses
     too) for corpora whose entropy sits at the tail — composable with
@@ -510,8 +516,21 @@ def edit_distance_join(
     # deterministic, so every run (and every partitioning) derives the
     # same splits.
     if segmenter == "entropy":
+        # stats_mod=k measures entropy on the deterministic 1/k
+        # md5-hash sample of rows (same-sample every run/engine) — at
+        # corpus scale the stats pass should not be a full scan; the
+        # boundaries only steer SELECTIVITY, never correctness, so a
+        # sample cannot change the result set.
+        stats_base = base
+        if stats_mod is not None and stats_mod > 1:
+            stats_base = base.filter(
+                F.expr(
+                    f"cast(conv(substring(md5(cast(__id as string)), 1, 8),"
+                    f" 16, 10) as bigint) % {int(stats_mod)} = 0"
+                )
+            )
         stats = (
-            base.filter(F.col("__len") > 0)
+            stats_base.filter(F.col("__len") > 0)
             .select(
                 "__len",
                 F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("__p"),

@@ -3452,3 +3452,27 @@ def test_table_profile_stats(spark):
     s, i = got["s"], got["i"]
     assert (s.n_rows, s.n_nulls, s.n_distinct, s.min_str, s.max_str) == (4, 1, 2, "a", "b")
     assert (i.n_rows, i.n_nulls, i.n_distinct, i.min_str, i.max_str) == (4, 1, 2, "1", "2")
+
+
+def test_edit_join_sampled_stats_same_pairs(spark):
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        edit_distance_join,
+    )
+    from pyspark.sql import functions as SF
+
+    cust = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select(SF.col("c_custkey").alias("id"), SF.col("c_name").alias("s"))
+    )
+    full = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_join(cust, "id", "s", max_edits=1).collect()
+    }
+    sampled = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_join(
+            cust, "id", "s", max_edits=1, stats_mod=7
+        ).collect()
+    }
+    # boundaries steer selectivity only — membership is invariant
+    assert full == sampled and full
