@@ -10,7 +10,7 @@ flagship query absorbs JVM/codegen warm-up so timings reflect steady
 state.
 
 Round-over-round comparability: the headline list grows most rounds
-(r3 28 → r4 43 → r5 83 entries), so compare ``sec_per_query`` and
+(r3 28 → r4 43 → r5 83 → r6 129 → r7 173 entries), so compare ``sec_per_query`` and
 per-query values, not the raw total. Individual sub-second queries
 swing 2–3× between runs under background load (measured r5) — single-
 query deltas are noise unless they reproduce on an idle machine; r4's

@@ -50,7 +50,11 @@ from .pii import pii_free, pseudonymize, redact_pii  # noqa: F401
 from .frontier import skyline_2d  # noqa: F401
 from .quality import fd_violations, k_anonymity  # noqa: F401
 from .stats import table_profile  # noqa: F401
-from .ssjoin import edit_distance_join, sorted_neighborhood_pairs  # noqa: F401
+from .ssjoin import (  # noqa: F401
+    edit_distance_join,
+    edit_distance_join_two,
+    sorted_neighborhood_pairs,
+)
 from .timeseries import cohort_retention, event_transitions, ewma_dyadic  # noqa: F401
 from .stats import (  # noqa: F401
     cdf_normalize,

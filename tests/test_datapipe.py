@@ -3476,3 +3476,37 @@ def test_edit_join_sampled_stats_same_pairs(spark):
     }
     # boundaries steer selectivity only — membership is invariant
     assert full == sampled and full
+
+
+def test_edit_distance_join_two_cross_corpus(spark):
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        edit_distance_join_two,
+    )
+    import itertools
+
+    a = [(1, "kitten"), (2, "cat"), (3, "dog"), (4, "kitten")]
+    b = [(1, "sitten"), (5, "cot"), (6, "dog"), (7, "zzz")]
+    dfa = spark.createDataFrame(a, "id long, s string")
+    dfb = spark.createDataFrame(b, "id long, s string")
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    expect = {
+        (str(ia), str(ib), lev(sa, sb))
+        for (ia, sa), (ib, sb) in itertools.product(a, b)
+        if lev(sa, sb) <= 1
+    }
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join_two(dfa, dfb, "id", "s", max_edits=1).collect()
+    }
+    # note ids 1 appear on BOTH sides with different strings — the
+    # tagged id spaces keep them apart
+    assert got == expect and got
