@@ -49,6 +49,12 @@ def skyline_2d(
     Rows with a NULL criterion are dropped (a NULL price can neither
     dominate nor be dominated under 3VL; callers who want them must
     impute first — same contract as stats.zscore_normalize).
+
+    Without ``key_col`` the window is a single-partition sort over the
+    DISTINCT POINTS — fine whenever point cardinality is bounded
+    (prices × sizes), the same small-data caveat as
+    ssjoin.sorted_neighborhood_pairs' unblocked mode; pass a key to
+    parallelize.
     """
     keys = [key_col] if key_col else []
     pts = (

@@ -912,7 +912,9 @@ def cdf_normalize(
     sort) and a count over the same window — no join, no second
     shuffle. Ties make the output deterministic regardless of
     partitioning: equal values get equal ranks, so no arbitrary
-    tie-break order leaks into the result.
+    tie-break order leaks into the result. Without ``group_col`` the
+    rank is a single-partition global sort — scope it to grouped use
+    (or range-partition first) at corpus scale.
     """
     keys = [group_col] if group_col else []
     v = F.col(value_col)

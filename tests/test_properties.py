@@ -909,3 +909,50 @@ def test_islands_partition_and_reconstruction(spark, vals, step):
     # EXACT stride-step successors; values off the stride grid start
     # their own island exactly as the reconstruction does
     assert got == sorted(expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g", "h"]),
+            st.one_of(st.none(), st.floats(-50, 50, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_cdf_normalize_bounds_and_monotonicity(spark, rows):
+    from python_etl_mailing_automation_spark.datapipe.stats import cdf_normalize
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v double, i long"
+    )
+    got = cdf_normalize(df, "v", group_col="g").collect()
+    by_group: dict = {}
+    for r in got:
+        if r.v is None:
+            assert r.rnk is None and r.cdf is None
+            continue
+        assert 0.0 <= r.cdf <= 1.0
+        assert 1 <= r.rnk <= r.n_group
+        by_group.setdefault(r.g, []).append((r.v, r.rnk, r.cdf))
+    for vals in by_group.values():
+        vals.sort()
+        for (v1, r1, c1), (v2, r2, c2) in zip(vals, vals[1:]):
+            # monotone: bigger value never gets smaller rank/cdf;
+            # equal values share both
+            assert (r1 <= r2 and c1 <= c2) or (v1 == v2 and r1 == r2)
+            if v1 == v2:
+                assert r1 == r2 and c1 == c2
+        # the top cdf is 1.0 exactly when the maximum value is
+        # UNTIED (rank n); a tied max shares a smaller rank
+        top_v = max(v for v, _, _ in vals)
+        n_top = sum(1 for v, _, _ in vals if v == top_v)
+        top_c = max(c for _, _, c in vals)
+        if len(vals) == 1:
+            assert top_c == 0.0
+        elif n_top == 1:
+            assert top_c == 1.0
+        else:
+            assert top_c < 1.0
