@@ -3860,6 +3860,42 @@ def q_lang_consistency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_edit_join_two(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus record linkage (datapipe/ssjoin
+    .edit_distance_join_two): list A = customer names, list B = the
+    planted one-edit twins (append / substitute / delete by custkey mod
+    30) — every A×B pair within distance 1, via the tagged-union
+    PassJoin composition. The oracle is the full quadratic A×B
+    levenshtein cross join."""
+    from python_etl_mailing_automation_spark.datapipe.ssjoin import (
+        edit_distance_join_two,
+    )
+
+    basec = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey").isNotNull() & F.col("c_name").isNotNull())
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("s"))
+    )
+    twins = basec.filter(F.col("id") % 10 == 0).select(
+        F.col("id"),
+        F.when(F.col("id") % 30 == 0, F.concat(F.col("s"), F.lit("X")))
+        .when(
+            F.col("id") % 30 == 10,
+            F.concat(
+                F.substring(F.col("s"), 1, F.length("s") - 1), F.lit("X")
+            ),
+        )
+        .otherwise(F.substring(F.col("s"), 1, F.length("s") - 1))
+        .alias("s"),
+    )
+    out = edit_distance_join_two(basec, twins, "id", "s", max_edits=1)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -4091,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "grouping_sets": q_grouping_sets,
         "lang_consistency": q_lang_consistency,
+        "edit_join_two": q_edit_join_two,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -8023,4 +8060,18 @@ def oracle_sql() -> dict[str, str]:
          CAST(m.cnt AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS majority_share,
          CAST(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS INT) AS is_mixed
   FROM lc_d""",
+        # Cross-corpus linkage: the oracle is the full quadratic A x B
+        # levenshtein cross join the tagged-union PassJoin avoids.
+        "edit_join_two": """
+  WITH ej2_a AS (SELECT c_custkey AS id, c_name AS s FROM customer
+                 WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+  ej2_b AS (SELECT id,
+                   CASE WHEN id % 30 = 0 THEN s || 'X'
+                        WHEN id % 30 = 10
+                          THEN substr(s, 1, length(s) - 1) || 'X'
+                        ELSE substr(s, 1, length(s) - 1) END AS s
+            FROM ej2_a WHERE id % 10 = 0)
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+  FROM ej2_a a JOIN ej2_b b ON levenshtein(a.s, b.s) <= 1""",
     }

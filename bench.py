@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "lsh_recall",
     "grouping_sets",
     "lang_consistency",
+    "edit_join_two",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

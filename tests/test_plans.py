@@ -906,3 +906,9 @@ def test_lang_consistency_no_join_two_aggs(plans):
     # chunk explode + per-(doc, lang) agg + per-doc agg: no join at all
     p = plans("lang_consistency")
     assert "Join" not in p
+
+
+def test_edit_join_two_no_cartesian(plans):
+    p = plans("edit_join_two")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
