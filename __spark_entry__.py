@@ -3896,6 +3896,20 @@ def q_edit_join_two(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8-quantized similarity search (datapipe/similarity
+    .quantize_int8 + quantized_topk): top-5 neighbors for the first 40
+    vectors under the exact-integer quantized dot product — the 4×
+    memory cut of production vector stores with a BIGINT score, so the
+    whole result (ranks, ties, scores) is float-free cross-engine."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        quantized_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return quantized_topk(emb.filter(F.col("vec_id") < 40), emb, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -4128,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "lang_consistency": q_lang_consistency,
         "edit_join_two": q_edit_join_two,
+        "quantized_topk": q_quantized_topk,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -8074,4 +8089,33 @@ def oracle_sql() -> dict[str, str]:
   SELECT a.id AS id_a, b.id AS id_b,
          CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
   FROM ej2_a a JOIN ej2_b b ON levenshtein(a.s, b.s) <= 1""",
+        # Int8-quantized top-k: floor(127*x/||v||) per component (one
+        # sqrt + one division in mirrored order, floor lands on an
+        # integer), then an exact BIGINT dot — no float in the result.
+        "quantized_topk": f"""
+  WITH qt_e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+  qt_n AS (SELECT vec_id, v,
+                  sqrt({_COS_DOT.format(a="v", b="v")}) AS nrm FROM qt_e),
+  qt_q AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(CASE WHEN nrm > 0
+                    THEN floor(127.0 * (x / nrm)) ELSE 0 END AS BIGINT))
+                    AS qv
+           FROM qt_n),
+  qt_p AS (SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+                  CAST(list_reduce(
+                    list_transform(range(len(q.qv)),
+                                   i -> q.qv[i + 1] * c.qv[i + 1]),
+                    (x, y) -> x + y) AS BIGINT) AS qdot
+           FROM qt_q q JOIN qt_q c
+             ON q.vec_id < 40 AND c.vec_id != q.vec_id)
+  SELECT vec_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY qdot DESC, neighbor_id) AS BIGINT)
+           AS sim_rank,
+         qdot
+  FROM qt_p
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY qdot DESC, neighbor_id) <= 5""",
     }

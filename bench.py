@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "grouping_sets",
     "lang_consistency",
     "edit_join_two",
+    "quantized_topk",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

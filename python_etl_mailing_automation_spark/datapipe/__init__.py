@@ -81,7 +81,12 @@ from .contamination import (  # noqa: F401
     cross_corpus_overlap,
     flag_contaminated,
 )
-from .similarity import ann_bucket_topk, cosine_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    ann_bucket_topk,
+    cosine_topk,
+    quantize_int8,
+    quantized_topk,
+)
 from .text import (  # noqa: F401
     chunk_documents,
     collocations,

@@ -433,3 +433,76 @@ def pca_project_pc1(
             id_col, (F.col("__s").cast("double") / grid).alias("pc1")
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Scalar int8 quantization of L2-normalized embeddings: each
+    component maps to ``floor(127 · x/‖v‖)`` ∈ [−127, 127] — the
+    standard 4× memory cut of production vector stores, built
+    grid-exact: normalization is one correctly-rounded sqrt + one
+    division per component in a FIXED op order, and the floor lands
+    every value on an integer, so quantized vectors (and everything
+    derived from them) are bit-identical cross-engine. Zero vectors
+    quantize to all-zero (guarded division).
+
+    Per-row column algebra only — no shuffle, no corpus statistics
+    (normalization makes a global scale unnecessary: components are
+    already in [−1, 1])."""
+    dv = _dec_vec(F.col(vec_col))
+    nrm = F.sqrt(_dot(dv, dv))
+    q = F.transform(
+        dv,
+        lambda x: F.when(nrm > 0, F.floor(F.lit(127.0) * (x / nrm)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return df.withColumn(out_col, q)
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k neighbors under int8-quantized dot product — the
+    reduced-precision twin of :func:`cosine_topk` whose SCORE is an
+    exact BIGINT (~127²·cos), so ranks, ties, and the score column all
+    cross engines with no float anywhere in the output. Brute-force
+    pairing like cosine_topk (the documented oracle-reference shape);
+    the production path runs the same quantized dot inside the
+    SRP/IVF bucket joins, inheriting their sub-quadratic candidate
+    generation.
+
+    Returns ``(vec_id, neighbor_id, sim_rank, qdot long)``; ties break
+    by neighbor id; self-matches excluded. Integer headroom:
+    127²·dim < 2^63 through dim ≈ 5.7e14 — unbounded in practice."""
+    q = quantize_int8(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("qvec").alias("qv")
+    )
+    c = quantize_int8(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv")
+    )
+    pairs = q.crossJoin(c).filter(F.col("vec_id") != F.col("neighbor_id"))
+    qdot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__qd").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("__qd", qdot)
+        .withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select("vec_id", "neighbor_id", "sim_rank", F.col("__qd").alias("qdot"))
+    )

@@ -912,3 +912,11 @@ def test_edit_join_two_no_cartesian(plans):
     p = plans("edit_join_two")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quantized_topk_takes_k_not_global_sort(plans):
+    # brute pairing is the documented oracle-reference shape (same as
+    # cosine_topk); what must hold is the per-query group limit, never
+    # a global sort of all pairs
+    p = plans("quantized_topk")
+    assert "WindowGroupLimit" in p or "TakeOrdered" in p
