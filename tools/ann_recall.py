@@ -103,6 +103,19 @@ def main() -> None:
             "sec": round(time.time() - t0, 2),
         }
 
+    # int8 scalar quantization: same brute pairing as the truth, so the
+    # recall isolates PRECISION loss (not candidate-generation loss).
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        quantized_topk,
+    )
+
+    t0 = time.time()
+    approx = neighbor_sets(quantized_topk(sample, emb, k=args.k))
+    results["methods"]["int8_quantized"] = {
+        "recall": recall(approx),
+        "sec": round(time.time() - t0, 2),
+    }
+
     print(json.dumps(results))
 
 
