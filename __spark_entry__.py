@@ -3910,6 +3910,23 @@ def q_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     return quantized_topk(emb.filter(F.col("vec_id") < 40), emb, k=5)
 
 
+def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive negative sampling (datapipe/sampling
+    .negative_samples): for every embedding, up to 3 different-label
+    partners from its md5-ring neighborhood (16 rings, 8 peeks each
+    way) — deterministic, RNG-free, cross-join-free; one exchange on
+    the ring bucket. The oracle mirrors the ring derivation lead/lag
+    for lead/lag."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        negative_samples,
+    )
+
+    return negative_samples(
+        _t(spark, sf, "embeddings"), "vec_id", "label",
+        k=3, lookahead=8, n_buckets=16,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -4143,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_consistency": q_lang_consistency,
         "edit_join_two": q_edit_join_two,
         "quantized_topk": q_quantized_topk,
+        "negative_samples": q_negative_samples,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -8118,4 +8136,77 @@ def oracle_sql() -> dict[str, str]:
   FROM qt_p
   QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                              ORDER BY qdot DESC, neighbor_id) <= 5""",
+        # Negative sampling: md5-ring lead/lag peeks mirrored column
+        # for column; the candidate list is BUILT in ord order, so the
+        # Spark side's filter->sort->slice equals filter->slice here.
+        "negative_samples": """
+  WITH ns_b AS (SELECT vec_id AS id, label,
+                       md5(CAST(vec_id AS VARCHAR) || '|') AS dg
+                FROM embeddings
+                WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+  ns_k AS (SELECT *, CAST('0x' || substring(dg, 1, 8) AS BIGINT) % 16
+                       AS bkt FROM ns_b),
+  ns_p AS (SELECT id, label,
+                  LEAD(id, 1) OVER wns AS nid_1,
+                  LEAD(label, 1) OVER wns AS nlab_1,
+                  LAG(id, 1) OVER wns AS nid_9,
+                  LAG(label, 1) OVER wns AS nlab_9,
+                  LEAD(id, 2) OVER wns AS nid_2,
+                  LEAD(label, 2) OVER wns AS nlab_2,
+                  LAG(id, 2) OVER wns AS nid_10,
+                  LAG(label, 2) OVER wns AS nlab_10,
+                  LEAD(id, 3) OVER wns AS nid_3,
+                  LEAD(label, 3) OVER wns AS nlab_3,
+                  LAG(id, 3) OVER wns AS nid_11,
+                  LAG(label, 3) OVER wns AS nlab_11,
+                  LEAD(id, 4) OVER wns AS nid_4,
+                  LEAD(label, 4) OVER wns AS nlab_4,
+                  LAG(id, 4) OVER wns AS nid_12,
+                  LAG(label, 4) OVER wns AS nlab_12,
+                  LEAD(id, 5) OVER wns AS nid_5,
+                  LEAD(label, 5) OVER wns AS nlab_5,
+                  LAG(id, 5) OVER wns AS nid_13,
+                  LAG(label, 5) OVER wns AS nlab_13,
+                  LEAD(id, 6) OVER wns AS nid_6,
+                  LEAD(label, 6) OVER wns AS nlab_6,
+                  LAG(id, 6) OVER wns AS nid_14,
+                  LAG(label, 6) OVER wns AS nlab_14,
+                  LEAD(id, 7) OVER wns AS nid_7,
+                  LEAD(label, 7) OVER wns AS nlab_7,
+                  LAG(id, 7) OVER wns AS nid_15,
+                  LAG(label, 7) OVER wns AS nlab_15,
+                  LEAD(id, 8) OVER wns AS nid_8,
+                  LEAD(label, 8) OVER wns AS nlab_8,
+                  LAG(id, 8) OVER wns AS nid_16,
+                  LAG(label, 8) OVER wns AS nlab_16
+           FROM ns_k
+           WINDOW wns AS (PARTITION BY bkt ORDER BY dg ASC, id ASC)),
+  ns_f AS (SELECT id, label,
+             list_slice(list_filter([
+               struct_pack(ord := 1, nid := nid_1, nlab := nlab_1),
+               struct_pack(ord := 2, nid := nid_2, nlab := nlab_2),
+               struct_pack(ord := 3, nid := nid_3, nlab := nlab_3),
+               struct_pack(ord := 4, nid := nid_4, nlab := nlab_4),
+               struct_pack(ord := 5, nid := nid_5, nlab := nlab_5),
+               struct_pack(ord := 6, nid := nid_6, nlab := nlab_6),
+               struct_pack(ord := 7, nid := nid_7, nlab := nlab_7),
+               struct_pack(ord := 8, nid := nid_8, nlab := nlab_8),
+               struct_pack(ord := 9, nid := nid_9, nlab := nlab_9),
+               struct_pack(ord := 10, nid := nid_10, nlab := nlab_10),
+               struct_pack(ord := 11, nid := nid_11, nlab := nlab_11),
+               struct_pack(ord := 12, nid := nid_12, nlab := nlab_12),
+               struct_pack(ord := 13, nid := nid_13, nlab := nlab_13),
+               struct_pack(ord := 14, nid := nid_14, nlab := nlab_14),
+               struct_pack(ord := 15, nid := nid_15, nlab := nlab_15),
+               struct_pack(ord := 16, nid := nid_16, nlab := nlab_16)
+             ], s -> s.nid IS NOT NULL AND s.nlab != label), 1, 3) AS kept
+           FROM ns_p)
+  SELECT id AS anchor_id, label AS anchor_label,
+         CAST(len(kept) AS BIGINT) AS n_negatives,
+         CAST(u.i AS BIGINT) AS neg_rank,
+         kept[CAST(u.i AS INT)].nid AS neg_id,
+         kept[CAST(u.i AS INT)].nlab AS neg_label
+  FROM ns_f, UNNEST(range(1, len(kept) + 1)) AS u(i)
+  UNION ALL
+  SELECT id, label, 0, NULL, NULL, NULL FROM ns_f WHERE len(kept) = 0""",
     }

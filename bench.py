@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "lang_consistency",
     "edit_join_two",
     "quantized_topk",
+    "negative_samples",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

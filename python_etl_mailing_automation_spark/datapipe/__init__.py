@@ -70,6 +70,7 @@ from .stats import (  # noqa: F401
 )
 from .sampling import (  # noqa: F401
     budget_select,
+    negative_samples,
     dataset_split,
     hash_sample,
     mixture_sample,

@@ -553,3 +553,98 @@ def stratified_exact(
         on=ranked[group_col].eqNullSafe(targets[group_col]),
     ).filter(F.col("__rk") <= F.col("__target"))
     return joined.select(*[ranked[c] for c in df.columns])
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    *,
+    k: int = 3,
+    lookahead: int = 8,
+    n_buckets: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, up to ``k`` pseudo-random partners with a
+    DIFFERENT label — the (anchor, negative) pair generator behind
+    embedding/contrastive objectives, built without a cross join and
+    without RNG state.
+
+    Scheme: rows land on md5 rings (``n_buckets`` of them, bucket =
+    digest prefix mod); within a ring, rows are ordered by digest (a
+    fixed pseudo-random permutation), and each anchor scans its next
+    ``lookahead`` ring neighbors in BOTH directions, keeping the first
+    ``k`` whose label differs (forward neighbors first, rank order
+    deterministic). A different ``salt`` re-draws the permutation for
+    a new epoch.
+
+    Honest contract: anchors near a ring seam, or rings with fewer
+    than k differently-labeled rows within reach, yield FEWER than k
+    negatives (``n_negatives`` says how many) — raise ``lookahead`` or
+    lower ``n_buckets`` when labels are heavily clustered. NULL
+    ids/labels are dropped.
+
+    Scale shape: ONE exchange on the ring bucket; the 2·lookahead
+    neighbor peeks are lead/lag columns over the same sort —
+    per-anchor state is constant, no join, no cross anything.
+    """
+    if k < 1 or lookahead < k:
+        raise ValueError("negative_samples: need lookahead >= k >= 1")
+    digest = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
+    base = (
+        df.filter(F.col(id_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("__lab"),
+            digest.alias("__dg"),
+        )
+        .withColumn(
+            "__bkt",
+            F.expr("cast(conv(substring(__dg, 1, 8), 16, 10) as bigint)")
+            % F.lit(int(n_buckets)),
+        )
+    )
+    w = Window.partitionBy("__bkt").orderBy(F.col("__dg").asc(), F.col("__id").asc())
+    # window peeks materialize in their own projection — Spark rejects
+    # window expressions nested under generators/filters.
+    peek_cols, peek_names = [], []
+    for i in range(1, lookahead + 1):
+        for ord_, fn in ((i, F.lead), (lookahead + i, F.lag)):
+            peek_cols.append(fn("__id", i).over(w).alias(f"__nid_{ord_}"))
+            peek_cols.append(fn("__lab", i).over(w).alias(f"__nlab_{ord_}"))
+            peek_names.append(ord_)
+    peeked = base.select("__id", "__lab", *peek_cols)
+    cands = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(o).alias("ord"),
+                    F.col(f"__nid_{o}").alias("nid"),
+                    F.col(f"__nlab_{o}").alias("nlab"),
+                )
+                for o in peek_names
+            ]
+        ),
+        lambda s: s["nid"].isNotNull() & (s["nlab"] != F.col("__lab")),
+    )
+    kept = F.slice(F.array_sort(cands), 1, k)
+    staged = peeked.select(
+        F.col("__id").alias("anchor_id"),
+        F.col("__lab").alias("anchor_label"),
+        kept.alias("__kept"),
+    )
+    out = staged.select(
+        "anchor_id",
+        "anchor_label",
+        F.size("__kept").cast("long").alias("n_negatives"),
+        F.posexplode_outer("__kept").alias("__p", "__s"),
+    )
+    return out.select(
+        "anchor_id",
+        "anchor_label",
+        "n_negatives",
+        (F.col("__p") + 1).cast("long").alias("neg_rank"),
+        F.col("__s.nid").alias("neg_id"),
+        F.col("__s.nlab").alias("neg_label"),
+    ).filter(F.col("neg_id").isNotNull() | (F.col("n_negatives") == 0))

@@ -3510,3 +3510,29 @@ def test_edit_distance_join_two_cross_corpus(spark):
     # note ids 1 appear on BOTH sides with different strings — the
     # tagged id spaces keep them apart
     assert got == expect and got
+
+
+def test_negative_samples_deterministic_different_label(spark):
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        negative_samples,
+    )
+
+    rows = [(i, "pos" if i % 3 == 0 else "neg") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, label string")
+    out = negative_samples(df, "id", "label", k=2, lookahead=6, n_buckets=2)
+    got = out.collect()
+    labels = dict(rows)
+    anchors = {r.anchor_id for r in got}
+    assert anchors == set(range(40))  # every anchor appears
+    for r in got:
+        if r.neg_id is not None:
+            assert labels[r.neg_id] != r.anchor_label
+            assert 1 <= r.neg_rank <= 2
+    # deterministic: second run identical
+    again = negative_samples(df, "id", "label", k=2, lookahead=6, n_buckets=2)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+    # salt re-draws the permutation: some pairing must change
+    salted = negative_samples(
+        df, "id", "label", k=2, lookahead=6, n_buckets=2, salt="epoch2"
+    )
+    assert sorted(map(tuple, got)) != sorted(map(tuple, salted.collect()))

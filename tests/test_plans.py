@@ -920,3 +920,9 @@ def test_quantized_topk_takes_k_not_global_sort(plans):
     # a global sort of all pairs
     p = plans("quantized_topk")
     assert "WindowGroupLimit" in p or "TakeOrdered" in p
+
+
+def test_negative_samples_one_exchange_no_join(plans):
+    p = plans("negative_samples")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
