@@ -956,3 +956,74 @@ def test_cdf_normalize_bounds_and_monotonicity(spark, rows):
             assert top_c == 1.0
         else:
             assert top_c < 1.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2", "u3"]), st.integers(0, 70)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_cohort_retention_conservation(spark, rows):
+    """Offset-0 cells equal cohort sizes; every cell is bounded by its
+    cohort; per-user distinct weeks are conserved across cells."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        cohort_retention,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + dt.timedelta(days=d)) for u, d in rows],
+        "user string, ts timestamp",
+    )
+    got = cohort_retention(df, "user", "ts").collect()
+    # python reference
+    weeks: dict = {}
+    epoch = dt.date(1970, 1, 1)
+    for u, d in rows:
+        w = ((base + dt.timedelta(days=d)).date() - epoch).days // 7
+        weeks.setdefault(u, set()).add(w)
+    cohorts: dict = {}
+    for u, ws in weeks.items():
+        cohorts.setdefault(min(ws), set()).add(u)
+    for r in got:
+        assert 1 <= r.n_active <= r.n_cohort
+        assert r.n_cohort == len(cohorts[r.cohort_week])
+        if r.week_offset == 0:
+            assert r.n_active == r.n_cohort
+    total_cells = sum(r.n_active for r in got)
+    assert total_cells == sum(len(ws) for ws in weeks.values())
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=20), min_size=1, max_size=15
+    ),
+    phrase=st.sampled_from(["a b", "b a", "a a", "a b a"]),
+)
+@SETTINGS
+def test_phrase_search_matches_python_scan(spark, texts, phrase):
+    from python_etl_mailing_automation_spark.datapipe.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, phrase).collect()
+    }
+    words = phrase.split()
+    expect = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        hits = [
+            p + 1
+            for p in range(len(toks) - len(words) + 1)
+            if toks[p : p + len(words)] == words
+        ]
+        if hits:
+            expect[i] = (len(hits), hits[0])
+    assert got == expect
