@@ -3933,6 +3933,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_mailing_pipeline_e2e(spark, "/root/testdata/sf0.001")
 
 
+# Queries re-implemented after their last driver CORRECTNESS row: the
+# round-7 cohort_retention replaced the round-6 date_trunc counts-only
+# form with the operator-backed epoch-week + retention-ratio version.
+_CHANGED_SINCE_SIGNED = {"cohort_retention": 6}
+
+
 def _rotation_order(names: list[str]) -> list[str]:
     """MECHANICAL battery rotation (round-7 fix for the recurring gap):
     the driver's CORRECTNESS gate checks only the first ~50 dict entries
@@ -3945,7 +3951,12 @@ def _rotation_order(names: list[str]) -> list[str]:
     re-signed on a bounded cadence (ceil(battery/50) rounds).
 
     A row counts as driver-signed when rows+schema matched with no error
-    (hash may be null for the documented rows-only checks)."""
+    (hash may be null for the documented rows-only checks).
+
+    ``_CHANGED_SINCE_SIGNED`` lists queries whose IMPLEMENTATION changed
+    after their last driver row — they re-enter the window as if never
+    signed (a stale signature must not vouch for new code). Names are
+    removed once a fresh driver row lands."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -3973,6 +3984,9 @@ def _rotation_order(names: list[str]) -> list[str]:
                 and not row.get("err")
             ):
                 last_signed[name] = max(last_signed.get(name, 0), rnd)
+    for name, signed_round in _CHANGED_SINCE_SIGNED.items():
+        if last_signed.get(name, 0) <= signed_round:
+            last_signed.pop(name, None)
     reg_pos = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (last_signed.get(n, 0), reg_pos[n]))
 
