@@ -3864,8 +3864,9 @@ def q_edit_join_two(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-corpus record linkage (datapipe/ssjoin
     .edit_distance_join_two): list A = customer names, list B = the
     planted one-edit twins (append / substitute / delete by custkey mod
-    30) — every A×B pair within distance 1, via the tagged-union
-    PassJoin composition. The oracle is the full quadratic A×B
+    30) — every A×B pair within distance 1, via the dedicated R-S
+    PassJoin (B indexes segments, A probes both length directions; no
+    within-side work exists). The oracle is the full quadratic A×B
     levenshtein cross join."""
     from python_etl_mailing_automation_spark.datapipe.ssjoin import (
         edit_distance_join_two,

@@ -718,44 +718,145 @@ def edit_distance_join_two(
 ) -> DataFrame:
     """Cross-corpus edit-distance join — the classic record-linkage
     task (match list A against list B within ``max_edits``): pairs
-    ``(id_a from A, id_b from B, dist)``. Composition over the
-    self-join: tag each side into a disjoint string id space
-    (``a:<id>`` / ``b:<id>``), run the PassJoin self-join on the
-    union, keep only cross-side pairs.
+    ``(id_a from A, id_b from B, dist)``, ids rendered as strings.
 
-    Honest cost note: the union self-join also GENERATES within-side
-    candidates before the cross filter; when within-side near-pair
-    density is comparable to the cross density this costs at most ~2×
-    the dedicated R-S probe scheme — acceptable for the composition's
-    simplicity, and the blocking/verify machinery (entropy segments,
-    ``stats_mod`` sampling) is inherited unchanged. Duplicate ids
-    WITHIN one side are fine; ids are returned in their original
-    column types' string rendering (cast your ids to string to round-
-    trip exactly).
+    Dedicated R-S PassJoin (not a union self-join): list B is the
+    INDEX side (d+1 segments per row, entropy-placed boundaries per
+    B length class); list A is the PROBE side, emitting for every
+    partner length l in [len-d, len+d] — both directions, since there
+    is no self-join symmetry to exploit — each aligned substring
+    within the pigeonhole shift window. Candidates are the
+    (segment#, length, text) equi-join; the exact Levenshtein verify
+    runs only on cross pairs, so NO within-A or within-B work exists
+    anywhere (the earlier tagged-union composition measured ~3× slower
+    on within-dense data for exactly that reason — SCALING.md).
+
+    Same exactness argument as :func:`edit_distance_join`; same
+    ``segmenter`` / ``stats_mod`` levers (stats measured on the index
+    side). NULL ids/strings dropped; duplicate ids within one list are
+    fine.
     """
-    tag_a = df_a.select(
-        F.concat(F.lit("a:"), F.col(id_col).cast("string")).alias("__tid"),
-        F.col(str_col).alias("__ts"),
+    d = int(max_edits)
+    if d < 1:
+        raise ValueError("edit_distance_join_two: max_edits must be >= 1")
+    if segmenter not in ("entropy", "even"):
+        raise ValueError(
+            f"edit_distance_join_two: unknown segmenter {segmenter!r}"
+        )
+    k = d + 1
+
+    def clean(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col(id_col).isNotNull() & F.col(str_col).isNotNull()
+        ).select(
+            F.col(id_col).cast("string").alias("__id"),
+            F.col(str_col).alias("__s"),
+            F.length(str_col).cast("int").alias("__len"),
+        )
+
+    base_a, base_b = clean(df_a), clean(df_b)
+    spark = df_a.sparkSession
+
+    if segmenter == "entropy":
+        stats_base = base_b
+        if stats_mod is not None and stats_mod > 1:
+            stats_base = base_b.filter(
+                F.expr(
+                    f"cast(conv(substring(md5(__id), 1, 8),"
+                    f" 16, 10) as bigint) % {int(stats_mod)} = 0"
+                )
+            )
+        stats = (
+            stats_base.filter(F.col("__len") > 0)
+            .select(
+                "__len",
+                F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("__p"),
+                "__s",
+            )
+            .select(
+                "__len",
+                "__p",
+                F.col("__s").substr(F.col("__p"), F.lit(1)).alias("__c"),
+            )
+            .groupBy("__len", "__p")
+            .agg(F.count_distinct("__c").alias("__nd"))
+            .collect()
+        )
+        by_len: dict[int, list[float]] = {}
+        for row in stats:
+            by_len.setdefault(row["__len"], [0.0] * row["__len"])
+        for row in stats:
+            by_len[row["__len"]][row["__p"] - 1] = math.log2(max(row["__nd"], 1))
+    else:
+        by_len = {}
+    lengths = sorted(
+        r["__len"] for r in base_b.select("__len").distinct().collect()
     )
-    tag_b = df_b.select(
-        F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias("__tid"),
-        F.col(str_col).alias("__ts"),
+    bounds_rows = [
+        (l, j, st, ln)
+        for l in lengths
+        for j, (st, ln) in enumerate(
+            _entropy_segment_bounds(l, k, by_len[l])
+            if l in by_len
+            else _even_segment_bounds(l, k)
+        )
+    ]
+    if not bounds_rows:
+        bounds_rows = [(0, 0, 0, 0)]
+    bounds = spark.createDataFrame(
+        bounds_rows, "seg_l int, seg_j int, __start int, __slen int"
     )
-    pairs = edit_distance_join(
-        tag_a.unionByName(tag_b),
-        "__tid",
-        "__ts",
-        max_edits=max_edits,
-        segmenter=segmenter,
-        stats_mod=stats_mod,
+
+    index_entries = base_b.join(
+        F.broadcast(bounds), base_b["__len"] == bounds["seg_l"]
+    ).select(
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("s_b"),
+        "seg_j",
+        "seg_l",
+        F.col("__s").substr(F.col("__start") + 1, F.col("__slen")).alias("seg_text"),
     )
-    # 'a:' sorts before 'b:', so cross pairs always carry the A id in
-    # id_a — one startswith filter, no reorder needed.
-    cross = pairs.filter(
-        F.col("id_a").startswith("a:") & F.col("id_b").startswith("b:")
+
+    pbase = base_a.select(
+        "__id",
+        "__s",
+        "__len",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(-d, d + 1)])
+        ).alias("__dl"),
     )
-    return cross.select(
-        F.expr("substring(id_a, 3)").alias("id_a"),
-        F.expr("substring(id_b, 3)").alias("id_b"),
-        "dist",
+    pj = pbase.join(
+        F.broadcast(bounds), bounds["seg_l"] == pbase["__len"] - pbase["__dl"]
+    ).select(
+        "__id",
+        "__s",
+        "__len",
+        "seg_j",
+        "seg_l",
+        "__start",
+        "__slen",
+        F.explode(F.array(*[F.lit(s) for s in range(-d, d + 1)])).alias("__sh"),
+    )
+    p = F.col("__start") + F.col("__sh")
+    probe_entries = (
+        pj.filter((p >= 0) & (p + F.col("__slen") <= F.col("__len")))
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__s").alias("s_a"),
+            "seg_j",
+            "seg_l",
+            F.col("__s").substr(p + 1, F.col("__slen")).alias("seg_text"),
+        )
+        .distinct()
+    )
+
+    cands = (
+        index_entries.join(probe_entries, on=["seg_j", "seg_l", "seg_text"])
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("s_a", "s_b").cast("long"))
+        .filter(F.col("dist") <= d)
+        .select("id_a", "id_b", "dist")
     )
