@@ -3776,15 +3776,19 @@ def q_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     cand = lsh_candidate_pairs(minhash_signatures(docs)).select(
         F.col("doc_id_a").alias("id_a"), F.col("doc_id_b").alias("id_b")
     )
-    flagged = exact.join(
-        cand.withColumn("__hit", F.lit(1)), on=["id_a", "id_b"], how="left"
+    # ONE pass over both pair sets: the full-outer join carries a flag
+    # per side, so the LSH pipeline is evaluated once (a left join plus
+    # a separate candidate count would run it twice).
+    joined = exact.withColumn("__t", F.lit(1)).join(
+        cand.withColumn("__c", F.lit(1)), on=["id_a", "id_b"], how="full_outer"
     )
-    truth = flagged.agg(
-        F.count(F.lit(1)).cast("long").alias("n_true"),
-        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_caught"),
-    )
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    return truth.crossJoin(F.broadcast(n_cand)).select(
+    return joined.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum(F.col("__t") * F.col("__c")), F.lit(0))
+        .cast("long")
+        .alias("n_caught"),
+    ).select(
         "n_true",
         "n_candidates",
         "n_caught",
