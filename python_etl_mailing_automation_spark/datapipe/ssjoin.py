@@ -430,6 +430,74 @@ def _entropy_segment_bounds(
     return out
 
 
+def _segment_bounds(
+    index_base: DataFrame,
+    k: int,
+    segmenter: str,
+    stats_mod: int | None,
+) -> DataFrame:
+    """Per-length segment boundaries for the PassJoin family, computed
+    from the INDEX side and returned as a broadcastable
+    ``(seg_l, seg_j, __start, __slen)`` frame. The entropy stats are
+    exact distinct-char counts per (length, pos) — deterministic, so
+    every run (and every partitioning) derives the same splits;
+    ``stats_mod=k`` measures them on the deterministic 1/k md5-hash row
+    sample (boundaries steer SELECTIVITY only, never membership, so a
+    sample cannot change any result set). EVERY observed length gets a
+    scheme — zero-length strings included (their k empty segments are
+    how "a" finds "") — falling back to the even split for lengths the
+    stats pass cannot weigh."""
+    if segmenter == "entropy":
+        stats_base = index_base
+        if stats_mod is not None and stats_mod > 1:
+            stats_base = index_base.filter(
+                F.expr(
+                    f"cast(conv(substring(md5(cast(__id as string)), 1, 8),"
+                    f" 16, 10) as bigint) % {int(stats_mod)} = 0"
+                )
+            )
+        stats = (
+            stats_base.filter(F.col("__len") > 0)
+            .select(
+                "__len",
+                F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("__p"),
+                "__s",
+            )
+            .select(
+                "__len",
+                "__p",
+                F.col("__s").substr(F.col("__p"), F.lit(1)).alias("__c"),
+            )
+            .groupBy("__len", "__p")
+            .agg(F.count_distinct("__c").alias("__nd"))
+            .collect()
+        )
+        by_len: dict[int, list[float]] = {}
+        for row in stats:
+            by_len.setdefault(row["__len"], [0.0] * row["__len"])
+        for row in stats:
+            by_len[row["__len"]][row["__p"] - 1] = math.log2(max(row["__nd"], 1))
+    else:
+        by_len = {}
+    lengths = sorted(
+        r["__len"] for r in index_base.select("__len").distinct().collect()
+    )
+    bounds_rows = [
+        (l, j, st, ln)
+        for l in lengths
+        for j, (st, ln) in enumerate(
+            _entropy_segment_bounds(l, k, by_len[l])
+            if l in by_len
+            else _even_segment_bounds(l, k)
+        )
+    ]
+    if not bounds_rows:  # empty input frame
+        bounds_rows = [(0, 0, 0, 0)]
+    return index_base.sparkSession.createDataFrame(
+        bounds_rows, "seg_l int, seg_j int, __start int, __slen int"
+    )
+
+
 def edit_distance_join(
     df: DataFrame,
     id_col: str,
@@ -509,69 +577,7 @@ def edit_distance_join(
             F.length(str_col).cast("int").alias("__len"),
         )
     )
-    spark = df.sparkSession
-
-    # Per-length segment boundaries, computed once and broadcast. The
-    # entropy stats are exact distinct-char counts per (length, pos) —
-    # deterministic, so every run (and every partitioning) derives the
-    # same splits.
-    if segmenter == "entropy":
-        # stats_mod=k measures entropy on the deterministic 1/k
-        # md5-hash sample of rows (same-sample every run/engine) — at
-        # corpus scale the stats pass should not be a full scan; the
-        # boundaries only steer SELECTIVITY, never correctness, so a
-        # sample cannot change the result set.
-        stats_base = base
-        if stats_mod is not None and stats_mod > 1:
-            stats_base = base.filter(
-                F.expr(
-                    f"cast(conv(substring(md5(cast(__id as string)), 1, 8),"
-                    f" 16, 10) as bigint) % {int(stats_mod)} = 0"
-                )
-            )
-        stats = (
-            stats_base.filter(F.col("__len") > 0)
-            .select(
-                "__len",
-                F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("__p"),
-                "__s",
-            )
-            .select(
-                "__len",
-                "__p",
-                F.col("__s").substr(F.col("__p"), F.lit(1)).alias("__c"),
-            )
-            .groupBy("__len", "__p")
-            .agg(F.count_distinct("__c").alias("__nd"))
-            .collect()
-        )
-        by_len: dict[int, list[float]] = {}
-        for row in stats:
-            by_len.setdefault(row["__len"], [0.0] * row["__len"])
-        for row in stats:
-            by_len[row["__len"]][row["__p"] - 1] = math.log2(max(row["__nd"], 1))
-    else:
-        by_len = {}
-    # EVERY observed length needs a scheme — zero-length strings
-    # included (their k empty segments are how "a" finds "") — so fall
-    # back to the even split for lengths the stats pass cannot weigh.
-    lengths = sorted(
-        r["__len"] for r in base.select("__len").distinct().collect()
-    )
-    bounds_rows = [
-        (l, j, st, ln)
-        for l in lengths
-        for j, (st, ln) in enumerate(
-            _entropy_segment_bounds(l, k, by_len[l])
-            if l in by_len
-            else _even_segment_bounds(l, k)
-        )
-    ]
-    if not bounds_rows:  # empty input frame
-        bounds_rows = [(0, 0, 0, 0)]
-    bounds = spark.createDataFrame(
-        bounds_rows, "seg_l int, seg_j int, __start int, __slen int"
-    )
+    bounds = _segment_bounds(base, k, segmenter, stats_mod)
 
     index_entries = base.join(
         F.broadcast(bounds), base["__len"] == bounds["seg_l"]
@@ -755,57 +761,7 @@ def edit_distance_join_two(
         )
 
     base_a, base_b = clean(df_a), clean(df_b)
-    spark = df_a.sparkSession
-
-    if segmenter == "entropy":
-        stats_base = base_b
-        if stats_mod is not None and stats_mod > 1:
-            stats_base = base_b.filter(
-                F.expr(
-                    f"cast(conv(substring(md5(__id), 1, 8),"
-                    f" 16, 10) as bigint) % {int(stats_mod)} = 0"
-                )
-            )
-        stats = (
-            stats_base.filter(F.col("__len") > 0)
-            .select(
-                "__len",
-                F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("__p"),
-                "__s",
-            )
-            .select(
-                "__len",
-                "__p",
-                F.col("__s").substr(F.col("__p"), F.lit(1)).alias("__c"),
-            )
-            .groupBy("__len", "__p")
-            .agg(F.count_distinct("__c").alias("__nd"))
-            .collect()
-        )
-        by_len: dict[int, list[float]] = {}
-        for row in stats:
-            by_len.setdefault(row["__len"], [0.0] * row["__len"])
-        for row in stats:
-            by_len[row["__len"]][row["__p"] - 1] = math.log2(max(row["__nd"], 1))
-    else:
-        by_len = {}
-    lengths = sorted(
-        r["__len"] for r in base_b.select("__len").distinct().collect()
-    )
-    bounds_rows = [
-        (l, j, st, ln)
-        for l in lengths
-        for j, (st, ln) in enumerate(
-            _entropy_segment_bounds(l, k, by_len[l])
-            if l in by_len
-            else _even_segment_bounds(l, k)
-        )
-    ]
-    if not bounds_rows:
-        bounds_rows = [(0, 0, 0, 0)]
-    bounds = spark.createDataFrame(
-        bounds_rows, "seg_l int, seg_j int, __start int, __slen int"
-    )
+    bounds = _segment_bounds(base_b, k, segmenter, stats_mod)
 
     index_entries = base_b.join(
         F.broadcast(bounds), base_b["__len"] == bounds["seg_l"]
