@@ -1862,8 +1862,13 @@ def q_contract_gate(spark: SparkSession, sf: str) -> DataFrame:
             ("regexp", "o_orderpriority", "^[1-3]-"),
         ],
     )
+    # The driver canonicalizer sorts the pandas frame BEFORE stringifying,
+    # so an ARRAY output column crashes it (unhashable list). Flatten to a
+    # sorted comma-joined string — '' for the no-violation rows.
     return out.select(
-        "o_orderkey", "violated", F.size("violated").alias("n_violated")
+        "o_orderkey",
+        F.array_join(F.array_sort("violated"), ",").alias("violated"),
+        F.size("violated").alias("n_violated"),
     )
 
 
@@ -3939,9 +3944,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries re-implemented after their last driver CORRECTNESS row: the
-# round-7 cohort_retention replaced the round-6 date_trunc counts-only
-# form with the operator-backed epoch-week + retention-ratio version.
-_CHANGED_SINCE_SIGNED = {"cohort_retention": 6}
+# round-8 contract_gate flattens the `violated` ARRAY column to a sorted
+# comma-joined string (the raw array crashed the driver's canonicalizer
+# in r07), so any pre-r8 signature must not vouch for it.
+_CHANGED_SINCE_SIGNED = {"contract_gate": 7}
 
 
 def _rotation_order(names: list[str]) -> list[str]:
@@ -6202,7 +6208,9 @@ def oracle_sql() -> dict[str, str]:
   QUALIFY ROW_NUMBER() OVER (PARTITION BY "constraint", "column"
                              ORDER BY md5(row_id), row_id) <= 5""",
         "contract_gate": """
-  SELECT o_orderkey, violated,
+  SELECT o_orderkey,
+         COALESCE(array_to_string(list_sort(violated), ','), '')
+           AS violated,
          CAST(len(violated) AS INT) AS n_violated
   FROM (SELECT o_orderkey,
                list_filter([

@@ -133,6 +133,25 @@ def test_no_python_evaluation_in_any_query_plan(spark, sf_dir):
         # expressions imply codegen eligibility.)
 
 
+def test_no_complex_output_columns_in_any_query(spark, sf_dir):
+    """Driver-canonicalizer output contract: the driver sorts the raw
+    pandas result frame before stringifying, so an ARRAY/MAP/STRUCT
+    output column crashes it with ``unhashable type: 'list'`` (the
+    round-7 ``contract_gate`` red row). Every battery query must emit
+    only atomic columns — flatten arrays with array_join/array_sort
+    before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as e
+
+    offenders = []
+    for name, fn in e.queries().items():
+        for field in fn(spark, sf_dir).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"complex output columns would crash the driver: {offenders}"
+
+
 def test_budget_select_broadcasts_bucket_boundaries(plans):
     """The two-pass budget selection must broadcast the tiny bucket frame
     back (never sort-merge), and the only window sits on the boundary

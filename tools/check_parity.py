@@ -32,8 +32,16 @@ TABLES = [
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, normalize dtypes, sort rows."""
+    """Sort columns by name, normalize dtypes, sort rows.
+
+    The DRIVER's canonicalizer sorts the raw pandas frame BEFORE any
+    stringification, so an ARRAY/MAP/STRUCT output column crashes it
+    with ``unhashable type`` (the exact round-7 ``contract_gate`` red
+    row). Reproduce that here first — a query that would crash the
+    driver must fail locally too, not slip through a more permissive
+    stringify-first canon."""
     df = df[sorted(df.columns)].copy()
+    df.sort_values(list(df.columns), na_position="last")  # driver-crash repro
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
