@@ -3946,8 +3946,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries re-implemented after their last driver CORRECTNESS row: the
 # round-8 contract_gate flattens the `violated` ARRAY column to a sorted
 # comma-joined string (the raw array crashed the driver's canonicalizer
-# in r07), so any pre-r8 signature must not vouch for it.
-_CHANGED_SINCE_SIGNED = {"contract_gate": 7}
+# in r07); the BPE trio re-enters because bpe_train gained the
+# self-pair batch barrier (ADVICE r7 high) — local parity re-verified,
+# but a stale signature must not vouch for new code.
+_CHANGED_SINCE_SIGNED = {
+    "contract_gate": 7,
+    "bpe_train": 7,
+    "bpe_tokenize_pack": 7,
+    "bpe_segment_holdout": 7,
+}
 
 
 def _rotation_order(names: list[str]) -> list[str]:

@@ -90,7 +90,12 @@ def bpe_train(
 
     - accepted merges are a symbol-disjoint PREFIX of the ranked
       snapshot — applying one cannot change another's count (their
-      adjacencies share no symbol);
+      adjacencies share no symbol). A SELF-pair (lhs == rhs) ends the
+      prefix without being accepted: its merge creates (ab,a)-style
+      pairs bounded by its OWN count rather than by the stop count, so
+      nothing ranked below it is provably next — it re-enters (and,
+      when it tops the snapshot, is accepted alone via the top-1
+      fallback) after a recount;
     - every pair a merge CAN touch shares a symbol with it: decreased
       pairs literally do, and a created pair (x, ab) is bounded by the
       old (x, a) count — a conflicted snapshot pair. All conflicted
@@ -142,12 +147,22 @@ def bpe_train(
         accepted: list = []
         stop_count = None
         for row in top:
-            # stop on the first pair NOT accepted — over budget or
-            # symbol-conflicted. Every unaccepted pair (this one and
-            # all ranked after) has count <= its count, which bounds
-            # anything the accepted merges can create or grow.
-            if len(merges) + len(accepted) >= n_merges or (
-                {row.lhs, row.rhs} & used
+            # stop on the first pair NOT accepted — over budget,
+            # symbol-conflicted, or a SELF-pair. Every unaccepted pair
+            # (this one and all ranked after) has count <= its count,
+            # which bounds anything the accepted merges can create or
+            # grow. A self-pair (lhs == rhs) is a barrier even when
+            # disjoint: merging (a,a) over a run of a's creates
+            # (aa,a)/(aa,aa) pairs bounded by the self-pair's OWN
+            # count — not by anything ranked below it — so no later
+            # snapshot pair is provably next; recount before going on.
+            # (When the self-pair tops the snapshot, the safe-prefix
+            # truncation empties and the top-1 fallback accepts it
+            # alone, which is sequential greedy by definition.)
+            if (
+                len(merges) + len(accepted) >= n_merges
+                or ({row.lhs, row.rhs} & used)
+                or row.lhs == row.rhs
             ):
                 stop_count = row.pair_count
                 break

@@ -2138,6 +2138,11 @@ def test_bpe_train_batched_equals_sequential(spark):
         " ".join(["a b"] * 5 + ["b c"] * 5),       # equal-count conflict
         "aaaa aaaa aa",                             # self-overlap run
         "ab cd ab cd ef gh ef",                    # disjoint batch win
+        # self-pair barrier: after (a,a), the created (aa,a):3 is
+        # bounded by (a,a)'s OWN count (6) and must outrank the stale
+        # snapshot's (b,c):2 — a batch that accepts (b,c) alongside
+        # (a,a) diverges from sequential greedy
+        "aaa aaa aaa bc bc",
     ]
     for text in corpora:
         docs = spark.createDataFrame([(1, text)], "i int, text string")
