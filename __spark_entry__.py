@@ -3549,9 +3549,10 @@ def q_edit_join(spark: SparkSession, sf: str) -> DataFrame:
 def q_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
     """Functional-dependency profiling (datapipe/quality.fd_violations):
     does user_id → event_type hold in events? Every violating user with
-    row count, distinct non-NULL event types, and the deterministic
-    min/max example pair — two stacked keyed aggregates, state bounded
-    by distinct dependents per group."""
+    row count, distinct event types (a NULL dependent counts as one
+    extra distinct marker), and the deterministic min/max example pair
+    — two stacked keyed aggregates, state bounded by distinct
+    dependents per group."""
     from python_etl_mailing_automation_spark.datapipe.quality import fd_violations
 
     return fd_violations(_t(spark, sf, "events"), ["user_id"], "event_type")
@@ -3954,6 +3955,11 @@ _CHANGED_SINCE_SIGNED = {
     "bpe_train": 7,
     "bpe_tokenize_pack": 7,
     "bpe_segment_holdout": 7,
+    # ADVICE r7 operator fixes: decimal-exact AMS product, type-agnostic
+    # LPA tie-break — results unchanged on the battery data (parity
+    # re-verified locally), but the code under the signature changed
+    "cms_join_size": 7,
+    "label_propagation": 7,
 }
 
 
@@ -7843,14 +7849,18 @@ def oracle_sql() -> dict[str, str]:
          CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
   FROM ej_u a JOIN ej_u b ON a.id < b.id
   WHERE levenshtein(a.s, b.s) <= 1""",
-        # FD profiling: distinct NON-NULL dependents per determinant
-        # group (NULL is a marker, not a value — two NULLs don't clash).
+        # FD profiling: distinct dependents per determinant group, a
+        # NULL dependent counting as ONE extra distinct marker (two
+        # NULLs alone don't clash, but {NULL, 'x'} is a violation).
         "fd_violations": """
   WITH fd_p AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
                 FROM events GROUP BY 1, 2),
   fd_g AS (SELECT user_id,
                   CAST(SUM(n) AS BIGINT) AS n_rows,
-                  CAST(COUNT(event_type) AS BIGINT) AS n_distinct_dep,
+                  CAST(COUNT(event_type)
+                       + SUM(CASE WHEN event_type IS NULL
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_distinct_dep,
                   MIN(event_type) AS dep_min,
                   MAX(event_type) AS dep_max
            FROM fd_p GROUP BY 1)

@@ -190,16 +190,21 @@ def label_propagation(
                 .groupBy("src", "label")
                 .agg(F.count(F.lit(1)).cast("long").alias("__c"))
             )
+            # struct-MIN with the count negated (counts are always
+            # long) = argmax count, ties to SMALLEST label — works for
+            # any orderable id type; negating the LABEL instead would
+            # silently double-cast string ids to NULL and break the
+            # tie-break
             labels = counts.groupBy("src").agg(
-                F.max(
+                F.min(
                     F.struct(
-                        F.col("__c").alias("c"),
-                        (-F.col("label")).alias("nl"),
+                        (-F.col("__c")).alias("nc"),
+                        F.col("label").alias("l"),
                     )
                 ).alias("__b")
             ).select(
                 F.col("src").alias("node"),
-                (-F.col("__b.nl")).alias("label"),
+                F.col("__b.l").alias("label"),
             )
         return labels.localCheckpoint(eager=True)
     finally:

@@ -304,9 +304,17 @@ def fd_violations(
     pairs = df.groupBy(*determinant_cols, dependent_col).agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
+    # count(dep) skips the (at most one) NULL pair-row per group, so a
+    # group mapping to {NULL, 'x'} would read as 1 distinct — add the
+    # NULL marker back explicitly to match the documented semantics
+    # (dep_min/dep_max still ignore NULL, so the example pair for a
+    # {NULL, 'x'} group is ('x', 'x'))
     out = pairs.groupBy(*determinant_cols).agg(
         F.sum("__n").cast("long").alias("n_rows"),
-        F.count(dep).cast("long").alias("n_distinct_dep"),
+        (
+            F.count(dep)
+            + F.sum(F.when(dep.isNull(), 1).otherwise(0))
+        ).cast("long").alias("n_distinct_dep"),
         F.min(dep).alias("dep_min"),
         F.max(dep).alias("dep_max"),
     )

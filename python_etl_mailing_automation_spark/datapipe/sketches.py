@@ -285,8 +285,10 @@ def cms_join_size(
         .groupBy("row_idx")
         .agg(
             F.sum(
-                (F.col("__ca") * F.col("__cb")).cast("decimal(38,0)")
-            ).alias("__ip")
+                # cast BEFORE multiplying: a BIGINT product wraps once
+                # cell counts pass ~3e9; the decimal product stays exact
+                F.col("__ca").cast("decimal(38,0)") * F.col("__cb")
+            ).cast("decimal(38,0)").alias("__ip")
         )
     )
     # a depth row with NO overlapping cells has inner product 0, not

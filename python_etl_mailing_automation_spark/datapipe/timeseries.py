@@ -463,8 +463,13 @@ def ewma_dyadic(
     ``ewma = a*x + (1-a)*ewma`` is order-fragile; this is not).
 
     Exactness: values land on the floor(v·2^grid_bits) integer grid;
-    every weighted sum is BIGINT; ONE double division at the end
-    (num / (den·2^grid_bits)). Early rows (fewer than ``window``
+    every weighted sum accumulates in DECIMAL(38,0) (a BIGINT
+    accumulator would wrap: one contribution is already
+    |v|·2^(grid_bits+window-1), past int64 at the allowed extremes);
+    ONE double division at the end (num / (den·2^grid_bits)). The
+    decimal sums stay exact while |v| < 2^(126-grid_bits-window)
+    (~10^38 headroom) — beyond that Spark nulls the overflow rather
+    than wrapping silently. Early rows (fewer than ``window``
     predecessors) renormalize over the weights actually present —
     the standard "adjusted" EWMA convention.
 
@@ -499,11 +504,11 @@ def ewma_dyadic(
     ).select(
         "__k",
         (F.col("__pos") + F.col("__lag")).alias("__tpos"),
-        (F.col("__xg") * weight).alias("__num_part"),
+        (F.col("__xg").cast("decimal(38,0)") * weight).alias("__num_part"),
         weight.alias("__w_part"),
     )
     sums = contrib.groupBy("__k", "__tpos").agg(
-        F.sum("__num_part").cast("long").alias("__num"),
+        F.sum("__num_part").cast("decimal(38,0)").alias("__num"),
         F.sum("__w_part").cast("long").alias("__den"),
     )
     return (
@@ -514,8 +519,12 @@ def ewma_dyadic(
         )
         .withColumn(
             "ewma",
+            # den·2^grid_bits in decimal too — at window=62, grid_bits=20
+            # the BIGINT divisor would itself wrap (2^81)
             F.col("__num").cast("double")
-            / (F.col("__den") * F.lit(2 ** grid_bits)).cast("double"),
+            / (
+                F.col("__den").cast("decimal(38,0)") * F.lit(2 ** grid_bits)
+            ).cast("double"),
         )
         .drop("__k", "__tpos", "__pos", "__xg", "__num", "__den")
     )

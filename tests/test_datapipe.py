@@ -1893,6 +1893,34 @@ def test_label_propagation_communities(spark):
         label_propagation(edges, n_iter=0)
 
 
+def test_label_propagation_string_ids_tiebreak(spark):
+    """The tie-break must be type-agnostic: string node ids go through
+    the same argmax-count/min-label path (the old ``-label`` negation
+    implicitly cast strings to double -> NULL, making the tie-break
+    NULL-driven). Mirror of the integer two-triangle test, plus a
+    direct tie: node 'q' sees {'a','b'} once each -> adopts 'a'."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        label_propagation,
+    )
+
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    edges = spark.createDataFrame(
+        tri1 + tri2 + [("c", "x")], "src string, dst string"
+    )
+    out = {r.node: r.label for r in label_propagation(edges, n_iter=4).collect()}
+    assert out["a"] == out["b"] == out["c"]
+    assert out["x"] == out["y"] == out["z"]
+    assert out["a"] != out["x"]
+    star = spark.createDataFrame(
+        [("q", "a"), ("q", "b")], "src string, dst string"
+    )
+    one = {
+        r.node: r.label for r in label_propagation(star, n_iter=1).collect()
+    }
+    assert one["q"] == "a"  # tie between neighbors 'a' and 'b' -> smallest
+
+
 def test_pagerank_leaves_no_pinned_caches(spark):
     """pagerank caches its node and edge+degree frames per call; the
     result must be usable AFTER the caches are released and repeated
@@ -3347,7 +3375,7 @@ def test_fd_violations_distinct_dep_counting(spark):
             ("z1", "BR", "São Paulo"), ("z1", "BR", "Rio"),   # violation
             ("z2", "BR", "Recife"), ("z2", "BR", "Recife"),   # consistent
             ("z3", "AR", None), ("z3", "AR", None),           # NULL-only: no violation
-            ("z4", "CL", "Santiago"), ("z4", "CL", None),     # value+NULL: 1 distinct
+            ("z4", "CL", "Santiago"), ("z4", "CL", None),     # value+NULL: VIOLATION
         ],
         "zip string, country string, city string",
     )
@@ -3355,7 +3383,13 @@ def test_fd_violations_distinct_dep_counting(spark):
         (r.zip, r.n_rows, r.n_distinct_dep, r.dep_min, r.dep_max)
         for r in fd_violations(df, ["zip", "country"], "city").collect()
     }
-    assert out == {("z1", 2, 2, "Rio", "São Paulo")}
+    # z4's NULL dependent counts as a distinct value (the documented
+    # "FD to NULL-or-value is still a violation" semantics); its
+    # example pair collapses to the one non-NULL value
+    assert out == {
+        ("z1", 2, 2, "Rio", "São Paulo"),
+        ("z4", 2, 2, "Santiago", "Santiago"),
+    }
 
 
 def test_k_anonymity_class_sizes_and_l_diversity(spark):
