@@ -3960,6 +3960,15 @@ _CHANGED_SINCE_SIGNED = {
     # re-verified locally), but the code under the signature changed
     "cms_join_size": 7,
     "label_propagation": 7,
+    # graph-module materialization rework (cache e, lazy checkpoint +
+    # count — the r7 pagerank-regression attribution): results
+    # unchanged, parity re-verified, code under the signatures changed
+    "pagerank": 7,
+    "personalized_pagerank": 7,
+    "bfs_hops": 7,
+    "kcore": 7,
+    "sssp_weighted": 7,
+    "hits_scores": 7,
 }
 
 

@@ -29,6 +29,17 @@ from pyspark.sql import functions as F
 _GRID = 2.0**40
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint + count: detaches a result frame from the
+    caches its operator is about to release (the no-cache-leak
+    contract) with the same durability as ``localCheckpoint(eager=
+    True)`` but without the eager form's separate store pass — measured
+    ~1 s cheaper per call at sf0.1 (SCALING.md §pagerank)."""
+    out = df.localCheckpoint(eager=False)
+    out.count()
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -54,40 +65,57 @@ def pagerank(
     scoring, topic-conditioned crawl weighting). The seed flag is one
     left-semi-derived boolean on the cached node frame.
 
-    The edge and degree frames feed every iteration, so they are cached
-    once; the per-iteration rank frame is a narrow (node, pr) pair. The
-    result is materialized (localCheckpoint) before both caches are
-    unpersisted in a ``finally`` — repeated calls in a long-lived shared
-    session leave no pinned RDDs behind (same no-cache-leak contract the
-    pipeline runner asserts for the mailing job).
+    The distinct edge frame, the node frame, and the edge+degree frame
+    all feed every iteration, so each is cached once — caching ``e``
+    ITSELF matters most: the caller's edge-building plan (often an
+    expensive self-join) would otherwise recompute for the node scan
+    and for both branches of ``e.join(deg)`` (measured 14.4 s -> 6.3 s
+    cold at sf0.1 on the co-purchase graph). The result is materialized
+    (lazy localCheckpoint + count — measured ~1 s cheaper than the
+    eager form, which adds a separate store pass) before the caches are
+    unpersisted in a ``finally`` — repeated calls in a long-lived
+    shared session leave no pinned RDDs behind (same no-cache-leak
+    contract the pipeline runner asserts for the mailing job). The
+    materialization is the price of that hygiene: a leak-free operator
+    cannot hand back an unevaluated plan whose caches it just released.
+    SCALING.md §pagerank records the measured cost of each variant.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .cache()
     )
-    if seeds is not None:
-        sd = seeds.select(F.col(seed_col).alias("node")).distinct()
-        flagged = nodes.join(
-            sd.withColumn("__seed", F.lit(True)), on="node", how="left"
-        ).select(
-            "node", F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed")
-        )
-        # validate BEFORE caching: raising after .cache() would leak a
-        # pinned RDD in the shared session on every bad-seed call
-        m = flagged.filter(F.col("__seed")).count()
-        if m == 0:
-            raise ValueError("pagerank: no seed appears in the graph")
-        nodes = flagged.cache()
-    else:
-        nodes = nodes.withColumn("__seed", F.lit(True)).cache()
-        m = None
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    ed = e.join(deg, on="src").cache()
+    # every validation raise below happens INSIDE the try so the
+    # finally releases e (and whatever else is pinned by then) — a
+    # bad-seed call in a shared session must leak nothing
+    nodes = ed = None
     try:
+        base_nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        if seeds is not None:
+            sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+            nodes = base_nodes.join(
+                sd.withColumn("__seed", F.lit(True)), on="node", how="left"
+            ).select(
+                "node",
+                F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed"),
+            ).cache()
+            # validate on the CACHED frame (the finally releases it on
+            # the raise path) — a pre-cache validation count would
+            # recompute the whole edge-building plan a second time
+            m = nodes.filter(F.col("__seed")).count()
+            if m == 0:
+                raise ValueError("pagerank: no seed appears in the graph")
+        else:
+            nodes = base_nodes.withColumn("__seed", F.lit(True)).cache()
+            m = None
+        deg = e.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        ed = e.join(deg, on="src").cache()
         n = nodes.count()
         if n == 0:
             raise ValueError("pagerank: empty graph")
@@ -133,11 +161,14 @@ def pagerank(
         # materialize BEFORE releasing the caches the lineage depends on
         # (executor-local checkpoint: cheap, and the n_iter-deep
         # join-tree lineage is gone either way — a lost-executor replay
-        # on a real cluster re-runs the operator, same as any collect)
-        return pr.select("node", "pr").localCheckpoint(eager=True)
+        # on a real cluster re-runs the operator, same as any collect).
+        return _materialize(pr.select("node", "pr"))
     finally:
-        nodes.unpersist()
-        ed.unpersist()
+        e.unpersist()
+        if nodes is not None:
+            nodes.unpersist()
+        if ed is not None:
+            ed.unpersist()
 
 
 def label_propagation(
@@ -206,7 +237,7 @@ def label_propagation(
                 F.col("src").alias("node"),
                 F.col("__b.l").alias("label"),
             )
-        return labels.localCheckpoint(eager=True)
+        return _materialize(labels)
     finally:
         e.unpersist()
 
@@ -264,7 +295,7 @@ def bfs_hops(
                 .groupBy("node")
                 .agg(F.min("hop").alias("hop"))
             )
-        return dist.localCheckpoint(eager=True)
+        return _materialize(dist)
     finally:
         e.unpersist()
 
@@ -348,7 +379,7 @@ def hits(
                 F.col("h").cast("string").alias("hub"),
             )
         )
-        return out.localCheckpoint(eager=True)
+        return _materialize(out)
     finally:
         e.unpersist()
 
@@ -408,13 +439,11 @@ def kcore(
                 on="dst",
                 how="left_semi",
             )
-        out = (
+        return _materialize(
             e.groupBy("src")
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
             .select(F.col("src").alias("node"), "degree")
-            .localCheckpoint(eager=True)
         )
-        return out
     finally:
         for c in cached:
             c.unpersist()
@@ -478,6 +507,6 @@ def sssp_weighted(
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
             )
-        return dist.localCheckpoint(eager=True)
+        return _materialize(dist)
     finally:
         e.unpersist()
