@@ -417,19 +417,28 @@ def main() -> None:
             make_scaled_sf(sf_dir, deep_dir, copies=10, spark=spark)
             with open(manifest_path) as fh:
                 manifest = json.load(fh)
-        # min-of-2 like the headline loop: single-pass deep numbers swung
-        # 2-3× run-over-run under background load; best-of-two keeps the
-        # tier data-bound AND comparable round-over-round.
+        # Best-of-3 with the FULL [min, med, max] spread recorded
+        # (round-7 lesson: the committed robot_pipeline_e2e deep number
+        # was 2× its own controlled re-measurement — when the signed
+        # artifact can swing 2×, regression review degrades to
+        # guesswork). `queries` keeps the min for round-over-round
+        # comparability; `spread` makes the noise band part of the
+        # signed record, so a future delta inside the band is
+        # dismissible on paper.
         deep_timings = {}
+        deep_spread = {}
         for name in DEEP_QUERIES:
             try:
-                deep_timings[name] = round(best_of(name, deep_dir), 3)
+                ts = sorted(run(name, deep_dir) for _ in range(3))
+                deep_timings[name] = round(ts[0], 3)
+                deep_spread[name] = [round(t, 3) for t in ts]
             except Exception as exc:  # noqa: BLE001
                 errors[f"deep:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
                 payload["errors"] = errors
         payload["deep"] = {
             "sf": 1.0,
             "queries": deep_timings,
+            "spread": deep_spread,
             "total_sec": round(sum(deep_timings.values()), 3),
             "dir_hash": manifest["content_hash"],
         }

@@ -158,7 +158,16 @@ def lsh_candidate_pairs(
     """
     entries = band_entries(signatures, id_col)
     if cache_entries:
-        entries = entries.cache()
+        # sessions running several LSH compositions over the same corpus
+        # (pair search, CC closure, recall calibration) build CANONICALLY
+        # IDENTICAL entry plans — CacheManager already substitutes the
+        # first caller's cache during planning, so re-registering only
+        # emits "Asked to cache already cached data" noise into signed
+        # bench logs. storageLevel is the public plan-identity probe.
+        from pyspark import StorageLevel
+
+        if entries.storageLevel == StorageLevel.NONE:
+            entries = entries.cache()
     a = entries.alias("a")
     b = entries.alias("b")
     return (

@@ -186,7 +186,16 @@ def label_propagation(
     the asynchronous variant's run-order nondeterminism is exactly
     what an oracle-checked engine can't ship. Returns ``(node,
     label)`` for every node with at least one edge; a community is a
-    label equivalence class. Complements the connected-component
+    label equivalence class.
+
+    Truncation contract (tested): the result is DEFINED as the state
+    after exactly ``n_iter`` synchronous rounds, not a converged
+    partition — on graphs whose propagation needs more rounds (label
+    distance travels one hop per round) communities may still be
+    mid-merge, and synchronous LPA can 2-cycle on bipartite structures
+    rather than converge at all, so "more rounds" is not always
+    "closer to a fixpoint". Deterministic either way; callers wanting
+    a stable partition compare two consecutive ``n_iter`` values. Complements the connected-component
     closure in :mod:`.dedup`: CC finds reachability islands, label
     propagation splits dense sub-communities INSIDE an island.
 
@@ -258,6 +267,14 @@ def bfs_hops(
     crawl-frontier / feature-radius primitive: "how far is every
     document from the trusted set", the distance companion to
     :func:`pagerank`'s authority score.
+
+    Truncation contract (tested): when the graph extends beyond
+    ``max_hops``, nodes past the horizon are simply ABSENT from the
+    result — within the horizon every hop count is already the true
+    global minimum (BFS rounds never revise a settled hop), so
+    truncation loses rows, never corrupts them. Callers needing full
+    reachability raise ``max_hops`` to the graph diameter; "did I
+    truncate" is observable as ``max(hop) == max_hops``.
 
     Scale shape (the house iterative discipline): per round one
     equi-join of the current distance frame to the cached edge list on
@@ -408,6 +425,13 @@ def kcore(
     assert the last two rounds agree (same posture as the
     containment-dedup fixpoint's bounded rounds).
 
+    Truncation contract (tested): truncation only UNDER-peels — every
+    node the bounded run removes, the true k-core peel also removes
+    (rounds are monotone), but a cascade longer than ``max_rounds``
+    (peel chains, e.g. a path hanging off the core) leaves fringe
+    nodes in the result that one more round would delete. Survivors'
+    reported degrees are exact within the retained subgraph.
+
     Scale shape: per round one map-side-combinable degree groupBy and
     two hash semi-joins on node keys — no windows, no cartesians; the
     edge frame shrinks monotonically. The working edge set is cached
@@ -470,6 +494,17 @@ def sssp_weighted(
 
     Integer weights keep the min-plus fold exact on any engine (the
     float analogue would accumulate reassociation-ordering drift).
+
+    Truncation contract (tested): unlike :func:`bfs_hops`, truncation
+    here can return a VALUE that full convergence would improve — a
+    node whose cheapest path uses more than ``max_rounds`` hops holds
+    the cheapest ``<= max_rounds``-hop path instead (or is absent if
+    no such path exists). The result is still deterministic and
+    engine-exact; it is "shortest within the hop budget", the standard
+    bounded-Bellman-Ford reading. Callers needing true shortest paths
+    raise ``max_rounds`` toward the graph diameter and may assert a
+    fixpoint by checking two consecutive budgets agree (the kcore
+    posture).
 
     Scale shape: per round one equi-join of the distance frame to the
     cached edge list plus one min aggregate — the bfs_hops skeleton

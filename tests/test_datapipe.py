@@ -1921,6 +1921,71 @@ def test_label_propagation_string_ids_tiebreak(spark):
     assert one["q"] == "a"  # tie between neighbors 'a' and 'b' -> smallest
 
 
+def test_bounded_round_truncation_contracts(spark):
+    """The documented truncation semantics of the four bounded-round
+    graph operators, each on a graph that NEEDS more rounds than the
+    budget:
+
+    - bfs_hops: nodes past the horizon are absent; within it every hop
+      is already the global minimum (truncation loses rows, never
+      corrupts them).
+    - sssp_weighted: a node whose cheapest path exceeds the hop budget
+      holds the cheapest within-budget path instead.
+    - kcore: truncation only under-peels — a peel CASCADE longer than
+      max_rounds leaves fringe nodes one more round would delete.
+    - label_propagation: the result is the state after exactly n_iter
+      rounds; labels propagate one hop per round.
+    """
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        bfs_hops,
+        kcore,
+        label_propagation,
+        sssp_weighted,
+    )
+
+    # --- bfs_hops: path 0->1->2->3->4, budget 2 ---
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,)], "node int")
+    got2 = {r.node: r.hop for r in bfs_hops(path, seeds, max_hops=2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2}          # 3, 4 absent — not wrong
+    got4 = {r.node: r.hop for r in bfs_hops(path, seeds, max_hops=4).collect()}
+    assert got4 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    assert all(got4[n] == h for n, h in got2.items())  # settled hops never revised
+
+    # --- sssp: cheap 3-hop path (1+1+1) vs expensive direct edge (10) ---
+    wedges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10)],
+        "src int, dst int, w int",
+    )
+    d2 = {r.node: r.dist for r in sssp_weighted(wedges, seeds, max_rounds=2).collect()}
+    assert d2[3] == 10                          # best path WITHIN 2 hops
+    d3 = {r.node: r.dist for r in sssp_weighted(wedges, seeds, max_rounds=3).collect()}
+    assert d3[3] == 3                           # full convergence improves it
+
+    # --- kcore: triangle core + 2-node tail; k=2 needs 2 peel rounds ---
+    core_tail = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    r1 = {r.node for r in kcore(core_tail, k=2, max_rounds=1).collect()}
+    assert r1 == {"a", "b", "c", "d"}           # e peeled; d needs round 2
+    r2 = {r.node for r in kcore(core_tail, k=2, max_rounds=2).collect()}
+    assert r2 == {"a", "b", "c"}                # the true 2-core
+    assert r2 <= r1                             # truncation only UNDER-peels
+
+    # --- label_propagation: labels travel one hop per round ---
+    lpath = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+    )
+    one = {r.node: r.label for r in label_propagation(lpath, n_iter=1).collect()}
+    # after round 1 each node holds its smallest NEIGHBOR's id
+    assert one == {1: 2, 2: 1, 3: 2, 4: 3}
+    two = {r.node: r.label for r in label_propagation(lpath, n_iter=2).collect()}
+    assert two != one                           # not a fixpoint at n_iter=1
+
+
 def test_pagerank_leaves_no_pinned_caches(spark):
     """pagerank caches its node and edge+degree frames per call; the
     result must be usable AFTER the caches are released and repeated
