@@ -10,9 +10,17 @@ IVF (k=8 trained codebook) at n_probe 1/2 — so the docstring claim
 "recall tuned by n_probe/bits" is a measured number in SCALING.md, not
 prose. Prints one JSON line.
 
+``--clustered`` re-measures on a CLUSTERED variant of the table — 10%
+of vectors (vec_id % 10 == 0) replaced by deterministic jitter around
+one anchor vector — because bucket collisions under clustered data is
+exactly the 100 TB ANN failure mode: a hot semantic cluster lands in
+one SRP bucket / one IVF cell, so candidate generation is fine
+(everything relevant IS in the probed cell) but the per-bucket
+candidate list explodes. The recall numbers quantify what survives.
+
 Usage:
     python tools/ann_recall.py [--sf-dir /root/testdata/sf0.1]
-        [--n-queries 64] [--k 5]
+        [--n-queries 64] [--k 5] [--clustered]
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--n-queries", type=int, default=64)
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--clustered", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -51,6 +60,33 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+    if args.clustered:
+        # plant a hot cluster: every 10th vector becomes the anchor
+        # (vec_id 1's embedding) plus small deterministic per-element
+        # jitter — tight in cosine space, so all hot vectors hash to
+        # the same SRP bucket / IVF cell. cache(): the jittered table
+        # feeds truth + 4 ANN paths.
+        anchor = emb.filter(F.col("vec_id") == 1).head().embedding
+        dim = len(anchor)
+        jittered = F.array(
+            *[
+                F.lit(float(anchor[j]))
+                + F.lit(0.02)
+                * (
+                    F.pmod(F.xxhash64(F.col("vec_id"), F.lit(j)), F.lit(100))
+                    .cast("double")
+                    / F.lit(100.0)
+                )
+                for j in range(dim)
+            ]
+        )
+        emb = emb.select(
+            "vec_id",
+            F.when(F.col("vec_id") % 10 == 0, jittered)
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        ).cache()
     sample = emb.filter(F.col("vec_id") < args.n_queries)
 
     def neighbor_sets(df) -> dict:
@@ -70,6 +106,7 @@ def main() -> None:
 
     results: dict = {
         "sf_dir": args.sf_dir,
+        "data": "clustered_10pct" if args.clustered else "uniform",
         "n_queries": len(truth),
         "k": args.k,
         "brute_sec": round(brute_s, 2),
