@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_mailing_automation_spark.datapipe.dedup import (
+    band_entries,
     exact_dedup_groups,
     jaccard_on_pairs,
     lsh_candidate_pairs,
@@ -1333,6 +1334,55 @@ def q_dedup_ledger_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
     accepted = dedup_against_store(batch, store)
     return updated_fingerprint_store(store, accepted)
+
+
+def _band_ledger_parts(spark: SparkSession, sf: str):
+    """Shared setup for the band-ledger pair of queries: documents with
+    doc_id % 5 == 0 are the previously-ingested corpus whose LSH band
+    keys form the persisted ledger; the rest arrive as the new batch."""
+    docs = _t(spark, sf, "documents")
+    prior = docs.filter(F.col("doc_id") % 5 == 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    ledger = band_entries(minhash_signatures(prior)).select(
+        "band_idx", "band_val"
+    ).distinct()
+    return new, ledger
+
+
+def q_dedup_band_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental NEAR-dup gate (datapipe/dedup
+    .dedup_against_band_ledger): new documents verdict-tagged against
+    the persisted MinHash band ledger — 'ledger_dup' (some band
+    collides with the prior corpus's keys), 'batch_dup' (dominated by a
+    smaller-id batch doc sharing a band), 'accepted'. The streaming
+    twin (streaming/stateful.dedup_stream_against_band_ledger, per-band
+    stream-static anti-joins) is pytest-pinned equal at
+    intra_batch=False."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_against_band_ledger,
+    )
+
+    new, ledger = _band_ledger_parts(spark, sf)
+    return dedup_against_band_ledger(new, ledger).select("doc_id", "verdict")
+
+
+def q_band_ledger_update(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-back half of the band-ledger loop (datapipe/dedup
+    .updated_band_ledger): the ledger plus the band keys of this run's
+    ACCEPTED documents, distinct — the state the NEXT run's gate (and
+    the streaming twin's anti-joins) reads. Band-key-only union, one
+    shuffle, no payloads — the near-dup analogue of
+    q_dedup_ledger_merge."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_against_band_ledger,
+        updated_band_ledger,
+    )
+
+    new, ledger = _band_ledger_parts(spark, sf)
+    accepted = dedup_against_band_ledger(new, ledger).filter(
+        F.col("verdict") == "accepted"
+    )
+    return updated_band_ledger(ledger, accepted)
 
 
 def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -4208,6 +4258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join_two": q_edit_join_two,
         "quantized_topk": q_quantized_topk,
         "negative_samples": q_negative_samples,
+        # Round-8 additions.
+        "dedup_band_ledger": q_dedup_band_ledger,
+        "band_ledger_update": q_band_ledger_update,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -5833,6 +5886,49 @@ def oracle_sql() -> dict[str, str]:
                  ON f.norm_digest = s.norm_digest)
   SELECT DISTINCT norm_digest FROM
     (SELECT norm_digest FROM sd UNION ALL SELECT norm_digest FROM accepted)""",
+        # Incremental MinHash band-ledger gate: bands over all docs
+        # (per-doc signatures are corpus-independent, so computing them
+        # unfiltered then splitting equals the engine's filtered
+        # frames); prior corpus doc_id % 5 = 0 keys the ledger,
+        # collision sets drive the verdict CASE.
+        "dedup_band_ledger": f"""
+  WITH {_minhash_pairs_cte()},
+  bl_ledger AS (SELECT DISTINCT band_idx, band_val FROM bands
+                WHERE doc_id % 5 = 0),
+  bl_new AS (SELECT doc_id, band_idx, band_val FROM bands
+             WHERE doc_id % 5 <> 0),
+  bl_hit AS (SELECT DISTINCT n.doc_id FROM bl_new n JOIN bl_ledger l
+             ON n.band_idx = l.band_idx AND n.band_val = l.band_val),
+  bl_dom AS (SELECT DISTINCT a.doc_id FROM bl_new a JOIN bl_new b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id > b.doc_id)
+  SELECT d.doc_id,
+         CASE WHEN h.doc_id IS NOT NULL THEN 'ledger_dup'
+              WHEN m.doc_id IS NOT NULL THEN 'batch_dup'
+              ELSE 'accepted' END AS verdict
+  FROM documents d
+  LEFT JOIN bl_hit h ON h.doc_id = d.doc_id
+  LEFT JOIN bl_dom m ON m.doc_id = d.doc_id
+  WHERE d.doc_id % 5 <> 0""",
+        # Band-ledger write-back: the ledger keys plus the ACCEPTED
+        # batch docs' band keys, distinct (updated_band_ledger).
+        "band_ledger_update": f"""
+  WITH {_minhash_pairs_cte()},
+  bl_ledger AS (SELECT DISTINCT band_idx, band_val FROM bands
+                WHERE doc_id % 5 = 0),
+  bl_new AS (SELECT doc_id, band_idx, band_val FROM bands
+             WHERE doc_id % 5 <> 0),
+  bl_hit AS (SELECT DISTINCT n.doc_id FROM bl_new n JOIN bl_ledger l
+             ON n.band_idx = l.band_idx AND n.band_val = l.band_val),
+  bl_dom AS (SELECT DISTINCT a.doc_id FROM bl_new a JOIN bl_new b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id > b.doc_id)
+  SELECT DISTINCT band_idx, band_val FROM (
+    SELECT band_idx, band_val FROM bl_ledger
+    UNION ALL
+    SELECT band_idx, band_val FROM bl_new n
+    WHERE n.doc_id NOT IN (SELECT doc_id FROM bl_hit)
+      AND n.doc_id NOT IN (SELECT doc_id FROM bl_dom))""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

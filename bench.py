@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "edit_join_two",
     "quantized_topk",
     "negative_samples",
+    # Round-8 additions.
+    "dedup_band_ledger",
+    "band_ledger_update",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

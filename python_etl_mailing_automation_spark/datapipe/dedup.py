@@ -1056,6 +1056,139 @@ def updated_fingerprint_store(
     )
 
 
+def dedup_against_band_ledger(
+    new_docs: DataFrame,
+    band_ledger: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    intra_batch: bool = True,
+) -> DataFrame:
+    """Incremental NEAR-dup gate — the MinHash/LSH analogue of
+    :func:`dedup_against_store`'s exact-digest ledger: every new
+    document whose signature shares ANY LSH band with the persisted
+    ``band_ledger`` (a ``(band_idx, band_val)`` frame, the accumulated
+    band keys of previously-ingested corpora) is a near-dup candidate
+    of something already ingested and is rejected without ever joining
+    against the old corpus itself. Returns ``new_docs`` plus a
+    ``verdict`` column:
+
+    - ``'ledger_dup'`` — some band collides with the ledger;
+    - ``'batch_dup'`` — no ledger collision, but some band collides
+      with a SMALLER-``id_col`` document of the same batch
+      (the deterministic non-iterative domination rule: dominated by
+      any smaller id, whether or not that smaller doc itself survives
+      — the same pair orientation as ``lsh_candidate_pairs``'s
+      ``a < b``). Skipped when ``intra_batch=False`` (the streaming
+      twin cannot express a within-stream self-join statelessly, so
+      its equivalence test runs against this setting);
+    - ``'accepted'`` — no collision anywhere; its band keys belong in
+      the next ledger (:func:`updated_band_ledger`).
+
+    Docs too short to shingle have null bands, produce no band
+    entries, and are therefore always ``'accepted'`` (nothing to
+    hash — same contract as :func:`minhash_signatures`).
+
+    Scale shape: signatures are scan-speed column algebra; the gate is
+    one explode to ``(id, band_idx, band_val)`` rows, one equi-join
+    against the ledger keys, and (batch mode) one banded self-join —
+    all keyed on uniform md5 band values, bounded by bucket sizes,
+    never n². The ledger stays distributed (a parquet table of band
+    keys at any scale); nothing broadcasts or collects.
+    """
+    sig = minhash_signatures(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    entries = band_entries(sig, id_col)
+    ledger_keys = band_ledger.select("band_idx", "band_val").distinct()
+    ledger_hits = (
+        entries.join(ledger_keys, on=["band_idx", "band_val"], how="left_semi")
+        .select(F.col(id_col))
+        .distinct()
+        .withColumn("__ledger_hit", F.lit(True))
+    )
+    out = new_docs.join(ledger_hits, on=id_col, how="left")
+    if intra_batch:
+        a = entries.select(
+            F.col(id_col).alias("__ida"), "band_idx", "band_val"
+        )
+        b = entries.select(
+            F.col(id_col).alias("__idb"),
+            F.col("band_idx").alias("__bib"),
+            F.col("band_val").alias("__bvb"),
+        )
+        dominated = (
+            a.join(
+                b,
+                on=[
+                    F.col("band_idx") == F.col("__bib"),
+                    F.col("band_val") == F.col("__bvb"),
+                    F.col("__ida") > F.col("__idb"),
+                ],
+            )
+            .select(F.col("__ida").alias(id_col))
+            .distinct()
+            .withColumn("__dominated", F.lit(True))
+        )
+        out = out.join(dominated, on=id_col, how="left")
+    else:
+        out = out.withColumn("__dominated", F.lit(None).cast("boolean"))
+    return out.withColumn(
+        "verdict",
+        F.when(F.col("__ledger_hit"), F.lit("ledger_dup"))
+        .when(F.col("__dominated"), F.lit("batch_dup"))
+        .otherwise(F.lit("accepted")),
+    ).drop("__ledger_hit", "__dominated")
+
+
+def updated_band_ledger(
+    band_ledger: DataFrame,
+    accepted: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Write-back half of the band-ledger loop (the near-dup analogue
+    of :func:`updated_fingerprint_store`): the ledger plus the band
+    keys of the documents ACCEPTED this run, distinct — ready to
+    overwrite/append as the next run's ``band_ledger``. Signature
+    parameters must match the gate's (band keys from different
+    MinHash configurations never collide meaningfully); md5 keys keep
+    the ledger engine-portable, same argument as the digest store.
+
+    One shuffle on the band key, no document payloads; callers persist
+    it with ``accepted``'s own write so a failed run never
+    half-advances the ledger.
+    """
+    fresh = band_entries(
+        minhash_signatures(
+            accepted,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            shingle_n=shingle_n,
+        ),
+        id_col,
+    ).select("band_idx", "band_val")
+    return (
+        band_ledger.select("band_idx", "band_val")
+        .unionByName(fresh)
+        .distinct()
+    )
+
+
 def _window_hash_structs(t: Column, k: int) -> Column:
     """Shared stride-1 k-token window grid for the exact-substring pair
     (:func:`dup_span_stats` MEASURE / :func:`remove_dup_spans` ACT):

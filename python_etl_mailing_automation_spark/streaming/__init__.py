@@ -6,6 +6,7 @@ from .events import tumbling_event_counts, tumbling_event_counts_stream  # noqa:
 from .joins import attribution_join  # noqa: F401
 from .sinks import idempotent_parquet_sink  # noqa: F401
 from .stateful import (  # noqa: F401
+    dedup_stream_against_band_ledger,
     dedup_stream_against_store,
     streaming_first_seen_dedup,
 )

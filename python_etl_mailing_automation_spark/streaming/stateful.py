@@ -111,6 +111,66 @@ def dedup_stream_against_store(
     )
 
 
+def dedup_stream_against_band_ledger(
+    stream: DataFrame,
+    band_ledger: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 6,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming twin of ``datapipe.dedup.dedup_against_band_ledger``
+    (``intra_batch=False``): drop stream documents whose MinHash
+    signature shares ANY LSH band with the persisted band ledger — the
+    NEAR-dup analogue of :func:`dedup_stream_against_store`, for
+    continuous ingest against an accumulated corpus.
+
+    Execution shape: the MinHash signature is pure column algebra
+    (tokenize → shingle → salted md5 mins), so it runs unchanged on the
+    streaming frame; the "any band collides" test then unrolls into one
+    stream-static LEFT ANTI join PER BAND (n_bands of them, 3 at the
+    defaults) — each stateless on the stream side, each pruned to that
+    band index's ledger slice. A single exploded-entries formulation
+    would need a per-doc aggregation (update mode) or a stream-stream
+    join (unbounded state); the per-band unroll keeps the whole query
+    append-mode and state-free. Null bands (too-short docs) never
+    equal a ledger key under the anti-join, so such docs pass — the
+    batch twin's contract.
+
+    Intra-stream near-dup is deliberately NOT handled here (a
+    within-stream band self-join grows state with the corpus — the
+    same split documented on :func:`curate_document_stream`): run the
+    batch gate with ``intra_batch=True`` in the periodic compaction,
+    and advance the ledger there with
+    ``datapipe.dedup.updated_band_ledger``.
+    """
+    from ..datapipe.dedup import minhash_signatures
+
+    sig = minhash_signatures(
+        stream,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    n_bands = num_hashes // band_size
+    out = sig
+    for b in range(1, n_bands + 1):
+        keys = (
+            band_ledger.filter(F.col("band_idx") == b - 1)
+            .select(F.col("band_val").alias(f"band_{b}"))
+            .distinct()
+        )
+        out = out.join(keys, on=f"band_{b}", how="left_anti")
+    drop_cols = [f"mh_{j}" for j in range(1, num_hashes + 1)] + [
+        f"band_{b}" for b in range(1, n_bands + 1)
+    ]
+    return out.drop(*drop_cols)
+
+
 def curate_document_stream(
     stream: DataFrame,
     store: DataFrame | None = None,

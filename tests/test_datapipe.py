@@ -1921,6 +1921,77 @@ def test_label_propagation_string_ids_tiebreak(spark):
     assert one["q"] == "a"  # tie between neighbors 'a' and 'b' -> smallest
 
 
+def test_band_ledger_gate_verdicts_and_writeback(spark):
+    """dedup_against_band_ledger verdict semantics on planted docs:
+    ledger collision wins over batch domination; the domination rule is
+    'any smaller id sharing a band' (non-iterative); too-short docs
+    have null bands and always pass; updated_band_ledger makes an
+    accepted doc's future twin a ledger_dup."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        band_entries,
+        dedup_against_band_ledger,
+        minhash_signatures,
+        updated_band_ledger,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    prior = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    ledger = (
+        band_entries(minhash_signatures(prior))
+        .select("band_idx", "band_val")
+        .distinct()
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                                   # full dup of ledger doc
+            (2, "one two three four five six seven"),    # twin of 3, smaller id
+            (3, "one two three four five six seven"),    # dominated by 2
+            (4, "hi"),                                   # too short: null bands
+            (5, "totally different words in this here"),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.verdict
+        for r in dedup_against_band_ledger(new, ledger).collect()
+    }
+    assert got == {
+        1: "ledger_dup",
+        2: "accepted",
+        3: "batch_dup",
+        4: "accepted",
+        5: "accepted",
+    }
+    # intra_batch=False: the domination rule is off, ledger gate stays
+    stream_twin = {
+        r.doc_id: r.verdict
+        for r in dedup_against_band_ledger(
+            new, ledger, intra_batch=False
+        ).collect()
+    }
+    assert stream_twin == {
+        1: "ledger_dup",
+        2: "accepted",
+        3: "accepted",
+        4: "accepted",
+        5: "accepted",
+    }
+    # write-back: after merging the accepted docs' keys, a future twin
+    # of doc 2 is a ledger_dup
+    accepted = new.join(
+        spark.createDataFrame([(2,), (4,), (5,)], "doc_id long"), on="doc_id"
+    )
+    merged = updated_band_ledger(ledger, accepted)
+    later = spark.createDataFrame(
+        [(9, "one two three four five six seven")], "doc_id long, text string"
+    )
+    again = {
+        r.doc_id: r.verdict
+        for r in dedup_against_band_ledger(later, merged).collect()
+    }
+    assert again == {9: "ledger_dup"}
+
+
 def test_bounded_round_truncation_contracts(spark):
     """The documented truncation semantics of the four bounded-round
     graph operators, each on a graph that NEEDS more rounds than the

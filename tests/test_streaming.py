@@ -217,6 +217,64 @@ def test_streaming_curation_matches_batch_prefix(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_stream_band_ledger_matches_batch(spark, sf_dir):
+    """dedup_stream_against_band_ledger (per-band stream-static anti-
+    joins) admits exactly the documents the batch gate accepts at
+    intra_batch=False — the stream-vs-batch equivalence the MinHash
+    band ledger's streaming twin is specified by. Runs on the real
+    documents table so the planted near-dup groups give all three
+    verdict classes a non-trivial population."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        band_entries,
+        dedup_against_band_ledger,
+        minhash_signatures,
+    )
+    from python_etl_mailing_automation_spark.streaming.stateful import (
+        dedup_stream_against_band_ledger,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prior = docs.filter(F.col("doc_id") % 5 == 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    ledger = (
+        band_entries(minhash_signatures(prior))
+        .select("band_idx", "band_val")
+        .distinct()
+    )
+
+    gated = dedup_against_band_ledger(new, ledger, intra_batch=False)
+    batch_accept = {
+        r.doc_id for r in gated.filter(F.col("verdict") == "accepted").collect()
+    }
+    n_ledger_dup = gated.filter(F.col("verdict") == "ledger_dup").count()
+    assert n_ledger_dup > 0          # the planted near-dups cross the split
+    assert 0 < len(batch_accept) < new.count()
+
+    stage = tempfile.mkdtemp(prefix="bl_in_")
+    ckpt = tempfile.mkdtemp(prefix="bl_ck_")
+    try:
+        new.write.mode("overwrite").parquet(stage)
+        stream = spark.readStream.schema(new.schema).parquet(stage)
+        q = (
+            dedup_stream_against_band_ledger(stream, ledger)
+            .select("doc_id")
+            .writeStream.format("memory").queryName("bl_stream")
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.doc_id
+                for r in spark.sql("select doc_id from bl_stream").collect()
+            }
+        finally:
+            q.stop()
+        assert got == batch_accept
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_stream_stream_attribution_matches_batch(spark, sf_dir):
     """The watermarked stream-stream attribution join emits exactly the
     batch twin's pairs when both sides arrive via readStream."""
