@@ -803,6 +803,26 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, bits=8, min_cos=0.2)
 
 
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (datapipe/similarity.pq_train/pq_encode/
+    pq_topk, Jégou et al. 2011): m=4 per-subspace Lloyd codebooks (k=8,
+    1 iteration, the deterministic md5 seed + grid-exact means the
+    kmeans oracles already pin), corpus encoded to 4 codes/vector, and
+    asymmetric-distance top-3 for the first 25 vectors — every ADC
+    score a BIGINT on the 2^-40 grid, so ranks, ties, and scores
+    hash-match the unrolled per-subspace Lloyd CTEs in the oracle.
+    Completes the quantization family: int8 (scalar) → PQ (vector)."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    codebooks = pq_train(emb, m=4, k=8, n_iter=1)
+    queries_df = emb.filter(F.col("vec_id") < 25)
+    return pq_topk(queries_df, emb, codebooks, k=3)
+
+
 def q_corpus_curation_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """Datapipe flagship composition: quality gate → exact dedup →
     MinHash+LSH near-dup removal → fingerprinted corpus, one lazy plan
@@ -4261,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-8 additions.
         "dedup_band_ledger": q_dedup_band_ledger,
         "band_ledger_update": q_band_ledger_update,
+        "pq_topk": q_pq_topk,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -4279,35 +4300,47 @@ _SHINGLES = (
 
 
 def _kmeans_sql(
-    k: int = 8, n_iter: int = 2, dim: int = 64, src: str = "embeddings"
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    src: str = "embeddings",
+    prefix: str = "",
 ) -> str:
     """Unrolled Lloyd-iteration CTEs mirroring datapipe.clustering
     .kmeans_fit_assign: assign = argmin of the sequential-fold squared-L2
     (ties to lower cid), update = DECIMAL(38,20)-exact component means,
     empty clusters keep their previous centroid. ``src`` is the vector
     relation (a table or an already-defined CTE name) so the same fit
-    can run over a FILTERED corpus in composed oracles."""
+    can run over a FILTERED corpus in composed oracles. ``prefix``
+    renames every CTE (``e`` -> ``{prefix}e`` etc.) so SEVERAL fits can
+    coexist in one WITH (the PQ oracle runs one per subspace); with the
+    default empty prefix the emitted SQL is byte-identical to the
+    pre-prefix form, so the signed kmeans-family oracles are untouched."""
+    p = prefix
     dist = (
         "list_reduce(list_transform(range(len(e.v)), "
         "i -> (e.v[i+1]-c.v[i+1])*(e.v[i+1]-c.v[i+1])), (x,y) -> x+y)"
     )
+    # table refs that need an explicit alias once the CTE name is prefixed
+    e_as_e = f"{p}e e" if p else "e"
+    g_as_g = f"{p}g g" if p else "g"
     parts = [
-        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        f"WITH {p}e AS (SELECT vec_id, list_transform(embedding, "
         f"x -> CAST(x AS DOUBLE)) AS v FROM {src}),",
-        f"  g AS (SELECT UNNEST(range({dim})) AS i),",
+        f"  {p}g AS (SELECT UNNEST(range({dim})) AS i),",
         # Seed = k globally-smallest (md5(id), id) — mirrors
         # clustering._seed_topk (whose hash-threshold pre-prune is a pure
         # optimization with an identical result, so the oracle needs no
         # filter/fallback branch).
-        "  c0 AS (SELECT ROW_NUMBER() OVER "
+        f"  {p}c0 AS (SELECT ROW_NUMBER() OVER "
         "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v"
-        " FROM (SELECT vec_id, v FROM e "
+        f" FROM (SELECT vec_id, v FROM {p}e "
         f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})),",
     ]
     for it in range(n_iter + 1):
         parts.append(
-            f"  a{it} AS (SELECT vec_id, v, cid, d FROM ("
-            f"SELECT e.vec_id, e.v, c.cid, {dist} AS d FROM e, c{it} c) "
+            f"  {p}a{it} AS (SELECT vec_id, v, cid, d FROM ("
+            f"SELECT e.vec_id, e.v, c.cid, {dist} AS d FROM {e_as_e}, {p}c{it} c) "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),"
         )
         if it == n_iter:
@@ -4315,23 +4348,84 @@ def _kmeans_sql(
         # Exact fixed-point mean (2^-50 grid): DOUBLE→fractional-DECIMAL
         # casts diverge between engines, integer-valued decimals do not.
         parts.append(
-            f"  m{it} AS (SELECT cid, i AS pos, "
+            f"  {p}m{it} AS (SELECT cid, i AS pos, "
             "CAST(SUM(CAST(floor(val * 1125899906842624.0) AS DECIMAL(38,0)))"
             " AS DOUBLE) / 1125899906842624.0 / COUNT(*) AS mu "
             f"FROM (SELECT cid, UNNEST(v) AS val, UNNEST(range(len(v))) AS i "
-            f"FROM a{it}) GROUP BY 1, 2),"
+            f"FROM {p}a{it}) GROUP BY 1, 2),"
         )
         parts.append(
-            f"  c{it + 1} AS (SELECT c.cid, "
+            f"  {p}c{it + 1} AS (SELECT c.cid, "
             "list(COALESCE(m.mu, c.v[g.i+1]) ORDER BY g.i) AS v "
-            f"FROM c{it} c CROSS JOIN g "
-            f"LEFT JOIN m{it} m ON m.cid = c.cid AND m.pos = g.i "
+            f"FROM {p}c{it} c CROSS JOIN {g_as_g} "
+            f"LEFT JOIN {p}m{it} m ON m.cid = c.cid AND m.pos = g.i "
             "GROUP BY c.cid),"
         )
     body = "\n".join(parts).rstrip(",")
     return (
-        f"{body}\n  SELECT vec_id, cid AS cluster_id, d AS dist_sq FROM a{n_iter}"
+        f"{body}\n  SELECT vec_id, cid AS cluster_id, d AS dist_sq FROM {p}a{n_iter}"
     )
+
+
+def _pq_topk_sql(
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int = 64,
+    n_queries: int = 25,
+    topk: int = 3,
+    grid: float = 1099511627776.0,  # 2^40
+) -> str:
+    """PQ ADC oracle: one :func:`_kmeans_sql` chain per subspace
+    (prefix ``pq{s}``) over the sliced vectors, corpus codes from each
+    chain's final assignment, the query×centroid distance table on the
+    floor(d·2^40) grid, and the BIGINT ADC sum ranked per query —
+    mirrors datapipe/similarity.pq_train/pq_encode/pq_topk exactly."""
+    d = dim // m
+    dist = (
+        "list_reduce(list_transform(range(len(e.v)), "
+        "i -> (e.v[i+1]-c.v[i+1])*(e.v[i+1]-c.v[i+1])), (x,y) -> x+y)"
+    )
+    src_ctes = ",\n  ".join(
+        f"pq{s}src AS (SELECT vec_id, embedding[{s * d + 1}:{(s + 1) * d}]"
+        " AS embedding FROM embeddings)"
+        for s in range(m)
+    )
+    chains = ",\n  ".join(
+        _kmeans_sql(k=k, n_iter=n_iter, dim=d, src=f"pq{s}src", prefix=f"pq{s}")
+        .rsplit("\n  SELECT ", 1)[0]
+        .removeprefix("WITH ")
+        for s in range(m)
+    )
+    codes = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id AS neighbor_id, {s} AS s, cid FROM pq{s}a{n_iter}"
+        for s in range(m)
+    )
+    tabs = "\n    UNION ALL\n    ".join(
+        f"SELECT e.vec_id, {s} AS s, c.cid, "
+        f"CAST(floor({dist} * {grid!r}) AS BIGINT) AS dg "
+        f"FROM pq{s}e e, pq{s}c{n_iter} c WHERE e.vec_id < {n_queries}"
+        for s in range(m)
+    )
+    return f"""
+  WITH {src_ctes},
+  {chains},
+  pqcodes AS (
+    {codes}),
+  pqtab AS (
+    {tabs}),
+  pqadc AS (
+    SELECT t.vec_id, cd.neighbor_id, CAST(SUM(t.dg) AS BIGINT) AS adc_grid
+    FROM pqtab t JOIN pqcodes cd ON t.s = cd.s AND t.cid = cd.cid
+    WHERE t.vec_id <> cd.neighbor_id
+    GROUP BY 1, 2)
+  SELECT vec_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY adc_grid, neighbor_id) AS BIGINT)
+           AS sim_rank,
+         adc_grid
+  FROM pqadc
+  QUALIFY sim_rank <= {topk}"""
 
 
 def _semantic_dedup_sql(
@@ -5639,6 +5733,9 @@ def oracle_sql() -> dict[str, str]:
         # contract, so the same oracle verifies both implementations.
         "dedup_clusters": _clusters_reach_sql(),
         "dedup_clusters_star": _clusters_reach_sql(),
+        # PQ ADC top-k: per-subspace unrolled Lloyd chains, grid-exact
+        # distance tables, BIGINT ADC sums (similarity.pq_*).
+        "pq_topk": _pq_topk_sql(),
         # Merged exact + IVF search, `method`-tagged like the Spark side
         # (q_similarity_topk unions cosine_topk with ivf_topk).
         "similarity_topk": f"""

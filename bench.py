@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     # Round-8 additions.
     "dedup_band_ledger",
     "band_ledger_update",
+    "pq_topk",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

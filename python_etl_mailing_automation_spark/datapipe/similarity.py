@@ -435,6 +435,183 @@ def pca_project_pc1(
     )
 
 
+def _pq_slices(vec_col: str, m: int, d: int) -> list[Column]:
+    """The m contiguous subvectors of ``vec_col`` (1-based slice, each
+    of length ``d``)."""
+    return [F.slice(F.col(vec_col), s * d + 1, d) for s in range(m)]
+
+
+def _pq_dim(df: DataFrame, vec_col: str, m: int) -> int:
+    head = df.select(F.size(F.col(vec_col)).alias("n")).head()
+    if head is None:
+        raise ValueError("pq: input frame has no rows")
+    dim = int(head.n)
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    return dim // m
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. TPAMI 2011):
+    the vector space splits into ``m`` contiguous subspaces of dim/m
+    components, and each subspace gets its own ``k``-centroid Lloyd
+    codebook (:func:`..clustering.kmeans_fit_assign` — deterministic
+    md5 seed, grid-exact means, so the codebooks are bit-identical
+    cross-engine). Returns ``codebooks[s][cid] -> centroid`` (python
+    lists — m·k·(dim/m) doubles, the broadcastable index that replaces
+    the corpus for scoring).
+
+    Scale shape: m independent Lloyd fits over column SLICES of one
+    checkpointed scan — per fit the usual assign-scan + tiny mean
+    aggregate; nothing driver-side grows with the corpus (k·dim
+    doubles per sync, like the IVF codebook)."""
+    from .clustering import kmeans_fit_assign
+
+    d = _pq_dim(df, vec_col, m)
+    sliced = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        *[
+            sub.alias(f"__pq_sub_{s}")
+            for s, sub in enumerate(_pq_slices(vec_col, m, d))
+        ],
+    ).localCheckpoint(eager=True)
+    return [
+        kmeans_fit_assign(
+            sliced,
+            k=k,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=f"__pq_sub_{s}",
+            checkpoint=False,
+        )[1]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_prefix: str = "code_",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook ids (``code_0..code_{m-1}``,
+    nearest centroid per subspace under squared L2, ties to the lower
+    cid — the :func:`..clustering.kmeans_assign` rule, so encoding a
+    training vector reproduces its final fit assignment). dim/8 bytes
+    per vector at k<=256 — the memory cut that lets a 100 TB corpus's
+    index live where its raw vectors cannot. Shuffle-free scan: the
+    codebooks enter the plan as literals."""
+    from .clustering import _sq_dist
+
+    m = len(codebooks)
+    d = _pq_dim(df, vec_col, m)
+    out = df.filter(F.col(vec_col).isNotNull())
+    for s, sub in enumerate(_pq_slices(vec_col, m, d)):
+        sub_dec = F.transform(sub, lambda x: x.cast("double"))
+        best = F.array_min(
+            F.zip_with(
+                F.lit([[float(x) for x in c] for c in codebooks[s]]),
+                F.sequence(F.lit(0), F.lit(len(codebooks[s]) - 1)),
+                lambda c, i: F.struct(
+                    _sq_dist(sub_dec, c).alias("d"), i.alias("cid")  # noqa: B023
+                ),
+            )
+        )
+        out = out.withColumn(f"{code_prefix}{s}", best["cid"])
+    return out
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    grid_bits: int = 40,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k under the PQ codebooks: each
+    query precomputes an m×k lookup table of exact squared-L2 distances
+    from its subvectors to every centroid (per-row sequential folds —
+    deterministic doubles), each table entry lands on the
+    floor(d·2^grid_bits) integer grid, and a corpus vector's
+    approximate distance is the BIGINT sum of its m code lookups — so
+    scores, ranks, and ties are engine-exact end to end. Returns
+    ``(vec_id, neighbor_id, sim_rank, adc_grid)``; nearest first (ties
+    to the lower neighbor id), self-matches excluded.
+
+    Scale shape: the corpus is touched ONCE to encode (shuffle-free
+    scan, m codes per row); scoring joins the m-per-vector code rows
+    against the BROADCAST query tables (|Q|·m·k rows) on (subspace,
+    cid) and sums m integers per (query, corpus) pair — per-pair cost
+    m lookups instead of dim multiplies, the PQ speedup. The pairing
+    itself stays |Q|·|C| (this is a scoring compressor, not a candidate
+    pruner); the production composition feeds it IVF/SRP candidates,
+    exactly like :func:`quantized_topk`'s bucket-join note. Integer
+    headroom: m·max_d·2^grid_bits must stay under 2^63 — at
+    grid_bits=40 that allows per-subspace distances up to ~2^21/m,
+    far beyond normalized-embedding geometry."""
+    m = len(codebooks)
+    d = _pq_dim(corpus, vec_col, m)
+    grid = F.lit(float(2**grid_bits))
+
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    code_long = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.array(*[F.col(f"code_{s}") for s in range(m)])
+        ).alias("s", "cid"),
+    )
+
+    tables = None
+    q = queries.filter(F.col(vec_col).isNotNull())
+    for s, sub in enumerate(_pq_slices(vec_col, m, d)):
+        sub_dec = F.transform(sub, lambda x: x.cast("double"))
+        dists = F.transform(
+            F.lit([[float(x) for x in c] for c in codebooks[s]]),
+            lambda c: F.aggregate(  # noqa: B023
+                F.zip_with(sub_dec, c, lambda x, y: (x - y) * (x - y)),  # noqa: B023
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        t = q.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(s).alias("s"),
+            F.posexplode(dists).alias("cid", "__dd"),
+        ).select(
+            "vec_id",
+            "s",
+            "cid",
+            F.floor(F.col("__dd") * grid).cast("long").alias("__dg"),
+        )
+        tables = t if tables is None else tables.unionByName(t)
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("adc_grid").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        code_long.join(F.broadcast(tables), on=["s", "cid"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.sum("__dg").alias("adc_grid"))
+        .withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+        .select("vec_id", "neighbor_id", "sim_rank", "adc_grid")
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     *,

@@ -98,6 +98,44 @@ def test_cosine_topk_planted_duplicate(spark):
     assert sims[(1, 4)] == pytest.approx(0.7071, abs=1e-3)
 
 
+def test_pq_encode_and_adc_topk(spark):
+    """Product quantization semantics: encoding a training vector
+    reproduces its fit assignment per subspace; a planted duplicate has
+    ADC distance 0 to its twin and ranks first; dim must divide by m."""
+    import pytest as _pytest
+
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 9.0]),
+        (2, [1.0, 0.0, 0.0, 9.0]),     # planted duplicate of 1
+        (3, [0.0, 5.0, 5.0, 0.0]),
+        (4, [0.1, 4.9, 5.2, 0.3]),     # near 3
+        (5, [9.0, 9.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cbs = pq_train(emb, m=2, k=3, n_iter=2)
+    assert len(cbs) == 2 and all(len(cb) == 3 for cb in cbs)
+    assert all(len(c) == 2 for cb in cbs for c in cb)  # dim/m components
+
+    enc = {r.vec_id: (r.code_0, r.code_1) for r in pq_encode(emb, cbs).collect()}
+    assert enc[1] == enc[2]            # identical vectors -> identical codes
+
+    top = pq_topk(emb, emb, cbs, k=2).collect()
+    best = {r.vec_id: r.neighbor_id for r in top if r.sim_rank == 1}
+    adc = {(r.vec_id, r.neighbor_id): r.adc_grid for r in top}
+    assert best[1] == 2 and best[2] == 1
+    assert adc[(1, 2)] == 0            # same codes -> exact-zero ADC distance
+    assert best[3] == 4 and best[4] == 3
+
+    with _pytest.raises(ValueError):
+        pq_train(emb, m=3, k=2, n_iter=1)  # 4 % 3 != 0
+
+
 def test_ann_buckets_only_within_bucket(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 1.0, 0.0]), (2, [1.0, 1.0, 0.1]), (3, [-1.0, -1.0, 0.0])],

@@ -153,6 +153,25 @@ def main() -> None:
         "sec": round(time.time() - t0, 2),
     }
 
+    # Product quantization (ADC): like int8, the recall isolates the
+    # quantizer's PRECISION loss — the pairing is brute; production
+    # feeds it IVF/SRP candidates.
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        pq_topk,
+        pq_train,
+    )
+
+    t0 = time.time()
+    cbs = pq_train(emb, m=8, k=16, n_iter=2)
+    train_s = time.time() - t0
+    t0 = time.time()
+    approx = neighbor_sets(pq_topk(sample, emb, cbs, k=args.k))
+    results["methods"]["pq_m8_k16"] = {
+        "recall": recall(approx),
+        "sec": round(time.time() - t0, 2),
+        "train_sec": round(train_s, 2),
+    }
+
     print(json.dumps(results))
 
 
