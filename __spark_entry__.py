@@ -1706,6 +1706,54 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(_copurchase_edges(spark, sf), n_iter=3)
 
 
+def _order_sequence_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """DIRECTED graph for the SCC query: an edge src→dst when a part
+    bucket (l_partkey % 2001 — scale-stable node space) is immediately
+    followed by another bucket in the same order's line sequence
+    (l_linenumber is 1..n consecutive), deterministically subsampled to
+    mean-degree ~2 via (src·31 + dst) % 7 == 3 so the graph keeps a
+    rich condensation (two ~600-node cores + 580 fringe SCCs at
+    sf0.01) instead of collapsing into one giant SCC."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 2001).alias("bucket"),
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("bucket").alias("src"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("l_linenumber").alias("ln2"),
+        F.col("bucket").alias("dst"),
+    )
+    return (
+        a.join(b, [F.col("ok") == F.col("ok2"), F.col("ln2") == F.col("ln") + 1])
+        .filter(F.col("src") != F.col("dst"))
+        .filter((F.col("src") * 31 + F.col("dst")) % 7 == 3)
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def q_scc(spark: SparkSession, sf: str) -> DataFrame:
+    """Strongly connected components (datapipe/graph
+    .strongly_connected_components, run-to-fixpoint FW-BW coloring with
+    trim) over the directed order-sequence graph — the DIRECTED
+    companion to the undirected CC closure, labeling each node with its
+    SCC's maximum member id. The canonical max-member labeling is
+    algorithm-independent, so the oracle derives it from a recursive
+    transitive closure (i↔j mutual-reach pairs) rather than mirroring
+    the peel rounds — a genuinely independent check."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(_order_sequence_edges(spark, sf))
+
+
 def q_bloom_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter blocklist check (datapipe/sketches.bloom_build/
     bloom_probe, m=4096 bits, k=4): the delinquent customers
@@ -4282,6 +4330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_band_ledger": q_dedup_band_ledger,
         "band_ledger_update": q_band_ledger_update,
         "pq_topk": q_pq_topk,
+        "scc": q_scc,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6026,6 +6075,34 @@ def oracle_sql() -> dict[str, str]:
     SELECT band_idx, band_val FROM bl_new n
     WHERE n.doc_id NOT IN (SELECT doc_id FROM bl_hit)
       AND n.doc_id NOT IN (SELECT doc_id FROM bl_dom))""",
+        # SCC: the oracle is a recursive transitive closure — max
+        # mutual-reach partner (∪ self) reproduces the engine's
+        # max-member labeling without mirroring the FW-BW peel rounds.
+        # scc_nodes dedups via an explicit DISTINCT subquery: inside
+        # WITH RECURSIVE DuckDB compiles a plain `a UNION b` CTE
+        # without the dedup (observed: 2x edge count rows).
+        "scc": """
+  WITH RECURSIVE scc_edges AS (
+    SELECT DISTINCT a.l_partkey % 2001 AS src, b.l_partkey % 2001 AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+    WHERE a.l_partkey % 2001 <> b.l_partkey % 2001
+      AND ((a.l_partkey % 2001) * 31 + (b.l_partkey % 2001)) % 7 = 3
+  ),
+  scc_nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM scc_edges UNION ALL SELECT dst FROM scc_edges)),
+  scc_r(s, d) AS (
+      SELECT src, dst FROM scc_edges
+      UNION
+      SELECT scc_r.s, e.dst FROM scc_r JOIN scc_edges e ON scc_r.d = e.src
+  ),
+  scc_mutual AS (
+    SELECT a.s AS node, MAX(a.d) AS m
+    FROM scc_r a JOIN scc_r b ON a.s = b.d AND a.d = b.s
+    GROUP BY a.s
+  )
+  SELECT n.node, GREATEST(n.node, COALESCE(mu.m, n.node)) AS scc_id
+  FROM scc_nodes n LEFT JOIN scc_mutual mu ON mu.node = n.node""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

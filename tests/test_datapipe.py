@@ -3749,3 +3749,33 @@ def test_negative_samples_deterministic_different_label(spark):
         df, "id", "label", k=2, lookahead=6, n_buckets=2, salt="epoch2"
     )
     assert sorted(map(tuple, got)) != sorted(map(tuple, salted.collect()))
+
+
+def test_scc_fwbw_coloring(spark):
+    """Cycle {1,2,3} feeding chain 3→4→5 into cycle {5,6}, a self-loop
+    singleton 7 and a tail 8→1: each node labels with its SCC's max
+    member; a descending chain (trim-only graph) and an empty edge
+    list are handled; the step budget raises instead of truncating."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        strongly_connected_components as scc,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5), (7, 7),
+         (8, 1)],
+        "src long, dst long",
+    )
+    out = {r.node: r.scc_id for r in scc(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 4, 5: 6, 6: 6, 7: 7, 8: 8}
+    # pure-DAG chain: everything trims to singletons
+    chain = spark.createDataFrame(
+        [(3, 2), (2, 1)], "src long, dst long"
+    )
+    assert {r.node: r.scc_id for r in scc(chain).collect()} == {
+        1: 1, 2: 2, 3: 3
+    }
+    assert scc(edges.limit(0)).count() == 0
+    with pytest.raises(RuntimeError, match="max_steps"):
+        scc(edges, max_steps=2)
+    with pytest.raises(ValueError):
+        scc(edges, max_steps=0)
