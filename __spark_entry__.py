@@ -3709,6 +3709,29 @@ def q_ewma_events(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "ewma")
 
 
+def q_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM drift monitor (datapipe/timeseries
+    .cusum_changepoints, Page 1954): per-user sustained-shift statistic
+    over event values, target 50 / slack 5 / threshold 200 on the 2^20
+    grid. The sequential max(0,·) recurrence is evaluated via its
+    exact prefix-sum closed form S_i = P_i - min(0, running_min(P_i))
+    — two stacked windows on ONE exchange, no recursion, bit-identical
+    across engines."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        cusum_changepoints,
+    )
+
+    out = cusum_changepoints(
+        _t(spark, sf, "events"),
+        "user_id", "ts", "value",
+        target=50.0, slack=5.0, threshold=200.0,
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "value", "cusum_hi", "cusum_lo", "alarm"
+    )
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     """Sorted-neighborhood blocking (datapipe/ssjoin
     .sorted_neighborhood_pairs): per market segment, candidate pairs
@@ -4331,6 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_ledger_update": q_band_ledger_update,
         "pq_topk": q_pq_topk,
         "scc": q_scc,
+        "cusum": q_cusum,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6103,6 +6127,35 @@ def oracle_sql() -> dict[str, str]:
   )
   SELECT n.node, GREATEST(n.node, COALESCE(mu.m, n.node)) AS scc_id
   FROM scc_nodes n LEFT JOIN scc_mutual mu ON mu.node = n.node""",
+        # CUSUM: the same prefix-sum closed form, two stacked windows
+        # sharing one (user, ts, event_id) ordering; integer grid ends
+        # to end, one double division per side.
+        "cusum": """
+  WITH cu AS (
+    SELECT user_id, event_id, ts, value,
+           CAST(floor(value * 1048576.0) AS BIGINT) - 57671680 AS d_hi,
+           47185920 - CAST(floor(value * 1048576.0) AS BIGINT) AS d_lo
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  ),
+  cu_pr AS (
+    SELECT *, sum(d_hi) OVER w AS p_hi, sum(d_lo) OVER w AS p_lo
+    FROM cu
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+  ),
+  cu_st AS (
+    SELECT *, p_hi - least(0, min(p_hi) OVER w) AS s_hi,
+              p_lo - least(0, min(p_lo) OVER w) AS s_lo
+    FROM cu_pr
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+  )
+  SELECT user_id, event_id, value,
+         CAST(s_hi AS DOUBLE) / 1048576.0 AS cusum_hi,
+         CAST(s_lo AS DOUBLE) / 1048576.0 AS cusum_lo,
+         (s_hi > 209715200 OR s_lo > 209715200) AS alarm
+  FROM cu_st""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

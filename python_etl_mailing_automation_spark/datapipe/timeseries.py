@@ -20,6 +20,8 @@ row is picked by an explicit (ts, value) descending order, never
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -577,4 +579,101 @@ def event_transitions(
         "n_from", F.sum("n").over(wf).cast("long")
     ).withColumn(
         "prob", F.col("n").cast("double") / F.col("n_from").cast("double")
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    target: float,
+    slack: float = 0.0,
+    threshold: float,
+    grid_bits: int = 20,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) per key: the
+    classic change-detection statistic S⁺_i = max(0, S⁺_{i-1} + (x_i -
+    target - slack)) and its lower twin S⁻_i = max(0, S⁻_{i-1} +
+    (target - slack - x_i)), alarming when either exceeds
+    ``threshold`` — the standard monitor for sustained drift in a
+    metric stream (data-quality regression, sensor shift, traffic
+    anomaly), where a single outlier shouldn't alarm but a persistent
+    small shift must.
+
+    The recurrence LOOKS inherently sequential (a max(0,·) between
+    every pair of rows), but it has an exact closed form over prefix
+    sums: with d_i the per-row increment and P_i its prefix sum,
+    S_i = P_i - min(0, min_{j<=i} P_j). That turns the whole statistic
+    into two stacked window expressions — a running sum and a running
+    min OVER that sum — with no recursion, no UDF, and no per-row
+    loop; both windows share one (key, order) sort so the plan carries
+    a single exchange.
+
+    Exactness: values/targets land on the floor(·2^grid_bits) integer
+    grid; prefix sums accumulate in DECIMAL(38,0) (a BIGINT prefix over
+    millions of rows of 2^20-scaled values courts int64 wrap); the
+    alarm compare happens on the integer grid; ONE double division per
+    side at the end. Bit-identical across engines.
+
+    Returns the input rows (key, ts, order tiebreaks untouched) plus
+    ``cusum_hi``, ``cusum_lo`` (doubles) and ``alarm`` (boolean).
+
+    Scale shape: one hash exchange on the key, one per-key sort, two
+    window passes over it. Per-key serial like every ordered-prefix
+    operator (the rolling-window family note applies: a pathological
+    hot key bounds the stage; keys here are users/devices/tables —
+    naturally numerous).
+    """
+    if grid_bits < 1 or grid_bits > 30:
+        raise ValueError("cusum_changepoints: grid_bits must be in [1, 30]")
+    g = float(2**grid_bits)
+    tiebreak = order_cols or [value_col]
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tg = int(math.floor(target * g))
+    sg = int(math.floor(slack * g))
+    hg = int(math.floor(threshold * g))
+    xg = F.floor(F.col(value_col).cast("double") * F.lit(g)).cast(
+        "decimal(38,0)"
+    )
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        "*",
+        (xg - F.lit(tg + sg)).alias("__d_hi"),
+        (F.lit(tg - sg) - xg).alias("__d_lo"),
+    )
+    pref = base.select(
+        "*",
+        F.sum("__d_hi").over(run).alias("__p_hi"),
+        F.sum("__d_lo").over(run).alias("__p_lo"),
+    )
+    s_hi = F.col("__p_hi") - F.least(
+        F.lit(0).cast("decimal(38,0)"), F.min("__p_hi").over(run)
+    )
+    s_lo = F.col("__p_lo") - F.least(
+        F.lit(0).cast("decimal(38,0)"), F.min("__p_lo").over(run)
+    )
+    return (
+        pref.select(
+            "*",
+            s_hi.alias("__s_hi"),
+            s_lo.alias("__s_lo"),
+        )
+        .select(
+            "*",
+            (F.col("__s_hi").cast("double") / F.lit(g)).alias("cusum_hi"),
+            (F.col("__s_lo").cast("double") / F.lit(g)).alias("cusum_lo"),
+            (
+                (F.col("__s_hi") > F.lit(hg)) | (F.col("__s_lo") > F.lit(hg))
+            ).alias("alarm"),
+        )
+        .drop("__d_hi", "__d_lo", "__p_hi", "__p_lo", "__s_hi", "__s_lo")
     )

@@ -3779,3 +3779,49 @@ def test_scc_fwbw_coloring(spark):
         scc(edges, max_steps=2)
     with pytest.raises(ValueError):
         scc(edges, max_steps=0)
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """The prefix-sum closed form S_i = P_i - min(0, running_min P)
+    equals the textbook sequential recurrence max(0, S_{i-1} + d_i) on
+    the integer grid, including a drifted key that alarms and keys
+    whose statistic resets to zero mid-series."""
+    import math
+
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = []
+    vals = {
+        1: [10.0, 12.0, 11.5, 9.0, 10.0, 11.0],          # in control
+        2: [10.0, 30.0, 31.0, 29.5, 30.5, 32.0],          # upward drift
+        3: [10.0, 1.0, 0.5, 1.5, 0.0, 2.0],               # downward drift
+    }
+    for k, series in vals.items():
+        for i, v in enumerate(series):
+            rows.append((k, i, v))
+    df = spark.createDataFrame(rows, "key long, ts long, value double")
+    out = cusum_changepoints(
+        df, "key", "ts", "value",
+        target=10.0, slack=1.0, threshold=30.0, order_cols=["ts"],
+    ).collect()
+    got = {(r.key, r.ts): (r.cusum_hi, r.cusum_lo, r.alarm) for r in out}
+    G = 2**20
+    tg, sg, hg = 10 * G, 1 * G, 30 * G
+    n_alarms = 0
+    for k, series in vals.items():
+        shi = slo = 0
+        for i, v in enumerate(series):
+            xg = math.floor(v * G)
+            shi = max(0, shi + xg - tg - sg)
+            slo = max(0, slo + tg - sg - xg)
+            exp = (shi / G, slo / G, shi > hg or slo > hg)
+            assert got[(k, i)] == exp, (k, i, got[(k, i)], exp)
+            n_alarms += int(exp[2])
+    assert n_alarms > 0  # the drifted keys must actually alarm
+    with pytest.raises(ValueError):
+        cusum_changepoints(
+            df, "key", "ts", "value",
+            target=10.0, threshold=30.0, grid_bits=0,
+        )

@@ -945,3 +945,11 @@ def test_negative_samples_one_exchange_no_join(plans):
     p = plans("negative_samples")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_cusum_one_exchange_windows_only(plans):
+    # both stacked windows (running sum, running min over it) share the
+    # (user_id, ts, event_id) sort: one hash exchange, no join
+    p = plans("cusum")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
