@@ -2546,6 +2546,28 @@ def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hilbert_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert-curve clustering key (operators/ordering
+    .with_hilbert_key): the locality-tighter sibling of q_zorder_key
+    over the same (custkey, order-day) plane — continuous curve, no
+    Z-order diagonal jumps, so two-column min/max pruning touches
+    fewer files at equal file size. The oracle replays the same
+    rotate-and-flip state machine as 16 generated CTEs."""
+    from python_etl_mailing_automation_spark.operators.ordering import (
+        with_hilbert_key,
+    )
+
+    orders = _t(spark, sf, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    )
+    out = with_hilbert_key(
+        orders.select("o_orderkey", F.col("o_custkey").alias("__x"), day.alias("__y")),
+        "__x", "__y", bits=16,
+    )
+    return out.select("o_orderkey", "hkey")
+
+
 def q_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionized conversion: gap-sessionization (streaming/sessions
     .sessionize) composed with the ordered funnel (operators/funnel
@@ -4355,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "scc": q_scc,
         "cusum": q_cusum,
+        "hilbert_key": q_hilbert_key,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -5304,6 +5327,38 @@ def _hits_sql(n_iter: int = 2) -> str:
     )
 
 
+
+def _hilbert_sql(bits: int = 16) -> str:
+    """CTE chain replaying with_hilbert_key's per-level rotate-and-flip
+    state machine (confined-value variant, so no engine-specific
+    negative-number bit semantics are involved)."""
+    ctes = ["""hk0 AS (SELECT o_orderkey,
+        CAST(o_custkey AS BIGINT) & {m} AS hx,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS BIGINT) & {m} AS hy,
+        CAST(0 AS BIGINT) AS hd
+     FROM orders)""".format(m=(1 << bits) - 1)]
+    lvl = 0
+    for i in range(bits - 1, -1, -1):
+        s_ = 1 << i
+        prev, lvl = lvl, lvl + 1
+        ctes.append(
+            """hk{lvl} AS (SELECT o_orderkey,
+        CASE WHEN ((hy >> {i}) & 1) = 1 THEN hx & {sm}
+             WHEN ((hx >> {i}) & 1) = 1 THEN {sm} - (hy & {sm})
+             ELSE hy & {sm} END AS hx,
+        CASE WHEN ((hy >> {i}) & 1) = 1 THEN hy & {sm}
+             WHEN ((hx >> {i}) & 1) = 1 THEN {sm} - (hx & {sm})
+             ELSE hx & {sm} END AS hy,
+        hd + {ss} * xor(3 * ((hx >> {i}) & 1), (hy >> {i}) & 1) AS hd
+     FROM hk{prev})""".format(lvl=lvl, prev=prev, i=i, sm=s_ - 1, ss=s_ * s_)
+        )
+    return (
+        "WITH " + ",\n  ".join(ctes)
+        + f"\n  SELECT o_orderkey, hd AS hkey FROM hk{lvl}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     blocklist_norm = ", ".join(f"'{b.strip().lower()}'" for b in BLOCKLIST)
     jaccard_tail = """
@@ -6156,6 +6211,9 @@ def oracle_sql() -> dict[str, str]:
          CAST(s_lo AS DOUBLE) / 1048576.0 AS cusum_lo,
          (s_hi > 209715200 OR s_lo > 209715200) AS alarm
   FROM cu_st""",
+        # Hilbert key: the same 16-level state machine as generated
+        # CTEs (see _hilbert_sql).
+        "hilbert_key": _hilbert_sql(16),
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

@@ -1046,3 +1046,53 @@ def test_islands_collapses_consecutive_runs(spark):
         for r in islands(df2, "g", "v", step=7).collect()
     }
     assert got2 == {(0, 14), (28, 28)}
+
+
+def test_hilbert_key_matches_reference_and_is_continuous(spark):
+    """with_hilbert_key equals the classic full-width xy2d state
+    machine (the confined-value rewrite is congruent mod s), and
+    consecutive indexes on the 8x8 grid are Manhattan-adjacent — the
+    locality property Z-order lacks."""
+    from python_etl_mailing_automation_spark.operators.ordering import (
+        with_hilbert_key,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    import random
+
+    random.seed(3)
+    pts = [(random.randrange(1 << 16), random.randrange(1 << 16))
+           for _ in range(64)]
+    pts += [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.x, r.y): r.hkey
+           for r in with_hilbert_key(df, "x", "y", bits=16).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == xy2d(1 << 16, x, y), (x, y)
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    g3 = {(r.x, r.y): r.hkey
+          for r in with_hilbert_key(grid, "x", "y", bits=3).collect()}
+    inv = {d: xy for xy, d in g3.items()}
+    assert sorted(inv) == list(range(64))  # a bijection onto 0..63
+    for d in range(63):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        with_hilbert_key(grid, "x", "y", bits=0)

@@ -953,3 +953,12 @@ def test_cusum_one_exchange_windows_only(plans):
     p = plans("cusum")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_hilbert_key_pure_map_no_exchange(plans):
+    # 16 chained level projections stay a narrow map — no exchange, no
+    # join, one scan
+    p = plans("hilbert_key")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
