@@ -2546,6 +2546,29 @@ def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-sequence regex (operators/funnel.sequence_pattern_counts):
+    per user, count non-overlapping 'v[ce]*p' runs — a view, any mix of
+    clicks/errors, then a purchase — over the full typed event string;
+    the MATCH_RECOGNIZE-shaped query the fixed-stage funnel can't
+    express (optional/repeated middle steps). One exchange; regex once
+    per key."""
+    from python_etl_mailing_automation_spark.operators.funnel import (
+        sequence_pattern_counts,
+    )
+
+    return sequence_pattern_counts(
+        _t(spark, sf, "events"),
+        "user_id", "ts", "event_type",
+        mapping={
+            "view": "v", "click": "c", "purchase": "p",
+            "signup": "s", "error": "e",
+        },
+        pattern="v[ce]*p",
+        order_cols=["event_id"],
+    )
+
+
 def q_hilbert_key(spark: SparkSession, sf: str) -> DataFrame:
     """Hilbert-curve clustering key (operators/ordering
     .with_hilbert_key): the locality-tighter sibling of q_zorder_key
@@ -4378,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "cusum": q_cusum,
         "hilbert_key": q_hilbert_key,
+        "sequence_pattern": q_sequence_pattern,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6214,6 +6238,26 @@ def oracle_sql() -> dict[str, str]:
         # Hilbert key: the same 16-level state machine as generated
         # CTEs (see _hilbert_sql).
         "hilbert_key": _hilbert_sql(16),
+        # Event-sequence regex: ordered string_agg per user, the same
+        # leftmost-first non-overlapping extract; patterns without
+        # alternation-order traps behave identically under Java regex
+        # and RE2.
+        "sequence_pattern": """
+  WITH sq AS (
+    SELECT user_id,
+           string_agg(CASE event_type WHEN 'view' THEN 'v'
+                      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                      WHEN 'signup' THEN 's' WHEN 'error' THEN 'e' END,
+                      '' ORDER BY ts, event_id) AS seq
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IN ('view','click','purchase','signup','error')
+    GROUP BY user_id)
+  SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+         CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT)
+           AS n_matches,
+         regexp_extract(seq, 'v[ce]*p') AS first_match
+  FROM sq""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

@@ -72,3 +72,83 @@ def funnel_stages(
             ).cast("int"),
         )
     )
+
+
+def sequence_pattern_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    mapping: dict[str, str],
+    pattern: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex matching over each key's ordered
+    event-type sequence. Events map to single characters via
+    ``mapping`` (unmapped types are dropped — they neither match nor
+    break adjacency; include a wildcard char in the mapping when gaps
+    must matter), the per-key string is assembled in (ts, order_cols)
+    order, and ``pattern`` — a regex over those characters, e.g.
+    ``vc*p`` for "view, any clicks, purchase" — is counted and probed
+    per key. The relational engines' answer to event-pattern queries
+    (funnel variants with optional/repeated steps, abandonment shapes,
+    retry storms) that the fixed-stage funnel can't express.
+
+    Returns one row per key: ``seq_len``, ``n_matches``
+    (non-overlapping, leftmost-first — the shared Java-regex/RE2
+    discipline for patterns without alternation-order traps), and
+    ``first_match`` (the matched substring, '' when none).
+
+    Scale shape: one hash exchange (groupBy key) building the sequence
+    via sort_array(collect_list(struct)) — the ordered-list-agg idiom
+    the enrichment join already uses — then pure string functions.
+    Per-key memory is the key's event count (chars); a bot key with
+    millions of events needs an upstream cap, the standard per-entity
+    window caveat. The regex runs once per KEY, not per event.
+    """
+    if not mapping:
+        raise ValueError("sequence_pattern_counts: mapping must be non-empty")
+    for t, c in mapping.items():
+        if len(c) != 1:
+            raise ValueError(
+                f"sequence_pattern_counts: mapping for {t!r} must be one char"
+            )
+    char = None
+    for t, c in mapping.items():
+        char = (
+            F.when(F.col(type_col) == t, F.lit(c))
+            if char is None
+            else char.when(F.col(type_col) == t, F.lit(c))
+        )
+    tiebreak = order_cols or []
+    rows = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & char.isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            *[F.col(c).alias(f"o{i}") for i, c in enumerate(tiebreak)],
+            char.alias("c"),
+        ).alias("__s"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("__s")), lambda s: s["c"]
+        ),
+        "",
+    )
+    return (
+        rows.groupBy("__k")
+        .agg(seq.alias("__seq"))
+        .select(
+            F.col("__k").alias(key_col),
+            F.length("__seq").cast("long").alias("seq_len"),
+            F.size(F.regexp_extract_all(F.col("__seq"), F.lit(pattern), F.lit(0)))
+            .cast("long")
+            .alias("n_matches"),
+            F.regexp_extract(F.col("__seq"), pattern, 0).alias("first_match"),
+        )
+    )

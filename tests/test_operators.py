@@ -1096,3 +1096,43 @@ def test_hilbert_key_matches_reference_and_is_continuous(spark):
 
     with pytest.raises(ValueError):
         with_hilbert_key(grid, "x", "y", bits=0)
+
+
+def test_sequence_pattern_counts_semantics(spark):
+    """Non-overlapping leftmost matching, unmapped types dropped
+    without breaking adjacency, '' when a key never matches, and the
+    one-char mapping validation."""
+    import pytest
+
+    from python_etl_mailing_automation_spark.operators.funnel import (
+        sequence_pattern_counts,
+    )
+
+    rows = [
+        # key 1: v c c p v p  -> two matches of vc*p
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "click"), (1, 4, "purchase"),
+        (1, 5, "view"), (1, 6, "purchase"),
+        # key 2: unmapped 'x' between v and p is DROPPED -> still vp
+        (2, 1, "view"), (2, 2, "x"), (2, 3, "purchase"),
+        # key 3: p v c -> no match
+        (3, 1, "purchase"), (3, 2, "view"), (3, 3, "click"),
+    ]
+    df = spark.createDataFrame(rows, "key long, ts long, t string")
+    out = {
+        r.key: (r.seq_len, r.n_matches, r.first_match)
+        for r in sequence_pattern_counts(
+            df, "key", "ts", "t",
+            mapping={"view": "v", "click": "c", "purchase": "p"},
+            pattern="vc*p",
+            order_cols=["ts"],
+        ).collect()
+    }
+    assert out[1] == (6, 2, "vccp")
+    assert out[2] == (2, 1, "vp")
+    assert out[3] == (3, 0, "")
+    with pytest.raises(ValueError):
+        sequence_pattern_counts(
+            df, "key", "ts", "t", mapping={"view": "vv"}, pattern="v"
+        )
+    with pytest.raises(ValueError):
+        sequence_pattern_counts(df, "key", "ts", "t", mapping={}, pattern="v")

@@ -962,3 +962,9 @@ def test_hilbert_key_pure_map_no_exchange(plans):
     assert "Exchange" not in p
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
+
+
+def test_sequence_pattern_one_exchange_no_join(plans):
+    p = plans("sequence_pattern")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
