@@ -2546,6 +2546,32 @@ def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary growth (datapipe/text.vocab_growth):
+    cumulative tokens vs cumulative distinct types scanning documents
+    in doc_id order — first-occurrence aggregation, never a running
+    set; the global prefix runs over the per-doc aggregate (cardinality
+    = docs)."""
+    from python_etl_mailing_automation_spark.datapipe.text import vocab_growth
+
+    return vocab_growth(_t(spark, sf, "documents"))
+
+
+def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit screen (datapipe/stats.benford_profile) on
+    order totals per order priority: leading digit via decimal string
+    algebra (no float log10), all nine digit rows per group, chi-square
+    as a FIXED-ORDER nine-term expression over one pivoted aggregate —
+    the float-sum-order trap a row-wise SUM would hit."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        benford_profile,
+    )
+
+    return benford_profile(
+        _t(spark, sf, "orders"), "o_totalprice", group_col="o_orderpriority"
+    )
+
+
 def q_sequence_pattern(spark: SparkSession, sf: str) -> DataFrame:
     """Event-sequence regex (operators/funnel.sequence_pattern_counts):
     per user, count non-overlapping 'v[ce]*p' runs — a view, any mix of
@@ -4402,6 +4428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "hilbert_key": q_hilbert_key,
         "sequence_pattern": q_sequence_pattern,
+        "vocab_growth": q_vocab_growth,
+        "benford": q_benford,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -5352,6 +5380,54 @@ def _hits_sql(n_iter: int = 2) -> str:
 
 
 
+def _benford_sql() -> str:
+    """Benford oracle sharing the operator's Python-computed expected
+    double literals and its fixed-order chi-square expression."""
+    import math
+
+    exp = {d: float(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+    sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN digit = {d} THEN 1 ELSE 0 END) AS BIGINT) AS n{d}"
+        for d in range(1, 10)
+    )
+    terms = " + ".join(
+        f"((CAST(n{d} AS DOUBLE) - ({exp[d]!r} * CAST(n_total AS DOUBLE))) * "
+        f"(CAST(n{d} AS DOUBLE) - ({exp[d]!r} * CAST(n_total AS DOUBLE))) / "
+        f"({exp[d]!r} * CAST(n_total AS DOUBLE)))"
+        for d in range(1, 10)
+    )
+    n_case = " ".join(f"WHEN {d} THEN n{d}" for d in range(1, 10))
+    e_case = " ".join(f"WHEN {d} THEN {exp[d]!r}" for d in range(1, 10))
+    return f"""
+  WITH bf AS (
+    SELECT o_orderpriority AS grp,
+           CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 0 THEN
+             CAST(substring(regexp_replace(regexp_replace(
+               CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR),
+               '[.\\-]', '', 'g'), '^0+', ''), 1, 1) AS INT)
+           END AS digit
+    FROM orders),
+  bg AS (
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(digit) AS BIGINT) AS n_total,
+           {sums}
+    FROM bf GROUP BY grp),
+  bw AS (
+    SELECT *, n_all - n_total AS n_excluded,
+           CASE WHEN n_total > 0 THEN {terms} END AS chi2
+    FROM bg)
+  SELECT grp AS o_orderpriority, d.digit,
+         CAST(CASE d.digit {n_case} END AS BIGINT) AS n,
+         CASE WHEN n_total > 0 THEN
+           CAST(CASE d.digit {n_case} END AS DOUBLE)
+             / CAST(n_total AS DOUBLE) END AS freq,
+         CASE d.digit {e_case} END AS expected,
+         chi2, n_total, n_excluded
+  FROM bw, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS d(digit)"""
+
+
+
+
 def _hilbert_sql(bits: int = 16) -> str:
     """CTE chain replaying with_hilbert_key's per-level rotate-and-flip
     state machine (confined-value variant, so no engine-specific
@@ -6258,6 +6334,30 @@ def oracle_sql() -> dict[str, str]:
            AS n_matches,
          regexp_extract(seq, 'v[ce]*p') AS first_match
   FROM sq""",
+        # Heaps vocabulary growth: first-occurrence aggregation + a
+        # prefix window over the per-doc aggregate.
+        "vocab_growth": r"""
+  WITH vg_toks AS (
+    SELECT d, t FROM (
+      SELECT doc_id AS d,
+             unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents
+      WHERE doc_id IS NOT NULL AND length(trim(text)) > 0)
+    WHERE length(t) > 0),
+  vg_per_doc AS (SELECT d, CAST(count(*) AS BIGINT) AS n_tokens
+                 FROM vg_toks GROUP BY d),
+  vg_first AS (SELECT t, min(d) AS d FROM vg_toks GROUP BY t),
+  vg_new AS (SELECT d, CAST(count(*) AS BIGINT) AS new_types
+             FROM vg_first GROUP BY d)
+  SELECT p.d AS doc_id, p.n_tokens,
+         CAST(sum(p.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types,
+         CAST(sum(coalesce(n.new_types, 0)) OVER w AS BIGINT) AS cum_types
+  FROM vg_per_doc p LEFT JOIN vg_new n USING (d)
+  WINDOW w AS (ORDER BY p.d ROWS UNBOUNDED PRECEDING)""",
+        # Benford profile: generated twin of the pivoted fixed-order
+        # chi-square (see _benford_sql).
+        "benford": _benford_sql(),
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

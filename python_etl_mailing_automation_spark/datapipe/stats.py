@@ -984,3 +984,108 @@ def table_profile(
         "min_str",
         "max_str",
     )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """First-significant-digit (Benford) profile of a positive numeric
+    column: observed count and frequency per leading digit 1-9, the
+    Benford expectation log10(1+1/d), and the column's chi-square
+    statistic against it — the classic screen for fabricated or
+    machine-generated numeric fields in a data-quality pass (organic
+    heavy-tailed quantities follow Benford; uniform or hand-typed
+    numbers don't).
+
+    The leading digit comes from string algebra over the value's
+    canonical DECIMAL(38,6) rendering — never floating log10-then-pow,
+    whose rounding at decade boundaries differs across engines.
+    Non-positive and NULL values are excluded (witnessed in
+    ``n_excluded``); every group emits all nine digit rows, so absent
+    digits carry n=0 AND their (0-E·N)²/(E·N) term reaches the
+    chi-square — dropping them would understate exactly the most
+    suspicious columns. The chi-square is a FIXED-ORDER nine-term
+    expression over a pivoted single aggregate (never a float SUM over
+    rows, whose accumulation order differs across engines); expected
+    frequencies are Python-computed double literals shared with the
+    oracle. Groups with no positive values get NULL freq/chi2, not
+    0/0 NaN.
+
+    Returns one row per (group,) digit: ``n``, ``freq``, ``expected``,
+    group-constant ``chi2``, ``n_total``, ``n_excluded``.
+
+    Scale shape: ONE keyed aggregate (9 conditional counts pivoted
+    into the group row, map-side combinable), then a 9-way explode of
+    the group-cardinality frame — no joins at all.
+    """
+    import math as _math
+
+    keys = [group_col] if group_col else []
+    v = F.col(value_col)
+    digits = F.regexp_replace(
+        F.regexp_replace(v.cast("decimal(38,6)").cast("string"), r"[.\-]", ""),
+        r"^0+",
+        "",
+    )
+    lead = F.substring(digits, 1, 1).cast("int")
+    base = df.select(
+        *keys,
+        F.when(v.isNotNull() & (v > 0), lead).alias("__digit"),
+    )
+    exp = {d: float(_math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_all"),
+        F.count("__digit").cast("long").alias("n_total"),
+        *[
+            F.sum(F.when(F.col("__digit") == d, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__n{d}")
+            for d in range(1, 10)
+        ],
+    )
+    nt = F.col("n_total").cast("double")
+
+    def term(d: int):
+        obs = F.col(f"__n{d}").cast("double")
+        en = F.lit(exp[d]) * nt
+        return (obs - en) * (obs - en) / en
+
+    chi2 = F.when(
+        F.col("n_total") > 0,
+        term(1) + term(2) + term(3) + term(4) + term(5)
+        + term(6) + term(7) + term(8) + term(9),
+    )
+    wide = g.select(
+        *keys,
+        "n_total",
+        (F.col("__n_all") - F.col("n_total")).alias("n_excluded"),
+        chi2.alias("chi2"),
+        *[F.col(f"__n{d}") for d in range(1, 10)],
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"),
+    )
+    n_of = None
+    e_of = None
+    for d in range(1, 10):
+        n_of = (
+            F.when(F.col("digit") == d, F.col(f"__n{d}"))
+            if n_of is None
+            else n_of.when(F.col("digit") == d, F.col(f"__n{d}"))
+        )
+        e_of = (
+            F.when(F.col("digit") == d, F.lit(exp[d]))
+            if e_of is None
+            else e_of.when(F.col("digit") == d, F.lit(exp[d]))
+        )
+    return wide.select(
+        *keys,
+        "digit",
+        n_of.cast("long").alias("n"),
+        F.when(F.col("n_total") > 0, n_of.cast("double") / nt).alias("freq"),
+        e_of.alias("expected"),
+        "chi2",
+        "n_total",
+        "n_excluded",
+    )

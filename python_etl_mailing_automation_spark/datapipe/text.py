@@ -838,3 +838,63 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: scanning the corpus in
+    ``doc_col`` order, the cumulative token count and cumulative
+    DISTINCT-type count after each document — the curve whose log-log
+    slope is Heaps' β, the standard diagnostic for corpus diversity
+    (dedup collapse shows as a flattening curve; boilerplate floods
+    show as sub-linear type growth against token growth).
+
+    Never a running set: a token type contributes to the distinct
+    count exactly at its FIRST document (min doc id), so the curve is
+    (a) per-token min-aggregate → new-types-per-doc counts, (b)
+    per-doc token counts, joined and prefix-summed. Docs with zero
+    new types still appear (left join from the per-doc frame).
+
+    Returns ``(doc_id, n_tokens, cum_tokens, new_types, cum_types)``.
+
+    Scale shape: two keyed aggregates over the exploded tokens (the
+    explode → keyed-agg discipline, no per-row sets), one join of two
+    doc-cardinality frames, then a global ordered prefix over the
+    AGGREGATED per-doc frame — cardinality = documents, not tokens
+    (the :func:`~..stats.cdf_normalize` posture: range-partition the
+    prefix when even the doc count outgrows one task's sort).
+    """
+    toks = df.filter(
+        F.col(doc_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
+        F.col(doc_col).alias("__d"),
+        F.explode(tokens_of(F.col(text_col))).alias("__t"),
+    ).filter(F.length("__t") > 0)
+    per_doc = toks.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("__t").agg(F.min("__d").alias("__d"))
+    new_types = first_seen.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    run = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_doc.join(new_types, "__d", "left")
+        .select(
+            "__d",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .select(
+            F.col("__d").alias(doc_col),
+            "n_tokens",
+            F.sum("n_tokens").over(run).cast("long").alias("cum_tokens"),
+            "new_types",
+            F.sum("new_types").over(run).cast("long").alias("cum_types"),
+        )
+    )

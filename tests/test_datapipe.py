@@ -3825,3 +3825,61 @@ def test_cusum_matches_sequential_recurrence(spark):
             df, "key", "ts", "value",
             target=10.0, threshold=30.0, grid_bits=0,
         )
+
+
+def test_vocab_growth_first_occurrence(spark):
+    """Types count at their FIRST doc only; docs with zero new types
+    still appear; cumulative columns are proper prefixes."""
+    from python_etl_mailing_automation_spark.datapipe.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a"),
+            (2, "b b"),          # no new types
+            (3, "a c"),
+            (4, "   "),          # blank: dropped entirely
+            (5, "d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.cum_tokens, r.new_types, r.cum_types)
+           for r in vocab_growth(df).collect()}
+    assert out == {
+        1: (3, 3, 2, 2),
+        2: (2, 5, 0, 2),
+        3: (2, 7, 1, 3),
+        5: (1, 8, 1, 4),
+    }
+
+
+def test_benford_profile_chi2_and_spine(spark):
+    """Benford-ish data scores low chi2; a constant-leading-digit
+    column scores high; absent digits emit n=0 rows and still feed the
+    chi-square; non-positive values are excluded and witnessed."""
+    import math
+
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        benford_profile,
+    )
+
+    rows = []
+    # group 'b': exact Benford-ish multiset over 1000 values
+    for d in range(1, 10):
+        rows += [("b", float(d * 10 + 1))] * int(
+            round(1000 * math.log10(1 + 1 / d))
+        )
+    # group 'u': every value leads with 9 + two excluded values
+    rows += [("u", 9.5)] * 50 + [("u", 0.0), ("u", -3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = benford_profile(df, "v", group_col="g").collect()
+    by = {(r.g, r.digit): r for r in out}
+    assert len([r for r in out if r.g == "u"]) == 9  # full spine
+    assert by[("u", 1)].n == 0 and by[("u", 9)].n == 50
+    assert by[("u", 9)].n_excluded == 2
+    assert by[("b", 1)].freq > 0.29 and by[("b", 9)].freq < 0.06
+    assert by[("b", 1)].chi2 < 1.0          # near-perfect fit
+    assert by[("u", 1)].chi2 > 100.0        # flagrant violation
+    # leading digit of small fractions comes from the decimal digits
+    tiny = spark.createDataFrame([("t", 0.0042)], "g string, v double")
+    t = benford_profile(tiny, "v", group_col="g").collect()
+    assert {r.digit: r.n for r in t}[4] == 1
