@@ -2546,6 +2546,26 @@ def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Covered-time union (datapipe/timeseries.interval_union_length):
+    per user, total seconds actually covered by their (overlapping)
+    sessions — the same synthetic intervals as q_max_concurrency; a
+    plain SUM(end-start) double-counts every overlap. Running-max
+    sweep + two keyed aggregates on one exchange, exact epoch-µs."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        interval_union_length,
+    )
+
+    ev = _t(spark, sf, "events").withColumn(
+        "end_ts",
+        F.col("ts")
+        + F.make_interval(secs=(F.col("event_id") % 3600 + 60).cast("int")),
+    )
+    return interval_union_length(
+        ev, "ts", "end_ts", key_col="user_id", order_cols=["event_id"]
+    )
+
+
 def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps-law vocabulary growth (datapipe/text.vocab_growth):
     cumulative tokens vs cumulative distinct types scanning documents
@@ -4430,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pattern": q_sequence_pattern,
         "vocab_growth": q_vocab_growth,
         "benford": q_benford,
+        "interval_union": q_interval_union,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6358,6 +6379,35 @@ def oracle_sql() -> dict[str, str]:
         # Benford profile: generated twin of the pivoted fixed-order
         # chi-square (see _benford_sql).
         "benford": _benford_sql(),
+        # Interval union: same sweep — strictly-greater new-run flag on
+        # the running max of previous ends, µs integers end to end.
+        "interval_union": """
+  WITH iu AS (
+    SELECT user_id, event_id, epoch_us(ts) AS s,
+           epoch_us(ts + (event_id % 3600 + 60) * INTERVAL 1 SECOND) AS e
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+  iu_f AS (
+    SELECT user_id, event_id, s, e,
+           CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+                THEN 1 ELSE 0 END AS nw
+    FROM iu
+    WINDOW wp AS (PARTITION BY user_id ORDER BY s, e, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+  iu_r AS (
+    SELECT user_id, s, e, event_id,
+           sum(nw) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                         ROWS UNBOUNDED PRECEDING) AS run
+    FROM iu_f),
+  iu_g AS (
+    SELECT user_id, run, min(s) AS rs, max(e) AS re,
+           CAST(count(*) AS BIGINT) AS n
+    FROM iu_r GROUP BY user_id, run)
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+         CAST(count(*) AS BIGINT) AS n_merged,
+         CAST(sum(re - rs) AS BIGINT) AS covered_us,
+         CAST(CAST(sum(re - rs) AS BIGINT) AS DOUBLE) / 1000000.0
+           AS covered_s
+  FROM iu_g GROUP BY user_id""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

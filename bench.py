@@ -227,6 +227,12 @@ BENCH_QUERIES = [
     "dedup_band_ledger",
     "band_ledger_update",
     "pq_topk",
+    "scc",
+    "cusum",
+    "hilbert_key",
+    "sequence_pattern",
+    "vocab_growth",
+    "benford",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -3883,3 +3883,30 @@ def test_benford_profile_chi2_and_spine(spark):
     tiny = spark.createDataFrame([("t", 0.0042)], "g string, v double")
     t = benford_profile(tiny, "v", group_col="g").collect()
     assert {r.digit: r.n for r in t}[4] == 1
+
+
+def test_interval_union_length_merges_overlaps(spark):
+    """Overlapping intervals merge, touching intervals merge, contained
+    intervals add nothing, zero-length intervals are dropped — the
+    SUM(end-start) double-count never happens."""
+    import datetime as dt
+
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        interval_union_length,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, T(0), T(10)), (1, T(5), T(15)), (1, T(20), T(25)),
+        (2, T(0), T(5)), (2, T(5), T(10)),          # touching -> one run
+        (3, T(0), T(20)), (3, T(5), T(8)),           # contained
+        (3, T(30), T(30)),                           # zero-length: dropped
+    ]
+    df = spark.createDataFrame(rows, "k long, s timestamp, e timestamp")
+    out = {
+        r.k: (r.n_intervals, r.n_merged, r.covered_us, r.covered_s)
+        for r in interval_union_length(df, "s", "e", key_col="k").collect()
+    }
+    assert out[1] == (3, 2, 20_000_000, 20.0)
+    assert out[2] == (2, 1, 10_000_000, 10.0)
+    assert out[3] == (2, 1, 20_000_000, 20.0)

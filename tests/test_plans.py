@@ -968,3 +968,9 @@ def test_sequence_pattern_one_exchange_no_join(plans):
     p = plans("sequence_pattern")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_union_one_exchange(plans):
+    p = plans("interval_union")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
