@@ -2546,6 +2546,34 @@ def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_merkle_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Merkle reconciliation (datapipe/quality.merkle_table_diff,
+    levels=2 fanout=8) between orders and a perturbed twin (~1% rows
+    deleted, ~1% prices flipped): every changed key localizes to a
+    mismatched leaf bucket while matched parents prove where a repair
+    descent would stop — table-equality at 100 TB without a row-level
+    join. BIT_XOR bucket digests, bucket-cardinality compare joins."""
+    from python_etl_mailing_automation_spark.datapipe.quality import (
+        merkle_table_diff,
+    )
+
+    base = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderstatus",
+    )
+    twin = base.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "price",
+        F.when(F.col("o_orderkey") % 101 == 0, -F.col("price")).otherwise(
+            F.col("price")
+        ),
+    )
+    return merkle_table_diff(
+        base, twin, "o_orderkey", ["price", "o_orderstatus"],
+        levels=2, fanout=8,
+    )
+
+
 def q_interval_union(spark: SparkSession, sf: str) -> DataFrame:
     """Covered-time union (datapipe/timeseries.interval_union_length):
     per user, total seconds actually covered by their (overlapping)
@@ -4451,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "benford": q_benford,
         "interval_union": q_interval_union,
+        "merkle_diff": q_merkle_diff,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6408,6 +6437,53 @@ def oracle_sql() -> dict[str, str]:
          CAST(CAST(sum(re - rs) AS BIGINT) AS DOUBLE) / 1000000.0
            AS covered_s
   FROM iu_g GROUP BY user_id""",
+        # Merkle diff: same md5/bit_xor bucket digests per level, full
+        # outer bucket compare, parent-match via the mod-hierarchy.
+        "merkle_diff": """
+  WITH mk_lv(level, m) AS (VALUES (0, 1), (1, 8), (2, 64)),
+  mk_a AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS ks,
+           concat_ws(chr(31), CAST(o_orderkey AS VARCHAR),
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                     o_orderstatus) AS rs
+    FROM orders WHERE o_orderkey IS NOT NULL),
+  mk_b AS (
+    SELECT CAST(o_orderkey AS VARCHAR) AS ks,
+           concat_ws(chr(31), CAST(o_orderkey AS VARCHAR),
+                     CAST(CASE WHEN o_orderkey % 101 = 0
+                               THEN -CAST(o_totalprice AS DECIMAL(18,2))
+                               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+                          AS VARCHAR),
+                     o_orderstatus) AS rs
+    FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 97 <> 0),
+  mk_da AS (
+    SELECT lv.level,
+           CAST('0x' || substr(md5(ks), 1, 8) AS BIGINT) % lv.m AS bucket,
+           CAST(count(*) AS BIGINT) AS n_a,
+           bit_xor(CAST('0x' || substr(md5(rs), 1, 15) AS BIGINT))
+             AS digest_a
+    FROM mk_a, mk_lv lv GROUP BY 1, 2),
+  mk_db AS (
+    SELECT lv.level,
+           CAST('0x' || substr(md5(ks), 1, 8) AS BIGINT) % lv.m AS bucket,
+           CAST(count(*) AS BIGINT) AS n_b,
+           bit_xor(CAST('0x' || substr(md5(rs), 1, 15) AS BIGINT))
+             AS digest_b
+    FROM mk_b, mk_lv lv GROUP BY 1, 2),
+  mk_cmp AS (
+    SELECT coalesce(a.level, b.level) AS level,
+           coalesce(a.bucket, b.bucket) AS bucket,
+           coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+           digest_a, digest_b,
+           (coalesce(n_a, 0) = coalesce(n_b, 0)
+            AND coalesce(digest_a, 0) = coalesce(digest_b, 0)) AS "match"
+    FROM mk_da a FULL OUTER JOIN mk_db b
+      ON a.level = b.level AND a.bucket = b.bucket)
+  SELECT c.level, c.bucket, c.n_a, c.n_b, c.digest_a, c.digest_b,
+         c."match", p."match" AS parent_match
+  FROM mk_cmp c LEFT JOIN mk_cmp p
+    ON p.level = c.level - 1
+   AND p.bucket = c.bucket % (CASE c.level WHEN 1 THEN 1 ELSE 8 END)""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

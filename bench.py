@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "sequence_pattern",
     "vocab_growth",
     "benford",
+    "interval_union",
+    "merkle_diff",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -359,3 +359,142 @@ def k_anonymity(
     return classes.withColumn(
         "violates_k", (F.col("class_size") < F.lit(int(k))).cast("int")
     )
+
+
+def merkle_table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    *,
+    levels: int = 2,
+    fanout: int = 8,
+) -> DataFrame:
+    """Merkle-style hierarchical table reconciliation: locate WHERE two
+    table versions differ without comparing them row by row — the
+    anti-entropy primitive (Dynamo/Cassandra repair, cross-region copy
+    validation) that turns "are these 10^11-row tables equal, and if
+    not, which key ranges changed?" into one aggregate per side plus a
+    bucket-cardinality join.
+
+    Every row folds to a 60-bit md5 digest of its NULL-safe
+    canonicalized (key, values...) tuple; buckets at level l are
+    ``md5(key) % fanout^l`` (so a level-l bucket's children at level
+    l+1 are exactly the ids congruent to it mod fanout^l); the bucket
+    digest is BIT_XOR of row digests — order-independent and
+    overflow-free, so it shuffles and merges like any map-side
+    combinable aggregate. Equal bucket digest + row count ⇒ the
+    versions agree on that bucket's rows (up to md5-collision odds);
+    a real repair descends only into mismatched parents — the emitted
+    ``parent_match`` flag marks which comparisons that descent would
+    have skipped.
+
+    Returns one row per (level, bucket) present on either side:
+    ``n_a``, ``n_b`` (0 when absent), ``digest_a``, ``digest_b``,
+    ``match``, ``parent_match`` (NULL at level 0).
+
+    Scale shape: each side is one map + one keyed aggregate over
+    (level, bucket) — (levels+1)× row explode, map-side combined down
+    to at most Σ fanout^l buckets; the compare join and the parent
+    join run on bucket-cardinality frames (broadcast-sized by
+    construction). No sorts, no windows, no row-level join between
+    the two tables — THE point.
+    """
+    if levels < 1 or fanout < 2:
+        raise ValueError("merkle_table_diff: levels >= 1, fanout >= 2")
+    if fanout ** levels > 10_000_000:
+        raise ValueError("merkle_table_diff: fanout^levels unreasonably large")
+
+    def canon(c: str):
+        return F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+
+    def digests(df: DataFrame, side: str) -> DataFrame:
+        row_digest = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", canon(key_col), *[canon(c) for c in value_cols])),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        key_hash = F.conv(
+            F.substring(F.md5(canon(key_col)), 1, 8), 16, 10
+        ).cast("long")
+        lvl = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).cast("int").alias("level"),
+                        F.lit(fanout ** l).cast("long").alias("m"),
+                    )
+                    for l in range(levels + 1)
+                ]
+            )
+        ).alias("__lv")
+        return (
+            df.filter(F.col(key_col).isNotNull())
+            .select(row_digest.alias("__rd"), key_hash.alias("__kh"), lvl)
+            .select(
+                F.col("__lv.level").alias("level"),
+                F.pmod(F.col("__kh"), F.col("__lv.m")).cast("long").alias("bucket"),
+                "__rd",
+            )
+            .groupBy("level", "bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+                F.bit_xor("__rd").alias(f"digest_{side}"),
+            )
+        )
+
+    da, db = digests(a, "a"), digests(b, "b")
+    match = (
+        (F.coalesce("n_a", F.lit(0)) == F.coalesce("n_b", F.lit(0)))
+        & (
+            F.coalesce("digest_a", F.lit(0))
+            == F.coalesce("digest_b", F.lit(0))
+        )
+    )
+    cmp_ = da.join(db, ["level", "bucket"], "full_outer").select(
+        "level",
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        "digest_a",
+        "digest_b",
+        match.alias("match"),
+    )
+    # child at level l hangs off parent bucket = bucket % fanout^(l-1)
+    pmodulus = None
+    for l in range(1, levels + 1):
+        pm = F.lit(fanout ** (l - 1)).cast("long")
+        pmodulus = (
+            F.when(F.col("level") == l, pm)
+            if pmodulus is None
+            else pmodulus.when(F.col("level") == l, pm)
+        )
+    parent = cmp_.select(
+        (F.col("level") + 1).alias("__pl"),
+        F.col("bucket").alias("__pb"),
+        F.col("match").alias("parent_match"),
+    )
+    out = (
+        cmp_.withColumn("__pbucket", F.pmod(F.col("bucket"), pmodulus))
+        .join(
+            parent,
+            (F.col("level") == F.col("__pl"))
+            & (F.col("__pbucket") == F.col("__pb")),
+            "left",
+        )
+        .select(
+            "level",
+            "bucket",
+            "n_a",
+            "n_b",
+            "digest_a",
+            "digest_b",
+            "match",
+            "parent_match",
+        )
+    )
+    return out

@@ -3910,3 +3910,43 @@ def test_interval_union_length_merges_overlaps(spark):
     assert out[1] == (3, 2, 20_000_000, 20.0)
     assert out[2] == (2, 1, 10_000_000, 10.0)
     assert out[3] == (2, 1, 20_000_000, 20.0)
+
+
+def test_merkle_table_diff_localizes_changes(spark):
+    """A modify + a delete + an insert localize to <=3 mismatched leaf
+    buckets out of 64; identical tables match everywhere; a leaf whose
+    parent matched never mismatches (the descent-pruning invariant)."""
+    import pytest
+
+    from python_etl_mailing_automation_spark.datapipe.quality import (
+        merkle_table_diff,
+    )
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    b = (
+        a.filter(F.col("k") != 777)
+        .withColumn(
+            "v", F.when(F.col("k") == 500, F.lit(-1)).otherwise(F.col("v"))
+        )
+        .unionByName(
+            spark.range(2000, 2001).select(
+                F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+            )
+        )
+    )
+    out = merkle_table_diff(a, b, "k", ["v"], levels=2, fanout=8).collect()
+    l0 = [r for r in out if r.level == 0][0]
+    assert not l0.match and l0.n_a == 1000 and l0.n_b == 1000
+    bad_leaves = [r for r in out if r.level == 2 and not r.match]
+    assert 1 <= len(bad_leaves) <= 3
+    for r in out:
+        if r.level == 2 and r.parent_match:
+            assert r.match
+        if r.level == 0:
+            assert r.parent_match is None
+    same = merkle_table_diff(a, a, "k", ["v"], levels=2, fanout=8).collect()
+    assert all(r.match for r in same)
+    with pytest.raises(ValueError):
+        merkle_table_diff(a, b, "k", ["v"], levels=0)

@@ -974,3 +974,11 @@ def test_interval_union_one_exchange(plans):
     p = plans("interval_union")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_merkle_diff_joins_only_bucket_cardinality(plans):
+    # two table scans aggregate independently; the only joins run on
+    # bucket-cardinality frames (compare + parent) — never row-level
+    # A-to-B. 4 scans (2 sides x 2 in the self-referencing parent join).
+    p = plans("merkle_diff")
+    assert p.count("Scan parquet") <= 4
