@@ -258,3 +258,97 @@ def curate_documents_batch(
             store.select("norm_digest").distinct(), on="norm_digest", how="left_anti"
         )
     return first
+
+
+def streaming_cusum(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    target: float,
+    slack: float = 0.0,
+    threshold: float,
+    grid_bits: int = 20,
+) -> DataFrame:
+    """Streaming twin of :func:`..datapipe.timeseries.cusum_changepoints`:
+    the two-sided CUSUM drift monitor as an ``applyInPandasWithState``
+    operator — per key the state is exactly TWO grid integers (S⁺, S⁻),
+    folded through each micro-batch's rows in (ts, id) order and carried
+    to the next batch, so the emitted statistic over an in-order stream
+    is bit-identical to the batch closed form over the same prefix
+    (pytest-pinned). This is the alert-at-ingest deployment of the
+    monitor: the batch operator backfills/audits, this one pages.
+
+    State is two longs per key — bounded by live-key cardinality, like
+    the first-seen dedup template, and NOT by stream length (contrast a
+    naive "keep all events, recompute" fold). In-order delivery per key
+    is the contract (the standard one for state-carrying folds);
+    late/out-of-order rows belong to the batch twin's backfill.
+
+    Grid discipline matches the batch twin exactly: floor(v·2^g) on
+    IEEE doubles, integer recurrence, one int→double division per
+    side at emit.
+    """
+    import math
+
+    g_f = float(2 ** grid_bits)
+    tg = int(math.floor(target * g_f))
+    sg = int(math.floor(slack * g_f))
+    hg = int(math.floor(threshold * g_f))
+
+    out_schema = (
+        "key string, ts timestamp, event_id long, value double, "
+        "cusum_hi double, cusum_lo double, alarm boolean"
+    )
+    state_schema = "s_hi long, s_lo long"
+
+    def _fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        s_hi, s_lo = state.get if state.exists else (0, 0)
+        hi_out, lo_out, alarm_out = [], [], []
+        for v in rows["value"]:
+            xg = int(math.floor(float(v) * g_f))
+            s_hi = max(0, s_hi + xg - tg - sg)
+            s_lo = max(0, s_lo + tg - sg - xg)
+            hi_out.append(s_hi / g_f)
+            lo_out.append(s_lo / g_f)
+            alarm_out.append(s_hi > hg or s_lo > hg)
+        state.update((s_hi, s_lo))
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "ts": rows["ts"].values,
+                "event_id": rows["event_id"].values,
+                "value": rows["value"].values,
+                "cusum_hi": hi_out,
+                "cusum_lo": lo_out,
+                "alarm": alarm_out,
+            }
+        )
+
+    normalized = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(
+        F.col("key").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return normalized.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

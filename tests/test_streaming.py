@@ -720,3 +720,71 @@ def test_streaming_distinct_count_matches_batch_final(spark):
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_cusum_matches_batch_across_microbatches(spark):
+    """streaming_cusum over TWO forced micro-batches (maxFilesPerTrigger=1,
+    second file strictly later) equals the batch closed form over the
+    same rows — the two-long state genuinely carries the recurrence
+    across the batch boundary."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        cusum_changepoints,
+    )
+    from python_etl_mailing_automation_spark.streaming.stateful import (
+        streaming_cusum,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda i, k, v: (k, t0 + timedelta(minutes=i), i, v)  # noqa: E731
+    early = [mk(i, k, 30.0 + 10 * k + i) for i in range(6) for k in (1, 2)]
+    late = [mk(10 + i, k, 80.0 - 5 * i) for i in range(4) for k in (1, 2)]
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    batch_df = spark.createDataFrame(early + late, schema)
+    expected = {
+        (int(r.user_id), r.event_id): (r.cusum_hi, r.cusum_lo, r.alarm)
+        for r in cusum_changepoints(
+            batch_df, "user_id", "ts", "value",
+            target=50.0, slack=2.0, threshold=40.0, order_cols=["event_id"],
+        ).collect()
+    }
+    stage = tempfile.mkdtemp(prefix="cusum_in_")
+    ckpt = tempfile.mkdtemp(prefix="cusum_ck_")
+    try:
+        spark.createDataFrame(early, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "b0"))
+        time.sleep(1.1)  # distinct mod-times: b0 is picked up first
+        spark.createDataFrame(late, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "b1"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage + "/*")
+        )
+        q = (
+            streaming_cusum(
+                stream, target=50.0, slack=2.0, threshold=40.0
+            )
+            .writeStream.format("memory").queryName("cusum_stream")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {
+            (int(r.key), r.event_id): (r.cusum_hi, r.cusum_lo, r.alarm)
+            for r in spark.sql("select * from cusum_stream").collect()
+        }
+        assert got == expected
+        assert any(a for (_, _, a) in got.values())  # the drift alarms
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
