@@ -2546,6 +2546,24 @@ def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact weighted quantiles (datapipe/stats.weighted_quantiles):
+    per return flag, the price quartiles weighted by QUANTITY — integer-
+    rational reach test (cum·den >= num·W in BIGINT), distinct-value
+    collapse before the cumulative sum, no float fraction-of-total."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        weighted_quantiles,
+    )
+
+    return weighted_quantiles(
+        _t(spark, sf, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        [(1, 4), (1, 2), (3, 4), (9, 10)],
+        group_col="l_returnflag",
+    )
+
+
 def q_merkle_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Merkle reconciliation (datapipe/quality.merkle_table_diff,
     levels=2 fanout=8) between orders and a perturbed twin (~1% rows
@@ -4480,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "interval_union": q_interval_union,
         "merkle_diff": q_merkle_diff,
+        "weighted_quantiles": q_weighted_quantiles,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6484,6 +6503,34 @@ def oracle_sql() -> dict[str, str]:
   FROM mk_cmp c LEFT JOIN mk_cmp p
     ON p.level = c.level - 1
    AND p.bucket = c.bucket % (CASE c.level WHEN 1 THEN 1 ELSE 8 END)""",
+        # Weighted quantiles: distinct-value collapse, window cumsum,
+        # integer cross-multiplied reach test, min per (group, q).
+        "weighted_quantiles": """
+  WITH wq_pv AS (
+    SELECT l_returnflag AS g, l_extendedprice AS v,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      AND CAST(l_quantity AS BIGINT) >= 0
+    GROUP BY 1, 2),
+  wq_c AS (
+    SELECT g, v,
+           CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+    FROM wq_pv),
+  wq_q(q_num, q_den) AS (VALUES (CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+                                (1, 2), (3, 4), (9, 10)),
+  wq_hit AS (
+    SELECT g, q_num, q_den, v, cum, tot
+    FROM wq_c, wq_q
+    WHERE cum * q_den >= q_num * tot)
+  SELECT g AS l_returnflag, q_num, q_den,
+         CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE) AS q,
+         min(v) AS value,
+         CAST(min(cum) AS BIGINT) AS cum_weight,
+         CAST(min(tot) AS BIGINT) AS total_weight
+  FROM wq_hit GROUP BY g, q_num, q_den""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "benford",
     "interval_union",
     "merkle_diff",
+    "weighted_quantiles",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

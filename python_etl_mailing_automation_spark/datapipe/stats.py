@@ -1089,3 +1089,107 @@ def benford_profile(
         "n_total",
         "n_excluded",
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[tuple[int, int]],
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact weighted lower quantiles per group: the smallest value v
+    whose cumulative weight reaches q·W — weighted median latency
+    (weight = request count), median price weighted by quantity,
+    token-budget percentiles (weight = doc tokens). The unweighted
+    quantile family treats every row equally; production distributions
+    rarely do.
+
+    Quantiles are INTEGER RATIONALS (num, den): the reach test is the
+    cross-multiplied ``cum·den >= num·W`` in BIGINT — no float
+    fraction-of-total, no engine-specific rounding at exactly-on-
+    boundary weights (the classic off-by-one in weighted-median
+    implementations). Weights must be non-negative integers (cast
+    enforced); zero-weight rows can never BE a quantile but never
+    block one either. Ties collapse per distinct value BEFORE the
+    cumulative sum, so the result is partition-order independent.
+
+    Returns one row per (group,) quantile: ``q_num``, ``q_den``,
+    ``q`` (double, display only), ``value``, ``cum_weight``,
+    ``total_weight``.
+
+    Scale shape: one (group, value) aggregate, one per-group window
+    over the DISTINCT-value frame (cardinality = distinct values, not
+    rows), a literal-array explode for the quantile spine, and a final
+    min-by aggregate — one key exchange plus one distinct-value
+    exchange, no self-joins.
+    """
+    if not qs:
+        raise ValueError("weighted_quantiles: qs must be non-empty")
+    for num, den in qs:
+        if not (0 < num <= den):
+            raise ValueError(f"weighted_quantiles: bad quantile {num}/{den}")
+    keys = [group_col] if group_col else []
+    w = F.col(weight_col).cast("long")
+    base = df.filter(
+        F.col(value_col).isNotNull() & w.isNotNull() & (w >= 0)
+    )
+    per_value = base.groupBy(*keys, value_col).agg(
+        F.sum(w).cast("long").alias("__w")
+    )
+    win = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    cum = per_value.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.sum("__w")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("__cum"),
+        F.sum("__w")
+        .over(Window.partitionBy(*keys))
+        .cast("long")
+        .alias("__tot"),
+    )
+    spine = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).cast("long").alias("q_num"),
+                    F.lit(den).cast("long").alias("q_den"),
+                )
+                for num, den in qs
+            ]
+        )
+    ).alias("__q")
+    hit = (
+        cum.select(*keys, "__v", "__cum", "__tot", spine)
+        .select(
+            *keys,
+            "__v",
+            "__cum",
+            "__tot",
+            F.col("__q.q_num").alias("q_num"),
+            F.col("__q.q_den").alias("q_den"),
+        )
+        .filter(F.col("__cum") * F.col("q_den") >= F.col("q_num") * F.col("__tot"))
+    )
+    return (
+        hit.groupBy(*keys, "q_num", "q_den")
+        .agg(
+            F.min("__v").alias("value"),
+            F.min("__cum").cast("long").alias("cum_weight"),
+            F.min("__tot").cast("long").alias("total_weight"),
+        )
+        .select(
+            *keys,
+            "q_num",
+            "q_den",
+            (F.col("q_num").cast("double") / F.col("q_den").cast("double")).alias(
+                "q"
+            ),
+            "value",
+            "cum_weight",
+            "total_weight",
+        )
+    )

@@ -3950,3 +3950,36 @@ def test_merkle_table_diff_localizes_changes(spark):
     assert all(r.match for r in same)
     with pytest.raises(ValueError):
         merkle_table_diff(a, b, "k", ["v"], levels=0)
+
+
+def test_weighted_quantiles_exact_boundaries(spark):
+    """Integer-rational reach test: exactly-on-boundary cumulative
+    weights pick the boundary value (cum·den >= num·W), zero weights
+    never block, ties collapse per value, bad quantiles raise."""
+    import pytest
+
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        weighted_quantiles,
+    )
+
+    rows = [
+        ("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 2),
+        ("b", 10.0, 5), ("b", 20.0, 5),   # q50 lands EXACTLY on 10
+        ("c", 7.0, 0), ("c", 8.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    out = {
+        (r.g, r.q_num, r.q_den): (r.value, r.cum_weight, r.total_weight)
+        for r in weighted_quantiles(
+            df, "v", "w", [(1, 2), (3, 4), (1, 1)], group_col="g"
+        ).collect()
+    }
+    assert out[("a", 1, 2)] == (2.0, 2, 4)
+    assert out[("a", 3, 4)] == (3.0, 4, 4)
+    assert out[("b", 1, 2)] == (10.0, 5, 10)   # boundary: not 20
+    assert out[("b", 3, 4)] == (20.0, 10, 10)
+    assert out[("c", 1, 2)] == (8.0, 3, 3)
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", [(0, 2)])
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", [])
