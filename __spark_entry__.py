@@ -2546,6 +2546,44 @@ def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
+    """Deterministic md5-derived integer coordinate in [0, mod)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f"|{axis}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def q_proximity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-bucketed radius join (datapipe/spatial.proximity_join_grid):
+    customers vs suppliers as md5-derived integer points on a 20000²
+    grid, pairs within distance 1000 — 9-cell neighborhood equi-join +
+    exact BIGINT squared-distance verify; the oracle runs the
+    quadratic cross the engine never builds. No trig, no float at the
+    radius boundary."""
+    from python_etl_mailing_automation_spark.datapipe.spatial import (
+        proximity_join_grid,
+    )
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _synthetic_point(F.col("c_custkey"), "x", 20000).alias("x"),
+        _synthetic_point(F.col("c_custkey"), "y", 20000).alias("y"),
+    )
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        _synthetic_point(F.col("s_suppkey"), "sx", 20000).alias("x"),
+        _synthetic_point(F.col("s_suppkey"), "sy", 20000).alias("y"),
+    )
+    return proximity_join_grid(cust, supp, radius=1000)
+
+
 def q_weighted_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact weighted quantiles (datapipe/stats.weighted_quantiles):
     per return flag, the price quartiles weighted by QUANTITY — integer-
@@ -4499,6 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union": q_interval_union,
         "merkle_diff": q_merkle_diff,
         "weighted_quantiles": q_weighted_quantiles,
+        "proximity_join": q_proximity_join,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6531,6 +6570,29 @@ def oracle_sql() -> dict[str, str]:
          CAST(min(cum) AS BIGINT) AS cum_weight,
          CAST(min(tot) AS BIGINT) AS total_weight
   FROM wq_hit GROUP BY g, q_num, q_den""",
+        # Grid proximity join: the oracle IS the quadratic cross +
+        # integer distance verify the cell bucketing avoids.
+        "proximity_join": """
+  WITH px_c AS (
+    SELECT c_custkey AS id,
+           CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|x'),
+                1, 8) AS BIGINT) % 20000 AS x,
+           CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|y'),
+                1, 8) AS BIGINT) % 20000 AS y
+    FROM customer),
+  px_s AS (
+    SELECT s_suppkey AS id,
+           CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '|sx'),
+                1, 8) AS BIGINT) % 20000 AS x,
+           CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '|sy'),
+                1, 8) AS BIGINT) % 20000 AS y
+    FROM supplier)
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+  FROM px_c a, px_s b
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= 1000000""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

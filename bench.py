@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "interval_union",
     "merkle_diff",
     "weighted_quantiles",
+    "proximity_join",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

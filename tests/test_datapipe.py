@@ -3983,3 +3983,39 @@ def test_weighted_quantiles_exact_boundaries(spark):
         weighted_quantiles(df, "v", "w", [(0, 2)])
     with pytest.raises(ValueError):
         weighted_quantiles(df, "v", "w", [])
+
+
+def test_proximity_join_grid_matches_brute_force(spark):
+    """Cell bucketing + 9-neighborhood probe finds EXACTLY the brute
+    force pair set (each pair once), including boundary pairs at
+    dist2 == radius²; radius validation raises."""
+    import random
+
+    import pytest
+
+    from python_etl_mailing_automation_spark.datapipe.spatial import (
+        proximity_join_grid,
+    )
+
+    random.seed(11)
+    A = [(i, random.randrange(5000), random.randrange(5000))
+         for i in range(120)]
+    B = [(j, random.randrange(5000), random.randrange(5000))
+         for j in range(120)]
+    B.append((999, A[0][1] + 300, A[0][2] + 400))  # dist2 == 500² exactly
+    r = 500
+    exp = sorted(
+        (ia, jb, (xa - xb) ** 2 + (ya - yb) ** 2)
+        for ia, xa, ya in A
+        for jb, xb, yb in B
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= r * r
+    )
+    da = spark.createDataFrame(A, "id long, x long, y long")
+    db = spark.createDataFrame(B, "id long, x long, y long")
+    got = sorted(
+        tuple(row) for row in proximity_join_grid(da, db, radius=r).collect()
+    )
+    assert got == exp
+    assert (A[0][0], 999, 250000) in got  # the boundary pair made it
+    with pytest.raises(ValueError):
+        proximity_join_grid(da, db, radius=0)

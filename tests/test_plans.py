@@ -982,3 +982,9 @@ def test_merkle_diff_joins_only_bucket_cardinality(plans):
     # A-to-B. 4 scans (2 sides x 2 in the self-referencing parent join).
     p = plans("merkle_diff")
     assert p.count("Scan parquet") <= 4
+
+
+def test_proximity_join_no_cartesian(plans):
+    p = plans("proximity_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
