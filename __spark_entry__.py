@@ -2560,6 +2560,41 @@ def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
     )
 
 
+def q_subtree_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """BOM-style recursive aggregate (operators/hierarchy
+    .subtree_rollup): parts form a decimal tree (parent = partkey/10),
+    each part's value is its total lineitem quantity; every node rolls
+    up its whole descendant subtree in ⌈log₂ depth⌉ closure squarings +
+    ONE keyed fold — the recursive-CTE aggregate Spark lacks, which is
+    exactly what the DuckDB oracle uses."""
+    from python_etl_mailing_automation_spark.operators.hierarchy import (
+        subtree_rollup,
+    )
+
+    qty = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__q"))
+    )
+    nodes = (
+        _t(spark, sf, "part")
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.when(
+                F.col("p_partkey") >= 10,
+                F.floor(F.col("p_partkey") / F.lit(10)).cast("long"),
+            ).alias("parent"),
+        )
+        .join(qty, F.col("node") == F.col("l_partkey"), "left")
+        .select(
+            "node",
+            "parent",
+            F.coalesce("__q", F.lit(0)).cast("long").alias("value"),
+        )
+    )
+    return subtree_rollup(nodes)
+
+
 def q_proximity_join(spark: SparkSession, sf: str) -> DataFrame:
     """Grid-bucketed radius join (datapipe/spatial.proximity_join_grid):
     customers vs suppliers as md5-derived integer points on a 20000²
@@ -4538,6 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merkle_diff": q_merkle_diff,
         "weighted_quantiles": q_weighted_quantiles,
         "proximity_join": q_proximity_join,
+        "subtree_rollup": q_subtree_rollup,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6593,6 +6629,31 @@ def oracle_sql() -> dict[str, str]:
   FROM px_c a, px_s b
   WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
         <= 1000000""",
+        # Subtree rollup: the oracle IS the recursive-CTE closure the
+        # engine's log-depth squaring replaces.
+        "subtree_rollup": """
+  WITH RECURSIVE sr_v AS (
+    SELECT p.p_partkey AS node,
+           CAST(coalesce(sum(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT)
+             AS v
+    FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey),
+  sr_e AS (
+    SELECT s.node AS d, s.node // 10 AS a FROM sr_v s
+    WHERE s.node >= 10
+      AND EXISTS (SELECT 1 FROM sr_v x WHERE x.node = s.node // 10)),
+  sr_c(d, a) AS (
+    SELECT d, a FROM sr_e
+    UNION
+    SELECT c.d, e.a FROM sr_c c JOIN sr_e e ON c.a = e.d),
+  sr_p AS (
+    SELECT d, a FROM sr_c
+    UNION ALL
+    SELECT node, node FROM sr_v)
+  SELECT pa.a AS node, CAST(sum(v.v) AS BIGINT) AS subtree_sum,
+         CAST(count(*) AS BIGINT) AS subtree_nodes
+  FROM sr_p pa JOIN sr_v v ON v.node = pa.d
+  GROUP BY pa.a""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "merkle_diff",
     "weighted_quantiles",
     "proximity_join",
+    "subtree_rollup",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -117,3 +117,95 @@ def pointer_jump_roots(
         f"pointer_jump_roots: not converged after {max_rounds} doubling "
         "rounds — cycle present or depth exceeds 2^rounds"
     )
+
+
+def subtree_rollup(
+    nodes: DataFrame,
+    *,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    value_col: str = "value",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Bottom-up hierarchical aggregate (bill-of-materials rollup, org
+    headcount, category revenue): for every node, the SUM of
+    ``value_col`` over its entire descendant subtree, itself included,
+    plus the subtree node count. The recursive-CTE aggregate Spark
+    lacks, built from the same doubling idea as
+    :func:`pointer_jump_roots`: the ancestor closure squares each
+    round (C ∪ C∘C, distinct), so depth-d hierarchies close in
+    ⌈log₂ d⌉ self-joins — then ONE keyed aggregate over
+    (descendant, ancestor) pairs folds the values. Never a per-level
+    upward pass (O(depth) joins), never a per-node walk.
+
+    Parent pointers outside the node set (or NULL) mark roots; a
+    node's own value always counts (identity pairs union the closure).
+    Values fold as BIGINT — exact, order-independent.
+
+    Convergence-checked like the SCC fixpoints: the closure either
+    stabilizes within ``max_rounds`` squarings (2^12 depth headroom at
+    the default) or the operator RAISES — a half-closed hierarchy
+    would silently under-report every deep subtree.
+
+    Scale shape: each round one self-equi-join of the closure on the
+    middle node + distinct; closure cardinality is Σ depth(v) (n·d
+    worst case for a path, n·log-ish for balanced trees); the final
+    fold is one map-side-combinable aggregate on the ancestor key.
+    CYCLES (bad data) close to a FINITE fixpoint (a cycle's closure
+    contains its own (x, x) pairs), so they cannot be caught as
+    non-convergence — the operator checks for reflexive closure pairs
+    after stabilizing and raises, the honest outcome for a
+    "hierarchy" containing a cycle (silently, each cycle member would
+    double-count itself via the identity union).
+    """
+    if max_rounds < 1:
+        raise ValueError("subtree_rollup: max_rounds must be >= 1")
+    vals = nodes.select(
+        F.col(id_col).alias("node"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).filter(F.col("node").isNotNull())
+    node_set = vals.select("node").distinct()
+    edges = (
+        nodes.select(
+            F.col(id_col).alias("__d"), F.col(parent_col).alias("__a")
+        )
+        .filter(
+            F.col("__d").isNotNull()
+            & F.col("__a").isNotNull()
+            & (F.col("__d") != F.col("__a"))
+        )
+        .join(node_set.select(F.col("node").alias("__a")), "__a", "left_semi")
+        .distinct()
+    )
+    closure = edges.localCheckpoint(eager=False)
+    n = closure.count()
+    for _ in range(max_rounds):
+        step = closure.alias("l").join(
+            closure.alias("r"), F.col("l.__a") == F.col("r.__d")
+        ).select(F.col("l.__d").alias("__d"), F.col("r.__a").alias("__a"))
+        grown = closure.unionByName(step).distinct().localCheckpoint(
+            eager=False
+        )
+        n2 = grown.count()
+        if n2 == n:
+            break
+        closure, n = grown, n2
+    else:
+        raise RuntimeError(
+            "subtree_rollup: closure did not stabilize within "
+            f"{max_rounds} squarings — deeper than 2^{max_rounds}"
+        )
+    if closure.filter(F.col("__d") == F.col("__a")).limit(1).count() > 0:
+        raise ValueError("subtree_rollup: cycle detected in parent pointers")
+    pairs = closure.unionByName(
+        node_set.select(F.col("node").alias("__d"), F.col("node").alias("__a"))
+    )
+    return (
+        pairs.join(vals, F.col("__d") == F.col("node"))
+        .groupBy("__a")
+        .agg(
+            F.sum("__v").cast("long").alias("subtree_sum"),
+            F.count(F.lit(1)).cast("long").alias("subtree_nodes"),
+        )
+        .select(F.col("__a").alias(id_col), "subtree_sum", "subtree_nodes")
+    )

@@ -1136,3 +1136,42 @@ def test_sequence_pattern_counts_semantics(spark):
         )
     with pytest.raises(ValueError):
         sequence_pattern_counts(df, "key", "ts", "t", mapping={}, pattern="v")
+
+
+def test_subtree_rollup_closure_squaring(spark):
+    """Every node sums its whole descendant subtree (itself included);
+    out-of-set parents make roots; a cyclic 'hierarchy' raises instead
+    of silently double-counting."""
+    import pytest
+
+    from python_etl_mailing_automation_spark.operators.hierarchy import (
+        subtree_rollup,
+    )
+
+    rows = [
+        (1, None, 10), (2, 1, 20), (3, 1, 30), (4, 2, 40), (5, 2, 50),
+        (6, 3, 60), (7, None, 70), (8, 99, 80),  # 99 not a node -> root
+    ]
+    df = spark.createDataFrame(rows, "node long, parent long, value long")
+    out = {
+        r.node: (r.subtree_sum, r.subtree_nodes)
+        for r in subtree_rollup(df).collect()
+    }
+    assert out == {
+        1: (210, 6), 2: (110, 3), 3: (90, 2), 4: (40, 1), 5: (50, 1),
+        6: (60, 1), 7: (70, 1), 8: (80, 1),
+    }
+    # depth-5 path needs only ceil(log2(5)) = 3 squarings
+    path = spark.createDataFrame(
+        [(i, i - 1 if i > 0 else None, 1) for i in range(6)],
+        "node long, parent long, value long",
+    )
+    pout = {r.node: r.subtree_sum for r in subtree_rollup(path).collect()}
+    assert pout[0] == 6 and pout[5] == 1
+    cyc = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1)], "node long, parent long, value long"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        subtree_rollup(cyc, max_rounds=5)
+    with pytest.raises(ValueError):
+        subtree_rollup(df, max_rounds=0)
