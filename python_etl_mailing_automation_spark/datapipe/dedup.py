@@ -27,6 +27,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import cache_once
+
 from .text import tokens_of
 
 
@@ -167,7 +169,7 @@ def lsh_candidate_pairs(
         from pyspark import StorageLevel
 
         if entries.storageLevel == StorageLevel.NONE:
-            entries = entries.cache()
+            entries = cache_once(entries)
     a = entries.alias("a")
     b = entries.alias("b")
     return (
@@ -733,7 +735,8 @@ def simhash_hamming_pairs(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "simhash64", "b.band_idx", "b.band_val").cache()
+    ).select(id_col, "simhash64", "b.band_idx", "b.band_val")
+    banded = cache_once(banded)
     a = banded.select(
         F.col(id_col).alias("doc_id_a"),
         F.col("simhash64").alias("__fp_a"),
@@ -971,7 +974,9 @@ def winnow_candidate_pairs(
     hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") > max_df
     )
-    fps = fps.join(F.broadcast(hot.select("fp")), on="fp", how="left_anti").persist()
+    fps = cache_once(
+        fps.join(F.broadcast(hot.select("fp")), on="fp", how="left_anti")
+    )
     left = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
     right = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
     pairs = (

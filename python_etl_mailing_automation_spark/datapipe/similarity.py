@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import cache_once
+
 
 def _dec_vec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -155,10 +157,9 @@ def embedding_near_dup_pairs(
     in datapipe.dedup (same lifetime contract: the ContextCleaner
     releases it when the returned frame is garbage-collected).
     """
-    base = (
+    base = cache_once(
         with_norm(df, vec_col)
         .withColumn("bucket", sign_bucket(F.col(vec_col), bits))
-        .cache()
     )
     a = base.select(
         F.col(id_col).alias("vec_id_a"), "bucket",
@@ -264,10 +265,9 @@ def ann_bucket_topk(
     cached — both self-join sides read it, and the SRP projections are
     the dominant per-row cost (lsh_candidate_pairs lifetime contract:
     ContextCleaner-released with the returned frame)."""
-    base = (
+    base = cache_once(
         with_norm(df, vec_col)
         .withColumn("bucket", sign_bucket(F.col(vec_col), bits))
-        .cache()
     )
     a = base.select(
         F.col(id_col).alias("vec_id"), "bucket",
