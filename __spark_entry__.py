@@ -2560,6 +2560,26 @@ def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
     )
 
 
+def q_density_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid DBSCAN (datapipe/spatial.density_clusters, eps=800,
+    min_pts=10) over the customers' synthetic point cloud: bucketed
+    radius join → degree filter → CC closure over core-core edges →
+    deterministic min-label border assignment. 432 core / 595 border /
+    473 noise across 39 clusters at sf0.01 — all three roles and the
+    tie-breaks exercised; the oracle is the quadratic neighborhood +
+    recursive reachability the engine never builds."""
+    from python_etl_mailing_automation_spark.datapipe.spatial import (
+        density_clusters,
+    )
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _synthetic_point(F.col("c_custkey"), "x", 20000).alias("x"),
+        _synthetic_point(F.col("c_custkey"), "y", 20000).alias("y"),
+    )
+    return density_clusters(cust, eps=800, min_pts=10)
+
+
 def q_subtree_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """BOM-style recursive aggregate (operators/hierarchy
     .subtree_rollup): parts form a decimal tree (parent = partkey/10),
@@ -4574,6 +4594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": q_weighted_quantiles,
         "proximity_join": q_proximity_join,
         "subtree_rollup": q_subtree_rollup,
+        "density_clusters": q_density_clusters,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6654,6 +6675,47 @@ def oracle_sql() -> dict[str, str]:
          CAST(count(*) AS BIGINT) AS subtree_nodes
   FROM sr_p pa JOIN sr_v v ON v.node = pa.d
   GROUP BY pa.a""",
+        # Grid DBSCAN: quadratic neighborhoods + recursive min-label
+        # reachability over core-core edges; border = min neighboring
+        # core's label; NULL cluster for noise.
+        "density_clusters": """
+  WITH RECURSIVE db_p AS (
+    SELECT c_custkey AS id,
+           CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|x'),
+                1, 8) AS BIGINT) % 20000 AS x,
+           CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|y'),
+                1, 8) AS BIGINT) % 20000 AS y
+    FROM customer),
+  db_pairs AS (
+    SELECT a.id AS ia, b.id AS ib FROM db_p a, db_p b
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 640000),
+  db_core AS (
+    SELECT ia AS id FROM db_pairs GROUP BY ia HAVING count(*) >= 10),
+  db_e AS (
+    SELECT p.ia, p.ib FROM db_pairs p
+    JOIN db_core ca ON ca.id = p.ia
+    JOIN db_core cb ON cb.id = p.ib),
+  db_r(id, lbl) AS (
+    SELECT id, id FROM db_core
+    UNION
+    SELECT e.ib, r.lbl FROM db_r r JOIN db_e e ON e.ia = r.id),
+  db_lbl AS (SELECT id, min(lbl) AS cluster_id FROM db_r GROUP BY id),
+  db_border AS (
+    SELECT p.ia AS id, min(l.cluster_id) AS cluster_id
+    FROM db_pairs p
+    JOIN db_lbl l ON l.id = p.ib
+    WHERE p.ia NOT IN (SELECT id FROM db_core)
+    GROUP BY p.ia)
+  SELECT p.id,
+         CASE WHEN c.id IS NOT NULL THEN 'core'
+              WHEN b.id IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS role,
+         coalesce(c2.cluster_id, b.cluster_id) AS cluster_id
+  FROM db_p p
+  LEFT JOIN db_core c ON c.id = p.id
+  LEFT JOIN db_lbl c2 ON c2.id = p.id
+  LEFT JOIN db_border b ON b.id = p.id""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "weighted_quantiles",
     "proximity_join",
     "subtree_rollup",
+    "density_clusters",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

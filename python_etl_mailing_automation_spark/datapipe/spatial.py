@@ -106,3 +106,111 @@ def proximity_join_grid(
         )
         .filter(F.col("dist2") <= r * r)
     )
+
+
+def density_clusters(
+    points: DataFrame,
+    *,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    eps: int,
+    min_pts: int,
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Grid DBSCAN (Ester et al. 1996) composed from this module's
+    bucketed radius join and the engine's delta-frontier CC closure —
+    density clustering without a single all-pairs comparison:
+
+    1. neighbor pairs within ``eps`` via :func:`proximity_join_grid`
+       (self-join form; the (p, p) self-pair makes the neighborhood
+       count self-inclusive, the textbook definition);
+    2. CORE points: ``|N_eps(p)| >= min_pts``;
+    3. clusters = connected components over core-core ``eps`` edges
+       (min-core-id labels via :func:`..dedup.dedup_clusters` — the
+       same closure that labels near-dup groups);
+    4. BORDER points: non-core with a core neighbor, assigned the
+       MINIMUM neighboring core's cluster id (the deterministic
+       tie-break; plain DBSCAN leaves border assignment
+       visit-order-dependent, which an oracle-checked engine cannot);
+    5. everything else is NOISE (NULL cluster).
+
+    Returns ``(id, role, cluster_id)``, role ∈ core/border/noise.
+
+    Scale shape: the only superlinear hazard is the radius join's
+    9-cell occupancy (output-bound, documented there); degree count,
+    core filter, and border assignment are keyed aggregates; the
+    closure is the delta-frontier propagation with its measured
+    shallow-graph behavior. Deterministic end to end — roles and
+    labels are set-defined, no scan order anywhere.
+    """
+    if min_pts < 1:
+        raise ValueError("density_clusters: min_pts must be >= 1")
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).filter(
+        F.col("id").isNotNull()
+        & F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    pairs = proximity_join_grid(
+        pts, pts, id_col="id", x_col="x", y_col="y", radius=eps
+    )
+    deg = pairs.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    )
+    core = deg.filter(F.col("__deg") >= min_pts).select(
+        F.col("id_a").alias("id")
+    )
+    core_edges = (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .join(core.select(F.col("id").alias("id_a")), "id_a", "left_semi")
+        .join(core.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+    from .dedup import dedup_clusters
+
+    labeled_cores = dedup_clusters(
+        core.select(F.col("id").alias("doc_id")),
+        core_edges.select(
+            F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+        ),
+        max_iterations=max_iterations,
+    ).select(F.col("doc_id").alias("id"), F.col("cluster_id"))
+    # border: non-core with >= 1 core neighbor -> min neighboring core's
+    # cluster (pairs are symmetric, so id_a side covers every point)
+    border = (
+        pairs.join(
+            labeled_cores.select(
+                F.col("id").alias("id_b"), F.col("cluster_id").alias("__c")
+            ),
+            "id_b",
+        )
+        .join(labeled_cores.select(F.col("id").alias("id_a")), "id_a", "left_anti")
+        .groupBy("id_a")
+        .agg(F.min("__c").alias("cluster_id"))
+        .select(F.col("id_a").alias("id"), "cluster_id")
+    )
+    return (
+        pts.select("id")
+        .join(
+            labeled_cores.select("id", F.col("cluster_id").alias("__core_c")),
+            "id",
+            "left",
+        )
+        .join(
+            border.select("id", F.col("cluster_id").alias("__border_c")),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.when(F.col("__core_c").isNotNull(), F.lit("core"))
+            .when(F.col("__border_c").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("__core_c", "__border_c").alias("cluster_id"),
+        )
+    )

@@ -4019,3 +4019,62 @@ def test_proximity_join_grid_matches_brute_force(spark):
     assert (A[0][0], 999, 250000) in got  # the boundary pair made it
     with pytest.raises(ValueError):
         proximity_join_grid(da, db, radius=0)
+
+
+def test_density_clusters_roles_and_labels(spark):
+    """Grid DBSCAN: two blobs cluster separately with min-id labels,
+    a point within eps of a core (but under-dense itself) is border
+    with the minimum neighboring core's label, an isolated point is
+    noise; matches a brute-force union-find reference."""
+    import pytest
+
+    from python_etl_mailing_automation_spark.datapipe.spatial import (
+        density_clusters,
+    )
+
+    pts = (
+        [(i, 100 + (i % 5) * 10, 100 + (i // 5) * 10) for i in range(25)]
+        + [(100 + i, 1000 + (i % 4) * 10, 1000 + (i // 4) * 10)
+           for i in range(16)]
+        + [(500, 160, 100), (600, 5000, 5000)]
+    )
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    out = {
+        r.id: (r.role, r.cluster_id)
+        for r in density_clusters(df, eps=15, min_pts=5).collect()
+    }
+
+    def nbrs(p):
+        return [
+            q for q in pts
+            if (p[1] - q[1]) ** 2 + (p[2] - q[2]) ** 2 <= 225
+        ]
+
+    cores = {p[0] for p in pts if len(nbrs(p)) >= 5}
+    parent = {c: c for c in cores}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for p in pts:
+        if p[0] in cores:
+            for q in nbrs(p):
+                if q[0] in cores and q[0] != p[0]:
+                    ra, rb = find(p[0]), find(q[0])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    club = {c: find(c) for c in cores}
+    exp = {}
+    for p in pts:
+        if p[0] in cores:
+            exp[p[0]] = ("core", club[p[0]])
+        else:
+            cn = [club[q[0]] for q in nbrs(p) if q[0] in cores]
+            exp[p[0]] = ("border", min(cn)) if cn else ("noise", None)
+    assert out == exp
+    assert {v[0] for v in out.values()} == {"core", "border", "noise"}
+    with pytest.raises(ValueError):
+        density_clusters(df, eps=15, min_pts=0)
