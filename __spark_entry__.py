@@ -2560,6 +2560,20 @@ def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
     )
 
 
+def q_random_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic uniform random walks (datapipe/graph.random_walks,
+    4 steps, salted-md5 neighbor choice over row_number-indexed
+    adjacency) from every node of the directed order-sequence graph —
+    the DeepWalk/node2vec corpus-builder shape, replayable on any
+    engine; dead ends stop and record their truncation. The oracle
+    replays the same 4 rounds as generated CTEs."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        random_walks,
+    )
+
+    return random_walks(_order_sequence_edges(spark, sf), walk_length=4)
+
+
 def q_density_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Grid DBSCAN (datapipe/spatial.density_clusters, eps=800,
     min_pts=10) over the customers' synthetic point cloud: bucketed
@@ -4595,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_join": q_proximity_join,
         "subtree_rollup": q_subtree_rollup,
         "density_clusters": q_density_clusters,
+        "random_walks": q_random_walks,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -5590,6 +5605,52 @@ def _benford_sql() -> str:
          chi2, n_total, n_excluded
   FROM bw, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS d(digit)"""
 
+
+
+
+def _random_walks_sql(walk_length: int = 4) -> str:
+    """Unrolled CTE replay of random_walks over the order-sequence
+    graph: row_number-indexed adjacency, salted-md5 neighbor pick,
+    dead ends carried through the left joins."""
+    ctes = ["""rw_edges AS (
+    SELECT DISTINCT a.l_partkey % 2001 AS src, b.l_partkey % 2001 AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+    WHERE a.l_partkey % 2001 <> b.l_partkey % 2001
+      AND ((a.l_partkey % 2001) * 31 + (b.l_partkey % 2001)) % 7 = 3),
+  rw_adj AS (SELECT src, dst,
+                    CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+                         AS BIGINT) AS idx
+             FROM rw_edges),
+  rw_deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+             FROM rw_edges GROUP BY src),
+  rw_nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM rw_edges UNION ALL SELECT dst FROM rw_edges)),
+  rw_w0 AS (SELECT node AS walk_id, node AS cur,
+                   CAST(node AS VARCHAR) AS path,
+                   CAST(0 AS BIGINT) AS steps
+            FROM rw_nodes)"""]
+    for t in range(1, walk_length + 1):
+        ctes.append(
+            """rw_w{t} AS (
+    SELECT w.walk_id,
+           coalesce(a.dst, w.cur) AS cur,
+           CASE WHEN a.dst IS NOT NULL
+                THEN w.path || '>' || CAST(a.dst AS VARCHAR)
+                ELSE w.path END AS path,
+           w.steps + CASE WHEN a.dst IS NOT NULL THEN 1 ELSE 0 END AS steps
+    FROM rw_w{p} w
+    LEFT JOIN rw_deg d ON d.src = w.cur
+    LEFT JOIN rw_adj a ON a.src = w.cur
+     AND a.idx = 1 + (CAST('0x' || substr(md5(
+           CAST(w.walk_id AS VARCHAR) || '|{t}|rw'), 1, 8) AS BIGINT)
+           % d.deg))""".format(t=t, p=t - 1)
+        )
+    return (
+        "WITH " + ",\n  ".join(ctes)
+        + f"\n  SELECT walk_id, cur AS final_node, path,"
+        + f" steps AS steps_taken FROM rw_w{walk_length}"
+    )
 
 
 
@@ -6716,6 +6777,8 @@ def oracle_sql() -> dict[str, str]:
   LEFT JOIN db_core c ON c.id = p.id
   LEFT JOIN db_lbl c2 ON c2.id = p.id
   LEFT JOIN db_border b ON b.id = p.id""",
+        # Random walks: generated unrolled replay (see _random_walks_sql).
+        "random_walks": _random_walks_sql(4),
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "proximity_join",
     "subtree_rollup",
     "density_clusters",
+    "random_walks",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

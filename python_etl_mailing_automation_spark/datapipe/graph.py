@@ -23,7 +23,7 @@ iteration (one extra tiny aggregate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _GRID = 2.0**40
@@ -716,3 +716,120 @@ def strongly_connected_components(
     for d in done[1:]:
         out = out.unionByName(d)
     return _materialize(out)
+
+
+def random_walks(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    walk_length: int = 4,
+    salt: str = "rw",
+) -> DataFrame:
+    """Deterministic uniform random walks from every node: ``walk_length``
+    steps where step t from node v follows out-edge number
+    ``1 + md5(walker|t|salt) % outdeg(v)`` — hash-derived choices
+    instead of an RNG, so the walks are exactly reproducible on any
+    engine/partitioning (the DeepWalk/node2vec corpus-builder shape,
+    PPR estimation by walk counting, graph feature sampling — all need
+    walks at scale more than they need true randomness, and a salted
+    md5 IS the uniform choice, just a replayable one; vary ``salt``
+    for independent walk sets).
+
+    Neighbor indexing is ``row_number`` per source ordered by
+    destination id — deterministic, and the only per-node state the
+    walk needs. Walkers at a node with no out-edges STOP and keep
+    their position (``steps_taken`` records the truncation — the
+    documented dead-end contract; teleport-restart is a caller-side
+    compose by re-seeding from the stopped rows with a new salt).
+
+    Returns ``(walk_id, final_node, path, steps_taken)`` — one walk
+    per distinct node, path as '>'-joined ids.
+
+    Scale shape: per step, one left join of the walker frame to the
+    degree table plus one equi-join to the indexed adjacency on
+    (node, picked index) — walker cardinality never grows, the
+    adjacency never shuffles more than its key partitioning, and
+    ``walk_length`` is a bounded unroll (the oracle replays the same
+    rounds). Hot nodes cost their in-walker traffic, not their degree:
+    the index join probes exactly ONE neighbor row per walker.
+    """
+    if walk_length < 1:
+        raise ValueError("random_walks: walk_length must be >= 1")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    adj = e.select(
+        "src",
+        "dst",
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy(F.col("dst").asc()))
+        .cast("long")
+        .alias("idx"),
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    walkers = nodes.select(
+        F.col("node").alias("walk_id"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+        F.lit(0).cast("long").alias("steps_taken"),
+    )
+    for t in range(1, walk_length + 1):
+        probed = walkers.join(
+            deg.select(F.col("src").alias("cur"), "deg"), "cur", "left"
+        ).withColumn(
+            "__pick",
+            F.when(
+                F.col("deg").isNotNull(),
+                F.lit(1)
+                + F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("walk_id").cast("string"),
+                                    F.lit(f"|{t}|{salt}"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.col("deg"),
+                ),
+            ),
+        )
+        moved = probed.filter(F.col("__pick").isNotNull()).join(
+            adj.select(
+                F.col("src").alias("cur"),
+                F.col("idx").alias("__pick"),
+                F.col("dst").alias("__next"),
+            ),
+            ["cur", "__pick"],
+        ).select(
+            "walk_id",
+            F.col("__next").alias("cur"),
+            F.concat(
+                F.col("path"), F.lit(">"), F.col("__next").cast("string")
+            ).alias("path"),
+            (F.col("steps_taken") + 1).alias("steps_taken"),
+        )
+        stopped = probed.filter(F.col("__pick").isNull()).select(
+            "walk_id", "cur", "path", "steps_taken"
+        )
+        walkers = moved.unionByName(stopped)
+    return walkers.select(
+        "walk_id",
+        F.col("cur").alias("final_node"),
+        "path",
+        "steps_taken",
+    )

@@ -4078,3 +4078,50 @@ def test_density_clusters_roles_and_labels(spark):
     assert {v[0] for v in out.values()} == {"core", "border", "noise"}
     with pytest.raises(ValueError):
         density_clusters(df, eps=15, min_pts=0)
+
+
+def test_random_walks_deterministic_md5_choice(spark):
+    """Walks follow exactly the salted-md5-picked neighbor at each
+    step (pinned against a pure-Python replay), dead ends stop with
+    steps_taken recording the truncation, and a different salt gives a
+    different (but still deterministic) walk set."""
+    import hashlib
+
+    import pytest
+
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        random_walks,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (5, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r.walk_id: (r.final_node, r.path, r.steps_taken)
+        for r in random_walks(df, walk_length=3).collect()
+    }
+    adj: dict = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+
+    def pick(w, t):
+        return int(
+            hashlib.md5(f"{w}|{t}|rw".encode()).hexdigest()[:8], 16
+        )
+
+    for n in sorted({x for e in edges for x in e}):
+        cur, path, steps = n, str(n), 0
+        for t in range(1, 4):
+            if cur not in adj:
+                break
+            cur = adj[cur][pick(n, t) % len(adj[cur])]
+            path += f">{cur}"
+            steps += 1
+        assert out[n] == (cur, path, steps)
+    assert out[7] == (7, "7", 0)  # dead end from the start
+    other = {
+        r.walk_id: r.path
+        for r in random_walks(df, walk_length=3, salt="rw2").collect()
+    }
+    assert other != {k: v[1] for k, v in out.items()}
+    with pytest.raises(ValueError):
+        random_walks(df, walk_length=0)
