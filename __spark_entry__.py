@@ -2560,6 +2560,19 @@ def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
     )
 
 
+def q_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded 3-truss peeling (datapipe/graph.ktruss, 2 rounds) over
+    the co-purchase graph: edges in >= 1 triangle within the
+    surviving subgraph, with final support recomputed on the
+    survivors — the edge-level cohesion filter next to kcore's
+    node-level one (a hub star is a 2-core with zero triangles; a
+    truss edge is community backbone). Oracle unrolls the same
+    rounds."""
+    from python_etl_mailing_automation_spark.datapipe.graph import ktruss
+
+    return ktruss(_copurchase_oriented(spark, sf), k=3, max_rounds=2)
+
+
 def q_random_walks(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic uniform random walks (datapipe/graph.random_walks,
     4 steps, salted-md5 neighbor choice over row_number-indexed
@@ -4610,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtree_rollup": q_subtree_rollup,
         "density_clusters": q_density_clusters,
         "random_walks": q_random_walks,
+        "ktruss": q_ktruss,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -5605,6 +5619,50 @@ def _benford_sql() -> str:
          chi2, n_total, n_excluded
   FROM bw, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS d(digit)"""
 
+
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 2) -> str:
+    """Unrolled replay of ktruss over the co-purchase graph: per round
+    the Suri-Vassilvitskii triangle enumeration, a 3-way UNION ALL
+    explode to member edges, a support count, and the >= k-2 filter;
+    final support recomputed on the survivors."""
+    thr = k - 2
+    ctes = ["""kt_p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+  kt_e0 AS (SELECT DISTINCT LEAST(pa, pb) AS a, GREATEST(pa, pb) AS b
+            FROM kt_p WHERE pa != pb)"""]
+    def round_ctes(i: int) -> str:
+        return """kt_t{i} AS (
+    SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+    FROM kt_e{i} e1 JOIN kt_e{i} e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN kt_e{i} e3 ON e3.a = e1.b AND e3.b = e2.b),
+  kt_s{i} AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+      SELECT ta AS a, tb AS b FROM kt_t{i}
+      UNION ALL SELECT ta, tc FROM kt_t{i}
+      UNION ALL SELECT tb, tc FROM kt_t{i})
+    GROUP BY a, b)""".format(i=i)
+    for i in range(rounds):
+        ctes.append(round_ctes(i))
+        ctes.append(
+            """kt_e{n} AS (
+    SELECT e.a, e.b FROM kt_e{i} e
+    JOIN kt_s{i} s ON s.a = e.a AND s.b = e.b AND s.support >= {thr})""".format(
+                n=i + 1, i=i, thr=thr
+            )
+        )
+    ctes.append(round_ctes(rounds))
+    return (
+        "WITH " + ",\n  ".join(ctes)
+        + """\n  SELECT e.a AS src, e.b AS dst,
+         CAST(coalesce(s.support, 0) AS BIGINT) AS support
+  FROM kt_e{r} e LEFT JOIN kt_s{r} s ON s.a = e.a AND s.b = e.b""".format(
+            r=rounds
+        )
+    )
 
 
 
@@ -6779,6 +6837,8 @@ def oracle_sql() -> dict[str, str]:
   LEFT JOIN db_border b ON b.id = p.id""",
         # Random walks: generated unrolled replay (see _random_walks_sql).
         "random_walks": _random_walks_sql(4),
+        # k-truss: generated unrolled replay (see _ktruss_sql).
+        "ktruss": _ktruss_sql(3, 2),
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

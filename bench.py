@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "subtree_rollup",
     "density_clusters",
     "random_walks",
+    "ktruss",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

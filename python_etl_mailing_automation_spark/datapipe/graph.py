@@ -833,3 +833,109 @@ def random_walks(
         "path",
         "steps_taken",
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 4,
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Bounded k-truss peeling (Cohen 2008) — the EDGE-level cohesion
+    filter next to :func:`kcore`'s node-level one: repeatedly delete
+    edges supported by fewer than k-2 triangles (within the surviving
+    subgraph) for ``max_rounds`` synchronous rounds, returning the
+    surviving oriented edges with their final support. Trusses survive
+    k-core where cores don't imply cohesion: a star is a 2-core hub
+    with ZERO triangles, while a k-truss edge sits in k-2 overlapping
+    triangles — the community-backbone / spam-clique separator.
+
+    Per round, support comes from the Suri-Vassilvitskii oriented
+    wedge enumeration (the same two-join shape as
+    :func:`..dedup.triangle_count`, each triangle found once at its
+    lowest vertex), exploded to its three member edges and counted per
+    edge — orientation caps wedge fan-out at O(√|E|) per vertex, the
+    hub-taming argument.
+
+    Truncation contract (kcore's, verbatim in spirit, tested):
+    truncation only UNDER-peels — every edge the bounded run removes,
+    the true truss peel also removes (support is monotone
+    non-increasing as edges leave), but a peel cascade longer than
+    ``max_rounds`` leaves edges one more round would delete.
+    Survivors' supports are exact within the surviving subgraph.
+
+    Scale shape: per round two equi-joins (wedge + close), one 3×
+    explode, one keyed count, one semi-join filter — no windows, no
+    cartesians; the edge frame shrinks monotonically and is cached per
+    round, released in a ``finally``.
+    """
+    if k < 3 or max_rounds < 1:
+        raise ValueError("ktruss: k must be >= 3 and max_rounds >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    cached: list[DataFrame] = []
+
+    def _support(ef: DataFrame) -> DataFrame:
+        w1 = ef.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+        w2 = ef.select(F.col("a").alias("wa"), F.col("b").alias("wc"))
+        tri = (
+            w1.join(w2, "wa")
+            .filter(F.col("wb") < F.col("wc"))
+            .join(
+                ef.select(F.col("a").alias("wb"), F.col("b").alias("wc")),
+                ["wb", "wc"],
+            )
+        )
+        return (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("wa").alias("a"), F.col("wb").alias("b")
+                        ),
+                        F.struct(
+                            F.col("wa").alias("a"), F.col("wc").alias("b")
+                        ),
+                        F.struct(
+                            F.col("wb").alias("a"), F.col("wc").alias("b")
+                        ),
+                    )
+                ).alias("__e")
+            )
+            .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        )
+
+    try:
+        for _ in range(max_rounds):
+            e = e.cache()
+            cached.append(e)
+            keep = _support(e).filter(F.col("support") >= k - 2)
+            e = e.join(keep.select("a", "b"), ["a", "b"], "left_semi")
+        # support reported WITHIN the final surviving subgraph — the
+        # last round's deletions may have lowered it, so one final
+        # enumeration (the docstring's exactness claim)
+        e = e.cache()
+        cached.append(e)
+        sup = _support(e)
+        out = e.join(sup, ["a", "b"], "left").select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+        return _materialize(out)
+    finally:
+        for c in cached:
+            c.unpersist()

@@ -4125,3 +4125,30 @@ def test_random_walks_deterministic_md5_choice(spark):
     assert other != {k: v[1] for k, v in out.items()}
     with pytest.raises(ValueError):
         random_walks(df, walk_length=0)
+
+
+def test_ktruss_edge_peeling(spark):
+    """K4 edges (2 triangles each) survive k=4 while a pendant
+    triangle (support-1 edges) is peeled; k=3 keeps every
+    triangle-supported edge; reported support is recomputed WITHIN the
+    surviving subgraph; validation raises."""
+    import pytest
+
+    from python_etl_mailing_automation_spark.datapipe.graph import ktruss
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (4, 6), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out4 = sorted(
+        (r.src, r.dst, r.support)
+        for r in ktruss(df, k=4, max_rounds=3).collect()
+    )
+    assert out4 == [(1, 2, 2), (1, 3, 2), (1, 4, 2), (2, 3, 2),
+                    (2, 4, 2), (3, 4, 2)]
+    out3 = sorted(
+        (r.src, r.dst) for r in ktruss(df, k=3, max_rounds=3).collect()
+    )
+    assert out3 == sorted((min(a, b), max(a, b)) for a, b in edges)
+    assert ktruss(df, k=5, max_rounds=3).count() == 0
+    with pytest.raises(ValueError):
+        ktruss(df, k=2)
