@@ -2560,6 +2560,30 @@ def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
     )
 
 
+def q_dictionary_phrases(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-pattern phrase matching (datapipe/text
+    .dictionary_phrase_matches): a 5-phrase dictionary against every
+    document in ONE posting join + ONE offset-aligned aggregate —
+    count == phrase length ⇔ contiguous occurrence; the blocklist
+    matcher where a per-phrase loop would rescan the corpus
+    |dictionary| times."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        dictionary_phrase_matches,
+    )
+
+    phrases = spark.createDataFrame(
+        [
+            (1, "key agg row"),
+            (2, "table value"),
+            (3, "fast table"),
+            (4, "a a the"),
+            (5, "sort sort sort"),
+        ],
+        "phrase_id long, phrase string",
+    )
+    return dictionary_phrase_matches(_t(spark, sf, "documents"), phrases)
+
+
 def q_ktruss(spark: SparkSession, sf: str) -> DataFrame:
     """Bounded 3-truss peeling (datapipe/graph.ktruss, 2 rounds) over
     the co-purchase graph: edges in >= 1 triangle within the
@@ -4624,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_clusters": q_density_clusters,
         "random_walks": q_random_walks,
         "ktruss": q_ktruss,
+        "dictionary_phrases": q_dictionary_phrases,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6839,6 +6864,38 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(4),
         # k-truss: generated unrolled replay (see _ktruss_sql).
         "ktruss": _ktruss_sql(3, 2),
+        # Dictionary phrase matching: same offset-aligned count==len
+        # construction; phrase table inlined as VALUES.
+        "dictionary_phrases": f"""
+  WITH dp_ph(phrase_id, phrase) AS (VALUES
+      (CAST(1 AS BIGINT), 'key agg row'), (2, 'table value'),
+      (3, 'fast table'), (4, 'a a the'), (5, 'sort sort sort')),
+  dp_pt AS (
+    SELECT phrase_id AS pid, u.i - 1 AS off, toks[u.i] AS tok
+    FROM (SELECT phrase_id,
+                 string_split_regex(trim(phrase), '\\s+') AS toks
+          FROM dp_ph),
+         unnest(generate_series(1, len(toks))) AS u(i)
+    WHERE length(toks[u.i]) > 0),
+  dp_len AS (SELECT pid, CAST(count(*) AS BIGINT) AS plen
+             FROM dp_pt GROUP BY pid),
+  dp_dt AS (
+    SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         unnest(generate_series(1, len(toks))) AS u(i)
+    WHERE length(toks[u.i]) > 0),
+  dp_cand AS (
+    SELECT d.doc_id, p.pid, d.pos - p.off AS start,
+           CAST(count(*) AS BIGINT) AS hit
+    FROM dp_dt d JOIN dp_pt p ON p.tok = d.tok
+    GROUP BY 1, 2, 3)
+  SELECT c.doc_id, c.pid AS phrase_id,
+         CAST(count(*) AS BIGINT) AS n_matches,
+         CAST(min(c.start) + 1 AS BIGINT) AS first_pos
+  FROM dp_cand c JOIN dp_len l ON l.pid = c.pid
+  WHERE c.hit = l.plen AND c.start >= 0
+  GROUP BY c.doc_id, c.pid""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

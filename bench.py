@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "density_clusters",
     "random_walks",
     "ktruss",
+    "dictionary_phrases",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

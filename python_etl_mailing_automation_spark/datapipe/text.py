@@ -898,3 +898,79 @@ def vocab_growth(
             F.sum("new_types").over(run).cast("long").alias("cum_types"),
         )
     )
+
+
+def dictionary_phrase_matches(
+    df: DataFrame,
+    phrases: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Multi-pattern exact phrase matching: every occurrence of every
+    dictionary phrase in every document, in ONE join + ONE aggregate —
+    the blocklist/compliance/taxonomy matcher where
+    :func:`phrase_search` handles a single phrase and a per-phrase
+    loop would rescan the corpus |dictionary| times.
+
+    The trick is offset alignment: a phrase occurrence starting at
+    position s puts its k-th token at posting position s+k, so joining
+    doc postings to phrase tokens ON THE TOKEN and grouping by
+    (doc, phrase, candidate_start = pos - offset) counts how many of
+    the phrase's positions matched — count == phrase length ⇔ a full
+    contiguous occurrence (both sides are duplicate-free: (doc, pos)
+    is unique per doc, (phrase, offset) per phrase; repeated tokens
+    WITHIN a phrase stay sound because the count is over distinct
+    offsets and a token matching two offsets lands in two different
+    candidate_start groups). Returns per (doc, phrase):
+    ``n_matches`` and ``first_pos`` (1-based).
+
+    Scale shape: phrase tokens are dictionary-sized (broadcast); the
+    corpus-side postings shuffle once on the join token — and only
+    postings whose token APPEARS in the dictionary survive the join,
+    so a selective dictionary touches a sliver of the corpus. The
+    aggregate keys on (doc, phrase, start) — no windows, no per-doc
+    array rescans, no |dictionary|× corpus passes.
+    """
+    toks = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens_of(F.col(text_col))).alias("__pos", "__tok"),
+    ).filter(F.length("__tok") > 0)
+    ptoks = phrases.filter(
+        F.col(phrase_id_col).isNotNull() & F.col(phrase_col).isNotNull()
+    ).select(
+        F.col(phrase_id_col).alias("__pid"),
+        F.posexplode(tokens_of(F.col(phrase_col))).alias("__off", "__tok"),
+    ).filter(F.length("__tok") > 0)
+    plen = ptoks.groupBy("__pid").agg(
+        F.count(F.lit(1)).cast("long").alias("__len")
+    )
+    cand = (
+        toks.join(F.broadcast(ptoks), "__tok")
+        .select(
+            "__doc",
+            "__pid",
+            (F.col("__pos") - F.col("__off")).alias("__start"),
+        )
+        .groupBy("__doc", "__pid", "__start")
+        .agg(F.count(F.lit(1)).cast("long").alias("__hit"))
+    )
+    return (
+        cand.join(F.broadcast(plen), "__pid")
+        .filter((F.col("__hit") == F.col("__len")) & (F.col("__start") >= 0))
+        .groupBy("__doc", "__pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            (F.min("__start") + 1).cast("long").alias("first_pos"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("__pid").alias(phrase_id_col),
+            "n_matches",
+            "first_pos",
+        )
+    )

@@ -4152,3 +4152,41 @@ def test_ktruss_edge_peeling(spark):
     assert ktruss(df, k=5, max_rounds=3).count() == 0
     with pytest.raises(ValueError):
         ktruss(df, k=2)
+
+
+def test_dictionary_phrase_matches_offset_alignment(spark):
+    """count==len offset alignment: partial prefixes don't match,
+    overlapping occurrences both count, repeated tokens within a
+    phrase stay sound, single-token phrases work."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        dictionary_phrase_matches,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown quick brown fox"),
+            (3, "nothing here"),
+            (4, "fox fox fox"),
+        ],
+        "doc_id long, text string",
+    )
+    ph = spark.createDataFrame(
+        [
+            (10, "quick brown fox"),
+            (11, "fox fox"),
+            (12, "the"),
+            (13, "lazy dogs"),
+        ],
+        "phrase_id long, phrase string",
+    )
+    out = {
+        (r.doc_id, r.phrase_id): (r.n_matches, r.first_pos)
+        for r in dictionary_phrase_matches(docs, ph).collect()
+    }
+    assert out == {
+        (1, 10): (1, 2),
+        (2, 10): (1, 3),   # the first 'quick brown' never completes
+        (4, 11): (2, 1),   # overlapping fox-fox at positions 1 and 2
+        (1, 12): (2, 1),
+    }
