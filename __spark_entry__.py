@@ -4391,6 +4391,20 @@ _CHANGED_SINCE_SIGNED = {
     "kcore": 7,
     "sssp_weighted": 7,
     "hits_scores": 7,
+    # Round-8 cache_once hygiene (session.cache_once replacing raw
+    # .cache()/.persist() in lsh_candidate_pairs, the SimHash banded
+    # frame, the SRP/IVF bucket frames, and winnow_candidate_pairs):
+    # results provably unchanged (cache-presence check only; full local
+    # parity re-verified), but the code under these signatures changed.
+    "dedup_pairs": 8,
+    "dedup_clusters": 8,
+    "dedup_clusters_star": 8,
+    "dedup_simhash_pairs": 8,
+    "similarity_ann_buckets": 8,
+    "embedding_near_dup": 8,
+    "winnow_pairs": 8,
+    "corpus_curation_e2e": 8,
+    "lsh_recall": 8,
 }
 
 
