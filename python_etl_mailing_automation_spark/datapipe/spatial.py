@@ -127,8 +127,10 @@ def density_clusters(
        count self-inclusive, the textbook definition);
     2. CORE points: ``|N_eps(p)| >= min_pts``;
     3. clusters = connected components over core-core ``eps`` edges
-       (min-core-id labels via :func:`..dedup.dedup_clusters` — the
-       same closure that labels near-dup groups);
+       (min-core-id labels via :func:`..dedup.dedup_clusters_star` —
+       the alternating-star closure, because geometric eps-graphs have
+       diameter ~ extent/eps and min-propagation would pay a round per
+       hop);
     4. BORDER points: non-core with a core neighbor, assigned the
        MINIMUM neighboring core's cluster id (the deterministic
        tie-break; plain DBSCAN leaves border assignment
@@ -155,9 +157,12 @@ def density_clusters(
         & F.col("x").isNotNull()
         & F.col("y").isNotNull()
     )
+    # pairs feeds the degree count, the core-edge build, and the border
+    # assignment — cached for the call, released in the finally after
+    # the result is materialized (the graph-module no-leak contract)
     pairs = proximity_join_grid(
         pts, pts, id_col="id", x_col="x", y_col="y", radius=eps
-    )
+    ).cache()
     deg = pairs.groupBy("id_a").agg(
         F.count(F.lit(1)).cast("long").alias("__deg")
     )
@@ -170,9 +175,14 @@ def density_clusters(
         .join(core.select(F.col("id").alias("id_b")), "id_b", "left_semi")
         .select("id_a", "id_b")
     )
-    from .dedup import dedup_clusters
+    # geometric eps-graphs have diameter ~ extent/eps (a 25-hop chain
+    # across the grid at the battery's parameters), which is exactly the
+    # regime the alternating-star closure exists for: O(log² n) rounds
+    # vs diameter-many min-propagation rounds (measured 38 s -> see
+    # SCALING round-8 batch-3 for the swap datapoint)
+    from .dedup import dedup_clusters_star
 
-    labeled_cores = dedup_clusters(
+    labeled_cores = dedup_clusters_star(
         core.select(F.col("id").alias("doc_id")),
         core_edges.select(
             F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
@@ -193,24 +203,31 @@ def density_clusters(
         .agg(F.min("__c").alias("cluster_id"))
         .select(F.col("id_a").alias("id"), "cluster_id")
     )
-    return (
-        pts.select("id")
-        .join(
-            labeled_cores.select("id", F.col("cluster_id").alias("__core_c")),
-            "id",
-            "left",
+    from .graph import _materialize
+
+    try:
+        return _materialize(
+            pts.select("id")
+            .join(
+                labeled_cores.select(
+                    "id", F.col("cluster_id").alias("__core_c")
+                ),
+                "id",
+                "left",
+            )
+            .join(
+                border.select("id", F.col("cluster_id").alias("__border_c")),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.when(F.col("__core_c").isNotNull(), F.lit("core"))
+                .when(F.col("__border_c").isNotNull(), F.lit("border"))
+                .otherwise(F.lit("noise"))
+                .alias("role"),
+                F.coalesce("__core_c", "__border_c").alias("cluster_id"),
+            )
         )
-        .join(
-            border.select("id", F.col("cluster_id").alias("__border_c")),
-            "id",
-            "left",
-        )
-        .select(
-            "id",
-            F.when(F.col("__core_c").isNotNull(), F.lit("core"))
-            .when(F.col("__border_c").isNotNull(), F.lit("border"))
-            .otherwise(F.lit("noise"))
-            .alias("role"),
-            F.coalesce("__core_c", "__border_c").alias("cluster_id"),
-        )
-    )
+    finally:
+        pairs.unpersist()
