@@ -2560,6 +2560,28 @@ def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
     )
 
 
+def q_set_cover(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy coverage-maximizing selection (datapipe/curation
+    .greedy_set_cover, k=8) over documents' distinct 3-shingles: each
+    round picks the doc adding the most uncovered shingles (ties to
+    the smallest id) — the submodular-curation baseline ("which 8 docs
+    summarize the corpus"), deterministic so the oracle replays the
+    same rounds."""
+    from python_etl_mailing_automation_spark.datapipe.curation import (
+        greedy_set_cover,
+    )
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        with_shingles,
+        with_tokens,
+    )
+
+    docs = _t(spark, sf, "documents")
+    facets = with_shingles(with_tokens(docs)).select(
+        "doc_id", F.explode("shingles").alias("facet")
+    )
+    return greedy_set_cover(facets, k=8)
+
+
 def q_dictionary_phrases(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-pattern phrase matching (datapipe/text
     .dictionary_phrase_matches): a 5-phrase dictionary against every
@@ -4663,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "ktruss": q_ktruss,
         "dictionary_phrases": q_dictionary_phrases,
+        "set_cover": q_set_cover,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -5658,6 +5681,58 @@ def _benford_sql() -> str:
          chi2, n_total, n_excluded
   FROM bw, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS d(digit)"""
 
+
+
+
+def _set_cover_sql(k: int = 8) -> str:
+    """Unrolled replay of greedy_set_cover over documents' 3-shingles:
+    per round a gains aggregate minus the covered set, an
+    (g DESC, d ASC) LIMIT 1 winner — identical to the engine's
+    struct-max tie-break — and a covered-set union; zero-gain rounds
+    are filtered at the end exactly like the engine's early stop."""
+    ctes = [
+        "sc_tok AS (SELECT doc_id, {toks} AS toks FROM documents "
+        "WHERE doc_id IS NOT NULL AND text IS NOT NULL)".format(toks=_TOKS),
+        "sc_p AS (SELECT DISTINCT doc_id AS d, u.f FROM "
+        "(SELECT doc_id, {sh} AS sh FROM sc_tok), unnest(sh) AS u(f))".format(
+            sh=_SHINGLES
+        ),
+    ]
+    for r in range(1, k + 1):
+        not_cov = (
+            "WHERE f NOT IN (SELECT f FROM sc_c{prev})".format(prev=r - 1)
+            if r > 1
+            else ""
+        )
+        ctes.append(
+            "sc_g{r} AS (SELECT d, CAST(count(*) AS BIGINT) AS g "
+            "FROM sc_p {nc} GROUP BY d)".format(r=r, nc=not_cov)
+        )
+        ctes.append(
+            "sc_w{r} AS (SELECT d, g FROM sc_g{r} "
+            "ORDER BY g DESC, d ASC LIMIT 1)".format(r=r)
+        )
+        cov_prev = (
+            "SELECT f FROM sc_c{prev} UNION ".format(prev=r - 1)
+            if r > 1
+            else ""
+        )
+        ctes.append(
+            "sc_c{r} AS ({cp}SELECT p.f FROM sc_p p "
+            "JOIN sc_w{r} w ON p.d = w.d)".format(r=r, cp=cov_prev)
+        )
+    unions = "\n    UNION ALL ".join(
+        "SELECT {r} AS rnd, d, g FROM sc_w{r}".format(r=r)
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n  ".join(ctes)
+        + """\n  SELECT rnd AS round, d AS doc_id, g AS gain,
+         CAST(sum(g) OVER (ORDER BY rnd ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS covered_total
+  FROM ({u}) WHERE g > 0""".format(u=unions)
+    )
 
 
 
@@ -6910,6 +6985,8 @@ def oracle_sql() -> dict[str, str]:
   FROM dp_cand c JOIN dp_len l ON l.pid = c.pid
   WHERE c.hit = l.plen AND c.start >= 0
   GROUP BY c.doc_id, c.pid""",
+        # Greedy set cover: generated unrolled replay (_set_cover_sql).
+        "set_cover": _set_cover_sql(8),
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "random_walks",
     "ktruss",
     "dictionary_phrases",
+    "set_cover",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

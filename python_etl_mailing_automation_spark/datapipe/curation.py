@@ -217,3 +217,80 @@ def run_curation_job(
         n_shards=n_shards,
         stage_counts=stage_counts,
     )
+
+
+def greedy_set_cover(
+    doc_facets: DataFrame,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    facet_col: str = "facet",
+) -> DataFrame:
+    """Coverage-maximizing document selection (greedy set cover /
+    facility location): pick ``k`` documents one at a time, each the
+    one adding the most NOT-YET-COVERED facets (shingles, n-grams,
+    topics, entities) — the classic submodular-curation baseline for
+    "which k documents summarize this corpus's diversity", with the
+    standard (1 - 1/e) greedy guarantee. Deduplication removes copies;
+    THIS removes redundancy.
+
+    Deterministic: ties break to the SMALLEST doc id (struct-max over
+    (gain, -id)), so the selection is a function of the data alone and
+    the oracle replays the same k rounds. Returns one row per round:
+    ``(round, doc_id, gain, covered_total)`` with gain = newly covered
+    facets and covered_total the running union size.
+
+    Scale shape: each round is one LEFT ANTI join of the facet pairs
+    against the covered-facet frame, one map-side-combinable count per
+    doc, and a 1-ROW argmax collect (bounded driver traffic — k rows
+    total, the Lloyd-fit discipline); the covered frame grows by the
+    winner's facets only and is re-checkpointed per round, so lineage
+    stays flat. k is a selection budget (tens), not data-sized. Exact
+    greedy IS sequential in k — that is the algorithm's contract, not
+    a partitioning accident; the per-round work is fully distributed.
+    Rows with NULL id or facet are dropped; duplicate (doc, facet)
+    pairs collapse before counting.
+    """
+    if k < 1:
+        raise ValueError("greedy_set_cover: k must be >= 1")
+    pairs = (
+        doc_facets.select(
+            F.col(id_col).alias("__d"), F.col(facet_col).alias("__f")
+        )
+        .filter(F.col("__d").isNotNull() & F.col("__f").isNotNull())
+        .distinct()
+        .cache()
+    )
+    spark = pairs.sparkSession
+    try:
+        covered = None  # frame of (__f)
+        out_rows = []
+        covered_total = 0
+        remaining = pairs
+        for rnd in range(1, k + 1):
+            gains = remaining.groupBy("__d").agg(
+                F.count(F.lit(1)).cast("long").alias("__g")
+            )
+            top = gains.agg(
+                F.max(
+                    F.struct(F.col("__g"), (-F.col("__d")).alias("__nd"))
+                ).alias("__t")
+            ).collect()[0]["__t"]
+            if top is None or top["__g"] == 0:
+                break  # everything coverable is covered
+            winner, gain = -top["__nd"], top["__g"]
+            covered_total += gain
+            out_rows.append((rnd, winner, gain, covered_total))
+            win_facets = pairs.filter(F.col("__d") == winner).select("__f")
+            covered = (
+                win_facets
+                if covered is None
+                else covered.unionByName(win_facets)
+            ).localCheckpoint(eager=False)
+            remaining = pairs.join(covered, "__f", "left_anti")
+        return spark.createDataFrame(
+            out_rows,
+            f"round long, {id_col} long, gain long, covered_total long",
+        )
+    finally:
+        pairs.unpersist()

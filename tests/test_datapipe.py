@@ -4190,3 +4190,28 @@ def test_dictionary_phrase_matches_offset_alignment(spark):
         (4, 11): (2, 1),   # overlapping fox-fox at positions 1 and 2
         (1, 12): (2, 1),
     }
+
+
+def test_greedy_set_cover_selection(spark):
+    """Greedy picks max-new-coverage docs, ties to the smallest id,
+    subset docs add nothing and the loop stops early; covered_total
+    is the running union size."""
+    import pytest
+
+    from python_etl_mailing_automation_spark.datapipe.curation import (
+        greedy_set_cover,
+    )
+
+    pairs = (
+        [(1, f) for f in "abcde"]
+        + [(2, f) for f in "defgh"]
+        + [(3, f) for f in "ab"]
+    )
+    df = spark.createDataFrame(pairs, "doc_id long, facet string")
+    out = [
+        (r.round, r.doc_id, r.gain, r.covered_total)
+        for r in greedy_set_cover(df, k=5).collect()
+    ]
+    assert out == [(1, 1, 5, 5), (2, 2, 3, 8)]  # doc 3 never selected
+    with pytest.raises(ValueError):
+        greedy_set_cover(df, k=0)
