@@ -2560,6 +2560,33 @@ def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversified re-ranking (datapipe/similarity.mmr_topk,
+    lam=0.5, k=10 over the top-64 by relevance): query = vec 7's
+    embedding; each round picks argmax 0.5·rel − 0.5·max-sim-to-
+    selected with the penalty maintained incrementally against
+    broadcast winner vectors — zero joins, k bounded collects. The
+    oracle replays the rounds with max-over-set pair cosines (float
+    max is order-independent, so greatest-chain == max-over-set
+    exactly)."""
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        mmr_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    ]
+    return mmr_topk(
+        qv,
+        emb.filter(F.col("vec_id") != 7),
+        k=10,
+        lam=0.5,
+        n_candidates=64,
+    )
+
+
 def q_set_cover(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy coverage-maximizing selection (datapipe/curation
     .greedy_set_cover, k=8) over documents' distinct 3-shingles: each
@@ -4686,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": q_ktruss,
         "dictionary_phrases": q_dictionary_phrases,
         "set_cover": q_set_cover,
+        "mmr_rerank": q_mmr_rerank,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -5681,6 +5709,60 @@ def _benford_sql() -> str:
          chi2, n_total, n_excluded
   FROM bw, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS d(digit)"""
 
+
+
+
+def _mmr_sql(k: int = 10, qid: int = 7, n_cand: int = 64) -> str:
+    """Unrolled MMR replay: relevance against the qid vector, top-n_cand
+    prune, then k rounds of max-over-selected pair cosines + the
+    0.5·rel − 0.5·maxsim argmax with smallest-id tie-break. lam = mu =
+    0.5 (exact in binary, so no literal-rounding mismatch)."""
+    dot_cv = _COS_DOT.format(a="c.v", b="s.v")
+    ctes = ["""mm_e AS MATERIALIZED (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  mm_q AS MATERIALIZED (SELECT v, sqrt({vv}) AS nrm FROM mm_e
+          WHERE vec_id = {qid}),
+  mm_c0 AS MATERIALIZED (SELECT c.vec_id AS id, c.v, sqrt({cc}) AS nrm,
+                   {qc} / (sqrt({cc}) * q.nrm) AS rel
+            FROM mm_e c, mm_q q WHERE c.vec_id != {qid}
+            ORDER BY rel DESC, id LIMIT {n}),
+  mm_w1 AS (SELECT 1 AS rank, id, v, nrm, rel,
+                   CAST(0.0 AS DOUBLE) AS maxsim,
+                   0.5 * rel - 0.5 * CAST(0.0 AS DOUBLE) AS score
+            FROM mm_c0 ORDER BY score DESC, id LIMIT 1),
+  mm_sel1 AS MATERIALIZED (SELECT id, v, nrm FROM mm_w1)""".format(
+        vv=_COS_DOT.format(a="v", b="v"),
+        cc=_COS_DOT.format(a="c.v", b="c.v"),
+        qc=_COS_DOT.format(a="c.v", b="q.v"),
+        qid=qid, n=n_cand,
+    )]
+    for r in range(2, k + 1):
+        ctes.append(
+            """mm_m{r} AS (
+    SELECT c.id, MAX({dot} / (c.nrm * s.nrm)) AS maxsim
+    FROM mm_c0 c, mm_sel{p} s
+    WHERE c.id NOT IN (SELECT id FROM mm_sel{p})
+    GROUP BY c.id),
+  mm_w{r} AS (
+    SELECT {r} AS rank, c.id, c.v, c.nrm, c.rel, m.maxsim,
+           0.5 * c.rel - 0.5 * m.maxsim AS score
+    FROM mm_c0 c JOIN mm_m{r} m ON m.id = c.id
+    ORDER BY score DESC, c.id LIMIT 1),
+  mm_sel{r} AS MATERIALIZED (SELECT id, v, nrm FROM mm_sel{p}
+                UNION ALL SELECT id, v, nrm FROM mm_w{r})""".format(
+                r=r, p=r - 1, dot=dot_cv
+            )
+        )
+    unions = "\n    UNION ALL ".join(
+        "SELECT rank, id, rel, maxsim, score FROM mm_w{r}".format(r=r)
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n  ".join(ctes)
+        + "\n  SELECT CAST(rank AS BIGINT) AS rank, id, rel, maxsim, score"
+        + " FROM ({u})".format(u=unions)
+    )
 
 
 
@@ -6987,6 +7069,8 @@ def oracle_sql() -> dict[str, str]:
   GROUP BY c.doc_id, c.pid""",
         # Greedy set cover: generated unrolled replay (_set_cover_sql).
         "set_cover": _set_cover_sql(8),
+        # MMR: generated unrolled replay (see _mmr_sql).
+        "mmr_rerank": _mmr_sql(10, 7, 64),
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

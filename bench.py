@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "ktruss",
     "dictionary_phrases",
     "set_cover",
+    "mmr_rerank",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -683,3 +683,114 @@ def quantized_topk(
         .filter(F.col("sim_rank") <= k)
         .select("vec_id", "neighbor_id", "sim_rank", F.col("__qd").alias("qdot"))
     )
+
+
+def mmr_topk(
+    query_vec: list[float],
+    candidates: DataFrame,
+    *,
+    k: int = 10,
+    lam: float = 0.7,
+    n_candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): select ``k`` results balancing relevance against redundancy
+    — round r picks argmax ``lam·rel(d) − (1−lam)·max_{s∈S} sim(d,s)``
+    over the not-yet-selected candidates. The standard diversified-
+    retrieval head on top of any of this module's similarity paths
+    (RAG result lists, near-dup-aware search, eval-set sampling where
+    ten paraphrases of one answer are worse than ten distinct ones).
+
+    Deterministic: relevance and pair similarities are the module's
+    sequential-fold cosine (bit-identical cross-engine), the argmax
+    tie-breaks to the smallest id, and the diversity penalty is
+    maintained INCREMENTALLY — after each pick the remaining
+    candidates fold the winner's (collected, broadcast-literal) vector
+    into a running ``greatest`` — so the whole selection needs ZERO
+    joins: float max is order-independent, so the greatest-chain
+    equals the oracle's max-over-set exactly.
+
+    Returns one row per pick: ``(rank, id, rel, maxsim, score)``.
+
+    Scale shape: one scan scoring relevance against the broadcast
+    query vector, one TakeOrdered prune to ``n_candidates``, then k
+    rounds of (column update + 1-row TakeOrdered collect) on the
+    pruned frame — driver traffic is k vectors (the Lloyd-fit
+    discipline). Exact greedy MMR is sequential in k by definition;
+    everything per-round is a narrow map over n_candidates rows.
+    """
+    if k < 1 or not 0.0 <= lam <= 1.0 or n_candidates < k:
+        raise ValueError("mmr_topk: need k >= 1, 0 <= lam <= 1, n_candidates >= k")
+    mu = 1.0 - lam
+    qv = [float(x) for x in query_vec]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qn = with_norm(
+        candidates.sparkSession.createDataFrame([(qv,)], f"{vec_col} array<double>"),
+        vec_col,
+    ).collect()[0]["__norm"]
+    base = with_norm(
+        candidates.filter(
+            F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+        ),
+        vec_col,
+    )
+    cand = (
+        base.select(
+            F.col(id_col).alias("id"),
+            F.col("__vec_dec").alias("v"),
+            F.col("__norm").alias("nrm"),
+            (
+                _dot(F.col("__vec_dec"), _dec_vec(qlit))
+                / (F.col("__norm") * F.lit(qn))
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(n_candidates)
+        # NULL seed, not 0.0: similarities can be NEGATIVE, and a zero
+        # seed would clamp the penalty at 0 where standard MMR (and the
+        # oracle's max-over-set) keeps the negative max — greatest()
+        # ignores the NULL on the first update
+        .withColumn("maxsim", F.lit(None).cast("double"))
+        .localCheckpoint(eager=False)
+    )
+    out = []
+    spark = candidates.sparkSession
+    for rank in range(1, k + 1):
+        scored = cand.withColumn(
+            "score",
+            F.lit(lam) * F.col("rel")
+            - F.lit(mu) * F.coalesce(F.col("maxsim"), F.lit(0.0)),
+        )
+        rows = scored.orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        ).limit(1).collect()
+        if not rows:
+            break
+        w = rows[0]
+        out.append(
+            (
+                rank,
+                w["id"],
+                w["rel"],
+                w["maxsim"] if w["maxsim"] is not None else 0.0,
+                w["score"],
+            )
+        )
+        wlit = F.array(*[F.lit(float(x)) for x in w["v"]])
+        cand = (
+            cand.filter(F.col("id") != w["id"])
+            .withColumn(
+                "maxsim",
+                F.greatest(
+                    F.col("maxsim"),
+                    _dot(F.col("v"), _dec_vec(wlit))
+                    / (F.col("nrm") * F.lit(float(w["nrm"]))),
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        out, "rank long, id long, rel double, maxsim double, score double"
+    )

@@ -4215,3 +4215,56 @@ def test_greedy_set_cover_selection(spark):
     assert out == [(1, 1, 5, 5), (2, 2, 3, 8)]  # doc 3 never selected
     with pytest.raises(ValueError):
         greedy_set_cover(df, k=0)
+
+
+def test_mmr_topk_diversifies_and_matches_reference(spark):
+    """MMR equals an independent python fold (incl. NEGATIVE pair
+    similarities — the penalty must not clamp at zero), high lam keeps
+    the relevance order, low lam picks the orthogonal directions, and
+    validation raises."""
+    import math
+
+    import pytest
+
+    from python_etl_mailing_automation_spark.datapipe.similarity import (
+        mmr_topk,
+    )
+
+    vecs = {
+        1: [1.0, 0.0, 0.0], 2: [0.99, 0.1, 0.0], 3: [0.98, 0.15, 0.05],
+        4: [0.0, 1.0, 0.0], 5: [0.0, 0.0, 1.0], 6: [0.5, 0.5, 0.0],
+        8: [-0.4, 0.9, 0.0],   # negative sim vs the query direction
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    q = [1.0, 0.0, 0.0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    for lam in (0.7, 0.3):
+        got = [
+            r.id for r in mmr_topk(q, df, k=4, lam=lam, n_candidates=7).collect()
+        ]
+        rel = {i: cos(v, q) for i, v in vecs.items()}
+        S, rem = [], set(vecs)
+        for _ in range(4):
+            best = None
+            for d in sorted(rem):
+                ms = max((cos(vecs[d], vecs[s]) for s in S), default=0.0)
+                sc = lam * rel[d] - (1 - lam) * ms
+                if best is None or sc > best[0]:
+                    best = (sc, d)
+            S.append(best[1])
+            rem.discard(best[1])
+        assert got == S, (lam, got, S)
+    low = [r.id for r in mmr_topk(q, df, k=3, lam=0.3, n_candidates=7).collect()]
+    assert set(low[1:]) <= {4, 5, 8}  # diversification away from near-dups
+    with pytest.raises(ValueError):
+        mmr_topk(q, df, k=0)
+    with pytest.raises(ValueError):
+        mmr_topk(q, df, k=5, n_candidates=3)
