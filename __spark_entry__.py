@@ -2560,6 +2560,24 @@ def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
     )
 
 
+def q_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini spend concentration (datapipe/stats.gini_concentration) of
+    order totals per order priority: rank-weighted closed form on the
+    2^20 grid, DECIMAL sums, one fixed double expression — the
+    skew-design profile ("do 1% of keys carry 90% of volume") as an
+    oracled statistic."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        gini_concentration,
+    )
+
+    return gini_concentration(
+        _t(spark, sf, "orders"),
+        "o_totalprice",
+        group_col="o_orderpriority",
+        order_cols=["o_orderkey"],
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversified re-ranking (datapipe/similarity.mmr_topk,
     lam=0.5, k=10 over the top-64 by relevance): query = vec 7's
@@ -4714,6 +4732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_phrases": q_dictionary_phrases,
         "set_cover": q_set_cover,
         "mmr_rerank": q_mmr_rerank,
+        "gini": q_gini,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -7071,6 +7090,33 @@ def oracle_sql() -> dict[str, str]:
         "set_cover": _set_cover_sql(8),
         # MMR: generated unrolled replay (see _mmr_sql).
         "mmr_rerank": _mmr_sql(10, 7, 64),
+        # Gini: same deterministic row_number ranks, HUGEINT sums
+        # (integer-equal to the engine's DECIMAL(38,0)), same fixed
+        # double expression.
+        "gini": """
+  WITH gi_k AS (
+    SELECT o_orderpriority AS g,
+           CAST(floor(o_totalprice * 1048576.0) AS BIGINT) AS xg,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS i
+    FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0),
+  gi_e AS (
+    SELECT o_orderpriority AS g,
+           CAST(count(*) - count(CASE WHEN o_totalprice >= 0 THEN 1 END)
+                AS BIGINT) AS n_excluded
+    FROM orders GROUP BY 1),
+  gi_a AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(xg AS HUGEINT)) AS sx,
+           sum(CAST(i AS HUGEINT) * CAST(xg AS HUGEINT)) AS six
+    FROM gi_k GROUP BY g)
+  SELECT a.g AS o_orderpriority,
+         CASE WHEN sx > 0 THEN
+           (2.0 * CAST(six AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+         END AS gini,
+         n, CAST(sx AS DOUBLE) / 1048576.0 AS total, e.n_excluded
+  FROM gi_a a JOIN gi_e e ON e.g = a.g""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "dictionary_phrases",
     "set_cover",
     "mmr_rerank",
+    "gini",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -4268,3 +4268,30 @@ def test_mmr_topk_diversifies_and_matches_reference(spark):
         mmr_topk(q, df, k=0)
     with pytest.raises(ValueError):
         mmr_topk(q, df, k=5, n_candidates=3)
+
+
+def test_gini_concentration_closed_form(spark):
+    """Perfect equality -> 0; one holder of everything -> (n-1)/n;
+    all-zero group -> NULL (undefined, never 0/0); negatives/NULLs
+    excluded and witnessed."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        gini_concentration,
+    )
+
+    rows = (
+        [("eq", 10.0)] * 5
+        + [("one", 0.0)] * 4 + [("one", 50.0)]
+        + [("zero", 0.0)] * 3
+        + [("mix", 1.0), ("mix", 2.0), ("mix", 3.0), ("mix", -4.0),
+           ("mix", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r.g: (r.gini, r.n, r.total, r.n_excluded)
+        for r in gini_concentration(df, "v", group_col="g").collect()
+    }
+    assert abs(out["eq"][0]) < 1e-12
+    assert abs(out["one"][0] - 0.8) < 1e-12
+    assert out["zero"][0] is None
+    assert abs(out["mix"][0] - 4 / 18) < 1e-9
+    assert out["mix"][1:] == (3, 6.0, 2)
