@@ -2560,6 +2560,24 @@ def _synthetic_point(key: F.Column, axis: str, mod: int) -> F.Column:
     )
 
 
+def q_topk_others(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 customers by revenue per order priority with the tail
+    collapsed into OTHER (operators/aggregates.topk_with_others) —
+    the reporting rollup a bare top-k silently drops; revenue on the
+    10^-4 cent grid so every sum is a BIGINT fold. Ranks deterministic
+    under ties (sum DESC, custkey ASC)."""
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        topk_with_others,
+    )
+
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(1e4) + F.lit(0.5)
+    ).cast("long")
+    return topk_with_others(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_custkey", cents, k=5
+    )
+
+
 def q_gini(spark: SparkSession, sf: str) -> DataFrame:
     """Gini spend concentration (datapipe/stats.gini_concentration) of
     order totals per order priority: rank-weighted closed form on the
@@ -4733,6 +4751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_cover": q_set_cover,
         "mmr_rerank": q_mmr_rerank,
         "gini": q_gini,
+        "topk_others": q_topk_others,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -7117,6 +7136,30 @@ def oracle_sql() -> dict[str, str]:
          END AS gini,
          n, CAST(sx AS DOUBLE) / 1048576.0 AS total, e.n_excluded
   FROM gi_a a JOIN gi_e e ON e.g = a.g""",
+        # Top-k + OTHER rollup: same cents grid, row_number ranking,
+        # tail collapse.
+        "topk_others": """
+  WITH tko_s AS (
+    SELECT o_orderpriority AS g, o_custkey AS k,
+           CAST(sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS t
+    FROM orders WHERE o_orderpriority IS NOT NULL
+    GROUP BY 1, 2),
+  tko_r AS (
+    SELECT g, k, t,
+           row_number() OVER (PARTITION BY g ORDER BY t DESC, k ASC) AS r
+    FROM tko_s),
+  tko_l AS (
+    SELECT g,
+           CASE WHEN r <= 5 THEN CAST(k AS VARCHAR) ELSE 'OTHER' END
+             AS label,
+           CAST(CASE WHEN r <= 5 THEN r ELSE 6 END AS BIGINT) AS rank,
+           t
+    FROM tko_r)
+  SELECT g AS o_orderpriority, label, rank,
+         CAST(sum(t) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM tko_l GROUP BY g, label, rank""",
         # Gopher quality rules: each measure is integer counting + one
         # double division, same op order as datapipe/text.gopher_quality
         # (min_words=20 corpus override, all other thresholds published

@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "set_cover",
     "mmr_rerank",
     "gini",
+    "topk_others",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -493,3 +493,58 @@ def islands(
         )
         .drop("__i")
     )
+
+
+def topk_with_others(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_expr: Column,
+    *,
+    k: int = 5,
+    others_label: str = "OTHER",
+) -> DataFrame:
+    """Top-k contributors per group with everything else collapsed
+    into one ``OTHER`` row — the reporting pattern behind every "top 5
+    clerks + rest" table, where a bare top-k silently drops the tail
+    and readers can't see whether the head is 9% or 90% of the total.
+
+    ``value_expr`` must be an exact-integer per-row measure (cents,
+    counts, grid units) so the per-key sums and the OTHER rollup are
+    order-independent BIGINT folds. Ranking is (sum DESC, key ASC) —
+    deterministic under ties. Output per (group, label):
+    ``rank`` (1..k for head rows, k+1 for OTHER — present only when a
+    tail exists), ``total``, ``n_keys`` (1 for head rows, tail key
+    count for OTHER).
+
+    Scale shape: one keyed aggregate (map-side combinable), one
+    per-group window over the AGGREGATED frame (cardinality = distinct
+    keys, not rows), one final (group, label) aggregate. NULL keys are
+    a legitimate contributor bucket and rank like any other; NULL
+    groups are dropped.
+    """
+    if k < 1:
+        raise ValueError("topk_with_others: k must be >= 1")
+    sums = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col, key_col)
+        .agg(F.sum(value_expr.cast("long")).cast("long").alias("__t"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__t").desc(), F.col(key_col).asc_nulls_last()
+    )
+    ranked = sums.withColumn("__r", F.row_number().over(w))
+    labeled = ranked.select(
+        group_col,
+        F.when(F.col("__r") <= k, F.col(key_col).cast("string"))
+        .otherwise(F.lit(others_label))
+        .alias("label"),
+        F.when(F.col("__r") <= k, F.col("__r")).otherwise(F.lit(k + 1))
+        .cast("long")
+        .alias("rank"),
+        "__t",
+    )
+    return labeled.groupBy(group_col, "label", "rank").agg(
+        F.sum("__t").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )

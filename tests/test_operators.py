@@ -1175,3 +1175,27 @@ def test_subtree_rollup_closure_squaring(spark):
         subtree_rollup(cyc, max_rounds=5)
     with pytest.raises(ValueError):
         subtree_rollup(df, max_rounds=0)
+
+
+def test_topk_with_others_rollup(spark):
+    """Head rows keep their rank/totals, the tail collapses into one
+    OTHER row at rank k+1 with its key count, groups with <= k keys
+    get no OTHER row, and validation raises."""
+    import pytest
+
+    from python_etl_mailing_automation_spark.operators.aggregates import (
+        topk_with_others,
+    )
+
+    rows = [("g", f"k{i}", v) for i, v in enumerate([50, 40, 30, 5, 4, 3, 2])]
+    rows += [("h", "a", 10), ("h", "b", 20)]
+    df = spark.createDataFrame(rows, "g string, key string, v long")
+    out = {
+        (r.g, r.label): (r.rank, r.total, r.n_keys)
+        for r in topk_with_others(df, "g", "key", F.col("v"), k=3).collect()
+    }
+    assert out[("g", "k0")] == (1, 50, 1)
+    assert out[("g", "OTHER")] == (4, 14, 4)
+    assert ("h", "OTHER") not in out and out[("h", "b")] == (1, 20, 1)
+    with pytest.raises(ValueError):
+        topk_with_others(df, "g", "key", F.col("v"), k=0)
