@@ -226,3 +226,27 @@ def test_email_sink_eml_distributed(spark, tmp_path):
         for p in emls
     )
     assert recipients == sorted(f"u{i}@x.test" for i in range(20))
+
+
+def test_cache_once_skips_already_cached_plan(spark):
+    """cache_once caches an uncached frame, and a REBUILT frame with
+    the same canonical plan takes the no-op branch (the CacheManager
+    lookup is plan-based, not object-based) — the rerun path that used
+    to spam 'Asked to cache already cached data'."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from python_etl_mailing_automation_spark.session import cache_once
+
+    fresh = spark.range(100).select((F.col("id") * 17).alias("x"))
+    c1 = cache_once(fresh)
+    assert c1.storageLevel != StorageLevel.NONE
+    c1.count()
+    try:
+        rebuilt = spark.range(100).select((F.col("id") * 17).alias("x"))
+        assert rebuilt.storageLevel != StorageLevel.NONE  # plan-level hit
+        c2 = cache_once(rebuilt)
+        assert c2 is rebuilt  # no-op branch: not re-registered
+        assert c2.count() == 100
+    finally:
+        c1.unpersist()
