@@ -5842,7 +5842,7 @@ def _set_cover_sql(k: int = 8) -> str:
             "JOIN sc_w{r} w ON p.d = w.d)".format(r=r, cp=cov_prev)
         )
     unions = "\n    UNION ALL ".join(
-        "SELECT {r} AS rnd, d, g FROM sc_w{r}".format(r=r)
+        "SELECT CAST({r} AS BIGINT) AS rnd, d, g FROM sc_w{r}".format(r=r)
         for r in range(1, k + 1)
     )
     return (
@@ -6973,7 +6973,7 @@ def oracle_sql() -> dict[str, str]:
   wq_hit AS (
     SELECT g, q_num, q_den, v, cum, tot
     FROM wq_c, wq_q
-    WHERE cum * q_den >= q_num * tot)
+    WHERE tot > 0 AND cum * q_den >= q_num * tot)
   SELECT g AS l_returnflag, q_num, q_den,
          CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE) AS q,
          min(v) AS value,

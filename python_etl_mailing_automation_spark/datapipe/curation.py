@@ -234,8 +234,10 @@ def greedy_set_cover(
     standard (1 - 1/e) greedy guarantee. Deduplication removes copies;
     THIS removes redundancy.
 
-    Deterministic: ties break to the SMALLEST doc id (struct-max over
-    (gain, -id)), so the selection is a function of the data alone and
+    Deterministic: ties break to the SMALLEST doc id (a distributed
+    top-1 ordered by gain DESC, id ASC — type-agnostic, so string or
+    numeric ids both work and the output id column keeps the input's
+    exact type), so the selection is a function of the data alone and
     the oracle replays the same k rounds. Returns one row per round:
     ``(round, doc_id, gain, covered_total)`` with gain = newly covered
     facets and covered_total the running union size.
@@ -271,14 +273,15 @@ def greedy_set_cover(
             gains = remaining.groupBy("__d").agg(
                 F.count(F.lit(1)).cast("long").alias("__g")
             )
-            top = gains.agg(
-                F.max(
-                    F.struct(F.col("__g"), (-F.col("__d")).alias("__nd"))
-                ).alias("__t")
-            ).collect()[0]["__t"]
-            if top is None or top["__g"] == 0:
+            # Distributed top-1 (TakeOrderedAndProject): max gain,
+            # smallest id at ties — comparison-based, so the id may be
+            # any orderable type, not just numeric.
+            top = gains.orderBy(
+                F.col("__g").desc(), F.col("__d").asc()
+            ).limit(1).collect()
+            if not top or top[0]["__g"] == 0:
                 break  # everything coverable is covered
-            winner, gain = -top["__nd"], top["__g"]
+            winner, gain = top[0]["__d"], top[0]["__g"]
             covered_total += gain
             out_rows.append((rnd, winner, gain, covered_total))
             win_facets = pairs.filter(F.col("__d") == winner).select("__f")
@@ -288,9 +291,16 @@ def greedy_set_cover(
                 else covered.unionByName(win_facets)
             ).localCheckpoint(eager=False)
             remaining = pairs.join(covered, "__f", "left_anti")
-        return spark.createDataFrame(
-            out_rows,
-            f"round long, {id_col} long, gain long, covered_total long",
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("round", T.LongType()),
+                T.StructField(id_col, pairs.schema["__d"].dataType),
+                T.StructField("gain", T.LongType()),
+                T.StructField("covered_total", T.LongType()),
+            ]
         )
+        return spark.createDataFrame(out_rows, schema)
     finally:
         pairs.unpersist()

@@ -353,6 +353,9 @@ def budget_select(
     buckets = per.groupBy(bucket_col).agg(
         F.sum(F.col(tokens_col).cast("long")).alias("__btok")
     )
+    # Bounded by construction: `buckets` is a per-bucket aggregate
+    # (O(#buckets) rows), so this unpartitioned prefix sorts the bucket
+    # frame only — never the documents.
     wb = Window.orderBy(F.col(bucket_col).desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -514,6 +517,9 @@ def stratified_exact(
         F.expr(f"__n * {int(num)} div {int(den)}").alias("__floor"),
         ((F.col("__n") * F.lit(int(num))) % F.lit(int(den))).alias("__rem"),
     )
+    # Bounded by construction: `quota` is the per-GROUP count frame
+    # (O(#groups) rows), so both unpartitioned windows — the remainder
+    # ranking and the global totals — sort/scan groups, never rows.
     wall = Window.orderBy(
         F.col("__rem").desc(), F.col(group_col).asc_nulls_last()
     )

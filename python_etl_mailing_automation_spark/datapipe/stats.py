@@ -770,6 +770,9 @@ def kmv_jaccard(
             F.coalesce(F.col("__b"), F.lit(0)).alias("__b"),
         )
     )
+    # Bounded by construction: `merged` is the full-outer join of two
+    # ≤k-row TakeOrdered sides, so this unpartitioned window sorts at
+    # most 2k sketch rows — never the data.
     w = Window.orderBy("__h")
     topk = merged.withColumn("__r", F.row_number().over(w)).filter(
         F.col("__r") <= k
@@ -894,6 +897,7 @@ def cdf_normalize(
     *,
     group_col: str | None = None,
     out_col: str = "cdf",
+    allow_global: bool = False,
 ) -> DataFrame:
     """Rank-based (CDF / percent-rank) feature scaling: map each value
     to its empirical quantile in [0, 1] within its group — the
@@ -913,9 +917,18 @@ def cdf_normalize(
     shuffle. Ties make the output deterministic regardless of
     partitioning: equal values get equal ranks, so no arbitrary
     tie-break order leaks into the result. Without ``group_col`` the
-    rank is a single-partition global sort — scope it to grouped use
-    (or range-partition first) at corpus scale.
+    rank is a single-partition global sort, which serializes the whole
+    table through one task — an explicit contract, not a footgun: the
+    ungrouped call REFUSES to run unless the caller passes
+    ``allow_global=True`` (small/diagnostic frames only; at corpus
+    scale add a coarse grouping column or rank within range buckets).
     """
+    if group_col is None and not allow_global:
+        raise ValueError(
+            "cdf_normalize: ungrouped ranking sorts the whole table in "
+            "one task; pass group_col=... or opt in explicitly with "
+            "allow_global=True on bounded frames"
+        )
     keys = [group_col] if group_col else []
     v = F.col(value_col)
     # NULLS FIRST pins every NULL at rank 1 (window ordering treats
@@ -1002,9 +1015,14 @@ def benford_profile(
 
     The leading digit comes from string algebra over the value's
     canonical DECIMAL(38,6) rendering — never floating log10-then-pow,
-    whose rounding at decade boundaries differs across engines.
-    Non-positive and NULL values are excluded (witnessed in
-    ``n_excluded``); every group emits all nine digit rows, so absent
+    whose rounding at decade boundaries differs across engines. The
+    decimal grid is also the measurement floor: a positive value below
+    5e-7 rounds to 0.000000, yields no digit, and is EXCLUDED (counted
+    in ``n_excluded`` alongside non-positives/NULLs — pinned by test);
+    values landing exactly on a half-microunit boundary inherit the
+    engines' decimal rounding mode, so feed this profiler
+    natural-scale quantities (prices, counts, sizes), not
+    sub-microunit residuals. Every group emits all nine digit rows, so absent
     digits carry n=0 AND their (0-E·N)²/(E·N) term reaches the
     chi-square — dropping them would understate exactly the most
     suspicious columns. The chi-square is a FIXED-ORDER nine-term
@@ -1112,8 +1130,10 @@ def weighted_quantiles(
     boundary weights (the classic off-by-one in weighted-median
     implementations). Weights must be non-negative integers (cast
     enforced); zero-weight rows can never BE a quantile but never
-    block one either. Ties collapse per distinct value BEFORE the
-    cumulative sum, so the result is partition-order independent.
+    block one either, and a group whose total weight is zero emits NO
+    quantile rows at all (its distribution is empty). Ties collapse
+    per distinct value BEFORE the cumulative sum, so the result is
+    partition-order independent.
 
     Returns one row per (group,) quantile: ``q_num``, ``q_den``,
     ``q`` (double, display only), ``value``, ``cum_weight``,
@@ -1172,7 +1192,15 @@ def weighted_quantiles(
             F.col("__q.q_num").alias("q_num"),
             F.col("__q.q_den").alias("q_den"),
         )
-        .filter(F.col("__cum") * F.col("q_den") >= F.col("q_num") * F.col("__tot"))
+        # A group whose kept weights are ALL zero has __tot = 0, which
+        # would satisfy cum·den >= num·0 at every row and emit the
+        # group's minimum as every quantile with cum_weight 0 — the
+        # documented contract is the opposite (zero-weight rows can
+        # never BE a quantile), so zero-total groups emit nothing.
+        .filter(
+            (F.col("__tot") > 0)
+            & (F.col("__cum") * F.col("q_den") >= F.col("q_num") * F.col("__tot"))
+        )
     )
     return (
         hit.groupBy(*keys, "q_num", "q_den")

@@ -862,11 +862,17 @@ def vocab_growth(
 
     Scale shape: two keyed aggregates over the exploded tokens (the
     explode → keyed-agg discipline, no per-row sets), one join of two
-    doc-cardinality frames, then a global ordered prefix over the
-    AGGREGATED per-doc frame — cardinality = documents, not tokens
-    (the :func:`~..stats.cdf_normalize` posture: range-partition the
-    prefix when even the doc count outgrows one task's sort).
+    doc-cardinality frames, then a DISTRIBUTED global prefix via
+    :func:`~.prefix.global_running_sums` — range buckets sampled from
+    the RAW doc-id column (one pruned scan, never a second pass over
+    the aggregate), per-bucket totals, broadcast offsets, within-bucket
+    window only. No task ever sorts more than one bucket of the
+    per-doc frame; the former single-partition ``Window.orderBy`` (the
+    ``WindowExec: No Partition Defined`` warning in earlier bench
+    tails) is gone.
     """
+    from .prefix import global_running_sums
+
     toks = df.filter(
         F.col(doc_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
     ).select(
@@ -880,23 +886,24 @@ def vocab_growth(
     new_types = first_seen.groupBy("__d").agg(
         F.count(F.lit(1)).cast("long").alias("new_types")
     )
-    run = Window.orderBy("__d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    pre = per_doc.join(new_types, "__d", "left").select(
+        "__d",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
     )
-    return (
-        per_doc.join(new_types, "__d", "left")
-        .select(
-            "__d",
-            "n_tokens",
-            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
-        )
-        .select(
-            F.col("__d").alias(doc_col),
-            "n_tokens",
-            F.sum("n_tokens").over(run).cast("long").alias("cum_tokens"),
-            "new_types",
-            F.sum("new_types").over(run).cast("long").alias("cum_types"),
-        )
+    return global_running_sums(
+        pre,
+        ["__d"],
+        {"cum_tokens": "n_tokens", "cum_types": "new_types"},
+        boundary_source=df.filter(F.col(doc_col).isNotNull()).select(
+            F.col(doc_col).alias("__d")
+        ),
+    ).select(
+        F.col("__d").alias(doc_col),
+        "n_tokens",
+        "cum_tokens",
+        "new_types",
+        "cum_types",
     )
 
 

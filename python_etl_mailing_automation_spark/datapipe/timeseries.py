@@ -127,7 +127,10 @@ def max_concurrency(
     on the key, one keyed aggregate. The per-key running sum is the
     serial-per-key bound discussed at rolling_window_sum — for a hot
     key, the binned decomposition there transfers (sum deltas per bin,
-    prefix over bins, scan within bin).
+    prefix over bins, scan within bin). WITHOUT ``key_col`` the running
+    sum is a corpus-wide prefix, so it routes through
+    :func:`~.prefix.global_running_sums` (range-bucketed two-pass — no
+    single-partition window) instead of a global ``Window.orderBy``.
     """
     grp = [key_col] if key_col is not None else []
     base = df.filter(
@@ -150,16 +153,21 @@ def max_concurrency(
             )
         ).alias("__e"),
     ).select(*grp, F.col("__e.t").alias("__t"), F.col("__e.d").alias("__d"))
-    w = (
-        Window.partitionBy(*grp).orderBy(F.col("__t"), F.col("__d"))
-        if grp
-        else Window.orderBy(F.col("__t"), F.col("__d"))
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    runs = deltas.select(
-        *grp,
-        "__t",
-        F.sum("__d").over(w).cast("int").alias("__run"),
-    )
+    if grp:
+        w = Window.partitionBy(*grp).orderBy(
+            F.col("__t"), F.col("__d")
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        runs = deltas.select(
+            *grp,
+            "__t",
+            F.sum("__d").over(w).cast("int").alias("__run"),
+        )
+    else:
+        from .prefix import global_running_sums
+
+        runs = global_running_sums(
+            deltas, ["__t", "__d"], {"__run": "__d"}
+        ).select("__t", F.col("__run").cast("int").alias("__run"))
     best = runs.groupBy(*grp).agg(
         F.max(
             F.struct(

@@ -88,6 +88,17 @@ def cache_once(df):
     rerun of the same query in a session and spam the driver log with
     ``CacheManager: Asked to cache already cached data`` — a benign
     but noisy artifact the signed bench tail should not carry.
+
+    SHARED-LIFETIME ASSUMPTION: when an identical canonicalized plan is
+    already cached by ANOTHER owner, this returns an uncached handle
+    that merely resolves through that owner's entry. If the owner
+    unpersists (or the ContextCleaner GCs the earlier frame) first,
+    this frame silently loses caching mid-session and re-derives its
+    plan — a performance cliff, never a correctness one. Therefore
+    restrict ``cache_once`` to GC-lifetime band/bucket frames (nothing
+    in this repo ever explicitly unpersists a ``cache_once`` target);
+    operators with a deterministic release point (the iterative graph
+    family) use plain ``cache()`` + ``finally: unpersist()`` instead.
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -4295,3 +4295,118 @@ def test_gini_concentration_closed_form(spark):
     assert out["zero"][0] is None
     assert abs(out["mix"][0] - 4 / 18) < 1e-9
     assert out["mix"][1:] == (3, 6.0, 2)
+
+
+def test_weighted_quantiles_zero_total_group_emits_nothing(spark):
+    """A group whose kept weights are all zero has an empty weighted
+    distribution: it must emit NO quantile rows (the pre-fix behavior
+    emitted its min value as every quantile with cum_weight 0)."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("z", 1.0, 0), ("z", 2.0, 0), ("ok", 5.0, 2), ("ok", 7.0, 2)],
+        "g string, v double, w int",
+    )
+    out = weighted_quantiles(df, "v", "w", [(1, 2)], group_col="g").collect()
+    assert {r.g for r in out} == {"ok"}
+    (r,) = out
+    assert (r.value, r.cum_weight, r.total_weight) == (5.0, 2, 4)
+
+
+def test_benford_sub_micro_values_are_excluded(spark):
+    """The DECIMAL(38,6) grid is the documented measurement floor: a
+    positive value below 5e-7 rounds to 0.000000, yields no leading
+    digit, and lands in n_excluded (not in any digit bucket)."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        benford_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1e-8,), (4.9e-7,), (123.4,), (20.0,), (-3.0,), (None,)],
+        "v double",
+    )
+    rows = benford_profile(df, "v").collect()
+    assert all(r.n_total == 2 for r in rows)  # 123.4 and 20.0 only
+    assert all(r.n_excluded == 4 for r in rows)  # 2 sub-micro + neg + NULL
+    by_digit = {r.digit: r.n for r in rows}
+    assert by_digit[1] == 1 and by_digit[2] == 1
+    assert sum(by_digit.values()) == 2
+
+
+def test_set_cover_string_ids_and_typed_output(spark):
+    """The greedy tie-break is comparison-based: string doc ids work,
+    the output id column keeps the input type, and ties go to the
+    smallest id."""
+    from python_etl_mailing_automation_spark.datapipe.curation import (
+        greedy_set_cover,
+    )
+
+    df = spark.createDataFrame(
+        [("b", "f1"), ("b", "f2"), ("a", "f1"), ("a", "f2"), ("c", "f3")],
+        "doc string, facet string",
+    )
+    out = greedy_set_cover(df, k=3, id_col="doc", facet_col="facet")
+    assert dict(out.dtypes)["doc"] == "string"
+    rows = out.orderBy("round").collect()
+    # round 1: a and b tie at gain 2 -> smallest id "a"; round 2: c.
+    assert [(r["round"], r.doc, r.gain, r.covered_total) for r in rows] == [
+        (1, "a", 2, 2),
+        (2, "c", 1, 3),
+    ]
+    assert dict(out.dtypes)["round"] == "bigint"
+
+
+def test_cdf_normalize_ungrouped_requires_opt_in(spark):
+    """Ungrouped ranking is a single-task global sort; it must refuse
+    without the explicit allow_global opt-in, and behave normally with
+    it."""
+    import pytest as _pytest
+
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        cdf_normalize,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    with _pytest.raises(ValueError, match="allow_global"):
+        cdf_normalize(df, "v")
+    got = sorted(
+        (r.v, r.cdf) for r in cdf_normalize(df, "v", allow_global=True).collect()
+    )
+    assert got == [(1.0, 0.0), (2.0, 0.5), (3.0, 1.0)]
+
+
+def test_global_running_sums_matches_single_window(spark):
+    """The bucketed two-pass prefix equals a brute global cumulative sum
+    for any bucket count, including boundary-degenerate ones (1 bucket,
+    more buckets than rows), and never plans an unpartitioned window."""
+    from python_etl_mailing_automation_spark.datapipe.prefix import (
+        global_running_sums,
+    )
+
+    rows = [(i, (i * 37) % 11, (i * 13) % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    expect_a = 0
+    expect = {}
+    run_a = run_b = 0
+    for k, a, b in sorted(rows):
+        run_a += a
+        run_b += b
+        expect[k] = (run_a, run_b)
+    for nb in (1, 4, 17, 1000):
+        out = global_running_sums(
+            df, ["k"], {"ca": "a", "cb": "b"}, n_buckets=nb
+        )
+        got = {r.k: (r.ca, r.cb) for r in out.collect()}
+        assert got == expect, f"n_buckets={nb}"
+        if nb == 1:
+            # one bucket IS a global window — the documented degenerate
+            # case; the plan guarantee applies to real bucket counts.
+            continue
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: *")
+            if s.startswith("Window "):
+                # partitioned windows print [exprs], [partition], [order]
+                assert s.count("], [") >= 2, s

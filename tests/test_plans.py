@@ -988,3 +988,117 @@ def test_proximity_join_no_cartesian(plans):
     p = plans("proximity_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def _unpartitioned_window_violations(plan: str) -> list[str]:
+    """Return the unpartitioned-Window lines of a 'simple' physical plan
+    whose subtree contains NO cardinality bound (no aggregate and no
+    limit) — i.e. global windows sitting directly on data-sized frames.
+
+    A Window with both specs prints ``Window [exprs], [partition],
+    [order]`` (two ``], [`` separators); with only one spec it prints a
+    single trailing group, which is the ORDER spec (⇒ unpartitioned)
+    exactly when it carries an ASC/DESC direction, and the partition
+    spec (fine: no global sort) otherwise. The subtree of a node is the
+    run of following lines with strictly greater tree depth. An
+    unpartitioned window is sanctioned only when that subtree is
+    bounded by construction: an Aggregate (per-bucket/per-group frames)
+    or a limit (TakeOrdered top-k sketches) stands between it and every
+    scan.
+    """
+    import re
+
+    lines = plan.splitlines()
+
+    def depth_and_body(line: str) -> tuple[int, str]:
+        i = 0
+        while i < len(line) and line[i] in " :+-":
+            i += 1
+        return i, re.sub(r"^\*\(\d+\) ", "", line[i:])
+
+    bad = []
+    for idx, line in enumerate(lines):
+        d, body = depth_and_body(line)
+        if not body.startswith("Window ") or body.count("], [") >= 2:
+            continue
+        m = re.search(r"\], \[([^\[\]]*)\]\s*$", body)
+        last_group = m.group(1) if m else ""
+        if " ASC" not in last_group and " DESC" not in last_group:
+            continue  # partition-only window: no global sort
+        bounded = False
+        for sub in lines[idx + 1:]:
+            sd, sbody = depth_and_body(sub)
+            if sd <= d:
+                break
+            if (
+                "Aggregate" in sbody
+                or sbody.startswith("TakeOrderedAndProject")
+                or "Limit" in sbody
+            ):
+                bounded = True
+                break
+        if not bounded:
+            bad.append(body[:160])
+    return bad
+
+
+def test_no_raw_table_global_window_in_any_query(spark, sf_dir):
+    """Battery-wide scale lint: an unpartitioned Window (single-task
+    global sort — the WindowExec warning in bench tails) is allowed ONLY
+    on frames bounded by construction (aggregate- or limit-derived,
+    e.g. KMV's 2k-row sketch merge). A global window over a raw table is
+    the one plan shape that cannot survive 100×, so it fails here."""
+    import __spark_entry__ as e
+
+    offenders = {}
+    for name, fn in e.queries().items():
+        plan = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        )
+        bad = _unpartitioned_window_violations(plan)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"raw-table global windows: {offenders}"
+
+
+def test_global_window_lint_catches_broken_fixture(spark, sf_dir):
+    """The lint itself must fire on a deliberately-broken plan (a raw
+    parquet scan under an unpartitioned window) and stay quiet on the
+    partitioned and aggregate-bounded variants."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    broken = raw.withColumn(
+        "r", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    plan = broken._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert _unpartitioned_window_violations(plan)
+
+    ok_part = raw.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        ),
+    )
+    plan = ok_part._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert not _unpartitioned_window_violations(plan)
+
+    agged = raw.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    ok_agg = agged.withColumn(
+        "c", F.sum("n").over(Window.orderBy("o_orderpriority"))
+    )
+    plan = ok_agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert not _unpartitioned_window_violations(plan)
