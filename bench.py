@@ -347,9 +347,67 @@ DEEP_QUERIES = [
 ]
 
 
+def environment_probe() -> dict:
+    """Idle-machine check, taken BEFORE the bench JVM starts.
+
+    The round-8 incident: a full bench ran concurrently with pytest and
+    parity sessions, every per-query number inflated 2-3×, and the
+    polluted BENCH_LOCAL.json was committed by a blanket ``git add -A``.
+    A 32-thread local Spark contends with ANY other JVM for the same
+    cores, so a bench taken on a busy machine is not a measurement.
+    The probe records the 1-minute load average and any other java /
+    pytest / spark processes visible at start; the artifact is stamped
+    ``"contaminated": true`` when either signal fires (stamp, never
+    refuse — the per-round driver environment owns its own contention
+    and must still get a datapoint).
+    """
+    import subprocess
+
+    probe: dict = {"other_procs": []}
+    try:
+        probe["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        probe["loadavg_1m"] = None
+    me = os.getpid()
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid=,ppid=,args="],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout
+        for line in out.splitlines():
+            parts = line.split(None, 2)
+            if len(parts) < 3:
+                continue
+            pid, ppid, args = int(parts[0]), int(parts[1]), parts[2]
+            if pid == me or ppid == me:
+                continue
+            if any(
+                m in args
+                for m in ("java", "pytest", "SparkSubmit", "check_parity")
+            ) and "ps -eo" not in args:
+                probe["other_procs"].append(args[:120])
+    except Exception:  # noqa: BLE001 - the probe must never kill the bench
+        pass
+    load = probe["loadavg_1m"]
+    probe["contaminated"] = bool(probe["other_procs"]) or (
+        load is not None and load > max(4.0, 0.25 * (os.cpu_count() or 32))
+    )
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    probe = environment_probe()
+    if probe["contaminated"]:
+        print(
+            f"bench: WARNING machine not idle at start ({probe}); "
+            "artifact will be stamped contaminated",
+            file=sys.stderr,
+        )
 
     import __spark_entry__ as entry_mod
     from python_etl_mailing_automation_spark.session import build_spark
@@ -416,6 +474,9 @@ def main() -> None:
         "sec_per_query": round(total / max(len(timings), 1), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if probe["contaminated"]:
+        payload["contaminated"] = True
+    payload["environment"] = probe
     if errors:
         payload["errors"] = errors
 
@@ -432,7 +493,15 @@ def main() -> None:
         if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
                 manifest = json.load(fh)
-            if manifest.get("base") != os.path.abspath(sf_dir) or manifest.get("copies") != 10:
+            if (
+                manifest.get("base") != os.path.abspath(sf_dir)
+                or manifest.get("copies") != 10
+                # hash_version 2 = regeneration-stable fingerprint
+                # (rows + sorted part sizes, no UUID-bearing filenames);
+                # force one deliberate regeneration off older manifests
+                # so cross-round hashes compare apples to apples.
+                or manifest.get("hash_version") != 2
+            ):
                 manifest = None
         if manifest is None:
             from tools.make_sf import make_scaled_sf
@@ -557,6 +626,8 @@ def main() -> None:
         "sf": payload["sf"],
         "queries_detail": "BENCH_LOCAL.json",
     }
+    if payload.get("contaminated"):
+        summary["contaminated"] = True
     if errors:
         summary["n_errors"] = len(errors)
         summary["error_queries"] = sorted(errors)[:8]

@@ -71,3 +71,36 @@ def test_canon_normalizes_int_widths_and_bools():
     ca, cb = canon(a), canon(b)
     assert ca.equals(cb)
     assert not math.isnan(float(ca["k"].iloc[0]))
+
+
+def test_deep_dir_hash_is_regeneration_stable(spark, tmp_path):
+    """Two independent generations of the same scaled dir must produce
+    the SAME content_hash (the round-8 fingerprint bug: hashing part
+    FILENAMES, which embed per-write UUIDs, gave bit-identical dirs
+    different hashes and broke deep-tier comparability)."""
+    import json
+
+    from tools.make_sf import make_scaled_sf
+
+    hashes = []
+    for sub in ("a", "b"):
+        out = str(tmp_path / sub)
+        make_scaled_sf("/root/testdata/sf0.001", out, copies=2, spark=spark)
+        with open(f"{out}/MANIFEST.json") as fh:
+            m = json.load(fh)
+        assert m["hash_version"] == 2
+        hashes.append(m["content_hash"])
+    assert hashes[0] == hashes[1]
+
+
+def test_bench_environment_probe_shape(monkeypatch):
+    """The contamination probe must flag foreign java/pytest processes
+    and high load, never flag an idle machine, and never raise."""
+    import bench
+
+    probe = bench.environment_probe()
+    assert set(probe) >= {"loadavg_1m", "other_procs", "contaminated"}
+
+    # Force the load signal.
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (999.0, 0.0, 0.0))
+    assert bench.environment_probe()["contaminated"] is True

@@ -106,21 +106,31 @@ def make_scaled_sf(base: str, out: str, copies: int, spark=None) -> str:
     # Content/config stamp: bench.py records this hash per round so a
     # regenerated dir (different file layout/statistics → different
     # timings) is visible in round-over-round comparisons instead of
-    # silently invalidating them.
+    # silently invalidating them. The hash must be REGENERATION-STABLE:
+    # Spark part filenames embed a per-write UUID, so hashing names (the
+    # pre-round-9 bug) gave an identical regenerated dir a new
+    # fingerprint and broke deep-tier comparability. Hash only
+    # (table → row_count, sorted part sizes) — a pure function of the
+    # deterministic generator's output, not of the write's identity.
     import hashlib
     import json
+
+    import pyarrow.parquet as pq
 
     sizes = {}
     for name in (*TABLES, "documents", "embeddings", "events"):
         d = f"{out}/{name}.parquet"
-        sizes[name] = sorted(
-            (f, os.path.getsize(os.path.join(d, f)))
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
+        parts = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
         )
+        sizes[name] = {
+            "rows": sum(pq.ParquetFile(p).metadata.num_rows for p in parts),
+            "part_sizes": sorted(os.path.getsize(p) for p in parts),
+        }
     manifest = {
         "base": os.path.abspath(base),
         "copies": copies,
+        "hash_version": 2,
         "content_hash": hashlib.md5(
             json.dumps(sizes, sort_keys=True).encode()
         ).hexdigest(),
