@@ -13,6 +13,8 @@ Reference parity anchors are cited per query as ``reference file:line``.
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3629,6 +3631,35 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     return dup_span_stats(docs, k=8)
 
 
+def q_suffix_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed suffix-array construction by prefix doubling
+    (datapipe/suffix.suffix_ranks, Manber-Myers in relational form —
+    the exact, rank-producing sibling of dup_spans' window hashing):
+    depth-8 dense suffix ranks over the documents corpus, log2(8)=3
+    self-join rounds, every global re-rank through the bucketed
+    two-level prefix (no single-partition sort anywhere)."""
+    from python_etl_mailing_automation_spark.datapipe.suffix import (
+        suffix_ranks,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return suffix_ranks(docs, depth=8)
+
+
+def q_exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr duplicate-run extraction (datapipe/suffix
+    .exact_substr_spans, the suffix-array side of Lee et al. 2022):
+    positions whose 8-token window duplicates ANY other position —
+    decided by suffix-rank equality, collision-free — merged into
+    maximal per-document spans via gaps-and-islands."""
+    from python_etl_mailing_automation_spark.datapipe.suffix import (
+        exact_substr_spans,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return exact_substr_spans(docs, min_len=8)
+
+
 def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style statistical-LM quality signal (datapipe/lm
     .lm_quality_score): bigram model trained on the corpus itself (two
@@ -4490,6 +4521,14 @@ _CHANGED_SINCE_SIGNED = {
     "winnow_pairs": 8,
     "corpus_curation_e2e": 8,
     "lsh_recall": 8,
+    # Round-9 single-partition-window rework (datapipe/prefix.py two-pass
+    # bucket prefix; ungrouped-branch contracts): vocab_growth /
+    # weighted_quantiles / benford / set_cover were never signed so they
+    # front anyway; these two HAD green r8 rows but the functions under
+    # them changed (max_concurrency ungrouped branch re-routed,
+    # cdf_normalize allow_global contract added) — re-sign on fresh code.
+    "max_concurrency": 8,
+    "cdf_normalize": 8,
 }
 
 
@@ -4565,6 +4604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_edit1": q_fuzzy_join_edit1,
         "lm_score": q_lm_score,
         "dup_spans": q_dup_spans,
+        "suffix_ranks": q_suffix_ranks,
+        "exact_substr_spans": q_exact_substr_spans,
         "attribution_join": q_attribution_join,
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,
@@ -6052,7 +6093,7 @@ def oracle_sql() -> dict[str, str]:
          CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
   FROM j WHERE CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) >= 0.0"""
 
-    return {
+    base = {
         "per_key_windowed_sum": """
   SELECT o_orderkey, o_custkey, o_totalprice,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -8960,6 +9001,45 @@ def oracle_sql() -> dict[str, str]:
         # Exact-substring duplication coverage: 8-token window hashes,
         # corpus occurrence count >= 2, distinct-position coverage —
         # mirrors datapipe/dedup.dup_span_stats (1-based widx grid).
+        # Depth-limited suffix ranking: DuckDB ranks the depth-8 token
+        # windows directly as LIST keys (lexicographic, shorter-prefix-
+        # first — exactly the prefix-doubling comparison order); the
+        # engine builds the same dense rank in log2(8) doubling rounds.
+        "suffix_ranks": f"""
+  WITH sfr_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  sfr_pos AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i:i+7] AS key
+              FROM sfr_tok,
+                   unnest(generate_series(1, len(toks))) AS u(i))
+  SELECT doc_id, pos,
+         CAST(dense_rank() OVER (ORDER BY key) AS BIGINT) AS rank
+  FROM sfr_pos""",
+        # ExactSubstr spans: duplicated full-depth windows (grouped by
+        # the exact token LIST, no hash) merged gaps-and-islands style —
+        # the engine decides duplication by suffix-rank equality, which
+        # is the same predicate.
+        "exact_substr_spans": f"""
+  WITH ess_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  ess_p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i:i+7] AS key
+            FROM ess_tok, unnest(CASE WHEN len(toks) >= 8
+                 THEN generate_series(1, len(toks) - 7) ELSE [] END) AS u(i)),
+  ess_d AS (SELECT key FROM
+              (SELECT key, count(*) AS c FROM ess_p GROUP BY 1)
+            WHERE c >= 2),
+  ess_s AS (SELECT doc_id, pos FROM ess_p JOIN ess_d USING (key)),
+  ess_g AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) <= 8
+                        THEN 0 ELSE 1 END AS brk
+            FROM ess_s),
+  ess_i AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+            FROM ess_g)
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+  FROM ess_i GROUP BY doc_id, isl""",
         "dup_spans": f"""
   WITH dsp_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
   dsp_w AS (SELECT doc_id, i AS widx,
@@ -9590,3 +9670,23 @@ def oracle_sql() -> dict[str, str]:
   UNION ALL
   SELECT id, label, 0, NULL, NULL, NULL FROM ns_f WHERE len(kept) = 0""",
     }
+    # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
+    # INLINES non-materialized CTEs, so an oracle that references a CTE
+    # k times re-derives its whole upstream k times — the unrolled
+    # ktruss replay walked the triangle enumeration once per wedge-join
+    # leg and blew the ~30 s gate budget (90 s at sf0.01) while the
+    # ENGINE side ran 3.4 s at sf0.1. Forcing CTE materialization is a
+    # pure evaluation-strategy hint: results verified bit-identical for
+    # each oracle below, runtimes ktruss 90→0.1 s, embedding_near_dup
+    # 27→11 s, containment_dedup_fix 13→0.2 s, similarity_ann_buckets
+    # 13→7 s. Applied selectively — materialization HURTS oracles whose
+    # CTEs are referenced once and benefit from filter pushdown
+    # (linkage_clusters_e2e measured 18→24 s).
+    for _name in (
+        "ktruss",
+        "embedding_near_dup",
+        "containment_dedup_fix",
+        "similarity_ann_buckets",
+    ):
+        base[_name] = re.sub(r"\bAS \(", "AS MATERIALIZED (", base[_name])
+    return base

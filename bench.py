@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "mmr_rerank",
     "gini",
     "topk_others",
+    "suffix_ranks",
+    "exact_substr_spans",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -1,0 +1,238 @@
+"""Distributed suffix-array construction by prefix doubling, and the
+ExactSubstr duplicate-span extraction built on it.
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") deduplicate at EXACT SUBSTRING granularity by building a
+corpus-wide suffix array and excising duplicate runs >= a length
+threshold. Their published implementation is a sequential single-machine
+structure; this module re-expresses the construction as the classic
+**prefix-doubling** algorithm (Manber-Myers) in relational form, the
+standard way to build suffix arrays on a data-parallel engine:
+
+- round 0 ranks every position by its single token;
+- round k re-ranks every position by the PAIR
+  ``(rank_k[i], rank_k[i + 2^k])`` — two suffixes compare equal at depth
+  ``2^(k+1)`` iff both their depth-``2^k`` halves compare equal — so
+  ``log2(depth)`` self-equi-joins produce the depth-limited suffix
+  ranking with **zero hashing and zero collision risk** (the window-hash
+  form of the same paper lives in :func:`~.dedup.dup_span_stats`; this
+  is its exact, rank-producing sibling).
+
+Every ranking step needs a GLOBAL dense rank — the textbook
+single-machine step is "sort all suffixes"; here each re-rank is a
+``distinct`` on the (bounded-width) key pair followed by the two-level
+bucketed prefix sum of :mod:`~.prefix` (running count of distinct keys
+== dense rank), so no round ever moves the corpus through one task's
+sort. All joins are equi-joins on ``(doc, pos)`` or on the rank pair.
+
+Scale shape at 100 TB: rounds are ``log2(depth)`` (depth is the match
+cutoff, e.g. 50 tokens -> 6 rounds); each round shuffles the position
+table once on ``(doc, pos)`` (the shifted self-join) and the distinct
+pair table once — both uniform integer keys. The positions table is
+token-count sized (~n rows); nothing is ever quadratic and no round
+depends on corpus order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .graph import _materialize
+from .prefix import global_running_sums
+from .text import spread_for_explode, tokens_of
+
+
+def _dense_rank_of(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Dense 1-based rank of the distinct ``cols`` tuples, as a frame
+    ``cols + [out]`` to equi-join back onto the data.
+
+    Rank = running COUNT over the distinct-key frame in ``cols`` order —
+    the distinct frame has no ties on the full key, so the bucketed
+    two-level prefix of :func:`~.prefix.global_running_sums` yields the
+    exact dense rank with no unpartitioned window in the plan.
+    """
+    # The distinct frame is evaluated three times downstream (boundary
+    # sample, bucket totals, join-back) — detach it once.
+    distinct = _materialize(
+        df.select(*cols).distinct().withColumn("__one", F.lit(1))
+    )
+    ranked = global_running_sums(distinct, cols, {out: "__one"})
+    return ranked.drop("__one")
+
+
+def _positions(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(id, pos, __tok, __n)``: 1-based token positions per document,
+    whitespace tokenization identical to the rest of the text stack
+    (and to the oracle's ``string_split_regex(trim(text), '\\s+')``)."""
+    toks = tokens_of(text_col)
+    return spread_for_explode(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__n"),
+        F.posexplode(toks).alias("__p0", "__tok"),
+    ).select(
+        id_col,
+        "__n",
+        (F.col("__p0") + 1).cast("long").alias("pos"),
+        "__tok",
+    )
+
+
+def suffix_ranks(
+    df: DataFrame,
+    *,
+    depth: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Depth-limited suffix ranking by prefix doubling.
+
+    Returns one row per token position: ``(id_col, pos, rank)`` where
+    ``rank`` is the 1-based DENSE rank of the suffix starting at ``pos``
+    under lexicographic comparison of its first ``depth`` tokens
+    (clipped at the document end; a shorter suffix that is a prefix of a
+    longer one sorts first, matching SQL/Python list comparison). Two
+    positions share a rank iff their depth-clipped token windows are
+    IDENTICAL — the exact, collision-free counterpart of an md5 window
+    hash.
+
+    ``depth`` is decomposed into powers of two: power ranks are built by
+    doubling, then composed left-to-right (rank at depth a+b is the
+    re-rank of ``(rank_a[i], rank_b[i+a])``), so any cutoff works, not
+    just powers of two.
+
+    Plan shape: ``O(log2 depth)`` rounds, each ONE shifted self-join on
+    ``(id, pos)`` plus ONE distinct-pair dense rank (bucketed two-level
+    prefix — see module docstring); no global sort, no hash collisions,
+    no Python in the hot path.
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    pos_tab = _materialize(_positions(df, id_col, text_col))
+
+    # Round 0: rank by single token (missing-token rank is 0 everywhere
+    # below, sorting before every real token — rank 1 is the smallest).
+    # Every round's frame is REUSED (each doubling self-joins the prior
+    # power against itself; the binary compose reads powers again), so
+    # each is detached from its lineage via lazy localCheckpoint + count
+    # (graph._materialize) — without it the compiled plan doubles per
+    # round (exponential in log2(depth)) and every reuse re-derives the
+    # full upstream.
+    tok_rank = _dense_rank_of(pos_tab, ["__tok"], "__r")
+    cur = _materialize(
+        pos_tab.join(tok_rank, on="__tok").select(id_col, "pos", "__r")
+    )
+
+    def _extend(base: DataFrame, base_depth: int, ext: DataFrame) -> DataFrame:
+        """Re-rank ``base`` (depth ``base_depth``) by appending ``ext``'s
+        rank at position ``pos + base_depth`` (0 when past the end)."""
+        shifted = ext.select(
+            F.col(id_col),
+            (F.col("pos") - base_depth).alias("pos"),
+            F.col("__r").alias("__r2"),
+        )
+        pairs = (
+            base.join(shifted, on=[id_col, "pos"], how="left")
+            .withColumn("__r2", F.coalesce("__r2", F.lit(0).cast("long")))
+        )
+        rank2 = _dense_rank_of(pairs, ["__r", "__r2"], "__rn")
+        return _materialize(
+            pairs.join(rank2, on=["__r", "__r2"]).select(
+                id_col, "pos", F.col("__rn").alias("__r")
+            )
+        )
+
+    # Power ranks by doubling, composed into the exact target depth.
+    powers: dict[int, DataFrame] = {1: cur}
+    p = 1
+    while p * 2 <= depth:
+        powers[p * 2] = _extend(powers[p], p, powers[p])
+        p *= 2
+    # Binary decomposition, largest power first.
+    remaining = depth
+    acc: DataFrame | None = None
+    acc_depth = 0
+    while remaining:
+        p = 1 << (remaining.bit_length() - 1)
+        acc = powers[p] if acc is None else _extend(acc, acc_depth, powers[p])
+        acc_depth += p
+        remaining -= p
+    return acc.select(
+        id_col, "pos", F.col("__r").cast("long").alias("rank")
+    )
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    *,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated spans per document at exact-substring
+    granularity (the ExactSubstr side of Lee et al. 2022).
+
+    A position STARTS a duplicated run when its ``min_len``-token window
+    (it must have ``min_len`` tokens available) is identical to the
+    window at some OTHER position anywhere in the corpus — decided by
+    equality of depth-``min_len`` suffix ranks, i.e. exactly, with no
+    hash. Overlapping/adjacent duplicated windows then merge into
+    maximal spans per document (the gaps-and-islands step — two start
+    positions <= ``min_len`` apart chain into one span).
+
+    Output: ``(id_col, span_start, span_end, span_tokens)``, 1-based
+    inclusive token positions, one row per maximal span.
+
+    Scale shape: the rank table from :func:`suffix_ranks` (log-depth
+    rounds), one groupBy on ``rank`` (uniform integer key) to find
+    duplicated windows, and a per-document window for the island merge —
+    partitioned BY document, so the only per-task sort is one document's
+    duplicated starts.
+    """
+    ranks = suffix_ranks(
+        df, depth=min_len, id_col=id_col, text_col=text_col
+    )
+    n_tok = _positions(df, id_col, text_col).select(
+        id_col, "pos", "__n"
+    )
+    # Referenced twice below (the duplicated-rank aggregate AND the
+    # start join) — detach once.
+    full = _materialize(
+        ranks.join(n_tok, on=[id_col, "pos"]).filter(
+            F.col("__n") - F.col("pos") + 1 >= min_len
+        )
+    )
+    dup_ranks = (
+        full.groupBy("rank")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("rank")
+    )
+    starts = full.join(dup_ranks, on="rank").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        starts.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > min_len),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (min_len - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + min_len).cast("long").alias(
+            "span_tokens"
+        ),
+    ).drop("__isl")

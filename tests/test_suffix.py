@@ -1,0 +1,100 @@
+"""Suffix-array construction (prefix doubling) + ExactSubstr spans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_etl_mailing_automation_spark.datapipe.suffix import (
+    exact_substr_spans,
+    suffix_ranks,
+)
+
+
+def _ranks(spark, rows, depth):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = suffix_ranks(df, depth=depth).collect()
+    return {(r["doc_id"], r["pos"]): r["rank"] for r in out}
+
+
+def _brute_ranks(rows, depth):
+    """Reference dense rank: depth-clipped token tuples, Python tuple
+    order (shorter-prefix-first) — the contract the doubling must hit."""
+    keys = {}
+    for doc_id, text in rows:
+        toks = text.strip().split()
+        for i in range(len(toks)):
+            keys[(doc_id, i + 1)] = tuple(toks[i : i + depth])
+    ordered = sorted(set(keys.values()))
+    rank_of = {k: i + 1 for i, k in enumerate(ordered)}
+    return {pos: rank_of[k] for pos, k in keys.items()}
+
+
+def test_suffix_ranks_matches_brute_tuple_order(spark):
+    rows = [
+        (1, "b a b a b c"),
+        (2, "a b a b c d"),
+        (3, "c"),
+    ]
+    for depth in (1, 2, 3, 4, 8):
+        assert _ranks(spark, rows, depth) == _brute_ranks(rows, depth)
+
+
+def test_suffix_ranks_non_power_of_two_depth(spark):
+    # depth=6 exercises the binary-decomposition compose (4 + 2): the
+    # repeated 'x y' tail makes depth-4 ranks collide where depth-6
+    # ranks must not.
+    rows = [(1, "x y x y x y z"), (2, "x y x y x y q")]
+    for depth in (3, 5, 6, 7):
+        assert _ranks(spark, rows, depth) == _brute_ranks(rows, depth)
+
+
+def test_suffix_ranks_shorter_prefix_sorts_first(spark):
+    # Suffix "a" (doc end) must rank BELOW "a a": rank 1 goes to the
+    # 1-token tail.
+    got = _ranks(spark, [(1, "a a")], 4)
+    assert got[(1, 2)] == 1 and got[(1, 1)] == 2
+
+
+def test_exact_substr_spans_merges_overlaps(spark):
+    # Two docs share the 10-token run 't0..t9'; with min_len=8 the
+    # duplicated window starts are pos 1,2,3 (per doc) and must merge
+    # into ONE maximal span [1, 10] of 10 tokens.
+    run = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, run + " u1 u2"), (2, run + " v1 v2")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in exact_substr_spans(df, min_len=8).collect()
+    }
+    assert out == {1: (1, 10, 10), 2: (1, 10, 10)}
+
+
+def test_exact_substr_spans_within_one_doc_counts(spark):
+    # Self-duplication (the same 8-gram twice in ONE doc) is duplicated
+    # text under the corpus-global count >= 2.
+    run = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(7, run + " mid " + run)], "doc_id long, text string"
+    )
+    got = exact_substr_spans(df, min_len=8).collect()
+    spans = sorted((r["span_start"], r["span_end"]) for r in got)
+    assert spans == [(1, 8), (10, 17)]
+
+
+def test_exact_substr_spans_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    assert exact_substr_spans(df, min_len=8).count() == 0
+
+
+def test_suffix_ranks_partition_invariant(spark):
+    # Same ranks regardless of input partitioning (the bucketed prefix
+    # must be content-derived, never order-derived).
+    rows = [(i, f"p{i % 3} q r s t u v w x") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = suffix_ranks(df.repartition(1), depth=8).collect()
+    b = suffix_ranks(df.repartition(13), depth=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
