@@ -3660,6 +3660,20 @@ def q_exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
     return exact_substr_spans(docs, min_len=8)
 
 
+def q_longest_dup_run(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document longest duplicated run (datapipe/suffix
+    .longest_dup_run): greedy binary composition over the
+    prefix-doubling power tables — the distributed LCP binary search.
+    One answer for EVERY length <= 8 from one rank structure; a
+    window-hash pipeline would need a pass per candidate length."""
+    from python_etl_mailing_automation_spark.datapipe.suffix import (
+        longest_dup_run,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return longest_dup_run(docs, max_len=8)
+
+
 def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style statistical-LM quality signal (datapipe/lm
     .lm_quality_score): bigram model trained on the corpus itself (two
@@ -4606,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "suffix_ranks": q_suffix_ranks,
         "exact_substr_spans": q_exact_substr_spans,
+        "longest_dup_run": q_longest_dup_run,
         "attribution_join": q_attribution_join,
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,
@@ -9040,6 +9055,34 @@ def oracle_sql() -> dict[str, str]:
          CAST(max(pos) + 7 AS BIGINT) AS span_end,
          CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
   FROM ess_i GROUP BY doc_id, isl""",
+        # Longest duplicated run: brute per-length window counts (the
+        # oracle can afford a pass per length at gate scale); the engine
+        # answers every length from ONE prefix-doubling rank structure.
+        "longest_dup_run": f"""
+  WITH ldr_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  ldr_w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   CAST(L AS BIGINT) AS len, toks[i:i+L-1] AS key
+            FROM ldr_tok,
+                 unnest(generate_series(1, len(toks))) AS u(i),
+                 unnest(generate_series(1, 8)) AS v(L)
+            WHERE i + L - 1 <= len(toks)),
+  ldr_d AS (SELECT len, key FROM
+              (SELECT len, key, count(*) AS c FROM ldr_w GROUP BY 1, 2)
+            WHERE c >= 2),
+  ldr_p AS (SELECT w.doc_id, w.pos, max(w.len) AS li
+            FROM ldr_w w JOIN ldr_d d ON w.len = d.len AND w.key = d.key
+            GROUP BY 1, 2),
+  ldr_doc AS (SELECT doc_id, max(li) AS best FROM ldr_p GROUP BY 1),
+  ldr_nb AS (SELECT p.doc_id, count(*) AS n_at_max
+             FROM ldr_p p JOIN ldr_doc b
+               ON p.doc_id = b.doc_id AND p.li = b.best
+             GROUP BY 1)
+  SELECT d.doc_id,
+         CAST(coalesce(b.best, 0) AS BIGINT) AS longest_dup_len,
+         CAST(coalesce(nb.n_at_max, 0) AS BIGINT) AS n_at_max
+  FROM documents d
+  LEFT JOIN ldr_doc b USING (doc_id)
+  LEFT JOIN ldr_nb nb USING (doc_id)""",
         "dup_spans": f"""
   WITH dsp_tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
   dsp_w AS (SELECT doc_id, i AS widx,

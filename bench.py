@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "topk_others",
     "suffix_ranks",
     "exact_substr_spans",
+    "longest_dup_run",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -111,57 +111,71 @@ def suffix_ranks(
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     pos_tab = _materialize(_positions(df, id_col, text_col))
-
-    # Round 0: rank by single token (missing-token rank is 0 everywhere
-    # below, sorting before every real token — rank 1 is the smallest).
-    # Every round's frame is REUSED (each doubling self-joins the prior
-    # power against itself; the binary compose reads powers again), so
-    # each is detached from its lineage via lazy localCheckpoint + count
-    # (graph._materialize) — without it the compiled plan doubles per
-    # round (exponential in log2(depth)) and every reuse re-derives the
-    # full upstream.
-    tok_rank = _dense_rank_of(pos_tab, ["__tok"], "__r")
-    cur = _materialize(
-        pos_tab.join(tok_rank, on="__tok").select(id_col, "pos", "__r")
-    )
-
-    def _extend(base: DataFrame, base_depth: int, ext: DataFrame) -> DataFrame:
-        """Re-rank ``base`` (depth ``base_depth``) by appending ``ext``'s
-        rank at position ``pos + base_depth`` (0 when past the end)."""
-        shifted = ext.select(
-            F.col(id_col),
-            (F.col("pos") - base_depth).alias("pos"),
-            F.col("__r").alias("__r2"),
-        )
-        pairs = (
-            base.join(shifted, on=[id_col, "pos"], how="left")
-            .withColumn("__r2", F.coalesce("__r2", F.lit(0).cast("long")))
-        )
-        rank2 = _dense_rank_of(pairs, ["__r", "__r2"], "__rn")
-        return _materialize(
-            pairs.join(rank2, on=["__r", "__r2"]).select(
-                id_col, "pos", F.col("__rn").alias("__r")
-            )
-        )
-
-    # Power ranks by doubling, composed into the exact target depth.
-    powers: dict[int, DataFrame] = {1: cur}
-    p = 1
-    while p * 2 <= depth:
-        powers[p * 2] = _extend(powers[p], p, powers[p])
-        p *= 2
+    powers = _power_ranks(pos_tab, id_col, depth)
     # Binary decomposition, largest power first.
     remaining = depth
     acc: DataFrame | None = None
     acc_depth = 0
     while remaining:
         p = 1 << (remaining.bit_length() - 1)
-        acc = powers[p] if acc is None else _extend(acc, acc_depth, powers[p])
+        acc = (
+            powers[p]
+            if acc is None
+            else _extend_rank(acc, acc_depth, powers[p], id_col)
+        )
         acc_depth += p
         remaining -= p
     return acc.select(
         id_col, "pos", F.col("__r").cast("long").alias("rank")
     )
+
+
+def _extend_rank(
+    base: DataFrame, base_depth: int, ext: DataFrame, id_col: str
+) -> DataFrame:
+    """Re-rank ``base`` (depth ``base_depth``) by appending ``ext``'s
+    rank at position ``pos + base_depth`` (0 when past the end)."""
+    shifted = ext.select(
+        F.col(id_col),
+        (F.col("pos") - base_depth).alias("pos"),
+        F.col("__r").alias("__r2"),
+    )
+    pairs = (
+        base.join(shifted, on=[id_col, "pos"], how="left")
+        .withColumn("__r2", F.coalesce("__r2", F.lit(0).cast("long")))
+    )
+    rank2 = _dense_rank_of(pairs, ["__r", "__r2"], "__rn")
+    return _materialize(
+        pairs.join(rank2, on=["__r", "__r2"]).select(
+            id_col, "pos", F.col("__rn").alias("__r")
+        )
+    )
+
+
+def _power_ranks(
+    pos_tab: DataFrame, id_col: str, up_to: int
+) -> dict[int, DataFrame]:
+    """Power-of-two depth rank tables ``{1: ..., 2: ..., 4: ...}`` by
+    doubling, up to the largest power <= ``up_to``.
+
+    Round 0 ranks single tokens (missing-token rank is 0 everywhere
+    downstream, sorting before every real token — rank 1 is the
+    smallest). Every round's frame is REUSED (each doubling self-joins
+    the prior power against itself; callers read powers again), so each
+    is detached from its lineage via lazy localCheckpoint + count
+    (graph._materialize) — without it the compiled plan doubles per
+    round (exponential in log2(depth)) and every reuse re-derives the
+    full upstream."""
+    tok_rank = _dense_rank_of(pos_tab, ["__tok"], "__r")
+    cur = _materialize(
+        pos_tab.join(tok_rank, on="__tok").select(id_col, "pos", "__r")
+    )
+    powers: dict[int, DataFrame] = {1: cur}
+    p = 1
+    while p * 2 <= up_to:
+        powers[p * 2] = _extend_rank(powers[p], p, powers[p], id_col)
+        p *= 2
+    return powers
 
 
 def exact_substr_spans(
@@ -236,3 +250,174 @@ def exact_substr_spans(
             "span_tokens"
         ),
     ).drop("__isl")
+
+
+def longest_dup_run(
+    df: DataFrame,
+    *,
+    max_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document longest duplicated run, exactly, up to ``max_len``
+    tokens — the diagnostic a window-hash pipeline cannot produce
+    without one pass PER candidate length (the suffix-rank tables
+    answer every length at once; Lee et al. 2022 read this off the
+    suffix array's LCP structure).
+
+    For each position, ``L(pos)`` = the largest ``d <= max_len`` such
+    that the FULL d-token window starting there occurs at >= 2 positions
+    corpus-wide (the window-of-length-d predicate is monotone in d, so
+    the maximum is well-defined). Per document this reports
+    ``(id_col, longest_dup_len, n_at_max)`` — the longest such run and
+    how many positions achieve it (0/0 for documents with no duplicated
+    window at all).
+
+    Algorithm — the textbook suffix-array + LCP construction, fully
+    distributed. The depth-``max_len`` DENSE rank (from
+    :func:`suffix_ranks`'s machinery) IS the suffix-array order, so:
+
+    - a rank held by >= 2 positions is a window duplicated at full key
+      length (``min(max_len, available)``) — done, no search needed;
+    - otherwise the longest duplicated prefix at a position equals its
+      max LCP against any other suffix, which (classic SA property) is
+      attained at a NEIGHBOR in suffix order. Ranks are dense, so the
+      neighbor pairs are an equi-join of each rank's representative
+      against rank+1 — all members of a rank share the same clipped
+      window, so one representative is faithful for LCP < max_len.
+    - LCP per neighbor pair by binary descent over the power tables,
+      highest bit first: step ``2^b`` iff both sides have a full
+      ``2^b`` window at the current offset and their power ranks are
+      equal. (This per-PAIR descent has no path-dependence — an
+      earlier greedy variant that searched per POSITION with composed
+      identities was wrong precisely because a position's search path
+      depended on how far ITS OTHER duplicates matched.)
+
+    Scale shape: ``log2(max_len)`` doubling rounds to build the powers
+    (position-table-sized equi-joins), then ``log2(max_len)+1`` descent
+    rounds over the RANK-representative frame (<= one row per distinct
+    window — strictly smaller), each two equi-joins into a power table;
+    per-round frames detach via lazy localCheckpoint exactly as in
+    :func:`suffix_ranks`. Nothing is quadratic, nothing hashes, no
+    global sort.
+    """
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    pos_tab = _materialize(_positions(df, id_col, text_col))
+    top = 1 << (max_len.bit_length() - 1)
+    powers = _power_ranks(pos_tab, id_col, top)
+
+    # Exact-depth-max_len ranks composed from the power tables (binary
+    # decomposition, largest power first) — the suffix-array order.
+    remaining, acc, acc_depth = max_len, None, 0
+    while remaining:
+        p = 1 << (remaining.bit_length() - 1)
+        acc = (
+            powers[p]
+            if acc is None
+            else _extend_rank(acc, acc_depth, powers[p], id_col)
+        )
+        acc_depth += p
+        remaining -= p
+    rk = acc.join(pos_tab.select(id_col, "pos", "__n"), on=[id_col, "pos"])
+
+    # Per rank: occurrence count, full-key length (every member of a
+    # rank shares the clipped window, hence its length), and one
+    # deterministic representative for the LCP descent.
+    grp = _materialize(
+        rk.groupBy("__r").agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.least(
+                F.lit(max_len), F.min(F.col("__n") - F.col("pos") + 1)
+            ).alias("__wlen"),
+            F.min(F.struct(id_col, "pos", "__n")).alias("__rep"),
+        )
+    )
+    # Neighbor pairs in suffix order: rank r's representative vs rank
+    # r+1's (dense ranks — adjacency IS the +1 join).
+    nxt = grp.select(
+        (F.col("__r") - 1).alias("__r"),
+        F.col("__rep")[id_col].alias("__idB"),
+        F.col("__rep")["pos"].alias("__posB"),
+        F.col("__rep")["__n"].alias("__nB"),
+    )
+    pairs = grp.select(
+        "__r",
+        F.col("__rep")[id_col].alias("__idA"),
+        F.col("__rep")["pos"].alias("__posA"),
+        F.col("__rep")["__n"].alias("__nA"),
+    ).join(nxt, on="__r", how="inner").withColumn(
+        "__lcp", F.lit(0).cast("long")
+    )
+    # Binary-descent LCP, one power per round, two rank lookups each.
+    v = top
+    while v >= 1:
+        look = powers[v]
+        la = look.select(
+            F.col(id_col).alias("__idA"),
+            F.col("pos").alias("__pA"),
+            F.col("__r").alias("__ra"),
+        )
+        lb = look.select(
+            F.col(id_col).alias("__idB"),
+            F.col("pos").alias("__pB"),
+            F.col("__r").alias("__rb"),
+        )
+        pairs = _materialize(
+            pairs.withColumn("__pA", F.col("__posA") + F.col("__lcp"))
+            .withColumn("__pB", F.col("__posB") + F.col("__lcp"))
+            .join(la, on=["__idA", "__pA"], how="left")
+            .join(lb, on=["__idB", "__pB"], how="left")
+            .withColumn(
+                "__step",
+                (F.col("__pA") + F.lit(v) - 1 <= F.col("__nA"))
+                & (F.col("__pB") + F.lit(v) - 1 <= F.col("__nB"))
+                & (F.col("__ra") == F.col("__rb")),
+            )
+            .withColumn(
+                "__lcp",
+                F.when(F.col("__step"), F.col("__lcp") + F.lit(v))
+                .otherwise(F.col("__lcp"))
+                .cast("long"),
+            )
+            .drop("__pA", "__pB", "__ra", "__rb", "__step")
+        )
+        v //= 2
+    lcp = pairs.select("__r", F.least(F.col("__lcp"), F.lit(max_len)).alias("__lcp"))
+
+    # Per-rank answer: duplicated-at-full-length beats any neighbor
+    # LCP; otherwise the max of the LCPs with the two suffix-order
+    # neighbors (0 when absent).
+    prev = lcp.select((F.col("__r") + 1).alias("__r"), F.col("__lcp").alias("__lp"))
+    per_rank = (
+        grp.select("__r", "__c", "__wlen")
+        .join(lcp.withColumnRenamed("__lcp", "__ln"), on="__r", how="left")
+        .join(prev, on="__r", how="left")
+        .select(
+            "__r",
+            F.greatest(
+                F.when(F.col("__c") >= 2, F.col("__wlen")).otherwise(F.lit(0)),
+                F.coalesce("__ln", F.lit(0)),
+                F.coalesce("__lp", F.lit(0)),
+            ).cast("long").alias("__len"),
+        )
+    )
+    state = rk.join(per_rank, on="__r").select(id_col, "pos", "__len")
+
+    # (doc, len) counts first, then a per-document window over that
+    # bounded aggregate (<= max_len+1 rows per doc) picks the max row.
+    cnt = state.groupBy(id_col, "__len").agg(
+        F.count(F.lit(1)).alias("__n_best")
+    )
+    w = Window.partitionBy(id_col)
+    per_doc = cnt.withColumn("__best", F.max("__len").over(w)).filter(
+        F.col("__len") == F.col("__best")
+    )
+    return per_doc.select(
+        id_col,
+        F.col("__best").cast("long").alias("longest_dup_len"),
+        F.when(F.col("__best") > 0, F.col("__n_best"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_at_max"),
+    )

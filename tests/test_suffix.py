@@ -98,3 +98,52 @@ def test_suffix_ranks_partition_invariant(spark):
     a = suffix_ranks(df.repartition(1), depth=8).collect()
     b = suffix_ranks(df.repartition(13), depth=8).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _brute_longest(rows, max_len):
+    """Reference: count full windows of every length, per-doc max."""
+    from collections import Counter
+
+    wins = Counter()
+    per_pos = {}
+    toks = {d: t.strip().split() for d, t in rows}
+    for d, ts in toks.items():
+        for i in range(len(ts)):
+            for L in range(1, max_len + 1):
+                if i + L <= len(ts):
+                    wins[(L, tuple(ts[i : i + L]))] += 1
+    out = {}
+    for d, ts in toks.items():
+        best, n_best = 0, 0
+        lens = []
+        for i in range(len(ts)):
+            li = 0
+            for L in range(1, max_len + 1):
+                if i + L <= len(ts) and wins[(L, tuple(ts[i : i + L]))] >= 2:
+                    li = L
+            lens.append(li)
+        best = max(lens) if lens else 0
+        n_best = sum(1 for x in lens if x == best) if best > 0 else 0
+        out[d] = (best, n_best)
+    return out
+
+
+def test_longest_dup_run_matches_brute(spark):
+    from python_etl_mailing_automation_spark.datapipe.suffix import (
+        longest_dup_run,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x a b c d y a b c d"),   # self-dup of 'a b c d'
+        (3, "a b c d e q r s"),       # shares 'a b c d e' prefix w/ doc 1
+        (4, "unique tokens only here"),
+        (5, "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_len in (1, 3, 4, 8):
+        got = {
+            r["doc_id"]: (r["longest_dup_len"], r["n_at_max"])
+            for r in longest_dup_run(df, max_len=max_len).collect()
+        }
+        assert got == _brute_longest(rows, max_len), f"max_len={max_len}"
