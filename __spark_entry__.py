@@ -3660,6 +3660,28 @@ def q_exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
     return exact_substr_spans(docs, min_len=8)
 
 
+def q_perceptron_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-perceptron language-filter training (datapipe/classify
+    .perceptron_train): integer features (token count, char count),
+    +-1 label on lang=='en', 3 rounds of exact-integer gradient sums —
+    bit-identical weights on any engine/partitioning; the fastText-
+    style corpus-filter trainer in deterministic form."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        perceptron_train,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import tokens_of
+
+    docs = _t(spark, sf, "documents")
+    feats = docs.select(
+        F.size(tokens_of("text")).cast("long").alias("n_tokens"),
+        F.col("n_chars"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("label"),
+    )
+    return perceptron_train(
+        feats, ["n_tokens", "n_chars"], "label", n_iter=3
+    )
+
+
 def q_longest_dup_run(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document longest duplicated run (datapipe/suffix
     .longest_dup_run): greedy binary composition over the
@@ -4621,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_ranks": q_suffix_ranks,
         "exact_substr_spans": q_exact_substr_spans,
         "longest_dup_run": q_longest_dup_run,
+        "perceptron_train": q_perceptron_train,
         "attribution_join": q_attribution_join,
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,
@@ -5912,6 +5935,48 @@ def _set_cover_sql(k: int = 8) -> str:
 
 
 
+def _perceptron_sql(n_iter: int = 3) -> str:
+    """Unrolled replay of perceptron_train over the documents corpus:
+    per round one aggregate of integer gradient sums under the prior
+    round's weights (HUGEINT mirrors the engine's DECIMAL(38,0))."""
+    toks = r"string_split_regex(trim(text), '\s+')"
+    ctes = [
+        f"""pc_f AS (SELECT CAST(len({toks}) AS HUGEINT) AS x0,
+                   CAST(n_chars AS HUGEINT) AS x1,
+                   CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END
+                        AS HUGEINT) AS y
+            FROM documents)""",
+        """pc_w0 AS (SELECT CAST(0 AS HUGEINT) AS w0,
+                     CAST(0 AS HUGEINT) AS w1,
+                     CAST(0 AS HUGEINT) AS b,
+                     CAST(0 AS HUGEINT) AS nm)""",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            """pc_s{t} AS (
+    SELECT count(CASE WHEN y * (w.w0 * x0 + w.w1 * x1 + w.b) <= 0
+                 THEN 1 END) AS nm,
+           coalesce(sum(CASE WHEN y * (w.w0 * x0 + w.w1 * x1 + w.b) <= 0
+                        THEN y * x0 ELSE 0 END), 0) AS d0,
+           coalesce(sum(CASE WHEN y * (w.w0 * x0 + w.w1 * x1 + w.b) <= 0
+                        THEN y * x1 ELSE 0 END), 0) AS d1,
+           coalesce(sum(CASE WHEN y * (w.w0 * x0 + w.w1 * x1 + w.b) <= 0
+                        THEN y ELSE 0 END), 0) AS db
+    FROM pc_f CROSS JOIN pc_w{p} w),
+  pc_w{t} AS (SELECT w.w0 + s.d0 AS w0, w.w1 + s.d1 AS w1,
+                     w.b + s.db AS b, s.nm AS nm
+              FROM pc_w{p} w CROSS JOIN pc_s{t} s)""".format(t=t, p=t - 1)
+        )
+    selects = [
+        f"""SELECT CAST({t} AS BIGINT) AS iter,
+         CAST(nm AS BIGINT) AS n_misclassified,
+         CAST(w0 AS BIGINT) AS w_n_tokens, CAST(w1 AS BIGINT) AS w_n_chars,
+         CAST(b AS BIGINT) AS bias FROM pc_w{t}"""
+        for t in range(1, n_iter + 1)
+    ]
+    return "WITH " + ",\n  ".join(ctes) + "\n  " + "\n  UNION ALL ".join(selects)
+
+
 def _ktruss_sql(k: int = 4, rounds: int = 2) -> str:
     """Unrolled replay of ktruss over the co-purchase graph: per round
     the Suri-Vassilvitskii triangle enumeration, a 3-way UNION ALL
@@ -7129,6 +7194,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(4),
         # k-truss: generated unrolled replay (see _ktruss_sql).
         "ktruss": _ktruss_sql(3, 2),
+        # Batch perceptron: generated unrolled replay (_perceptron_sql).
+        "perceptron_train": _perceptron_sql(3),
         # Dictionary phrase matching: same offset-aligned count==len
         # construction; phrase table inlined as VALUES.
         "dictionary_phrases": f"""

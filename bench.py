@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "suffix_ranks",
     "exact_substr_spans",
     "longest_dup_run",
+    "perceptron_train",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

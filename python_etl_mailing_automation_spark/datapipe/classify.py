@@ -1,0 +1,108 @@
+"""Distributed classifier training with exact integer arithmetic.
+
+A training-data pipeline trains lightweight quality/language classifiers
+over the corpus it is curating (the fastText-style filters of the LLM
+data literature). The iterative trainer here is the **batch perceptron**:
+per round, sum the gradient ``y_i * x_i`` over currently-misclassified
+rows and add it to the weights. Chosen over logistic regression
+deliberately — the batch-perceptron update is pure INTEGER arithmetic
+(features and labels integer, sums exact, no transcendental functions),
+so the trained weights are bit-identical across engines, partitionings,
+and summation orders — the same determinism discipline as
+:func:`~.stats.group_ols` (exact DECIMAL moments, floats only at a fixed
+final step; here not even that).
+
+Scale shape: each round is ONE map-side-combinable aggregate over the
+feature frame (cached once across rounds); driver traffic per round is
+the weight vector (features + 2 numbers). Rounds are sequential by
+algorithmic contract — exactly like the k-means / greedy-set-cover
+pattern elsewhere in the package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def perceptron_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Train a batch perceptron; return the per-round trace.
+
+    ``feature_cols`` must be integer-valued (they are cast to
+    DECIMAL(38,0) — fractional inputs would be silently rounded, so
+    pre-scale to an integer grid as with :func:`~.stats.exact_corr`);
+    ``label_col`` must be +1 / -1. Round t computes the margin
+    ``y * (w_{t-1} . x + b_{t-1})`` per row, counts the misclassified
+    (margin <= 0 — ties count as wrong, the classic convention), and
+    applies the summed update ``w_t = w_{t-1} + sum(y x)``,
+    ``b_t = b_{t-1} + sum(y)`` over exactly those rows.
+
+    Output: one row per round —
+    ``(iter, n_misclassified, w_<feature>..., bias)`` where
+    ``n_misclassified`` is measured UNDER THE INCOMING weights (so
+    round 1 reports the zero-weight error, i.e. the full row count) and
+    the weights are the post-update values. All longs.
+
+    Overflow envelope: weights are bounded by ``n_iter * sum|x|``;
+    margins by ``max|x| * that`` — the same 10^38 DECIMAL envelope as
+    ``exact_corr``; pre-scale features (counts, not epoch-micros) to
+    stay inside it.
+
+    Scale shape: the feature frame is projected once and cached;
+    each round is one aggregate with map-side partial sums (integer
+    adds — associative, so the result is partition-invariant by
+    construction, not by luck); the per-round collect is the weight
+    vector only. No shuffle of the data itself, ever — the only data
+    movement is the aggregate's partial-sum tree.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    d = F.lit(0).cast("decimal(38,0)")
+    feats = df.select(
+        *[F.col(c).cast("decimal(38,0)").alias(f"__x{j}")
+          for j, c in enumerate(feature_cols)],
+        F.col(label_col).cast("decimal(38,0)").alias("__y"),
+    ).cache()
+    try:
+        k = len(feature_cols)
+        w = [0] * k
+        b = 0
+        trace = []
+        for t in range(1, n_iter + 1):
+            margin = F.lit(int(b)).cast("decimal(38,0)")
+            for j in range(k):
+                margin = margin + F.lit(int(w[j])).cast(
+                    "decimal(38,0)"
+                ) * F.col(f"__x{j}")
+            mis = (F.col("__y") * margin) <= 0
+            row = feats.agg(
+                F.count(F.when(mis, 1)).alias("__nm"),
+                *[
+                    F.coalesce(
+                        F.sum(F.when(mis, F.col("__y") * F.col(f"__x{j}"))),
+                        d,
+                    ).alias(f"__d{j}")
+                    for j in range(k)
+                ],
+                F.coalesce(F.sum(F.when(mis, F.col("__y"))), d).alias("__db"),
+            ).collect()[0]
+            n_mis = int(row["__nm"])
+            w = [w[j] + int(row[f"__d{j}"]) for j in range(k)]
+            b = b + int(row["__db"])
+            trace.append((t, n_mis, *w, b))
+    finally:
+        feats.unpersist()
+    schema = (
+        "iter long, n_misclassified long, "
+        + ", ".join(f"w_{c} long" for c in feature_cols)
+        + ", bias long"
+    )
+    return df.sparkSession.createDataFrame(trace, schema)

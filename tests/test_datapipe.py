@@ -4410,3 +4410,56 @@ def test_global_running_sums_matches_single_window(spark):
             if s.startswith("Window "):
                 # partitioned windows print [exprs], [partition], [order]
                 assert s.count("], [") >= 2, s
+
+
+class TestPerceptron:
+    def test_matches_numpy_replay(self, spark):
+        import numpy as np
+
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            perceptron_train,
+        )
+
+        rng = [(int(x1), int(x2), 1 if 2 * x1 - x2 > 0 else -1)
+               for x1, x2 in [(3, 1), (1, 5), (4, 2), (0, 3), (5, 9),
+                              (7, 1), (2, 2), (6, 14), (8, 3), (1, 1)]]
+        df = spark.createDataFrame(rng, "x1 long, x2 long, y long")
+        out = perceptron_train(df, ["x1", "x2"], "y", n_iter=4).collect()
+
+        w = np.zeros(2, dtype=object); b = 0
+        X = np.array([(r[0], r[1]) for r in rng], dtype=object)
+        Y = np.array([r[2] for r in rng], dtype=object)
+        for t, row in enumerate(out, start=1):
+            m = Y * (X @ w + b)
+            mis = m <= 0
+            assert row["iter"] == t
+            assert row["n_misclassified"] == int(mis.sum())
+            w = w + (Y[mis, None] * X[mis]).sum(axis=0)
+            b = b + Y[mis].sum()
+            assert (row["w_x1"], row["w_x2"], row["bias"]) == (
+                int(w[0]), int(w[1]), int(b)
+            )
+
+    def test_partition_invariant(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            perceptron_train,
+        )
+
+        rows = [(i, (i * 7) % 13, 1 if i % 3 else -1) for i in range(200)]
+        df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+        a = perceptron_train(df.repartition(1), ["x1", "x2"], "y").collect()
+        b = perceptron_train(df.repartition(17), ["x1", "x2"], "y").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_round_one_counts_everything(self, spark):
+        # Zero weights give margin 0 for every row: ties are
+        # misclassified by contract, so round 1 reports the row count.
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            perceptron_train,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1), (2, -1), (3, 1)], "x long, y long"
+        )
+        out = perceptron_train(df, ["x"], "y", n_iter=1).collect()
+        assert out[0]["n_misclassified"] == 3
