@@ -3660,6 +3660,54 @@ def q_exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
     return exact_substr_spans(docs, min_len=8)
 
 
+def q_ols_multi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-regressor least squares by exact-integer Cramer determinants
+    (datapipe/stats.ols_multi2): order value in cents on order age and
+    a customer bucket, per priority class — the multivariate member of
+    the group_ols family, floats only at the three final divisions."""
+    from python_etl_mailing_automation_spark.datapipe.stats import ols_multi2
+
+    o = _t(spark, sf, "orders")
+    feats = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("age_days"),
+        (F.col("o_custkey") % 1000).cast("long").alias("cust_bucket"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    return ols_multi2(
+        feats, "age_days", "cust_bucket", "price_cents", group_col="priority"
+    )
+
+
+def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence screen (datapipe/stats
+    .chi_square_independence): is a document's language independent of
+    its source? Exact integer contingency/marginal counts; each cell's
+    contribution floored onto the 2^30 grid so the cell SUM is an
+    integer sum — partition-invariant by construction."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        chi_square_independence,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return chi_square_independence(docs, "lang", "source")
+
+
+def q_anova_f(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F (datapipe/stats.anova_f): does mean document
+    length differ by source? Between/within sums of squares on the
+    exact 2^20 integer grid (decimal floor-division mirrored by
+    DuckDB's // on HUGEINT), one double division at the end."""
+    from python_etl_mailing_automation_spark.datapipe.stats import anova_f
+
+    docs = _t(spark, sf, "documents")
+    return anova_f(docs, "source", "n_chars")
+
+
 def q_perceptron_train(spark: SparkSession, sf: str) -> DataFrame:
     """Batch-perceptron language-filter training (datapipe/classify
     .perceptron_train): integer features (token count, char count),
@@ -4644,6 +4692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans": q_exact_substr_spans,
         "longest_dup_run": q_longest_dup_run,
         "perceptron_train": q_perceptron_train,
+        "ols_multi2": q_ols_multi2,
+        "chi_square": q_chi_square,
+        "anova_f": q_anova_f,
         "attribution_join": q_attribution_join,
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,
@@ -7196,6 +7247,79 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _ktruss_sql(3, 2),
         # Batch perceptron: generated unrolled replay (_perceptron_sql).
         "perceptron_train": _perceptron_sql(3),
+        # Two-regressor Cramer OLS: HUGEINT mirrors DECIMAL(38,0); the
+        # 3x3 determinants expand to the same triple products.
+        "ols_multi2": """
+  WITH om_f AS (SELECT o_orderpriority AS priority,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+              AS HUGEINT) AS x1,
+         CAST(o_custkey % 1000 AS HUGEINT) AS x2,
+         CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS y
+       FROM orders),
+  om_a AS (SELECT priority, CAST(count(*) AS HUGEINT) AS n0,
+         sum(x1) AS s1, sum(x2) AS s2, sum(x1*x1) AS s11,
+         sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+       FROM om_f GROUP BY 1),
+  om_d AS (SELECT priority, n0,
+         CAST(n0*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+              + s2*(s1*s12 - s11*s2) AS DOUBLE) AS det,
+         CAST(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+              + s2*(s1y*s12 - s11*s2y) AS DOUBLE) AS det0,
+         CAST(n0*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+              + s2*(s1*s2y - s1y*s2) AS DOUBLE) AS det1,
+         CAST(n0*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+              + sy*(s1*s12 - s11*s2) AS DOUBLE) AS det2
+       FROM om_a)
+  SELECT priority, CAST(n0 AS BIGINT) AS n,
+         CASE WHEN det != 0 THEN det0 / det END AS intercept,
+         CASE WHEN det != 0 THEN det1 / det END AS b1,
+         CASE WHEN det != 0 THEN det2 / det END AS b2
+  FROM om_d""",
+        # Chi-square independence: integer contingency + marginals,
+        # per-cell double contribution floored to the 2^30 grid,
+        # integer cell sum.
+        "chi_square": """
+  WITH cq_c AS (SELECT lang, source, CAST(count(*) AS HUGEINT) AS o
+                FROM documents GROUP BY 1, 2),
+  cq_r AS (SELECT lang, sum(o) AS r FROM cq_c GROUP BY 1),
+  cq_b AS (SELECT source, sum(o) AS c FROM cq_c GROUP BY 1),
+  cq_t AS (SELECT sum(o) AS t,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+                  CAST(count(DISTINCT source) AS BIGINT) AS nc
+           FROM cq_c),
+  cq_g AS (SELECT CAST(floor(
+             CAST(o*t - r*c AS DOUBLE) * CAST(o*t - r*c AS DOUBLE)
+             / CAST(t*r*c AS DOUBLE) * 1073741824) AS HUGEINT) AS cg,
+             t, nr, nc
+           FROM cq_c JOIN cq_r USING (lang) JOIN cq_b USING (source)
+           CROSS JOIN cq_t)
+  SELECT CAST(t AS BIGINT) AS n, nr AS n_rows, nc AS n_cols,
+         (nr - 1) * (nc - 1) AS dof,
+         CAST(sum(cg) AS DOUBLE) / 1073741824.0 AS chi2
+  FROM cq_g GROUP BY t, nr, nc""",
+        # One-way ANOVA F: exact per-group moments, HUGEINT floor
+        # division mirrors the engine's decimal (a - a%b)/b.
+        "anova_f": """
+  WITH af_g AS (SELECT source, CAST(count(*) AS HUGEINT) AS ng,
+                       CAST(sum(n_chars) AS HUGEINT) AS sg,
+                       CAST(sum(n_chars*n_chars) AS HUGEINT) AS sxx
+                FROM documents GROUP BY 1),
+  af_t AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(ng) AS n,
+                  sum(sg) AS s, sum(sxx) AS xx,
+                  sum((sg*sg*1048576) // ng) AS t
+           FROM af_g),
+  af_s AS (SELECT k, n,
+                  CAST(xx*1048576 - t AS DOUBLE) AS ssw_g,
+                  CAST(t - (s*s*1048576) // n AS DOUBLE) AS ssb_g
+           FROM af_t)
+  SELECT k, CAST(n AS BIGINT) AS n,
+         ssb_g / 1048576.0 AS ssb, ssw_g / 1048576.0 AS ssw,
+         CASE WHEN k >= 2 AND CAST(n AS BIGINT) > k AND ssw_g > 0
+              THEN (ssb_g / (CAST(k AS DOUBLE) - 1.0))
+                   / (ssw_g / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+         END AS f
+  FROM af_s""",
         # Dictionary phrase matching: same offset-aligned count==len
         # construction; phrase table inlined as VALUES.
         "dictionary_phrases": f"""

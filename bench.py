@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     "exact_substr_spans",
     "longest_dup_run",
     "perceptron_train",
+    "ols_multi2",
+    "chi_square",
+    "anova_f",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

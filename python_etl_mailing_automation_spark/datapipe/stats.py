@@ -1304,3 +1304,201 @@ def gini_concentration(
         (F.col("__sx").cast("double") / F.lit(g)).alias("total"),
         "n_excluded",
     )
+
+
+def ols_multi2(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group TWO-regressor least squares (y ~ b0 + b1·x1 + b2·x2)
+    by Cramer's rule over exact integer normal equations — the
+    multivariate member of the :func:`group_ols` family.
+
+    All six Gram entries (n, Σx1, Σx2, Σx1², Σx1x2, Σx2²) and the three
+    response moments (Σy, Σx1y, Σx2y) are exact DECIMAL(38,0) sums of
+    INTEGER-valued inputs; the four 3×3 determinants expand to sums of
+    triple products of those moments (still decimal-exact inside the
+    10^38 envelope — triple products tighten it to ~10^12 per moment;
+    pre-scale as with :func:`exact_corr`), and the only floating point
+    is the three final divisions — bit-identical across engines and
+    partitionings. Groups with a singular Gram matrix (collinear or
+    degenerate regressors) yield NULL coefficients.
+
+    Output: one row per group — ``(group_col?, n, intercept, b1, b2)``.
+    Scale shape: ONE map-side-combinable aggregate; everything after is
+    per-group scalar algebra.
+    """
+    x1 = F.col(x1_col).cast("decimal(38,0)")
+    x2 = F.col(x2_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    grp = [] if group_col is None else [group_col]
+    agg = df.groupBy(*grp).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x1).alias("__s1"),
+        F.sum(x2).alias("__s2"),
+        F.sum(x1 * x1).alias("__s11"),
+        F.sum(x1 * x2).alias("__s12"),
+        F.sum(x2 * x2).alias("__s22"),
+        F.sum(y).alias("__sy"),
+        F.sum(x1 * y).alias("__s1y"),
+        F.sum(x2 * y).alias("__s2y"),
+    )
+    nd = F.col("__n").cast("decimal(38,0)")
+
+    def det3(a, b, c, d, e, f_, g, h, i):
+        # | a b c ; d e f ; g h i | — decimal-exact triple products.
+        return (
+            a * (e * i - f_ * h) - b * (d * i - f_ * g) + c * (d * h - e * g)
+        )
+
+    s1, s2 = F.col("__s1"), F.col("__s2")
+    s11, s12, s22 = F.col("__s11"), F.col("__s12"), F.col("__s22")
+    sy, s1y, s2y = F.col("__sy"), F.col("__s1y"), F.col("__s2y")
+    det = det3(nd, s1, s2, s1, s11, s12, s2, s12, s22).cast("double")
+    det0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22).cast("double")
+    det1 = det3(nd, sy, s2, s1, s1y, s12, s2, s2y, s22).cast("double")
+    det2 = det3(nd, s1, sy, s1, s11, s1y, s2, s12, s2y).cast("double")
+    nz = det != 0
+    return agg.select(
+        *grp,
+        F.col("__n").cast("long").alias("n"),
+        F.when(nz, det0 / det).alias("intercept"),
+        F.when(nz, det1 / det).alias("b1"),
+        F.when(nz, det2 / det).alias("b2"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    grid_bits: int = 30,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the feature/label dependence screen a curation pipeline
+    runs before trusting a heuristic signal (is ``source`` informative
+    about ``lang``? is the quality flag independent of origin?).
+
+    chi2 = Σ_cells (o·n − r·c)² / (n·r·c) over the contingency table,
+    where o is the cell count and r, c the marginals — all exact
+    integers from two keyed aggregates. Cross-engine determinism: each
+    cell's contribution is floored onto a ``2^grid_bits`` integer grid
+    ((o·n − r·c) is decimal-exact, squared in doubles, divided once),
+    and the CELL SUM is an integer sum — associative, so partitioning
+    and merge order can never wiggle the statistic (the
+    :func:`~.lm.lm_quality_score` discipline). The grid quantization
+    (~1e-9 relative at 30 bits) is documented behavior, not noise.
+
+    Output: one row — ``(n, n_rows, n_cols, dof, chi2)``.
+    Scale shape: one (a,b) aggregate, two broadcast-sized marginal
+    aggregates joined back on their keys, one integer sum. The cell
+    table is |distinct a| × |distinct b| — bounded by construction for
+    categorical inputs.
+    """
+    cells = df.groupBy(a_col, b_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__o")
+    )
+    ra = cells.groupBy(a_col).agg(F.sum("__o").alias("__r"))
+    cb = cells.groupBy(b_col).agg(F.sum("__o").alias("__c"))
+    tot = cells.agg(
+        F.sum("__o").alias("__t"),
+        F.count_distinct(F.col(a_col)).cast("long").alias("__nr"),
+        F.count_distinct(F.col(b_col)).cast("long").alias("__nc"),
+    )
+    g = F.lit(1 << grid_bits).cast("decimal(38,0)")
+    joined = (
+        cells.join(F.broadcast(ra), on=a_col)
+        .join(F.broadcast(cb), on=b_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = (F.col("__o") * F.col("__t") - F.col("__r") * F.col("__c")).cast(
+        "double"
+    )
+    den = (F.col("__t") * F.col("__r") * F.col("__c")).cast("double")
+    cell_grid = F.floor(
+        dev * dev / den * (1 << grid_bits)
+    ).cast("decimal(38,0)")
+    out = joined.groupBy("__t", "__nr", "__nc").agg(
+        F.sum(cell_grid).alias("__sum")
+    )
+    return out.select(
+        F.col("__t").cast("long").alias("n"),
+        F.col("__nr").alias("n_rows"),
+        F.col("__nc").alias("n_cols"),
+        ((F.col("__nr") - 1) * (F.col("__nc") - 1)).cast("long").alias("dof"),
+        (F.col("__sum").cast("double") / F.lit(float(1 << grid_bits))).alias(
+            "chi2"
+        ),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    grid_bits: int = 20,
+) -> DataFrame:
+    """One-way ANOVA F statistic of an INTEGER-valued column across
+    groups — does the value's mean differ by group (doc quality by
+    source, spend by segment)?
+
+    Between/within sums of squares from exact integer moments:
+    ``T = Σ_g floor(S_g²·2^grid_bits / n_g)`` (exact decimal
+    floor-division — DuckDB's ``//`` on HUGEINT mirrors it on
+    positive operands), ``SSW·2^b = Sxx·2^b − T`` and
+    ``SSB·2^b = T − floor(S²·2^b / n)`` stay integers until the one
+    final double division, so the statistic is partition-invariant by
+    construction. Envelope: S_g²·2^b < 10^38 ⇒ per-group sums below
+    ~1e16 at 20 bits — pre-scale values (counts, not micros) or sample
+    beyond it, as across the exact-moment family.
+
+    Output: one row — ``(k, n, ssb, ssw, f)``; F is NULL when
+    degenerate (k < 2, n <= k, or zero within-variance).
+    Scale shape: one keyed aggregate to per-group (n_g, S_g), whose
+    result is a group-cardinality frame; one global fold over it.
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    g = F.lit(1 << grid_bits).cast("decimal(38,0)")
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__ng"),
+        F.sum(v).alias("__sg"),
+        F.sum(v * v).alias("__sxx"),
+    )
+
+    def fdiv(a, b):
+        # Exact floor division of non-negative decimals: a//b.
+        return ((a - a % b) / b).cast("decimal(38,0)")
+
+    t_g = fdiv(F.col("__sg") * F.col("__sg") * g, F.col("__ng"))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum("__ng").alias("__n"),
+        F.sum("__sg").alias("__s"),
+        F.sum("__sxx").alias("__xx"),
+        F.sum(t_g).alias("__t"),
+    )
+    ssw_g = (F.col("__xx") * g - F.col("__t")).cast("double")
+    ssb_g = (F.col("__t") - fdiv(F.col("__s") * F.col("__s") * g, F.col("__n"))).cast(
+        "double"
+    )
+    kd = F.col("__k").cast("double")
+    ndd = F.col("__n").cast("double")
+    ok = (F.col("__k") >= 2) & (F.col("__n").cast("long") > F.col("__k")) & (
+        ssw_g > 0
+    )
+    gf = F.lit(float(1 << grid_bits))
+    return tot.select(
+        F.col("__k").alias("k"),
+        F.col("__n").cast("long").alias("n"),
+        (ssb_g / gf).alias("ssb"),
+        (ssw_g / gf).alias("ssw"),
+        F.when(
+            ok, (ssb_g / (kd - 1.0)) / (ssw_g / (ndd - kd))
+        ).alias("f"),
+    )

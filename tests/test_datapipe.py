@@ -4463,3 +4463,92 @@ class TestPerceptron:
         )
         out = perceptron_train(df, ["x"], "y", n_iter=1).collect()
         assert out[0]["n_misclassified"] == 3
+
+
+class TestExactStatsFamily:
+    def test_ols_multi2_matches_numpy(self, spark):
+        import numpy as np
+
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            ols_multi2,
+        )
+
+        rows = [(i % 7, (i * 3) % 11, 5 + 2 * (i % 7) - 3 * ((i * 3) % 11) + (i % 2))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+        out = ols_multi2(df, "x1", "x2", "y").collect()[0]
+        X = np.array([[1, r[0], r[1]] for r in rows], dtype=float)
+        Y = np.array([r[2] for r in rows], dtype=float)
+        beta = np.linalg.lstsq(X, Y, rcond=None)[0]
+        assert out["n"] == 60
+        assert abs(out["intercept"] - beta[0]) < 1e-9
+        assert abs(out["b1"] - beta[1]) < 1e-9
+        assert abs(out["b2"] - beta[2]) < 1e-9
+
+    def test_ols_multi2_singular_gives_null(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            ols_multi2,
+        )
+
+        # x2 = 2*x1: collinear -> singular Gram -> NULL coefficients.
+        rows = [(i, 2 * i, i + 1) for i in range(10)]
+        df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+        out = ols_multi2(df, "x1", "x2", "y").collect()[0]
+        assert out["intercept"] is None and out["b1"] is None
+
+    def test_chi_square_matches_reference(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            chi_square_independence,
+        )
+
+        # 2x2 table [[10, 20], [30, 40]]: chi2 = n*(ad-bc)^2/(r1*r2*c1*c2)
+        rows = (
+            [("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 30 + [("b", "y")] * 40
+        )
+        df = spark.createDataFrame(rows, "u string, v string")
+        out = chi_square_independence(df, "u", "v").collect()[0]
+        n, a, b, c, d = 100, 10, 20, 30, 40
+        expect = n * (a * d - b * c) ** 2 / (30 * 70 * 40 * 60)
+        assert out["dof"] == 1 and out["n"] == 100
+        assert abs(out["chi2"] - expect) < 1e-6  # 2^30 grid quantization
+
+    def test_anova_f_matches_reference(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            anova_f,
+        )
+
+        groups = {"g1": [1, 2, 3, 4], "g2": [5, 6, 7, 8], "g3": [2, 2, 3, 3]}
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = anova_f(df, "g", "v").collect()[0]
+        vals = [v for vs in groups.values() for v in vs]
+        mean = sum(vals) / len(vals)
+        ssb = sum(len(vs) * (sum(vs) / len(vs) - mean) ** 2
+                  for vs in groups.values())
+        ssw = sum((v - sum(vs) / len(vs)) ** 2
+                  for vs in groups.values() for v in vs)
+        f = (ssb / 2) / (ssw / 9)
+        assert out["k"] == 3 and out["n"] == 12
+        assert abs(out["ssb"] - ssb) < 1e-4
+        assert abs(out["ssw"] - ssw) < 1e-4
+        assert abs(out["f"] - f) < 1e-4
+
+    def test_family_partition_invariant(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            anova_f,
+            chi_square_independence,
+            ols_multi2,
+        )
+
+        rows = [(f"g{i % 5}", i % 13, (i * 7) % 17, i % 23)
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+        for fn in (
+            lambda d: ols_multi2(d, "x1", "x2", "y", group_col="g"),
+            lambda d: chi_square_independence(d, "g", "x1"),
+            lambda d: anova_f(d, "g", "y"),
+        ):
+            a = fn(df.repartition(1)).collect()
+            b = fn(df.repartition(19)).collect()
+            assert sorted(map(tuple, a)) == sorted(map(tuple, b))
