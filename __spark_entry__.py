@@ -3660,6 +3660,29 @@ def q_exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
     return exact_substr_spans(docs, min_len=8)
 
 
+def q_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra-Gries frequent-items summary per event type (datapipe/
+    sketches.heavy_hitters_mg): capacity-8 counter tables over user
+    buckets, folded in (ts, event_id) order. Rows-only check by design:
+    the MG fold is a per-row sequential recurrence with no SQL replay —
+    correctness is pinned by the pytest fold-replay + guarantee tests
+    and the stream-vs-batch equality (streaming_heavy_hitters)."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        heavy_hitters_mg,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        (F.col("user_id") % 97).cast("string").alias("user_bucket"),
+        "ts",
+        "event_id",
+    )
+    return heavy_hitters_mg(
+        ev, "event_type", "user_bucket", capacity=8,
+        order_cols=["ts", "event_id"],
+    )
+
+
 def q_ols_multi2(spark: SparkSession, sf: str) -> DataFrame:
     """Two-regressor least squares by exact-integer Cramer determinants
     (datapipe/stats.ols_multi2): order value in cents on order age and
@@ -4695,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_multi2": q_ols_multi2,
         "chi_square": q_chi_square,
         "anova_f": q_anova_f,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
         "attribution_join": q_attribution_join,
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,

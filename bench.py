@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "ols_multi2",
     "chi_square",
     "anova_f",
+    "heavy_hitters_mg",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

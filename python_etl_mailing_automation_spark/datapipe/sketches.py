@@ -523,3 +523,87 @@ def loghist_quantiles(
         est_lo.cast("long").alias("est_lo"),
         est_hi.cast("long").alias("est_hi"),
     )
+
+
+def _mg_fold(items, counters: dict, capacity: int) -> dict:
+    """Fold items into a Misra-Gries counter dict (classic update:
+    increment if tracked, admit if room, else decrement all)."""
+    for x in items:
+        if x in counters:
+            counters[x] += 1
+        elif len(counters) < capacity:
+            counters[x] = 1
+        else:
+            for k in list(counters):
+                counters[k] -= 1
+                if counters[k] == 0:
+                    del counters[k]
+    return counters
+
+
+def heavy_hitters_mg(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    *,
+    capacity: int = 8,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key Misra-Gries heavy-hitter summary — the bounded-memory
+    frequent-items sketch (Misra & Gries 1982; the deterministic
+    ancestor of SpaceSaving): at most ``capacity`` counters per key,
+    each item's reported count understates its true count by at most
+    ``n_key / (capacity + 1)``, and every item with true frequency
+    above that bound is guaranteed present. The summary a pipeline
+    keeps when exact per-item counts don't fit — top sources per
+    shard, hot tokens per language — and the batch twin of
+    :func:`~.streaming.stateful.streaming_heavy_hitters` (the
+    stream-vs-batch equality is pytest-pinned).
+
+    The MG summary is fold-ORDER-dependent, so the fold order is part
+    of the contract: rows are processed per key in ``order_cols`` order
+    (default: ``item_col`` — any deterministic total order works; the
+    streaming twin must be fed the same order to match bit-for-bit).
+    Sequential PER KEY by the sketch's definition — parallel across
+    keys — via Arrow-batched ``applyInPandas``; this is the documented
+    state-machine family (CUSUM, sessionize), not an accidental UDF.
+
+    Output: ``(key_col, item, mg_count, n_events)`` — one row per
+    surviving counter, ``n_events`` the key's total (for the error
+    bound ``n_events/(capacity+1)``).
+
+    NOT SQL-expressible (per-row sequential recurrence) — registered
+    rows-only in the battery; correctness is pinned by the pytest
+    fold replay and the guarantee test instead.
+    """
+    import pandas as pd
+
+    order = list(order_cols) if order_cols else [item_col]
+    out_schema = (
+        f"{key_col} string, item string, mg_count long, n_events long"
+    )
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        counters = _mg_fold(pdf["__item"], {}, capacity)
+        items = sorted(counters)
+        return pd.DataFrame(
+            {
+                key_col: pdf["__key"].iloc[0],
+                "item": items,
+                "mg_count": [counters[i] for i in items],
+                "n_events": len(pdf),
+            }
+        )
+
+    # Projection: key, item, and the order columns (an order entry that
+    # IS the item column rides as its cast-to-string copy).
+    cols = {"__key": F.col(key_col).cast("string"),
+            "__item": F.col(item_col).cast("string")}
+    for c in order:
+        if c != item_col:
+            cols[c] = F.col(c)
+        else:
+            cols[c] = F.col(item_col).cast("string")
+    proj = df.select(*[v.alias(k) for k, v in cols.items()])
+    return proj.groupBy("__key").applyInPandas(_per_key, schema=out_schema)

@@ -352,3 +352,79 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    *,
+    key_col: str = "key",
+    item_col: str = "item",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    capacity: int = 8,
+) -> DataFrame:
+    """Streaming twin of :func:`..datapipe.sketches.heavy_hitters_mg`:
+    the Misra-Gries frequent-items sketch as an
+    ``applyInPandasWithState`` operator. Per key the state is the
+    counter table itself — at most ``capacity`` (item, count) pairs
+    plus the event total, BOUNDED BY CONSTRUCTION (that bound is the
+    whole point of the sketch), folded through each micro-batch's rows
+    in (ts, id) order and carried forward, so after any prefix the
+    emitted summary is bit-identical to the batch twin folded over the
+    same prefix in the same order (pytest-pinned across a forced
+    micro-batch boundary).
+
+    Emits one snapshot of the counter table per key per micro-batch:
+    ``(key, item, mg_count, n_events)`` — ``n_events`` is monotone, so
+    downstream consumers (and the equality test) select each key's
+    rows at max ``n_events`` for the latest summary. In-order delivery
+    per key is the contract, as for every state-carrying fold here;
+    the batch twin backfills out-of-order history.
+    """
+    from ..datapipe.sketches import _mg_fold
+
+    out_schema = (
+        "key string, item string, mg_count long, n_events long"
+    )
+    state_schema = "items array<string>, counts array<long>, n long"
+
+    def _fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        if state.exists:
+            items, counts, n = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, n = {}, 0
+        counters = _mg_fold(rows["item"], counters, capacity)
+        n += len(rows)
+        order = sorted(counters)
+        state.update((order, [counters[i] for i in order], n))
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "item": order,
+                "mg_count": [counters[i] for i in order],
+                "n_events": n,
+            }
+        )
+
+    normalized = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(item_col).cast("string").alias("item"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+    ).filter(F.col("key").isNotNull() & F.col("item").isNotNull())
+    return normalized.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

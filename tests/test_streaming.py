@@ -788,3 +788,108 @@ def test_streaming_cusum_matches_batch_across_microbatches(spark):
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_heavy_hitters_mg_fold_replay_and_guarantee(spark):
+    """Batch MG summary equals the Python fold replay in contract
+    order, and honors the classic guarantee: any item with true count
+    > n/(capacity+1) survives, each reported count within
+    [true - n/(cap+1), true]."""
+    from collections import Counter
+
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        _mg_fold,
+        heavy_hitters_mg,
+    )
+
+    items = (["a"] * 30 + ["b"] * 20 + ["c"] * 5
+             + [f"x{i}" for i in range(25)])
+    rows = [("k1", it, i) for i, it in enumerate(items)]
+    df = spark.createDataFrame(rows, "key string, item string, seq long")
+    cap = 4
+    got = {
+        r["item"]: (r["mg_count"], r["n_events"])
+        for r in heavy_hitters_mg(
+            df, "key", "item", capacity=cap, order_cols=["seq"]
+        ).collect()
+    }
+    replay = _mg_fold([it for _, it, _ in sorted(rows, key=lambda r: r[2])],
+                      {}, cap)
+    assert got == {k: (v, len(items)) for k, v in replay.items()}
+    true = Counter(items)
+    bound = len(items) / (cap + 1)
+    for it, c in true.items():
+        if c > bound:
+            assert it in got, f"guaranteed heavy hitter {it} missing"
+    for it, (mg, _) in got.items():
+        assert true[it] - bound <= mg <= true[it]
+
+
+def test_streaming_heavy_hitters_matches_batch_across_microbatches(spark):
+    """Two forced micro-batches; final streaming snapshot (max
+    n_events per key) equals the batch twin folded over all rows in
+    the same (ts, event_id) order."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        heavy_hitters_mg,
+    )
+    from python_etl_mailing_automation_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    early = [(f"k{j}", f"i{(i * (j + 2)) % 6}", t0 + timedelta(minutes=i), i)
+             for i in range(40) for j in (1, 2)]
+    late = [(f"k{j}", f"i{(i * (j + 1)) % 9}",
+             t0 + timedelta(minutes=100 + i), 100 + i)
+            for i in range(30) for j in (1, 2)]
+    schema = "key string, item string, ts timestamp, event_id long"
+    batch_df = spark.createDataFrame(early + late, schema)
+    expected = {
+        (r["key"], r["item"]): (r["mg_count"], r["n_events"])
+        for r in heavy_hitters_mg(
+            batch_df, "key", "item", capacity=3,
+            order_cols=["ts", "event_id"],
+        ).collect()
+    }
+    stage = tempfile.mkdtemp(prefix="mg_in_")
+    ckpt = tempfile.mkdtemp(prefix="mg_ck_")
+    try:
+        spark.createDataFrame(early, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "b0"))
+        time.sleep(1.1)
+        spark.createDataFrame(late, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "b1"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage + "/*")
+        )
+        q = (
+            streaming_heavy_hitters(stream, capacity=3)
+            .writeStream.format("memory").queryName("mg_stream")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        snaps = spark.sql("select * from mg_stream").collect()
+        last_n = {}
+        for r in snaps:
+            last_n[r["key"]] = max(last_n.get(r["key"], 0), r["n_events"])
+        got = {
+            (r["key"], r["item"]): (r["mg_count"], r["n_events"])
+            for r in snaps if r["n_events"] == last_n[r["key"]]
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
