@@ -3660,6 +3660,31 @@ def q_exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
     return exact_substr_spans(docs, min_len=8)
 
 
+def q_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test (datapipe/stats
+    .ks_two_sample): click vs view event values; integer max-CDF-gap
+    numerator via the bucketed prefix, one double division at emit."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        ks_two_sample,
+    )
+
+    ev = _t(spark, sf, "events")
+    return ks_two_sample(ev, "event_type", "value", "click", "view")
+
+
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Mann-Whitney U with midrank ties (datapipe/stats
+    .mann_whitney_u): rank-based click-vs-view drift; the doubled rank
+    sum is an exact integer off the same prefix machinery, z-score
+    with the standard tie correction in one fixed-order expression."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        mann_whitney_u,
+    )
+
+    ev = _t(spark, sf, "events")
+    return mann_whitney_u(ev, "event_type", "value", "click", "view")
+
+
 def q_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
     """Misra-Gries frequent-items summary per event type (datapipe/
     sketches.heavy_hitters_mg): capacity-8 counter tables over user
@@ -4719,6 +4744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square": q_chi_square,
         "anova_f": q_anova_f,
         "heavy_hitters_mg": q_heavy_hitters_mg,
+        "ks_two_sample": q_ks_two_sample,
+        "mann_whitney": q_mann_whitney,
         "attribution_join": q_attribution_join,
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,
@@ -7322,6 +7349,60 @@ def oracle_sql() -> dict[str, str]:
          (nr - 1) * (nc - 1) AS dof,
          CAST(sum(cg) AS DOUBLE) / 1073741824.0 AS chi2
   FROM cq_g GROUP BY t, nr, nc""",
+        # Exact two-sample KS: integer max CDF gap, one division.
+        "ks_two_sample": """
+  WITH ks_f AS (SELECT value AS v,
+                       CAST(event_type = 'click' AS HUGEINT) AS a,
+                       CAST(event_type = 'view' AS HUGEINT) AS b
+                FROM events
+                WHERE event_type IN ('click', 'view')
+                  AND value IS NOT NULL),
+  ks_v AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM ks_f GROUP BY 1),
+  ks_c AS (SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+           FROM ks_v
+           WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+  ks_t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM ks_v)
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+         CASE WHEN na > 0 AND nb > 0
+              THEN CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+                   / CAST(na * nb AS DOUBLE) END AS d
+  FROM ks_c CROSS JOIN ks_t GROUP BY na, nb""",
+        # Exact Mann-Whitney U: doubled midrank sum stays integer;
+        # fixed-order tie-corrected z at the end.
+        "mann_whitney": """
+  WITH mw_f AS (SELECT value AS v,
+                       CAST(event_type = 'click' AS HUGEINT) AS a,
+                       CAST(event_type = 'view' AS HUGEINT) AS b
+                FROM events
+                WHERE event_type IN ('click', 'view')
+                  AND value IS NOT NULL),
+  mw_v AS (SELECT v, sum(a) AS ca, sum(b) AS cb,
+                  sum(a) + sum(b) AS ct
+           FROM mw_f GROUP BY 1),
+  mw_c AS (SELECT v, ca, cb, ct, sum(ct) OVER w AS cumt
+           FROM mw_v
+           WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+  mw_a AS (SELECT sum(ca) AS na, sum(cb) AS nb,
+                  sum(ca * (2 * (cumt - ct) + ct + 1)) AS r2a,
+                  sum(ct * ct * ct - ct) AS ties
+           FROM mw_c)
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+         CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+         CASE WHEN na > 0 AND nb > 0 AND
+                   CAST(na * nb AS DOUBLE) / 12.0
+                   * (CAST(na + nb + 1 AS DOUBLE)
+                      - CAST(ties AS DOUBLE)
+                        / CAST((na + nb) * (na + nb - 1) AS DOUBLE)) > 0
+              THEN (CAST(r2a - na * (na + 1) AS DOUBLE)
+                    - CAST(na * nb AS DOUBLE))
+                   / (2.0 * sqrt(CAST(na * nb AS DOUBLE) / 12.0
+                      * (CAST(na + nb + 1 AS DOUBLE)
+                         - CAST(ties AS DOUBLE)
+                           / CAST((na + nb) * (na + nb - 1) AS DOUBLE))))
+         END AS z
+  FROM mw_a""",
         # One-way ANOVA F: exact per-group moments, HUGEINT floor
         # division mirrors the engine's decimal (a - a%b)/b.
         "anova_f": """

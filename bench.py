@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "chi_square",
     "anova_f",
     "heavy_hitters_mg",
+    "ks_two_sample",
+    "mann_whitney",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -1502,3 +1502,149 @@ def anova_f(
             ok, (ssb_g / (kd - 1.0)) / (ssw_g / (ndd - kd))
         ).alias("f"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, EXACTLY — the
+    distribution-drift test a pipeline runs between corpus versions or
+    between a sample and its source (did the value distribution of
+    group_a differ from group_b?).
+
+    D = max_v |F_a(v) − F_b(v)| is computed as an exact integer
+    maximum: per distinct value the two cumulative counts (via the
+    bucketed two-level prefix of :mod:`~.prefix` — no unpartitioned
+    window), then ``max |cum_a·n_b − cum_b·n_a|`` in DECIMAL(38,0);
+    the single double division by ``n_a·n_b`` happens once at the end,
+    so the statistic is bit-identical across engines and partitionings.
+
+    Output: one row — ``(n_a, n_b, d_num, d)`` with
+    ``d = d_num / (n_a·n_b)``; NULL d when either sample is empty.
+    Scale shape: one keyed aggregate on the value (map-side combined),
+    a bounded boundary sample, one partitioned prefix window, one max.
+    """
+    from .prefix import global_running_sums
+
+    flag_a = (F.col(group_col) == F.lit(group_a)).cast("long")
+    flag_b = (F.col(group_col) == F.lit(group_b)).cast("long")
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(F.col(value_col).alias("__v"), flag_a.alias("__a"), flag_b.alias("__b"))
+    per_v = base.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb")
+    )
+    run = global_running_sums(
+        per_v,
+        ["__v"],
+        {"__cuma": "__ca", "__cumb": "__cb"},
+        boundary_source=base.select(F.col("__v")),
+    )
+    tot = per_v.agg(
+        F.sum("__ca").cast("decimal(38,0)").alias("__na"),
+        F.sum("__cb").cast("decimal(38,0)").alias("__nb"),
+    )
+    dev = F.abs(
+        F.col("__cuma").cast("decimal(38,0)") * F.col("__nb")
+        - F.col("__cumb").cast("decimal(38,0)") * F.col("__na")
+    )
+    out = run.crossJoin(F.broadcast(tot)).groupBy("__na", "__nb").agg(
+        F.max(dev).alias("__dnum")
+    )
+    return out.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.col("__dnum").cast("long").alias("d_num"),
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            F.col("__dnum").cast("double")
+            / (F.col("__na") * F.col("__nb")).cast("double"),
+        ).alias("d"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) statistic with
+    midrank tie handling, EXACTLY — the rank-based drift test (robust
+    to outliers where :func:`ks_two_sample` tracks the whole CDF).
+
+    Ranks never materialize per row: per distinct value the midrank is
+    ``cum_before + (cnt+1)/2``, so the DOUBLED rank sum
+    ``2·R_a = Σ_v c_a(v) · (2·cum_before(v) + cnt(v) + 1)`` is an exact
+    integer from the same bucketed prefix as the KS statistic, and
+    ``2·U_a = 2·R_a − n_a(n_a+1)`` stays integer. The normal-
+    approximation z-score (with the standard tie correction) is
+    computed from exact integer moments with one fixed-order double
+    expression at the end.
+
+    Output: one row — ``(n_a, n_b, u2_a, u_a, z)``: ``u2_a`` the exact
+    doubled statistic (long), ``u_a`` its double half, ``z`` NULL when
+    a sample is empty or the tie-corrected variance is zero.
+    Scale shape: identical to :func:`ks_two_sample` — one value
+    aggregate, one bounded prefix, one fold.
+    """
+    from .prefix import global_running_sums
+
+    flag_a = (F.col(group_col) == F.lit(group_a)).cast("long")
+    flag_b = (F.col(group_col) == F.lit(group_b)).cast("long")
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(F.col(value_col).alias("__v"), flag_a.alias("__a"), flag_b.alias("__b"))
+    per_v = base.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb")
+    ).withColumn("__ct", F.col("__ca") + F.col("__cb"))
+    run = global_running_sums(
+        per_v,
+        ["__v"],
+        {"__cumt": "__ct"},
+        boundary_source=base.select(F.col("__v")),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # cum BEFORE this value = inclusive cum − own count.
+    r2 = 2 * (d(F.col("__cumt")) - d(F.col("__ct"))) + d(F.col("__ct")) + 1
+    agg = run.agg(
+        F.sum(d(F.col("__ca"))).alias("__na"),
+        F.sum(d(F.col("__cb"))).alias("__nb"),
+        F.sum(d(F.col("__ca")) * r2).alias("__2ra"),
+        # Tie correction term: Σ t³ − t over tied groups (t = __ct).
+        F.sum(
+            d(F.col("__ct")) * d(F.col("__ct")) * d(F.col("__ct"))
+            - d(F.col("__ct"))
+        ).alias("__ties"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    n = na + nb
+    u2 = (F.col("__2ra") - na * (na + 1)).cast("decimal(38,0)")
+    mean2 = (na * nb).cast("double")  # 2·E[U] = n_a·n_b
+    # Var[U] = n_a·n_b/12 · ((n+1) − ties/(n(n−1))); z from the doubled
+    # statistic: z = (2U − n_a·n_b) / (2·sqrt(Var)).
+    var = (
+        (na * nb).cast("double") / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("__ties").cast("double")
+            / (n * (n - 1)).cast("double")
+        )
+    )
+    ok = (na > 0) & (nb > 0) & (var > 0)
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        (u2.cast("double") / 2.0).alias("u_a"),
+        F.when(ok, (u2.cast("double") - mean2) / (2.0 * F.sqrt(var))).alias(
+            "z"
+        ),
+    )

@@ -4552,3 +4552,74 @@ class TestExactStatsFamily:
             a = fn(df.repartition(1)).collect()
             b = fn(df.repartition(19)).collect()
             assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestTwoSampleDrift:
+    def _df(self, spark, a_vals, b_vals):
+        rows = [("a", float(v)) for v in a_vals] + [
+            ("b", float(v)) for v in b_vals
+        ]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    def test_ks_matches_brute(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            ks_two_sample,
+        )
+
+        a = [1, 2, 2, 3, 5, 8, 8, 9]
+        b = [2, 3, 3, 4, 4, 7, 9, 9, 10]
+        out = ks_two_sample(
+            self._df(spark, a, b), "g", "v", "a", "b"
+        ).collect()[0]
+        vals = sorted(set(a) | set(b))
+        brute = max(
+            abs(sum(1 for x in a if x <= v) * len(b)
+                - sum(1 for x in b if x <= v) * len(a))
+            for v in vals
+        )
+        assert (out["n_a"], out["n_b"], out["d_num"]) == (8, 9, brute)
+        assert abs(out["d"] - brute / (8 * 9)) < 1e-15
+
+    def test_mann_whitney_matches_brute(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            mann_whitney_u,
+        )
+
+        a = [1, 2, 2, 3, 5, 8, 8, 9]
+        b = [2, 3, 3, 4, 4, 7, 9, 9, 10]
+        out = mann_whitney_u(
+            self._df(spark, a, b), "g", "v", "a", "b"
+        ).collect()[0]
+        # Midrank brute force.
+        allv = sorted(a + b)
+        ranks = {}
+        i = 0
+        while i < len(allv):
+            j = i
+            while j < len(allv) and allv[j] == allv[i]:
+                j += 1
+            ranks[allv[i]] = (i + 1 + j) / 2
+            i = j
+        ra = sum(ranks[x] for x in a)
+        u_a = ra - len(a) * (len(a) + 1) / 2
+        assert out["u2_a"] == int(2 * u_a)
+        assert abs(out["u_a"] - u_a) < 1e-12
+        # u_a + u_b == n_a * n_b (the classic identity, via group swap).
+        out_b = mann_whitney_u(
+            self._df(spark, a, b), "g", "v", "b", "a"
+        ).collect()[0]
+        assert out["u2_a"] + out_b["u2_a"] == 2 * len(a) * len(b)
+
+    def test_drift_partition_invariant(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            ks_two_sample,
+            mann_whitney_u,
+        )
+
+        rows = [("a" if i % 3 else "b", float((i * 7) % 23))
+                for i in range(500)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        for fn in (ks_two_sample, mann_whitney_u):
+            x = fn(df.repartition(1), "g", "v", "a", "b").collect()
+            y = fn(df.repartition(19), "g", "v", "a", "b").collect()
+            assert sorted(map(tuple, x)) == sorted(map(tuple, y))
