@@ -3660,6 +3660,44 @@ def q_exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
     return exact_substr_spans(docs, min_len=8)
 
 
+def q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust trend: Theil-Sen median pairwise slope (datapipe/stats
+    .theil_sen) of order value on order age over a content-addressed
+    64-row sample — all-pairs only on the bounded sample, medians by
+    sorted-array index, floats only at the slope divisions."""
+    from python_etl_mailing_automation_spark.datapipe.stats import theil_sen
+
+    o = _t(spark, sf, "orders")
+    feats = o.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("age_days"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    return theil_sen(feats, "age_days", "price_cents", n_sample=64)
+
+
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap CI for the mean order value (datapipe/stats
+    .bootstrap_ci): 64 one-pass replicas, md5-derived Poisson(1)
+    weights against fixed integer thresholds (no engine exp() in the
+    loop), exact-integer replica means, nearest-rank CI bounds."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        bootstrap_ci,
+    )
+
+    o = _t(spark, sf, "orders")
+    feats = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    return bootstrap_ci(feats, "o_orderkey", "price_cents", n_boot=64)
+
+
 def q_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift test (datapipe/stats
     .ks_two_sample): click vs view event values; integer max-CDF-gap
@@ -4746,6 +4784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_mg": q_heavy_hitters_mg,
         "ks_two_sample": q_ks_two_sample,
         "mann_whitney": q_mann_whitney,
+        "theil_sen": q_theil_sen,
+        "bootstrap_ci": q_bootstrap_ci,
         "attribution_join": q_attribution_join,
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,
@@ -7349,6 +7389,85 @@ def oracle_sql() -> dict[str, str]:
          (nr - 1) * (nc - 1) AS dof,
          CAST(sum(cg) AS DOUBLE) / 1073741824.0 AS chi2
   FROM cq_g GROUP BY t, nr, nc""",
+        # Theil-Sen: content-addressed 64-row sample, bounded all-pairs,
+        # index medians (floor() on both engines — CAST rounds in
+        # DuckDB, truncates in Spark, so floor is the shared form).
+        "theil_sen": """
+  WITH th_f AS (SELECT
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+              AS HUGEINT) AS x,
+         CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS y
+       FROM orders),
+  th_h AS (SELECT x, y,
+                  md5(CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR)) AS h
+           FROM th_f),
+  th_s AS (SELECT x, y, h FROM th_h ORDER BY h, x, y LIMIT 64),
+  th_p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+           FROM th_s a JOIN th_s b
+             ON (a.h < b.h OR (a.h = b.h AND (a.x < b.x
+                 OR (a.x = b.x AND a.y < b.y))))
+           WHERE a.x != b.x),
+  th_sl AS (SELECT CAST(yb - ya AS DOUBLE) / CAST(xb - xa AS DOUBLE) AS s
+            FROM th_p),
+  th_m AS (SELECT list_sort(list(s)) AS arr, count(*) AS np FROM th_sl),
+  th_sm AS (SELECT np,
+              CASE WHEN len(arr) > 0 THEN
+                (arr[CAST(floor((len(arr) + 1) / 2) AS INT)]
+                 + arr[CAST(floor(len(arr) / 2 + 1) AS INT)]) / 2.0
+              END AS slope
+            FROM th_m),
+  th_r AS (SELECT np, slope,
+                  CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE) AS r
+           FROM th_s CROSS JOIN th_sm),
+  th_o AS (SELECT np, slope, count(*) AS nu, list_sort(list(r)) AS rs
+           FROM th_r GROUP BY np, slope)
+  SELECT CAST(nu AS BIGINT) AS n_used, CAST(np AS BIGINT) AS n_pairs,
+         slope,
+         CASE WHEN len(rs) > 0 THEN
+           (rs[CAST(floor((len(rs) + 1) / 2) AS INT)]
+            + rs[CAST(floor(len(rs) / 2 + 1) AS INT)]) / 2.0
+         END AS intercept
+  FROM th_o""",
+        # Poisson bootstrap: identical md5-uniform draws against the
+        # same fixed integer thresholds; exact-integer replica means.
+        "bootstrap_ci": """
+  WITH bc_f AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                       CAST(floor(o_totalprice * 100 + 0.5)
+                            AS HUGEINT) AS v
+                FROM orders),
+  bc_r AS (SELECT id, v, b
+           FROM bc_f, unnest(generate_series(0, 63)) AS u(b)),
+  bc_u AS (SELECT v, b,
+                  CAST('0x' || substr(md5(id || '|'
+                       || CAST(b AS VARCHAR) || '|boot'), 1, 15)
+                       AS BIGINT) AS u
+           FROM bc_r),
+  bc_w AS (SELECT b, v,
+             CAST(u >= 424136118829305329 AS HUGEINT)
+             + CAST(u >= 848272237658610659 AS HUGEINT)
+             + CAST(u >= 1060340297073263324 AS HUGEINT)
+             + CAST(u >= 1131029650211480879 AS HUGEINT)
+             + CAST(u >= 1148701988496035267 AS HUGEINT)
+             + CAST(u >= 1152236456152946145 AS HUGEINT)
+             + CAST(u >= 1152825534095764625 AS HUGEINT)
+             + CAST(u >= 1152909688087595836 AS HUGEINT) AS w
+           FROM bc_u),
+  bc_m AS (SELECT b, sum(w * v) AS swv, sum(w) AS sw
+           FROM bc_w GROUP BY b HAVING sum(w) > 0),
+  bc_mm AS (SELECT CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+            FROM bc_m),
+  bc_p AS (SELECT list_sort(list(m)) AS ms, count(*) AS bu FROM bc_mm),
+  bc_t AS (SELECT count(*) AS n, sum(v) AS sv FROM bc_f)
+  SELECT CAST(n AS BIGINT) AS n_rows, CAST(bu AS BIGINT) AS n_boot_used,
+         CASE WHEN n > 0
+              THEN CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) END AS mean,
+         CASE WHEN bu > 0 THEN ms[CAST(floor(
+              CAST(bu - 1 AS DOUBLE) * 25 / 1000) AS INT) + 1]
+         END AS ci_lo,
+         CASE WHEN bu > 0 THEN ms[CAST(floor(
+              CAST(bu - 1 AS DOUBLE) * 975 / 1000) AS INT) + 1]
+         END AS ci_hi
+  FROM bc_p CROSS JOIN bc_t""",
         # Exact two-sample KS: integer max CDF gap, one division.
         "ks_two_sample": """
   WITH ks_f AS (SELECT value AS v,

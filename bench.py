@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -256,6 +257,8 @@ BENCH_QUERIES = [
     "heavy_hitters_mg",
     "ks_two_sample",
     "mann_whitney",
+    "theil_sen",
+    "bootstrap_ci",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -393,10 +396,26 @@ def environment_probe() -> dict:
             pid, ppid, args = int(parts[0]), int(parts[1]), parts[2]
             if pid == me or ppid == me:
                 continue
-            if any(
-                m in args
-                for m in ("java", "pytest", "SparkSubmit", "check_parity")
-            ) and "ps -eo" not in args:
+            # The resident orchestration harness ("claude -p ... <prompt>")
+            # embeds words like "pytest" inside its PROMPT text, so a
+            # substring match over full args flags a process that is
+            # always present and always idle-waiting (the round-9 false
+            # positive: an idle-machine run stamped contaminated).
+            # Match the EXECUTABLE and runner tokens instead.
+            if "claude -p" in args or "ps -eo" in args:
+                continue
+            head = os.path.basename(args.split()[0])
+            busy = (
+                head.startswith("java")
+                or head in ("spark-submit", "spark-class")
+                or head == "pytest"
+                or re.search(r"(^|/)pytest(\s|$)|-m pytest(\s|$)", args)
+                is not None
+                or "SparkSubmit" in args.split()
+                or "check_parity.py" in args
+                or re.search(r"(^|/|\s)bench\.py(\s|$)", args) is not None
+            )
+            if busy:
                 probe["other_procs"].append(args[:120])
     except Exception:  # noqa: BLE001 - the probe must never kill the bench
         pass

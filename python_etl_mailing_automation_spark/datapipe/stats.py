@@ -1648,3 +1648,229 @@ def mann_whitney_u(
             "z"
         ),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    n_sample: int = 64,
+) -> DataFrame:
+    """Theil-Sen robust trend estimate: the median pairwise slope over
+    a deterministic content-addressed sample — the outlier-immune
+    sibling of :func:`group_ols` (one corrupted batch of rows moves an
+    OLS slope arbitrarily; the median slope needs >50% corruption).
+
+    The classic estimator is all-pairs O(n²); the distributed form
+    subsamples: the ``n_sample`` rows with the smallest
+    ``md5(x|y)`` (a pure function of the data — same rows on any
+    cluster, any partitioning; duplicates of an (x,y) pair are
+    interchangeable so tie order cannot change the multiset), then all
+    pairs of THAT sample (bounded: n_sample² rows), slope per pair as
+    ONE exact-integer-to-double division, median by sorted-array index
+    on the bounded slope list. Intercept = median of ``y − slope·x``
+    over the sample, same discipline. Even-count medians average the
+    two central elements (one fixed-order add + halve).
+
+    Output: one row — ``(n_used, n_pairs, slope, intercept)``; NULL
+    slope when every sampled x is identical.
+    Scale shape: one distributed top-k (TakeOrderedAndProject — never a
+    global sort) + algebra on a bounded frame.
+    """
+    xi = F.col(x_col).cast("decimal(38,0)")
+    yi = F.col(y_col).cast("decimal(38,0)")
+    sample = (
+        df.select(
+            xi.alias("__x"),
+            yi.alias("__y"),
+            F.md5(
+                F.concat_ws("|", xi.cast("string"), yi.cast("string"))
+            ).alias("__h"),
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .orderBy("__h", "__x", "__y")
+        .limit(n_sample)
+    )
+    a = sample.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya"),
+        F.col("__h").alias("__ha"),
+    )
+    b = sample.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb"),
+        F.col("__h").alias("__hb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__ha") < F.col("__hb"))
+        | (
+            (F.col("__ha") == F.col("__hb"))
+            & (
+                (F.col("__xa") < F.col("__xb"))
+                | ((F.col("__xa") == F.col("__xb")) & (F.col("__ya") < F.col("__yb")))
+            )
+        ),
+    ).filter(F.col("__xa") != F.col("__xb"))
+    slopes = pairs.select(
+        (
+            (F.col("__yb") - F.col("__ya")).cast("double")
+            / (F.col("__xb") - F.col("__xa")).cast("double")
+        ).alias("__s")
+    )
+
+    def med(arr):
+        # Explicit floor on both indices: Spark's int cast truncates but
+        # DuckDB's rounds — floor() is the formulation both agree on.
+        m = F.size(arr)
+        lo = F.element_at(arr, F.floor((m + 1) / 2).cast("int"))
+        hi = F.element_at(arr, F.floor(m / 2 + 1).cast("int"))
+        return F.when(m > 0, (lo + hi) / 2.0)
+
+    srow = slopes.agg(
+        F.sort_array(F.collect_list("__s")).alias("__arr"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    ).select("n_pairs", med(F.col("__arr")).alias("slope"))
+    resid = sample.crossJoin(F.broadcast(srow)).select(
+        "n_pairs",
+        "slope",
+        (
+            F.col("__y").cast("double")
+            - F.col("slope") * F.col("__x").cast("double")
+        ).alias("__r"),
+    )
+    out = resid.groupBy("n_pairs", "slope").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sort_array(F.collect_list("__r")).alias("__rs"),
+    )
+    return out.select(
+        F.col("n_used").cast("long").alias("n_used"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "slope",
+        med(F.col("__rs")).alias("intercept"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds on the 2^60 grid: t_k =
+# floor(CDF(k) * 2^60), computed once at 50-digit precision. The
+# bootstrap weight is the count of thresholds <= u for a 60-bit
+# md5-uniform u (clamped at 8; the clamped tail mass is ~1e-5 of the
+# range and is part of the operator's contract, not an approximation
+# the caller can hit by accident). IDENTICAL literals on the oracle
+# side — cross-engine parity never depends on either engine's exp().
+_POISSON1_T60 = [
+    424136118829305329,
+    848272237658610659,
+    1060340297073263324,
+    1131029650211480879,
+    1148701988496035267,
+    1152236456152946145,
+    1152825534095764625,
+    1152909688087595836,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    n_boot: int = 64,
+    q_lo_num: int = 25,
+    q_hi_num: int = 975,
+    q_den: int = 1000,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of an
+    INTEGER-valued column — the resampling scheme that works in one
+    distributed pass (each row draws an independent Poisson(1) weight
+    per replica, so no replica ever needs the global row count up
+    front; the standard trick for bootstrap-at-scale).
+
+    Determinism: replica weights come from a 60-bit md5 of
+    ``(id, replica)`` against fixed integer thresholds
+    (``_POISSON1_T60``) — a pure function of the data, identical in
+    the oracle. Replica means are exact-integer ratios (Σwx, Σw in
+    DECIMAL(38,0)) divided once; the CI bounds are order statistics of
+    the bounded replica-mean list at nearest-rank index
+    ``floor(q·(B_used−1))+1`` (no interpolation — documented
+    contract). Replicas whose total weight is 0 are dropped (possible
+    only for tiny inputs; ``n_boot_used`` reports it).
+
+    Output: one row — ``(n_rows, n_boot_used, mean, ci_lo, ci_hi)``.
+    Scale shape: the replica explode is a ×``n_boot`` row
+    amplification feeding a two-level aggregate (salted partials, then
+    one row per replica — replica count stays the parallelism floor,
+    so the salt level is what keeps 1000 executors busy); everything
+    after is algebra on ``n_boot`` rows.
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    base = df.select(
+        F.col(id_col).cast("string").alias("__id"), v.alias("__v")
+    ).filter(F.col("__id").isNotNull() & F.col("__v").isNotNull())
+    reps = base.select(
+        "__id",
+        "__v",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+        ).alias("__b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("__id"), F.col("__b").cast("string"), F.lit("boot"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = None
+    for t in _POISSON1_T60:
+        term = (u >= F.lit(t)).cast("long")
+        w = term if w is None else w + term
+    weighted = reps.select(
+        "__b",
+        (F.pmod(F.xxhash64("__id"), F.lit(32))).alias("__salt"),
+        (w.cast("decimal(38,0)") * F.col("__v")).alias("__wv"),
+        w.cast("decimal(38,0)").alias("__w"),
+    )
+    partial = weighted.groupBy("__b", "__salt").agg(
+        F.sum("__wv").alias("__pwv"), F.sum("__w").alias("__pw")
+    )
+    per_rep = partial.groupBy("__b").agg(
+        F.sum("__pwv").alias("__swv"), F.sum("__pw").alias("__sw")
+    ).filter(F.col("__sw") > 0)
+    means = per_rep.select(
+        (F.col("__swv").cast("double") / F.col("__sw").cast("double")).alias(
+            "__m"
+        )
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__v").alias("__sv"),
+    )
+    packed = means.agg(
+        F.sort_array(F.collect_list("__m")).alias("__ms"),
+        F.count(F.lit(1)).alias("n_boot_used"),
+    )
+
+    def at_q(arr, used, num, den):
+        idx = F.floor(
+            (used - 1).cast("double") * F.lit(num) / F.lit(den)
+        ).cast("int") + 1
+        return F.element_at(arr, idx)
+
+    return packed.crossJoin(F.broadcast(tot)).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_boot_used").cast("long").alias("n_boot_used"),
+        F.when(
+            F.col("n_rows") > 0,
+            F.col("__sv").cast("double") / F.col("n_rows").cast("double"),
+        ).alias("mean"),
+        F.when(
+            F.col("n_boot_used") > 0,
+            at_q(F.col("__ms"), F.col("n_boot_used"), q_lo_num, q_den),
+        ).alias("ci_lo"),
+        F.when(
+            F.col("n_boot_used") > 0,
+            at_q(F.col("__ms"), F.col("n_boot_used"), q_hi_num, q_den),
+        ).alias("ci_hi"),
+    )

@@ -4623,3 +4623,86 @@ class TestTwoSampleDrift:
             x = fn(df.repartition(1), "g", "v", "a", "b").collect()
             y = fn(df.repartition(19), "g", "v", "a", "b").collect()
             assert sorted(map(tuple, x)) == sorted(map(tuple, y))
+
+
+class TestRobustAndBootstrap:
+    def test_theil_sen_recovers_clean_trend(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            theil_sen,
+        )
+
+        # Exact line y = 3x + 7 with two gross outliers: the median
+        # slope must stay exactly 3 (OLS would not).
+        rows = [(i, 3 * i + 7) for i in range(40)] + [(100, -5000),
+                                                      (101, 9000)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        out = theil_sen(df, "x", "y", n_sample=42).collect()[0]
+        assert out["n_used"] == 42
+        assert abs(out["slope"] - 3.0) < 1e-12
+        assert abs(out["intercept"] - 7.0) < 1e-9
+
+    def test_theil_sen_constant_x_gives_null(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            theil_sen,
+        )
+
+        df = spark.createDataFrame(
+            [(5, i) for i in range(10)], "x long, y long"
+        )
+        out = theil_sen(df, "x", "y").collect()[0]
+        assert out["n_pairs"] == 0 and out["slope"] is None
+
+    def test_theil_sen_partition_invariant(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            theil_sen,
+        )
+
+        rows = [((i * 13) % 101, (i * 7) % 89) for i in range(500)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        a = theil_sen(df.repartition(1), "x", "y").collect()
+        b = theil_sen(df.repartition(23), "x", "y").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_bootstrap_ci_brackets_mean_and_replays(self, spark):
+        import hashlib
+
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            _POISSON1_T60,
+            bootstrap_ci,
+        )
+
+        rows = [(str(i), 50 + (i * 17) % 25) for i in range(400)]
+        df = spark.createDataFrame(rows, "id string, v long")
+        out = bootstrap_ci(df, "id", "v", n_boot=32).collect()[0]
+        true_mean = sum(v for _, v in rows) / len(rows)
+        assert out["n_rows"] == 400
+        assert abs(out["mean"] - true_mean) < 1e-12
+        assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
+        # Python replay of replica 0's exact mean.
+        swv = sw = 0
+        for rid, v in rows:
+            u = int(hashlib.md5(f"{rid}|0|boot".encode()).hexdigest()[:15],
+                    16)
+            w = sum(1 for t in _POISSON1_T60 if u >= t)
+            swv += w * v
+            sw += w
+        assert sw > 0
+        # With n_boot=1 the CI degenerates to replica 0's exact mean —
+        # direct equality against the Python md5/threshold replay.
+        one = bootstrap_ci(df, "id", "v", n_boot=1).collect()[0]
+        assert one["n_boot_used"] == 1
+        assert one["ci_lo"] == one["ci_hi"] == swv / sw
+        # And the operator is a pure function of its input.
+        again = bootstrap_ci(df, "id", "v", n_boot=32).collect()[0]
+        assert tuple(out) == tuple(again)
+
+    def test_bootstrap_ci_partition_invariant(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            bootstrap_ci,
+        )
+
+        rows = [(str(i), (i * 31) % 97) for i in range(300)]
+        df = spark.createDataFrame(rows, "id string, v long")
+        a = bootstrap_ci(df.repartition(1), "id", "v").collect()
+        b = bootstrap_ci(df.repartition(13), "id", "v").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

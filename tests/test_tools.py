@@ -104,3 +104,37 @@ def test_bench_environment_probe_shape(monkeypatch):
     # Force the load signal.
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (999.0, 0.0, 0.0))
     assert bench.environment_probe()["contaminated"] is True
+
+
+def test_bench_probe_ignores_harness_but_flags_runners(monkeypatch):
+    """Round-9 false positive: the resident orchestration harness's
+    command line EMBEDS words like 'pytest' in its prompt text — the
+    probe must skip it, while still flagging real java/pytest/bench
+    processes by executable token."""
+    import subprocess
+
+    import bench
+
+    def fake_ps(lines):
+        class R:
+            stdout = "\n".join(lines)
+
+        return lambda *a, **k: R()
+
+    harness = (
+        "9999 1 /bin/sh -c bash -c 'claude -p "
+        "--output-format stream-json ... keep pytest green ...'"
+    )
+    monkeypatch.setattr(subprocess, "run", fake_ps([harness]))
+    assert bench.environment_probe()["contaminated"] is False
+
+    for busy in (
+        "9999 1 /usr/lib/jvm/bin/java -cp x org.apache.spark.deploy.SparkSubmit",
+        "9999 1 python -m pytest tests/ -x -q",
+        "9999 1 /opt/conda/bin/pytest tests",
+        "9999 1 python tools/check_parity.py --only foo",
+        "9999 1 python bench.py",
+    ):
+        monkeypatch.setattr(subprocess, "run", fake_ps([busy]))
+        probe = bench.environment_probe()
+        assert probe["contaminated"] is True, busy
