@@ -3660,6 +3660,42 @@ def q_exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
     return exact_substr_spans(docs, min_len=8)
 
 
+def q_cross_corpus_substr(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring decontamination at suffix granularity (datapipe/
+    suffix.cross_corpus_substr): spans of held-in documents whose
+    8-token windows also occur in the src1 pseudo-heldout — rank
+    equality over the UNION decides cross-corpus identity, no hash, no
+    train-x-test join."""
+    from python_etl_mailing_automation_spark.datapipe.suffix import (
+        cross_corpus_substr,
+    )
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("source") != "src1")
+    test = docs.filter(F.col("source") == "src1")
+    return cross_corpus_substr(train, test, min_len=8)
+
+
+def q_rrf_fuse(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (datapipe/text.rrf_fuse, dense-rank
+    variant): char-count and token-count signals fused by
+    1/(60+rank) + 1/(60+rank), global ranks via the bucketed prefix,
+    deterministic top-20."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        rrf_fuse,
+        tokens_of,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars_s"),
+        F.size(tokens_of("text")).cast("double").alias("n_tokens_s"),
+    )
+    return rrf_fuse(
+        docs, ["n_chars_s", "n_tokens_s"], id_col="doc_id", k=60, top=20
+    )
+
+
 def q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
     """Robust trend: Theil-Sen median pairwise slope (datapipe/stats
     .theil_sen) of order value on order age over a content-addressed
@@ -4786,6 +4822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "theil_sen": q_theil_sen,
         "bootstrap_ci": q_bootstrap_ci,
+        "cross_corpus_substr": q_cross_corpus_substr,
+        "rrf_fuse": q_rrf_fuse,
         "attribution_join": q_attribution_join,
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,
@@ -9470,6 +9508,54 @@ def oracle_sql() -> dict[str, str]:
          CAST(max(pos) + 7 AS BIGINT) AS span_end,
          CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
   FROM ess_i GROUP BY doc_id, isl""",
+        # Cross-corpus decontamination: exact 8-token window identity
+        # between the held-in docs and the src1 pseudo-heldout, islands
+        # merged per train doc.
+        "cross_corpus_substr": f"""
+  WITH ccs_tr AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                  WHERE source != 'src1'),
+  ccs_te AS (SELECT {_TOKS} AS toks FROM documents
+             WHERE source = 'src1'),
+  ccs_tw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i:i+7] AS key
+             FROM ccs_tr, unnest(CASE WHEN len(toks) >= 8
+                  THEN generate_series(1, len(toks) - 7) ELSE [] END)
+                  AS u(i)),
+  ccs_ew AS (SELECT DISTINCT toks[i:i+7] AS key
+             FROM ccs_te, unnest(CASE WHEN len(toks) >= 8
+                  THEN generate_series(1, len(toks) - 7) ELSE [] END)
+                  AS u(i)),
+  ccs_s AS (SELECT doc_id, pos FROM ccs_tw JOIN ccs_ew USING (key)),
+  ccs_g AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) <= 8
+                        THEN 0 ELSE 1 END AS brk
+            FROM ccs_s),
+  ccs_i AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+            FROM ccs_g)
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 7 AS BIGINT) AS span_end,
+         CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+  FROM ccs_i GROUP BY doc_id, isl""",
+        # Dense-rank RRF: the oracle affords a global window at gate
+        # scale; the engine builds the same dense ranks via the
+        # bucketed prefix.
+        "rrf_fuse": f"""
+  WITH rrf_f AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS s1,
+                        CAST(len({_TOKS}) AS DOUBLE) AS s2
+                 FROM documents),
+  rrf_r AS (SELECT doc_id,
+              CAST(dense_rank() OVER (ORDER BY -s1) AS BIGINT)
+                AS rank_n_chars_s,
+              CAST(dense_rank() OVER (ORDER BY -s2) AS BIGINT)
+                AS rank_n_tokens_s
+            FROM rrf_f)
+  SELECT doc_id, rank_n_chars_s, rank_n_tokens_s,
+         1.0 / (60.0 + CAST(rank_n_chars_s AS DOUBLE))
+         + 1.0 / (60.0 + CAST(rank_n_tokens_s AS DOUBLE)) AS rrf_score
+  FROM rrf_r ORDER BY rrf_score DESC, doc_id LIMIT 20""",
         # Longest duplicated run: brute per-length window counts (the
         # oracle can afford a pass per length at gate scale); the engine
         # answers every length from ONE prefix-doubling rank structure.

@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "mann_whitney",
     "theil_sen",
     "bootstrap_ci",
+    "cross_corpus_substr",
+    "rrf_fuse",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -389,12 +391,29 @@ def environment_probe() -> dict:
             text=True,
             timeout=10,
         ).stdout
+        rows = []
+        parent_of: dict[int, int] = {}
         for line in out.splitlines():
             parts = line.split(None, 2)
             if len(parts) < 3:
                 continue
             pid, ppid, args = int(parts[0]), int(parts[1]), parts[2]
-            if pid == me or ppid == me:
+            parent_of[pid] = ppid
+            rows.append((pid, ppid, args))
+        # Our own ANCESTRY is part of this measurement, not contention:
+        # the shell that launched `python bench.py | tail` carries
+        # "bench.py" in its args and was the round-9 second false
+        # positive. Walk the ppid chain and exempt it.
+        ancestors = set()
+        cur = me
+        for _ in range(64):
+            ancestors.add(cur)
+            nxt = parent_of.get(cur)
+            if nxt is None or nxt in ancestors:
+                break
+            cur = nxt
+        for pid, ppid, args in rows:
+            if pid in ancestors or ppid == me:
                 continue
             # The resident orchestration harness ("claude -p ... <prompt>")
             # embeds words like "pytest" inside its PROMPT text, so a

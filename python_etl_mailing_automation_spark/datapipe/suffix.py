@@ -421,3 +421,100 @@ def longest_dup_run(
         .cast("long")
         .alias("n_at_max"),
     )
+
+
+def cross_corpus_substr(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring DECONTAMINATION at suffix granularity — the use
+    Lee et al. 2022 put the suffix array to: find every maximal span of
+    a TRAIN document whose ``min_len``-token window also occurs in the
+    TEST corpus (benchmark leakage), so it can be excised before
+    training. The shingle-hash variant lives in
+    :mod:`~.contamination`; this is its exact, collision-free sibling
+    on the prefix-doubling rank tables.
+
+    Construction: union the corpora under a surrogate key
+    ``doc_id * 2 + tag`` (tag 1 = test; collision-free for any
+    non-negative ids), rank depth-``min_len`` windows once over the
+    UNION — equal rank <=> identical window, across corpora — then keep
+    the ranks that have at least one full-window TEST position, and
+    merge the TRAIN positions holding those ranks into maximal spans
+    (gaps-and-islands per train document). A train span whose twin
+    exists only in train (ordinary self-duplication) does NOT match —
+    the predicate is presence in test.
+
+    Output: ``(id_col, span_start, span_end, span_tokens)`` over train
+    documents, 1-based inclusive token positions.
+
+    Scale shape: identical to :func:`exact_substr_spans` (log-depth
+    doubling over the unioned position table, one groupBy on the rank,
+    per-document island windows) — decontamination costs ONE extra
+    boolean aggregate over the rank groups, not a join of train
+    against test.
+    """
+    t0 = train.select(
+        (F.col(id_col).cast("long") * 2).alias("__uid"),
+        F.col(text_col).alias("__text"),
+    )
+    t1 = test.select(
+        (F.col(id_col).cast("long") * 2 + 1).alias("__uid"),
+        F.col(text_col).alias("__text"),
+    )
+    union = t0.unionByName(t1)
+    ranks = suffix_ranks(
+        union, depth=min_len, id_col="__uid", text_col="__text"
+    )
+    n_tok = _positions(union, "__uid", "__text").select(
+        "__uid", "pos", "__n"
+    )
+    full = _materialize(
+        ranks.join(n_tok, on=["__uid", "pos"]).filter(
+            F.col("__n") - F.col("pos") + 1 >= min_len
+        )
+    )
+    tainted = (
+        full.groupBy("rank")
+        .agg(
+            F.max((F.col("__uid") % 2 == 1).cast("int")).alias("__in_test")
+        )
+        .filter(F.col("__in_test") == 1)
+        .select("rank")
+    )
+    starts = (
+        full.filter(F.col("__uid") % 2 == 0)
+        .join(tainted, on="rank")
+        .select(
+            (F.col("__uid") / 2).cast("long").alias(id_col), "pos"
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        starts.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > min_len),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (min_len - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + min_len).cast("long").alias(
+            "span_tokens"
+        ),
+    ).drop("__isl")

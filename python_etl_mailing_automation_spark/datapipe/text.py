@@ -981,3 +981,52 @@ def dictionary_phrase_matches(
             "first_pos",
         )
     )
+
+
+def rrf_fuse(
+    df: DataFrame,
+    score_cols: list[str],
+    *,
+    id_col: str = "doc_id",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple ranking signals (Cormack et
+    al. 2009): ``rrf = Σ_j 1/(k + rank_j)`` — the standard way to
+    combine retrieval/quality scores whose SCALES don't compare (BM25
+    vs embedding cosine vs quality heuristics) but whose RANKS do.
+    Dense-rank variant: ties share a rank, so the fusion is a pure
+    function of the score multiset (no arbitrary ordinal tie-break
+    enters the result).
+
+    Each signal's global descending dense rank is computed via the
+    bucketed two-level prefix (:mod:`~.prefix` — never an
+    unpartitioned window over the corpus); the fused score sums the
+    ``len(score_cols)`` reciprocal terms in WRITTEN order (a fixed,
+    data-independent float expression — deterministic). Output: the
+    ``top`` rows by (rrf_score DESC, id) — a distributed top-k
+    (TakeOrderedAndProject) — with each signal's rank kept for
+    transparency: ``(id_col, rank_<col>..., rrf_score)``.
+
+    Scale shape: one distinct + prefix per signal (signal count is
+    small and fixed), equi-join-backs on the score value, one top-k.
+    """
+    from .suffix import _dense_rank_of
+
+    out = df.select(id_col, *score_cols)
+    rank_cols = []
+    for c in score_cols:
+        neg = F.negate(F.col(c).cast("double")).alias(f"__neg_{c}")
+        keyed = out.select("*", neg)
+        ranks = _dense_rank_of(keyed, [f"__neg_{c}"], f"rank_{c}")
+        out = keyed.join(ranks, on=f"__neg_{c}").drop(f"__neg_{c}")
+        rank_cols.append(f"rank_{c}")
+    fused = None
+    for rc in rank_cols:
+        term = F.lit(1.0) / (F.lit(float(k)) + F.col(rc).cast("double"))
+        fused = term if fused is None else fused + term
+    return (
+        out.select(id_col, *rank_cols, fused.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top)
+    )

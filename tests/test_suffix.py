@@ -147,3 +147,53 @@ def test_longest_dup_run_matches_brute(spark):
             for r in longest_dup_run(df, max_len=max_len).collect()
         }
         assert got == _brute_longest(rows, max_len), f"max_len={max_len}"
+
+
+def test_cross_corpus_substr_flags_only_test_overlap(spark):
+    from python_etl_mailing_automation_spark.datapipe.suffix import (
+        cross_corpus_substr,
+    )
+
+    leak = " ".join(f"q{i}" for i in range(9))       # 9-token leaked run
+    selfdup = " ".join(f"s{i}" for i in range(8))    # train-only dup
+    train = spark.createDataFrame(
+        [
+            (1, leak + " filler one two"),
+            (2, selfdup + " pad " + selfdup),        # self-dup, no leak
+            (3, "totally unrelated text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(7, "prefix " + leak + " suffix")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in cross_corpus_substr(train, test, min_len=8).collect()
+    }
+    # Doc 1: windows at pos 1 and 2 both occur in test -> one span 1..9.
+    # Doc 2's self-duplication must NOT appear (not in test).
+    assert out == {(1, 1, 9, 9)}
+
+
+def test_rrf_fuse_matches_manual(spark):
+    from python_etl_mailing_automation_spark.datapipe.text import rrf_fuse
+
+    rows = [(1, 10.0, 1.0), (2, 20.0, 2.0), (3, 20.0, 3.0), (4, 5.0, 9.0)]
+    df = spark.createDataFrame(rows, "doc_id long, s1 double, s2 double")
+    out = rrf_fuse(df, ["s1", "s2"], id_col="doc_id", k=60, top=4).collect()
+    # Dense ranks desc: s1: 20->1 (docs 2,3), 10->2, 5->3;
+    #                   s2: 9->1, 3->2, 2->3, 1->4.
+    expect = {
+        1: (2, 4), 2: (1, 3), 3: (1, 2), 4: (3, 1),
+    }
+    got = {r["doc_id"]: (r["rank_s1"], r["rank_s2"]) for r in out}
+    assert got == expect
+    for r in out:
+        assert abs(
+            r["rrf_score"]
+            - (1.0 / (60 + r["rank_s1"]) + 1.0 / (60 + r["rank_s2"]))
+        ) < 1e-15
+    # Order: fused desc with id tiebreak.
+    scores = [(r["rrf_score"], r["doc_id"]) for r in out]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))

@@ -138,3 +138,33 @@ def test_bench_probe_ignores_harness_but_flags_runners(monkeypatch):
         monkeypatch.setattr(subprocess, "run", fake_ps([busy]))
         probe = bench.environment_probe()
         assert probe["contaminated"] is True, busy
+
+
+def test_bench_probe_exempts_own_ancestry(monkeypatch):
+    """The shell that LAUNCHED bench carries 'bench.py' in its args
+    (round-9 second false positive) — the ppid chain is exempt; an
+    unrelated bench.py still flags."""
+    import os
+    import subprocess
+
+    import bench
+
+    me = os.getpid()
+
+    def fake_ps(lines):
+        class R:
+            stdout = "\n".join(lines)
+
+        return lambda *a, **k: R()
+
+    launcher = f"{me + 1} 1 /bin/bash -c python bench.py 2>&1 | tail -3"
+    own = f"{me} {me + 1} python bench.py"
+    foreign = "77777 1 python bench.py"
+
+    monkeypatch.setattr(subprocess, "run", fake_ps([launcher, own]))
+    assert bench.environment_probe()["contaminated"] is False
+
+    monkeypatch.setattr(
+        subprocess, "run", fake_ps([launcher, own, foreign])
+    )
+    assert bench.environment_probe()["contaminated"] is True
