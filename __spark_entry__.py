@@ -3660,6 +3660,27 @@ def q_exact_substr_spans(spark: SparkSession, sf: str) -> DataFrame:
     return exact_substr_spans(docs, min_len=8)
 
 
+def q_spearman_rho(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Spearman rank correlation (datapipe/stats.spearman_rho):
+    order value vs order age; doubled midranks are exact integers off
+    the bucketed prefix, Pearson-on-ranks via the exact_corr moment
+    formula — one division and two sqrts at the end."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        spearman_rho,
+    )
+
+    o = _t(spark, sf, "orders")
+    feats = o.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("age_days"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    return spearman_rho(feats, "age_days", "price_cents")
+
+
 def q_cross_corpus_substr(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-substring decontamination at suffix granularity (datapipe/
     suffix.cross_corpus_substr): spans of held-in documents whose
@@ -4824,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "cross_corpus_substr": q_cross_corpus_substr,
         "rrf_fuse": q_rrf_fuse,
+        "spearman_rho": q_spearman_rho,
         "attribution_join": q_attribution_join,
         "temperature_mixture": q_temperature_mixture,
         "quantile_buckets": q_quantile_buckets,
@@ -7506,6 +7528,36 @@ def oracle_sql() -> dict[str, str]:
               CAST(bu - 1 AS DOUBLE) * 975 / 1000) AS INT) + 1]
          END AS ci_hi
   FROM bc_p CROSS JOIN bc_t""",
+        # Exact Spearman: doubled midranks (integer) via window prefix,
+        # then the exact_corr HUGEINT moment formula.
+        "spearman_rho": """
+  WITH sp_f AS (SELECT
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+              AS HUGEINT) AS x,
+         CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) AS y
+       FROM orders),
+  sp_xv AS (SELECT x, CAST(count(*) AS HUGEINT) AS c FROM sp_f GROUP BY 1),
+  sp_xr AS (SELECT x, 2 * (sum(c) OVER (ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS u
+            FROM sp_xv),
+  sp_yv AS (SELECT y, CAST(count(*) AS HUGEINT) AS c FROM sp_f GROUP BY 1),
+  sp_yr AS (SELECT y, 2 * (sum(c) OVER (ORDER BY y
+                 ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS v
+            FROM sp_yv),
+  sp_r AS (SELECT u, v FROM sp_f
+           JOIN sp_xr USING (x) JOIN sp_yr USING (y)),
+  sp_a AS (SELECT CAST(count(*) AS HUGEINT) AS n0,
+                  sum(u) AS su, sum(v) AS sv,
+                  sum(u*u) AS suu, sum(v*v) AS svv, sum(u*v) AS suv
+           FROM sp_r)
+  SELECT CAST(n0 AS BIGINT) AS n,
+         CASE WHEN CAST(n0*suu - su*su AS DOUBLE) > 0
+               AND CAST(n0*svv - sv*sv AS DOUBLE) > 0
+              THEN CAST(n0*suv - su*sv AS DOUBLE)
+                   / (sqrt(CAST(n0*suu - su*su AS DOUBLE))
+                      * sqrt(CAST(n0*svv - sv*sv AS DOUBLE)))
+         END AS rho
+  FROM sp_a""",
         # Exact two-sample KS: integer max CDF gap, one division.
         "ks_two_sample": """
   WITH ks_f AS (SELECT value AS v,

@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "bootstrap_ci",
     "cross_corpus_substr",
     "rrf_fuse",
+    "spearman_rho",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -1874,3 +1874,71 @@ def bootstrap_ci(
             at_q(F.col("__ms"), F.col("n_boot_used"), q_hi_num, q_den),
         ).alias("ci_hi"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation with midrank ties, EXACTLY — the
+    monotone-association screen (robust to any monotone transform,
+    where :func:`exact_corr` measures only linear association).
+
+    Ranks never materialize through a global sort: per distinct value
+    the DOUBLED midrank ``2·r(v) = 2·cum_before(v) + cnt(v) + 1`` is an
+    exact integer off the bucketed two-level prefix (the
+    :func:`mann_whitney_u` construction, applied to each column), and
+    Spearman's rho is Pearson on ranks — scale-invariant, so the
+    doubled ranks feed :func:`exact_corr`'s exact DECIMAL(38,0) moment
+    formula unchanged: one division and two correctly-rounded sqrts at
+    the end, bit-identical across engines and partitionings.
+
+    Output: one row — ``(n, rho)``; NULL rho when either column is
+    constant. Envelope: n·Σ(2r)² ~ 4n³ must stay under 10^38 ⇒
+    n below ~3e11 rows; sample beyond it (as across the exact-moment
+    family).
+    Scale shape: two per-value aggregates + bounded prefixes + two
+    equi-join-backs on the value, one exact moment aggregate.
+    """
+    from .prefix import global_running_sums
+
+    base = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        per_v = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        run = global_running_sums(
+            per_v,
+            [col],
+            {"__cum": "__c"},
+            boundary_source=base.select(F.col(col)),
+        )
+        return run.select(
+            col,
+            (
+                2 * (F.col("__cum") - F.col("__c")) + F.col("__c") + 1
+            ).cast("decimal(38,0)").alias(out),
+        )
+
+    rx = doubled_ranks("__x", "__u")
+    ry = doubled_ranks("__y", "__v")
+    ranked = base.join(rx, on="__x").join(ry, on="__y")
+    u, v = F.col("__u"), F.col("__v")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(u).alias("__su"),
+        F.sum(v).alias("__sv"),
+        F.sum(u * u).alias("__suu"),
+        F.sum(v * v).alias("__svv"),
+        F.sum(u * v).alias("__suv"),
+    )
+    nd = F.col("__n").cast("decimal(38,0)")
+    num = (nd * F.col("__suv") - F.col("__su") * F.col("__sv")).cast("double")
+    vu = (nd * F.col("__suu") - F.col("__su") * F.col("__su")).cast("double")
+    vv = (nd * F.col("__svv") - F.col("__sv") * F.col("__sv")).cast("double")
+    rho = F.when((vu > 0) & (vv > 0), num / (F.sqrt(vu) * F.sqrt(vv)))
+    return agg.select(
+        F.col("__n").cast("long").alias("n"), rho.alias("rho")
+    )

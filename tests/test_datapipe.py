@@ -4706,3 +4706,71 @@ class TestRobustAndBootstrap:
         a = bootstrap_ci(df.repartition(1), "id", "v").collect()
         b = bootstrap_ci(df.repartition(13), "id", "v").collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestSpearman:
+    def test_matches_brute_midranks(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            spearman_rho,
+        )
+
+        rows = [(1, 2), (2, 1), (2, 4), (3, 3), (5, 5), (5, 5), (8, 7)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        out = spearman_rho(df, "x", "y").collect()[0]
+
+        def midranks(vals):
+            s = sorted(vals)
+            return {  # value -> midrank (over ALL occurrences)
+                v: (s.index(v) + 1 + len(s) - s[::-1].index(v)) / 2
+                for v in set(vals)
+            }
+
+        xs = [r[0] for r in rows]
+        ys = [r[1] for r in rows]
+        mx, my = midranks(xs), midranks(ys)
+        rx = [mx[v] for v in xs]
+        ry = [my[v] for v in ys]
+        n = len(rows)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(a * a for a in rx)
+        syy = sum(a * a for a in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        import math
+
+        rho = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert out["n"] == n
+        assert abs(out["rho"] - rho) < 1e-12
+
+    def test_perfect_monotone_is_one(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            spearman_rho,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i * i * i) for i in range(30)], "x long, y long"
+        )
+        out = spearman_rho(df, "x", "y").collect()[0]
+        assert abs(out["rho"] - 1.0) < 1e-15  # cubic is monotone
+
+    def test_constant_column_gives_null(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            spearman_rho,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(10)], "x long, y long"
+        )
+        assert spearman_rho(df, "x", "y").collect()[0]["rho"] is None
+
+    def test_partition_invariant(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            spearman_rho,
+        )
+
+        rows = [((i * 13) % 101, (i * 29) % 97) for i in range(400)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        a = spearman_rho(df.repartition(1), "x", "y").collect()
+        b = spearman_rho(df.repartition(17), "x", "y").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
