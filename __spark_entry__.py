@@ -4703,6 +4703,89 @@ def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact tie-aware ROC AUC per event type (datapipe/stats.roc_auc):
+    a parity-split label scored by event value — doubled midranks off a
+    per-group partitioned window, AUC = 2U/(2·n_pos·n_neg) in one
+    division."""
+    from python_etl_mailing_automation_spark.datapipe.stats import roc_auc
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    feats = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).cast("int").alias("y"),
+        F.col("value").alias("s"),
+    )
+    return roc_auc(feats, "y", "s", group_col="event_type")
+
+
+def q_acf_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user autocorrelation of whole-dollar event values at lags
+    1..3 (datapipe/timeseries.acf_lags): lead() over one key-partitioned
+    window, exact DECIMAL(38,0) moments, one division per lag."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        acf_lags,
+    )
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    series = ev.select(
+        "user_id",
+        "event_id",
+        F.floor("value").cast("long").alias("v"),
+    )
+    return acf_lags(series, "user_id", "event_id", "v", max_lag=3)
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Rational-idf Okapi BM25 top-20 (datapipe/text.bm25_topk):
+    disjunctive retrieval for the same three-term query as
+    keyword_search — exact integer ratio per (doc, term), fixed
+    written-order per-doc sum, TakeOrdered top-k."""
+    from python_etl_mailing_automation_spark.datapipe.text import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(docs, ["spark", "window", "table"], k=20)
+
+
+def q_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 of the char-count ranking per source against a
+    deterministic 0-3 relevance grade (datapipe/text.ndcg_at_k):
+    literal-double discounts, fixed written-order DCG/IDCG sums, one
+    final division."""
+    from python_etl_mailing_automation_spark.datapipe.text import ndcg_at_k
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.floor((F.col("doc_id") % 80) / 20).cast("long").alias("rel"),
+        F.col("n_chars").alias("sc"),
+    )
+    return ndcg_at_k(
+        docs,
+        group_col="source",
+        id_col="doc_id",
+        rel_col="rel",
+        score_col="sc",
+        k=10,
+    )
+
+
+def q_confusion_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class precision/recall/F1 of a deterministic surrogate
+    classifier over the embedding labels (datapipe/classify
+    .confusion_metrics): one cross-tab aggregate, exact counts, single
+    divisions."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        confusion_metrics,
+    )
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("label").cast("long").alias("y"),
+        (F.col("vec_id") % 10).cast("long").alias("pred"),
+    )
+    return confusion_metrics(emb, "y", "pred")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5033,6 +5116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "gini": q_gini,
         "topk_others": q_topk_others,
+        # Round-9 continuation additions.
+        "roc_auc": q_roc_auc,
+        "acf_lags": q_acf_lags,
+        "bm25_topk": q_bm25_topk,
+        "ndcg": q_ndcg,
+        "confusion_metrics": q_confusion_metrics,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -5042,6 +5131,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _ndcg_oracle_sql(k: int = 10) -> str:
+    """DuckDB twin of q_ndcg: the k discount factors are the SAME
+    Python-evaluated doubles the Spark plan embeds as literals
+    (shortest-roundtrip repr parses back to the identical IEEE value),
+    and both DCG sums are written in the same left-associative order —
+    so every float matches bit-for-bit."""
+    import math
+
+    disc = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    # e-notation forces DuckDB to type the literal DOUBLE (correctly-
+    # rounded strtod). A bare decimal literal would be typed
+    # DECIMAL(18,17), whose decimal→double cast can be 1 ulp off the
+    # IEEE value the Spark plan embeds (measured: 1/log2(6)).
+    lit = [f"{d!r}" if "e" in repr(d) else f"{d!r}e0" for d in disc]
+    g_cases = ",\n".join(
+        f"             max(CASE WHEN rs = {r + 1} THEN rel END) AS g{r},\n"
+        f"             max(CASE WHEN ri = {r + 1} THEN rel END) AS h{r}"
+        for r in range(k)
+    )
+    dcg = " + ".join(
+        f"COALESCE(CAST(g{r} AS DOUBLE), 0.0) * {lit[r]}" for r in range(k)
+    )
+    idcg = " + ".join(
+        f"COALESCE(CAST(h{r} AS DOUBLE), 0.0) * {lit[r]}" for r in range(k)
+    )
+    return f"""
+  WITH nd_b AS (SELECT source, doc_id,
+                       (doc_id % 80) // 20 AS rel,
+                       n_chars AS sc
+                FROM documents),
+  nd_r AS (SELECT source, rel,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY sc DESC, doc_id ASC) AS rs,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY rel DESC, doc_id ASC) AS ri,
+             count(*) OVER (PARTITION BY source) AS cnt
+           FROM nd_b),
+  nd_f AS (SELECT * FROM nd_r WHERE rs <= {k} OR ri <= {k}),
+  nd_a AS (SELECT source, CAST(max(cnt) AS BIGINT) AS n_items,
+{g_cases}
+           FROM nd_f GROUP BY 1),
+  nd_d AS (SELECT source, n_items,
+                  {dcg} AS dcg,
+                  {idcg} AS idcg
+           FROM nd_a)
+  SELECT source, n_items, dcg, idcg,
+         CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
+  FROM nd_d"""
 
 _SHINGLES = (
     "CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks) - 2), "
@@ -10265,6 +10404,138 @@ def oracle_sql() -> dict[str, str]:
   FROM ns_f, UNNEST(range(1, len(kept) + 1)) AS u(i)
   UNION ALL
   SELECT id, label, 0, NULL, NULL, NULL FROM ns_f WHERE len(kept) = 0""",
+        # Exact tie-aware ROC AUC per group: doubled midranks off a
+        # per-group cumulative count, AUC = 2U/(2·np·nq) in one
+        # division (stats.roc_auc).
+        "roc_auc": """
+  WITH ra_f AS (SELECT event_type AS g, value AS v,
+                       CAST(event_id % 2 <> 0 AS HUGEINT) AS p,
+                       CAST(event_id % 2 = 0 AS HUGEINT) AS q
+                FROM events WHERE value IS NOT NULL),
+  ra_v AS (SELECT g, v, sum(p) AS cp, sum(q) AS cq,
+                  sum(p) + sum(q) AS ct
+           FROM ra_f GROUP BY 1, 2),
+  ra_c AS (SELECT g, cp, cq, ct,
+                  sum(ct) OVER (PARTITION BY g ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cumt
+           FROM ra_v),
+  ra_a AS (SELECT g, sum(cp) AS np, sum(cq) AS nq,
+                  sum(cp * (2 * (cumt - ct) + ct + 1)) AS r2p
+           FROM ra_c GROUP BY 1)
+  SELECT g AS event_type,
+         CAST(np AS BIGINT) AS n_pos, CAST(nq AS BIGINT) AS n_neg,
+         CASE WHEN np > 0 AND nq > 0 THEN
+           CAST(r2p - np * (np + 1) AS DOUBLE)
+           / (2.0 * CAST(np * nq AS DOUBLE)) END AS auc
+  FROM ra_a""",
+        # Per-user ACF at lags 1..3: lead() per key, exact HUGEINT
+        # moments, one division per lag (timeseries.acf_lags).
+        "acf_lags": """
+  WITH ac_b AS (SELECT user_id, event_id,
+                       CAST(floor(value) AS HUGEINT) AS x
+                FROM events WHERE value IS NOT NULL),
+  ac_l AS (SELECT user_id, x,
+                  LEAD(x, 1) OVER w AS x1,
+                  LEAD(x, 2) OVER w AS x2,
+                  LEAD(x, 3) OVER w AS x3
+           FROM ac_b
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+  ac_a AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+                  sum(x) AS s, sum(x * x) AS sxx,
+                  sum(x * x1) AS c1,
+                  sum(CASE WHEN x1 IS NOT NULL THEN x + x1 END) AS p1,
+                  sum(x * x2) AS c2,
+                  sum(CASE WHEN x2 IS NOT NULL THEN x + x2 END) AS p2,
+                  sum(x * x3) AS c3,
+                  sum(CASE WHEN x3 IS NOT NULL THEN x + x3 END) AS p3
+           FROM ac_l GROUP BY 1),
+  ac_u AS (
+    SELECT user_id, 1 AS lag, n, s, sxx, c1 AS cr, p1 AS pr FROM ac_a
+    UNION ALL
+    SELECT user_id, 2, n, s, sxx, c2, p2 FROM ac_a
+    UNION ALL
+    SELECT user_id, 3, n, s, sxx, c3, p3 FROM ac_a)
+  SELECT user_id, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+         CASE WHEN n > lag
+                   AND CAST(n * (n * sxx - s * s) AS DOUBLE) > 0 THEN
+           CAST(n * n * cr - n * s * pr + (n - lag) * s * s AS DOUBLE)
+           / CAST(n * (n * sxx - s * s) AS DOUBLE) END AS acf
+  FROM ac_u""",
+        # Rational-idf BM25 (k1=6/5, b=3/4 cleared to one HUGEINT
+        # ratio per (doc, term)); per-doc total is the fixed
+        # written-order coalesce sum over the sorted query terms
+        # (text.bm25_topk).
+        "bm25_topk": f"""
+  WITH bm_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  bm_l AS (SELECT doc_id, CAST(len(toks) AS HUGEINT) AS dl FROM bm_t),
+  bm_c AS (SELECT CAST(count(*) AS HUGEINT) AS nn, sum(dl) AS ss
+           FROM bm_l),
+  bm_e AS (SELECT doc_id, UNNEST(toks) AS term FROM bm_t),
+  bm_tf AS (SELECT doc_id, term, CAST(count(*) AS HUGEINT) AS tf
+            FROM bm_e WHERE term IN ('spark', 'table', 'window')
+            GROUP BY 1, 2),
+  bm_df AS (SELECT term, CAST(count(*) AS HUGEINT) AS dfv
+            FROM bm_tf GROUP BY 1),
+  bm_s AS (SELECT f.doc_id, f.term,
+                  CAST((2 * c.nn - 2 * d.dfv + 1) * 22 * c.ss * f.tf
+                       AS DOUBLE)
+                  / CAST((2 * d.dfv + 1)
+                         * (10 * c.ss * f.tf + 3 * c.ss
+                            + 9 * l.dl * c.nn) AS DOUBLE) AS s
+           FROM bm_tf f
+           JOIN bm_df d USING (term)
+           JOIN bm_l l USING (doc_id)
+           CROSS JOIN bm_c c),
+  bm_p AS (SELECT doc_id,
+                  max(CASE WHEN term = 'spark' THEN s END) AS s0,
+                  max(CASE WHEN term = 'table' THEN s END) AS s1,
+                  max(CASE WHEN term = 'window' THEN s END) AS s2,
+                  CAST(count(*) AS BIGINT) AS n_terms
+           FROM bm_s GROUP BY 1)
+  SELECT doc_id,
+         COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0)
+           AS score,
+         n_terms
+  FROM bm_p ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        # NDCG@10 per source: literal-double discounts (same Python
+        # floats the Spark plan embeds), fixed written-order DCG/IDCG
+        # sums, one division (text.ndcg_at_k).
+        "ndcg": _ndcg_oracle_sql(),
+        # Per-class confusion metrics off one (label, pred) cross-tab;
+        # exact counts, single divisions, fixed-order f1
+        # (classify.confusion_metrics).
+        "confusion_metrics": """
+  WITH cm_b AS (SELECT CAST(label AS BIGINT) AS l, vec_id % 10 AS p
+                FROM embeddings WHERE label IS NOT NULL),
+  cm_x AS (SELECT l, p, CAST(count(*) AS BIGINT) AS n
+           FROM cm_b GROUP BY 1, 2),
+  cm_l AS (SELECT l AS class,
+                  sum(CASE WHEN l = p THEN n ELSE 0 END) AS tp_l,
+                  sum(CASE WHEN l <> p THEN n ELSE 0 END) AS fn
+           FROM cm_x GROUP BY 1),
+  cm_p AS (SELECT p AS class,
+                  sum(CASE WHEN l = p THEN n ELSE 0 END) AS tp_p,
+                  sum(CASE WHEN l <> p THEN n ELSE 0 END) AS fp
+           FROM cm_x GROUP BY 1),
+  cm_j AS (SELECT COALESCE(l.class, p.class) AS class,
+                  CAST(COALESCE(l.tp_l, p.tp_p, 0) AS BIGINT) AS tp,
+                  CAST(COALESCE(p.fp, 0) AS BIGINT) AS fp,
+                  CAST(COALESCE(l.fn, 0) AS BIGINT) AS fn
+           FROM cm_l l FULL OUTER JOIN cm_p p ON l.class = p.class),
+  cm_m AS (SELECT class, tp, fp, fn,
+                  CASE WHEN tp + fp > 0 THEN
+                    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                  END AS prec,
+                  CASE WHEN tp + fn > 0 THEN
+                    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                  END AS rec
+           FROM cm_j)
+  SELECT class, tp, fp, fn,
+         prec AS "precision", rec AS recall,
+         CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                   AND prec + rec > 0
+              THEN 2.0 * prec * rec / (prec + rec) END AS f1
+  FROM cm_m""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

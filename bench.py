@@ -262,6 +262,11 @@ BENCH_QUERIES = [
     "cross_corpus_substr",
     "rrf_fuse",
     "spearman_rho",
+    "roc_auc",
+    "acf_lags",
+    "bm25_topk",
+    "ndcg",
+    "confusion_metrics",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

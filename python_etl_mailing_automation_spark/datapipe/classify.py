@@ -106,3 +106,70 @@ def perceptron_train(
         + ", bias long"
     )
     return df.sparkSession.createDataFrame(trace, schema)
+
+
+def confusion_metrics(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class confusion-matrix evaluation of a classifier's
+    predictions against gold labels — the evaluation half the
+    :func:`perceptron_train` trainer needs (train exactly, then score
+    exactly):
+
+        tp(c) = |label = c ∧ pred = c|      precision = tp/(tp+fp)
+        fp(c) = |label ≠ c ∧ pred = c|      recall    = tp/(tp+fn)
+        fn(c) = |label = c ∧ pred ≠ c|      f1 = 2·p·r/(p+r)
+
+    All counts are exact BIGINTs off ONE (label, pred) cross-tab
+    aggregate; precision/recall are single IEEE divisions and f1 one
+    fixed written-order expression, so every value is bit-identical
+    across engines and partitionings. A class is emitted if it appears
+    as a label OR as a prediction; zero-denominator metrics are NULL.
+
+    Output: one row per class — ``(class, tp, fp, fn, precision,
+    recall, f1)``.
+
+    Scale shape: one map-side-combinable groupBy(label, pred) collapses
+    the data to a classes² frame; everything after (two re-keyed
+    aggregates + one outer join) runs on that bounded cross-tab. Rows
+    with NULL label or prediction are excluded (scored elsewhere — a
+    NULL prediction is an abstention, not a class).
+    """
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(F.col(label_col).alias("__l"), F.col(pred_col).alias("__p"))
+    xt = base.groupBy("__l", "__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    hit = F.when(F.col("__l") == F.col("__p"), F.col("__n")).otherwise(
+        F.lit(0).cast("long")
+    )
+    by_label = xt.groupBy(F.col("__l").alias("class")).agg(
+        F.sum(hit).alias("__tp_l"),
+        F.sum(F.col("__n") - hit).alias("fn"),
+    )
+    by_pred = xt.groupBy(F.col("__p").alias("class")).agg(
+        F.sum(hit).alias("__tp_p"),
+        F.sum(F.col("__n") - hit).alias("fp"),
+    )
+    both = by_label.join(by_pred, "class", "full_outer").select(
+        "class",
+        F.coalesce(F.col("__tp_l"), F.col("__tp_p"), F.lit(0)).cast(
+            "long"
+        ).alias("tp"),
+        F.coalesce(F.col("fp"), F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.col("fn"), F.lit(0)).cast("long").alias("fn"),
+    )
+    tp, fp, fn = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
+    prec = F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + fp))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + fn))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    return both.select(
+        "class", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )

@@ -1942,3 +1942,82 @@ def spearman_rho(
     return agg.select(
         F.col("__n").cast("long").alias("n"), rho.alias("rho")
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC of a score against a {0,1} label — the
+    classifier-evaluation member of the rank-statistic family
+    (:func:`mann_whitney_u` is the same U statistic as a drift test;
+    AUC is its normalized form: P(score_pos > score_neg) + ½·P(=)).
+
+        2·R_pos = Σ_v c_pos(v) · (2·cum_before(v) + cnt(v) + 1)
+        2·U     = 2·R_pos − n_pos·(n_pos + 1)
+        AUC     = 2·U / (2·n_pos·n_neg)
+
+    Ranks never materialize per row: per DISTINCT score value the
+    doubled midrank is an exact integer off a cumulative count, so the
+    whole statistic is DECIMAL(38,0)-exact and the only floating point
+    is the single final division — bit-identical across engines and
+    partitionings. Groups with no positives or no negatives yield NULL.
+
+    Output: one row per group — ``(group_col?, n_pos, n_neg, auc)``.
+
+    Scale shape: one (group, value) aggregate with map-side combine,
+    then ONE window partitioned by ``group_col`` over the per-value
+    frame (bounded by a group's distinct scores); the ungrouped path
+    rides :func:`~.prefix.global_running_sums` instead, so no
+    unpartitioned window ever enters the plan.
+    """
+    from .prefix import global_running_sums
+
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        *([F.col(group_col)] if group_col else []),
+        F.col(score_col).alias("__v"),
+        (F.col(label_col) != 0).cast("long").alias("__p"),
+        (F.col(label_col) == 0).cast("long").alias("__q"),
+    )
+    grp = [group_col] if group_col else []
+    per_v = base.groupBy(*grp, "__v").agg(
+        F.sum("__p").alias("__cp"), F.sum("__q").alias("__cq")
+    ).withColumn("__ct", F.col("__cp") + F.col("__cq"))
+    if group_col:
+        ww = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col("__v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = per_v.withColumn("__cumt", F.sum("__ct").over(ww))
+    else:
+        run = global_running_sums(
+            per_v,
+            ["__v"],
+            {"__cumt": "__ct"},
+            boundary_source=base.select(F.col("__v")),
+        )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    r2 = 2 * (d(F.col("__cumt")) - d(F.col("__ct"))) + d(F.col("__ct")) + 1
+    agg = run.groupBy(*grp).agg(
+        F.sum(d(F.col("__cp"))).alias("__np"),
+        F.sum(d(F.col("__cq"))).alias("__nq"),
+        F.sum(d(F.col("__cp")) * r2).alias("__2rp"),
+    )
+    np_, nq = F.col("__np"), F.col("__nq")
+    u2 = (F.col("__2rp") - np_ * (np_ + 1)).cast("decimal(38,0)")
+    ok = (np_ > 0) & (nq > 0)
+    auc = F.when(
+        ok, u2.cast("double") / (2.0 * (np_ * nq).cast("double"))
+    )
+    return agg.select(
+        *grp,
+        np_.cast("long").alias("n_pos"),
+        nq.cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )

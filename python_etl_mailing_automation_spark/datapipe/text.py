@@ -1030,3 +1030,217 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(top)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Disjunctive (OR) BM25 retrieval — the scored refinement of
+    :func:`keyword_search`'s boolean AND, with the classic Okapi
+    shape (k1 = 1.2, b = 0.75) made engine-exact by a **rational idf**:
+
+        idf(t)     = (N − df_t + ½) / (df_t + ½)        [no log — the
+                     Robertson-Sparck-Jones ratio itself; log is
+                     monotone, so per-term orderings are identical
+                     and the value is exactly computable]
+        score(d,t) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    With k1 = 6/5, b = 3/4, avgdl = S/N (S = corpus token count),
+    clearing denominators gives one exact integer ratio per (doc,
+    term):
+
+        score = (2N − 2df + 1)·22·S·tf
+                ───────────────────────────────────
+                (2df + 1)·(10·S·tf + 3·S + 9·dl·N)
+
+    both sides DECIMAL(38,0) (DuckDB mirror: HUGEINT), one IEEE
+    division each. The per-document total is a FIXED WRITTEN-ORDER sum
+    over the literal query terms (terms sorted lexicographically, one
+    COALESCE'd addend each — the :func:`rrf_fuse` discipline), so the
+    result is bit-identical across engines and partitionings.
+
+    Output: at most ``k`` rows — ``(id_col, score, n_terms)`` with
+    ``n_terms`` the count of matched query terms; ties break on id.
+
+    Scale shape: the literal term filter runs AT THE EXPLODE (only
+    query-term postings survive the scan stage); doc lengths come from
+    the same pre-explode projection; N and S are one corpus aggregate
+    cross-joined as a single row (the sanctioned one-row idiom); the
+    per-term pivot is a conditional aggregate keyed by doc — state
+    bounded by |terms|; top-k is ``orderBy().limit(k)`` →
+    TakeOrdered, never a global sort.
+    """
+    qterms = sorted(dict.fromkeys(str(t) for t in terms))
+    if not qterms or k < 1:
+        raise ValueError("bm25_topk: need >= 1 term and k >= 1")
+    toks = spread_for_explode(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens_of(text_col).alias("__toks")
+    )
+    lens = toks.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("__dl")
+    )
+    corpus = lens.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__N"),
+        F.sum("__dl").cast("decimal(38,0)").alias("__S"),
+    )
+    hits = toks.select(
+        F.col(id_col), F.explode("__toks").alias("__term")
+    ).filter(F.col("__term").isin(qterms))
+    tf = hits.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__tf")
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__df")
+    )
+    d2 = F.lit(2).cast("decimal(38,0)")
+    scored = (
+        tf.join(dfreq, "__term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            F.col("__term"),
+            (
+                (
+                    (d2 * F.col("__N") - d2 * F.col("__df") + 1)
+                    * F.lit(22).cast("decimal(38,0)")
+                    * F.col("__S")
+                    * F.col("__tf")
+                ).cast("double")
+                / (
+                    (d2 * F.col("__df") + 1)
+                    * (
+                        F.lit(10).cast("decimal(38,0)") * F.col("__S") * F.col("__tf")
+                        + F.lit(3).cast("decimal(38,0)") * F.col("__S")
+                        + F.lit(9).cast("decimal(38,0)")
+                        * F.col("__dl").cast("decimal(38,0)")
+                        * F.col("__N")
+                    )
+                ).cast("double")
+            ).alias("__s"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("__term") == t, F.col("__s"))).alias(
+                f"__s_{i}"
+            )
+            for i, t in enumerate(qterms)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    total = None
+    for i in range(len(qterms)):
+        addend = F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+        total = addend if total is None else total + addend
+    return (
+        per_doc.select(F.col(id_col), total.alias("score"), "n_terms")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    rel_col: str,
+    score_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k of a per-group ranking: rank items by ``score_col``
+    descending (id ascending tiebreak — the ranking under evaluation
+    must be deterministic to be evaluable), take integer relevance
+    grades from ``rel_col``, and score the list against the ideal
+    ordering of the same grades — the retrieval-evaluation complement
+    of :func:`rrf_fuse` (that builds a fused ranking; this grades one).
+
+        DCG@k  = Σ_{r=1..k} rel_r / log2(r + 1)
+        NDCG@k = DCG@k / IDCG@k      (IDCG: grades sorted descending)
+
+    Engine-exactness: the k discounts ``1/log2(r+1)`` are **Python-
+    evaluated literal doubles** baked into the plan (both engines parse
+    the same shortest-roundtrip decimal literal to the same IEEE
+    double — no engine ever computes a log), each addend is
+    (exact BIGINT grade) × literal, and both sums are FIXED WRITTEN-
+    ORDER k-term expressions — the :func:`rrf_fuse` discipline — so
+    DCG, IDCG and their single final division are bit-identical across
+    engines and partitionings. Groups with all-zero grades in the
+    ideal top-k yield NULL ndcg.
+
+    Output: one row per group — ``(group_col, n_items, dcg, idcg,
+    ndcg)``.
+
+    Scale shape: two ``row_number`` windows partitioned by the group
+    (a task sorts one group's items), rank filter AT k before the
+    pivot, then one conditional aggregate per group with 2k bounded
+    accumulators. One shuffle grain, no unpartitioned window.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError("ndcg_at_k: k must be >= 1")
+    disc = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col).alias("__i"),
+        F.col(rel_col).cast("long").alias("__rel"),
+        F.col(score_col).alias("__sc"),
+    ).filter(F.col("__rel").isNotNull())
+    w_sys = Window.partitionBy(group_col).orderBy(
+        F.col("__sc").desc(), F.col("__i").asc()
+    )
+    w_ideal = Window.partitionBy(group_col).orderBy(
+        F.col("__rel").desc(), F.col("__i").asc()
+    )
+    ranked = base.select(
+        group_col,
+        "__rel",
+        F.row_number().over(w_sys).alias("__rs"),
+        F.row_number().over(w_ideal).alias("__ri"),
+        # Group size BEFORE the rank cut — same partitioning as the
+        # rank windows, so this adds no exchange.
+        F.count(F.lit(1))
+        .over(Window.partitionBy(group_col))
+        .cast("long")
+        .alias("__cnt"),
+    ).filter((F.col("__rs") <= k) | (F.col("__ri") <= k))
+    agg = ranked.groupBy(group_col).agg(
+        F.max("__cnt").alias("__n"),
+        *[
+            F.max(
+                F.when(F.col("__rs") == r + 1, F.col("__rel"))
+            ).alias(f"__g{r}")
+            for r in range(k)
+        ],
+        *[
+            F.max(
+                F.when(F.col("__ri") == r + 1, F.col("__rel"))
+            ).alias(f"__h{r}")
+            for r in range(k)
+        ],
+    )
+    dcg = None
+    idcg = None
+    for r in range(k):
+        a = F.coalesce(F.col(f"__g{r}").cast("double"), F.lit(0.0)) * F.lit(
+            disc[r]
+        )
+        b = F.coalesce(F.col(f"__h{r}").cast("double"), F.lit(0.0)) * F.lit(
+            disc[r]
+        )
+        dcg = a if dcg is None else dcg + a
+        idcg = b if idcg is None else idcg + b
+    return agg.select(
+        group_col,
+        F.col("__n").alias("n_items"),
+        dcg.alias("dcg"),
+        idcg.alias("idcg"),
+        F.when(idcg > 0, dcg / idcg).alias("ndcg"),
+    )

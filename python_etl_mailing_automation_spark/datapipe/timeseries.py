@@ -773,3 +773,101 @@ def interval_union_length(
             F.sum(F.col("__re") - F.col("__rs")).cast("double") / F.lit(1e6)
         ).alias("covered_s"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key autocorrelation function at lags ``1..max_lag`` of an
+    INTEGER-valued series, from exact integer moments — the
+    seasonality/persistence probe next to :func:`ewma_events` (does a
+    user's spend at t predict spend at t+k? is the metric white noise
+    after the trend is removed?).
+
+    The textbook estimator (x̄ the full-series mean, both sums over the
+    n−k overlapping pairs' full window):
+
+        r_k = Σ_{t≤n−k} (x_t − x̄)(x_{t+k} − x̄)  /  Σ_t (x_t − x̄)²
+
+    Multiplying numerator and denominator by n² clears the rational
+    mean into pure integers:
+
+        n²·num_k = n²·Σ x_t·x_{t+k} − n·S·Σ_{t≤n−k}(x_t + x_{t+k})
+                   + (n−k)·S²
+        n²·den   = n·(n·Σx² − S²)            (S = Σx)
+
+    accumulated in DECIMAL(38,0) (DuckDB mirror: HUGEINT) so both
+    engines agree bit-for-bit; the only floating point is the single
+    final division. Same 10^38 envelope as ``exact_corr`` — n²·Σx·x
+    must stay under it, so pre-scale values (cents, not micro-units)
+    for very long series. Keys with zero variance or n ≤ k yield NULL
+    ``acf`` for that lag (the n ≤ k row still appears, with NULL).
+
+    Output: one row per (key, lag) — ``(key_col, lag, n, acf)``.
+
+    Scale shape: ``lead(k)`` over ONE window partitioned by key (a
+    task sorts only one key's rows), then a single per-key aggregate
+    with map-side combine carrying 2·max_lag + 3 decimal accumulators,
+    then a bounded literal-array explode to (key, lag) grain. No
+    self-join, no unpartitioned window, one shuffle on the key.
+    """
+    if max_lag < 1:
+        raise ValueError("acf_lags: max_lag must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    x = F.col("__x").cast("decimal(38,0)")
+    base = df.select(
+        F.col(key_col), F.col(order_col), F.col(value_col).alias("__x")
+    ).filter(F.col("__x").isNotNull())
+    led = base.select(
+        key_col,
+        "__x",
+        *[
+            F.lead("__x", k).over(w).alias(f"__x{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    lag_aggs = []
+    for k in range(1, max_lag + 1):
+        xk = F.col(f"__x{k}").cast("decimal(38,0)")
+        lag_aggs.append(F.sum(x * xk).alias(f"__cross{k}"))
+        lag_aggs.append(
+            F.sum(F.when(xk.isNotNull(), x + xk)).alias(f"__pair{k}")
+        )
+    agg = led.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__sxx"),
+        *lag_aggs,
+    )
+    nd = F.col("__n").cast("decimal(38,0)")
+    s = F.col("__s")
+    den = (nd * (nd * F.col("__sxx") - s * s)).cast("double")
+    rows = []
+    for k in range(1, max_lag + 1):
+        kd = F.lit(k).cast("decimal(38,0)")
+        num = (
+            nd * nd * F.col(f"__cross{k}")
+            - nd * s * F.col(f"__pair{k}")
+            + (nd - kd) * s * s
+        ).cast("double")
+        rows.append(
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.when(
+                    (F.col("__n") > k) & (den > 0), num / den
+                ).alias("acf"),
+            )
+        )
+    ex = agg.select(
+        key_col,
+        F.col("__n").cast("long").alias("n"),
+        F.explode(F.array(*rows)).alias("__e"),
+    )
+    return ex.select(
+        key_col, F.col("__e.lag").alias("lag"), "n", F.col("__e.acf").alias("acf")
+    )

@@ -4774,3 +4774,253 @@ class TestSpearman:
         a = spearman_rho(df.repartition(1), "x", "y").collect()
         b = spearman_rho(df.repartition(17), "x", "y").collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestRocAuc:
+    """stats.roc_auc — exact tie-aware AUC."""
+
+    def test_matches_brute_force(self, spark):
+        import itertools
+        from python_etl_mailing_automation_spark.datapipe.stats import roc_auc
+
+        rows = [
+            ("g", 1, 5.0), ("g", 1, 3.0), ("g", 0, 3.0), ("g", 0, 1.0),
+            ("g", 1, 1.0), ("g", 0, 0.5), ("h", 1, 2.0), ("h", 0, 2.0),
+        ]
+        df = spark.createDataFrame(rows, ["grp", "y", "s"])
+        got = {
+            r["grp"]: (r["n_pos"], r["n_neg"], r["auc"])
+            for r in roc_auc(df, "y", "s", group_col="grp").collect()
+        }
+        for g in ("g", "h"):
+            pos = [s for gg, y, s in rows if gg == g and y == 1]
+            neg = [s for gg, y, s in rows if gg == g and y == 0]
+            brute = sum(
+                1.0 if p > n else (0.5 if p == n else 0.0)
+                for p, n in itertools.product(pos, neg)
+            ) / (len(pos) * len(neg))
+            n_pos, n_neg, auc = got[g]
+            assert (n_pos, n_neg) == (len(pos), len(neg))
+            assert auc == brute
+
+    def test_perfect_separation_is_one(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import roc_auc
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (1, 9.0), (0, 2.0), (0, 1.0)], ["y", "s"]
+        )
+        assert roc_auc(df, "y", "s").collect()[0]["auc"] == 1.0
+
+    def test_single_class_gives_null(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import roc_auc
+
+        df = spark.createDataFrame([(1, 1.0), (1, 2.0)], ["y", "s"])
+        assert roc_auc(df, "y", "s").collect()[0]["auc"] is None
+
+    def test_partition_invariant(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import roc_auc
+
+        rows = [(i % 3, i % 2, float((i * 7) % 11)) for i in range(60)]
+        df = spark.createDataFrame(rows, ["grp", "y", "s"])
+        a = sorted(
+            roc_auc(df, "y", "s", group_col="grp").collect(),
+            key=lambda r: r["grp"],
+        )
+        b = sorted(
+            roc_auc(df.repartition(7), "y", "s", group_col="grp").collect(),
+            key=lambda r: r["grp"],
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestAcfLags:
+    """timeseries.acf_lags — exact integer autocorrelation."""
+
+    def test_matches_numpy_style_brute(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.timeseries import (
+            acf_lags,
+        )
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+        df = spark.createDataFrame(
+            [("k", i, x) for i, x in enumerate(xs)], ["key", "t", "x"]
+        )
+        out = {
+            r["lag"]: r["acf"]
+            for r in acf_lags(df, "key", "t", "x", max_lag=3).collect()
+        }
+        n = len(xs)
+        mean = sum(xs) / n
+        den = sum((x - mean) ** 2 for x in xs)
+        for k in (1, 2, 3):
+            num = sum(
+                (xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k)
+            )
+            assert abs(out[k] - num / den) < 1e-12
+
+    def test_short_series_null(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.timeseries import (
+            acf_lags,
+        )
+
+        df = spark.createDataFrame([("k", 0, 1), ("k", 1, 2)], ["key", "t", "x"])
+        out = {
+            r["lag"]: r["acf"]
+            for r in acf_lags(df, "key", "t", "x", max_lag=3).collect()
+        }
+        assert out[2] is None and out[3] is None
+
+    def test_constant_series_null(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.timeseries import (
+            acf_lags,
+        )
+
+        df = spark.createDataFrame(
+            [("k", i, 7) for i in range(10)], ["key", "t", "x"]
+        )
+        assert all(
+            r["acf"] is None
+            for r in acf_lags(df, "key", "t", "x", max_lag=2).collect()
+        )
+
+    def test_partition_invariant(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.timeseries import (
+            acf_lags,
+        )
+
+        rows = [(i % 4, i, (i * 13) % 17) for i in range(80)]
+        df = spark.createDataFrame(rows, ["key", "t", "x"])
+        a = sorted(
+            acf_lags(df, "key", "t", "x").collect(),
+            key=lambda r: (r["key"], r["lag"]),
+        )
+        b = sorted(
+            acf_lags(df.repartition(5), "key", "t", "x").collect(),
+            key=lambda r: (r["key"], r["lag"]),
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestBm25:
+    """text.bm25_topk — rational-idf Okapi BM25."""
+
+    def test_matches_formula(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.text import bm25_topk
+
+        docs = [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple apple apple cherry date"),
+            (4, "date egg fig"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: (r["score"], r["n_terms"])
+            for r in bm25_topk(df, ["apple", "cherry"], k=10).collect()
+        }
+        texts = {d: t.split() for d, t in docs}
+        N = len(docs)
+        S = sum(len(t) for t in texts.values())
+        k1, b = 1.2, 0.75
+        dfreq = {
+            t: sum(1 for toks in texts.values() if t in toks)
+            for t in ("apple", "cherry")
+        }
+        for doc_id, toks in texts.items():
+            exp = 0.0
+            n_terms = 0
+            for t in sorted(("apple", "cherry")):
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                n_terms += 1
+                num = (2 * N - 2 * dfreq[t] + 1) * 22 * S * tf
+                den = (2 * dfreq[t] + 1) * (10 * S * tf + 3 * S + 9 * len(toks) * N)
+                exp += num / den
+                # rational form equals the classic Okapi value
+                idf = (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                classic = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(toks) / (S / N))
+                )
+                assert abs(num / den - classic) < 1e-9
+            if n_terms:
+                assert out[doc_id][1] == n_terms
+                assert abs(out[doc_id][0] - exp) < 1e-12
+            else:
+                assert doc_id not in out
+
+    def test_rejects_empty(self, spark):
+        import pytest as _pytest
+        from python_etl_mailing_automation_spark.datapipe.text import bm25_topk
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            bm25_topk(df, [], k=5)
+
+
+class TestNdcg:
+    """text.ndcg_at_k — literal-discount NDCG."""
+
+    def test_matches_brute(self, spark):
+        import math
+        from python_etl_mailing_automation_spark.datapipe.text import ndcg_at_k
+
+        rows = [("q", i, rel, float(sc)) for i, (rel, sc) in enumerate(
+            [(3, 10), (2, 9), (3, 8), (0, 7), (1, 6), (2, 5), (0, 4)]
+        )]
+        df = spark.createDataFrame(rows, ["q", "i", "rel", "sc"])
+        r = ndcg_at_k(
+            df, group_col="q", id_col="i", rel_col="rel",
+            score_col="sc", k=5,
+        ).collect()[0]
+        rels = [3, 2, 3, 0, 1]           # by sc desc
+        ideal = sorted([3, 2, 3, 0, 1, 2, 0], reverse=True)[:5]
+        dcg = sum(g / math.log2(i + 2) for i, g in enumerate(rels))
+        idcg = sum(g / math.log2(i + 2) for i, g in enumerate(ideal))
+        assert r["n_items"] == 7
+        assert abs(r["dcg"] - dcg) < 1e-12
+        assert abs(r["idcg"] - idcg) < 1e-12
+        assert abs(r["ndcg"] - dcg / idcg) < 1e-12
+
+    def test_all_zero_grades_null(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.text import ndcg_at_k
+
+        df = spark.createDataFrame(
+            [("q", 1, 0, 1.0), ("q", 2, 0, 2.0)], ["q", "i", "rel", "sc"]
+        )
+        r = ndcg_at_k(
+            df, group_col="q", id_col="i", rel_col="rel",
+            score_col="sc", k=3,
+        ).collect()[0]
+        assert r["ndcg"] is None and r["dcg"] == 0.0
+
+
+class TestConfusionMetrics:
+    """classify.confusion_metrics — per-class P/R/F1."""
+
+    def test_matches_sklearn_style_counts(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            confusion_metrics,
+        )
+
+        pairs = [(0, 0), (0, 1), (1, 1), (1, 1), (1, 0), (2, 2), (2, 1)]
+        df = spark.createDataFrame(pairs, ["y", "p"])
+        out = {r["class"]: r for r in confusion_metrics(df, "y", "p").collect()}
+        # class 1: tp=2 (rows (1,1)x2), fp=2 ((0,1),(2,1)), fn=1 ((1,0))
+        assert (out[1]["tp"], out[1]["fp"], out[1]["fn"]) == (2, 2, 1)
+        assert out[1]["precision"] == 2 / 4
+        assert out[1]["recall"] == 2 / 3
+        p, r = 0.5, 2 / 3
+        assert abs(out[1]["f1"] - 2 * p * r / (p + r)) < 1e-15
+        # class 2: tp=1, fp=0, fn=1
+        assert (out[2]["tp"], out[2]["fp"], out[2]["fn"]) == (1, 0, 1)
+
+    def test_pred_only_class_appears(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            confusion_metrics,
+        )
+
+        df = spark.createDataFrame([(0, 5), (0, 0)], ["y", "p"])
+        out = {r["class"]: r for r in confusion_metrics(df, "y", "p").collect()}
+        assert out[5]["tp"] == 0 and out[5]["fp"] == 1 and out[5]["fn"] == 0
+        assert out[5]["recall"] is None
