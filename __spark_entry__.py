@@ -4786,6 +4786,58 @@ def q_confusion_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return confusion_metrics(emb, "y", "pred")
 
 
+def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 distance between click and view value
+    distributions on the cent grid (datapipe/stats.wasserstein_1d):
+    bucketed prefix for the CDFs, bucketed global lead for the segment
+    widths, one division."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        wasserstein_1d,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return wasserstein_1d(ev, "event_type", "cents", "click", "view")
+
+
+def q_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source lexical diversity via the log-free Simpson index
+    (datapipe/text.simpson_diversity): exact repeat-probability
+    rationals, effective-type count, single divisions."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        simpson_diversity,
+    )
+
+    return simpson_diversity(_t(spark, sf, "documents"))
+
+
+def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-relevance ranking scorecard per source — first-relevant
+    rank / RR, hits@10, precision@10, recall@10 (datapipe/text
+    .retrieval_metrics) over the same deterministic grade field as the
+    NDCG query (relevant = grade >= 2)."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        retrieval_metrics,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        (F.floor((F.col("doc_id") % 80) / 20) >= 2).cast("int").alias("rel"),
+        F.col("n_chars").alias("sc"),
+    )
+    return retrieval_metrics(
+        docs,
+        group_col="source",
+        id_col="doc_id",
+        rel_col="rel",
+        score_col="sc",
+        k=10,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5122,6 +5174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "ndcg": q_ndcg,
         "confusion_metrics": q_confusion_metrics,
+        "wasserstein": q_wasserstein,
+        "simpson_diversity": q_simpson_diversity,
+        "retrieval_metrics": q_retrieval_metrics,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -5133,6 +5188,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
 
+def _dlit(x: float) -> str:
+    """DuckDB DOUBLE literal for a Python float. e-notation forces the
+    parser down the correctly-rounded strtod path: a bare decimal
+    literal is typed DECIMAL(p,s), and DuckDB's decimal→double cast can
+    land 1 ulp off the IEEE value for >15-significant-digit constants
+    (measured on 1/log2(6)). Every float constant baked into an oracle
+    must go through this helper — `test_oracle_float_literals_use_
+    e_notation` enforces it battery-wide."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
 def _ndcg_oracle_sql(k: int = 10) -> str:
     """DuckDB twin of q_ndcg: the k discount factors are the SAME
     Python-evaluated doubles the Spark plan embeds as literals
@@ -5142,11 +5209,7 @@ def _ndcg_oracle_sql(k: int = 10) -> str:
     import math
 
     disc = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
-    # e-notation forces DuckDB to type the literal DOUBLE (correctly-
-    # rounded strtod). A bare decimal literal would be typed
-    # DECIMAL(18,17), whose decimal→double cast can be 1 ulp off the
-    # IEEE value the Spark plan embeds (measured: 1/log2(6)).
-    lit = [f"{d!r}" if "e" in repr(d) else f"{d!r}e0" for d in disc]
+    lit = [_dlit(d) for d in disc]
     g_cases = ",\n".join(
         f"             max(CASE WHEN rs = {r + 1} THEN rel END) AS g{r},\n"
         f"             max(CASE WHEN ri = {r + 1} THEN rel END) AS h{r}"
@@ -6133,13 +6196,13 @@ def _benford_sql() -> str:
         for d in range(1, 10)
     )
     terms = " + ".join(
-        f"((CAST(n{d} AS DOUBLE) - ({exp[d]!r} * CAST(n_total AS DOUBLE))) * "
-        f"(CAST(n{d} AS DOUBLE) - ({exp[d]!r} * CAST(n_total AS DOUBLE))) / "
-        f"({exp[d]!r} * CAST(n_total AS DOUBLE)))"
+        f"((CAST(n{d} AS DOUBLE) - ({_dlit(exp[d])} * CAST(n_total AS DOUBLE))) * "
+        f"(CAST(n{d} AS DOUBLE) - ({_dlit(exp[d])} * CAST(n_total AS DOUBLE))) / "
+        f"({_dlit(exp[d])} * CAST(n_total AS DOUBLE)))"
         for d in range(1, 10)
     )
     n_case = " ".join(f"WHEN {d} THEN n{d}" for d in range(1, 10))
-    e_case = " ".join(f"WHEN {d} THEN {exp[d]!r}" for d in range(1, 10))
+    e_case = " ".join(f"WHEN {d} THEN {_dlit(exp[d])}" for d in range(1, 10))
     return f"""
   WITH bf AS (
     SELECT o_orderpriority AS grp,
@@ -7993,11 +8056,11 @@ def oracle_sql() -> dict[str, str]:
   htrue AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
               AS true_distinct FROM orders)
   SELECT d.n AS n_regs,
-         CAST(0.7197831133217303 AS DOUBLE) * CAST(262144 AS DOUBLE)
+         CAST(0.7197831133217303e0 AS DOUBLE) * CAST(262144 AS DOUBLE)
            * CAST(4503599627370496 AS DOUBLE)
            / CAST(COALESCE(d.s, 0) + (512 - d.n)
                   * (1::BIGINT << 52) AS DOUBLE) AS est_direct,
-         CAST(0.7197831133217303 AS DOUBLE) * CAST(262144 AS DOUBLE)
+         CAST(0.7197831133217303e0 AS DOUBLE) * CAST(262144 AS DOUBLE)
            * CAST(4503599627370496 AS DOUBLE)
            / CAST(COALESCE(m.s, 0) + (512 - m.n)
                   * (1::BIGINT << 52) AS DOUBLE) AS est_merged,
@@ -8040,7 +8103,7 @@ def oracle_sql() -> dict[str, str]:
                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
            FROM events WHERE event_type IS NOT NULL GROUP BY 1)
   SELECT d.g AS event_type, d.n AS n_regs,
-         CAST(0.7197831133217303 AS DOUBLE) * CAST(262144 AS DOUBLE)
+         CAST(0.7197831133217303e0 AS DOUBLE) * CAST(262144 AS DOUBLE)
            * CAST(4503599627370496 AS DOUBLE)
            / CAST(COALESCE(d.s, 0) + (512 - d.n)
                   * (1::BIGINT << 52) AS DOUBLE) AS est_distinct,
@@ -10536,6 +10599,82 @@ def oracle_sql() -> dict[str, str]:
                    AND prec + rec > 0
               THEN 2.0 * prec * rec / (prec + rec) END AS f1
   FROM cm_m""",
+        # Exact 1-D Wasserstein-1 on the cent grid: per-segment
+        # |cumA·nb − cumB·na|·gap in HUGEINT, one division
+        # (stats.wasserstein_1d).
+        "wasserstein": """
+  WITH wa_f AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                       CAST(event_type = 'click' AS HUGEINT) AS a,
+                       CAST(event_type = 'view' AS HUGEINT) AS b
+                FROM events
+                WHERE event_type IN ('click', 'view')
+                  AND value IS NOT NULL),
+  wa_v AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM wa_f GROUP BY 1),
+  wa_c AS (SELECT v,
+                  sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+                  LEAD(v) OVER (ORDER BY v) AS nextv
+           FROM wa_v
+           WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+  wa_t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM wa_v),
+  wa_s AS (SELECT na, nb,
+                  COALESCE(sum(CASE WHEN nextv IS NOT NULL THEN
+                    abs(cuma * nb - cumb * na)
+                    * (CAST(nextv AS HUGEINT) - v) END), 0) AS w1n
+           FROM wa_c CROSS JOIN wa_t GROUP BY na, nb)
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         CAST(w1n AS BIGINT) AS w1_num,
+         CASE WHEN na > 0 AND nb > 0 THEN
+           CAST(w1n AS DOUBLE) / CAST(na * nb AS DOUBLE) END AS w1
+  FROM wa_s""",
+        # Log-free Simpson diversity per source: exact repeat
+        # probability and effective type count
+        # (text.simpson_diversity).
+        "simpson_diversity": f"""
+  WITH sd_e AS (SELECT source, UNNEST({_TOKS}) AS t FROM documents),
+  sd_c AS (SELECT source, t, CAST(count(*) AS HUGEINT) AS c
+           FROM sd_e GROUP BY 1, 2),
+  sd_a AS (SELECT source, sum(c) AS n,
+                  CAST(count(*) AS BIGINT) AS n_types,
+                  sum(c * (c - 1)) AS ss
+           FROM sd_c GROUP BY 1)
+  SELECT source, CAST(n AS BIGINT) AS n_tokens, n_types,
+         CASE WHEN n > 1 THEN
+           1.0 - CAST(ss AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+         END AS simpson,
+         CASE WHEN n > 1 AND ss > 0 THEN
+           CAST(n * (n - 1) AS DOUBLE) / CAST(ss AS DOUBLE)
+         END AS inv_simpson
+  FROM sd_a""",
+        # Binary-relevance ranking scorecard per source: first-relevant
+        # rank, RR, hits@10, precision@10, recall@10
+        # (text.retrieval_metrics).
+        "retrieval_metrics": """
+  WITH rm_b AS (SELECT source, doc_id,
+                       CAST(((doc_id % 80) // 20) >= 2 AS BIGINT) AS r,
+                       n_chars AS sc
+                FROM documents),
+  rm_r AS (SELECT source, r,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY sc DESC, doc_id ASC) AS rk
+           FROM rm_b),
+  rm_a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+                  CAST(sum(r) AS BIGINT) AS n_rel,
+                  CAST(min(CASE WHEN r = 1 THEN rk END) AS BIGINT)
+                    AS first_rel_rank,
+                  CAST(sum(CASE WHEN rk <= 10 THEN r ELSE 0 END)
+                       AS BIGINT) AS hits_at_k
+           FROM rm_r GROUP BY 1)
+  SELECT source, n_items, n_rel, first_rel_rank,
+         CASE WHEN first_rel_rank IS NOT NULL THEN
+           CAST(1.0 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE)
+         END AS rr,
+         hits_at_k,
+         CAST(hits_at_k AS DOUBLE) / CAST(10 AS DOUBLE)
+           AS precision_at_k,
+         CASE WHEN n_rel > 0 THEN
+           CAST(hits_at_k AS DOUBLE) / CAST(n_rel AS DOUBLE)
+         END AS recall_at_k
+  FROM rm_a""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -267,6 +267,9 @@ BENCH_QUERIES = [
     "bm25_topk",
     "ndcg",
     "confusion_metrics",
+    "wasserstein",
+    "simpson_diversity",
+    "retrieval_metrics",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

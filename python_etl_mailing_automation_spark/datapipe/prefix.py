@@ -194,3 +194,59 @@ def global_running_sums(
         ],
     )
     return out.drop("__pfx_b", *[f"__pfx_o_{o}" for o in sums])
+
+
+def global_next_value(
+    df: DataFrame,
+    order_col: str,
+    out_col: str,
+    *,
+    boundary_source: DataFrame | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Add ``lead(order_col)`` under the GLOBAL order of a
+    distinct-keyed frame — without a single-partition sort.
+
+    ``df`` must be distinct on ``order_col`` (the per-distinct-value
+    aggregate frames this module serves). Same two-level discipline as
+    :func:`global_running_sums`: range-bucket the key, take the lead
+    within each bucket's partitioned window, and stitch bucket
+    boundaries by handing each bucket the MIN key of the nearest
+    higher non-empty bucket — computed on the bounded per-bucket min
+    frame via the packed-array idiom (sort_array + posexplode +
+    element_at, no window at all). The global maximum key gets NULL,
+    exactly as lead() would give.
+
+    Scale shape: one bounded boundary sample, one per-bucket min
+    aggregate (bucket-cardinality frame), one broadcast join, and ONE
+    window partitioned by bucket — the biggest sort any task performs
+    is one bucket's rows.
+    """
+    key = F.col(order_col)
+    bounds = range_boundaries(
+        boundary_source if boundary_source is not None else df,
+        order_col,
+        n_buckets,
+    )
+    bucketed = df.withColumn("__nx_b", bucket_of(key, bounds))
+    mins = bucketed.groupBy("__nx_b").agg(F.min(key).alias("__nx_m"))
+    packed = mins.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__nx_b"), F.col("__nx_m")))
+        ).alias("__nx_arr")
+    )
+    nxt = packed.select(
+        "__nx_arr",
+        F.posexplode("__nx_arr").alias("__nx_i", "__nx_e"),
+    ).select(
+        F.col("__nx_e.__nx_b").alias("__nx_b"),
+        F.element_at(F.col("__nx_arr"), F.col("__nx_i") + 2)["__nx_m"].alias(
+            "__nx_next"
+        ),
+    )
+    ww = Window.partitionBy("__nx_b").orderBy(key.asc())
+    out = bucketed.join(F.broadcast(nxt), "__nx_b").withColumn(
+        out_col,
+        F.coalesce(F.lead(order_col, 1).over(ww), F.col("__nx_next")),
+    )
+    return out.drop("__nx_b", "__nx_next")

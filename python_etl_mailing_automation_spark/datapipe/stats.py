@@ -2021,3 +2021,93 @@ def roc_auc(
         nq.cast("long").alias("n_neg"),
         auc.alias("auc"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample 1-D Wasserstein-1 (earth mover) distance, EXACTLY —
+    the *integral* drift measure next to :func:`ks_two_sample`'s max
+    gap (KS flags the worst single point of divergence; W1 prices the
+    total transport work, so a fat distribution shift that never
+    concentrates at one value still registers).
+
+        W1 = ∫ |F_a − F_b| dx
+           = Σ_{consecutive distinct v} |cum_a(v)·n_b − cum_b(v)·n_a|
+             · (next(v) − v)  /  (n_a·n_b)
+
+    ``value_col`` must be INTEGER-valued (pre-scale to cents etc. —
+    the same grid discipline as :func:`exact_corr`): every per-segment
+    term is then an exact DECIMAL(38,0) product, the sum is
+    order-independent, and the single final division is the only
+    floating point. Output units are the value grid's units.
+
+    Output: one row — ``(n_a, n_b, w1_num, w1)`` with ``w1 = w1_num /
+    (n_a·n_b)``; NULL when either sample is empty.
+
+    Scale shape: one keyed value aggregate, the bucketed two-level
+    prefix for the cumulative counts, and the bucketed
+    :func:`~.prefix.global_next_value` lead for the segment widths —
+    no unpartitioned window anywhere in the plan.
+    """
+    from .prefix import global_next_value, global_running_sums
+
+    flag_a = (F.col(group_col) == F.lit(group_a)).cast("long")
+    flag_b = (F.col(group_col) == F.lit(group_b)).cast("long")
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("long").alias("__v"),
+        flag_a.alias("__a"),
+        flag_b.alias("__b"),
+    )
+    per_v = base.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb")
+    )
+    run = global_running_sums(
+        per_v,
+        ["__v"],
+        {"__cuma": "__ca", "__cumb": "__cb"},
+        boundary_source=base.select(F.col("__v")),
+    )
+    led = global_next_value(
+        run, "__v", "__nextv", boundary_source=base.select(F.col("__v"))
+    )
+    tot = per_v.agg(
+        F.sum("__ca").cast("decimal(38,0)").alias("__na"),
+        F.sum("__cb").cast("decimal(38,0)").alias("__nb"),
+    )
+    dev = F.abs(
+        F.col("__cuma").cast("decimal(38,0)") * F.col("__nb")
+        - F.col("__cumb").cast("decimal(38,0)") * F.col("__na")
+    )
+    seg = F.when(
+        F.col("__nextv").isNotNull(),
+        dev
+        * (
+            F.col("__nextv").cast("decimal(38,0)")
+            - F.col("__v").cast("decimal(38,0)")
+        ),
+    )
+    out = led.crossJoin(F.broadcast(tot)).groupBy("__na", "__nb").agg(
+        F.sum(seg).alias("__w1n")
+    )
+    return out.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.coalesce(F.col("__w1n"), F.lit(0).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("w1_num"),
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            F.coalesce(F.col("__w1n"), F.lit(0).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / (F.col("__na") * F.col("__nb")).cast("double"),
+        ).alias("w1"),
+    )

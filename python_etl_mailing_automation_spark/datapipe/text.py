@@ -1244,3 +1244,131 @@ def ndcg_at_k(
         idcg.alias("idcg"),
         F.when(idcg > 0, dcg / idcg).alias("ndcg"),
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical diversity via the Simpson index — the
+    LOG-FREE diversity measure (Shannon entropy needs per-type
+    ``p·log p`` whose variable-order float sum no engine reproduces
+    bit-for-bit; Simpson's is a pure rational):
+
+        λ     = Σ_t c_t(c_t − 1) / (N(N − 1))   (repeat probability)
+        D     = 1 − λ                           (Gini-Simpson)
+        D_inv = N(N − 1) / Σ_t c_t(c_t − 1)     (effective type count)
+
+    All accumulators are exact DECIMAL(38,0); the divisions and the
+    fixed-order ``1 − λ`` are the only floats. Groups with N ≤ 1 or no
+    repeated token yield NULLs where undefined. A corpus whose
+    D_inv collapses is dominated by few types — the boilerplate /
+    template-flood signal next to :func:`repetition_metrics` (that
+    scores one document; this scores the mix).
+
+    Output: one row per group — ``(group_col, n_tokens, n_types,
+    simpson, inv_simpson)``.
+
+    Scale shape: explode → (group, term) count with map-side combine →
+    one per-group aggregate. Token frequencies never leave the keyed
+    aggregate; no window, no join.
+    """
+    ex = spread_for_explode(df.select(group_col, text_col)).select(
+        F.col(group_col), F.explode(tokens_of(text_col)).alias("__t")
+    )
+    counts = ex.groupBy(group_col, "__t").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__c")
+    )
+    agg = counts.groupBy(group_col).agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__ss"),
+    )
+    n, ss = F.col("__n"), F.col("__ss")
+    lam = F.when(
+        n > 1, ss.cast("double") / (n * (n - 1)).cast("double")
+    )
+    return agg.select(
+        group_col,
+        n.cast("long").alias("n_tokens"),
+        "n_types",
+        F.when(lam.isNotNull(), F.lit(1.0) - lam).alias("simpson"),
+        F.when(
+            (n > 1) & (ss > 0),
+            (n * (n - 1)).cast("double") / ss.cast("double"),
+        ).alias("inv_simpson"),
+    )
+
+
+def retrieval_metrics(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    rel_col: str,
+    score_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group ranking metrics beyond NDCG: first-relevant rank /
+    reciprocal rank (the MRR component), hits@k, precision@k and
+    recall@k — the binary-relevance scorecard next to
+    :func:`ndcg_at_k`'s graded one.
+
+    Relevance is ``rel_col != 0``. The ranking under evaluation is
+    ``score_col`` descending with an id tiebreak (deterministic by
+    construction). Every metric is an exact BIGINT count or rank with
+    ONE final IEEE division — bit-identical across engines and
+    partitionings. Groups with no relevant item yield NULL
+    ``first_rel_rank``/``rr``/``recall_at_k``.
+
+    Output: one row per group — ``(group_col, n_items, n_rel,
+    first_rel_rank, rr, hits_at_k, precision_at_k, recall_at_k)``.
+
+    Scale shape: ONE ``row_number`` window partitioned by group, then
+    one per-group aggregate (min / conditional sums) — single shuffle
+    grain, bounded state, no unpartitioned window.
+    """
+    if k < 1:
+        raise ValueError("retrieval_metrics: k must be >= 1")
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col).alias("__i"),
+        (F.col(rel_col) != 0).cast("long").alias("__r"),
+        F.col(score_col).alias("__sc"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__sc").desc(), F.col("__i").asc()
+    )
+    ranked = base.select(
+        group_col, "__r", F.row_number().over(w).cast("long").alias("__rk")
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__r").cast("long").alias("n_rel"),
+        F.min(F.when(F.col("__r") == 1, F.col("__rk"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum(F.when(F.col("__rk") <= k, F.col("__r")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("hits_at_k"),
+    )
+    return agg.select(
+        group_col,
+        "n_items",
+        "n_rel",
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+        ).alias("rr"),
+        "hits_at_k",
+        (F.col("hits_at_k").cast("double") / F.lit(float(k))).alias(
+            "precision_at_k"
+        ),
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("hits_at_k").cast("double") / F.col("n_rel").cast("double"),
+        ).alias("recall_at_k"),
+    )

@@ -1102,3 +1102,54 @@ def test_global_window_lint_catches_broken_fixture(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert not _unpartitioned_window_violations(plan)
+
+
+def test_oracle_float_literals_use_e_notation():
+    """Every high-precision float constant baked into an oracle must be
+    an e-notation DOUBLE literal. DuckDB types a bare ``0.386…``
+    literal DECIMAL(p,s), and its decimal→double cast can land 1 ulp
+    off the IEEE value the Spark plan embeds (measured on 1/log2(6) —
+    the round-9 ndcg parity incident). ≤15 significant digits always
+    survives the cast exactly-roundtripped; beyond that, only the
+    strtod path (e-notation or string cast) is correctly rounded, so
+    the lint draws the line there. `_dlit` in __spark_entry__ is the
+    sanctioned formatter."""
+    import re
+
+    import __spark_entry__ as e
+
+    pat = re.compile(r"(?<![\w.])\d+\.\d*(?![eE\d])")
+    offenders = []
+    for name, sql in e.oracle_sql().items():
+        for match in pat.finditer(sql):
+            lit = match.group(0)
+            digits = lit.replace(".", "").lstrip("0")
+            if len(digits) < 16:
+                continue
+            # Integer-valued literals that are binary-exact (e.g. the
+            # 2^50 / 2^60 hash-grid constants) survive ANY cast path.
+            ipart, frac = lit.split(".")
+            if frac.strip("0") == "" and float(int(ipart)) == int(ipart):
+                continue
+            offenders.append((name, lit))
+    assert not offenders, (
+        "bare high-precision decimal literals in oracles (use _dlit / "
+        f"e-notation): {sorted(set(offenders))}"
+    )
+
+
+def test_oracle_float_lint_catches_fixture():
+    """The lint regex itself must flag a deliberately-bare literal."""
+    import re
+
+    pat = re.compile(r"(?<![\w.])\d+\.\d*(?![eE\d])")
+    bad = "SELECT 0.38685280723454163 AS v"
+    hits = [m.group(0) for m in pat.finditer(bad)]
+    assert hits == ["0.38685280723454163"]
+    ok = "SELECT 0.38685280723454163e0 AS v, arr[1.5] AS w"
+    digits_hits = [
+        m.group(0)
+        for m in pat.finditer(ok)
+        if len(m.group(0).replace(".", "").lstrip("0")) >= 16
+    ]
+    assert digits_hits == []
