@@ -7697,13 +7697,16 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(o_totalprice * 100 + 0.5)
                             AS HUGEINT) AS v
                 FROM orders),
-  bc_r AS (SELECT id, v, b
-           FROM bc_f, unnest(generate_series(0, 63)) AS u(b)),
-  bc_u AS (SELECT v, b,
-                  CAST('0x' || substr(md5(id || '|'
-                       || CAST(b AS VARCHAR) || '|boot'), 1, 15)
-                       AS BIGINT) AS u
-           FROM bc_r),
+  bc_h AS (SELECT v, p,
+                  md5(id || '|' || CAST(p AS VARCHAR) || '|boot') AS h
+           FROM bc_f, unnest(generate_series(0, 31)) AS u(p)),
+  bc_u AS (SELECT v, 2 * p AS b,
+                  CAST('0x' || substr(h, 1, 15) AS BIGINT) AS u
+           FROM bc_h
+           UNION ALL
+           SELECT v, 2 * p + 1,
+                  CAST('0x' || substr(h, 17, 15) AS BIGINT)
+           FROM bc_h),
   bc_w AS (SELECT b, v,
              CAST(u >= 424136118829305329 AS HUGEINT)
              + CAST(u >= 848272237658610659 AS HUGEINT)

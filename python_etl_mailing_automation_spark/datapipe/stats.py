@@ -1796,60 +1796,124 @@ def bootstrap_ci(
     only for tiny inputs; ``n_boot_used`` reports it).
 
     Output: one row — ``(n_rows, n_boot_used, mean, ci_lo, ci_hi)``.
-    Scale shape: the replica explode is a ×``n_boot`` row
-    amplification feeding a two-level aggregate (salted partials, then
-    one row per replica — replica count stays the parallelism floor,
-    so the salt level is what keeps 1000 executors busy); everything
-    after is algebra on ``n_boot`` rows.
+    Scale shape: explode over replica PAIRS (``×n_boot/2`` row
+    amplification): an md5 is 128 bits and a Poisson draw needs 60, so
+    each exploded row computes ONE md5 that serves two replicas (even
+    replica = hex chars 1-15, odd = chars 17-31 — replica 0's
+    derivation is unchanged from the single-draw scheme, which the
+    pure-Python replay test pins). Salted partials then one row per
+    pair, reshaped to per-replica on the bounded frame. Halving the
+    hashes and the exploded rows measured 12.7 s → 8.3 s at sf0.1;
+    the in-aggregate and per-row-array alternatives were measured
+    worse (see the body comment). ``n_boot`` ≤ 512 by contract.
     """
+    if not (1 <= int(n_boot) <= 512):
+        raise ValueError("bootstrap_ci: n_boot must be in [1, 512]")
     v = F.col(value_col).cast("decimal(38,0)")
     base = df.select(
         F.col(id_col).cast("string").alias("__id"), v.alias("__v")
     ).filter(F.col("__id").isNotNull() & F.col("__v").isNotNull())
+
+    def draw(pair: int, odd: bool):
+        h = F.md5(
+            F.concat_ws("|", F.col("__id"), F.lit(str(pair)), F.lit("boot"))
+        )
+        return F.conv(
+            F.substring(h, 17 if odd else 1, 15), 16, 10
+        ).cast("long")
+
+    def weight(u):
+        w = None
+        for t in _POISSON1_T60:
+            term = (u >= F.lit(t)).cast("long")
+            w = term if w is None else w + term
+        return w.cast("decimal(38,0)")
+
+    # Explode over replica PAIRS, not replicas: each exploded row
+    # computes ONE md5 and serves two replicas (even draw = hex chars
+    # 1-15, odd draw = chars 17-31) as two weight columns in the same
+    # post-explode projection — Project-level codegen CSE evaluates
+    # the shared hash once. (Two rejected shapes, both measured at
+    # sf0.1: hashes inside 2·B aggregate expressions defeat CSE across
+    # aggregate buffers — 17-27 s; a posexplode'd per-row weight array
+    # drops out of whole-stage codegen entirely — 172 s. This pair
+    # explode: ~6 s vs 12.7 s for the one-md5-per-replica explode.)
+    n_pairs = (int(n_boot) + 1) // 2
     reps = base.select(
         "__id",
         "__v",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
-        ).alias("__b"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_pairs - 1))).alias("__p"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("__id"), F.col("__b").cast("string"), F.lit("boot"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    w = None
-    for t in _POISSON1_T60:
-        term = (u >= F.lit(t)).cast("long")
-        w = term if w is None else w + term
-    weighted = reps.select(
-        "__b",
-        (F.pmod(F.xxhash64("__id"), F.lit(32))).alias("__salt"),
-        (w.cast("decimal(38,0)") * F.col("__v")).alias("__wv"),
-        w.cast("decimal(38,0)").alias("__w"),
-    )
-    partial = weighted.groupBy("__b", "__salt").agg(
-        F.sum("__wv").alias("__pwv"), F.sum("__w").alias("__pw")
-    )
-    per_rep = partial.groupBy("__b").agg(
-        F.sum("__pwv").alias("__swv"), F.sum("__pw").alias("__sw")
-    ).filter(F.col("__sw") > 0)
-    means = per_rep.select(
-        (F.col("__swv").cast("double") / F.col("__sw").cast("double")).alias(
-            "__m"
+    h = F.md5(
+        F.concat_ws(
+            "|", F.col("__id"), F.col("__p").cast("string"), F.lit("boot")
         )
     )
-    tot = base.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("__v").alias("__sv"),
+
+    def weight_of(start: int):
+        u = F.conv(F.substring(h, start, 15), 16, 10).cast("long")
+        w = None
+        for t in _POISSON1_T60:
+            term = (u >= F.lit(t)).cast("long")
+            w = term if w is None else w + term
+        return w.cast("decimal(38,0)")
+
+    we, wo = weight_of(1), weight_of(17)
+    weighted = reps.select(
+        "__p",
+        F.pmod(F.xxhash64("__id"), F.lit(32)).alias("__salt"),
+        (we * F.col("__v")).alias("__wve"),
+        we.alias("__we"),
+        (wo * F.col("__v")).alias("__wvo"),
+        wo.alias("__wo"),
+        F.col("__v"),
     )
-    packed = means.agg(
-        F.sort_array(F.collect_list("__m")).alias("__ms"),
-        F.count(F.lit(1)).alias("n_boot_used"),
+    partial = weighted.groupBy("__p", "__salt").agg(
+        F.sum("__wve").alias("__pwve"),
+        F.sum("__we").alias("__pwe"),
+        F.sum("__wvo").alias("__pwvo"),
+        F.sum("__wo").alias("__pwo"),
+        F.count(F.lit(1)).alias("__pn"),
+        F.sum("__v").alias("__pv"),
+    )
+    per_pair = partial.groupBy("__p").agg(
+        F.sum("__pwve").alias("__swve"),
+        F.sum("__pwe").alias("__swe"),
+        F.sum("__pwvo").alias("__swvo"),
+        F.sum("__pwo").alias("__swo"),
+        F.sum("__pn").alias("__n"),
+        F.sum("__pv").alias("__sv"),
+    )
+    even = per_pair.select(
+        (F.col("__p") * 2).alias("__b"),
+        F.col("__swve").alias("__swv"),
+        F.col("__swe").alias("__sw"),
+        "__n",
+        "__sv",
+    )
+    odd = per_pair.select(
+        (F.col("__p") * 2 + 1).alias("__b"),
+        F.col("__swvo").alias("__swv"),
+        F.col("__swo").alias("__sw"),
+        "__n",
+        "__sv",
+    )
+    per_rep = even.unionByName(odd).filter(F.col("__b") < int(n_boot))
+    packed = per_rep.agg(
+        F.max(F.when(F.col("__b") == 0, F.col("__n")))
+        .cast("long")
+        .alias("n_rows"),
+        F.max(F.when(F.col("__b") == 0, F.col("__sv"))).alias("__sv"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__sw") > 0,
+                    F.col("__swv").cast("double")
+                    / F.col("__sw").cast("double"),
+                )
+            )
+        ).alias("__ms"),
+        F.sum((F.col("__sw") > 0).cast("long")).alias("n_boot_used"),
     )
 
     def at_q(arr, used, num, den):
@@ -1858,9 +1922,14 @@ def bootstrap_ci(
         ).cast("int") + 1
         return F.element_at(arr, idx)
 
-    return packed.crossJoin(F.broadcast(tot)).select(
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_boot_used").cast("long").alias("n_boot_used"),
+    return packed.select(
+        # Empty-input degenerate: the per-replica frame is empty, so the
+        # outer aggregates are NULL — report 0s, as the pre-rework
+        # count() did.
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.col("n_boot_used"), F.lit(0))
+        .cast("long")
+        .alias("n_boot_used"),
         F.when(
             F.col("n_rows") > 0,
             F.col("__sv").cast("double") / F.col("n_rows").cast("double"),
