@@ -4838,6 +4838,63 @@ def q_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed-set harmonic centrality over the co-purchase graph
+    (datapipe/graph.harmonic_centrality, 3 rounds, seeds ≡ 0 mod 97 —
+    the bfs_hops setup): per-seed BFS distances, reciprocals cleared
+    through lcm(1..3)=6 so the sum is exact integers, one division."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        harmonic_centrality,
+    )
+
+    edges = _copurchase_edges(spark, sf)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+    )
+    return harmonic_centrality(edges, seeds, max_hops=3)
+
+
+def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard (datapipe/text.vocab_overlap):
+    distinct (source, term) grain, term-keyed self-join bounded by the
+    source count, inclusion-exclusion union, one division."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        vocab_overlap,
+    )
+
+    return vocab_overlap(_t(spark, sf, "documents"))
+
+
+def q_target_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Smoothed target encoding of order priority against whole-dollar
+    order value (datapipe/classify.target_encode, m=10): exact
+    integer-cleared prior, single division per category."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        target_encode,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.floor("o_totalprice").cast("long").alias("dollars"),
+    )
+    return target_encode(o, "o_orderpriority", "dollars", smoothing=10)
+
+
+def q_welch_t(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance t between click and view whole-dollar
+    values (datapipe/stats.welch_t): exact DECIMAL(38,0) moments, one
+    fixed written-order float expression for t and the Satterthwaite
+    df."""
+    from python_etl_mailing_automation_spark.datapipe.stats import welch_t
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor("value").cast("long").alias("dollars")
+    )
+    return welch_t(ev, "event_type", "dollars", "click", "view")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5177,6 +5234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein": q_wasserstein,
         "simpson_diversity": q_simpson_diversity,
         "retrieval_metrics": q_retrieval_metrics,
+        "harmonic_centrality": q_harmonic_centrality,
+        "vocab_overlap": q_vocab_overlap,
+        "target_encode": q_target_encode,
+        "welch_t": q_welch_t,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6143,6 +6204,41 @@ def _bfs_sql(max_hops: int = 3) -> str:
         f"WITH {body}\n  SELECT node, CAST(hop AS INT) AS hop"
         f" FROM bfd{max_hops}"
     )
+
+
+def _harmonic_sql(max_hops: int = 3, lcm: int = 6) -> str:
+    """Unrolled per-seed min-union BFS over the co-purchase graph
+    (seeds ≡ 0 mod 97), reciprocals cleared through lcm(1..max_hops)
+    so the harmonic sum is exact integer division (graph
+    .harmonic_centrality)."""
+    parts = [
+        """hcu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),""",
+        "  hce AS (SELECT src, dst FROM hcu"
+        " UNION ALL SELECT dst, src FROM hcu),",
+        "  hcd0 AS (SELECT DISTINCT src AS seed, src AS node, 0 AS hop"
+        " FROM hce WHERE src % 97 = 0),",
+    ]
+    for it in range(max_hops):
+        parts.append(
+            f"  hcr{it} AS (SELECT d.seed, e.dst AS node, d.hop + 1 AS hop"
+            f" FROM hce e JOIN hcd{it} d ON e.src = d.node),"
+        )
+        parts.append(
+            f"  hcd{it + 1} AS (SELECT seed, node, MIN(hop) AS hop FROM"
+            f" (SELECT seed, node, hop FROM hcd{it}"
+            f" UNION ALL SELECT seed, node, hop FROM hcr{it})"
+            f" GROUP BY 1, 2),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"""WITH {body}
+  SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum({lcm} // hop) AS BIGINT) AS h_num,
+         CAST(sum({lcm} // hop) AS DOUBLE) / CAST({lcm} AS DOUBLE)
+           AS harmonic
+  FROM hcd{max_hops} WHERE hop >= 1 GROUP BY node"""
 
 
 def _hits_sql(n_iter: int = 2) -> str:
@@ -10678,6 +10774,81 @@ def oracle_sql() -> dict[str, str]:
            CAST(hits_at_k AS DOUBLE) / CAST(n_rel AS DOUBLE)
          END AS recall_at_k
   FROM rm_a""",
+        # Seed-set harmonic centrality: per-seed unrolled BFS,
+        # lcm-cleared reciprocals (graph.harmonic_centrality).
+        "harmonic_centrality": _harmonic_sql(3, 6),
+        # Pairwise source-vocabulary Jaccard off the distinct
+        # (group, term) grain (text.vocab_overlap).
+        "vocab_overlap": f"""
+  WITH vo_e AS (SELECT source AS g, UNNEST({_TOKS}) AS t
+                FROM documents),
+  vo_v AS (SELECT DISTINCT g, t FROM vo_e),
+  vo_s AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+           FROM vo_v GROUP BY 1),
+  vo_i AS (SELECT a.g AS group_a, b.g AS group_b,
+                  CAST(count(*) AS BIGINT) AS n_inter
+           FROM vo_v a JOIN vo_v b ON a.t = b.t AND a.g < b.g
+           GROUP BY 1, 2)
+  SELECT i.group_a, i.group_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+         CAST(i.n_inter AS DOUBLE)
+           / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+  FROM vo_i i
+  JOIN vo_s sa ON i.group_a = sa.g
+  JOIN vo_s sb ON i.group_b = sb.g""",
+        # Smoothed target encoding: integer-cleared prior, one division
+        # (classify.target_encode, m=10).
+        "target_encode": """
+  WITH te_b AS (SELECT o_orderpriority,
+                       CAST(floor(o_totalprice) AS HUGEINT) AS y
+                FROM orders WHERE o_totalprice IS NOT NULL),
+  te_c AS (SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n,
+                  sum(y) AS sy
+           FROM te_b GROUP BY 1),
+  te_t AS (SELECT CAST(count(*) AS HUGEINT) AS nn, sum(y) AS syy
+           FROM te_b)
+  SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+         CAST(sy AS BIGINT) AS sum_y,
+         CASE WHEN nn * (n + 10) > 0 THEN
+           CAST(nn * sy + 10 * syy AS DOUBLE)
+           / CAST(nn * (n + 10) AS DOUBLE) END AS encoding
+  FROM te_c CROSS JOIN te_t""",
+        # Welch's t + Satterthwaite df from exact HUGEINT moments; the
+        # float tail mirrors the operator's written op order exactly
+        # (stats.welch_t).
+        "welch_t": """
+  WITH wt_f AS (SELECT CAST(floor(value) AS HUGEINT) AS x,
+                       event_type = 'click' AS ia,
+                       event_type = 'view' AS ib
+                FROM events
+                WHERE event_type IN ('click', 'view')
+                  AND value IS NOT NULL),
+  wt_a AS (SELECT sum(CAST(ia AS HUGEINT)) AS na,
+                  sum(CAST(ib AS HUGEINT)) AS nb,
+                  sum(CASE WHEN ia THEN x END) AS sa,
+                  sum(CASE WHEN ib THEN x END) AS sb,
+                  sum(CASE WHEN ia THEN x * x END) AS saa,
+                  sum(CASE WHEN ib THEN x * x END) AS sbb
+           FROM wt_f),
+  wt_d AS (SELECT na, nb,
+                  CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+                  CAST(na * saa - sa * sa AS DOUBLE) AS van,
+                  CAST(nb * sbb - sb * sb AS DOUBLE) AS vbn,
+                  CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd
+           FROM wt_a),
+  wt_r AS (SELECT na, nb, nad, nbd,
+                  van / (nad * (nad - 1.0) * nad) AS ra,
+                  vbn / (nbd * (nbd - 1.0) * nbd) AS rb,
+                  sad / nad AS mean_a, sbd / nbd AS mean_b
+           FROM wt_d)
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         CASE WHEN na > 0 THEN mean_a END AS mean_a,
+         CASE WHEN nb > 0 THEN mean_b END AS mean_b,
+         CASE WHEN na > 1 AND nb > 1 AND ra + rb > 0 THEN
+           (mean_a - mean_b) / sqrt(ra + rb) END AS t,
+         CASE WHEN na > 1 AND nb > 1 AND ra + rb > 0 THEN
+           (ra + rb) * (ra + rb)
+           / (ra * ra / (nad - 1.0) + rb * rb / (nbd - 1.0)) END AS df
+  FROM wt_r""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -270,6 +270,10 @@ BENCH_QUERIES = [
     "wasserstein",
     "simpson_diversity",
     "retrieval_metrics",
+    "harmonic_centrality",
+    "vocab_overlap",
+    "target_encode",
+    "welch_t",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

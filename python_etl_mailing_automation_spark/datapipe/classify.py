@@ -173,3 +173,63 @@ def confusion_metrics(
         "class", "tp", "fp", "fn",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    smoothing: int = 10,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column against
+    an INTEGER-valued target — the classic high-cardinality feature
+    transform (a category's raw mean overfits when its count is small;
+    shrink it toward the global prior):
+
+        enc(c) = (Σy_c + m·ȳ) / (n_c + m),   ȳ = ΣY / N,  m = smoothing
+
+    Clearing the rational prior gives the exact integer form
+
+        enc(c) = (N·Σy_c + m·ΣY) / (N·(n_c + m))
+
+    — numerator and denominator are DECIMAL(38,0)-exact, the single
+    division is the only float, so encodings are bit-identical across
+    engines and partitionings (a float-accumulated category mean would
+    flap under re-partitioning — disqualifying for a feature that must
+    reproduce between training and serving). NULL categories are a
+    legitimate level and are encoded too; NULL targets are excluded
+    from sums and counts.
+
+    Output: one row per category — ``(cat_col, n, sum_y, encoding)``.
+
+    Scale shape: one map-side-combinable groupBy on the category plus
+    the sanctioned one-row global-totals cross join. No window, no
+    data-sized join.
+    """
+    if smoothing < 0:
+        raise ValueError("target_encode: smoothing must be >= 0")
+    y = F.col(target_col).cast("decimal(38,0)")
+    base = df.select(F.col(cat_col), y.alias("__y")).filter(
+        F.col("__y").isNotNull()
+    )
+    per_cat = base.groupBy(cat_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__y").alias("__sy"),
+    )
+    tot = base.agg(
+        F.sum(F.lit(1).cast("decimal(38,0)")).alias("__tn"),
+        F.sum("__y").alias("__tsy"),
+    )
+    m = F.lit(int(smoothing)).cast("decimal(38,0)")
+    out = per_cat.crossJoin(F.broadcast(tot))
+    num = F.col("__tn") * F.col("__sy") + m * F.col("__tsy")
+    den = F.col("__tn") * (F.col("__n") + m)
+    return out.select(
+        cat_col,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__sy").cast("long").alias("sum_y"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "encoding"
+        ),
+    )

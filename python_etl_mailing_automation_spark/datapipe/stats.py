@@ -2180,3 +2180,82 @@ def wasserstein_1d(
             / (F.col("__na") * F.col("__nb")).cast("double"),
         ).alias("w1"),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic with the
+    Satterthwaite degrees of freedom — the parametric mean-shift test
+    next to the rank-based :func:`mann_whitney_u` (MW asks "did the
+    distribution shift", Welch asks "did the MEAN shift, variances be
+    damned"), from exact integer moments:
+
+        s²_g = (n_g·Σx² − (Σx)²) / (n_g·(n_g − 1))       [exact radix]
+        t    = (x̄_a − x̄_b) / sqrt(s²_a/n_a + s²_b/n_b)
+        df   = (s²_a/n_a + s²_b/n_b)² /
+               ((s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1))
+
+    ``value_col`` must be INTEGER-valued (the :func:`exact_corr` grid
+    discipline). Counts and raw moments are DECIMAL(38,0)-exact; the
+    means, variance ratios, t and df are ONE fixed written-order
+    double expression — bit-identical across engines and
+    partitionings (the oracle spells the identical expression tree).
+    NULL t/df when either sample has n < 2 or both variances are zero.
+
+    Output: one row — ``(n_a, n_b, mean_a, mean_b, t, df)``.
+    Scale shape: one filtered map-side-combinable aggregate. No
+    shuffle beyond the single global agg, no window, no join.
+    """
+    x = F.col(value_col).cast("decimal(38,0)")
+    fa = (F.col(group_col) == F.lit(group_a)).cast("int")
+    fb = (F.col(group_col) == F.lit(group_b)).cast("int")
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(x.alias("__x"), fa.alias("__a"), fb.alias("__b"))
+    agg = base.agg(
+        F.sum(F.col("__a").cast("decimal(38,0)")).alias("__na"),
+        F.sum(F.col("__b").cast("decimal(38,0)")).alias("__nb"),
+        F.sum(F.when(F.col("__a") == 1, F.col("__x"))).alias("__sa"),
+        F.sum(F.when(F.col("__b") == 1, F.col("__x"))).alias("__sb"),
+        F.sum(F.when(F.col("__a") == 1, F.col("__x") * F.col("__x"))).alias(
+            "__saa"
+        ),
+        F.sum(F.when(F.col("__b") == 1, F.col("__x") * F.col("__x"))).alias(
+            "__sbb"
+        ),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    # Exact integer radicands: n·Σx² − (Σx)².
+    va_num = (na * F.col("__saa") - F.col("__sa") * F.col("__sa")).cast(
+        "double"
+    )
+    vb_num = (nb * F.col("__sbb") - F.col("__sb") * F.col("__sb")).cast(
+        "double"
+    )
+    nad, nbd = na.cast("double"), nb.cast("double")
+    # s²/n terms, one fixed op order each.
+    ra = va_num / (nad * (nad - 1.0) * nad)
+    rb = vb_num / (nbd * (nbd - 1.0) * nbd)
+    mean_a = F.col("__sa").cast("double") / nad
+    mean_b = F.col("__sb").cast("double") / nbd
+    ok = (na > 1) & (nb > 1) & (ra + rb > 0)
+    t = (mean_a - mean_b) / F.sqrt(ra + rb)
+    dof = (
+        (ra + rb)
+        * (ra + rb)
+        / (ra * ra / (nad - 1.0) + rb * rb / (nbd - 1.0))
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when(na > 0, mean_a).alias("mean_a"),
+        F.when(nb > 0, mean_b).alias("mean_b"),
+        F.when(ok, t).alias("t"),
+        F.when(ok, dof).alias("df"),
+    )

@@ -1372,3 +1372,70 @@ def retrieval_metrics(
             F.col("hits_at_k").cast("double") / F.col("n_rel").cast("double"),
         ).alias("recall_at_k"),
     )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups — the corpus-level
+    similarity matrix (which sources speak the same language / share a
+    template?), the group-granularity sibling of the per-document
+    :func:`~.ssjoin` family:
+
+        J(a, b) = |V_a ∩ V_b| / |V_a ∪ V_b|,  V_g = distinct terms of g
+
+    All counts are exact BIGINTs; the union comes from the
+    inclusion-exclusion identity |V_a|+|V_b|−|V_a∩V_b| (never a
+    distinct over a unioned explode), and the single division is the
+    only float. Pairs are emitted once (``group_a < group_b``) and only
+    when the intersection is non-empty — a missing pair IS the zero
+    (documented contract; a bounded group list can outer-fill
+    downstream if zeros must be materialized).
+
+    Output: ``(group_a, group_b, n_a, n_b, n_inter, jaccard)``.
+
+    Scale shape: explode → DISTINCT (group, term) — the vocabulary
+    grain, far smaller than the token stream — then a term-keyed
+    self-join whose fan-out per term is bounded by the GROUP count
+    (squared), not the corpus; per-group sizes broadcast back onto the
+    bounded pair frame. One data-sized shuffle (the distinct), then
+    group-cardinality algebra.
+    """
+    vocab = (
+        spread_for_explode(df.select(group_col, text_col))
+        .select(F.col(group_col).alias("__g"), F.explode(tokens_of(text_col)).alias("__t"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a = vocab.select(F.col("__g").alias("group_a"), "__t")
+    b = vocab.select(F.col("__g").alias("group_b"), "__t")
+    inter = (
+        a.join(b, "__t")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("__g").alias("group_a"), F.col("__n").alias("n_a"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__g").alias("group_b"), F.col("__n").alias("n_b"))),
+            "group_b",
+        )
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )

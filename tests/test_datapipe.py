@@ -5185,3 +5185,159 @@ class TestRetrievalMetrics:
         ).collect()[0]
         assert r["first_rel_rank"] is None and r["rr"] is None
         assert r["recall_at_k"] is None and r["precision_at_k"] == 0.0
+
+
+class TestHarmonicCentrality:
+    """graph.harmonic_centrality — lcm-cleared exact reciprocals."""
+
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, ["src", "dst"])
+
+    def test_matches_brute_bfs(self, spark):
+        import itertools
+        from python_etl_mailing_automation_spark.datapipe.graph import (
+            harmonic_centrality,
+        )
+
+        # path graph 1-2-3-4-5 plus chord 1-4 (directed both ways)
+        und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+        pairs = und + [(b, a) for a, b in und]
+        seeds = spark.createDataFrame([(1,), (3,)], ["node"])
+        out = {
+            r["node"]: (r["n_sources"], r["h_num"], r["harmonic"])
+            for r in harmonic_centrality(
+                self._edges(spark, pairs), seeds, max_hops=3
+            ).collect()
+        }
+        # brute BFS per seed
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+        import collections
+        exp = collections.defaultdict(lambda: [0, 0])
+        for s in (1, 3):
+            dist = {s: 0}
+            q = [s]
+            for _ in range(3):
+                nq = []
+                for n in q:
+                    for m_ in adj.get(n, ()):
+                        if m_ not in dist:
+                            dist[m_] = dist[n] + 1
+                            nq.append(m_)
+                q = nq
+            for n, d in dist.items():
+                if 1 <= d <= 3:
+                    exp[n][0] += 1
+                    exp[n][1] += 6 // d
+        assert set(out) == set(exp)
+        for n, (ns, hn) in exp.items():
+            assert out[n] == (ns, hn, hn / 6.0)
+
+    def test_lcm_divisibility_all_hops(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.graph import (
+            harmonic_centrality,
+        )
+
+        chain = [(i, i + 1) for i in range(1, 6)]
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        out = {
+            r["node"]: r["h_num"]
+            for r in harmonic_centrality(
+                self._edges(spark, chain), seeds, max_hops=4
+            ).collect()
+        }
+        # lcm(1..4)=12: hops 1,2,3,4 -> 12,6,4,3
+        assert out == {2: 12, 3: 6, 4: 4, 5: 3}
+
+
+class TestVocabOverlap:
+    def test_matches_brute(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.text import (
+            vocab_overlap,
+        )
+
+        df = spark.createDataFrame(
+            [("s", "a b c"), ("t", "b c d"), ("u", "x y")],
+            ["source", "text"],
+        )
+        out = {
+            (r["group_a"], r["group_b"]): r
+            for r in vocab_overlap(df).collect()
+        }
+        assert set(out) == {("s", "t")}  # u shares nothing
+        r = out[("s", "t")]
+        assert (r["n_a"], r["n_b"], r["n_inter"]) == (3, 3, 2)
+        assert r["jaccard"] == 2 / 4
+
+    def test_duplicate_tokens_counted_once(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.text import (
+            vocab_overlap,
+        )
+
+        df = spark.createDataFrame(
+            [("s", "a a a b"), ("t", "a")], ["source", "text"]
+        )
+        r = vocab_overlap(df).collect()[0]
+        assert (r["n_a"], r["n_b"], r["n_inter"]) == (2, 1, 1)
+        assert r["jaccard"] == 0.5
+
+
+class TestTargetEncode:
+    def test_matches_formula(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            target_encode,
+        )
+
+        rows = [("a", 10), ("a", 20), ("b", 100), (None, 7)]
+        df = spark.createDataFrame(rows, ["c", "y"])
+        out = {
+            r["c"]: r for r in target_encode(df, "c", "y", smoothing=2).collect()
+        }
+        N, SY = 4, 137
+        for cat, ys in (("a", [10, 20]), ("b", [100]), (None, [7])):
+            n, sy = len(ys), sum(ys)
+            exp = (N * sy + 2 * SY) / (N * (n + 2))
+            assert out[cat]["n"] == n and out[cat]["sum_y"] == sy
+            assert out[cat]["encoding"] == exp
+
+    def test_zero_smoothing_is_raw_mean(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            target_encode,
+        )
+
+        df = spark.createDataFrame([("a", 4), ("a", 8)], ["c", "y"])
+        r = target_encode(df, "c", "y", smoothing=0).collect()[0]
+        assert r["encoding"] == 6.0
+
+
+class TestWelchT:
+    def test_matches_scipy_formula(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import welch_t
+
+        a = [12, 15, 11, 18, 14]
+        b = [22, 19, 25, 21]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        r = welch_t(df, "g", "v", "a", "b").collect()[0]
+        import statistics
+        ma, mb = statistics.mean(a), statistics.mean(b)
+        va, vb = statistics.variance(a), statistics.variance(b)
+        ra, rb = va / len(a), vb / len(b)
+        t = (ma - mb) / (ra + rb) ** 0.5
+        dof = (ra + rb) ** 2 / (
+            ra**2 / (len(a) - 1) + rb**2 / (len(b) - 1)
+        )
+        assert (r["n_a"], r["n_b"]) == (5, 4)
+        assert abs(r["mean_a"] - ma) < 1e-12
+        assert abs(r["t"] - t) < 1e-10
+        assert abs(r["df"] - dof) < 1e-10
+
+    def test_tiny_sample_null(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import welch_t
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("b", 3)], ["g", "v"]
+        )
+        r = welch_t(df, "g", "v", "a", "b").collect()[0]
+        assert r["t"] is None and r["df"] is None
