@@ -4948,6 +4948,15 @@ _CHANGED_SINCE_SIGNED = {
     # cdf_normalize allow_global contract added) — re-sign on fresh code.
     "max_concurrency": 8,
     "cdf_normalize": 8,
+    # Round-9 continuation: bootstrap_ci's replica derivation changed
+    # (pair-hashed draws — replicas 1+ draw different weights, replica 0
+    # is pinned unchanged), and the benford / hll oracles' float
+    # literals moved to e-notation (values verified identical, text
+    # changed). Re-sign on fresh code.
+    "bootstrap_ci": 8,
+    "benford": 8,
+    "hll_distinct": 8,
+    "hll_group_distinct": 8,
 }
 
 
