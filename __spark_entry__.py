@@ -4895,6 +4895,46 @@ def q_welch_t(spark: SparkSession, sf: str) -> DataFrame:
     return welch_t(ev, "event_type", "dollars", "click", "view")
 
 
+def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood link prediction on the co-purchase graph
+    (datapipe/graph.link_prediction): distance-2 non-edges scored by
+    common neighbors / neighborhood Jaccard / preferential attachment
+    — exact integers plus one division, wedge join + anti-join."""
+    from python_etl_mailing_automation_spark.datapipe.graph import (
+        link_prediction,
+    )
+
+    return link_prediction(_copurchase_edges(spark, sf), min_common=2)
+
+
+def q_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences of whole-dollar event values, click
+    (treated) vs view (control), H1 vs H2 of the year as pre/post
+    (datapipe/stats.diff_in_diff): four exact cells, one fixed-order
+    contrast."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        diff_in_diff,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.when(F.month("ts") <= 6, F.lit("pre"))
+        .otherwise(F.lit("post"))
+        .alias("period"),
+        F.floor("value").cast("long").alias("dollars"),
+    )
+    return diff_in_diff(
+        ev,
+        "event_type",
+        "period",
+        "dollars",
+        treat_val="click",
+        control_val="view",
+        pre_val="pre",
+        post_val="post",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5247,6 +5287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "target_encode": q_target_encode,
         "welch_t": q_welch_t,
+        "link_prediction": q_link_prediction,
+        "diff_in_diff": q_diff_in_diff,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -10858,6 +10900,73 @@ def oracle_sql() -> dict[str, str]:
            (ra + rb) * (ra + rb)
            / (ra * ra / (nad - 1.0) + rb * rb / (nbd - 1.0)) END AS df
   FROM wt_r""",
+        # Distance-2 non-edge link scores off one wedge self-join:
+        # common neighbors, neighborhood Jaccard, preferential
+        # attachment (graph.link_prediction, min_common=2).
+        "link_prediction": """
+  WITH lpu AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+  lpe AS (SELECT src AS a, dst AS b FROM lpu
+          UNION ALL SELECT dst, src FROM lpu),
+  lpd AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM lpe GROUP BY 1),
+  lpc AS (SELECT b AS z, a AS n FROM lpe),
+  lpw AS (SELECT l.n AS node_a, r.n AS node_b
+          FROM lpc l JOIN lpc r ON l.z = r.z AND l.n < r.n),
+  lpcn AS (SELECT node_a, node_b, CAST(count(*) AS BIGINT)
+             AS common_neighbors
+           FROM lpw GROUP BY 1, 2 HAVING count(*) >= 2),
+  lpne AS (SELECT c.node_a, c.node_b, c.common_neighbors
+           FROM lpcn c LEFT JOIN lpe e
+             ON c.node_a = e.a AND c.node_b = e.b
+           WHERE e.a IS NULL)
+  SELECT ne.node_a, ne.node_b, ne.common_neighbors,
+         da.deg AS deg_a, db.deg AS deg_b,
+         CAST(ne.common_neighbors AS DOUBLE)
+           / CAST(da.deg + db.deg - ne.common_neighbors AS DOUBLE)
+           AS jaccard,
+         CAST(da.deg * db.deg AS BIGINT) AS pref_attachment
+  FROM lpne ne
+  JOIN lpd da ON ne.node_a = da.node
+  JOIN lpd db ON ne.node_b = db.node""",
+        # 2x2 difference-in-differences: four exact HUGEINT cells, one
+        # fixed written-order contrast (stats.diff_in_diff).
+        "diff_in_diff": """
+  WITH dd_f AS (SELECT CAST(floor(value) AS HUGEINT) AS x,
+                       event_type = 'click' AS t,
+                       month(ts) > 6 AS p
+                FROM events
+                WHERE event_type IN ('click', 'view')
+                  AND value IS NOT NULL),
+  dd_a AS (SELECT
+             sum(CAST(t AND NOT p AS HUGEINT)) AS ntpre,
+             sum(CASE WHEN t AND NOT p THEN x END) AS stpre,
+             sum(CAST(t AND p AS HUGEINT)) AS ntpost,
+             sum(CASE WHEN t AND p THEN x END) AS stpost,
+             sum(CAST(NOT t AND NOT p AS HUGEINT)) AS ncpre,
+             sum(CASE WHEN NOT t AND NOT p THEN x END) AS scpre,
+             sum(CAST(NOT t AND p AS HUGEINT)) AS ncpost,
+             sum(CASE WHEN NOT t AND p THEN x END) AS scpost
+           FROM dd_f),
+  dd_m AS (SELECT *,
+             CASE WHEN ntpre > 0 THEN CAST(stpre AS DOUBLE)
+               / CAST(ntpre AS DOUBLE) END AS mean_tpre,
+             CASE WHEN ntpost > 0 THEN CAST(stpost AS DOUBLE)
+               / CAST(ntpost AS DOUBLE) END AS mean_tpost,
+             CASE WHEN ncpre > 0 THEN CAST(scpre AS DOUBLE)
+               / CAST(ncpre AS DOUBLE) END AS mean_cpre,
+             CASE WHEN ncpost > 0 THEN CAST(scpost AS DOUBLE)
+               / CAST(ncpost AS DOUBLE) END AS mean_cpost
+           FROM dd_a)
+  SELECT CAST(COALESCE(ntpre, 0) AS BIGINT) AS n_tpre,
+         CAST(COALESCE(ntpost, 0) AS BIGINT) AS n_tpost,
+         CAST(COALESCE(ncpre, 0) AS BIGINT) AS n_cpre,
+         CAST(COALESCE(ncpost, 0) AS BIGINT) AS n_cpost,
+         mean_tpre, mean_tpost, mean_cpre, mean_cpost,
+         (mean_tpost - mean_tpre) - (mean_cpost - mean_cpre) AS did
+  FROM dd_m""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "vocab_overlap",
     "target_encode",
     "welch_t",
+    "link_prediction",
+    "diff_in_diff",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -2259,3 +2259,73 @@ def welch_t(
         F.when(ok, t).alias("t"),
         F.when(ok, dof).alias("df"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    *,
+    treat_val,
+    control_val,
+    pre_val,
+    post_val,
+) -> DataFrame:
+    """Difference-in-differences contrast of an INTEGER-valued outcome:
+
+        DiD = (x̄_treat,post − x̄_treat,pre) − (x̄_ctrl,post − x̄_ctrl,pre)
+
+    — the before/after causal read-out a pipeline runs on a rollout
+    (did the new curation rule move quality for the treated source
+    beyond the secular trend the control source shows?). The four cell
+    sums and counts are exact DECIMAL(38,0); each mean is one IEEE
+    division and DiD one fixed written-order expression — bit-identical
+    across engines and partitionings (the same discipline as
+    :func:`welch_t`; this is its 2×2 factorial sibling).
+
+    Output: one row — ``(n_tpre, n_tpost, n_cpre, n_cpost, mean_tpre,
+    mean_tpost, mean_cpre, mean_cpost, did)``; ``did`` NULL when any
+    cell is empty.
+    Scale shape: ONE filtered map-side-combinable aggregate with eight
+    accumulators. No shuffle beyond the single global agg.
+    """
+    x = F.col(value_col).cast("decimal(38,0)")
+    base = df.filter(
+        F.col(group_col).isin([treat_val, control_val])
+        & F.col(period_col).isin([pre_val, post_val])
+        & F.col(value_col).isNotNull()
+    ).select(
+        x.alias("__x"),
+        (F.col(group_col) == F.lit(treat_val)).alias("__t"),
+        (F.col(period_col) == F.lit(post_val)).alias("__p"),
+    )
+
+    def cell(t: bool, p: bool, out: str):
+        cond = (F.col("__t") == t) & (F.col("__p") == p)
+        return [
+            F.sum(cond.cast("decimal(38,0)")).alias(f"__n{out}"),
+            F.sum(F.when(cond, F.col("__x"))).alias(f"__s{out}"),
+        ]
+
+    agg = base.agg(
+        *cell(True, False, "tpre"),
+        *cell(True, True, "tpost"),
+        *cell(False, False, "cpre"),
+        *cell(False, True, "cpost"),
+    )
+    means = {}
+    for c in ("tpre", "tpost", "cpre", "cpost"):
+        means[c] = F.when(
+            F.col(f"__n{c}") > 0,
+            F.col(f"__s{c}").cast("double")
+            / F.col(f"__n{c}").cast("double"),
+        )
+    did = (means["tpost"] - means["tpre"]) - (
+        means["cpost"] - means["cpre"]
+    )
+    return agg.select(
+        *[F.coalesce(F.col(f"__n{c}"), F.lit(0)).cast("long").alias(f"n_{c}") for c in ("tpre", "tpost", "cpre", "cpost")],
+        *[means[c].alias(f"mean_{c}") for c in ("tpre", "tpost", "cpre", "cpost")],
+        did.alias("did"),
+    )

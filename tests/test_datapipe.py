@@ -5341,3 +5341,100 @@ class TestWelchT:
         )
         r = welch_t(df, "g", "v", "a", "b").collect()[0]
         assert r["t"] is None and r["df"] is None
+
+
+class TestLinkPrediction:
+    def test_matches_brute(self, spark):
+        import itertools
+        from python_etl_mailing_automation_spark.datapipe.graph import (
+            link_prediction,
+        )
+
+        # square 1-2-3-4-1 plus pendant 5 on 1
+        und = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5)]
+        df = spark.createDataFrame(und, ["src", "dst"])
+        out = {
+            (r["node_a"], r["node_b"]): r
+            for r in link_prediction(df, min_common=1).collect()
+        }
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = {}
+        for a, b in itertools.combinations(sorted(adj), 2):
+            if b in adj[a]:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn >= 1:
+                exp[(a, b)] = (
+                    cn,
+                    len(adj[a]),
+                    len(adj[b]),
+                    cn / len(adj[a] | adj[b]),
+                    len(adj[a]) * len(adj[b]),
+                )
+        assert set(out) == set(exp)
+        for k, (cn, da, db, jac, pa) in exp.items():
+            r = out[k]
+            assert (
+                r["common_neighbors"], r["deg_a"], r["deg_b"],
+                r["jaccard"], r["pref_attachment"],
+            ) == (cn, da, db, jac, pa)
+
+    def test_existing_edges_excluded(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.graph import (
+            link_prediction,
+        )
+
+        # triangle: every pair adjacent -> no candidates
+        df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+        assert link_prediction(df, min_common=1).count() == 0
+
+    def test_max_degree_drops_hub_centers(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.graph import (
+            link_prediction,
+        )
+
+        # star: hub 0 connected to 1..5; all wedges go through the hub
+        df = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+        assert link_prediction(df, min_common=1).count() == 10
+        assert (
+            link_prediction(df, min_common=1, max_degree=3).count() == 0
+        )
+
+
+class TestDiffInDiff:
+    def test_matches_brute(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            diff_in_diff,
+        )
+
+        rows = [
+            ("t", "pre", 10), ("t", "pre", 12), ("t", "post", 20),
+            ("t", "post", 26), ("c", "pre", 5), ("c", "post", 8),
+        ]
+        df = spark.createDataFrame(rows, ["g", "p", "v"])
+        r = diff_in_diff(
+            df, "g", "p", "v",
+            treat_val="t", control_val="c", pre_val="pre", post_val="post",
+        ).collect()[0]
+        assert (r["n_tpre"], r["n_tpost"], r["n_cpre"], r["n_cpost"]) == (
+            2, 2, 1, 1,
+        )
+        assert r["did"] == (23 - 11) - (8 - 5)
+
+    def test_empty_cell_null(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            diff_in_diff,
+        )
+
+        df = spark.createDataFrame(
+            [("t", "pre", 1), ("c", "pre", 2), ("c", "post", 3)],
+            ["g", "p", "v"],
+        )
+        r = diff_in_diff(
+            df, "g", "p", "v",
+            treat_val="t", control_val="c", pre_val="pre", post_val="post",
+        ).collect()[0]
+        assert r["n_tpost"] == 0 and r["did"] is None
