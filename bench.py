@@ -374,6 +374,14 @@ DEEP_QUERIES = [
     "event_transitions",
     "ewma_events",
     "cdf_normalize",
+    # Round-9 continuation: the pair-explode bootstrap must track rows
+    # linearly (the aggregate state is replica-bounded, not data-
+    # bounded); the Wasserstein prefix runs on the DISTINCT cent grid,
+    # which the value range bounds — 10× events must mean ~1× prefix
+    # work after the value aggregate, so deep time should be scan-
+    # dominated, near-flat past it.
+    "bootstrap_ci",
+    "wasserstein",
 ]
 
 
