@@ -4935,6 +4935,35 @@ def q_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_encoding_advisor(spark: SparkSession, sf: str) -> DataFrame:
+    """Columnar dictionary-encoding advisor over three documents
+    columns (datapipe/stats.encoding_advisor): exact byte/NDV facts,
+    code bits via binary-string length (never a float log2), one
+    ratio division per column."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        encoding_advisor,
+    )
+
+    return encoding_advisor(
+        _t(spark, sf, "documents"), ["lang", "source", "text"]
+    )
+
+
+def q_quantile_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization of click whole-dollar values onto the
+    view distribution (datapipe/stats.quantile_match): integer
+    nearest-rank index arithmetic, union-merge offer-count lookup, no
+    floats anywhere."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        quantile_match,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor("value").cast("long").alias("dollars")
+    )
+    return quantile_match(ev, "event_type", "dollars", "click", "view")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5289,6 +5318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_t": q_welch_t,
         "link_prediction": q_link_prediction,
         "diff_in_diff": q_diff_in_diff,
+        "encoding_advisor": q_encoding_advisor,
+        "quantile_match": q_quantile_match,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6290,6 +6321,46 @@ def _harmonic_sql(max_hops: int = 3, lcm: int = 6) -> str:
          CAST(sum({lcm} // hop) AS DOUBLE) / CAST({lcm} AS DOUBLE)
            AS harmonic
   FROM hcd{max_hops} WHERE hop >= 1 GROUP BY node"""
+
+
+def _encoding_advisor_sql(cols: list[str], table: str = "documents") -> str:
+    """Per-column dictionary-sizing blocks mirroring
+    stats.encoding_advisor: exact byte counts, code bits via binary
+    string length (length(bin(...)) — identical semantics in both
+    engines), integer est_dict_bytes."""
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+  SELECT '{c}' AS "column", t.n, t.n_nulls, s.ndv, s.rb AS raw_bytes,
+         s.dvb AS dict_value_bytes,
+         CAST(length(bin(greatest(s.ndv - 1, 1))) AS BIGINT)
+           AS code_bits,
+         s.dvb + (s.nvals * length(bin(greatest(s.ndv - 1, 1))) + 7)
+           // 8 AS est_dict_bytes,
+         CASE WHEN s.rb > 0 THEN
+           CAST(s.dvb + (s.nvals
+                         * length(bin(greatest(s.ndv - 1, 1))) + 7)
+                // 8 AS DOUBLE) / CAST(s.rb AS DOUBLE)
+         END AS dict_ratio,
+         CASE WHEN s.rb > 0 THEN
+           CAST(s.dvb + (s.nvals
+                         * length(bin(greatest(s.ndv - 1, 1))) + 7)
+                // 8 < s.rb AS INT)
+         END AS recommend_dict
+  FROM (SELECT CAST(count(*) AS BIGINT) AS ndv,
+               CAST(COALESCE(sum(strlen(v)), 0) AS BIGINT) AS dvb,
+               CAST(COALESCE(sum(strlen(v) * cnt), 0) AS BIGINT)
+                 AS rb,
+               CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS nvals
+        FROM (SELECT CAST({c} AS VARCHAR) AS v,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM {table} WHERE {c} IS NOT NULL GROUP BY 1)) s
+  CROSS JOIN
+       (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(COALESCE(sum(CAST({c} IS NULL AS BIGINT)), 0)
+                    AS BIGINT) AS n_nulls
+        FROM {table}) t""")
+    return "\n  UNION ALL\n".join(blocks)
 
 
 def _hits_sql(n_iter: int = 2) -> str:
@@ -10967,6 +11038,46 @@ def oracle_sql() -> dict[str, str]:
          mean_tpre, mean_tpost, mean_cpre, mean_cpost,
          (mean_tpost - mean_tpre) - (mean_cpost - mean_cpre) AS did
   FROM dd_m""",
+        # Columnar dictionary-encoding advisor (stats.encoding_advisor):
+        # per-column exact byte/NDV facts, integer code bits.
+        "encoding_advisor": _encoding_advisor_sql(
+            ["lang", "source", "text"]
+        ),
+        # Quantile normalization click -> view on the dollar grid
+        # (stats.quantile_match): integer nearest-rank index, interval
+        # lookup (the oracle may band-join; the engine may not).
+        "quantile_match": """
+  WITH qm_b AS (SELECT CAST(floor(value) AS BIGINT) AS v, event_type
+                FROM events
+                WHERE event_type IN ('click', 'view')
+                  AND value IS NOT NULL),
+  qm_s AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM qm_b
+           WHERE event_type = 'click' GROUP BY 1),
+  qm_t AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM qm_b
+           WHERE event_type = 'view' GROUP BY 1),
+  qm_n AS (SELECT CAST(sum(CAST(event_type = 'click' AS BIGINT))
+                       AS BIGINT) AS ns,
+                  CAST(sum(CAST(event_type = 'view' AS BIGINT))
+                       AS BIGINT) AS nt
+           FROM qm_b),
+  qm_sr AS (SELECT v, c,
+                   CAST(sum(c) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM qm_s),
+  qm_tr AS (SELECT v, c,
+                   CAST(sum(c) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM qm_t),
+  qm_src AS (SELECT v AS value, c AS n, cum - c + 1 AS rank,
+                    CAST(CASE WHEN ns > 1 THEN
+                          ((cum - c) * (nt - 1)) // (ns - 1)
+                         ELSE 0 END + 1 AS BIGINT) AS target_idx
+             FROM qm_sr CROSS JOIN qm_n),
+  qm_pos AS (SELECT v AS mapped, cum - c + 1 AS lo, cum AS hi
+             FROM qm_tr)
+  SELECT s.value, s.n, s.rank, s.target_idx, p.mapped
+  FROM qm_src s LEFT JOIN qm_pos p
+    ON s.target_idx BETWEEN p.lo AND p.hi""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "welch_t",
     "link_prediction",
     "diff_in_diff",
+    "encoding_advisor",
+    "quantile_match",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -2329,3 +2329,223 @@ def diff_in_diff(
         *[means[c].alias(f"mean_{c}") for c in ("tpre", "tpost", "cpre", "cpost")],
         did.alias("did"),
     )
+
+
+def encoding_advisor(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Columnar-encoding advisor: per column, the exact size facts a
+    warehouse needs to pick dictionary encoding — the planning sibling
+    of :func:`table_profile` (that profiles VALUES; this prices their
+    STORAGE):
+
+        raw_bytes       = Σ octet_length(value)          (NULLs cost 0)
+        ndv             = exact distinct count (non-NULL)
+        dict_value_bytes= Σ octet_length over DISTINCT values
+        code_bits       = bits to index the dictionary
+                        = length(bin(max(ndv − 1, 1)))
+        est_dict_bytes  = dict_value_bytes + ⌈n·code_bits / 8⌉
+        dict_ratio      = est_dict_bytes / raw_bytes     (one division)
+        recommend_dict  = est_dict_bytes < raw_bytes
+
+    ``code_bits`` is computed as the LENGTH OF THE BINARY STRING of
+    ``ndv − 1`` — an exact integer both engines produce identically
+    (never a float log2). All byte counts are exact BIGINTs; the ratio
+    is the only float. This is an ESTIMATOR by contract (real formats
+    add run-length, page headers, compression) — but an exact,
+    reproducible one, so regressions in it are real data changes.
+
+    Output: one row per column — ``(column, n, n_nulls, ndv,
+    raw_bytes, dict_value_bytes, code_bits, est_dict_bytes,
+    dict_ratio, recommend_dict)``.
+
+    Scale shape: per column one distinct-grain aggregate (map-side
+    combined) + one total aggregate, unioned across the bounded column
+    list. No window, no join, no count-distinct expand — ndv rides the
+    distinct frame that dictionary sizing needs anyway.
+    """
+    if not cols:
+        raise ValueError("encoding_advisor: need >= 1 column")
+    outs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        base = df.select(s.alias("__v"))
+        per_v = base.filter(F.col("__v").isNotNull()).groupBy("__v").agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt")
+        )
+        dstats = per_v.agg(
+            F.count(F.lit(1)).cast("long").alias("ndv"),
+            F.sum(F.octet_length("__v")).cast("long").alias(
+                "dict_value_bytes"
+            ),
+            F.sum(
+                F.octet_length("__v").cast("long") * F.col("__cnt")
+            ).cast("long").alias("raw_bytes"),
+            F.sum("__cnt").cast("long").alias("__n_vals"),
+        )
+        tot = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__v").isNull().cast("long")).cast("long").alias(
+                "n_nulls"
+            ),
+        )
+        code_bits = F.length(
+            F.bin(F.greatest(F.col("ndv") - 1, F.lit(1)))
+        ).cast("long")
+        est = F.col("dict_value_bytes") + F.floor(
+            (F.col("__n_vals") * code_bits + 7) / 8
+        ).cast("long")
+        outs.append(
+            dstats.crossJoin(F.broadcast(tot)).select(
+                F.lit(c).alias("column"),
+                "n",
+                F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls"),
+                "ndv",
+                F.coalesce(F.col("raw_bytes"), F.lit(0)).alias("raw_bytes"),
+                F.coalesce(F.col("dict_value_bytes"), F.lit(0)).alias(
+                    "dict_value_bytes"
+                ),
+                code_bits.alias("code_bits"),
+                est.alias("est_dict_bytes"),
+                F.when(
+                    F.col("raw_bytes") > 0,
+                    est.cast("double") / F.col("raw_bytes").cast("double"),
+                ).alias("dict_ratio"),
+                F.when(F.col("raw_bytes") > 0, (est < F.col("raw_bytes")))
+                .cast("int")
+                .alias("recommend_dict"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def quantile_match(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    source_val,
+    target_val,
+) -> DataFrame:
+    """Quantile normalization: map every distinct SOURCE-group value
+    onto the TARGET group's empirical distribution — the
+    distribution-matching transform (calibrate scores produced by two
+    scorers, align a new corpus's feature scale to the reference
+    corpus) next to :func:`cdf_normalize` (that maps to [0,1]; this
+    maps onto another sample):
+
+        idx(v)  = ⌊(rank(v) − 1) · (n_T − 1) / (n_S − 1)⌋ + 1
+        mapped(v) = T's idx(v)-th smallest value   (nearest-rank,
+                    no interpolation — documented contract)
+
+    ``rank(v)`` is the 1-based rank of v's FIRST occurrence in the
+    sorted source sample (cumulative count up to and including v,
+    minus its own count, plus 1). The index arithmetic is pure integer
+    (floor division of exact BIGINTs); single-row sources (n_S = 1)
+    map to the target minimum. No floats anywhere — the mapping is a
+    pure function of the two samples.
+
+    Output: one row per distinct source value — ``(value, n, rank,
+    target_idx, mapped)``.
+
+    Scale shape: both sides ride the bucketed two-level prefix
+    (:func:`~.prefix.global_running_sums`) — source for ranks, target
+    for order statistics — then ONE equi-join on the integer index.
+    No unpartitioned window, no data-sized sort.
+    """
+    from .prefix import global_running_sums
+
+    base = df.filter(
+        F.col(group_col).isin([source_val, target_val])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("__v"),
+        (F.col(group_col) == F.lit(source_val)).cast("long").alias("__s"),
+        (F.col(group_col) == F.lit(target_val)).cast("long").alias("__t"),
+    )
+    src_v = base.filter(F.col("__s") == 1).groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    tgt_v = base.filter(F.col("__t") == 1).groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    src_run = global_running_sums(
+        src_v,
+        ["__v"],
+        {"__cum": "__c"},
+        boundary_source=base.filter(F.col("__s") == 1).select("__v"),
+    )
+    tgt_run = global_running_sums(
+        tgt_v,
+        ["__v"],
+        {"__cum": "__c"},
+        boundary_source=base.filter(F.col("__t") == 1).select("__v"),
+    )
+    totals = base.agg(
+        F.sum("__s").cast("long").alias("__ns"),
+        F.sum("__t").cast("long").alias("__nt"),
+    )
+    # ``src`` feeds both the request stream and the final join — detach
+    # it once or the whole source prefix pipeline re-executes per
+    # consumer (measured as a 45-exchange plan before; ~20 after).
+    from .graph import _materialize
+
+    src = _materialize(src_run.crossJoin(F.broadcast(totals)).select(
+        F.col("__v").alias("value"),
+        F.col("__c").alias("n"),
+        (F.col("__cum") - F.col("__c") + 1).alias("rank"),
+        (
+            F.when(
+                F.col("__ns") > 1,
+                F.floor(
+                    (F.col("__cum") - F.col("__c"))
+                    * (F.col("__nt") - 1)
+                    / (F.col("__ns") - 1)
+                ),
+            ).otherwise(F.lit(0))
+            + 1
+        ).cast("long").alias("target_idx"),
+    ))
+    # Target order statistic k lives on the distinct row whose
+    # cumulative range [cum − c + 1, cum] contains k. A direct range
+    # join of requests against intervals would be a data-sized BNLJ —
+    # instead, the union-merge trick: union the offers (key = interval
+    # start) with the requests (key = target_idx, sorted AFTER offers
+    # on ties), take a bucketed running COUNT of offers, and the
+    # request's count IS the 1-based index of its matching offer — one
+    # equi-join finishes the lookup. Two prefix passes + one hash
+    # join; nothing quadratic, no unpartitioned window.
+    offers = tgt_run.select(
+        (F.col("__cum") - F.col("__c") + 1).alias("__k"),
+        F.lit(0).alias("__rq"),
+        F.lit(1).cast("long").alias("__is_off"),
+        F.col("__v").alias("__mv"),
+        F.lit(None).cast("long").alias("__ti"),
+    )
+    requests = src.select(
+        F.col("target_idx").alias("__k"),
+        F.lit(1).alias("__rq"),
+        F.lit(0).cast("long").alias("__is_off"),
+        F.lit(None).cast(offers.schema["__mv"].dataType).alias("__mv"),
+        F.col("target_idx").alias("__ti"),
+    )
+    merged = global_running_sums(
+        offers.unionByName(requests),
+        ["__k", "__rq"],
+        {"__ocnt": "__is_off"},
+    )
+    off_idx = merged.filter(F.col("__rq") == 0).select(
+        F.col("__ocnt").alias("__j"), F.col("__mv").alias("mapped")
+    )
+    req_idx = merged.filter(F.col("__rq") == 1).select(
+        F.col("__ti").alias("target_idx"), F.col("__ocnt").alias("__j")
+    ).distinct()
+    lookup = req_idx.join(off_idx, "__j", "left").select(
+        "target_idx", "mapped"
+    )
+    return src.join(lookup, "target_idx", "left").select(
+        "value", "n", "rank", "target_idx", "mapped"
+    )

@@ -5438,3 +5438,85 @@ class TestDiffInDiff:
             treat_val="t", control_val="c", pre_val="pre", post_val="post",
         ).collect()[0]
         assert r["n_tpost"] == 0 and r["did"] is None
+
+
+class TestEncodingAdvisor:
+    def test_matches_brute(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            encoding_advisor,
+        )
+
+        rows = [("aa",), ("aa",), ("bbb",), (None,)]
+        df = spark.createDataFrame(rows, ["c"])
+        r = encoding_advisor(df, ["c"]).collect()[0]
+        # raw = 2+2+3 = 7; dict values aa,bbb = 5; ndv=2 -> code_bits =
+        # len(bin(1)) = 1; est = 5 + ceil(3*1/8) = 6
+        assert (r["n"], r["n_nulls"], r["ndv"]) == (4, 1, 2)
+        assert r["raw_bytes"] == 7 and r["dict_value_bytes"] == 5
+        assert r["code_bits"] == 1 and r["est_dict_bytes"] == 6
+        assert r["dict_ratio"] == 6 / 7 and r["recommend_dict"] == 1
+
+    def test_high_cardinality_not_recommended(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            encoding_advisor,
+        )
+
+        df = spark.createDataFrame([(f"val{i:06d}",) for i in range(50)], ["c"])
+        r = encoding_advisor(df, ["c"]).collect()[0]
+        assert r["ndv"] == 50 and r["recommend_dict"] == 0
+
+    def test_multibyte_utf8_counted_in_bytes(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            encoding_advisor,
+        )
+
+        df = spark.createDataFrame([("ä",), ("ä",)], ["c"])
+        r = encoding_advisor(df, ["c"]).collect()[0]
+        assert r["raw_bytes"] == 4 and r["dict_value_bytes"] == 2
+
+
+class TestQuantileMatch:
+    def test_matches_brute(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            quantile_match,
+        )
+
+        s = [1, 1, 3, 5, 5, 5, 9]
+        t = [10, 20, 20, 30, 40]
+        rows = [("s", v) for v in s] + [("t", v) for v in t]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {
+            r["value"]: (r["rank"], r["target_idx"], r["mapped"])
+            for r in quantile_match(df, "g", "v", "s", "t").collect()
+        }
+        st = sorted(t)
+        for v in sorted(set(s)):
+            rank = sum(1 for x in s if x < v) + 1
+            idx = (rank - 1) * (len(t) - 1) // (len(s) - 1) + 1
+            assert got[v] == (rank, idx, st[idx - 1]), v
+
+    def test_extremes_map_to_extremes(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            quantile_match,
+        )
+
+        s = list(range(1, 11))
+        t = [100, 200, 300]
+        rows = [("s", v) for v in s] + [("t", v) for v in t]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        got = {
+            r["value"]: r["mapped"]
+            for r in quantile_match(df, "g", "v", "s", "t").collect()
+        }
+        assert got[1] == 100 and got[10] == 300
+
+    def test_single_source_row_maps_to_min(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            quantile_match,
+        )
+
+        df = spark.createDataFrame(
+            [("s", 42), ("t", 7), ("t", 9)], ["g", "v"]
+        )
+        r = quantile_match(df, "g", "v", "s", "t").collect()[0]
+        assert r["target_idx"] == 1 and r["mapped"] == 7
