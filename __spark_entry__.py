@@ -4964,6 +4964,25 @@ def q_quantile_match(spark: SparkSession, sf: str) -> DataFrame:
     return quantile_match(ev, "event_type", "dollars", "click", "view")
 
 
+def q_token_waterfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Budget-constrained uniform source capping (datapipe/curation
+    .token_waterfill, budget=25000 tokens): exact integer water level
+    over the bounded per-source frame; small sources keep everything,
+    large ones are cut to the common cap; leftover reported, never
+    silently spread."""
+    from python_etl_mailing_automation_spark.datapipe.curation import (
+        token_waterfill,
+    )
+    from python_etl_mailing_automation_spark.datapipe.text import tokens_of
+
+    docs = _t(spark, sf, "documents").select(
+        "source", F.size(tokens_of("text")).cast("long").alias("n_tokens")
+    )
+    return token_waterfill(
+        docs, group_col="source", weight_col="n_tokens", budget=25000
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5320,6 +5339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_diff": q_diff_in_diff,
         "encoding_advisor": q_encoding_advisor,
         "quantile_match": q_quantile_match,
+        "token_waterfill": q_token_waterfill,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -11078,6 +11098,39 @@ def oracle_sql() -> dict[str, str]:
   SELECT s.value, s.n, s.rank, s.target_idx, p.mapped
   FROM qm_src s LEFT JOIN qm_pos p
     ON s.target_idx BETWEEN p.lo AND p.hi""",
+        # Budget-constrained uniform capping (curation.token_waterfill,
+        # budget=25000): segment levels via double-division floor
+        # (mirrors the engine's op order exactly; DuckDB's // on
+        # negatives is not relied on), smallest-valid-segment pick via
+        # filtered arg_min.
+        "token_waterfill": f"""
+  WITH wfw AS (SELECT source,
+                      CAST(sum(len({_TOKS})) AS BIGINT) AS w
+               FROM documents GROUP BY 1),
+  wfr AS (SELECT source, w,
+            row_number() OVER (ORDER BY w ASC, source ASC) AS i,
+            CAST(sum(w) OVER (ORDER BY w ASC, source ASC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
+            count(*) OVER () AS k
+          FROM wfw),
+  wfc AS (SELECT i, w,
+            CAST(floor(CAST(25000 - (pfx - w) AS DOUBLE)
+                 / CAST(k - i + 1 AS DOUBLE)) AS BIGINT) AS lvl,
+            max(w) OVER () AS wmax
+          FROM wfr),
+  wfcap AS (SELECT CAST(COALESCE(
+              arg_min(lvl, i) FILTER (WHERE lvl < w),
+              max(wmax)) AS BIGINT) AS cap
+            FROM wfc),
+  wfo AS (SELECT g.source, g.w AS weight,
+            CAST(greatest(c.cap, 0) AS BIGINT) AS cap,
+            CAST(least(g.w, greatest(c.cap, 0)) AS BIGINT) AS selected,
+            CAST(g.w - least(g.w, greatest(c.cap, 0)) AS BIGINT) AS cut
+          FROM wfw g CROSS JOIN wfcap c),
+  wfl AS (SELECT CAST(25000 - sum(selected) AS BIGINT) AS leftover
+          FROM wfo)
+  SELECT o.source, o.weight, o.cap, o.selected, o.cut, l.leftover
+  FROM wfo o CROSS JOIN wfl l""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "diff_in_diff",
     "encoding_advisor",
     "quantile_match",
+    "token_waterfill",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

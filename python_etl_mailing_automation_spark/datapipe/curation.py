@@ -304,3 +304,110 @@ def greedy_set_cover(
         return spark.createDataFrame(out_rows, schema)
     finally:
         pairs.unpersist()
+
+
+def token_waterfill(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Budget-constrained uniform capping ("waterfilling") of a corpus
+    mixture: find the largest integer cap ``C`` such that
+
+        Σ_g min(w_g, C) ≤ budget
+
+    and report each group's selected weight ``min(w_g, C)`` — the
+    standard mixture-balancing rule (no source may dominate the token
+    budget; small sources keep everything, large sources are cut to
+    the common water level). The exact-integer cousin of
+    :func:`~.sampling.temperature_mixture` (that reshapes by a power
+    law; this imposes a hard ceiling).
+
+    With groups sorted ascending by weight and ``P_i`` the prefix sum
+    of the first i weights, the water level in segment i (where the
+    i smallest groups keep everything and the remaining k−i are
+    capped) is ``C_i = (budget − P_i) div (k − i)``, valid when
+    ``w_i ≤ C_i < w_{i+1}``; all arithmetic integer, so the cap is a
+    pure function of the inputs. If even C = max weight fits, nothing
+    is cut (cap = max w). A budget below k·min(w) caps everything at
+    ``budget div k`` (possibly 0). The undistributed remainder
+    ``budget − Σ selected`` is REPORTED, never silently spread
+    (deterministic contract; spread policies differ per pipeline).
+
+    Output: one row per group — ``(group_col, weight, cap, selected,
+    cut, leftover)``; ``cap``/``leftover`` are corpus-level constants
+    repeated per row for downstream convenience.
+
+    Scale shape: ONE map-side-combinable aggregate collapses the data
+    to the group grain (k rows, bounded by the source alphabet);
+    everything after — the sort, prefix sums, and segment test — is a
+    window over that k-row frame (bounded by construction, the
+    sanctioned-small class) plus one broadcast of the single cap row.
+    """
+    if budget < 0:
+        raise ValueError("token_waterfill: budget must be >= 0")
+    w = F.col(weight_col).cast("long")
+    groups = df.groupBy(group_col).agg(F.sum(w).alias("__w")).filter(
+        F.col("__w").isNotNull()
+    )
+    # Bounded-by-construction window: one row per group.
+    from pyspark.sql import Window as _W
+
+    ww = _W.orderBy(F.col("__w").asc(), F.col(group_col).asc())
+    ranked = groups.select(
+        group_col,
+        "__w",
+        F.row_number().over(ww).alias("__i"),
+        F.sum("__w").over(
+            ww.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+        ).alias("__pfx"),
+        F.count(F.lit(1)).over(_W.partitionBy()).alias("__k"),
+    )
+    # Segment i (1-based): the i-1 smallest keep all, the rest get
+    # C_i = (budget - prefix_{i-1}) div (k - i + 1); the cap is the
+    # level from the FIRST segment whose level the segment's own
+    # weight does not undershoot.
+    lvl = F.floor(
+        (F.lit(int(budget)) - (F.col("__pfx") - F.col("__w")))
+        / (F.col("__k") - F.col("__i") + 1)
+    ).cast("long")
+    # The valid segment is the SMALLEST i whose level undershoots its
+    # own weight (later segments produce spurious — possibly negative —
+    # levels once the budget is already exhausted by construction);
+    # lexicographic struct-min picks it. No valid segment means even
+    # the largest weight fits uncapped.
+    cand = ranked.select(
+        F.when(
+            lvl < F.col("__w"),
+            F.struct(F.col("__i").alias("i"), lvl.alias("lvl")),
+        ).alias("__cand"),
+        F.max("__w").over(_W.partitionBy()).alias("__wmax"),
+    )
+    cap_row = cand.agg(
+        F.coalesce(
+            F.min("__cand").getField("lvl"), F.max("__wmax")
+        ).cast("long").alias("cap")
+    )
+    out = groups.crossJoin(F.broadcast(cap_row)).select(
+        group_col,
+        F.col("__w").alias("weight"),
+        F.greatest(F.col("cap"), F.lit(0).cast("long")).alias("cap"),
+        F.least(
+            F.col("__w"), F.greatest(F.col("cap"), F.lit(0).cast("long"))
+        ).alias("selected"),
+        (
+            F.col("__w")
+            - F.least(
+                F.col("__w"),
+                F.greatest(F.col("cap"), F.lit(0).cast("long")),
+            )
+        ).alias("cut"),
+    )
+    tot = out.agg(
+        (F.lit(int(budget)) - F.sum("selected")).cast("long").alias(
+            "leftover"
+        )
+    )
+    return out.crossJoin(F.broadcast(tot))

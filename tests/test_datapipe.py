@@ -5520,3 +5520,62 @@ class TestQuantileMatch:
         )
         r = quantile_match(df, "g", "v", "s", "t").collect()[0]
         assert r["target_idx"] == 1 and r["mapped"] == 7
+
+
+class TestTokenWaterfill:
+    def _run(self, spark, weights, budget):
+        from python_etl_mailing_automation_spark.datapipe.curation import (
+            token_waterfill,
+        )
+
+        rows = [(f"s{i}", w) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, ["source", "w"])
+        out = token_waterfill(
+            df, group_col="source", weight_col="w", budget=budget
+        ).collect()
+        return out
+
+    @staticmethod
+    def _brute_cap(weights, budget):
+        if sum(weights) <= budget:
+            return max(weights)
+        lo, hi = 0, max(weights)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if sum(min(w, mid) for w in weights) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    def test_matches_brute_binary_search(self, spark):
+        import itertools
+        cases = [
+            ([10, 20, 100], 60),
+            ([10, 20, 100], 100),
+            ([10, 20, 100], 200),
+            ([10, 20, 100], 6),
+            ([10, 20, 100], 0),
+            ([5, 5, 5], 12),
+            ([7], 3),
+            ([3, 3, 3, 1000], 500),
+        ]
+        for weights, budget in cases:
+            out = self._run(spark, weights, budget)
+            cap = self._brute_cap(weights, budget)
+            got = {r["source"]: r for r in out}
+            total = 0
+            for i, w in enumerate(weights):
+                r = got[f"s{i}"]
+                assert r["cap"] == max(cap, 0), (weights, budget, r["cap"], cap)
+                assert r["selected"] == min(w, max(cap, 0))
+                assert r["cut"] == w - r["selected"]
+                total += r["selected"]
+            assert total <= budget or sum(weights) <= budget
+            assert out[0]["leftover"] == budget - total
+
+    def test_small_sources_keep_everything(self, spark):
+        out = self._run(spark, [1, 2, 1000], 103)
+        got = {r["source"]: r for r in out}
+        assert got["s0"]["selected"] == 1 and got["s1"]["selected"] == 2
+        assert got["s2"]["selected"] == 100
