@@ -4983,6 +4983,36 @@ def q_token_waterfill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """The two row-shape-changing multimodal UDF paths in one entry
+    (datapipe/multimodal.sample_frames + decode_and_resize): video
+    frame sampling (row-expanding mapInPandas, one row per 64-byte
+    frame, max 4) joined with the per-doc thumbnail (fixed-size binary
+    out). The deterministic byte-slice stand-ins make BOTH Python batch
+    paths oracle-checkable — DuckDB re-slices the same payload in hex
+    space (its blob functions lack substring/md5, so hex(encode(text))
+    is the comparable form; hex of a byte slice equals the aligned
+    slice of the hex)."""
+    from python_etl_mailing_automation_spark.datapipe.multimodal import (
+        decode_and_resize,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf, "documents")
+    media = with_binary_payload(docs)
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    thumbs = decode_and_resize(media, width=64, height=64).select(
+        "doc_id", F.lower(F.hex("thumb")).alias("thumb_hex")
+    )
+    out = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("n_frame_bytes"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+    return out.join(thumbs, "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5340,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_advisor": q_encoding_advisor,
         "quantile_match": q_quantile_match,
         "token_waterfill": q_token_waterfill,
+        "multimodal_frames": q_multimodal_frames,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -11131,6 +11162,23 @@ def oracle_sql() -> dict[str, str]:
           FROM wfo)
   SELECT o.source, o.weight, o.cap, o.selected, o.cut, l.leftover
   FROM wfo o CROSS JOIN wfl l""",
+        # Frame sampling + thumbnail in hex space (multimodal
+        # .sample_frames/.decode_and_resize): DuckDB blobs lack
+        # substring/md5, so the comparable form is hex(encode(text)) —
+        # hex of a byte slice equals the aligned slice of the hex.
+        "multimodal_frames": """
+  WITH mf AS (SELECT doc_id, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS n
+              FROM documents),
+  fx AS (SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+                substring(h, CAST(u.i * 128 + 1 AS BIGINT), 128) AS fh
+         FROM mf,
+              UNNEST(range(0, least(4, greatest(1, n // 64)))) AS u(i))
+  SELECT f.doc_id, f.frame_idx,
+         CAST(length(f.fh) // 2 AS BIGINT) AS n_frame_bytes,
+         lower(f.fh) AS frame_hex,
+         lower(substring(m.h, 1, 128)) AS thumb_hex
+  FROM fx f JOIN mf m USING (doc_id)""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

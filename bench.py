@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "encoding_advisor",
     "quantile_match",
     "token_waterfill",
+    "multimodal_frames",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

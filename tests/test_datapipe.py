@@ -5579,3 +5579,28 @@ class TestTokenWaterfill:
         got = {r["source"]: r for r in out}
         assert got["s0"]["selected"] == 1 and got["s1"]["selected"] == 2
         assert got["s2"]["selected"] == 100
+
+
+class TestMultimodalFrames:
+    def test_frame_slicing_and_short_payload(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.multimodal import (
+            sample_frames,
+            with_binary_payload,
+        )
+
+        rows = [(1, "x" * 200), (2, "short")]
+        df = with_binary_payload(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        )
+        out = sample_frames(df, every_n_bytes=64, max_frames=4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # 200 bytes -> 200//64 = 3 frames (64, 64, 64); last full slice
+        assert sorted(r["frame_idx"] for r in by_doc[1]) == [0, 1, 2]
+        assert [len(bytes(r["frame"])) for r in sorted(
+            by_doc[1], key=lambda r: r["frame_idx"]
+        )] == [64, 64, 64]
+        # short payload -> exactly one (short) frame
+        assert len(by_doc[2]) == 1
+        assert bytes(by_doc[2][0]["frame"]) == b"short"
