@@ -126,7 +126,7 @@ def test_no_python_evaluation_in_any_query_plan(spark, sf_dir):
         )
         assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} has an Arrow Python UDF"
-        if name != "multimodal_pipeline":
+        if name not in ("multimodal_pipeline", "multimodal_frames"):
             assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
         # (Codegen spans only render on executed/final AQE plans, so
         # their presence isn't asserted here; Python-free plans + built-in
