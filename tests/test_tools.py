@@ -168,3 +168,54 @@ def test_bench_probe_exempts_own_ancestry(monkeypatch):
         subprocess, "run", fake_ps([launcher, own, foreign])
     )
     assert bench.environment_probe()["contaminated"] is True
+
+
+def test_rotation_never_signed_tier_precedes_stale_and_signed():
+    """Round-9 tiering: with never-signed + changed-since-signed queries
+    together oversubscribing the driver's ~50-row CORRECTNESS window,
+    a query with NO green row ever must sort before one that merely
+    needs re-signing, and both before currently-signed rows. Verified
+    against the real committed artifacts (the invariant is structural,
+    not fixture-dependent)."""
+    import glob
+    import json
+
+    import __spark_entry__ as e
+
+    import re
+
+    names = list(e.queries())
+    last_signed: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and not row.get("err")
+            ):
+                last_signed[name] = max(last_signed.get(name, 0), rnd)
+    # mirror the production rule: a changed entry is only stale while
+    # no LATER round has re-signed it
+    stale = {
+        n
+        for n, r in e._CHANGED_SINCE_SIGNED.items()
+        if 0 < last_signed.get(n, 0) <= r
+    }
+
+    def tier(n):
+        if n not in last_signed:
+            return 0
+        return 1 if n in stale else 2
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), (
+        "rotation must order tier-0 (never-signed) before tier-1 "
+        "(stale signature) before tier-2 (signed)"
+    )
+    # and the window actually covers every never-signed query today
+    assert all(t > 0 for t in tiers[50:]), (
+        "a never-signed query fell outside the 50-row driver window"
+    )
