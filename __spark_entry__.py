@@ -5013,6 +5013,111 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     return out.join(thumbs, "doc_id")
 
 
+def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source inter-rater agreement (datapipe/classify.cohens_kappa):
+    the language column against a deterministically-perturbed second
+    labeler (every 5th doc relabeled 'xx'), exact integer kappa with one
+    final division."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        cohens_kappa,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        F.col("lang").alias("ra"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("rb"),
+    )
+    return cohens_kappa(docs, "ra", "rb", group_col="source")
+
+
+def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """Paired-classifier comparison per embedding slice
+    (datapipe/classify.mcnemar_test): two deterministic surrogate
+    predictors against the gold label, exact discordant counts, one
+    division per statistic."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        mcnemar_test,
+    )
+
+    emb = _t(spark, sf, "embeddings").select(
+        (F.col("vec_id") % 4).cast("long").alias("slice"),
+        F.col("label").cast("long").alias("y"),
+        (F.col("vec_id") % 10).cast("long").alias("pa"),
+        ((F.col("vec_id") * 7 + 3) % 10).cast("long").alias("pb"),
+    )
+    return mcnemar_test(emb, "y", "pa", "pb", group_col="slice")
+
+
+def q_brier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type Brier score of an integer-grid surrogate
+    probability against the event-id parity label
+    (datapipe/classify.brier_score): exact DECIMAL squared-error sum,
+    one division."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        brier_score,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        (F.col("event_id") % 101).cast("long").alias("s"),
+    )
+    return brier_score(ev, "y", "s", score_den=100, group_col="event_type")
+
+
+def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type reliability diagram over the same integer-grid
+    surrogate as the Brier query (datapipe/classify.calibration_bins):
+    integer bin assignment, exact per-bin sums, fixed-order gap."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        calibration_bins,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        (F.col("event_id") % 101).cast("long").alias("s"),
+    )
+    return calibration_bins(
+        ev, "y", "s", score_den=100, n_bins=10, group_col="event_type"
+    )
+
+
+def q_pass_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """pass@3 per order over lineitem "samples"
+    (datapipe/classify.pass_at_k): line-number-derived pass flags, the
+    unrolled three-factor estimator; orders carry 1-7 lineitems so the
+    n<k and n-c<k contracts are exercised on real data."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        pass_at_k,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("task"),
+        (F.col("l_linenumber") % 3 == 0).alias("passed"),
+    )
+    return pass_at_k(li, "task", "passed", k=3)
+
+
+def q_conformal_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal calibration threshold per event type at alpha=1/10
+    (datapipe/stats.conformal_threshold): integer rank arithmetic over
+    the cent-grid scores, order-statistic lookup, zero floats."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        conformal_threshold,
+    )
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("s"),
+    )
+    return conformal_threshold(
+        ev, "s", alpha=(1, 10), group_col="event_type"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5397,6 +5502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_match": q_quantile_match,
         "token_waterfill": q_token_waterfill,
         "multimodal_frames": q_multimodal_frames,
+        "cohens_kappa": q_cohens_kappa,
+        "mcnemar": q_mcnemar,
+        "brier_score": q_brier_score,
+        "calibration_bins": q_calibration_bins,
+        "pass_at_k": q_pass_at_k,
+        "conformal_threshold": q_conformal_threshold,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -11205,6 +11316,142 @@ def oracle_sql() -> dict[str, str]:
          lower(f.fh) AS frame_hex,
          lower(substring(m.h, 1, 128)) AS thumb_hex
   FROM fx f JOIN mf m USING (doc_id)""",
+        # Exact-integer Cohen's kappa (classify.cohens_kappa):
+        # kappa = (n*agree - sum r_c*s_c) / (n^2 - sum r_c*s_c).
+        "cohens_kappa": """
+  WITH ck_b AS (SELECT source AS g, lang AS a,
+                       CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS b
+                FROM documents WHERE lang IS NOT NULL),
+  ck_t AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END)
+                       AS HUGEINT) AS agree
+           FROM ck_b GROUP BY 1),
+  ck_ra AS (SELECT g, a AS cat, CAST(count(*) AS HUGEINT) AS r
+            FROM ck_b GROUP BY 1, 2),
+  ck_rb AS (SELECT g, b AS cat, CAST(count(*) AS HUGEINT) AS s
+            FROM ck_b GROUP BY 1, 2),
+  ck_p AS (SELECT COALESCE(x.g, y.g) AS g,
+                  sum(COALESCE(x.r, 0) * COALESCE(y.s, 0)) AS pe
+           FROM ck_ra x FULL OUTER JOIN ck_rb y
+             ON x.g = y.g AND x.cat = y.cat
+           GROUP BY 1)
+  SELECT t.g AS source,
+         CAST(t.n AS BIGINT) AS n_items,
+         CAST(t.agree AS BIGINT) AS n_agree,
+         CASE WHEN t.n * t.n - p.pe <> 0 THEN
+           CAST(t.n * t.agree - p.pe AS DOUBLE)
+           / CAST(t.n * t.n - p.pe AS DOUBLE) END AS kappa
+  FROM ck_t t JOIN ck_p p ON t.g = p.g""",
+        # McNemar's paired test (classify.mcnemar_test): exact
+        # discordant counts, one division per statistic.
+        "mcnemar": """
+  WITH mn_b AS (SELECT vec_id % 4 AS slice,
+                       CAST(label AS BIGINT) AS y,
+                       vec_id % 10 AS pa,
+                       (vec_id * 7 + 3) % 10 AS pb
+                FROM embeddings WHERE label IS NOT NULL),
+  mn_a AS (SELECT slice,
+                  CAST(count(*) AS BIGINT) AS n_items,
+                  CAST(sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_both_right,
+                  CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_only_a,
+                  CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_only_b,
+                  CAST(sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_both_wrong
+           FROM mn_b GROUP BY 1)
+  SELECT slice, n_items, n_both_right, n_only_a, n_only_b, n_both_wrong,
+         CASE WHEN n_only_a + n_only_b > 0 THEN
+           CAST(n_only_a - n_only_b AS DOUBLE)
+           * CAST(n_only_a - n_only_b AS DOUBLE)
+           / CAST(n_only_a + n_only_b AS DOUBLE) END AS chi2,
+         CASE WHEN n_only_a + n_only_b > 0 THEN
+           CAST(CASE WHEN abs(n_only_a - n_only_b) > 1
+                     THEN abs(n_only_a - n_only_b) - 1 ELSE 0 END
+                AS DOUBLE)
+           * CAST(CASE WHEN abs(n_only_a - n_only_b) > 1
+                       THEN abs(n_only_a - n_only_b) - 1 ELSE 0 END
+                  AS DOUBLE)
+           / CAST(n_only_a + n_only_b AS DOUBLE) END AS chi2_corrected
+  FROM mn_a""",
+        # Brier score on the integer grid (classify.brier_score):
+        # exact squared-error sum, one division.
+        "brier_score": """
+  WITH bs_b AS (SELECT event_type,
+                       CAST(event_id % 2 AS HUGEINT) AS y,
+                       CAST(event_id % 101 AS HUGEINT) AS s
+                FROM events)
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS n_excluded,
+         CASE WHEN count(*) > 0 THEN
+           CAST(sum((s - y * 100) * (s - y * 100)) AS DOUBLE)
+           / CAST(count(*) * 100 * 100 AS DOUBLE) END AS brier
+  FROM bs_b GROUP BY 1""",
+        # Reliability diagram (classify.calibration_bins): integer bin
+        # assignment, exact per-bin sums, fixed-order gap expression.
+        "calibration_bins": """
+  WITH cb_b AS (SELECT event_type,
+                       least((event_id % 101) * 10 // 100, 9) AS bin,
+                       CAST(event_id % 101 AS HUGEINT) AS s,
+                       CAST(event_id % 2 AS BIGINT) AS y
+                FROM events),
+  cb_a AS (SELECT event_type, CAST(bin AS BIGINT) AS bin,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS n_pos,
+                  sum(s) AS ss
+           FROM cb_b GROUP BY 1, 2)
+  SELECT event_type, bin, n, n_pos,
+         CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS avg_conf,
+         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+         abs(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+             - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+  FROM cb_a""",
+        # Unbiased pass@3 (classify.pass_at_k): the unrolled
+        # three-factor product in the same fixed written order as the
+        # engine's plan-built chain (1.0 * f0 == f0 in IEEE, so the
+        # leading literal drops out of both sides identically).
+        "pass_at_k": """
+  WITH pk_a AS (SELECT l_orderkey AS task,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN l_linenumber % 3 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1)
+  SELECT task, n AS n_samples, c AS n_passed,
+         CASE WHEN n < 3 THEN NULL
+              WHEN n - c < 3 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE)
+                   - (CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                   * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+         END AS pass_at_k
+  FROM pk_a""",
+        # Split-conformal threshold (stats.conformal_threshold):
+        # integer rank k = ceil((n+1)*(1-alpha)) as
+        # ((n+1)*(den-num) + den - 1) // den, order-statistic lookup
+        # via the cumulative count, zero floats.
+        "conformal_threshold": """
+  WITH cf_b AS (SELECT event_type AS g,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+                FROM events WHERE value IS NOT NULL),
+  cf_v AS (SELECT g, s, CAST(count(*) AS BIGINT) AS ct
+           FROM cf_b GROUP BY 1, 2),
+  cf_c AS (SELECT g, s, ct,
+                  sum(ct) OVER (PARTITION BY g ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS cum
+           FROM cf_v),
+  cf_t AS (SELECT g, sum(ct) AS n,
+                  ((sum(ct) + 1) * 9 + 9) // 10 AS k
+           FROM cf_v GROUP BY 1),
+  cf_h AS (SELECT c.g, min(c.s) AS thr
+           FROM cf_c c JOIN cf_t t ON c.g = t.g
+           WHERE c.cum >= t.k GROUP BY 1)
+  SELECT t.g AS event_type,
+         CAST(t.n AS BIGINT) AS n,
+         CAST(t.k AS BIGINT) AS k_index,
+         h.thr AS threshold
+  FROM cf_t t LEFT JOIN cf_h h ON t.g = h.g""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

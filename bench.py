@@ -280,6 +280,12 @@ BENCH_QUERIES = [
     "quantile_match",
     "token_waterfill",
     "multimodal_frames",
+    "cohens_kappa",
+    "mcnemar",
+    "brier_score",
+    "calibration_bins",
+    "pass_at_k",
+    "conformal_threshold",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

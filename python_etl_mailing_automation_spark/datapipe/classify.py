@@ -233,3 +233,356 @@ def target_encode(
             "encoding"
         ),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two labelers
+    (Cohen 1960), the standard reliability gate for LLM annotation /
+    preference data: raw agreement flatters raters who both spam the
+    majority class; kappa subtracts the agreement their marginals would
+    produce by chance.
+
+    With n items, a = agreements, r_c / s_c the raters' per-category
+    marginal counts, clearing p_o = a/n and p_e = Σ r_c·s_c / n² gives
+    the exact integer form
+
+        kappa = (n·a − Σ r_c·s_c) / (n² − Σ r_c·s_c)
+
+    — numerator and denominator DECIMAL(38,0)-exact, the single
+    division the only float, so the statistic is bit-identical across
+    engines and partitionings. Degenerate chance agreement
+    (n² == Σ r_c·s_c, e.g. both raters constant) yields NULL. Rows
+    where either label is NULL are excluded (an abstention is not a
+    category).
+
+    Output: one row per group — ``(group_col?, n_items, n_agree,
+    kappa)``.
+
+    Scale shape: three map-side-combinable aggregates off one base
+    projection (agreement totals, per-category marginals per rater),
+    one full-outer equi-join of the two category-marginal frames
+    (bounded by the label alphabet), one re-aggregate, one broadcast
+    join back to the totals. No window, no data-sized join.
+    """
+    grp = [group_col] if group_col else []
+    base = df.filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(
+        *grp,
+        F.col(rater_a_col).cast("string").alias("__a"),
+        F.col(rater_b_col).cast("string").alias("__b"),
+    )
+    tot = base.groupBy(*grp).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.count(F.when(F.col("__a") == F.col("__b"), 1)).cast(
+            "decimal(38,0)"
+        ).alias("__agree"),
+    )
+    ra = base.groupBy(*grp, F.col("__a").alias("__cat")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__r")
+    )
+    rb = base.groupBy(*grp, F.col("__b").alias("__cat")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__s")
+    )
+    pe = (
+        ra.join(rb, [*grp, "__cat"], "full_outer")
+        .select(
+            *grp,
+            (
+                F.coalesce(F.col("__r"), F.lit(0).cast("decimal(38,0)"))
+                * F.coalesce(F.col("__s"), F.lit(0).cast("decimal(38,0)"))
+            ).alias("__rs"),
+        )
+        .groupBy(*grp)
+        .agg(F.sum("__rs").alias("__pe_num"))
+    )
+    joined = (
+        tot.join(pe, grp) if grp else tot.crossJoin(F.broadcast(pe))
+    )
+    n, a, p = F.col("__n"), F.col("__agree"), F.col("__pe_num")
+    den = n * n - p
+    return joined.select(
+        *grp,
+        n.cast("long").alias("n_items"),
+        a.cast("long").alias("n_agree"),
+        F.when(
+            den != 0, (n * a - p).cast("double") / den.cast("double")
+        ).alias("kappa"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    label_col: str,
+    pred_a_col: str,
+    pred_b_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """McNemar's paired test — do two classifiers scored on the SAME
+    items differ? (McNemar 1947). The A/B gate for swapping a quality /
+    language / toxicity filter: accuracy deltas mislead when both
+    models get the same easy rows right; only the discordant pairs
+    carry signal.
+
+        b = |A right, B wrong|    chi2   = (b − c)² / (b + c)
+        c = |A wrong, B right|    chi2cc = (|b−c| − 1)² / (b + c)
+                                           (continuity-corrected;
+                                            0 when |b−c| ≤ 1)
+
+    Counts are exact BIGINTs off ONE aggregate; each statistic is one
+    integer expression and one IEEE division — bit-identical across
+    engines and partitionings. ``b + c = 0`` (no discordant pairs)
+    yields NULL statistics. Rows with any NULL among label/predictions
+    are excluded (an abstention is scored elsewhere).
+
+    Output: one row per group — ``(group_col?, n_items, n_both_right,
+    n_only_a, n_only_b, n_both_wrong, chi2, chi2_corrected)``.
+
+    Scale shape: one map-side-combinable aggregate over a boolean
+    projection. No join, no window.
+    """
+    grp = [group_col] if group_col else []
+    ok_a = F.col(pred_a_col) == F.col(label_col)
+    ok_b = F.col(pred_b_col) == F.col(label_col)
+    base = df.filter(
+        F.col(label_col).isNotNull()
+        & F.col(pred_a_col).isNotNull()
+        & F.col(pred_b_col).isNotNull()
+    ).select(*grp, ok_a.alias("__oa"), ok_b.alias("__ob"))
+    agg = base.groupBy(*grp).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.count(F.when(F.col("__oa") & F.col("__ob"), 1)).cast(
+            "long"
+        ).alias("n_both_right"),
+        F.count(F.when(F.col("__oa") & ~F.col("__ob"), 1)).cast(
+            "long"
+        ).alias("n_only_a"),
+        F.count(F.when(~F.col("__oa") & F.col("__ob"), 1)).cast(
+            "long"
+        ).alias("n_only_b"),
+        F.count(F.when(~F.col("__oa") & ~F.col("__ob"), 1)).cast(
+            "long"
+        ).alias("n_both_wrong"),
+    )
+    b, c = F.col("n_only_a"), F.col("n_only_b")
+    disc = (b + c).cast("double")
+    diff = (b - c).cast("double")
+    adiff = F.abs(b - c)
+    cdiff = F.when(adiff > 1, (adiff - 1)).otherwise(F.lit(0)).cast(
+        "double"
+    )
+    return agg.select(
+        *grp,
+        "n_items",
+        "n_both_right",
+        "n_only_a",
+        "n_only_b",
+        "n_both_wrong",
+        F.when(b + c > 0, diff * diff / disc).alias("chi2"),
+        F.when(b + c > 0, cdiff * cdiff / disc).alias("chi2_corrected"),
+    )
+
+
+def brier_score(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    *,
+    score_den: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Brier score — mean squared error of a probabilistic classifier
+    against {0,1} outcomes (Brier 1950), the proper scoring rule that
+    rewards CALIBRATION where accuracy only rewards ranking.
+
+    Scores arrive as integers on a fixed grid (``score_col`` in
+    ``[0, score_den]``, probability = score/score_den — the same
+    integer-grid contract as :func:`perceptron_train` features), so
+
+        brier = Σ (score_i − y_i·den)² / (n · den²)
+
+    is one exact DECIMAL(38,0) numerator and one IEEE division —
+    bit-identical across engines, partitionings, and summation orders
+    (a float Σ(p−y)² would flap under re-partitioning). Rows with NULL
+    or out-of-grid scores are excluded and counted in ``n_excluded``.
+
+    Output: one row per group — ``(group_col?, n, n_excluded, brier)``.
+
+    Scale shape: one map-side-combinable aggregate. No join, no window.
+    """
+    if score_den < 1:
+        raise ValueError("brier_score: score_den must be >= 1")
+    grp = [group_col] if group_col else []
+    s = F.col(score_col).cast("long")
+    y = (F.col(label_col) != 0).cast("long")
+    in_grid = (
+        F.col(label_col).isNotNull()
+        & s.isNotNull()
+        & (s >= 0)
+        & (s <= int(score_den))
+    )
+    den = F.lit(int(score_den)).cast("decimal(38,0)")
+    err = s.cast("decimal(38,0)") - y.cast("decimal(38,0)") * den
+    agg = df.groupBy(*grp).agg(
+        F.count(F.when(in_grid, 1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count(F.when(in_grid, 1))).cast(
+            "long"
+        ).alias("n_excluded"),
+        F.coalesce(
+            F.sum(F.when(in_grid, err * err)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__se"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    return agg.select(
+        *grp,
+        "n",
+        "n_excluded",
+        F.when(
+            F.col("n") > 0,
+            F.col("__se").cast("double")
+            / (n * den * den).cast("double"),
+        ).alias("brier"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    *,
+    score_den: int,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Reliability diagram — per-confidence-bin observed frequency vs
+    mean confidence, the table behind expected-calibration-error
+    (Naeini et al. 2015) and the diagnostic :func:`brier_score`
+    summarizes away.
+
+    Integer-grid contract as :func:`brier_score`: probability =
+    score/score_den. Bin assignment is pure integer arithmetic —
+    ``bin = min((score·n_bins) div score_den, n_bins−1)`` — and the two
+    per-bin means are single IEEE divisions of exact integer sums:
+
+        avg_conf = Σ score / (n·den)      frac_pos = n_pos / n
+        gap      = |avg_conf − frac_pos|
+
+    fixed written order, so every row is bit-identical across engines
+    and partitionings. ECE is one weighted sum over the returned frame
+    (left to the caller — the per-bin table is the useful artifact).
+    Out-of-grid rows are excluded.
+
+    Output: one row per non-empty bin — ``(group_col?, bin, n, n_pos,
+    avg_conf, frac_pos, gap)``.
+
+    Scale shape: one map-side-combinable aggregate keyed by
+    (group, bin) — a frame bounded by groups × n_bins. No join, no
+    window.
+    """
+    if score_den < 1 or n_bins < 1:
+        raise ValueError("calibration_bins: score_den and n_bins must be >= 1")
+    grp = [group_col] if group_col else []
+    s = F.col(score_col).cast("long")
+    base = df.filter(
+        F.col(label_col).isNotNull()
+        & s.isNotNull()
+        & (s >= 0)
+        & (s <= int(score_den))
+    ).select(
+        *grp,
+        F.least(
+            F.expr(
+                f"CAST({score_col} AS BIGINT) * {int(n_bins)}"
+                f" div {int(score_den)}"
+            ),
+            F.lit(int(n_bins) - 1).cast("long"),
+        ).alias("bin"),
+        s.alias("__s"),
+        (F.col(label_col) != 0).cast("long").alias("__y"),
+    )
+    agg = base.groupBy(*grp, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(F.col("__s").cast("decimal(38,0)")).alias("__ss"),
+    )
+    nd = F.col("n").cast("double")
+    avg_conf = F.col("__ss").cast("double") / (
+        nd * float(int(score_den))
+    )
+    frac_pos = F.col("n_pos").cast("double") / nd
+    return agg.select(
+        *grp,
+        "bin",
+        "n",
+        "n_pos",
+        avg_conf.alias("avg_conf"),
+        frac_pos.alias("frac_pos"),
+        F.abs(avg_conf - frac_pos).alias("gap"),
+    )
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_col: str,
+    passed_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Unbiased pass@k per task (Chen et al. 2021, "Evaluating Large
+    Language Models Trained on Code" — the HumanEval estimator): with n
+    samples and c passes for a task,
+
+        pass@k = 1 − C(n−c, k)/C(n, k)
+               = 1 − Π_{i=0..k−1} (n−c−i)/(n−i)
+
+    The product is UNROLLED at plan-build time into k literal factors
+    in fixed written order — each factor one IEEE division of exact
+    BIGINT counts, the product a fixed-order chain (the NDCG
+    literal-discount discipline) — so the estimate is bit-identical
+    across engines and partitionings with no factorials and no overflow
+    envelope. Contracts: n < k → NULL (the estimator is undefined);
+    n−c < k → exactly 1.0 (every k-subset contains a pass) — emitted as
+    a literal, not a product that happens to hit zero.
+
+    Output: one row per task — ``(task_col, n_samples, n_passed,
+    pass_at_k)``.
+
+    Scale shape: one map-side-combinable aggregate keyed by task. No
+    join, no window. ``k`` is bounded at 64 (expression width, far
+    above the k ∈ {1, 10, 100} of practice; raise it consciously).
+    """
+    if k < 1 or k > 64:
+        raise ValueError("pass_at_k: k must be in [1, 64]")
+    base = df.filter(F.col(task_col).isNotNull()).select(
+        F.col(task_col),
+        (F.col(passed_col).cast("boolean") == True).cast(  # noqa: E712
+            "long"
+        ).alias("__p"),
+    )
+    agg = base.groupBy(task_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("__p").cast("long").alias("n_passed"),
+    )
+    n, c = F.col("n_samples"), F.col("n_passed")
+    prod = F.lit(1.0)
+    for i in range(int(k)):
+        prod = prod * (
+            (n - c - F.lit(i)).cast("double") / (n - F.lit(i)).cast("double")
+        )
+    return agg.select(
+        task_col,
+        "n_samples",
+        "n_passed",
+        F.when(n < int(k), F.lit(None).cast("double"))
+        .when(n - c < int(k), F.lit(1.0))
+        .otherwise(F.lit(1.0) - prod)
+        .alias("pass_at_k"),
+    )

@@ -2559,3 +2559,90 @@ def quantile_match(
     return src.join(lookup, "target_idx", "left").select(
         "value", "n", "rank", "target_idx", "mapped"
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    *,
+    alpha: tuple[int, int] = (1, 10),
+    group_col: str | None = None,
+) -> DataFrame:
+    """Split-conformal calibration threshold (Vovk et al. 2005; Angelopoulos
+    & Bates 2023 tutorial): given held-out nonconformity scores, the
+    quantile q̂ such that predicting {y : score(y) ≤ q̂} guarantees
+    ≥ 1−α marginal coverage is the
+
+        k-th smallest score,  k = ⌈(n+1)·(1−α)⌉
+
+    ``alpha`` arrives as an exact rational ``(num, den)`` so the rank is
+    pure integer arithmetic — ``k = ((n+1)·(den−num) + den − 1) div den``
+    — never a float quantile whose rounding could flip the order
+    statistic across engines. The threshold itself is an ORDER STATISTIC
+    (a value from the data, not an interpolation), so the whole output
+    is engine-exact with zero floating point. ``k > n`` (α too small for
+    the sample: α < 1/(n+1)) yields a NULL threshold — finite-sample
+    coverage at that level is impossible, and the NULL says so rather
+    than silently clamping to the max.
+
+    Output: one row per group — ``(group_col?, n, k_index, threshold)``.
+
+    Scale shape: one (group, value) aggregate with map-side combine,
+    then ONE window partitioned by ``group_col`` over the per-value
+    frame (bounded by a group's distinct scores) — the :func:`roc_auc`
+    discipline; the ungrouped path rides
+    :func:`~.prefix.global_running_sums` so no unpartitioned window
+    ever enters the plan. The k-th value is the MIN value whose
+    cumulative count reaches k (cumulative count is monotone in the
+    value order), one filtered re-aggregate.
+    """
+    from .prefix import global_running_sums
+
+    num, den = int(alpha[0]), int(alpha[1])
+    if not (0 < num < den):
+        raise ValueError("conformal_threshold: need 0 < alpha < 1 as (num, den)")
+    grp = [group_col] if group_col else []
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        *grp, F.col(score_col).alias("__v")
+    )
+    per_v = base.groupBy(*grp, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__ct")
+    )
+    if group_col:
+        ww = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col("__v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = per_v.withColumn("__cum", F.sum("__ct").over(ww))
+    else:
+        run = global_running_sums(
+            per_v,
+            ["__v"],
+            {"__cum": "__ct"},
+            boundary_source=base.select(F.col("__v")),
+        )
+    keep = den - num
+    k_expr = F.expr(f"((__n + 1) * {keep} + {den} - 1) div {den}")
+    totals = per_v.groupBy(*grp).agg(
+        F.coalesce(F.sum("__ct"), F.lit(0).cast("long")).alias("__n")
+    ).select(*grp, "__n", k_expr.alias("__k"))
+    joined = (
+        run.join(totals, grp)
+        if grp
+        else run.crossJoin(F.broadcast(totals))
+    )
+    hit = joined.filter(F.col("__cum") >= F.col("__k")).groupBy(*grp).agg(
+        F.min("__v").alias("threshold")
+    )
+    out = (
+        totals.join(hit, grp, "left")
+        if grp
+        else totals.crossJoin(F.broadcast(hit))
+    )
+    return out.select(
+        *grp,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("k_index"),
+        "threshold",
+    )

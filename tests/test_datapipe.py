@@ -5604,3 +5604,183 @@ class TestMultimodalFrames:
         # short payload -> exactly one (short) frame
         assert len(by_doc[2]) == 1
         assert bytes(by_doc[2][0]["frame"]) == b"short"
+
+
+class TestEvalCalibration:
+    def test_cohens_kappa_matches_manual(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            cohens_kappa,
+        )
+
+        pairs = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+                 ("a", "a"), ("b", "a"), ("c", "c"), ("a", "a")]
+        df = spark.createDataFrame(pairs, "ra string, rb string")
+        row = cohens_kappa(df, "ra", "rb").collect()[0]
+        n = len(pairs)
+        agree = sum(1 for a, b in pairs if a == b)
+        cats = {c for p in pairs for c in p}
+        pe_num = sum(
+            sum(1 for a, _ in pairs if a == c)
+            * sum(1 for _, b in pairs if b == c)
+            for c in cats
+        )
+        assert (row["n_items"], row["n_agree"]) == (n, agree)
+        assert row["kappa"] == (n * agree - pe_num) / (n * n - pe_num)
+
+    def test_cohens_kappa_degenerate_and_grouped(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            cohens_kappa,
+        )
+
+        # both raters constant: chance agreement is 1, kappa undefined
+        df = spark.createDataFrame(
+            [("g1", "x", "x")] * 4 + [("g2", "x", "y"), ("g2", "y", "x")],
+            "g string, ra string, rb string",
+        )
+        got = {r["g"]: r for r in cohens_kappa(
+            df, "ra", "rb", group_col="g"
+        ).collect()}
+        assert got["g1"]["kappa"] is None
+        # g2: perfect disagreement with symmetric marginals -> kappa -1
+        assert got["g2"]["kappa"] == -1.0
+
+    def test_mcnemar_matches_manual(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            mcnemar_test,
+        )
+
+        rows = [(1, 1, 1), (1, 1, 0), (1, 1, 0), (1, 0, 1),
+                (0, 0, 0), (0, 1, 0), (0, 1, 0), (1, 1, 1)]
+        df = spark.createDataFrame(rows, "y long, pa long, pb long")
+        r = mcnemar_test(df, "y", "pa", "pb").collect()[0]
+        b = sum(1 for y, a, p in rows if (a == y) and (p != y))
+        c = sum(1 for y, a, p in rows if (a != y) and (p == y))
+        assert (r["n_only_a"], r["n_only_b"]) == (b, c)
+        assert r["chi2"] == (b - c) ** 2 / (b + c)
+        assert r["chi2_corrected"] == (abs(b - c) - 1) ** 2 / (b + c)
+
+    def test_mcnemar_edges(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            mcnemar_test,
+        )
+
+        # no discordant pairs -> NULL statistics
+        df = spark.createDataFrame(
+            [(1, 1, 1), (0, 0, 0)], "y long, pa long, pb long"
+        )
+        r = mcnemar_test(df, "y", "pa", "pb").collect()[0]
+        assert r["chi2"] is None and r["chi2_corrected"] is None
+        # |b-c| = 1 -> corrected statistic is exactly 0
+        df2 = spark.createDataFrame(
+            [(1, 1, 0), (1, 1, 1)], "y long, pa long, pb long"
+        )
+        r2 = mcnemar_test(df2, "y", "pa", "pb").collect()[0]
+        assert r2["chi2"] == 1.0 and r2["chi2_corrected"] == 0.0
+
+    def test_brier_matches_manual_and_excludes(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            brier_score,
+        )
+
+        rows = [(1, 90), (0, 20), (1, 55), (0, 0), (1, 100), (0, 150)]
+        df = spark.createDataFrame(rows, "y long, s long")
+        r = brier_score(df, "y", "s", score_den=100).collect()[0]
+        kept = [(y, s) for y, s in rows if 0 <= s <= 100]
+        manual = sum((s - y * 100) ** 2 for y, s in kept) / (
+            len(kept) * 100 * 100
+        )
+        assert r["n"] == len(kept) and r["n_excluded"] == 1
+        assert r["brier"] == manual
+
+    def test_calibration_bins_matches_manual(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            calibration_bins,
+        )
+
+        rows = [(1, 95), (0, 5), (1, 55), (0, 52), (1, 100), (0, 98)]
+        df = spark.createDataFrame(rows, "y long, s long")
+        got = {r["bin"]: r for r in calibration_bins(
+            df, "y", "s", score_den=100, n_bins=10
+        ).collect()}
+        # score 100 clamps into the last bin with 95 and 98
+        assert set(got) == {0, 5, 9}
+        b9 = got[9]
+        assert (b9["n"], b9["n_pos"]) == (3, 2)
+        assert b9["avg_conf"] == (95 + 98 + 100) / (3 * 100)
+        assert b9["frac_pos"] == 2 / 3
+        assert b9["gap"] == abs((95 + 98 + 100) / 300 - 2 / 3)
+
+    def test_pass_at_k_matches_comb(self, spark):
+        import math
+
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            pass_at_k,
+        )
+
+        rows = []
+        for t, (n, c) in enumerate([(10, 3), (5, 0), (7, 7), (4, 1),
+                                    (2, 1), (3, 0)]):
+            rows += [(t, i < c) for i in range(n)]
+        df = spark.createDataFrame(rows, "task long, passed boolean")
+        got = {r["task"]: r for r in pass_at_k(
+            df, "task", "passed", k=3
+        ).collect()}
+        for t, (n, c) in enumerate([(10, 3), (5, 0), (7, 7), (4, 1),
+                                    (2, 1), (3, 0)]):
+            assert got[t]["n_samples"] == n and got[t]["n_passed"] == c
+            if n < 3:
+                assert got[t]["pass_at_k"] is None
+            elif n - c < 3:
+                assert got[t]["pass_at_k"] == 1.0
+            else:
+                exact = 1 - math.comb(n - c, 3) / math.comb(n, 3)
+                assert got[t]["pass_at_k"] == pytest.approx(
+                    exact, abs=1e-15
+                )
+
+    def test_pass_at_k_partition_invariant(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            pass_at_k,
+        )
+
+        rows = [(i % 37, (i * 13) % 5 == 0) for i in range(500)]
+        df = spark.createDataFrame(rows, "task long, passed boolean")
+        a = pass_at_k(df.repartition(1), "task", "passed", k=5).collect()
+        b = pass_at_k(df.repartition(17), "task", "passed", k=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_conformal_threshold_matches_sorted_index(self, spark):
+        import math
+
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            conformal_threshold,
+        )
+
+        vals = [5, 1, 9, 3, 3, 7, 2, 8, 6, 4, 4, 10]
+        df = spark.createDataFrame([(v,) for v in vals], "s long")
+        for num, den in [(1, 10), (1, 4), (3, 4)]:
+            r = conformal_threshold(df, "s", alpha=(num, den)).collect()[0]
+            n = len(vals)
+            k = math.ceil((n + 1) * (den - num) / den)
+            assert r["n"] == n and r["k_index"] == k
+            expect = sorted(vals)[k - 1] if k <= n else None
+            assert r["threshold"] == expect
+
+    def test_conformal_threshold_alpha_too_small_and_grouped(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            conformal_threshold,
+        )
+
+        # n=3, alpha=1/10: k = ceil(4*9/10) = 4 > 3 -> NULL threshold
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 3),
+             ("b", 10), ("b", 20), ("b", 30), ("b", 40),
+             ("b", 50), ("b", 60), ("b", 70), ("b", 80), ("b", 90)],
+            "g string, s long",
+        )
+        got = {r["g"]: r for r in conformal_threshold(
+            df, "s", alpha=(1, 10), group_col="g"
+        ).collect()}
+        assert got["a"]["threshold"] is None and got["a"]["k_index"] == 4
+        # b: n=9, k = ceil(10*9/10) = 9 -> the max
+        assert got["b"]["k_index"] == 9 and got["b"]["threshold"] == 90
