@@ -5118,6 +5118,94 @@ def q_conformal_threshold(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rouge_n(spark: SparkSession, sf: str) -> DataFrame:
+    """ROUGE-2 per candidate/reference pair (datapipe/text.rouge_n):
+    adjacent documents paired (odd doc vs its even predecessor),
+    clipped bigram overlap, exact counts, single-division metrics."""
+    from python_etl_mailing_automation_spark.datapipe.text import rouge_n
+
+    docs = _t(spark, sf, "documents")
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("text").alias("cand")
+    )
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("ref")
+    )
+    pairs = odd.join(even, "doc_id")
+    return rouge_n(pairs, "cand", "ref", id_col="doc_id", n=2)
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Memorization audit (datapipe/text.ngram_novelty): every 10th
+    document scored for the share of its distinct trigrams absent from
+    the rest of the corpus — one gram-keyed LEFT ANTI join."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        ngram_novelty,
+    )
+
+    docs = _t(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return ngram_novelty(new, corpus, n=3)
+
+
+def q_distinct_ngram_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-2 generation-diversity ratio per source
+    (datapipe/text.distinct_ngram_ratio): exact occurrence/type counts
+    off one two-level aggregate."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        distinct_ngram_ratio,
+    )
+
+    return distinct_ngram_ratio(_t(spark, sf, "documents"), n=2)
+
+
+def q_majority_vote(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-consistency reduction (datapipe/classify.majority_vote):
+    modal event type per user-bucket "task" with deterministic
+    smallest-answer tie-break and exact agreement rate."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        majority_vote,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("user_id") % 997).cast("long").alias("task"),
+        F.col("event_type").alias("ans"),
+    )
+    return majority_vote(ev, "task", "ans")
+
+
+def q_winrate_wilson(spark: SparkSession, sf: str) -> DataFrame:
+    """Preference scoreboard (datapipe/classify.winrate_wilson):
+    pairwise win rates over (returnflag, linestatus) "model" pairs with
+    Wilson 95% intervals — exact counts, fixed-order float tail, one
+    correctly-rounded sqrt."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        winrate_wilson,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("ma"),
+        F.col("l_linestatus").alias("mb"),
+        (F.col("l_quantity") > 25).alias("win"),
+    )
+    return winrate_wilson(li, "ma", "mb", "win")
+
+
+def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-threshold precision-recall table per event type
+    (datapipe/stats.pr_curve): cumulative confusion counts over the
+    descending distinct-score prefix, single divisions per row."""
+    from python_etl_mailing_automation_spark.datapipe.stats import pr_curve
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        (F.col("event_id") % 97).cast("long").alias("s"),
+    )
+    return pr_curve(ev, "y", "s", group_col="event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5508,6 +5596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "pass_at_k": q_pass_at_k,
         "conformal_threshold": q_conformal_threshold,
+        "rouge_n": q_rouge_n,
+        "ngram_novelty": q_ngram_novelty,
+        "distinct_ngram_ratio": q_distinct_ngram_ratio,
+        "majority_vote": q_majority_vote,
+        "winrate_wilson": q_winrate_wilson,
+        "pr_curve": q_pr_curve,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -11452,6 +11546,181 @@ def oracle_sql() -> dict[str, str]:
          CAST(t.k AS BIGINT) AS k_index,
          h.thr AS threshold
   FROM cf_t t LEFT JOIN cf_h h ON t.g = h.g""",
+        # ROUGE-2 with clipped counts (text.rouge_n): min() per shared
+        # bigram off a (pair, gram) full-outer join of the two
+        # multiset-count frames; the pair spine restores gram-less
+        # pairs.
+        "rouge_n": """
+  WITH rg_p AS (SELECT o.doc_id AS doc_id,
+                       string_split_regex(trim(o.text), '\\s+') AS ct,
+                       string_split_regex(trim(e.text), '\\s+') AS rt
+                FROM documents o
+                JOIN documents e ON o.doc_id = e.doc_id + 1
+                WHERE o.doc_id % 2 = 1),
+  rg_cg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+              SELECT doc_id,
+                     array_to_string(list_slice(ct, u.i, u.i + 1), ' ') AS g
+              FROM rg_p, UNNEST(range(1, len(ct))) AS u(i)
+              WHERE len(ct) >= 2)
+            GROUP BY 1, 2),
+  rg_rg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cr FROM (
+              SELECT doc_id,
+                     array_to_string(list_slice(rt, u.i, u.i + 1), ' ') AS g
+              FROM rg_p, UNNEST(range(1, len(rt))) AS u(i)
+              WHERE len(rt) >= 2)
+            GROUP BY 1, 2),
+  rg_j AS (SELECT COALESCE(c.doc_id, r.doc_id) AS doc_id,
+                  COALESCE(c.cc, 0) AS cc, COALESCE(r.cr, 0) AS cr
+           FROM rg_cg c FULL OUTER JOIN rg_rg r
+             ON c.doc_id = r.doc_id AND c.g = r.g),
+  rg_a AS (SELECT doc_id, CAST(sum(cc) AS BIGINT) AS n_cand,
+                  CAST(sum(cr) AS BIGINT) AS n_ref,
+                  CAST(sum(least(cc, cr)) AS BIGINT) AS n_overlap
+           FROM rg_j GROUP BY 1),
+  rg_s AS (SELECT doc_id,
+                  COALESCE(a.n_cand, 0) AS n_cand,
+                  COALESCE(a.n_ref, 0) AS n_ref,
+                  COALESCE(a.n_overlap, 0) AS n_overlap
+           FROM (SELECT DISTINCT doc_id FROM rg_p) s
+           LEFT JOIN rg_a a USING (doc_id)),
+  rg_m AS (SELECT doc_id, n_cand, n_ref, n_overlap,
+                  CASE WHEN n_cand > 0 THEN
+                    CAST(n_overlap AS DOUBLE) / CAST(n_cand AS DOUBLE)
+                  END AS p,
+                  CASE WHEN n_ref > 0 THEN
+                    CAST(n_overlap AS DOUBLE) / CAST(n_ref AS DOUBLE)
+                  END AS r
+           FROM rg_s)
+  SELECT doc_id, n_cand, n_ref, n_overlap,
+         p AS "precision", r AS recall,
+         CASE WHEN p IS NOT NULL AND r IS NOT NULL AND p + r > 0
+              THEN 2.0 * p * r / (p + r)
+              WHEN p IS NOT NULL AND r IS NOT NULL
+              THEN CAST(0.0 AS DOUBLE) END AS f1
+  FROM rg_m""",
+        # Per-doc trigram novelty vs the rest of the corpus
+        # (text.ngram_novelty): distinct-set semantics both sides, one
+        # anti-join expressed as NOT EXISTS on the gram.
+        "ngram_novelty": """
+  WITH nv_new AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS toks
+                  FROM documents WHERE doc_id % 10 = 0),
+  nv_cor AS (SELECT string_split_regex(trim(text), '\\s+') AS toks
+             FROM documents WHERE doc_id % 10 <> 0),
+  nv_ng AS (SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(toks, u.i, u.i + 2), ' ') AS g
+            FROM nv_new, UNNEST(range(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 3),
+  nv_cg AS (SELECT DISTINCT
+                   array_to_string(list_slice(toks, u.i, u.i + 2), ' ') AS g
+            FROM nv_cor, UNNEST(range(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 3),
+  nv_t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM nv_ng GROUP BY 1),
+  nv_n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+           FROM nv_ng x
+           WHERE NOT EXISTS (SELECT 1 FROM nv_cg c WHERE c.g = x.g)
+           GROUP BY 1)
+  SELECT s.doc_id,
+         COALESCE(t.n_grams, 0) AS n_grams,
+         COALESCE(n.n_novel, 0) AS n_novel,
+         CASE WHEN COALESCE(t.n_grams, 0) > 0 THEN
+           CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+           / CAST(t.n_grams AS DOUBLE) END AS novelty
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) s
+  LEFT JOIN nv_t t USING (doc_id)
+  LEFT JOIN nv_n n USING (doc_id)""",
+        # Distinct-2 diversity per source (text.distinct_ngram_ratio).
+        "distinct_ngram_ratio": """
+  WITH dr_b AS (SELECT source,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents),
+  dr_g AS (SELECT source,
+                  array_to_string(list_slice(toks, u.i, u.i + 1), ' ') AS g
+           FROM dr_b, UNNEST(range(1, len(toks))) AS u(i)
+           WHERE len(toks) >= 2),
+  dr_a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_occurrences,
+                  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+           FROM dr_g GROUP BY 1)
+  SELECT s.source,
+         COALESCE(a.n_occurrences, 0) AS n_occurrences,
+         COALESCE(a.n_distinct, 0) AS n_distinct,
+         CASE WHEN COALESCE(a.n_occurrences, 0) > 0 THEN
+           CAST(a.n_distinct AS DOUBLE) / CAST(a.n_occurrences AS DOUBLE)
+         END AS distinct_ratio
+  FROM (SELECT DISTINCT source FROM documents) s
+  LEFT JOIN dr_a a USING (source)""",
+        # Self-consistency majority vote (classify.majority_vote):
+        # smallest-answer tie-break via arg_min over (-votes, answer).
+        "majority_vote": """
+  WITH mv_b AS (SELECT user_id % 997 AS task, event_type AS a
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+  mv_v AS (SELECT task, a, CAST(count(*) AS BIGINT) AS v
+           FROM mv_b GROUP BY 1, 2),
+  mv_t AS (SELECT task,
+                  CAST(sum(v) AS BIGINT) AS n_samples,
+                  CAST(count(*) AS BIGINT) AS n_distinct
+           FROM mv_v GROUP BY 1),
+  mv_r AS (SELECT task, a, v,
+                  row_number() OVER (PARTITION BY task
+                                     ORDER BY v DESC, a ASC) AS rn
+           FROM mv_v)
+  SELECT t.task, t.n_samples, t.n_distinct,
+         r.a AS answer, r.v AS n_votes,
+         CAST(r.v AS DOUBLE) / CAST(t.n_samples AS DOUBLE) AS agreement
+  FROM mv_t t JOIN mv_r r ON t.task = r.task AND r.rn = 1""",
+        # Pairwise Wilson intervals (classify.winrate_wilson): the
+        # bounds mirror the engine's fixed written order exactly — two
+        # single divisions, one correctly-rounded sqrt.
+        "winrate_wilson": """
+  WITH ww_b AS (SELECT l_returnflag AS model_a, l_linestatus AS model_b,
+                       CAST(l_quantity > 25 AS BIGINT) AS w
+                FROM lineitem),
+  ww_a AS (SELECT model_a, model_b,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(w) AS BIGINT) AS wins
+           FROM ww_b GROUP BY 1, 2),
+  ww_m AS (SELECT model_a, model_b, n, wins,
+                  CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                  CAST(n AS DOUBLE) AS nd
+           FROM ww_a)
+  SELECT model_a, model_b, n, wins, p AS winrate,
+         (p + 3.8415999999999996e0 / (2.0e0 * nd)
+          - 1.96e0 * sqrt(p * (1.0e0 - p) / nd
+                          + 3.8415999999999996e0 / (4.0e0 * nd * nd)))
+         / (1.0e0 + 3.8415999999999996e0 / nd) AS wilson_lo,
+         (p + 3.8415999999999996e0 / (2.0e0 * nd)
+          + 1.96e0 * sqrt(p * (1.0e0 - p) / nd
+                          + 3.8415999999999996e0 / (4.0e0 * nd * nd)))
+         / (1.0e0 + 3.8415999999999996e0 / nd) AS wilson_hi
+  FROM ww_m""",
+        # Exact PR curve per event type (stats.pr_curve): cumulative
+        # counts over the DESCENDING distinct-score prefix.
+        "pr_curve": """
+  WITH pc_b AS (SELECT event_type AS g,
+                       CAST(event_id % 97 AS BIGINT) AS s,
+                       CAST(event_id % 2 <> 0 AS BIGINT) AS p,
+                       CAST(event_id % 2 = 0 AS BIGINT) AS q
+                FROM events),
+  pc_v AS (SELECT g, s, CAST(sum(p) AS BIGINT) AS cp,
+                  CAST(sum(q) AS BIGINT) AS cq
+           FROM pc_b GROUP BY 1, 2),
+  pc_c AS (SELECT g, s, cp, cq,
+                  sum(cp) OVER (PARTITION BY g ORDER BY s DESC
+                                ROWS UNBOUNDED PRECEDING) AS tp,
+                  sum(cq) OVER (PARTITION BY g ORDER BY s DESC
+                                ROWS UNBOUNDED PRECEDING) AS fp
+           FROM pc_v),
+  pc_t AS (SELECT g, CAST(sum(cp) AS BIGINT) AS np
+           FROM pc_v GROUP BY 1)
+  SELECT c.g AS event_type, c.s AS threshold,
+         CAST(c.tp AS BIGINT) AS tp, CAST(c.fp AS BIGINT) AS fp,
+         CAST(c.tp AS DOUBLE) / (CAST(c.tp AS DOUBLE)
+                                 + CAST(c.fp AS DOUBLE)) AS "precision",
+         CASE WHEN t.np > 0 THEN
+           CAST(c.tp AS DOUBLE) / CAST(t.np AS DOUBLE) END AS recall
+  FROM pc_c c JOIN pc_t t ON c.g = t.g""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -286,6 +286,12 @@ BENCH_QUERIES = [
     "calibration_bins",
     "pass_at_k",
     "conformal_threshold",
+    "rouge_n",
+    "ngram_novelty",
+    "distinct_ngram_ratio",
+    "majority_vote",
+    "winrate_wilson",
+    "pr_curve",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -586,3 +586,122 @@ def pass_at_k(
         .otherwise(F.lit(1.0) - prod)
         .alias("pass_at_k"),
     )
+
+
+def majority_vote(
+    df: DataFrame,
+    task_col: str,
+    answer_col: str,
+) -> DataFrame:
+    """Self-consistency aggregation (Wang et al. 2023, "Self-Consistency
+    Improves Chain of Thought Reasoning"): per task, the modal answer
+    over sampled generations, its vote count, and the agreement rate —
+    the reduction step of sample-k-take-majority eval and of
+    majority-vote label aggregation over annotators.
+
+    Deterministic tie-break: equal vote counts resolve to the SMALLEST
+    answer string (a lexicographic struct-min over (−votes, answer) —
+    the :func:`~.dedup` max-by discipline), so the winner is a pure
+    function of the data, never of partition order. NULL answers are
+    excluded from voting (an abstention is not a candidate).
+
+    Output: one row per task — ``(task_col, n_samples, n_distinct,
+    answer, n_votes, agreement)`` with ``agreement = n_votes /
+    n_samples``.
+
+    Scale shape: one (task, answer) aggregate with map-side combine,
+    then one re-aggregate to the task grain carrying the struct-min —
+    two keyed aggregates total, no window, no join.
+    """
+    base = df.filter(
+        F.col(task_col).isNotNull() & F.col(answer_col).isNotNull()
+    ).select(
+        F.col(task_col), F.col(answer_col).cast("string").alias("__a")
+    )
+    votes = base.groupBy(task_col, "__a").agg(
+        F.count(F.lit(1)).cast("long").alias("__v")
+    )
+    per_task = votes.groupBy(task_col).agg(
+        F.sum("__v").cast("long").alias("n_samples"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.min(
+            F.struct((-F.col("__v")).alias("nv"), F.col("__a").alias("a"))
+        ).alias("__win"),
+    )
+    return per_task.select(
+        task_col,
+        "n_samples",
+        "n_distinct",
+        F.col("__win.a").alias("answer"),
+        (-F.col("__win.nv")).cast("long").alias("n_votes"),
+        (
+            (-F.col("__win.nv")).cast("double")
+            / F.col("n_samples").cast("double")
+        ).alias("agreement"),
+    )
+
+
+def winrate_wilson(
+    df: DataFrame,
+    model_a_col: str,
+    model_b_col: str,
+    win_col: str,
+    *,
+    z: float = 1.96,
+) -> DataFrame:
+    """Pairwise win rates with Wilson score intervals (Wilson 1927) —
+    the preference-data scoreboard: per ordered (model_a, model_b)
+    pair, A's win rate over their head-to-head comparisons and the
+    interval that keeps small-n pairs honest (a 2/2 record is not a
+    sure thing; Wilson says so, the raw rate does not).
+
+    With p̂ = w/n and literal z, both bounds are the fixed written-order
+    expression
+
+        (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    — counts exact BIGINTs, every float step a single IEEE operation
+    (divisions, one correctly-rounded sqrt), so the bounds are
+    bit-identical across engines and partitionings. NULL win flags are
+    excluded from both w and n (an unjudged comparison is not a loss).
+
+    Output: one row per observed ordered pair — ``(model_a, model_b,
+    n, wins, winrate, wilson_lo, wilson_hi)``.
+
+    Scale shape: one map-side-combinable aggregate keyed by the pair.
+    No join, no window.
+    """
+    if z <= 0:
+        raise ValueError("winrate_wilson: z must be > 0")
+    base = df.filter(
+        F.col(model_a_col).isNotNull()
+        & F.col(model_b_col).isNotNull()
+        & F.col(win_col).isNotNull()
+    ).select(
+        F.col(model_a_col).alias("model_a"),
+        F.col(model_b_col).alias("model_b"),
+        (F.col(win_col).cast("boolean") == True).cast(  # noqa: E712
+            "long"
+        ).alias("__w"),
+    )
+    agg = base.groupBy("model_a", "model_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__w").cast("long").alias("wins"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("wins").cast("double") / nd
+    zz = float(z) * float(z)
+    denom = 1.0 + F.lit(zz) / nd
+    center = p + F.lit(zz) / (2.0 * nd)
+    half = F.lit(float(z)) * F.sqrt(
+        p * (1.0 - p) / nd + F.lit(zz) / (4.0 * nd * nd)
+    )
+    return agg.select(
+        "model_a",
+        "model_b",
+        "n",
+        "wins",
+        p.alias("winrate"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )

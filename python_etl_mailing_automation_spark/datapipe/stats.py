@@ -2646,3 +2646,91 @@ def conformal_threshold(
         F.col("__k").cast("long").alias("k_index"),
         "threshold",
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact precision-recall curve — one row per DISTINCT score
+    threshold with the cumulative confusion counts of the classifier
+    "predict positive when score ≥ threshold", the table behind
+    average-precision and threshold tuning (which cut gives 90%
+    precision?). The curve-as-rows form keeps every value a single
+    division of exact BIGINTs — no cross-threshold float summation, so
+    the whole frame is bit-identical across engines and partitionings
+    (a scalar AP would need an order-dependent Σ of per-threshold
+    products; the table is both more useful and exactly reproducible).
+
+    Output per (group?, threshold): ``(group_col?, threshold, tp, fp,
+    precision, recall)`` — tp/fp cumulative from the highest score
+    down; recall NULL when the group has no positives.
+
+    Scale shape: one (group, score) aggregate with map-side combine,
+    then ONE window partitioned by ``group_col`` over the per-score
+    frame (bounded by a group's distinct scores — the :func:`roc_auc`
+    discipline); the ungrouped path rides
+    :func:`~.prefix.global_running_sums` on the DESCENDING sort key so
+    no unpartitioned window ever enters the plan; group totals come
+    back on the same keyed aggregate (grouped) or the one-row broadcast
+    idiom (ungrouped).
+    """
+    from .prefix import global_running_sums
+
+    grp = [group_col] if group_col else []
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        *grp,
+        F.col(score_col).alias("__v"),
+        (F.col(label_col) != 0).cast("long").alias("__p"),
+        (F.col(label_col) == 0).cast("long").alias("__q"),
+    )
+    per_v = base.groupBy(*grp, "__v").agg(
+        F.sum("__p").cast("long").alias("__cp"),
+        F.sum("__q").cast("long").alias("__cq"),
+    )
+    if group_col:
+        ww = (
+            Window.partitionBy(group_col)
+            .orderBy(F.col("__v").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = per_v.select(
+            *grp,
+            "__v",
+            F.sum("__cp").over(ww).alias("tp"),
+            F.sum("__cq").over(ww).alias("fp"),
+        )
+    else:
+        # descending prefix: running-sum on the negated sort key, emit
+        # the original score
+        neg = per_v.withColumn("__nv", -F.col("__v"))
+        run = global_running_sums(
+            neg,
+            ["__nv"],
+            {"tp": "__cp", "fp": "__cq"},
+            boundary_source=base.select((-F.col("__v")).alias("__nv")),
+        ).select(*grp, "__v", "tp", "fp")
+    totals = per_v.groupBy(*grp).agg(
+        F.sum("__cp").cast("long").alias("__np")
+    )
+    joined = (
+        run.join(totals, grp)
+        if grp
+        else run.crossJoin(F.broadcast(totals))
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    return joined.select(
+        *grp,
+        F.col("__v").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (tp / (tp + fp)).alias("precision"),
+        F.when(
+            F.col("__np") > 0, tp / F.col("__np").cast("double")
+        ).alias("recall"),
+    )

@@ -1439,3 +1439,222 @@ def vocab_overlap(
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
         ).alias("jaccard"),
     )
+
+
+def _word_ngrams(text_col: Column | str, n: int) -> Column:
+    """Array of space-joined word n-grams of ``text_col`` (empty array
+    when the text has fewer than ``n`` tokens) — the shared gram
+    derivation of :func:`top_ngrams` / :func:`rouge_n` /
+    :func:`ngram_novelty`."""
+    toks = tokens_of(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def rouge_n(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    *,
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N with clipped counts per (candidate, reference) pair
+    (Lin 2004) — the n-gram overlap scorecard for summarization /
+    generation eval, and at n=1 the clipped unigram precision is
+    BLEU-1's modified precision (Papineni et al. 2002), so one operator
+    covers both families:
+
+        overlap   = Σ_g min(count_cand(g), count_ref(g))
+        precision = overlap / |cand grams|     (BLEU direction)
+        recall    = overlap / |ref grams|      (ROUGE direction)
+        f1        = 2pr / (p + r)
+
+    Every count is an exact BIGINT off keyed aggregates; the metrics
+    are single IEEE divisions and one fixed written-order f1 — bit-
+    identical across engines and partitionings. A side with no n-grams
+    (text shorter than n tokens) yields NULL for the metrics with a
+    zero denominator; an empty OVERLAP with non-empty sides is a
+    legitimate 0.0.
+
+    Output: one row per id — ``(id_col, n_cand, n_ref, n_overlap,
+    precision, recall, f1)``.
+
+    Scale shape: union-merge, not join — both sides' grams leave ONE
+    projection as side-tagged structs through ONE explode (a NULL-gram
+    sentinel per pair keeps gram-less pairs alive with zero counts, so
+    no spine join either), then two keyed aggregates: (id, gram) with
+    map-side combine for the clipped min, and the id grain. One scan,
+    zero joins — the first cut's two-explode + full-outer-join + spine
+    shape re-executed the upstream pair join per consumer (6 scans in
+    the plan).
+    """
+    if n < 1:
+        raise ValueError("rouge_n: n must be >= 1")
+    base = spread_for_explode(df.select(id_col, cand_col, ref_col), id_col)
+    tag = lambda g, c, r: F.struct(  # noqa: E731
+        g.alias("g"),
+        F.lit(c).cast("long").alias("cc"),
+        F.lit(r).cast("long").alias("cr"),
+    )
+    entries = F.concat(
+        F.transform(_word_ngrams(cand_col, n), lambda g: tag(g, 1, 0)),
+        F.transform(_word_ngrams(ref_col, n), lambda g: tag(g, 0, 1)),
+        F.array(tag(F.lit(None).cast("string"), 0, 0)),  # the sentinel
+    )
+    rows = base.select(
+        F.col(id_col), F.explode(entries).alias("__e")
+    ).select(
+        id_col,
+        F.col("__e.g").alias("__g"),
+        F.col("__e.cc").alias("__c"),
+        F.col("__e.cr").alias("__r"),
+    )
+    per_gram = rows.groupBy(id_col, "__g").agg(
+        F.sum("__c").alias("__cc"), F.sum("__r").alias("__cr")
+    )
+    per_id = per_gram.groupBy(id_col).agg(
+        F.sum("__cc").cast("long").alias("n_cand"),
+        F.sum("__cr").cast("long").alias("n_ref"),
+        F.sum(F.least("__cc", "__cr")).cast("long").alias("n_overlap"),
+    )
+    ov = F.col("n_overlap").cast("double")
+    p = F.when(F.col("n_cand") > 0, ov / F.col("n_cand").cast("double"))
+    r = F.when(F.col("n_ref") > 0, ov / F.col("n_ref").cast("double"))
+    f1 = F.when(
+        p.isNotNull() & r.isNotNull() & (p + r > 0), 2.0 * p * r / (p + r)
+    ).when(p.isNotNull() & r.isNotNull(), F.lit(0.0))
+    return per_id.select(
+        id_col, "n_cand", "n_ref", "n_overlap",
+        p.alias("precision"), r.alias("recall"), f1.alias("f1"),
+    )
+
+
+def ngram_novelty(
+    df_new: DataFrame,
+    df_corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus — the
+    memorization / regurgitation audit (what fraction of a generated
+    document's distinct n-grams never appear in the training corpus?),
+    the per-doc-ratio complement of the decontamination flaggers in
+    :mod:`~.contamination`:
+
+        novelty(d) = |grams(d) \\ grams(corpus)| / |grams(d)|
+
+    Distinct-set semantics on both sides (a gram repeated in d counts
+    once; the corpus is one big gram SET). Exact BIGINT counts, one
+    division; documents with no n-grams (shorter than n tokens) are
+    emitted with NULL novelty.
+
+    Output: one row per new doc — ``(id_col, n_grams, n_novel,
+    novelty)``.
+
+    Scale shape: both sides explode to their DISTINCT gram grain
+    (map-side collapse), then ONE gram-keyed LEFT ANTI join (new-doc
+    grams against the corpus set — an equi-join on the gram, never an
+    all-pairs comparison) and one re-aggregate to the doc grain; the
+    doc spine restores gram-less docs. The corpus side is a distinct
+    SET, so its size is the vocabulary, not the token stream.
+    """
+    if n < 1:
+        raise ValueError("ngram_novelty: n must be >= 1")
+    new_g = (
+        spread_for_explode(df_new.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("__g"))
+        .distinct()
+    )
+    corpus_g = (
+        df_corpus.select(F.explode(_word_ngrams(text_col, n)).alias("__g"))
+        .distinct()
+    )
+    totals = new_g.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    novel = (
+        new_g.join(corpus_g, "__g", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    spine = df_new.select(F.col(id_col)).distinct()
+    out = (
+        spine.join(totals, id_col, "left")
+        .join(novel, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        )
+    )
+    return out.select(
+        id_col, "n_grams", "n_novel",
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        ).alias("novelty"),
+    )
+
+
+def distinct_ngram_ratio(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Distinct-N diversity per group (Li et al. 2016's distinct-1/2):
+    the share of a group's n-gram occurrences that are distinct types —
+    the degeneracy alarm for synthetic/generated corpora (mode-collapsed
+    generations repeat the same grams; ratio → 0):
+
+        distinct_ratio = |distinct grams| / Σ occurrences
+
+    Exact BIGINT counts off one two-level aggregate, one division.
+    Groups whose texts are all shorter than n tokens report zero counts
+    and NULL ratio.
+
+    Output: one row per group — ``(group_col, n_occurrences,
+    n_distinct, distinct_ratio)``.
+
+    Scale shape: explode → (group, gram) aggregate with map-side
+    combine (the :func:`top_ngrams` discipline), then one re-aggregate
+    to the group grain; the group spine restores gram-less groups. No
+    window, no join beyond the spine restore.
+    """
+    if n < 1:
+        raise ValueError("distinct_ngram_ratio: n must be >= 1")
+    per_gram = (
+        spread_for_explode(df.select(group_col, text_col), group_col)
+        .select(F.col(group_col), F.explode(_word_ngrams(text_col, n)).alias("__g"))
+        .groupBy(group_col, "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__occ"))
+    )
+    agged = per_gram.groupBy(group_col).agg(
+        F.sum("__occ").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    spine = df.select(F.col(group_col)).distinct()
+    out = spine.join(agged, group_col, "left").select(
+        group_col,
+        F.coalesce("n_occurrences", F.lit(0).cast("long")).alias(
+            "n_occurrences"
+        ),
+        F.coalesce("n_distinct", F.lit(0).cast("long")).alias("n_distinct"),
+    )
+    return out.select(
+        group_col, "n_occurrences", "n_distinct",
+        F.when(
+            F.col("n_occurrences") > 0,
+            F.col("n_distinct").cast("double")
+            / F.col("n_occurrences").cast("double"),
+        ).alias("distinct_ratio"),
+    )

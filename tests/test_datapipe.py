@@ -5784,3 +5784,183 @@ class TestEvalCalibration:
         assert got["a"]["threshold"] is None and got["a"]["k_index"] == 4
         # b: n=9, k = ceil(10*9/10) = 9 -> the max
         assert got["b"]["k_index"] == 9 and got["b"]["threshold"] == 90
+
+
+class TestGenerationEval:
+    def test_rouge_n_matches_manual(self, spark):
+        from collections import Counter
+
+        from python_etl_mailing_automation_spark.datapipe.text import (
+            rouge_n,
+        )
+
+        rows = [
+            (1, "the cat sat on the mat", "the cat lay on the mat"),
+            (2, "a b a b a", "a b"),
+            (3, "one", "completely different words here"),  # cand < n
+            (4, "x", "y"),  # both sides gram-less at n=2
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, cand string, ref string")
+        got = {r["doc_id"]: r for r in rouge_n(
+            df, "cand", "ref", id_col="doc_id", n=2
+        ).collect()}
+
+        def grams(s, n=2):
+            t = s.split()
+            return Counter(
+                " ".join(t[i:i + n]) for i in range(len(t) - n + 1)
+            )
+
+        for i, cand, ref in rows:
+            cg, rg = grams(cand), grams(ref)
+            ov = sum(min(cg[g], rg[g]) for g in cg)
+            nc, nr = sum(cg.values()), sum(rg.values())
+            r = got[i]
+            assert (r["n_cand"], r["n_ref"], r["n_overlap"]) == (nc, nr, ov)
+            p = ov / nc if nc else None
+            rr = ov / nr if nr else None
+            assert r["precision"] == p and r["recall"] == rr
+            if p is None or rr is None:
+                assert r["f1"] is None
+            elif p + rr == 0:
+                assert r["f1"] == 0.0
+            else:
+                assert r["f1"] == 2.0 * p * rr / (p + rr)
+
+    def test_ngram_novelty_matches_manual(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.text import (
+            ngram_novelty,
+        )
+
+        corpus = spark.createDataFrame(
+            [(10, "alpha beta gamma delta"), (11, "beta gamma epsilon")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "alpha beta gamma"),      # gram seen in corpus
+             (2, "zeta eta theta iota"),   # all novel
+             (3, "alpha beta gamma delta epsilon"),  # mixed
+             (4, "xy")],                   # gram-less at n=3
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in ngram_novelty(
+            new, corpus, n=3
+        ).collect()}
+        assert (got[1]["n_grams"], got[1]["n_novel"]) == (1, 0)
+        assert got[1]["novelty"] == 0.0
+        assert (got[2]["n_grams"], got[2]["n_novel"]) == (2, 2)
+        assert got[2]["novelty"] == 1.0
+        # doc 3 grams: 'alpha beta gamma' and 'beta gamma delta' are both
+        # corpus grams (doc 10 contributes both); only
+        # 'gamma delta epsilon' is novel
+        assert (got[3]["n_grams"], got[3]["n_novel"]) == (3, 1)
+        assert got[4]["n_grams"] == 0 and got[4]["novelty"] is None
+
+    def test_distinct_ngram_ratio(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.text import (
+            distinct_ngram_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [("g1", "a b a b"), ("g1", "a b c"), ("g2", "z")],
+            "source string, text string",
+        )
+        got = {r["source"]: r for r in distinct_ngram_ratio(
+            df, n=2
+        ).collect()}
+        # g1 bigram occurrences: (a b, b a, a b) + (a b, b c) = 5,
+        # distinct {a b, b a, b c} = 3
+        assert (got["g1"]["n_occurrences"], got["g1"]["n_distinct"]) == (5, 3)
+        assert got["g1"]["distinct_ratio"] == 3 / 5
+        assert got["g2"]["n_occurrences"] == 0
+        assert got["g2"]["distinct_ratio"] is None
+
+    def test_majority_vote_tiebreak_and_agreement(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            majority_vote,
+        )
+
+        rows = [(1, "x"), (1, "y"), (1, "x"), (1, None),
+                (2, "b"), (2, "a"),            # tie -> smallest answer
+                (3, "only")]
+        df = spark.createDataFrame(rows, "task long, ans string")
+        got = {r["task"]: r for r in majority_vote(
+            df, "task", "ans"
+        ).collect()}
+        assert got[1]["answer"] == "x" and got[1]["n_votes"] == 2
+        assert got[1]["n_samples"] == 3 and got[1]["agreement"] == 2 / 3
+        assert got[2]["answer"] == "a" and got[2]["agreement"] == 0.5
+        assert got[3]["answer"] == "only" and got[3]["agreement"] == 1.0
+
+    def test_winrate_wilson_matches_manual(self, spark):
+        import math
+
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            winrate_wilson,
+        )
+
+        rows = [("m1", "m2", True)] * 7 + [("m1", "m2", False)] * 3 \
+            + [("m2", "m3", True)] * 2
+        df = spark.createDataFrame(rows, "a string, b string, win boolean")
+        got = {(r["model_a"], r["model_b"]): r for r in winrate_wilson(
+            df, "a", "b", "win"
+        ).collect()}
+        z = 1.96
+        for (a, b), (n, w) in {("m1", "m2"): (10, 7),
+                               ("m2", "m3"): (2, 2)}.items():
+            r = got[(a, b)]
+            p = w / n
+            denom = 1.0 + z * z / n
+            center = p + z * z / (2.0 * n)
+            half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+            assert r["n"] == n and r["wins"] == w and r["winrate"] == p
+            assert r["wilson_lo"] == pytest.approx(
+                (center - half) / denom, abs=1e-15
+            )
+            assert r["wilson_hi"] == pytest.approx(
+                (center + half) / denom, abs=1e-15
+            )
+        # a 2/2 record: the interval lower bound is far from 1.0
+        assert got[("m2", "m3")]["wilson_lo"] < 0.45
+
+    def test_pr_curve_matches_sklearn_style_manual(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            pr_curve,
+        )
+
+        rows = [(1, 9), (0, 9), (1, 7), (1, 5), (0, 5), (0, 3), (1, 1)]
+        df = spark.createDataFrame(rows, "y long, s long")
+        out = sorted(
+            pr_curve(df, "y", "s").collect(),
+            key=lambda r: -r["threshold"],
+        )
+        n_pos = sum(y for y, _ in rows)
+        # manual cumulative from the highest distinct score down
+        expect = []
+        tp = fp = 0
+        for thr in sorted({s for _, s in rows}, reverse=True):
+            tp += sum(1 for y, s in rows if s == thr and y == 1)
+            fp += sum(1 for y, s in rows if s == thr and y == 0)
+            expect.append((thr, tp, fp, tp / (tp + fp), tp / n_pos))
+        got = [
+            (r["threshold"], r["tp"], r["fp"], r["precision"], r["recall"])
+            for r in out
+        ]
+        assert got == expect
+
+    def test_pr_curve_grouped_matches_ungrouped(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            pr_curve,
+        )
+
+        rows = [(i % 2, (i * 7) % 23, "g") for i in range(200)]
+        df = spark.createDataFrame(rows, "y long, s long, g string")
+        a = sorted(
+            (r["threshold"], r["tp"], r["fp"], r["precision"], r["recall"])
+            for r in pr_curve(df, "y", "s", group_col="g").collect()
+        )
+        b = sorted(
+            (r["threshold"], r["tp"], r["fp"], r["precision"], r["recall"])
+            for r in pr_curve(df.drop("g"), "y", "s").collect()
+        )
+        assert a == b
