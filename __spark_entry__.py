@@ -5206,6 +5206,87 @@ def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
     return pr_curve(ev, "y", "s", group_col="event_type")
 
 
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading ease + FK grade per document
+    (datapipe/text.readability): exact word/sentence/syllable-heuristic
+    counts (array-aggregate, no explode), fixed-order float formulas.
+    Pure projection — zero shuffles."""
+    from python_etl_mailing_automation_spark.datapipe.text import (
+        readability,
+    )
+
+    return readability(_t(spark, sf, "documents"))
+
+
+def q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal profile of event values per event type
+    (datapipe/timeseries.seasonal_profile): exact DECIMAL cent sums,
+    per-phase and overall means as single divisions, fixed-order
+    deviation."""
+    from python_etl_mailing_automation_spark.datapipe.timeseries import (
+        seasonal_profile,
+    )
+
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.hour("ts").cast("long").alias("phase"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return seasonal_profile(ev, "phase", "cents", key_col="event_type")
+
+
+def q_tv_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact total-variation drift between click and view dollar-bucket
+    distributions (datapipe/stats.tv_distance): cross-multiplied
+    integer numerator, one division — the log-free categorical drift
+    number."""
+    from python_etl_mailing_automation_spark.datapipe.stats import (
+        tv_distance,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor("value").cast("long").alias("bucket")
+    )
+    return tv_distance(ev, "event_type", "bucket", "click", "view")
+
+
+def q_domain_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-suffix blocklist gating (datapipe/web
+    .domain_suffix_filter): synthesized crawl URLs (documents carry no
+    url column) expanded to their dot-suffix chains, one broadcast
+    equi-join against a three-entry blocklist, longest-match
+    attribution."""
+    from python_etl_mailing_automation_spark.datapipe.web import (
+        domain_suffix_filter,
+    )
+
+    docs = _t(spark, sf, "documents")
+    scheme = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("https://www.")
+    ).otherwise(F.lit("https://"))
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".ads.example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".example.com"))
+        .otherwise(F.lit(".safe.org"))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            scheme,
+            F.lit("ex"),
+            (F.col("doc_id") % 20).cast("string"),
+            tail,
+            F.lit("/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("ads.example.com",), ("evil.net",)],
+        "suffix string",
+    )
+    return domain_suffix_filter(urls, bl)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5602,6 +5683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_vote": q_majority_vote,
         "winrate_wilson": q_winrate_wilson,
         "pr_curve": q_pr_curve,
+        "readability": q_readability,
+        "seasonal_profile": q_seasonal_profile,
+        "tv_distance": q_tv_distance,
+        "domain_filter": q_domain_filter,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -11721,6 +11806,113 @@ def oracle_sql() -> dict[str, str]:
          CASE WHEN t.np > 0 THEN
            CAST(c.tp AS DOUBLE) / CAST(t.np AS DOUBLE) END AS recall
   FROM pc_c c JOIN pc_t t ON c.g = t.g""",
+        # Flesch reading ease / FK grade (text.readability): exact
+        # counts, syllable heuristic = per-word vowel-group runs
+        # floored at 1, ≤6-digit constants (exact decimal→double).
+        "readability": """
+  WITH rd_b AS (SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0),
+  rd_c AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                       AS BIGINT) AS n_sentences,
+                  CAST(list_sum(list_transform(toks, x ->
+                         greatest(1, len(regexp_extract_all(lower(x),
+                                                            '[aeiouy]+')))))
+                       AS BIGINT) AS n_syllables
+           FROM rd_b)
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)) AS flesch_ease,
+         0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           - 15.59 AS fk_grade
+  FROM rd_c""",
+        # Hour-of-day seasonal profile (timeseries.seasonal_profile):
+        # exact cent sums, single-division means, fixed-order dev.
+        "seasonal_profile": """
+  WITH sp_b AS (SELECT event_type,
+                       CAST(hour(ts) AS BIGINT) AS phase,
+                       CAST(floor(value * 100 + 0.5) AS HUGEINT) AS v
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+  sp_p AS (SELECT event_type, phase,
+                  CAST(count(*) AS BIGINT) AS n, sum(v) AS s
+           FROM sp_b GROUP BY 1, 2),
+  sp_t AS (SELECT event_type, CAST(sum(n) AS HUGEINT) AS tn,
+                  sum(s) AS ts
+           FROM sp_p GROUP BY 1)
+  SELECT p.event_type, p.phase, p.n,
+         CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE) AS mean_value,
+         CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE) AS overall_mean,
+         CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)
+           - CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE) AS seasonal_dev
+  FROM sp_p p JOIN sp_t t ON p.event_type = t.event_type""",
+        # Exact TVD between click and view dollar buckets
+        # (stats.tv_distance): |ca*nb - cb*na| integer numerator.
+        "tv_distance": """
+  WITH tv_b AS (SELECT event_type AS g,
+                       CAST(floor(value) AS BIGINT) AS c
+                FROM events WHERE event_type IN ('click', 'view')),
+  tv_c AS (SELECT c,
+                  CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                       AS HUGEINT) AS ca,
+                  CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                       AS HUGEINT) AS cb
+           FROM tv_b GROUP BY 1
+           HAVING sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) > 0
+               OR sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) > 0),
+  tv_t AS (SELECT COALESCE(sum(ca), 0) AS na, COALESCE(sum(cb), 0) AS nb
+           FROM tv_c),
+  tv_n AS (SELECT COALESCE(sum(abs(c.ca * t.nb - c.cb * t.na)), 0) AS num,
+                  CAST(count(*) AS BIGINT) AS n_categories
+           FROM tv_c c CROSS JOIN tv_t t)
+  SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+         n.n_categories,
+         CASE WHEN t.na > 0 AND t.nb > 0 THEN
+           CAST(n.num AS DOUBLE) / CAST(2 * t.na * t.nb AS DOUBLE)
+         END AS tv_distance
+  FROM tv_t t CROSS JOIN tv_n n""",
+        # Domain-suffix blocklist gating (web.domain_suffix_filter):
+        # host → dot-suffix chain → equi-join the blocklist; longest
+        # match wins; 'notexample.com' must not match 'example.com'.
+        "domain_filter": """
+  WITH df_u AS (SELECT doc_id,
+                       (CASE WHEN doc_id % 4 = 0 THEN 'https://www.'
+                             ELSE 'https://' END)
+                       || 'ex' || CAST(doc_id % 20 AS VARCHAR)
+                       || (CASE WHEN doc_id % 3 = 0 THEN '.ads.example.com'
+                                WHEN doc_id % 3 = 1 THEN '.example.com'
+                                ELSE '.safe.org' END)
+                       || '/p/' || CAST(doc_id % 50 AS VARCHAR) AS url
+                FROM documents),
+  df_h AS (SELECT doc_id, url,
+                  regexp_replace(
+                    lower(regexp_extract(
+                      regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://', ''),
+                      '^([^/?#]+)', 1)),
+                    '^www\\.', '') AS host
+           FROM df_u),
+  df_l AS (SELECT doc_id, url, host,
+                  string_split(host, '.') AS labels
+           FROM df_h),
+  df_x AS (SELECT doc_id, url, host,
+                  array_to_string(
+                    list_slice(labels, CAST(u.i AS BIGINT), len(labels)),
+                    '.') AS cand
+           FROM df_l, UNNEST(range(1, len(labels) + 1)) AS u(i)),
+  df_m AS (SELECT x.doc_id, x.url, x.host, b.suffix
+           FROM df_x x
+           LEFT JOIN (VALUES ('example.com'), ('ads.example.com'),
+                             ('evil.net')) AS b(suffix)
+             ON x.cand = b.suffix)
+  SELECT doc_id, url, host,
+         bool_or(suffix IS NOT NULL) AS blocked,
+         arg_max(suffix, length(suffix)) AS matched_suffix
+  FROM df_m GROUP BY 1, 2, 3""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

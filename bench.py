@@ -292,6 +292,10 @@ BENCH_QUERIES = [
     "majority_vote",
     "winrate_wilson",
     "pr_curve",
+    "readability",
+    "seasonal_profile",
+    "tv_distance",
+    "domain_filter",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -2734,3 +2734,81 @@ def pr_curve(
             F.col("__np") > 0, tp / F.col("__np").cast("double")
         ).alias("recall"),
     )
+
+
+def tv_distance(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact total variation distance between two groups' categorical
+    distributions — TVD = ½ Σ_c |p_a(c) − p_b(c)|, the bounded [0,1]
+    drift number for label/category mixes (the categorical sibling of
+    :func:`wasserstein_1d`; unlike KL/PSI it needs no log and no
+    smoothing, so it is computable EXACTLY):
+
+        |c_a/n_a − c_b/n_b| = |c_a·n_b − c_b·n_a| / (n_a·n_b)
+        TVD = Σ_c |c_a·n_b − c_b·n_a| / (2·n_a·n_b)
+
+    The numerator is a DECIMAL(38,0) sum of exact integer terms
+    (order-independent); the single final division is the only float —
+    bit-identical across engines and partitionings. Categories present
+    in only one group contribute their full mass, as the identity
+    requires. NULL categories are a legitimate level.
+
+    Output: one row — ``(n_a, n_b, n_categories, tv_distance)``
+    (``n_categories`` = categories seen in either group). Both groups
+    empty → NULL distance.
+
+    Scale shape: one conditional (cat) aggregate with map-side combine
+    collapses the data to the category alphabet, the group totals ride
+    the sanctioned one-row broadcast, and the Σ is a second bounded
+    aggregate. No window, no data-sized join.
+    """
+    g = F.col(group_col)
+    base = df.filter(g.isin([group_a, group_b])).select(
+        g.alias("__g"), F.col(cat_col).alias("__c")
+    )
+    per_cat = base.groupBy("__c").agg(
+        F.count(F.when(F.col("__g") == group_a, 1)).cast(
+            "decimal(38,0)"
+        ).alias("__ca"),
+        F.count(F.when(F.col("__g") == group_b, 1)).cast(
+            "decimal(38,0)"
+        ).alias("__cb"),
+    ).filter((F.col("__ca") > 0) | (F.col("__cb") > 0))
+    tot = per_cat.agg(
+        F.coalesce(F.sum("__ca"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__na"
+        ),
+        F.coalesce(F.sum("__cb"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__nb"
+        ),
+    )
+    num = per_cat.crossJoin(F.broadcast(tot)).agg(
+        F.coalesce(
+            F.sum(
+                F.abs(
+                    F.col("__ca") * F.col("__nb")
+                    - F.col("__cb") * F.col("__na")
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__num"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    # tot always holds exactly one row (ungrouped aggregate), so the
+    # empty-input edge still reports n_a = n_b = 0 with a NULL distance.
+    return tot.crossJoin(F.broadcast(num)).select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        "n_categories",
+        F.when(
+            (na > 0) & (nb > 0),
+            F.col("__num").cast("double")
+            / (2 * na * nb).cast("double"),
+        ).alias("tv_distance"),
+    )

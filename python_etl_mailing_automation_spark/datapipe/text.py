@@ -1658,3 +1658,69 @@ def distinct_ngram_ratio(
             / F.col("n_occurrences").cast("double"),
         ).alias("distinct_ratio"),
     )
+
+
+def readability(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (Flesch 1948; Kincaid et al. 1975) — the classic readability gate
+    in web-corpus quality filtering (too-hard and too-degenerate text
+    both fall out of the mid band):
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+        grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+
+    Counts are exact: W = token count; S = sentence-delimiter runs
+    (``[.!?]+``), floored at 1; Syl = Σ per word max(1, vowel-group
+    count) — the standard heuristic, computed INSIDE the token array
+    with ``F.aggregate`` (integer adds, no explode, no UDF). The
+    constants are ≤6-significant-digit literals (exact decimal→double
+    round-trip on both engines) and each formula is one fixed written-
+    order expression over two IEEE divisions, so scores are
+    bit-identical across engines and partitionings. NULL/blank texts
+    are excluded.
+
+    Output: one row per doc — ``(id_col, n_words, n_sentences,
+    n_syllables, flesch_ease, fk_grade)``.
+
+    Scale shape: a pure per-row projection — zero shuffles, zero
+    joins; whole-stage-codegen all the way.
+    """
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
+    toks = tokens_of(text_col)
+    words = F.size(toks).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+    )
+    syls = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(F.lower(w), F.lit(r"[aeiouy]+")).cast("long"),
+        ),
+    )
+    out = base.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(206.835) - 1.015 * wps - 84.6 * spw).alias("flesch_ease"),
+        (0.39 * wps + 11.8 * spw - F.lit(15.59)).alias("fk_grade"),
+    )

@@ -871,3 +871,61 @@ def acf_lags(
     return ex.select(
         key_col, F.col("__e.lag").alias("lag"), "n", F.col("__e.acf").alias("acf")
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    phase_col: str,
+    value_col: str,
+    *,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Seasonal decomposition at the profile grain: per phase (hour of
+    day, day of week — any caller-derived cyclic label), the mean of an
+    INTEGER-valued series and its deviation from the overall mean — the
+    classical seasonal-naive profile (the S in an STL-style
+    trend/season/residual split, computed exactly instead of by loess):
+
+        mean(phase)  = Σ v_phase / n_phase
+        seasonal_dev = mean(phase) − mean(all)
+
+    Values must be integer-valued (cast to DECIMAL(38,0) — pre-scale to
+    cents/micros as with :func:`~.stats.exact_corr`), so every sum is
+    exact and order-independent; the two means are single IEEE
+    divisions and the deviation one fixed-order subtraction —
+    bit-identical across engines and partitionings.
+
+    Output: one row per (key?, phase) — ``(key_col?, phase_col, n,
+    mean_value, overall_mean, seasonal_dev)``.
+
+    Scale shape: one (key, phase) aggregate with map-side combine, one
+    key-grain re-aggregate, one equi-join back on the key (grouped) or
+    the sanctioned one-row broadcast (ungrouped). No window.
+    """
+    grp = [key_col] if key_col else []
+    v = F.col(value_col).cast("decimal(38,0)")
+    base = df.filter(
+        F.col(phase_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*grp, F.col(phase_col), v.alias("__v"))
+    per_phase = base.groupBy(*grp, phase_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("__s"),
+    )
+    totals = per_phase.groupBy(*grp).agg(
+        F.sum("n").alias("__tn"), F.sum("__s").alias("__ts")
+    )
+    joined = (
+        per_phase.join(totals, grp)
+        if grp
+        else per_phase.crossJoin(F.broadcast(totals))
+    )
+    mean_p = F.col("__s").cast("double") / F.col("n").cast("double")
+    mean_all = F.col("__ts").cast("double") / F.col("__tn").cast("double")
+    return joined.select(
+        *grp,
+        phase_col,
+        "n",
+        mean_p.alias("mean_value"),
+        mean_all.alias("overall_mean"),
+        (mean_p - mean_all).alias("seasonal_dev"),
+    )

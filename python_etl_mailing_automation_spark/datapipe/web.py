@@ -113,3 +113,78 @@ def url_dedup(
         .drop("__keep")
         .unionByName(canon.filter(keyless))
     )
+
+
+def domain_suffix_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    *,
+    url_col: str = "url",
+    suffix_col: str = "suffix",
+    max_labels: int = 10,
+) -> DataFrame:
+    """Domain-suffix blocklist matching — the crawl-gating rule where a
+    blocklist entry ``example.com`` must cover ``a.b.example.com`` too
+    (registrable-domain semantics, the URL-filtering stage of the
+    C4/RefinedWeb-style web pipelines). Suffix matching cannot be an
+    equi-join on the host, so the host EXPANDS to its dot-suffix chain
+    (``a.b.example.com`` → itself, ``b.example.com``, ``example.com``,
+    ``com`` — at most ``max_labels`` entries, deepest labels dropped
+    first on pathological hosts) and the chain equi-joins the
+    blocklist. A row is blocked when ANY suffix matches; the reported
+    match is the LONGEST (most specific) one, picked by an exact
+    (length, suffix) struct-max — deterministic, never partition-order.
+
+    Output: every input row as ``(id-and-payload columns…, host,
+    blocked, matched_suffix)`` — a split the caller filters, so the
+    kept/rejected sides share one plan (the reference's
+    blocklist-split discipline, filters.py:19).
+
+    Scale shape: the explode fans out ≤ ``max_labels`` rows per doc
+    (label count, not data size); ONE equi-join against the (small,
+    broadcast) blocklist; one keyed re-aggregate back to the row grain.
+    Blocklists are operator-curated lists — broadcastable by
+    construction; a million-entry list is still MBs.
+    """
+    if max_labels < 1:
+        raise ValueError("domain_suffix_filter: max_labels must be >= 1")
+    host = url_host(F.col(url_col))
+    base = df.withColumn("host", host)
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    # suffix i (1-based from the LAST label kept): join of labels[i..n]
+    chain = F.transform(
+        F.sequence(
+            F.greatest(F.lit(1), n - F.lit(int(max_labels)) + 1), n
+        ),
+        lambda i: F.concat_ws(".", F.slice(labels, i, n - i + 1)),
+    )
+    sfx = F.broadcast(
+        blocklist.select(
+            F.lower(F.trim(F.col(suffix_col))).alias("__sfx")
+        ).distinct()
+    )
+    exploded = base.select(
+        "*", F.explode_outer(chain).alias("__cand")
+    )
+    hits = (
+        exploded.join(sfx, exploded["__cand"] == sfx["__sfx"], "left")
+        .groupBy(*df.columns, "host")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__sfx").isNotNull(),
+                    F.struct(
+                        F.length("__sfx").alias("l"),
+                        F.col("__sfx").alias("s"),
+                    ),
+                )
+            ).alias("__m")
+        )
+    )
+    return hits.select(
+        *df.columns,
+        "host",
+        F.col("__m").isNotNull().alias("blocked"),
+        F.col("__m.s").alias("matched_suffix"),
+    )

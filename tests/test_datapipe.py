@@ -5964,3 +5964,113 @@ class TestGenerationEval:
             for r in pr_curve(df.drop("g"), "y", "s").collect()
         )
         assert a == b
+
+
+class TestGovernanceBatch:
+    def test_readability_matches_manual(self, spark):
+        import re
+
+        from python_etl_mailing_automation_spark.datapipe.text import (
+            readability,
+        )
+
+        rows = [
+            (1, "The cat sat. The dog ran! Did it rain?"),
+            (2, "Incomprehensibility characterizes bureaucratic "
+                "observations"),
+            (3, "hmm brr"),  # zero-vowel words floor at 1 syllable each
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in readability(df).collect()}
+        for i, text in rows:
+            words = text.split()
+            w = len(words)
+            s = max(1, len(re.findall(r"[.!?]+", text)))
+            syl = sum(
+                max(1, len(re.findall(r"[aeiouy]+", x.lower())))
+                for x in words
+            )
+            r = got[i]
+            assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+                w, s, syl
+            )
+            assert r["flesch_ease"] == 206.835 - 1.015 * (w / s) - 84.6 * (
+                syl / w
+            )
+            assert r["fk_grade"] == 0.39 * (w / s) + 11.8 * (syl / w) - 15.59
+
+    def test_seasonal_profile_matches_manual(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.timeseries import (
+            seasonal_profile,
+        )
+
+        rows = [("k", 0, 10), ("k", 0, 20), ("k", 1, 40),
+                ("k", 2, 5), ("k", 2, 15), ("k", 2, 10)]
+        df = spark.createDataFrame(rows, "k string, phase long, v long")
+        got = {r["phase"]: r for r in seasonal_profile(
+            df, "phase", "v", key_col="k"
+        ).collect()}
+        overall = 100 / 6
+        assert got[0]["mean_value"] == 15.0
+        assert got[1]["mean_value"] == 40.0
+        assert got[2]["mean_value"] == 10.0
+        for p in (0, 1, 2):
+            assert got[p]["overall_mean"] == overall
+            assert got[p]["seasonal_dev"] == got[p]["mean_value"] - overall
+
+    def test_tv_distance_matches_manual_and_disjoint(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.stats import (
+            tv_distance,
+        )
+
+        rows = [("a", "x")] * 3 + [("a", "y")] * 1 \
+            + [("b", "x")] * 1 + [("b", "y")] * 3
+        df = spark.createDataFrame(rows, "g string, c string")
+        r = tv_distance(df, "g", "c", "a", "b").collect()[0]
+        # p_a = (3/4, 1/4), p_b = (1/4, 3/4): TVD = 1/2 * (1/2 + 1/2)
+        assert (r["n_a"], r["n_b"], r["n_categories"]) == (4, 4, 2)
+        assert r["tv_distance"] == 0.5
+        # disjoint supports -> TVD exactly 1
+        df2 = spark.createDataFrame(
+            [("a", "x"), ("a", "x"), ("b", "z")], "g string, c string"
+        )
+        assert tv_distance(df2, "g", "c", "a", "b").collect()[0][
+            "tv_distance"
+        ] == 1.0
+        # identical distributions -> 0
+        df3 = spark.createDataFrame(
+            [("a", "x"), ("b", "x")], "g string, c string"
+        )
+        assert tv_distance(df3, "g", "c", "a", "b").collect()[0][
+            "tv_distance"
+        ] == 0.0
+
+    def test_domain_suffix_filter_longest_match(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.web import (
+            domain_suffix_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "https://a.b.tracker.example.com/x"),
+                (2, "http://www.example.com/y"),
+                (3, "https://safe.org/z"),
+                (4, "https://notexample.com/q"),  # no dot-boundary match
+                (5, "https://ads.example.com/r"),
+            ],
+            "doc_id long, url string",
+        )
+        bl = spark.createDataFrame(
+            [("example.com",), ("ads.example.com",), ("evil.net",)],
+            "suffix string",
+        )
+        got = {r["doc_id"]: r for r in domain_suffix_filter(
+            docs, bl
+        ).collect()}
+        assert got[1]["blocked"] and got[1]["matched_suffix"] == "example.com"
+        assert got[2]["blocked"] and got[2]["host"] == "example.com"
+        assert not got[3]["blocked"] and got[3]["matched_suffix"] is None
+        # 'notexample.com' must NOT match the 'example.com' entry
+        assert not got[4]["blocked"]
+        # most specific entry wins
+        assert got[5]["matched_suffix"] == "ads.example.com"
