@@ -5287,6 +5287,52 @@ def q_domain_filter(spark: SparkSession, sf: str) -> DataFrame:
     return domain_suffix_filter(urls, bl)
 
 
+def q_judge_agreement_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-pipeline composition: three deterministic surrogate
+    annotators per item → self-consistency majority
+    (datapipe/classify.majority_vote, smallest-answer tie-break) →
+    per-slice accuracy of the majority against gold with Wilson bounds
+    (datapipe/classify.winrate_wilson) — the
+    sample-k-take-majority-then-score loop as one lazy DAG."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        majority_vote,
+        winrate_wilson,
+    )
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("item"),
+        (F.col("vec_id") % 4).cast("long").alias("slice"),
+        F.col("label").cast("long").alias("gold"),
+    )
+    votes = emb.select(
+        "item",
+        F.explode(
+            F.array(
+                (F.col("item") % 10).cast("long"),
+                ((F.col("item") * 7 + 3) % 10).cast("long"),
+                ((F.col("item") * 13 + 1) % 10).cast("long"),
+            )
+        ).alias("ans"),
+    )
+    maj = majority_vote(votes, "item", "ans").select(
+        "item", F.col("answer").cast("long").alias("pred")
+    )
+    scored = emb.join(maj, "item").select(
+        F.col("slice").cast("string").alias("slice"),
+        F.lit("majority@3").alias("system"),
+        (F.col("pred") == F.col("gold")).alias("win"),
+    )
+    return winrate_wilson(scored, "slice", "system", "win").select(
+        F.col("model_a").alias("slice"),
+        F.col("model_b").alias("system"),
+        "n",
+        F.col("wins").alias("n_correct"),
+        F.col("winrate").alias("accuracy"),
+        "wilson_lo",
+        "wilson_hi",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5687,6 +5733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": q_seasonal_profile,
         "tv_distance": q_tv_distance,
         "domain_filter": q_domain_filter,
+        "judge_agreement_e2e": q_judge_agreement_e2e,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -11913,6 +11960,47 @@ def oracle_sql() -> dict[str, str]:
          bool_or(suffix IS NOT NULL) AS blocked,
          arg_max(suffix, length(suffix)) AS matched_suffix
   FROM df_m GROUP BY 1, 2, 3""",
+        # Eval-pipeline composition (classify.majority_vote →
+        # classify.winrate_wilson): 3 surrogate annotators, majority
+        # with smallest-answer tie-break, per-slice Wilson-bounded
+        # accuracy. Same e-notation z² literal as winrate_wilson.
+        "judge_agreement_e2e": """
+  WITH ja_e AS (SELECT vec_id AS item,
+                       CAST(vec_id % 4 AS BIGINT) AS slc,
+                       CAST(label AS BIGINT) AS gold
+                FROM embeddings WHERE label IS NOT NULL),
+  ja_v AS (SELECT item, CAST(ans AS VARCHAR) AS a FROM (
+             SELECT item, unnest([item % 10, (item * 7 + 3) % 10,
+                                  (item * 13 + 1) % 10]) AS ans
+             FROM ja_e)),
+  ja_c AS (SELECT item, a, CAST(count(*) AS BIGINT) AS v
+           FROM ja_v GROUP BY 1, 2),
+  ja_r AS (SELECT item, a,
+                  row_number() OVER (PARTITION BY item
+                                     ORDER BY v DESC, a ASC) AS rn
+           FROM ja_c),
+  ja_s AS (SELECT CAST(e.slc AS VARCHAR) AS slice,
+                  'majority@3' AS system,
+                  CAST(CAST(r.a AS BIGINT) = e.gold AS BIGINT) AS w
+           FROM ja_e e JOIN ja_r r ON e.item = r.item AND r.rn = 1),
+  ja_a AS (SELECT slice, system,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(w) AS BIGINT) AS n_correct
+           FROM ja_s GROUP BY 1, 2),
+  ja_m AS (SELECT slice, system, n, n_correct,
+                  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                  CAST(n AS DOUBLE) AS nd
+           FROM ja_a)
+  SELECT slice, system, n, n_correct, p AS accuracy,
+         (p + 3.8415999999999996e0 / (2.0e0 * nd)
+          - 1.96e0 * sqrt(p * (1.0e0 - p) / nd
+                          + 3.8415999999999996e0 / (4.0e0 * nd * nd)))
+         / (1.0e0 + 3.8415999999999996e0 / nd) AS wilson_lo,
+         (p + 3.8415999999999996e0 / (2.0e0 * nd)
+          + 1.96e0 * sqrt(p * (1.0e0 - p) / nd
+                          + 3.8415999999999996e0 / (4.0e0 * nd * nd)))
+         / (1.0e0 + 3.8415999999999996e0 / nd) AS wilson_hi
+  FROM ja_m""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "seasonal_profile",
     "tv_distance",
     "domain_filter",
+    "judge_agreement_e2e",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -402,6 +403,15 @@ DEEP_QUERIES = [
     # dominated, near-flat past it.
     "bootstrap_ci",
     "wasserstein",
+    # Round-9 generation-eval: rouge_n's single-explode union-merge
+    # amplifies rows ~2×n_tokens before the (pair, gram) aggregate —
+    # 10× pairs must mean ~10× wall (the zero-join claim); ngram
+    # novelty's corpus gram SET is shared across make_sf's 10 copies,
+    # so past the scans the anti-join frame stays near-1× — deep time
+    # should be scan-dominated, a jump means the distinct collapsed
+    # late (post-shuffle) instead of map-side.
+    "rouge_n",
+    "ngram_novelty",
 ]
 
 
