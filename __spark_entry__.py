@@ -5333,6 +5333,97 @@ def q_judge_agreement_e2e(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_krippendorff_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-rater reliability with MISSING ratings
+    (datapipe/classify.krippendorff_alpha): a 3-annotator surrogate
+    panel over the documents' language labels — annotator A labels
+    everything, B skips every 3rd doc and relabels every 5th 'xx', C
+    skips every 4th and relabels every 7th 'yy' — nominal alpha with
+    the per-item 1/(n_u-1) weights cleared to one exact integer
+    fraction (panel-bounded per-v grouping, PROD(v-1) common
+    denominator), a single final double division."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        krippendorff_alpha,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("lang").isNotNull())
+    a = docs.select(
+        F.col("doc_id").alias("item"),
+        F.lit("A").alias("rater"),
+        F.col("lang").alias("lab"),
+    )
+    b = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("item"),
+        F.lit("B").alias("rater"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lab"),
+    )
+    c = docs.filter(F.col("doc_id") % 4 != 0).select(
+        F.col("doc_id").alias("item"),
+        F.lit("C").alias("rater"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("yy"))
+        .otherwise(F.col("lang"))
+        .alias("lab"),
+    )
+    return krippendorff_alpha(
+        a.unionByName(b).unionByName(c), "item", "rater", "lab"
+    )
+
+
+def q_label_noise(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-noise audit (datapipe/classify.confident_joint): the
+    confident-learning joint over customers — given label = market
+    segment, model score = account balance (DECIMAL cents) — per-class
+    mean thresholds compared by integer cross-multiplication, class
+    order an exact pairwise rank; off-diagonal cells are suspected
+    mislabels."""
+    from python_etl_mailing_automation_spark.datapipe.classify import (
+        confident_joint,
+    )
+
+    return confident_joint(
+        _t(spark, sf, "customer"), "c_mktsegment", "c_acctbal"
+    )
+
+
+def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate-safe dataset split (datapipe/sampling.
+    leakage_safe_split): near-dup clusters (shared-64-char-prefix
+    digest groups with >1 member — the corpus has no byte-exact dup
+    texts, so the prefix digest is the non-vacuous surrogate; min-id
+    representative) key the 90/5/5 md5 split so no cluster straddles
+    train/val/test; reported per split as doc / clustered-doc / cluster
+    counts — split-purity is visible in the values (per-split cluster
+    counts sum to the global distinct count only when no cluster spans
+    two splits)."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    dig = docs.select(
+        "doc_id", F.md5(F.substring(F.col("text"), 1, 64)).alias("__dg")
+    )
+    grp = dig.groupBy("__dg").agg(
+        F.min("doc_id").alias("cluster_id"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    clusters = dig.join(grp.filter(F.col("__n") > 1), "__dg").select(
+        "doc_id", "cluster_id"
+    )
+    out = leakage_safe_split(docs.select("doc_id"), clusters)
+    return (
+        out.join(clusters, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("cluster_id").cast("long").alias("n_clustered_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5734,6 +5825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tv_distance": q_tv_distance,
         "domain_filter": q_domain_filter,
         "judge_agreement_e2e": q_judge_agreement_e2e,
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "label_noise": q_label_noise,
+        "leakage_split": q_leakage_split,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -12001,6 +12095,106 @@ def oracle_sql() -> dict[str, str]:
                           + 3.8415999999999996e0 / (4.0e0 * nd * nd)))
          / (1.0e0 + 3.8415999999999996e0 / nd) AS wilson_hi
   FROM ja_m""",
+        # Krippendorff's alpha (classify.krippendorff_alpha): same
+        # surrogate 3-rater panel; per-v integer clearing with the
+        # PROD(v-1) common denominator (product() of small integers is
+        # double-exact below 2^53; `//` keeps p/(v-1) integer), one
+        # final double division — bit-identical to the engine.
+        "krippendorff_alpha": """
+  WITH ka_r AS (
+    SELECT doc_id AS item, lang AS lab
+    FROM documents WHERE lang IS NOT NULL
+    UNION ALL
+    SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END
+    FROM documents WHERE lang IS NOT NULL AND doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'yy' ELSE lang END
+    FROM documents WHERE lang IS NOT NULL AND doc_id % 4 <> 0),
+  ka_ic AS (SELECT item, lab, CAST(count(*) AS BIGINT) AS nuc
+            FROM ka_r GROUP BY 1, 2),
+  ka_u AS (SELECT item, SUM(nuc) AS nu, SUM(nuc * nuc) AS s2
+           FROM ka_ic GROUP BY 1),
+  ka_u2 AS (SELECT * FROM ka_u WHERE nu >= 2),
+  ka_v AS (SELECT nu AS v,
+                  CAST(SUM(nu * nu - s2) AS HUGEINT) AS sv,
+                  CAST(count(*) AS BIGINT) AS items,
+                  CAST(SUM(nu) AS HUGEINT) AS nv
+           FROM ka_u2 GROUP BY 1),
+  ka_p AS (SELECT CAST(product(CAST(v - 1 AS DOUBLE)) AS HUGEINT) AS p,
+                  CAST(SUM(items) AS BIGINT) AS n_items,
+                  CAST(SUM(nv) AS HUGEINT) AS n
+           FROM ka_v),
+  ka_num AS (SELECT CAST(SUM(sv * (p // CAST(v - 1 AS HUGEINT)))
+                         AS HUGEINT) AS num
+             FROM ka_v, ka_p),
+  ka_c AS (SELECT lab, CAST(SUM(nuc) AS HUGEINT) AS ncnt
+           FROM ka_ic JOIN ka_u2 USING (item) GROUP BY 1),
+  ka_ct AS (SELECT CAST(SUM(ncnt * ncnt) AS HUGEINT) AS sum_nc2,
+                   CAST(count(*) AS BIGINT) AS n_categories
+            FROM ka_c)
+  SELECT n_items, CAST(n AS BIGINT) AS n_ratings, n_categories,
+         CASE WHEN p * (n * n - sum_nc2) <> 0 AND n_items > 0 THEN
+           1.0e0 - CAST(n - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+                   / CAST(p * (n * n - sum_nc2) AS DOUBLE)
+         END AS alpha
+  FROM ka_p, ka_num, ka_ct""",
+        # Confident-learning joint (classify.confident_joint): mean
+        # thresholds as cross-multiplied integer comparisons, class
+        # order an exact pairwise rank (alphabet² correlated subquery),
+        # arg_max over the integer rank.
+        "label_noise": """
+  WITH ln_b AS (SELECT c_mktsegment AS given,
+                       CAST(c_acctbal AS DECIMAL(38,2)) AS s
+                FROM customer
+                WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+  ln_cls AS (SELECT given AS k, SUM(s) AS ssum,
+                    CAST(count(*) AS HUGEINT) AS cnt
+             FROM ln_b GROUP BY 1),
+  ln_rank AS (SELECT a.k, a.ssum, a.cnt,
+                     (SELECT CAST(count(*) AS BIGINT) FROM ln_cls b
+                      WHERE b.k <> a.k AND
+                        (b.ssum * a.cnt < a.ssum * b.cnt
+                         OR (b.ssum * a.cnt = a.ssum * b.cnt
+                             AND b.k < a.k))) AS rnk
+              FROM ln_cls a),
+  ln_cand AS (SELECT b.given, b.s, r.k, r.rnk
+              FROM ln_b b, ln_rank r
+              WHERE b.s * r.cnt >= r.ssum),
+  ln_pick AS (SELECT given, s, arg_max(k, rnk) AS sugg
+              FROM ln_cand GROUP BY 1, 2),
+  ln_cnt AS (SELECT given, s, CAST(count(*) AS BIGINT) AS m
+             FROM ln_b GROUP BY 1, 2)
+  SELECT given AS given_label,
+         COALESCE(sugg, given) AS suggested_label,
+         CAST(SUM(m) AS BIGINT) AS n_examples
+  FROM ln_cnt LEFT JOIN ln_pick USING (given, s)
+  GROUP BY 1, 2""",
+        # Leakage-safe split (sampling.leakage_safe_split): near-dup
+        # clusters (64-char-prefix md5, min-id rep) key the 90/5/5 md5
+        # grid so near-twins share a subset; same thresholds as
+        # dataset_split.
+        "leakage_split": f"""
+  WITH ls_d AS (SELECT doc_id, md5(substr(text, 1, 64)) AS dg
+                FROM documents),
+  ls_g AS (SELECT dg, MIN(doc_id) AS rep, count(*) AS cnt
+           FROM ls_d GROUP BY 1),
+  ls_c AS (SELECT d.doc_id, g.rep AS cluster_id
+           FROM ls_d d JOIN ls_g g USING (dg) WHERE g.cnt > 1),
+  ls_k AS (SELECT d.doc_id, c.cluster_id,
+                  COALESCE(CAST(c.cluster_id AS VARCHAR),
+                           CAST(d.doc_id AS VARCHAR)) AS skey
+           FROM ls_d d LEFT JOIN ls_c c USING (doc_id)),
+  ls_s AS (SELECT doc_id, cluster_id,
+             CASE WHEN CAST('0x' || substr(md5(skey || '|split'), 1, 4)
+                       AS INT) < {_split_thresholds()[0]} THEN 'train'
+                  WHEN CAST('0x' || substr(md5(skey || '|split'), 1, 4)
+                       AS INT) < {_split_thresholds()[1]} THEN 'val'
+                  ELSE 'test' END AS split
+           FROM ls_k)
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(cluster_id) AS BIGINT) AS n_clustered_docs,
+         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+  FROM ls_s GROUP BY 1""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -297,6 +297,9 @@ BENCH_QUERIES = [
     "tv_distance",
     "domain_filter",
     "judge_agreement_e2e",
+    "krippendorff_alpha",
+    "label_noise",
+    "leakage_split",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

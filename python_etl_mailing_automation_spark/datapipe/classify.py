@@ -705,3 +705,209 @@ def winrate_wilson(
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — chance-corrected agreement for
+    ANY number of raters WITH missing ratings (Krippendorff 1970), the
+    reliability statistic annotation projects reach for when
+    :func:`cohens_kappa`'s two-complete-raters assumption breaks: real
+    labeling queues assign each item to a varying subset of the panel.
+
+    Long input: one row per (item, rater, label); NULL labels are
+    abstentions and drop. With per-item category counts n_uc, item
+    totals n_u (items with n_u >= 2 only), grand totals n = SUM n_u and
+    per-category n_c, nominal alpha is
+
+        alpha = 1 - (n-1) * SUM_u [ (n_u^2 - SUM_c n_uc^2) / (n_u-1) ]
+                    / (n^2 - SUM_c n_c^2)
+
+    Exactness: the only non-integer pieces are the per-item 1/(n_u-1)
+    weights. Items are grouped by their rating count v = n_u (a frame
+    bounded by the PANEL size, not the data), each group's disagreement
+    sum S_v is integer-exact, and the rational sum SUM_v S_v/(v-1) is
+    cleared to a single fraction over P = PROD over distinct v of (v-1):
+    numerator SUM_v S_v * (P/(v-1)) — every term an exact integer
+    because P is divisible by each (v-1). One final double division.
+    P is computed with the engines' float ``product`` aggregate, exact
+    below 2^53 — panels up to ~18 raters, asserted in the docblock
+    rather than silently wrong beyond (P for distinct v-1 in 1..17 is
+    17! ~ 3.6e14 < 2^53).
+
+    Output: one row ``(n_items, n_ratings, n_categories, alpha)``;
+    alpha is NULL when the expected disagreement is zero (all ratings
+    one category) or no item has two ratings.
+
+    Scale shape: two keyed aggregates over the ratings (per-(item,cat),
+    then per-item), a panel-bounded per-v aggregate, a category-alphabet
+    aggregate, and singleton cross-joins to assemble the scalars — no
+    window, no data-sized join; everything map-side combinable.
+    """
+    base = df.filter(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"),
+        F.col(label_col).cast("string").alias("__c"),
+    )
+    per_ic = base.groupBy("__i", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__nuc")
+    )
+    per_item = per_ic.groupBy("__i").agg(
+        F.sum("__nuc").alias("__nu"),
+        F.sum(F.col("__nuc") * F.col("__nuc")).alias("__s2"),
+    ).filter(F.col("__nu") >= 2)
+    # Panel-bounded: one row per distinct rating count v <= #raters.
+    per_v = per_item.groupBy(F.col("__nu").alias("__v")).agg(
+        F.sum(F.col("__nu") * F.col("__nu") - F.col("__s2"))
+        .cast("decimal(38,0)")
+        .alias("__sv"),
+        F.count(F.lit(1)).cast("long").alias("__items"),
+        F.sum("__nu").cast("decimal(38,0)").alias("__nv"),
+    )
+    # P = PROD (v-1) over DISTINCT v: float product of small integers,
+    # exact below 2^53 (panel <= ~18 raters).
+    pprod = per_v.agg(
+        F.product(F.col("__v") - F.lit(1)).cast("decimal(38,0)").alias("__p"),
+        F.sum("__sv").alias("__sv_tot"),
+        F.sum("__items").alias("__n_items"),
+        F.sum("__nv").alias("__n"),
+    )
+    num = (
+        per_v.crossJoin(F.broadcast(pprod.select("__p")))
+        .select(
+            (
+                F.col("__sv")
+                * (F.col("__p") / (F.col("__v") - F.lit(1)).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+            ).alias("__term")
+        )
+        .agg(F.sum("__term").alias("__num"))
+    )
+    # Per-category totals over the n_u >= 2 items only (the statistic's
+    # universe): category alphabet frame.
+    cat = (
+        per_ic.join(per_item.select("__i"), "__i")
+        .groupBy("__c")
+        .agg(F.sum("__nuc").cast("decimal(38,0)").alias("__nc"))
+    )
+    cat_tot = cat.agg(
+        F.sum(F.col("__nc") * F.col("__nc")).alias("__sum_nc2"),
+        F.count(F.lit(1)).cast("long").alias("__n_categories"),
+    )
+    scal = (
+        pprod.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(cat_tot))
+    )
+    n = F.col("__n")
+    den = F.col("__p") * (n * n - F.col("__sum_nc2"))
+    alpha = F.when(
+        (den != 0) & (F.col("__n_items") > 0),
+        F.lit(1.0)
+        - (n - 1).cast("double")
+        * F.col("__num").cast("double")
+        / den.cast("double"),
+    )
+    return scal.select(
+        F.coalesce(F.col("__n_items"), F.lit(0).cast("long")).alias("n_items"),
+        F.coalesce(n.cast("long"), F.lit(0).cast("long")).alias("n_ratings"),
+        F.coalesce(
+            F.col("__n_categories"), F.lit(0).cast("long")
+        ).alias("n_categories"),
+        alpha.alias("alpha"),
+    )
+
+
+def confident_joint(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    *,
+    scale: int = 2,
+) -> DataFrame:
+    """Confident-learning joint counts (Northcutt et al. 2021,
+    "Confident Learning") specialized to a one-dimensional model score —
+    the label-noise audit for classifier-labeled corpora: how many
+    examples GIVEN class c does the model's own confidence assign to
+    class k?
+
+    Per class k, the confidence threshold t_k is the mean score of the
+    examples labeled k (the paper's class-conditional threshold). An
+    example (given c, score s) is counted in cell (c, k) for the
+    highest-threshold class k whose threshold it clears (s >= t_k);
+    an example clearing no threshold stays on its diagonal (c, c).
+    Off-diagonal mass = suspected label errors.
+
+    Exactness: scores are cast to DECIMAL(38,``scale``) and thresholds
+    are never materialized as divisions — "s >= sum_k/count_k" is
+    compared as ``s * count_k >= sum_k``, and the classes' threshold
+    ORDER is an integer rank from pairwise cross-multiplied comparisons
+    (``sum_j * count_k > sum_k * count_j``, class name as the exact-tie
+    break) over the alphabet-squared frame — every comparison integer,
+    the whole statistic bit-identical across engines and partitionings.
+
+    Output: one row per observed (given_label, suggested_label) with
+    ``n_examples``; off-diagonal rows are the noise report.
+
+    Scale shape: the per-class (sum, count, rank) frame is
+    ALPHABET-sized (its pairwise rank an alphabet² self-join of a tiny
+    frame) and broadcast back; each example meets the tiny frame once
+    (|classes| candidates per example, bounded by the alphabet, never
+    data x data), takes an integer max_by, and re-aggregates. Two
+    data-sized shuffles total (class agg, final cell agg).
+    """
+    dec = f"decimal(38,{int(scale)})"
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("string").alias("__given"),
+        F.col(score_col).cast(dec).alias("__s"),
+    )
+    cls = base.groupBy(F.col("__given").alias("__k")).agg(
+        F.sum("__s").alias("__sum"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__cnt"),
+    )
+    a, b = cls.alias("a"), cls.alias("b")
+    # Integer threshold rank: #classes strictly below k in the exact
+    # (sum/cnt, name) order. Alphabet-squared join of an alphabet-sized
+    # frame — O(|classes|^2) rows, nowhere near the data.
+    lower = (
+        F.col("b.__sum") * F.col("a.__cnt") < F.col("a.__sum") * F.col("b.__cnt")
+    ) | (
+        (F.col("b.__sum") * F.col("a.__cnt") == F.col("a.__sum") * F.col("b.__cnt"))
+        & (F.col("b.__k") < F.col("a.__k"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), F.col("a.__k") != F.col("b.__k"), "left")
+        .groupBy(F.col("a.__k").alias("__k"))
+        .agg(F.sum(F.when(lower, 1).otherwise(0)).cast("long").alias("__rank"))
+        .join(cls, "__k")
+    )
+    cand = base.crossJoin(F.broadcast(ranked)).filter(
+        F.col("__s") * F.col("__cnt") >= F.col("__sum")
+    )
+    picked = cand.groupBy("__given", "__s").agg(
+        F.max_by("__k", "__rank").alias("__sugg")
+    )
+    counted = base.groupBy("__given", "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    return (
+        counted.join(picked, ["__given", "__s"], "left")
+        .select(
+            "__given",
+            F.coalesce("__sugg", F.col("__given")).alias("__sugg"),
+            "__m",
+        )
+        .groupBy(
+            F.col("__given").alias("given_label"),
+            F.col("__sugg").alias("suggested_label"),
+        )
+        .agg(F.sum("__m").alias("n_examples"))
+    )

@@ -113,6 +113,52 @@ def dataset_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    splits: dict[str, float] | None = None,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate-safe train/val/test assignment: the split is
+    decided by the document's DUP-CLUSTER representative, not the
+    document itself, so two near-duplicates can never land in
+    different subsets — the eval-contamination mode that per-doc
+    hashing (:func:`dataset_split`) cannot prevent (a train doc and
+    its 99%-identical val twin hash independently).
+
+    ``clusters`` maps ``id_col`` → ``cluster_col`` for the documents
+    that belong to a duplicate cluster (e.g. the output of
+    ``dedup.dedup_clusters``, whose cluster id is the min member id).
+    Documents absent from the map are singletons and key on their own
+    id — consistent with the min-member convention, because a cluster's
+    representative IS a member and receives the same key either way.
+
+    The split function over the key is exactly :func:`dataset_split`'s
+    16-bit md5 grid (same salt semantics, same thresholds), so the two
+    operators agree on singleton documents by construction.
+
+    Scale shape: one equi-join of the corpus against the cluster map on
+    the id (the map holds only duplicate members — usually a small
+    fraction of the corpus, broadcastable in practice; expressed as a
+    plain join so AQE picks the strategy from real sizes), then pure
+    per-row hash algebra — no window, no extra shuffle.
+    """
+    cmap = clusters.select(
+        F.col(id_col).alias("__cid"), F.col(cluster_col).alias("__cluster")
+    )
+    keyed = df.join(cmap, df[id_col] == cmap["__cid"], "left").drop("__cid")
+    keyed = keyed.withColumn(
+        "__skey", F.coalesce(F.col("__cluster").cast("string"), F.col(id_col).cast("string"))
+    ).drop("__cluster")
+    return dataset_split(
+        keyed, splits, id_col="__skey", salt=salt, out_col=out_col
+    ).drop("__skey")
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str,

@@ -6074,3 +6074,137 @@ class TestGovernanceBatch:
         assert not got[4]["blocked"]
         # most specific entry wins
         assert got[5]["matched_suffix"] == "ads.example.com"
+
+
+class TestAnnotationReliability:
+    def test_krippendorff_matches_manual(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            krippendorff_alpha,
+        )
+
+        # Krippendorff's own worked example (nominal, missing data):
+        # 4 raters, 12 items, some items rated by a subset.
+        ratings = [
+            # (item, rater, label)
+            (1, "A", "1"), (1, "B", "1"), (1, "D", "1"),
+            (2, "A", "2"), (2, "B", "2"), (2, "D", "2"),
+            (3, "A", "3"), (3, "B", "3"), (3, "C", "3"), (3, "D", "3"),
+            (4, "A", "3"), (4, "B", "3"), (4, "C", "3"), (4, "D", "3"),
+            (5, "A", "2"), (5, "B", "2"), (5, "C", "2"), (5, "D", "2"),
+            (6, "A", "1"), (6, "B", "2"), (6, "C", "3"), (6, "D", "4"),
+            (7, "A", "4"), (7, "B", "4"), (7, "C", "4"), (7, "D", "4"),
+            (8, "A", "1"), (8, "B", "1"), (8, "C", "2"), (8, "D", "1"),
+            (9, "A", "2"), (9, "B", "2"), (9, "C", "2"), (9, "D", "2"),
+            (10, "B", "5"), (10, "C", "5"), (10, "D", "5"),
+            (11, "C", "1"), (11, "D", "1"),
+            (12, "C", "3"),  # single rating: excluded (n_u < 2)
+        ]
+        df = spark.createDataFrame(ratings, "item long, rater string, lab string")
+        row = krippendorff_alpha(df, "item", "rater", "lab").collect()[0]
+
+        # brute-force reference
+        from collections import Counter, defaultdict
+        per_item = defaultdict(Counter)
+        for it, _, c in ratings:
+            per_item[it][c] += 1
+        per_item = {u: cc for u, cc in per_item.items() if sum(cc.values()) >= 2}
+        n = sum(sum(cc.values()) for cc in per_item.values())
+        do = sum(
+            (sum(cc.values()) ** 2 - sum(v * v for v in cc.values()))
+            / (sum(cc.values()) - 1)
+            for cc in per_item.values()
+        )
+        nc = Counter()
+        for cc in per_item.values():
+            nc.update(cc)
+        de = n * n - sum(v * v for v in nc.values())
+        expect = 1 - (n - 1) * do / de
+        assert row["n_items"] == len(per_item)
+        assert row["n_ratings"] == n
+        assert row["n_categories"] == len(nc)
+        assert row["alpha"] is not None
+        assert abs(row["alpha"] - expect) < 1e-12
+
+    def test_krippendorff_perfect_and_degenerate(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            krippendorff_alpha,
+        )
+
+        # perfect agreement -> alpha == 1.0 exactly
+        rows = [(i, r, "x" if i % 2 else "y")
+                for i in range(1, 7) for r in ("A", "B", "C")]
+        df = spark.createDataFrame(rows, "item long, rater string, lab string")
+        r = krippendorff_alpha(df, "item", "rater", "lab").collect()[0]
+        assert r["alpha"] == 1.0
+
+        # single category everywhere: expected disagreement 0 -> NULL
+        rows = [(i, r, "only") for i in range(1, 5) for r in ("A", "B")]
+        df = spark.createDataFrame(rows, "item long, rater string, lab string")
+        r = krippendorff_alpha(df, "item", "rater", "lab").collect()[0]
+        assert r["alpha"] is None
+        assert r["n_categories"] == 1
+
+    def test_confident_joint_flags_planted_noise(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            confident_joint,
+        )
+
+        # class "hi" scores ~100, class "lo" scores ~10; plant two
+        # mislabeled rows: "lo"-labeled with hi-class scores.
+        rows = (
+            [("hi", 100.0), ("hi", 110.0), ("hi", 90.0)]
+            + [("lo", 10.0), ("lo", 12.0), ("lo", 8.0)]
+            + [("lo", 105.0), ("lo", 120.0)]  # planted label errors
+        )
+        df = spark.createDataFrame(rows, "lab string, s double")
+        got = {
+            (r["given_label"], r["suggested_label"]): r["n_examples"]
+            for r in confident_joint(df, "lab", "s").collect()
+        }
+        # thresholds: t_hi = mean(100,110,90) = 100;
+        #             t_lo = mean(10,12,8,105,120) = 51.
+        # the planted rows clear BOTH thresholds; "hi" has the higher
+        # one, so they land in ("lo", "hi")
+        assert got[("lo", "hi")] == 2
+        # honest hi rows 100, 110 clear t_hi and stay diagonal; the
+        # 90-score row clears only t_lo -> flagged ("hi", "lo") — the
+        # CL semantics: per-class thresholds, not nearest-mean
+        assert got[("hi", "hi")] == 2
+        assert got[("hi", "lo")] == 1
+        # honest "lo" rows (8, 10, 12) clear no threshold (t_lo is
+        # inflated by the planted highs) -> diagonal via no-clear rule
+        assert got[("lo", "lo")] == 3
+        assert sum(got.values()) == len(rows)
+
+    def test_leakage_safe_split_keeps_clusters_together(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.sampling import (
+            dataset_split,
+            leakage_safe_split,
+        )
+
+        docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+        # clusters: pair up 0..99 with 200..299 (rep = min member)
+        clus = spark.createDataFrame(
+            [(i, i) for i in range(100)] + [(i + 200, i) for i in range(100)],
+            "doc_id long, cluster_id long",
+        )
+        out = leakage_safe_split(
+            docs, clus, {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        rows = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert len(rows) == 400
+        # every cluster is split-pure
+        for i in range(100):
+            assert rows[i] == rows[i + 200], i
+        # singletons agree with the per-doc splitter (same key, salt)
+        solo = dataset_split(
+            docs.filter(F.col("doc_id") >= 300),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        for r in solo.collect():
+            assert rows[r["doc_id"]] == r["split"]
+        # NULL id stays NULL split
+        nulls = spark.createDataFrame([(None,)], "doc_id long")
+        assert leakage_safe_split(
+            nulls, clus
+        ).collect()[0]["split"] is None
