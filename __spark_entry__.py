@@ -5424,6 +5424,66 @@ def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_seq_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential-pattern support mining (operators/funnel.
+    frequent_subsequences): every ordered event-type pattern up to
+    length 3 with its user-support (existential subsequence, arbitrary
+    gaps) — closed-form via per-(user,type) first/last positions, no
+    embedding enumeration; fan-out bounded by the event-type
+    alphabet."""
+    from python_etl_mailing_automation_spark.operators.funnel import (
+        frequent_subsequences,
+    )
+
+    return frequent_subsequences(
+        _t(spark, sf, "events"),
+        key_col="user_id",
+        item_col="event_type",
+        order_cols=["ts", "event_id"],
+        min_support=5,
+    )
+
+
+def q_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified 5-fold assignment (datapipe/sampling.kfold_assign):
+    folds balanced EXACTLY within each language stratum (md5-order rank
+    mod k — sizes differ by at most one per stratum, visible in the
+    per-(lang, fold) counts)."""
+    from python_etl_mailing_automation_spark.datapipe.sampling import (
+        kfold_assign,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id").isNotNull())
+    return (
+        kfold_assign(docs, 5, stratify_col="lang")
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_rbo_rankings(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap between two part rankings per brand
+    (datapipe/text.rbo_min): top-10 by retail price vs top-10 by size
+    (id tiebreak) — RBO_min with p=0.9, literal depth weights, exact
+    integer prefix overlaps, fixed written-order sum."""
+    from python_etl_mailing_automation_spark.datapipe.text import rbo_min
+
+    part = _t(spark, sf, "part")
+    wa = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    wb = Window.partitionBy("p_brand").orderBy(
+        F.col("p_size").desc(), F.col("p_partkey")
+    )
+    ra = part.select(
+        "p_brand", "p_partkey", F.row_number().over(wa).alias("rank")
+    )
+    rb = part.select(
+        "p_brand", "p_partkey", F.row_number().over(wb).alias("rank")
+    )
+    return rbo_min(ra, rb, group_col="p_brand", id_col="p_partkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5496,6 +5556,17 @@ _CHANGED_SINCE_SIGNED = {
     "kmv_jaccard": 8,
     "budget_select": 8,
     "stratified_exact": 8,
+    # Round-9 continuation: dedup_against_store's intra-batch pick now
+    # joins on a RENAMED digest key (the old same-name refs resolved to
+    # one attribute and logged a "trivially true equals predicate"
+    # warning every bench run). Values unchanged (parity re-verified),
+    # code under the signatures changed — re-sign.
+    "dedup_incremental": 9,
+    "dedup_ledger_merge": 9,
+    # Same warning family: interval_join's right-side equi-keys are now
+    # renamed before the bin join (q_interval_join derives its interval
+    # frame from the event stream itself).
+    "interval_join": 9,
 }
 
 
@@ -5828,6 +5899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_alpha": q_krippendorff_alpha,
         "label_noise": q_label_noise,
         "leakage_split": q_leakage_split,
+        "seq_mining": q_seq_mining,
+        "rbo_rankings": q_rbo_rankings,
+        "kfold": q_kfold,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -6201,6 +6275,21 @@ def _split_thresholds() -> tuple[int, int]:
         acc += splits[name] / total
         out.append(int(acc * 65536))
     return out[0], out[1]
+
+
+def _rbo_sum_sql(p: float = 0.9, depth: int = 10) -> str:
+    """The RBO_min fixed written-order sum as a SQL fragment over the
+    per-pair depth column ``m`` — same left-associated term order and
+    the SAME Python-evaluated literal weights as datapipe/text.rbo_min
+    (shortest-roundtrip doubles; no engine ever computes a power)."""
+    terms = []
+    for d in range(1, depth + 1):
+        w = (1.0 - p) * p ** (d - 1)
+        terms.append(
+            "CAST(CAST(SUM(CASE WHEN m <= %d THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS DOUBLE) / %s * %s" % (d, _dlit(float(d)), _dlit(w))
+        )
+    return " + ".join(terms)
 
 
 def _pagerank_sql(n_iter: int = 3, seed_pred: str | None = None) -> str:
@@ -12195,6 +12284,73 @@ def oracle_sql() -> dict[str, str]:
          CAST(count(cluster_id) AS BIGINT) AS n_clustered_docs,
          CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
   FROM ls_s GROUP BY 1""",
+        # Sequential-pattern support (funnel.frequent_subsequences):
+        # A>B iff first(A) < last(B) on the per-(user,type) min/max
+        # position table; A>B>C via first-B-after-first-A then the same
+        # last-position test — existential subsequence counts, no
+        # embedding enumeration.
+        "seq_mining": """
+  WITH fs_e AS (SELECT user_id AS u, event_type AS it,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS p
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+  fs_t AS (SELECT u, it, MIN(p) AS fp, MAX(p) AS lp
+           FROM fs_e GROUP BY 1, 2),
+  fs_1 AS (SELECT it AS pattern, CAST(1 AS BIGINT) AS length,
+                  CAST(count(*) AS BIGINT) AS support
+           FROM fs_t GROUP BY 1),
+  fs_2 AS (SELECT a.it || '>' || b.it AS pattern,
+                  CAST(2 AS BIGINT) AS length,
+                  CAST(count(*) AS BIGINT) AS support
+           FROM fs_t a JOIN fs_t b USING (u)
+           WHERE a.fp < b.lp GROUP BY 1),
+  fs_ab AS (SELECT e.u, a.it AS ia, e.it AS ib, MIN(e.p) AS fab
+            FROM fs_e e JOIN fs_t a ON e.u = a.u AND e.p > a.fp
+            GROUP BY 1, 2, 3),
+  fs_3 AS (SELECT x.ia || '>' || x.ib || '>' || c.it AS pattern,
+                  CAST(3 AS BIGINT) AS length,
+                  CAST(count(*) AS BIGINT) AS support
+           FROM fs_ab x JOIN fs_t c ON x.u = c.u AND c.lp > x.fab
+           GROUP BY 1)
+  SELECT * FROM (SELECT * FROM fs_1 UNION ALL
+                 SELECT * FROM fs_2 UNION ALL
+                 SELECT * FROM fs_3)
+  WHERE support >= 5""",
+        # Rank-biased overlap (text.rbo_min): per-item max(rank) pair,
+        # depth-conditional integer counts, literal weights via
+        # _rbo_sum_sql — same fixed-order float tail as the engine.
+        "rbo_rankings": f"""
+  WITH rb_a AS (SELECT p_brand AS g, p_partkey AS i,
+                       row_number() OVER (PARTITION BY p_brand
+                         ORDER BY p_retailprice DESC, p_partkey) AS r
+                FROM part),
+  rb_b AS (SELECT p_brand AS g, p_partkey AS i,
+                  row_number() OVER (PARTITION BY p_brand
+                    ORDER BY p_size DESC, p_partkey) AS r
+           FROM part),
+  rb_p AS (SELECT a.g, GREATEST(a.r, b.r) AS m
+           FROM (SELECT * FROM rb_a WHERE r <= 10) a
+           JOIN (SELECT * FROM rb_b WHERE r <= 10) b
+             ON a.g = b.g AND a.i = b.i),
+  rb_s AS (SELECT g, CAST(count(*) AS BIGINT) AS n_common,
+                  {_rbo_sum_sql()} AS rbo
+           FROM rb_p GROUP BY 1)
+  SELECT br.g AS p_brand,
+         COALESCE(s.n_common, 0) AS n_common,
+         COALESCE(s.rbo, 0.0e0) AS rbo_min
+  FROM (SELECT DISTINCT p_brand AS g FROM part) br
+  LEFT JOIN rb_s s USING (g)""",
+        # Stratified k-fold (sampling.kfold_assign): md5-order rank mod
+        # k within each language stratum — exact per-stratum balance.
+        "kfold": """
+  SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+  FROM (SELECT lang,
+               CAST((row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|fold'),
+                                doc_id) - 1) % 5 AS BIGINT) AS fold
+        FROM documents WHERE doc_id IS NOT NULL)
+  GROUP BY 1, 2""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -300,6 +300,9 @@ BENCH_QUERIES = [
     "krippendorff_alpha",
     "label_noise",
     "leakage_split",
+    "seq_mining",
+    "rbo_rankings",
+    "kfold",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -559,6 +562,22 @@ def main() -> None:
             return min(a, b, run(name, at))
         return min(a, b)
 
+    # Between-QUERY state release (round-9 lesson, measured): a
+    # 251-query sweep in one 16 GiB JVM accumulates every query's
+    # cache_once frames and localCheckpoint blocks; by ~position 25 the
+    # whole sweep was degrading (median 1.5×, worst 7-14× on sub-second
+    # queries — lm_score 1.1→16.1 s) from storage/GC pressure, while a
+    # fresh JVM re-measured the same queries at their committed costs.
+    # Dropping Python references + clearCache AFTER each query's
+    # best_of (never between a query's own runs — the per-query
+    # protocol is unchanged) lets ContextCleaner actually free the
+    # blocks, so query N's measurement does not pay for queries 1..N-1.
+    import gc as _gc
+
+    def release_state() -> None:
+        spark.catalog.clearCache()
+        _gc.collect()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
@@ -566,6 +585,8 @@ def main() -> None:
             timings[name] = round(best_of(name, sf_dir), 3)
         except Exception as exc:  # noqa: BLE001 - survey harness, keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+        finally:
+            release_state()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -631,6 +652,8 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 errors[f"deep:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
                 payload["errors"] = errors
+            finally:
+                release_state()
         payload["deep"] = {
             "sf": 1.0,
             "queries": deep_timings,
@@ -690,6 +713,8 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 errors[f"skew:{name}"] = f"{type(exc).__name__}: {exc}"[:400]
                 payload["errors"] = errors
+            finally:
+                release_state()
         payload["deep"]["skew"] = {
             # hot_frac labels the orders/events hot KEY; the document
             # clone rate behind jaccard_join_exact is 1/(hot_mod*10)

@@ -141,16 +141,22 @@ def run_curation_job(
     )
     quality = _tap(scored.filter(F.col("is_quality") == 1), "quality_gate")
 
-    reps = quality.groupBy("norm_digest").agg(F.min(id_col).alias("__keep"))
+    # Renamed join key (not quality["x"] == reps["x"]): `reps` derives
+    # from `quality`, so same-name column refs resolve to one attribute
+    # and Spark logs a "trivially true equals predicate" warning on
+    # every run before its self-join disambiguation kicks in.
+    reps = quality.groupBy("norm_digest").agg(
+        F.min(id_col).alias("__keep")
+    ).withColumnRenamed("norm_digest", "__dg")
     exact = _tap(
         quality.join(
             reps,
             on=[
-                quality["norm_digest"] == reps["norm_digest"],
+                F.col("norm_digest") == F.col("__dg"),
                 F.col(id_col) == F.col("__keep"),
             ],
         )
-        .drop(reps["norm_digest"])
+        .drop("__dg")
         .drop("__keep"),
         "exact_dedup",
     )

@@ -1014,17 +1014,22 @@ def dedup_against_store(
 
     if digest_col not in new_docs.columns:
         new_docs = normalize_text(new_docs, text_col)
+    # Renamed join key (not new_docs[x] == w_first[x]): `w_first`
+    # derives from `new_docs`, so same-name refs resolve to one
+    # attribute and Spark logs a "trivially true equals predicate"
+    # warning before its self-join disambiguation kicks in.
     w_first = (
         new_docs.groupBy(digest_col)
         .agg(F.min(F.col(id_col)).alias("__keep_id"))
+        .withColumnRenamed(digest_col, "__dg")
     )
     batch_unique = new_docs.join(
         w_first,
         on=[
-            new_docs[digest_col] == w_first[digest_col],
-            new_docs[id_col] == F.col("__keep_id"),
+            F.col(digest_col) == F.col("__dg"),
+            F.col(id_col) == F.col("__keep_id"),
         ],
-    ).drop("__keep_id").drop(w_first[digest_col])
+    ).drop("__keep_id", "__dg")
     return batch_unique.join(
         store.select(F.col(digest_col)).distinct(),
         on=digest_col,

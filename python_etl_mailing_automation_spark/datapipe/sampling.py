@@ -712,3 +712,48 @@ def negative_samples(
         F.col("__s.nid").alias("neg_id"),
         F.col("__s.nlab").alias("neg_label"),
     ).filter(F.col("neg_id").isNotNull() | (F.col("n_negatives") == 0))
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    stratify_col: str | None = None,
+    salt: str = "fold",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Stratified k-fold assignment: fold = (md5-order rank within the
+    stratum) mod k, so every stratum's rows spread across the k folds
+    with sizes differing by at most one — the cross-validation split
+    whose per-fold class balance is exact, not expected. With
+    ``stratify_col=None`` the whole frame is one stratum (plain k-fold,
+    still exactly balanced).
+
+    Deterministic and engine-reproducible: the "shuffle" order inside a
+    stratum is ``md5(id || '|' || salt)`` (ties broken by the id
+    itself), never an RNG — the same corpus always yields the same
+    folds, and a DuckDB oracle can verify the exact assignment. NULL
+    ids get a NULL fold (no stable assignment; same contract as
+    :func:`dataset_split`).
+
+    Scale shape: one rank window per stratum — a keyed partition (the
+    per-stratum sort is the price of EXACT balance; the strata of a
+    stratified CV are label/domain classes, orders of magnitude more
+    granular than one global sort). For unstratified use at corpus
+    scale prefer :func:`dataset_split`-style hashing when expected
+    balance suffices; this operator is for when exactness is the point.
+    """
+    if k < 2:
+        raise ValueError("kfold_assign: k must be >= 2")
+    strat = [stratify_col] if stratify_col else []
+    h = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
+    )
+    w = Window.partitionBy(
+        *(strat or [F.lit(1)])
+    ).orderBy(h, F.col(id_col))
+    fold = ((F.row_number().over(w) - 1) % k).cast("long")
+    return df.withColumn(
+        out_col, F.when(F.col(id_col).isNotNull(), fold)
+    )

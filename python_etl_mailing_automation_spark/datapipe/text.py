@@ -1724,3 +1724,93 @@ def readability(
         (F.lit(206.835) - 1.015 * wps - 84.6 * spw).alias("flesch_ease"),
         (0.39 * wps + 11.8 * spw - F.lit(15.59)).alias("fk_grade"),
     )
+
+
+def rbo_min(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    rank_a_col: str = "rank",
+    rank_b_col: str = "rank",
+    p: float = 0.9,
+    depth: int = 10,
+) -> DataFrame:
+    """Rank-biased overlap, minimum-certainty form (Webber, Moffat &
+    Zobel 2010) of two top-``depth`` rankings per group — the standard
+    similarity of INDEFINITE rankings: unlike Kendall/Spearman (which
+    need identical item sets) RBO compares prefix lists that only
+    partly overlap, weighting agreement at the top of the list
+    geometrically higher — "did the two retrieval systems find the same
+    head?", the companion of :func:`ndcg_at_k` (that grades one ranking
+    against labels; this compares two rankings to each other).
+
+        RBO_min = Σ_{d=1..depth} (X_d / d) · (1-p) · p^(d-1)
+
+    with X_d = |A_{1..d} ∩ B_{1..d}|. An item ranked r_a in A and r_b
+    in B first counts at depth max(r_a, r_b), so X_d needs only the
+    per-item rank pair — no per-depth set intersection.
+
+    Engine-exactness: the depth weights (1-p)·p^(d-1) are Python-
+    evaluated literal doubles baked into the plan (the
+    :func:`ndcg_at_k` discipline — no engine ever computes a power),
+    X_d are exact integer conditional counts, each addend is one exact
+    division by the literal d times a literal weight, and the sum is a
+    FIXED WRITTEN-ORDER depth-term expression — bit-identical across
+    engines and partitionings.
+
+    Output: one row per group — ``(group_col, n_common, rbo_min)``.
+    ``rbo_min`` is a LOWER bound on full RBO (mass beyond ``depth`` is
+    unobserved); groups present in only one ranking score 0.0.
+
+    Scale shape: ranks at-or-under ``depth`` only (both inputs filtered
+    first), one (group, item) equi-join of two depth-bounded frames,
+    one aggregate with ``depth`` bounded accumulators. No window, no
+    data-sized fan-out.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError("rbo_min: p must be in (0, 1)")
+    if depth < 1:
+        raise ValueError("rbo_min: depth must be >= 1")
+    wts = [(1.0 - p) * p ** (d - 1) for d in range(1, depth + 1)]
+    a = ranking_a.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__i"),
+        F.col(rank_a_col).cast("long").alias("__ra"),
+    ).filter(F.col("__ra") <= depth)
+    b = ranking_b.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__i"),
+        F.col(rank_b_col).cast("long").alias("__rb"),
+    ).filter(F.col("__rb") <= depth)
+    pairs = a.join(b, ["__g", "__i"]).select(
+        "__g", F.greatest("__ra", "__rb").alias("__m")
+    )
+    xs = [
+        F.sum(F.when(F.col("__m") <= d, 1).otherwise(0)).cast("long")
+        for d in range(1, depth + 1)
+    ]
+    # Fixed written-order sum: ((X1/1)*w1 + (X2/2)*w2) + ... — the
+    # Python loop builds the same left-associated tree every run.
+    expr = None
+    for d in range(1, depth + 1):
+        term = (
+            xs[d - 1].cast("double") / F.lit(float(d))
+        ) * F.lit(wts[d - 1])
+        expr = term if expr is None else expr + term
+    groups = (
+        a.select("__g").unionByName(b.select("__g")).distinct()
+    )
+    scored = pairs.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        expr.alias("rbo_min"),
+    )
+    return (
+        groups.join(scored, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+            F.coalesce("rbo_min", F.lit(0.0)).alias("rbo_min"),
+        )
+    )

@@ -120,7 +120,16 @@ def interval_join(
     )
     lf = left.withColumn("__bin", lbin)
     rf = right.withColumn("__bin", rbins)
-    cond = [lf["__bin"] == rf["__bin"]] + [lf[k] == rf[k] for k in on]
+    # Renamed right-side equi-keys: when `right` derives from `left`
+    # (e.g. per-key windows aggregated off the same event stream), the
+    # same-name refs resolve to one attribute and Spark logs a
+    # "trivially true equals predicate" warning on every run.
+    ren = {k: f"__rk_{k}" for k in on}
+    for k, rk in ren.items():
+        rf = rf.withColumnRenamed(k, rk)
+    cond = [lf["__bin"] == rf["__bin"]] + [
+        lf[k] == rf[ren[k]] for k in on
+    ]
     joined = lf.join(rf, on=cond).filter(
         (lf[ts_col] >= rf[start_col]) & (lf[ts_col] <= rf[end_col])
     )

@@ -152,3 +152,111 @@ def sequence_pattern_counts(
             F.regexp_extract(F.col("__seq"), pattern, 0).alias("first_match"),
         )
     )
+
+
+def frequent_subsequences(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    order_cols: list[str] | None = None,
+    min_support: int = 2,
+    max_len: int = 3,
+) -> DataFrame:
+    """Sequential-pattern support counting (the PrefixSpan / SPADE
+    support semantics, closed-form at pattern length <= 3): for every
+    ordered pattern A, A>B, A>B>C over the item alphabet, the number of
+    KEYS whose event sequence contains the pattern as a subsequence
+    (existential, arbitrary gaps — each key counts once no matter how
+    many embeddings). The behavior-mining twin of the fixed-stage
+    funnel: `funnel_stages` asks "did THIS path happen", this asks
+    "WHICH paths happen often".
+
+    The trick that avoids enumerating embeddings: a key contains A>B
+    iff first_pos(A) < last_pos(B), so length-2 support needs only the
+    per-(key, item) MIN/MAX position table — and length-3 support needs
+    one more pass: first_pos(B after first A) via a positions×alphabet
+    join, then the same last-pos test against C. Equality of items is
+    handled for free (A>A iff first(A) < last(A) ⇔ two occurrences).
+
+    Output: ``(pattern, length, support)`` for patterns with
+    ``support >= min_support``; pattern items are joined with ``>``.
+
+    Scale shape: one per-key window (row_number — keyed partition,
+    bounded per key), one (key, item) aggregate, then joins whose
+    fan-out is the ITEM ALPHABET per key (alphabet-bounded, suited to
+    event-type-sized alphabets — tens, not thousands; the alphabet³
+    result frame is tiny). No data×data join, no embedding explosion:
+    a key with a million events contributes |alphabet|² rows to the
+    length-2 stage regardless of sequence length.
+    """
+    if max_len not in (1, 2, 3):
+        raise ValueError("frequent_subsequences: max_len must be 1, 2 or 3")
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    ev = events.filter(
+        F.col(key_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(item_col).cast("string").alias("__it"),
+        F.row_number().over(w).alias("__p"),
+    )
+    t = ev.groupBy("__k", "__it").agg(
+        F.min("__p").alias("__fp"), F.max("__p").alias("__lp")
+    )
+    outs = []
+    one = t.groupBy(F.col("__it").alias("pattern")).agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    ).select("pattern", F.lit(1).cast("long").alias("length"), "support")
+    outs.append(one)
+    if max_len >= 2:
+        a = t.select(
+            "__k", F.col("__it").alias("__ia"), F.col("__fp").alias("__fa")
+        )
+        b = t.select(
+            "__k", F.col("__it").alias("__ib"), F.col("__lp").alias("__lb")
+        )
+        two = (
+            a.join(b, "__k")
+            .filter(F.col("__fa") < F.col("__lb"))
+            .groupBy("__ia", "__ib")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .select(
+                F.concat_ws(">", "__ia", "__ib").alias("pattern"),
+                F.lit(2).cast("long").alias("length"),
+                "support",
+            )
+        )
+        outs.append(two)
+    if max_len >= 3:
+        # first occurrence of B strictly after the first A: the
+        # positions frame meets the per-key alphabet (fan-out
+        # |alphabet| per event row, alphabet-bounded).
+        a = t.select(
+            "__k", F.col("__it").alias("__ia"), F.col("__fp").alias("__fa")
+        )
+        fab = (
+            ev.join(a, "__k")
+            .filter(F.col("__p") > F.col("__fa"))
+            .groupBy("__k", "__ia", F.col("__it").alias("__ib"))
+            .agg(F.min("__p").alias("__fab"))
+        )
+        c = t.select(
+            "__k", F.col("__it").alias("__ic"), F.col("__lp").alias("__lc")
+        )
+        three = (
+            fab.join(c, "__k")
+            .filter(F.col("__lc") > F.col("__fab"))
+            .groupBy("__ia", "__ib", "__ic")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .select(
+                F.concat_ws(">", "__ia", "__ib", "__ic").alias("pattern"),
+                F.lit(3).cast("long").alias("length"),
+                "support",
+            )
+        )
+        outs.append(three)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.filter(F.col("support") >= int(min_support))

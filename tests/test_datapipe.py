@@ -6208,3 +6208,149 @@ class TestAnnotationReliability:
         assert leakage_safe_split(
             nulls, clus
         ).collect()[0]["split"] is None
+
+
+class TestFrequentSubsequences:
+    def test_matches_bruteforce(self, spark):
+        from itertools import product as iproduct
+
+        from python_etl_mailing_automation_spark.operators.funnel import (
+            frequent_subsequences,
+        )
+
+        seqs = {
+            1: list("vvcp"),
+            2: list("vcvp"),
+            3: list("pcv"),
+            4: list("vvv"),
+            5: list("cp"),
+        }
+        rows = [
+            (k, i, it)
+            for k, s in seqs.items()
+            for i, it in enumerate(s)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, it string")
+        got = {
+            (r["pattern"], r["length"]): r["support"]
+            for r in frequent_subsequences(
+                df,
+                key_col="user_id",
+                item_col="it",
+                order_cols=["event_id"],
+                min_support=1,
+            ).collect()
+        }
+
+        def contains(seq, pat):
+            it = iter(seq)
+            return all(ch in it for ch in pat)
+
+        alpha = sorted({c for s in seqs.values() for c in s})
+        for ln in (1, 2, 3):
+            for pat in iproduct(alpha, repeat=ln):
+                sup = sum(1 for s in seqs.values() if contains(s, pat))
+                key = (">".join(pat), ln)
+                if sup >= 1:
+                    assert got.get(key) == sup, (key, sup, got.get(key))
+                else:
+                    assert key not in got
+
+    def test_min_support_and_repeats(self, spark):
+        from python_etl_mailing_automation_spark.operators.funnel import (
+            frequent_subsequences,
+        )
+
+        # a>a>a needs three occurrences
+        rows = [(1, 0, "a"), (1, 1, "a"), (1, 2, "a"), (2, 0, "a"), (2, 1, "a")]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, it string")
+        got = {
+            (r["pattern"], r["length"]): r["support"]
+            for r in frequent_subsequences(
+                df, key_col="user_id", item_col="it",
+                order_cols=["event_id"], min_support=1,
+            ).collect()
+        }
+        assert got[("a", 1)] == 2
+        assert got[("a>a", 2)] == 2
+        assert got[("a>a>a", 3)] == 1
+        # min_support filters
+        flt = frequent_subsequences(
+            df, key_col="user_id", item_col="it",
+            order_cols=["event_id"], min_support=2,
+        ).collect()
+        assert {(r["pattern"]) for r in flt} == {"a", "a>a"}
+
+
+class TestRboKfold:
+    def test_rbo_matches_bruteforce(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.text import rbo_min
+
+        # two top-5 rankings per group, partial overlap
+        A = {"g1": ["a", "b", "c", "d", "e"], "g2": ["x", "y"]}
+        B = {"g1": ["b", "a", "c", "f", "g"], "g2": ["z", "w"]}
+        ra = spark.createDataFrame(
+            [(g, it, r + 1) for g, items in A.items()
+             for r, it in enumerate(items)],
+            "g string, item string, rank long",
+        )
+        rb = spark.createDataFrame(
+            [(g, it, r + 1) for g, items in B.items()
+             for r, it in enumerate(items)],
+            "g string, item string, rank long",
+        )
+        got = {
+            r["g"]: r
+            for r in rbo_min(
+                ra, rb, group_col="g", id_col="item", p=0.9, depth=5
+            ).collect()
+        }
+
+        def brute(la, lb, p=0.9, depth=5):
+            s = 0.0
+            for d in range(1, depth + 1):
+                x = len(set(la[:d]) & set(lb[:d]))
+                s += (x / d) * (1 - p) * p ** (d - 1)
+            return s
+
+        for g in A:
+            exp = brute(A[g], B[g])
+            assert abs(got[g]["rbo_min"] - exp) < 1e-12, g
+        assert got["g1"]["n_common"] == 3  # a, b, c shared within depth
+        assert got["g2"]["n_common"] == 0
+        assert got["g2"]["rbo_min"] == 0.0
+        # identical rankings -> RBO_min = sum of weights (prefix overlap
+        # is d/d = 1 at every depth)
+        same = rbo_min(ra, ra, group_col="g", id_col="item", depth=5)
+        w_sum = sum((1 - 0.9) * 0.9 ** (d - 1) for d in range(1, 6))
+        for r in same.collect():
+            assert abs(r["rbo_min"] - w_sum) < 1e-12
+
+    def test_kfold_exact_balance_and_determinism(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.sampling import (
+            kfold_assign,
+        )
+
+        rows = [(i, "s%d" % (i % 3)) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, strat string")
+        out = kfold_assign(df, 4, stratify_col="strat").collect()
+        by = {}
+        for r in out:
+            by.setdefault((r["strat"], r["fold"]), 0)
+            by[(r["strat"], r["fold"])] += 1
+        # exact balance: per stratum, fold sizes differ by <= 1
+        for s in ("s0", "s1", "s2"):
+            sizes = [by.get((s, f), 0) for f in range(4)]
+            assert max(sizes) - min(sizes) <= 1, (s, sizes)
+        assert sum(by.values()) == 100
+        # deterministic across reruns
+        again = {
+            r["doc_id"]: r["fold"]
+            for r in kfold_assign(df, 4, stratify_col="strat").collect()
+        }
+        for r in out:
+            assert again[r["doc_id"]] == r["fold"]
+        # k < 2 rejected
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            kfold_assign(df, 1)
