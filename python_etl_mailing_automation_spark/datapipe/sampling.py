@@ -591,8 +591,12 @@ def stratified_exact(
         "__sum_floor",
         "__total_n",
     )
+    # Renamed join key (__tg, not the group column's own name): the
+    # quota frame derives from `df`, so a same-name ref on both join
+    # sides resolves to one attribute and Spark logs a "trivially true
+    # equals predicate" warning on every run.
     targets = totals.select(
-        group_col,
+        F.col(group_col).alias("__tg"),
         (
             F.col("__floor")
             + F.when(
@@ -614,7 +618,7 @@ def stratified_exact(
     )
     joined = ranked.join(
         F.broadcast(targets),
-        on=ranked[group_col].eqNullSafe(targets[group_col]),
+        on=ranked[group_col].eqNullSafe(F.col("__tg")),
     ).filter(F.col("__rk") <= F.col("__target"))
     return joined.select(*[ranked[c] for c in df.columns])
 
