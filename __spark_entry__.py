@@ -5555,7 +5555,8 @@ _CHANGED_SINCE_SIGNED = {
     "corpus_stats": 8,
     "kmv_jaccard": 8,
     "budget_select": 8,
-    "stratified_exact": 8,
+    # changed again in r9: quota join key renamed (warning hygiene)
+    "stratified_exact": 9,
     # Round-9 continuation: dedup_against_store's intra-batch pick now
     # joins on a RENAMED digest key (the old same-name refs resolved to
     # one attribute and logged a "trivially true equals predicate"
