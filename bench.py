@@ -418,6 +418,22 @@ DEEP_QUERIES = [
     # late (post-shuffle) instead of map-side.
     "rouge_n",
     "ngram_novelty",
+    # Round-9 annotation/sequence batch at 10×:
+    # - suffix_ranks: prefix-doubling is O(log n) ROUNDS of sorts — 10×
+    #   corpus must cost ~10× per round with the SAME round count (+1
+    #   for the longer doc stream at most); superlinear deep time means
+    #   a round went quadratic.
+    # - seq_mining: the alphabet-bounded claim — per-key fan-out is
+    #   |event types|, so 10× events must mean ~10× wall, never
+    #   pairs-of-positions.
+    # - label_noise: the per-example work is one broadcast meet with
+    #   the alphabet-sized class frame — scan-dominated, linear.
+    # - leakage_split: one equi-join + per-row hash algebra — the
+    #   cluster-map join must stay AQE-broadcast at 10× docs.
+    "suffix_ranks",
+    "seq_mining",
+    "label_noise",
+    "leakage_split",
 ]
 
 
