@@ -5444,6 +5444,30 @@ def q_seq_mining(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cluster_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup provenance audit (datapipe/dedup.provenance_rollup): per
+    shared-prefix dup cluster, the member count, id span, and the
+    DISTINCT sorted sources that fed it (flat comma string — no ARRAY
+    output) plus absorbed chars — the "what got merged into this kept
+    document" report."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        provenance_rollup,
+    )
+
+    docs = _t(spark, sf, "documents")
+    dig = docs.select(
+        "doc_id", F.md5(F.substring(F.col("text"), 1, 64)).alias("__dg")
+    )
+    grp = dig.groupBy("__dg").agg(
+        F.min("doc_id").alias("cluster_id"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    clusters = dig.join(grp.filter(F.col("__n") > 1), "__dg").select(
+        "doc_id", "cluster_id"
+    )
+    return provenance_rollup(docs, clusters)
+
+
 def q_kfold(spark: SparkSession, sf: str) -> DataFrame:
     """Stratified 5-fold assignment (datapipe/sampling.kfold_assign):
     folds balanced EXACTLY within each language stratum (md5-order rank
@@ -5903,6 +5927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_mining": q_seq_mining,
         "rbo_rankings": q_rbo_rankings,
         "kfold": q_kfold,
+        "cluster_provenance": q_cluster_provenance,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -12352,6 +12377,34 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id) - 1) % 5 AS BIGINT) AS fold
         FROM documents WHERE doc_id IS NOT NULL)
   GROUP BY 1, 2""",
+        # Dedup provenance (dedup.provenance_rollup): distinct-source
+        # roster via a distinct subquery + ordered string_agg (mirrors
+        # sort_array(collect_set) → concat_ws).
+        "cluster_provenance": """
+  WITH cp_d AS (SELECT doc_id, md5(substr(text, 1, 64)) AS dg,
+                       source, n_chars
+                FROM documents),
+  cp_g AS (SELECT dg, MIN(doc_id) AS rep, count(*) AS cnt
+           FROM cp_d GROUP BY 1),
+  cp_c AS (SELECT d.doc_id, g.rep AS cluster_id, d.source, d.n_chars
+           FROM cp_d d JOIN cp_g g USING (dg) WHERE g.cnt > 1),
+  cp_s AS (SELECT cluster_id,
+                  CAST(count(*) AS BIGINT) AS n_sources,
+                  string_agg(source, ',' ORDER BY source) AS sources
+           FROM (SELECT DISTINCT cluster_id, source FROM cp_c
+                 WHERE source IS NOT NULL)
+           GROUP BY 1),
+  cp_m AS (SELECT cluster_id,
+                  CAST(count(*) AS BIGINT) AS n_members,
+                  MIN(doc_id) AS min_doc_id,
+                  MAX(doc_id) AS max_doc_id,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           FROM cp_c GROUP BY 1)
+  SELECT m.cluster_id, m.n_members, m.min_doc_id, m.max_doc_id,
+         COALESCE(s.n_sources, 0) AS n_sources,
+         COALESCE(s.sources, '') AS sources,
+         m.total_chars
+  FROM cp_m m LEFT JOIN cp_s s USING (cluster_id)""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "seq_mining",
     "rbo_rankings",
     "kfold",
+    "cluster_provenance",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse

@@ -1436,3 +1436,51 @@ def triangle_count(
         on=(F.col("wb") == F.col("a")) & (F.col("wc") == F.col("b")),
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def provenance_rollup(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    source_col: str = "source",
+    size_col: str | None = "n_chars",
+) -> DataFrame:
+    """Per-cluster provenance audit: for every duplicate cluster, which
+    sources fed it and how much content it absorbed — the "where did
+    this training document come from, and what got merged into it"
+    report an auditable corpus needs next to the dedup itself (a kept
+    representative silently carries the licensing/provenance surface of
+    every member it replaced).
+
+    ``clusters`` maps ``id_col`` → ``cluster_col`` (dedup_clusters /
+    exact-digest groups). Output per cluster: ``n_members``,
+    ``min_doc_id`` / ``max_doc_id`` (the id span), ``n_sources``,
+    ``sources`` (DISTINCT member sources, sorted, comma-joined — a
+    flat string so downstream sinks and cross-engine compares never
+    meet an ARRAY column), and ``total_chars`` (sum of ``size_col``,
+    NULL-safe; omitted when ``size_col=None``).
+
+    Scale shape: one equi-join of the cluster map against the doc
+    payload on the id, one aggregate keyed by cluster. The sources
+    set is bounded by the SOURCE alphabet per cluster (collect_set,
+    not collect_list — no member-cardinality arrays in memory).
+    """
+    cmap = clusters.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__cl")
+    )
+    payload = [F.col(id_col).alias("__id"), F.col(source_col).alias("__src")]
+    if size_col is not None:
+        payload.append(F.col(size_col).cast("long").alias("__sz"))
+    joined = cmap.join(docs.select(*payload), "__id")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("__id").alias("min_doc_id"),
+        F.max("__id").alias("max_doc_id"),
+        F.size(F.collect_set("__src")).cast("long").alias("n_sources"),
+        F.concat_ws(",", F.sort_array(F.collect_set("__src"))).alias("sources"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum("__sz").alias("total_chars"))
+    return joined.groupBy(F.col("__cl").alias(cluster_col)).agg(*aggs)

@@ -6354,3 +6354,51 @@ class TestRboKfold:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             kfold_assign(df, 1)
+
+
+class TestProvenanceRollup:
+    def test_rollup_matches_manual(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.dedup import (
+            provenance_rollup,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "web", 100), (2, "web", 110), (3, "books", 90),
+                (4, None, 50), (5, "web", 70), (6, "wiki", 60),
+            ],
+            "doc_id long, source string, n_chars long",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+            "doc_id long, cluster_id long",
+        )
+        got = {
+            r["cluster_id"]: r
+            for r in provenance_rollup(docs, clusters).collect()
+        }
+        c1 = got[1]
+        assert (c1["n_members"], c1["min_doc_id"], c1["max_doc_id"]) == (3, 1, 3)
+        assert c1["n_sources"] == 2 and c1["sources"] == "books,web"
+        assert c1["total_chars"] == 300
+        c4 = got[4]
+        # NULL source drops from the roster but the member still counts
+        assert (c4["n_members"], c4["n_sources"], c4["sources"]) == (2, 1, "web")
+        assert c4["total_chars"] == 120
+        # doc 6 is unclustered: absent
+        assert set(got) == {1, 4}
+
+    def test_rollup_without_size_col(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.dedup import (
+            provenance_rollup,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, source string"
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+        )
+        row = provenance_rollup(docs, clusters, size_col=None).collect()[0]
+        assert row["sources"] == "a,b"
+        assert "total_chars" not in row.asDict()
