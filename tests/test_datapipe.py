@@ -6319,12 +6319,19 @@ class TestRboKfold:
         assert got["g1"]["n_common"] == 3  # a, b, c shared within depth
         assert got["g2"]["n_common"] == 0
         assert got["g2"]["rbo_min"] == 0.0
-        # identical rankings -> RBO_min = sum of weights (prefix overlap
-        # is d/d = 1 at every depth)
-        same = rbo_min(ra, ra, group_col="g", id_col="item", depth=5)
+        # identical rankings -> per-group RBO_min equals the self-brute
+        # value (= the full weight sum only when the list fills the
+        # depth; g2's 2-item list caps X_d at 2 beyond d=2)
+        same = {
+            r["g"]: r["rbo_min"]
+            for r in rbo_min(
+                ra, ra, group_col="g", id_col="item", depth=5
+            ).collect()
+        }
+        for g in A:
+            assert abs(same[g] - brute(A[g], A[g])) < 1e-12, g
         w_sum = sum((1 - 0.9) * 0.9 ** (d - 1) for d in range(1, 6))
-        for r in same.collect():
-            assert abs(r["rbo_min"] - w_sum) < 1e-12
+        assert abs(same["g1"] - w_sum) < 1e-12
 
     def test_kfold_exact_balance_and_determinism(self, spark):
         from python_etl_mailing_automation_spark.datapipe.sampling import (
