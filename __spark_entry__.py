@@ -3783,10 +3783,12 @@ def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
 def q_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
     """Misra-Gries frequent-items summary per event type (datapipe/
     sketches.heavy_hitters_mg): capacity-8 counter tables over user
-    buckets, folded in (ts, event_id) order. Rows-only check by design:
-    the MG fold is a per-row sequential recurrence with no SQL replay —
-    correctness is pinned by the pytest fold-replay + guarantee tests
-    and the stream-vs-batch equality (streaming_heavy_hitters)."""
+    buckets via the deterministic one-shot mergeable-summaries merge
+    (exact (key,item) counts minus the 9th-largest count — Agarwal et
+    al. 2012), so parallelism rides the high-cardinality (event_type,
+    user_bucket) pair and the result is a pure function of the counts,
+    fully oracle-checkable. The sequential per-row MG fold now lives
+    only in the streaming twin (streaming_heavy_hitters)."""
     from python_etl_mailing_automation_spark.datapipe.sketches import (
         heavy_hitters_mg,
     )
@@ -3794,13 +3796,8 @@ def q_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events").select(
         "event_type",
         (F.col("user_id") % 97).cast("string").alias("user_bucket"),
-        "ts",
-        "event_id",
     )
-    return heavy_hitters_mg(
-        ev, "event_type", "user_bucket", capacity=8,
-        order_cols=["ts", "event_id"],
-    )
+    return heavy_hitters_mg(ev, "event_type", "user_bucket", capacity=8)
 
 
 def q_ols_multi2(spark: SparkSession, sf: str) -> DataFrame:
@@ -8604,6 +8601,30 @@ def oracle_sql() -> dict[str, str]:
                       * sqrt(CAST(n0*svv - sv*sv AS DOUBLE)))
          END AS rho
   FROM sp_a""",
+        # Deterministic one-shot Misra-Gries merge: exact (key,item)
+        # counts minus the (capacity+1)-th largest count per key
+        # (capacity=8 → the 9th), keep the strictly-positive residuals.
+        "heavy_hitters_mg": """
+  WITH hh_c AS (SELECT event_type,
+                       CAST(user_id % 97 AS VARCHAR) AS item,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+  hh_t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events
+           FROM hh_c GROUP BY 1),
+  hh_r AS (SELECT event_type, item, c,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY c DESC, item) AS rn
+           FROM hh_c),
+  hh_k AS (SELECT event_type,
+                  COALESCE(MAX(CASE WHEN rn = 9 THEN c END), 0) AS ck1
+           FROM hh_r GROUP BY 1)
+  SELECT r.event_type, r.item,
+         CAST(r.c - k.ck1 AS BIGINT) AS mg_count,
+         t.n_events
+  FROM hh_r r
+  JOIN hh_k k USING (event_type)
+  JOIN hh_t t USING (event_type)
+  WHERE r.rn <= 8 AND r.c - k.ck1 > 0""",
         # Exact two-sample KS: integer max CDF gap, one division.
         "ks_two_sample": """
   WITH ks_f AS (SELECT value AS v,

@@ -547,63 +547,87 @@ def heavy_hitters_mg(
     item_col: str,
     *,
     capacity: int = 8,
-    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-key Misra-Gries heavy-hitter summary — the bounded-memory
     frequent-items sketch (Misra & Gries 1982; the deterministic
     ancestor of SpaceSaving): at most ``capacity`` counters per key,
     each item's reported count understates its true count by at most
     ``n_key / (capacity + 1)``, and every item with true frequency
-    above that bound is guaranteed present. The summary a pipeline
-    keeps when exact per-item counts don't fit — top sources per
-    shard, hot tokens per language — and the batch twin of
-    :func:`~.streaming.stateful.streaming_heavy_hitters` (the
-    stream-vs-batch equality is pytest-pinned).
+    above that bound is guaranteed present.
 
-    The MG summary is fold-ORDER-dependent, so the fold order is part
-    of the contract: rows are processed per key in ``order_cols`` order
-    (default: ``item_col`` — any deterministic total order works; the
-    streaming twin must be fed the same order to match bit-for-bit).
-    Sequential PER KEY by the sketch's definition — parallel across
-    keys — via Arrow-batched ``applyInPandas``; this is the documented
-    state-machine family (CUSUM, sessionize), not an accidental UDF.
+    Batch formulation (round-10 rework): MG summaries are MERGEABLE
+    (Agarwal et al., "Mergeable Summaries", PODS 2012) — merging two
+    summaries = add counters item-wise, then subtract the
+    (capacity+1)-th largest counter from all and drop the non-positive.
+    Folding a batch therefore never needs the sequential per-row
+    recurrence: treat each exact (key, item) count as a singleton
+    summary and apply ONE merge step —
+
+        mg_count(item) = max(0, c_item - c_(capacity+1))
+
+    where ``c_(capacity+1)`` is the (capacity+1)-th largest exact count
+    within the key (0 when the key has <= capacity distinct items).
+    At most ``capacity`` items have ``c_item > c_(capacity+1)``, and
+    since the top capacity+1 counts each >= ``c_(capacity+1)``,
+    ``(capacity+1) * c_(capacity+1) <= n_key`` — so the undercount
+    ``c_(capacity+1)`` obeys the classic ``n_key/(capacity+1)`` bound
+    and every item above the bound survives. Deterministic (pure
+    function of the exact counts — no fold order, no partition
+    layout), hence SQL-expressible and oracle-checkable.
+
+    Execution shape, 100 TB posture: exact counts via
+    ``groupBy(key, item)`` (map-side partial agg; shuffle keyed on the
+    HIGH-cardinality (key, item) pair, so parallelism tracks data
+    volume, not key cardinality), then a ``row_number() <= capacity+1``
+    top-k window per key that Spark rewrites with WindowGroupLimit —
+    each map task keeps only capacity+1 rows per key BEFORE the
+    exchange, so the per-key window never materializes the full
+    distinct-item table. No Python eval nodes anywhere (the round-9
+    per-key sequential ``applyInPandas`` fold — whose parallelism was
+    capped by key cardinality — now lives only in the streaming twin
+    :func:`~.streaming.stateful.streaming_heavy_hitters`, where the
+    per-row recurrence IS the correct incremental state machine; the
+    stream-vs-batch test pins both to the same MG guarantee).
 
     Output: ``(key_col, item, mg_count, n_events)`` — one row per
     surviving counter, ``n_events`` the key's total (for the error
     bound ``n_events/(capacity+1)``).
-
-    NOT SQL-expressible (per-row sequential recurrence) — registered
-    rows-only in the battery; correctness is pinned by the pytest
-    fold replay and the guarantee test instead.
     """
-    import pandas as pd
-
-    order = list(order_cols) if order_cols else [item_col]
-    out_schema = (
-        f"{key_col} string, item string, mg_count long, n_events long"
-    )
-
-    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        counters = _mg_fold(pdf["__item"], {}, capacity)
-        items = sorted(counters)
-        return pd.DataFrame(
-            {
-                key_col: pdf["__key"].iloc[0],
-                "item": items,
-                "mg_count": [counters[i] for i in items],
-                "n_events": len(pdf),
-            }
+    counts = (
+        df.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(item_col).cast("string").alias("item"),
         )
-
-    # Projection: key, item, and the order columns (an order entry that
-    # IS the item column rides as its cast-to-string copy).
-    cols = {"__key": F.col(key_col).cast("string"),
-            "__item": F.col(item_col).cast("string")}
-    for c in order:
-        if c != item_col:
-            cols[c] = F.col(c)
-        else:
-            cols[c] = F.col(item_col).cast("string")
-    proj = df.select(*[v.alias(k) for k, v in cols.items()])
-    return proj.groupBy("__key").applyInPandas(_per_key, schema=out_schema)
+        .groupBy(key_col, "item")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = counts.groupBy(key_col).agg(
+        F.sum("__c").alias("n_events")
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__c").desc(), F.col("item").asc()
+    )
+    # The rank filter sits directly on the window so Catalyst inserts
+    # WindowGroupLimit (partial, pre-shuffle) — top-(capacity+1) per
+    # key without sorting the full count table.
+    ranked = counts.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= capacity + 1
+    )
+    thresh = ranked.groupBy(key_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == capacity + 1, F.col("__c"))),
+            F.lit(0).cast("long"),
+        ).alias("__ck1")
+    )
+    return (
+        ranked.filter(F.col("__rn") <= capacity)
+        .join(thresh, key_col)
+        .join(totals, key_col)
+        .select(
+            key_col,
+            "item",
+            (F.col("__c") - F.col("__ck1")).cast("long").alias("mg_count"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .filter(F.col("mg_count") > 0)
+    )

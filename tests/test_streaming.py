@@ -790,50 +790,96 @@ def test_streaming_cusum_matches_batch_across_microbatches(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def test_heavy_hitters_mg_fold_replay_and_guarantee(spark):
-    """Batch MG summary equals the Python fold replay in contract
-    order, and honors the classic guarantee: any item with true count
+def test_heavy_hitters_mg_closed_form_and_guarantee(spark):
+    """Batch MG summary equals the closed-form one-shot merge
+    (exact count minus the (capacity+1)-th largest count, positive
+    residuals only), caps the counter table at ``capacity``, and
+    honors the classic guarantee: any item with true count
     > n/(capacity+1) survives, each reported count within
-    [true - n/(cap+1), true]."""
+    [true - n/(cap+1), true]. Multi-key: each key's summary is
+    independent."""
     from collections import Counter
 
     from python_etl_mailing_automation_spark.datapipe.sketches import (
-        _mg_fold,
         heavy_hitters_mg,
     )
 
-    items = (["a"] * 30 + ["b"] * 20 + ["c"] * 5
-             + [f"x{i}" for i in range(25)])
-    rows = [("k1", it, i) for i, it in enumerate(items)]
-    df = spark.createDataFrame(rows, "key string, item string, seq long")
-    cap = 4
-    got = {
-        r["item"]: (r["mg_count"], r["n_events"])
-        for r in heavy_hitters_mg(
-            df, "key", "item", capacity=cap, order_cols=["seq"]
-        ).collect()
+    per_key = {
+        "k1": ["a"] * 30 + ["b"] * 20 + ["c"] * 5
+        + [f"x{i}" for i in range(25)],
+        # all-ties key: 6 items x 4 each, capacity 4 -> ck1 = 4,
+        # every residual 0, empty summary (bound still holds: no
+        # item exceeds 24/5).
+        "k2": [f"t{i}" for i in range(6)] * 4,
     }
-    replay = _mg_fold([it for _, it, _ in sorted(rows, key=lambda r: r[2])],
-                      {}, cap)
-    assert got == {k: (v, len(items)) for k, v in replay.items()}
-    true = Counter(items)
-    bound = len(items) / (cap + 1)
-    for it, c in true.items():
-        if c > bound:
-            assert it in got, f"guaranteed heavy hitter {it} missing"
-    for it, (mg, _) in got.items():
-        assert true[it] - bound <= mg <= true[it]
+    rows = [(k, it) for k, items in per_key.items() for it in items]
+    df = spark.createDataFrame(rows, "key string, item string")
+    cap = 4
+    got: dict[str, dict[str, tuple[int, int]]] = {}
+    for r in heavy_hitters_mg(df, "key", "item", capacity=cap).collect():
+        got.setdefault(r["key"], {})[r["item"]] = (
+            r["mg_count"], r["n_events"],
+        )
+    for k, items in per_key.items():
+        true = Counter(items)
+        n = len(items)
+        ck1 = sorted(true.values(), reverse=True)[cap] if (
+            len(true) > cap
+        ) else 0
+        expected = {
+            it: (c - ck1, n) for it, c in true.items() if c - ck1 > 0
+        }
+        assert got.get(k, {}) == expected, k
+        assert len(got.get(k, {})) <= cap
+        bound = n / (cap + 1)
+        for it, c in true.items():
+            if c > bound:
+                assert it in got[k], f"guaranteed heavy hitter {it} missing"
+        for it, (mg, _) in got.get(k, {}).items():
+            assert true[it] - bound <= mg <= true[it]
+    assert "k2" not in got  # the all-ties key collapses to empty
+
+
+def test_heavy_hitters_mg_plan_has_no_python_eval(spark):
+    """The round-10 rework's contract: the batch operator is pure
+    DataFrame ops — no FlatMapGroupsInPandas / Batch/ArrowEvalPython
+    stage — and the top-(capacity+1) rank filter is rewritten as a
+    WindowGroupLimit so each map task keeps only capacity+1 rows per
+    key before the exchange."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        heavy_hitters_mg,
+    )
+
+    df = spark.createDataFrame(
+        [("k", f"i{n % 7}") for n in range(50)], "key string, item string"
+    )
+    plan = heavy_hitters_mg(df, "key", "item", capacity=3)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    for bad in ("FlatMapGroupsInPandas", "BatchEvalPython",
+                "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, bad
+    assert "WindowGroupLimit" in plan
 
 
 def test_streaming_heavy_hitters_matches_batch_across_microbatches(spark):
     """Two forced micro-batches; final streaming snapshot (max
-    n_events per key) equals the batch twin folded over all rows in
-    the same (ts, event_id) order."""
+    n_events per key) equals the sequential Python fold replay in
+    (ts, event_id) order — the streaming state machine's bit-level
+    pin — and BOTH the streaming summary and the batch twin's
+    closed-form merge honor the MG guarantee against exact counts
+    (the round-10 contract: batch is the deterministic mergeable
+    formulation, streaming keeps the order-dependent fold, equality
+    is at the guarantee level, not bit level)."""
     import os
     import time
+    from collections import Counter
     from datetime import datetime, timedelta
 
     from python_etl_mailing_automation_spark.datapipe.sketches import (
+        _mg_fold,
         heavy_hitters_mg,
     )
     from python_etl_mailing_automation_spark.streaming.stateful import (
@@ -848,13 +894,39 @@ def test_streaming_heavy_hitters_matches_batch_across_microbatches(spark):
             for i in range(30) for j in (1, 2)]
     schema = "key string, item string, ts timestamp, event_id long"
     batch_df = spark.createDataFrame(early + late, schema)
-    expected = {
+    cap = 3
+    all_rows = sorted(early + late, key=lambda r: (r[2], r[3]))
+    true = {}
+    for k, it, _, _ in all_rows:
+        true.setdefault(k, Counter())[it] += 1
+    expected = {}
+    for k in true:
+        replay = _mg_fold(
+            [it for kk, it, _, _ in all_rows if kk == k], {}, cap
+        )
+        n = sum(true[k].values())
+        for it, c in replay.items():
+            expected[(k, it)] = (c, n)
+
+    def _assert_mg_guarantee(summary, label):
+        for k, cnt in true.items():
+            n = sum(cnt.values())
+            bound = n / (cap + 1)
+            for it, c in cnt.items():
+                if c > bound:
+                    assert (k, it) in summary, f"{label}: {k}/{it} missing"
+            for (kk, it), (mg, ne) in summary.items():
+                assert ne == sum(true[kk].values()), label
+                assert true[kk][it] - sum(true[kk].values()) / (cap + 1) \
+                    <= mg <= true[kk][it], label
+
+    batch = {
         (r["key"], r["item"]): (r["mg_count"], r["n_events"])
         for r in heavy_hitters_mg(
-            batch_df, "key", "item", capacity=3,
-            order_cols=["ts", "event_id"],
+            batch_df, "key", "item", capacity=cap
         ).collect()
     }
+    _assert_mg_guarantee(batch, "batch closed-form")
     stage = tempfile.mkdtemp(prefix="mg_in_")
     ckpt = tempfile.mkdtemp(prefix="mg_ck_")
     try:
@@ -871,7 +943,7 @@ def test_streaming_heavy_hitters_matches_batch_across_microbatches(spark):
             .parquet(stage + "/*")
         )
         q = (
-            streaming_heavy_hitters(stream, capacity=3)
+            streaming_heavy_hitters(stream, capacity=cap)
             .writeStream.format("memory").queryName("mg_stream")
             .outputMode("append").option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -889,7 +961,8 @@ def test_streaming_heavy_hitters_matches_batch_across_microbatches(spark):
             (r["key"], r["item"]): (r["mg_count"], r["n_events"])
             for r in snaps if r["n_events"] == last_n[r["key"]]
         }
-        assert got == expected
+        assert got == expected  # bit-level pin on the sequential fold
+        _assert_mg_guarantee(got, "streaming fold")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
