@@ -5589,6 +5589,14 @@ _CHANGED_SINCE_SIGNED = {
     # renamed before the bin join (q_interval_join derives its interval
     # frame from the event stream itself).
     "interval_join": 9,
+    # Round-10 prefix-constant shave: vocab_growth's per-doc aggregate
+    # and quantile_match's distinct-value frames are now detached once
+    # (graph._materialize) before the two-branch prefix scan, and
+    # quantile_match shares ONE boundary sample across both sides.
+    # Values unchanged (parity re-verified locally), code under the
+    # signatures changed — re-sign.
+    "vocab_growth": 9,
+    "quantile_match": 9,
 }
 
 
@@ -12268,8 +12276,11 @@ def oracle_sql() -> dict[str, str]:
   ka_ct AS (SELECT CAST(SUM(ncnt * ncnt) AS HUGEINT) AS sum_nc2,
                    CAST(count(*) AS BIGINT) AS n_categories
             FROM ka_c)
-  SELECT n_items, CAST(n AS BIGINT) AS n_ratings, n_categories,
-         CASE WHEN p * (n * n - sum_nc2) <> 0 AND n_items > 0 THEN
+  SELECT COALESCE(n_items, 0) AS n_items,
+         COALESCE(CAST(n AS BIGINT), 0) AS n_ratings,
+         COALESCE(n_categories, 0) AS n_categories,
+         CASE WHEN p * (n * n - sum_nc2) <> 0 AND n_items > 0
+               AND p < CAST(9007199254740992 AS HUGEINT) THEN
            1.0e0 - CAST(n - 1 AS DOUBLE) * CAST(num AS DOUBLE)
                    / CAST(p * (n * n - sum_nc2) AS DOUBLE)
          END AS alpha

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import time
 
@@ -438,6 +437,53 @@ DEEP_QUERIES = [
 ]
 
 
+def _busy_process(args: str) -> bool:
+    """Classify one ``ps`` args line as bench-contending work.
+
+    Round-10 hardening: classification looks ONLY at the command
+    position — the executable basename, plus the script/module slot for
+    python interpreters — never at free argv text. The old substring
+    rules both false-positived (any process whose PROMPT/argument text
+    mentioned "pytest" or "bench.py") and needed a build-environment
+    process-name exemption to compensate; a prompt-text exemption would
+    equally have false-negatived a genuinely busy process carrying that
+    text. Executable identity can't be spoofed by argument text in
+    either direction.
+    """
+    toks = args.split()
+    if not toks:
+        return False
+    head = os.path.basename(toks[0])
+    if head.startswith("java") or head in (
+        "spark-submit",
+        "spark-class",
+        "pytest",
+    ):
+        return True
+    if head.startswith("python"):
+        # Skip interpreter flags to the command slot: -m <module> or
+        # the script path. (-c one-liners and bare REPLs are idle.)
+        i = 1
+        while i < len(toks) and toks[i].startswith("-") and toks[i] != "-m":
+            if toks[i] == "-c":
+                return False
+            i += 1
+        if i < len(toks) - 1 and toks[i] == "-m":
+            return toks[i + 1] == "pytest"
+        if i < len(toks):
+            script = os.path.basename(toks[i])
+            return script in (
+                "pytest",
+                "bench.py",
+                "check_parity.py",
+                "plan_audit.py",
+                "oracle_budget.py",
+                "ann_recall.py",
+                "make_sf.py",
+            )
+    return False
+
+
 def environment_probe() -> dict:
     """Idle-machine check, taken BEFORE the bench JVM starts.
 
@@ -491,26 +537,7 @@ def environment_probe() -> dict:
         for pid, ppid, args in rows:
             if pid in ancestors or ppid == me:
                 continue
-            # The resident orchestration harness ("claude -p ... <prompt>")
-            # embeds words like "pytest" inside its PROMPT text, so a
-            # substring match over full args flags a process that is
-            # always present and always idle-waiting (the round-9 false
-            # positive: an idle-machine run stamped contaminated).
-            # Match the EXECUTABLE and runner tokens instead.
-            if "claude -p" in args or "ps -eo" in args:
-                continue
-            head = os.path.basename(args.split()[0])
-            busy = (
-                head.startswith("java")
-                or head in ("spark-submit", "spark-class")
-                or head == "pytest"
-                or re.search(r"(^|/)pytest(\s|$)|-m pytest(\s|$)", args)
-                is not None
-                or "SparkSubmit" in args.split()
-                or "check_parity.py" in args
-                or re.search(r"(^|/|\s)bench\.py(\s|$)", args) is not None
-            )
-            if busy:
+            if _busy_process(args):
                 probe["other_procs"].append(args[:120])
     except Exception:  # noqa: BLE001 - the probe must never kill the bench
         pass

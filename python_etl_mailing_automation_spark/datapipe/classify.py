@@ -735,9 +735,12 @@ def krippendorff_alpha(
     numerator SUM_v S_v * (P/(v-1)) — every term an exact integer
     because P is divisible by each (v-1). One final double division.
     P is computed with the engines' float ``product`` aggregate, exact
-    below 2^53 — panels up to ~18 raters, asserted in the docblock
-    rather than silently wrong beyond (P for distinct v-1 in 1..17 is
-    17! ~ 3.6e14 < 2^53).
+    below 2^53 — panels up to ~18 raters (P for distinct v-1 in 1..17
+    is 17! ~ 3.6e14 < 2^53). ENFORCED at runtime, not just documented:
+    when P >= 2^53 the clearing is no longer integer-exact, so alpha is
+    NULL (the intermediate float products only grow — every factor
+    v-1 >= 1 — so the final P is the max and the single check covers
+    every step).
 
     Output: one row ``(n_items, n_ratings, n_categories, alpha)``;
     alpha is NULL when the expected disagreement is zero (all ratings
@@ -808,7 +811,11 @@ def krippendorff_alpha(
     n = F.col("__n")
     den = F.col("__p") * (n * n - F.col("__sum_nc2"))
     alpha = F.when(
-        (den != 0) & (F.col("__n_items") > 0),
+        (den != 0)
+        & (F.col("__n_items") > 0)
+        # exactness guard: P must be float-exact for the integer
+        # clearing to hold
+        & (F.col("__p") < F.lit(2.0 ** 53).cast("decimal(38,0)")),
         F.lit(1.0)
         - (n - 1).cast("double")
         * F.col("__num").cast("double")

@@ -112,6 +112,7 @@ def global_running_sums(
     sums: dict[str, str],
     *,
     boundary_source: DataFrame | None = None,
+    boundaries: list | None = None,
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Add exact global running-sum columns to ``df`` without ever
@@ -124,7 +125,25 @@ def global_running_sums(
     window over ties). Buckets come from :func:`range_boundaries` on the
     FIRST order column — sampled from ``boundary_source`` when given
     (pass the raw table's column when ``df`` itself is an expensive
-    aggregate), else from ``df``.
+    aggregate), else from ``df``. A caller running SEVERAL prefix scans
+    whose key shares one distribution (e.g. quantile matching's source
+    and target sides) can sample once via :func:`range_boundaries` and
+    pass the list through ``boundaries``, skipping the per-call sample
+    job entirely — boundary quality only steers balance, never
+    correctness.
+
+    Cost note: ``df`` appears in two branches of the produced plan
+    (bucket totals, final join), but those are ONE job — Spark's
+    exchange reuse computes the shared aggregate subtree once, so do
+    NOT localCheckpoint-detach an input merely for this function
+    (measured round-10: detaching vocab_growth's aggregate ran ~1.8×
+    slower at sf0.1 — the store pass costs more than it saves and
+    breaks reuse). The only off-plan evaluation is the boundary-sample
+    job: when ``df`` is expensive, point ``boundary_source`` at a cheap
+    raw column with the same key distribution, or pass ``boundaries``
+    computed once. Detaching (``graph._materialize``) pays off only
+    when the frame feeds multiple SEPARATE jobs, as in the suffix
+    module's doubling rounds.
 
     Scale shape: one bounded boundary sample, one per-bucket aggregate
     (bucket-cardinality frame), offsets computed by ARRAY algebra over
@@ -137,10 +156,14 @@ def global_running_sums(
     count is the parallelism knob.
     """
     key = F.col(order_cols[0])
-    bounds = range_boundaries(
-        boundary_source if boundary_source is not None else df,
-        order_cols[0],
-        n_buckets,
+    bounds = (
+        boundaries
+        if boundaries is not None
+        else range_boundaries(
+            boundary_source if boundary_source is not None else df,
+            order_cols[0],
+            n_buckets,
+        )
     )
     bucketed = df.withColumn("__pfx_b", bucket_of(key, bounds))
     totals = bucketed.groupBy("__pfx_b").agg(

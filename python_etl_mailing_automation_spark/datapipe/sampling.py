@@ -739,7 +739,11 @@ def kfold_assign(
     itself), never an RNG — the same corpus always yields the same
     folds, and a DuckDB oracle can verify the exact assignment. NULL
     ids get a NULL fold (no stable assignment; same contract as
-    :func:`dataset_split`).
+    :func:`dataset_split`) and are excluded from the rank window
+    entirely, so a valid row's fold is independent of how many NULL-id
+    rows ride along — the same frame pre-filtered or not yields
+    identical folds (round-10 fix: NULL md5 keys used to sort first
+    inside the window and shift every valid row's rank).
 
     Scale shape: one rank window per stratum — a keyed partition (the
     per-stratum sort is the price of EXACT balance; the strata of a
@@ -758,6 +762,8 @@ def kfold_assign(
         *(strat or [F.lit(1)])
     ).orderBy(h, F.col(id_col))
     fold = ((F.row_number().over(w) - 1) % k).cast("long")
-    return df.withColumn(
-        out_col, F.when(F.col(id_col).isNotNull(), fold)
+    valid = df.filter(F.col(id_col).isNotNull()).withColumn(out_col, fold)
+    nulls = df.filter(F.col(id_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("long")
     )
+    return valid.unionByName(nulls)

@@ -2476,23 +2476,31 @@ def quantile_match(
         (F.col(group_col) == F.lit(source_val)).cast("long").alias("__s"),
         (F.col(group_col) == F.lit(target_val)).cast("long").alias("__t"),
     )
+    from .prefix import range_boundaries
+
+    # Boundaries only steer balance, so ONE sample over the combined
+    # value stream serves both sides (round-10: two sample jobs ->
+    # one). The per-side aggregates stay plan-attached: each side's two
+    # branches (bucket totals + final join) share the aggregate subtree
+    # via exchange reuse, which a localCheckpoint detach would break.
     src_v = base.filter(F.col("__s") == 1).groupBy("__v").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
     tgt_v = base.filter(F.col("__t") == 1).groupBy("__v").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    shared_bounds = range_boundaries(base.select("__v"), "__v")
     src_run = global_running_sums(
         src_v,
         ["__v"],
         {"__cum": "__c"},
-        boundary_source=base.filter(F.col("__s") == 1).select("__v"),
+        boundaries=shared_bounds,
     )
     tgt_run = global_running_sums(
         tgt_v,
         ["__v"],
         {"__cum": "__c"},
-        boundary_source=base.filter(F.col("__t") == 1).select("__v"),
+        boundaries=shared_bounds,
     )
     totals = base.agg(
         F.sum("__s").cast("long").alias("__ns"),

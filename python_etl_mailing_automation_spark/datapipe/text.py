@@ -886,6 +886,12 @@ def vocab_growth(
     new_types = first_seen.groupBy("__d").agg(
         F.count(F.lit(1)).cast("long").alias("new_types")
     )
+    # NOTE on the two plan branches (bucket totals + final join): both
+    # contain the same aggregate subtree, and Spark's exchange reuse
+    # computes it ONCE — measured round-10: detaching it with
+    # localCheckpoint instead (breaking reuse, adding a store pass) ran
+    # ~1.8x SLOWER at sf0.1. The only off-plan evaluation is the
+    # boundary sample, which already rides the cheap raw column below.
     pre = per_doc.join(new_types, "__d", "left").select(
         "__d",
         "n_tokens",

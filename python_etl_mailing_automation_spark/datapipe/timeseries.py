@@ -165,8 +165,19 @@ def max_concurrency(
     else:
         from .prefix import global_running_sums
 
+        # Boundary sample rides the cheap raw start-column scan — the
+        # start times alone carry the event-time distribution, and
+        # boundaries only steer balance — so the exploded delta stream
+        # is evaluated once, in the main plan (whose two branches share
+        # it via exchange reuse; round-10 measured a localCheckpoint
+        # detach here as strictly slower).
         runs = global_running_sums(
-            deltas, ["__t", "__d"], {"__run": "__d"}
+            deltas,
+            ["__t", "__d"],
+            {"__run": "__d"},
+            boundary_source=base.select(
+                F.col(start_col).cast("timestamp").alias("__t")
+            ),
         ).select("__t", F.col("__run").cast("int").alias("__run"))
     best = runs.groupBy(*grp).agg(
         F.max(

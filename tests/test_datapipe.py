@@ -6144,6 +6144,40 @@ class TestAnnotationReliability:
         assert r["alpha"] is None
         assert r["n_categories"] == 1
 
+        # empty ratings slice: counts coalesce to 0, alpha NULL
+        r = krippendorff_alpha(
+            df.filter("item < 0"), "item", "rater", "lab"
+        ).collect()[0]
+        assert (r["n_items"], r["n_ratings"], r["n_categories"]) == (0, 0, 0)
+        assert r["alpha"] is None
+
+    def test_krippendorff_exactness_guard_nulls_alpha_beyond_2_53(
+        self, spark
+    ):
+        """The PROD(v-1) clearing is only integer-exact while P < 2^53;
+        beyond that the runtime guard must return NULL alpha instead of
+        a silently-inexact value (round-10 advisory fix). A panel with
+        many distinct rating counts drives P = PROD(v-1) over
+        v in {2..21} past 2^53 (20! ~ 2.4e18)."""
+        from python_etl_mailing_automation_spark.datapipe.classify import (
+            krippendorff_alpha,
+        )
+
+        rows = []
+        item = 0
+        # one item per rating count v = 2..21, alternating labels so
+        # disagreement (and thus a non-degenerate denominator) exists
+        for v in range(2, 22):
+            item += 1
+            for j in range(v):
+                rows.append((item, f"R{j}", "x" if j % 2 else "y"))
+        df = spark.createDataFrame(
+            rows, "item long, rater string, lab string"
+        )
+        r = krippendorff_alpha(df, "item", "rater", "lab").collect()[0]
+        assert r["n_items"] == 20
+        assert r["alpha"] is None  # guard fired, not a wrong number
+
     def test_confident_joint_flags_planted_noise(self, spark):
         from python_etl_mailing_automation_spark.datapipe.classify import (
             confident_joint,
@@ -6361,6 +6395,34 @@ class TestRboKfold:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             kfold_assign(df, 1)
+
+    def test_kfold_null_ids_do_not_shift_valid_folds(self, spark):
+        """NULL-id rows are excluded from the rank window, so the same
+        frame with and without them yields identical folds for every
+        valid row (the round-10 advisory fix); NULL ids still get a
+        NULL fold."""
+        from python_etl_mailing_automation_spark.datapipe.sampling import (
+            kfold_assign,
+        )
+
+        rows = [(i, "s%d" % (i % 2)) for i in range(40)]
+        clean = spark.createDataFrame(rows, "doc_id long, strat string")
+        noisy = clean.unionByName(
+            spark.createDataFrame(
+                [(None, "s0"), (None, "s1"), (None, "s0")],
+                "doc_id long, strat string",
+            )
+        )
+        base = {
+            r["doc_id"]: r["fold"]
+            for r in kfold_assign(clean, 4, stratify_col="strat").collect()
+        }
+        got = kfold_assign(noisy, 4, stratify_col="strat").collect()
+        for r in got:
+            if r["doc_id"] is None:
+                assert r["fold"] is None
+            else:
+                assert r["fold"] == base[r["doc_id"]], r["doc_id"]
 
 
 class TestProvenanceRollup:

@@ -108,10 +108,35 @@ def test_scans_are_column_pruned(plans):
     assert sorted(cols) == ["o_custkey", "o_orderkey", "o_totalprice"]
 
 
+# Queries whose Arrow-batched pandas stage is the point (payload decode
+# over opaque binary columns). NOTHING else may carry a pandas stage —
+# the round-9 heavy_hitters_mg FlatMapGroupsInPandas slipped past the
+# old MapInPandas-only check, hence the family list.
+_PANDAS_EVAL_WHITELIST = ("multimodal_pipeline", "multimodal_frames")
+
+
+def _python_eval_nodes(plan: str, *, allow_map_in_pandas: bool = False):
+    """Every Python-side evaluation family a physical plan can carry.
+    Returns the offending node names (empty = fully JVM-side). Shared
+    by the battery-wide lint and the broken-fixture self-test so the
+    detector itself is what's tested."""
+    families = [
+        "BatchEvalPython",          # row-wise Python UDF
+        "ArrowEvalPython",          # scalar pandas UDF
+        "FlatMapGroupsInPandas",    # applyInPandas (+WithState)
+        "AggregateInPandas",        # pandas_udf group agg
+        "WindowInPandas",           # pandas_udf window
+    ]
+    if not allow_map_in_pandas:
+        families.append("MapInPandas")
+    return [f for f in families if f in plan]
+
+
 def test_no_python_evaluation_in_any_query_plan(spark, sf_dir):
-    """The engine's promise: everything stays JVM-side. No row-wise or
-    Arrow Python evaluation in any entry query plan — the sole exception
-    is the multimodal query, whose mapInPandas stage is the point."""
+    """The engine's promise: everything stays JVM-side. No row-wise,
+    Arrow, or grouped-pandas Python evaluation in any entry query plan —
+    the sole exceptions are the multimodal queries, whose mapInPandas
+    decode stage is the point."""
     import __spark_entry__ as e
 
     for name, fn in e.queries().items():
@@ -124,13 +149,46 @@ def test_no_python_evaluation_in_any_query_plan(spark, sf_dir):
                 )
             )
         )
-        assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
-        assert "ArrowEvalPython" not in plan, f"{name} has an Arrow Python UDF"
-        if name not in ("multimodal_pipeline", "multimodal_frames"):
-            assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
+        bad = _python_eval_nodes(
+            plan, allow_map_in_pandas=name in _PANDAS_EVAL_WHITELIST
+        )
+        assert not bad, f"{name} has Python eval stages: {bad}"
         # (Codegen spans only render on executed/final AQE plans, so
         # their presence isn't asserted here; Python-free plans + built-in
         # expressions imply codegen eligibility.)
+
+
+def test_python_eval_detector_catches_grouped_pandas(spark):
+    """Self-test of the lint above: a deliberately-broken plan built
+    with applyInPandas (the exact shape the round-9 audit missed) and
+    one with a scalar pandas UDF must both be flagged."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    df = spark.createDataFrame([("k", 1), ("k", 2)], "key string, v long")
+
+    def _ident(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+    def _plan(frame):
+        return frame._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    grouped = df.groupBy("key").applyInPandas(
+        _ident, schema="key string, v long"
+    )
+    assert "FlatMapGroupsInPandas" in _python_eval_nodes(_plan(grouped))
+
+    _plus_one = pandas_udf(lambda s: s + 1, "long")
+    scalar = df.select(_plus_one("v").alias("v1"))
+    assert "ArrowEvalPython" in _python_eval_nodes(_plan(scalar))
+    # and the whitelist path still permits MapInPandas only
+    mapped = df.mapInPandas(lambda it: it, schema="key string, v long")
+    assert _python_eval_nodes(_plan(mapped), allow_map_in_pandas=True) == []
+    assert "MapInPandas" in _python_eval_nodes(_plan(mapped))
 
 
 def test_no_complex_output_columns_in_any_query(spark, sf_dir):

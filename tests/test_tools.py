@@ -107,10 +107,14 @@ def test_bench_environment_probe_shape(monkeypatch):
 
 
 def test_bench_probe_ignores_harness_but_flags_runners(monkeypatch):
-    """Round-9 false positive: the resident orchestration harness's
-    command line EMBEDS words like 'pytest' in its prompt text — the
-    probe must skip it, while still flagging real java/pytest/bench
-    processes by executable token."""
+    """The probe classifies strictly by command position (executable
+    basename; script/module slot for python) — never free argv text.
+    Both failure modes of the old substring rules are pinned: an
+    idle-waiting process whose PROMPT text mentions runner names must
+    not flag (round-9 false positive), and a genuinely busy runner must
+    flag even when its argument text carries a would-be exemption
+    substring (round-10 hardening: the old `'claude -p' in args` escape
+    hatch is gone)."""
     import subprocess
 
     import bench
@@ -121,12 +125,18 @@ def test_bench_probe_ignores_harness_but_flags_runners(monkeypatch):
 
         return lambda *a, **k: R()
 
-    harness = (
-        "9999 1 /bin/sh -c bash -c 'claude -p "
-        "--output-format stream-json ... keep pytest green ...'"
-    )
-    monkeypatch.setattr(subprocess, "run", fake_ps([harness]))
-    assert bench.environment_probe()["contaminated"] is False
+    for idle in (
+        # prompt text mentions pytest / bench.py / check_parity.py —
+        # the executable (sh / some CLI / editor) is not a runner
+        "9999 1 /bin/sh -c bash -c 'some-cli -p "
+        "--output-format stream-json ... keep pytest green ...'",
+        "9999 1 some-agent -p 'run bench.py and check_parity.py please'",
+        "9999 1 vim bench.py",
+        "9999 1 ps -eo pid=,ppid=,args=",
+        "9999 1 python -c print(1)",
+    ):
+        monkeypatch.setattr(subprocess, "run", fake_ps([idle]))
+        assert bench.environment_probe()["contaminated"] is False, idle
 
     for busy in (
         "9999 1 /usr/lib/jvm/bin/java -cp x org.apache.spark.deploy.SparkSubmit",
@@ -134,6 +144,10 @@ def test_bench_probe_ignores_harness_but_flags_runners(monkeypatch):
         "9999 1 /opt/conda/bin/pytest tests",
         "9999 1 python tools/check_parity.py --only foo",
         "9999 1 python bench.py",
+        # busy runner whose ARGUMENT text contains the old exemption
+        # substring — must still flag
+        "9999 1 python -m pytest tests/ -k 'claude -p harness'",
+        "9999 1 pytest tests/test_x.py -k 'ps -eo'",
     ):
         monkeypatch.setattr(subprocess, "run", fake_ps([busy]))
         probe = bench.environment_probe()
