@@ -5505,6 +5505,52 @@ def q_rbo_rankings(spark: SparkSession, sf: str) -> DataFrame:
     return rbo_min(ra, rb, group_col="p_brand", id_col="p_partkey")
 
 
+def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable rank-error quantile summary (datapipe/sketches.
+    quantile_sketch): order totals in cents per priority class reduced
+    to a <=32-row band summary per key — the deterministic one-shot
+    construction from the exact value histogram (epsilon = 1/32 rank
+    contract; merge law pytest-pinned via quantile_sketch_merge), the
+    100 TB-practical companion to the exact corpus_quantiles."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        quantile_sketch,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    return quantile_sketch(o, "cents", key_cols=["priority"], n_bands=32)
+
+
+def q_dedup_audit_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup mass-conservation audit, end to end (datapipe/dedup.
+    dedup_mass_audit): prefix-digest clusters over documents, the
+    provenance rollup recomputed and cross-checked against an
+    independent member-level pass — per-source kept/absorbed detail
+    plus the __ALL__ row whose `conserved` flag certifies that kept +
+    absorbed == input and the rollup accounts for exactly the
+    clustered mass (docs AND chars)."""
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_mass_audit,
+    )
+
+    docs = _t(spark, sf, "documents")
+    dig = docs.select(
+        "doc_id", F.md5(F.substring(F.col("text"), 1, 64)).alias("__dg")
+    )
+    grp = dig.groupBy("__dg").agg(
+        F.min("doc_id").alias("cluster_id"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    clusters = dig.join(grp.filter(F.col("__n") > 1), "__dg").select(
+        "doc_id", "cluster_id"
+    )
+    return dedup_mass_audit(docs, clusters)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's entire pipeline, end to end, as one lazy
     DAG (processing_pipeline.py:297-360 ≈ pipeline/mailing.py)."""
@@ -5933,6 +5979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_rankings": q_rbo_rankings,
         "kfold": q_kfold,
         "cluster_provenance": q_cluster_provenance,
+        # Round-10 additions (tier-0 tail: behind the 43-query backlog).
+        "quantile_sketch": q_quantile_sketch,
+        "dedup_audit_e2e": q_dedup_audit_e2e,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -12437,6 +12486,79 @@ def oracle_sql() -> dict[str, str]:
          COALESCE(s.sources, '') AS sources,
          m.total_chars
   FROM cp_m m LEFT JOIN cp_s s USING (cluster_id)""",
+        # Deterministic one-shot quantile summary: exact per-value
+        # counts, per-key cumulative, keep the rows completing a rank
+        # band (integer // mirrors the engine's DIV exactly).
+        "quantile_sketch": """
+  WITH qs_b AS (SELECT o_orderpriority AS priority,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+                FROM orders
+                WHERE o_totalprice IS NOT NULL),
+  qs_c AS (SELECT priority, v, CAST(count(*) AS BIGINT) AS c
+           FROM qs_b GROUP BY 1, 2),
+  qs_m AS (SELECT priority, v, c,
+                  CAST(SUM(c) OVER (PARTITION BY priority ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(SUM(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+           FROM qs_c)
+  SELECT priority, CAST((cum * 32) // n AS BIGINT) AS band,
+         v AS value, cum AS cum_cnt, n AS n_rows
+  FROM qs_m
+  WHERE (cum * 32) // n > ((cum - c) * 32) // n""",
+        # Mass-conservation dedup audit: member-level kept/absorbed per
+        # source plus the __ALL__ cross-check row (raw totals, rollup
+        # member/char totals) — mirrors dedup.dedup_mass_audit.
+        "dedup_audit_e2e": """
+  WITH da_g AS (SELECT doc_id, md5(substr(text, 1, 64)) AS dg
+                FROM documents),
+  da_cl AS (SELECT dg, MIN(doc_id) AS cluster_id, count(*) AS cnt
+            FROM da_g GROUP BY 1),
+  da_m AS (SELECT g.doc_id, c.cluster_id
+           FROM da_g g JOIN da_cl c USING (dg) WHERE c.cnt > 1),
+  da_rep AS (SELECT cluster_id, MIN(doc_id) AS rep FROM da_m GROUP BY 1),
+  da_d AS (SELECT d.doc_id,
+                  COALESCE(CAST(d.source AS VARCHAR), '') AS src,
+                  COALESCE(CAST(d.n_chars AS BIGINT), 0) AS sz,
+                  m.cluster_id
+           FROM documents d LEFT JOIN da_m m USING (doc_id)),
+  da_mm AS (SELECT d.*,
+                   CAST(d.cluster_id IS NOT NULL
+                        AND d.doc_id <> r.rep AS BIGINT) AS absorbed,
+                   CAST(d.cluster_id IS NOT NULL AS BIGINT) AS clustered
+            FROM da_d d LEFT JOIN da_rep r ON d.cluster_id = r.cluster_id),
+  da_ps AS (SELECT src AS source,
+                   CAST(count(*) AS BIGINT) AS docs_in,
+                   CAST(SUM(sz) AS BIGINT) AS chars_in,
+                   CAST(count(*) - SUM(absorbed) AS BIGINT) AS docs_kept,
+                   CAST(SUM(absorbed) AS BIGINT) AS docs_absorbed,
+                   CAST(SUM(absorbed * sz) AS BIGINT) AS chars_absorbed,
+                   CAST(1 AS BIGINT) AS conserved
+            FROM da_mm GROUP BY 1),
+  da_raw AS (SELECT CAST(count(*) AS BIGINT) AS raw_docs,
+                    CAST(SUM(COALESCE(CAST(n_chars AS BIGINT), 0))
+                         AS BIGINT) AS raw_chars
+             FROM documents),
+  da_ru AS (SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS r_members
+            FROM da_cl WHERE cnt > 1),
+  da_rc AS (SELECT COALESCE(CAST(SUM(sz) AS BIGINT), 0) AS r_chars,
+                   COALESCE(CAST(count(*) AS BIGINT), 0) AS m_clustered,
+                   COALESCE(CAST(SUM(clustered * sz) AS BIGINT), 0)
+                     AS m_cl_chars
+            FROM da_mm WHERE clustered = 1),
+  da_tot AS (SELECT CAST(count(*) AS BIGINT) AS docs_in,
+                    CAST(SUM(sz) AS BIGINT) AS chars_in,
+                    CAST(count(*) - SUM(absorbed) AS BIGINT) AS docs_kept,
+                    CAST(SUM(absorbed) AS BIGINT) AS docs_absorbed,
+                    CAST(SUM(absorbed * sz) AS BIGINT) AS chars_absorbed
+             FROM da_mm)
+  SELECT * FROM da_ps
+  UNION ALL
+  SELECT '__ALL__' AS source, t.docs_in, t.chars_in, t.docs_kept,
+         t.docs_absorbed, t.chars_absorbed,
+         CAST(t.docs_in = w.raw_docs AND t.chars_in = w.raw_chars
+              AND c.m_clustered = u.r_members
+              AND c.m_cl_chars = c.r_chars AS BIGINT) AS conserved
+  FROM da_tot t, da_raw w, da_ru u, da_rc c""",
     }
     # Oracle-cost budget (tools/oracle_budget.py, r8 verdict #7): DuckDB
     # INLINES non-materialized CTEs, so an oracle that references a CTE

@@ -303,6 +303,9 @@ BENCH_QUERIES = [
     "rbo_rankings",
     "kfold",
     "cluster_provenance",
+    # Round-10 additions.
+    "quantile_sketch",
+    "dedup_audit_e2e",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
@@ -591,6 +594,37 @@ def main() -> None:
 
     run("per_key_windowed_sum", sf_dir)  # warm-up (JVM + codegen), not recorded
 
+    # Between-RUN state release (round-9 lesson, extended round 10): a
+    # 251-query sweep in one 16 GiB JVM accumulates every query's
+    # cache_once frames and localCheckpoint blocks; by ~position 25 the
+    # whole sweep was degrading (median 1.5×, worst 7-14× on sub-second
+    # queries — lm_score 1.1→16.1 s) from storage/GC pressure, while a
+    # fresh JVM re-measured the same queries at their committed costs.
+    # Round 9 released state between QUERIES only; round 10's controlled
+    # re-measurement (tools/bench_deep_variance.py) showed the same
+    # accumulation WITHIN one query's repeat runs at sf1.0 — the
+    # flagship's [9.5, 11.0, 59.5] signed spread: leaked localCheckpoint
+    # blocks grow ~3 cached RDDs per semantic_curation_e2e run, the
+    # slow runs carry 16-38× the GC time (18.9 s of an 119.7 s outlier
+    # run), and releasing between a query's OWN runs collapsed the
+    # spread to <=1.7× while LOWERING the minimum (mailing e2e 11.2 ->
+    # 5.7 s). clearCache + gc.collect between every run means each run
+    # starts from the same storage state — colder but honest and
+    # reproducible; codegen/JIT warm-up still amortizes (the compiled-
+    # class cache is not storage and survives clearCache).
+    import gc as _gc
+
+    def release_state() -> None:
+        spark.catalog.clearCache()
+        _gc.collect()
+        # ContextCleaner frees localCheckpoint/RDD blocks via JVM weak
+        # references, which only get processed on a JVM GC — and Spark's
+        # own safety-net GC (spark.cleaner.periodicGC.interval) fires
+        # every 30 MINUTES by default. Measured round 10: without this,
+        # semantic_curation_e2e's checkpoint blocks survived clearCache
+        # + Python gc and climbed 12 -> 22 cached RDDs across runs.
+        spark.sparkContext._jvm.System.gc()
+
     # Two passes per query, best kept: the first execution of each query
     # SHAPE pays whole-stage-codegen compilation + JIT (3-4× at sf0.1,
     # measured), which a steady-state engine comparison should exclude.
@@ -601,26 +635,13 @@ def main() -> None:
     # `errors` and skipped — one broken query must not zero out the whole
     # round's bench datapoint.
     def best_of(name: str, at: str) -> float:
-        a, b = run(name, at), run(name, at)
+        a = run(name, at)
+        release_state()
+        b = run(name, at)
         if max(a, b) > 1.5 * min(a, b):
+            release_state()
             return min(a, b, run(name, at))
         return min(a, b)
-
-    # Between-QUERY state release (round-9 lesson, measured): a
-    # 251-query sweep in one 16 GiB JVM accumulates every query's
-    # cache_once frames and localCheckpoint blocks; by ~position 25 the
-    # whole sweep was degrading (median 1.5×, worst 7-14× on sub-second
-    # queries — lm_score 1.1→16.1 s) from storage/GC pressure, while a
-    # fresh JVM re-measured the same queries at their committed costs.
-    # Dropping Python references + clearCache AFTER each query's
-    # best_of (never between a query's own runs — the per-query
-    # protocol is unchanged) lets ContextCleaner actually free the
-    # blocks, so query N's measurement does not pay for queries 1..N-1.
-    import gc as _gc
-
-    def release_state() -> None:
-        spark.catalog.clearCache()
-        _gc.collect()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -690,7 +711,14 @@ def main() -> None:
         deep_spread = {}
         for name in DEEP_QUERIES:
             try:
-                ts = sorted(run(name, deep_dir) for _ in range(3))
+                # release_state between the deep runs too (round-10
+                # variance attribution): without it the spread measures
+                # leaked-block GC pressure, not the query.
+                ts = []
+                for _ in range(3):
+                    ts.append(run(name, deep_dir))
+                    release_state()
+                ts = sorted(ts)
                 deep_timings[name] = round(ts[0], 3)
                 deep_spread[name] = [round(t, 3) for t in ts]
             except Exception as exc:  # noqa: BLE001

@@ -1484,3 +1484,132 @@ def provenance_rollup(
     if size_col is not None:
         aggs.append(F.sum("__sz").alias("total_chars"))
     return joined.groupBy(F.col("__cl").alias(cluster_col)).agg(*aggs)
+
+
+def dedup_mass_audit(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    source_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """End-to-end mass-conservation audit of a dedup pass — the
+    laudo-style invariant for the LLM-dedup side: every input document
+    is either KEPT (a cluster representative, or a singleton no cluster
+    claimed) or ABSORBED into exactly one representative, and the
+    per-cluster provenance rollup must account for exactly the
+    clustered mass. The audit recomputes both sides independently —
+    member-level (docs joined to the cluster map, representative = MIN
+    member id) and rollup-level (:func:`provenance_rollup` totals) —
+    and exposes their agreement as data, so a broken cluster map
+    (double-assignment inflating the member join, rollup drift) surfaces
+    as ``conserved = 0`` in the output instead of as silent corpus
+    loss or duplication. (A DANGLING cluster entry — an id no document
+    carries — is invisible to both recomputations by construction and
+    is the contract-gate's job, not this audit's.)
+
+    Output: one row per source plus one ``__ALL__`` row —
+    ``(source, docs_in, chars_in, docs_kept, docs_absorbed,
+    chars_absorbed, conserved)``. Per-source rows audit the detail
+    (docs_kept + docs_absorbed = docs_in is enforced per row); the
+    ``__ALL__`` row carries the cross-check proper: the member join
+    reproduces the RAW doc count and char mass exactly (catches a
+    double-assigned id duplicating rows through the join), member-level
+    clustered count == SUM(rollup n_members), member-level clustered
+    chars == SUM(rollup total_chars), and kept + absorbed == input.
+
+    Scale shape: one equi-join of docs against the cluster map, one
+    MIN-per-cluster aggregate broadcast back, keyed aggregates by
+    source; the rollup side is :func:`provenance_rollup`'s one join +
+    one aggregate. No window, no data-sized collect.
+    """
+    cmap = clusters.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__cl")
+    )
+    d = docs.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(source_col).cast("string"), F.lit("")).alias(
+            "__src"
+        ),
+        F.coalesce(F.col(size_col).cast("long"), F.lit(0)).alias("__sz"),
+    )
+    rep = cmap.groupBy("__cl").agg(F.min("__id").alias("__rep"))
+    m = (
+        d.join(cmap, "__id", "left")
+        .join(rep, "__cl", "left")
+        .withColumn(
+            "__absorbed",
+            (
+                F.col("__cl").isNotNull() & (F.col("__id") != F.col("__rep"))
+            ).cast("long"),
+        )
+        .withColumn("__clustered", F.col("__cl").isNotNull().cast("long"))
+    )
+    per_source = m.groupBy(F.col("__src").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("docs_in"),
+        F.sum("__sz").cast("long").alias("chars_in"),
+        F.sum("__absorbed").cast("long").alias("docs_absorbed"),
+        F.sum(F.col("__absorbed") * F.col("__sz"))
+        .cast("long")
+        .alias("chars_absorbed"),
+    ).select(
+        "source",
+        "docs_in",
+        "chars_in",
+        (F.col("docs_in") - F.col("docs_absorbed")).alias("docs_kept"),
+        "docs_absorbed",
+        "chars_absorbed",
+        F.lit(1).cast("long").alias("conserved"),
+    )
+    member_tot = m.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_in"),
+        F.sum("__sz").cast("long").alias("chars_in"),
+        F.sum("__absorbed").cast("long").alias("docs_absorbed"),
+        F.sum(F.col("__absorbed") * F.col("__sz"))
+        .cast("long")
+        .alias("chars_absorbed"),
+        F.sum("__clustered").cast("long").alias("__m_clustered"),
+        F.sum(F.col("__clustered") * F.col("__sz"))
+        .cast("long")
+        .alias("__m_cl_chars"),
+    )
+    rollup_tot = provenance_rollup(
+        docs,
+        clusters,
+        id_col=id_col,
+        cluster_col=cluster_col,
+        source_col=source_col,
+        size_col=size_col,
+    ).agg(
+        F.coalesce(F.sum("n_members"), F.lit(0))
+        .cast("long")
+        .alias("__r_members"),
+        F.coalesce(F.sum("total_chars"), F.lit(0))
+        .cast("long")
+        .alias("__r_chars"),
+    )
+    raw_tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("__raw_docs"),
+        F.sum("__sz").cast("long").alias("__raw_chars"),
+    )
+    total = member_tot.crossJoin(F.broadcast(rollup_tot)).crossJoin(
+        F.broadcast(raw_tot)
+    ).select(
+        F.lit("__ALL__").alias("source"),
+        "docs_in",
+        "chars_in",
+        (F.col("docs_in") - F.col("docs_absorbed")).alias("docs_kept"),
+        "docs_absorbed",
+        "chars_absorbed",
+        (
+            (F.col("docs_in") == F.col("__raw_docs"))
+            & (F.col("chars_in") == F.col("__raw_chars"))
+            & (F.col("__m_clustered") == F.col("__r_members"))
+            & (F.col("__m_cl_chars") == F.col("__r_chars"))
+        )
+        .cast("long")
+        .alias("conserved"),
+    )
+    return per_source.unionByName(total)

@@ -631,3 +631,182 @@ def heavy_hitters_mg(
         )
         .filter(F.col("mg_count") > 0)
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_cols: list[str] | None = None,
+    n_bands: int = 64,
+) -> DataFrame:
+    """Mergeable rank-error quantile summary — the bounded-size
+    companion to the exact ``weighted_quantiles``/``corpus_quantiles``
+    for the scale where the distinct-value table itself doesn't fit a
+    report (KLL/GK territory: Karnin-Lang-Liberty 2016, Greenwald-
+    Khanna 2001; same ``epsilon = 1/n_bands`` rank contract).
+
+    Like the round-10 ``heavy_hitters_mg``, the batch construction is a
+    DETERMINISTIC one-shot reduction of the exact value histogram, not
+    a partition-layout-dependent fold: per key, every distinct value's
+    exact count and cumulative count are computed relationally, and the
+    summary keeps exactly the rows that complete a rank band of width
+    ``n/n_bands`` — at most ``n_bands`` rows per key (a value heavy
+    enough to span several bands is kept once and answers those ranks
+    exactly). For any rank ``r``, the smallest kept value with
+    ``cum_cnt >= r`` over-covers ``r`` by less than ``n/n_bands``:
+    a (1/n_bands)-approximate quantile summary that is a pure function
+    of the data (hash-checkable by a SQL oracle), with merge provided
+    by :func:`quantile_sketch_merge` (weights re-derived, unioned,
+    re-banded; rank errors add, the mergeable-summaries composition
+    law).
+
+    Scale shape: exact counts via ``groupBy(keys, value)`` (map-side
+    combine; shuffle keyed on the high-cardinality pair), one
+    cumulative window per key over the DISTINCT-value histogram (keyed
+    partitions; for an ungrouped corpus-wide sketch the cumulative
+    rides :func:`~.prefix.global_running_sums` — no single-partition
+    window either way).
+
+    Output: ``(key..., band, value, cum_cnt, n_rows)`` — ``band`` the
+    highest rank band this row completes (1-based, ``<= n_bands``),
+    ``cum_cnt`` the exact rank of the row's last occurrence.
+    """
+    if n_bands < 2:
+        raise ValueError("quantile_sketch: n_bands must be >= 2")
+    keys = list(key_cols or [])
+    val = F.col(value_col)
+    counts = (
+        df.filter(val.isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    if keys:
+        wcum = (
+            Window.partitionBy(*keys)
+            .orderBy(val.asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wtot = Window.partitionBy(*keys)
+        cum = counts.select(
+            *keys,
+            value_col,
+            "__c",
+            F.sum("__c").over(wcum).alias("__cum"),
+            F.sum("__c").over(wtot).alias("__n"),
+        )
+    else:
+        from .prefix import global_running_sums
+
+        run = global_running_sums(
+            counts,
+            [value_col],
+            {"__cum": "__c"},
+            boundary_source=df.select(val.alias(value_col)),
+        )
+        tot = run.agg(F.sum("__c").cast("long").alias("__n"))
+        cum = run.crossJoin(F.broadcast(tot))
+    # Integer DIV keeps the band index exact at any n (a double
+    # floor(a*b/c) is provably safe only while 1/c dwarfs the ulp).
+    band_hi = F.expr(f"(__cum * {int(n_bands)}) DIV __n")
+    band_lo = F.expr(f"((__cum - __c) * {int(n_bands)}) DIV __n")
+    return (
+        cum.filter(band_hi > band_lo)
+        .select(
+            *keys,
+            band_hi.cast("long").alias("band"),
+            F.col(value_col).alias("value"),
+            F.col("__cum").cast("long").alias("cum_cnt"),
+            F.col("__n").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def quantile_sketch_query(
+    sketch: DataFrame,
+    probs: list[float],
+    *,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Answer quantile probes from a :func:`quantile_sketch` summary:
+    for each probability ``p`` the estimate is the smallest kept value
+    whose ``cum_cnt`` covers rank ``ceil(p * n)`` — rank error below
+    ``n / n_bands`` by the sketch contract. Output:
+    ``(key..., p, est, est_rank, n_rows)`` with ``est_rank`` the exact
+    rank of the estimate's last occurrence (so callers — and tests —
+    can audit the error directly)."""
+    if not probs:
+        raise ValueError("quantile_sketch_query: probs must be non-empty")
+    keys = list(key_cols or [])
+    pf = F.explode(
+        F.array(*[F.lit(float(p)).cast("double") for p in probs])
+    ).alias("p")
+    probed = sketch.select(*sketch.columns, pf).withColumn(
+        "__r", F.ceil(F.col("p") * F.col("n_rows")).cast("long")
+    )
+    hit = probed.filter(F.col("cum_cnt") >= F.col("__r"))
+    return hit.groupBy(*keys, "p").agg(
+        F.min_by("value", "cum_cnt").alias("est"),
+        F.min("cum_cnt").cast("long").alias("est_rank"),
+        F.max("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def quantile_sketch_merge(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    n_bands: int = 64,
+) -> DataFrame:
+    """Associative merge of two :func:`quantile_sketch` summaries
+    (same schema, same keys): re-derive each kept row's mass as the
+    cum_cnt step from its predecessor (a window over the <= n_bands-row
+    summary — bounded frames), union the weighted values, re-accumulate
+    and re-band against ``n = n_a + n_b``. Rank errors ADD under merge
+    (Agarwal et al., mergeable summaries): the result answers any rank
+    within ``n_a/bands_a + n_b/bands_b + n/n_bands``. Deterministic —
+    a pure function of the two summaries."""
+    keys = list(key_cols or [])
+
+    def _weights(s: DataFrame) -> DataFrame:
+        w = Window.partitionBy(
+            *(keys or [F.lit(1)])
+        ).orderBy(F.col("value").asc())
+        return s.select(
+            *keys,
+            "value",
+            (
+                F.col("cum_cnt")
+                - F.coalesce(
+                    F.lag("cum_cnt", 1).over(w), F.lit(0).cast("long")
+                )
+            ).alias("__c"),
+        )
+
+    both = _weights(a).unionByName(_weights(b))
+    merged = both.groupBy(*keys, "value").agg(
+        F.sum("__c").cast("long").alias("__c")
+    )
+    wcum = (
+        Window.partitionBy(*(keys or [F.lit(1)]))
+        .orderBy(F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*(keys or [F.lit(1)]))
+    cum = merged.select(
+        *keys,
+        "value",
+        "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wtot).alias("__n"),
+    )
+    band_hi = F.expr(f"(__cum * {int(n_bands)}) DIV __n")
+    band_lo = F.expr(f"((__cum - __c) * {int(n_bands)}) DIV __n")
+    return cum.filter(band_hi > band_lo).select(
+        *keys,
+        band_hi.cast("long").alias("band"),
+        F.col("value").alias("value"),
+        F.col("__cum").cast("long").alias("cum_cnt"),
+        F.col("__n").cast("long").alias("n_rows"),
+    )

@@ -6471,3 +6471,211 @@ class TestProvenanceRollup:
         row = provenance_rollup(docs, clusters, size_col=None).collect()[0]
         assert row["sources"] == "a,b"
         assert "total_chars" not in row.asDict()
+
+
+class TestQuantileSketch:
+    def _exact_rank(self, values, v):
+        return sum(1 for x in values if x <= v)
+
+    def test_sketch_rank_contract_and_determinism(self, spark):
+        """Every probe's estimate has rank error < n/n_bands; the
+        sketch is a pure function of the histogram (same rows on
+        reshuffled input); per key at most n_bands rows."""
+        import random
+
+        from python_etl_mailing_automation_spark.datapipe.sketches import (
+            quantile_sketch,
+            quantile_sketch_query,
+        )
+
+        rng = random.Random(7)
+        data = [("a", rng.randint(0, 10_000)) for _ in range(3000)]
+        data += [("b", int(rng.gauss(500, 50))) for _ in range(800)]
+        data += [("b", 500)] * 400  # heavy value spanning bands
+        df = spark.createDataFrame(data, "k string, v long")
+        bands = 32
+        sk = quantile_sketch(df, "v", key_cols=["k"], n_bands=bands)
+        rows = sk.collect()
+        per_key = {}
+        for r in rows:
+            per_key.setdefault(r["k"], []).append(r)
+        vals = {}
+        for k, v in data:
+            vals.setdefault(k, []).append(v)
+        for k, krows in per_key.items():
+            assert len(krows) <= bands, k
+            n = len(vals[k])
+            assert all(r["n_rows"] == n for r in krows)
+            # cum_cnt is the exact rank of the value's last occurrence
+            for r in krows:
+                assert r["cum_cnt"] == self._exact_rank(vals[k], r["value"])
+        probs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        est = quantile_sketch_query(sk, probs, key_cols=["k"]).collect()
+        assert len(est) == 2 * len(probs)
+        for r in est:
+            n = len(vals[r["k"]])
+            target = -(-r["p"] * n // 1)  # ceil
+            # epsilon-approximate property: the estimate's true rank
+            # interval (lo, hi] covers the target rank or begins within
+            # n/bands above it (a heavy value spanning the target is
+            # exactly right even when hi - target is large)
+            lo = self._exact_rank(vals[r["k"]], r["est"] - 1)
+            hi = self._exact_rank(vals[r["k"]], r["est"])
+            assert hi >= target, (r["k"], r["p"])
+            assert lo < target + n / bands, (r["k"], r["p"])
+        # determinism under reshuffle
+        again = set(
+            map(
+                tuple,
+                quantile_sketch(
+                    df.repartition(13), "v", key_cols=["k"], n_bands=bands
+                ).collect(),
+            )
+        )
+        assert again == set(map(tuple, rows))
+
+    def test_sketch_merge_error_adds(self, spark):
+        """Merging two sketches keeps every probe within the summed
+        rank-error budget against the exact ranks of the union."""
+        import random
+
+        from python_etl_mailing_automation_spark.datapipe.sketches import (
+            quantile_sketch,
+            quantile_sketch_merge,
+            quantile_sketch_query,
+        )
+
+        rng = random.Random(11)
+        xs = [rng.randint(0, 5000) for _ in range(2000)]
+        ys = [rng.randint(2000, 9000) for _ in range(1500)]
+        bands = 32
+        dfx = spark.createDataFrame([(v,) for v in xs], "v long")
+        dfy = spark.createDataFrame([(v,) for v in ys], "v long")
+        merged = quantile_sketch_merge(
+            quantile_sketch(dfx, "v", n_bands=bands),
+            quantile_sketch(dfy, "v", n_bands=bands),
+            n_bands=bands,
+        )
+        allv = sorted(xs + ys)
+        n = len(allv)
+        budget = len(xs) / bands + len(ys) / bands + n / bands
+        for r in quantile_sketch_query(merged, [0.1, 0.5, 0.9]).collect():
+            assert r["n_rows"] == n
+            target = -(-r["p"] * n // 1)
+            rank_hi = sum(1 for x in allv if x <= r["est"])
+            rank_lo = sum(1 for x in allv if x < r["est"])
+            assert rank_lo < target + budget
+            assert rank_hi > target - budget
+
+    def test_sketch_ungrouped_uses_prefix_not_global_window(self, spark):
+        """The ungrouped sketch routes its cumulative through the
+        bucketed prefix machinery — no unpartitioned window in the
+        plan — and still honors the rank contract."""
+        from python_etl_mailing_automation_spark.datapipe.sketches import (
+            quantile_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [(i * 37 % 1000,) for i in range(2000)], "v long"
+        )
+        sk = quantile_sketch(df, "v", n_bands=16)
+        plan = sk._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        import re
+
+        for m in re.finditer(r"Window \[[^\]]*partitionBy=\[\]", plan):
+            raise AssertionError(f"unpartitioned window: {m.group(0)}")
+        rows = sk.collect()
+        assert 0 < len(rows) <= 16
+        assert all(r["n_rows"] == 2000 for r in rows)
+
+    def test_sketch_rejects_bad_args(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.sketches import (
+            quantile_sketch,
+            quantile_sketch_query,
+        )
+
+        df = spark.createDataFrame([(1,)], "v long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            quantile_sketch(df, "v", n_bands=1)
+        with _pytest.raises(ValueError):
+            quantile_sketch_query(quantile_sketch(df, "v"), [])
+
+
+class TestDedupMassAudit:
+    def test_conservation_and_per_source_detail(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.dedup import (
+            dedup_mass_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "web", 100), (2, "web", 110), (3, "books", 90),
+                (4, None, 50), (5, "web", 70), (6, "wiki", 60),
+            ],
+            "doc_id long, source string, n_chars long",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+            "doc_id long, cluster_id long",
+        )
+        got = {
+            r["source"]: r for r in dedup_mass_audit(docs, clusters).collect()
+        }
+        alln = got["__ALL__"]
+        assert alln["conserved"] == 1
+        assert alln["docs_in"] == 6 and alln["chars_in"] == 480
+        # reps: doc 1 (cluster 1), doc 4 (cluster 4); absorbed: 2,3,5
+        assert alln["docs_kept"] == 3 and alln["docs_absorbed"] == 3
+        assert alln["chars_absorbed"] == 110 + 90 + 70
+        web = got["web"]
+        assert (web["docs_in"], web["docs_kept"], web["docs_absorbed"]) == (
+            3, 1, 2,
+        )
+        assert web["chars_absorbed"] == 110 + 70
+        # NULL source rides as "" with its representative doc
+        assert got[""]["docs_kept"] == 1 and got[""]["docs_absorbed"] == 0
+        assert got["books"]["docs_absorbed"] == 1
+        assert got["wiki"]["docs_kept"] == 1
+
+    def test_double_assignment_breaks_conservation(self, spark):
+        """A doc id claimed by two clusters duplicates rows through the
+        member join — the __ALL__ row must flag it instead of silently
+        inflating the corpus."""
+        from python_etl_mailing_automation_spark.datapipe.dedup import (
+            dedup_mass_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "doc_id long, source string, n_chars long",
+        )
+        bad = spark.createDataFrame(
+            [(1, 1), (2, 1), (2, 3), (3, 3)],  # doc 2 in two clusters
+            "doc_id long, cluster_id long",
+        )
+        alln = {
+            r["source"]: r for r in dedup_mass_audit(docs, bad).collect()
+        }["__ALL__"]
+        assert alln["conserved"] == 0
+
+    def test_no_clusters_all_kept(self, spark):
+        from python_etl_mailing_automation_spark.datapipe.dedup import (
+            dedup_mass_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)],
+            "doc_id long, source string, n_chars long",
+        )
+        empty = spark.createDataFrame([], "doc_id long, cluster_id long")
+        alln = {
+            r["source"]: r for r in dedup_mass_audit(docs, empty).collect()
+        }["__ALL__"]
+        assert alln["conserved"] == 1
+        assert alln["docs_kept"] == 2 and alln["docs_absorbed"] == 0
