@@ -9,4 +9,5 @@ from .stateful import (  # noqa: F401
     dedup_stream_against_band_ledger,
     dedup_stream_against_store,
     streaming_first_seen_dedup,
+    streaming_quantile_sketch,
 )

@@ -428,3 +428,94 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_quantile_sketch(
+    events: DataFrame,
+    *,
+    key_col: str = "key",
+    value_col: str = "value",
+    n_bands: int = 64,
+) -> DataFrame:
+    """Streaming twin of :func:`..datapipe.sketches.quantile_sketch`:
+    per key the state IS the sketch — at most ``n_bands`` (value,
+    cum_cnt) pairs plus the running total, BOUNDED BY CONSTRUCTION.
+    Each micro-batch is reduced exactly (a micro-batch fits one pandas
+    frame by definition) and merged into the state through the same
+    merge law the batch operator exposes (:func:`..datapipe.sketches.
+    quantile_sketch_merge`): union the weighted values, re-accumulate,
+    re-band. Rank errors add per merge (mergeable-summaries
+    composition), so after k micro-batches any probe is within
+    ``(k+1) * n/n_bands`` — the stream-vs-batch test pins the summed
+    budget.
+
+    Emits one snapshot of the sketch per key per micro-batch:
+    ``(key, band, value, cum_cnt, n_rows)`` with ``n_rows`` monotone —
+    downstream consumers select each key's rows at max ``n_rows`` for
+    the latest summary, exactly as for ``streaming_heavy_hitters``.
+    """
+
+    out_schema = (
+        "key string, band long, value double, cum_cnt long, n_rows long"
+    )
+    state_schema = "vals array<double>, cums array<long>, n long"
+
+    def _reband(vals: list, weights: list, n: int) -> tuple[list, list]:
+        # one pass over the value-sorted weighted histogram: keep rows
+        # completing a rank band of width n/n_bands (integer // mirrors
+        # the batch operator's DIV)
+        out_v, out_c = [], []
+        cum = 0
+        for v, c in zip(vals, weights):
+            prev = cum
+            cum += c
+            if (cum * n_bands) // n > (prev * n_bands) // n:
+                out_v.append(v)
+                out_c.append(cum)
+        return out_v, out_c
+
+    def _fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        vals = rows["value"].dropna()
+        if not len(vals):
+            return
+        # exact micro-batch histogram
+        counts = vals.value_counts().sort_index()
+        hist = {float(v): int(c) for v, c in counts.items()}
+        if state.exists:
+            s_vals, s_cums, n_prev = state.get
+            prev = 0
+            for v, c in zip(s_vals, s_cums):
+                hist[float(v)] = hist.get(float(v), 0) + int(c - prev)
+                prev = c
+        else:
+            n_prev = 0
+        n = n_prev + int(len(vals))
+        ordered = sorted(hist)
+        out_v, out_c = _reband(ordered, [hist[v] for v in ordered], n)
+        state.update((out_v, out_c, n))
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "band": [(c * n_bands) // n for c in out_c],
+                "value": out_v,
+                "cum_cnt": out_c,
+                "n_rows": n,
+            }
+        )
+
+    normalized = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("key").isNotNull() & F.col("value").isNotNull())
+    return normalized.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

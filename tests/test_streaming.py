@@ -966,3 +966,102 @@ def test_streaming_heavy_hitters_matches_batch_across_microbatches(spark):
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_quantile_sketch_rank_budget_across_microbatches(spark):
+    """Two forced micro-batches; the final streaming sketch snapshot
+    (max n_rows per key) stays bounded at n_bands rows, counts every
+    event, and answers every probe within the SUMMED merge budget
+    (k micro-batches -> k * n/n_bands) against exact ranks — the
+    mergeable-summaries composition law, pinned end to end. The batch
+    twin's one-shot sketch is checked on the same data for the single-
+    pass budget."""
+    import os
+    import time
+
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        quantile_sketch,
+    )
+    from python_etl_mailing_automation_spark.streaming.stateful import (
+        streaming_quantile_sketch,
+    )
+
+    bands = 16
+    early = [("k1", float(i * 37 % 500)) for i in range(400)]
+    early += [("k2", float(i % 50)) for i in range(300)]
+    late = [("k1", float(i * 11 % 900)) for i in range(350)]
+    late += [("k2", 25.0)] * 200  # heavy value arriving late
+    schema = "key string, value double"
+    stage = tempfile.mkdtemp(prefix="qsk_in_")
+    ckpt = tempfile.mkdtemp(prefix="qsk_ck_")
+    try:
+        spark.createDataFrame(early, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "b0"))
+        time.sleep(1.1)
+        spark.createDataFrame(late, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "b1"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage + "/*")
+        )
+        q = (
+            streaming_quantile_sketch(stream, n_bands=bands)
+            .writeStream.format("memory").queryName("qsk_stream")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        snaps = spark.sql("select * from qsk_stream").collect()
+        last_n = {}
+        for r in snaps:
+            last_n[r["key"]] = max(last_n.get(r["key"], 0), r["n_rows"])
+        final = {}
+        for r in snaps:
+            if r["n_rows"] == last_n[r["key"]]:
+                final.setdefault(r["key"], []).append(r)
+        vals = {}
+        for k, v in early + late:
+            vals.setdefault(k, []).append(v)
+        k_batches = 2
+        for k, rows in final.items():
+            n = len(vals[k])
+            assert last_n[k] == n, k  # every event counted
+            assert len(rows) <= bands, k
+            budget = k_batches * n / bands
+            ordered = sorted(vals[k])
+            for p in (0.1, 0.5, 0.9):
+                target = -(-p * n // 1)
+                covering = [r for r in rows if r["cum_cnt"] >= target]
+                assert covering, (k, p)
+                est = min(covering, key=lambda r: r["cum_cnt"])["value"]
+                lo = sum(1 for x in ordered if x < est)
+                hi = sum(1 for x in ordered if x <= est)
+                assert hi > target - budget, (k, p)
+                assert lo < target + budget, (k, p)
+        # batch twin on the same data honors the one-shot budget
+        batch_df = spark.createDataFrame(early + late, schema)
+        bsk = {}
+        for r in quantile_sketch(
+            batch_df, "value", key_cols=["key"], n_bands=bands
+        ).collect():
+            bsk.setdefault(r["key"], []).append(r)
+        for k, rows in bsk.items():
+            n = len(vals[k])
+            ordered = sorted(vals[k])
+            for p in (0.1, 0.5, 0.9):
+                target = -(-p * n // 1)
+                covering = [r for r in rows if r["cum_cnt"] >= target]
+                est = min(covering, key=lambda r: r["cum_cnt"])["value"]
+                lo = sum(1 for x in ordered if x < est)
+                hi = sum(1 for x in ordered if x <= est)
+                assert hi >= target and lo < target + n / bands, (k, p)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
