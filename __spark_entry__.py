@@ -5525,6 +5525,34 @@ def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return quantile_sketch(o, "cents", key_cols=["priority"], n_bands=32)
 
 
+def q_quantile_sketch_merged(spark: SparkSession, sf: str) -> DataFrame:
+    """The sketch MERGE law as a driver-signed row (datapipe/sketches.
+    quantile_sketch_merge): two shard sketches — orders split by
+    orderkey parity, each summarized ungrouped via the bucketed-prefix
+    path — merged by union/re-accumulate/re-band into one corpus
+    summary. Deterministic end to end (both shard sketches and the
+    merge are pure functions of the histograms), so DuckDB replays the
+    full build-build-merge pipeline and hash-checks it."""
+    from python_etl_mailing_automation_spark.datapipe.sketches import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    a = quantile_sketch(
+        o.filter(F.col("o_orderkey") % 2 == 0), "cents", n_bands=32
+    )
+    b = quantile_sketch(
+        o.filter(F.col("o_orderkey") % 2 == 1), "cents", n_bands=32
+    )
+    return quantile_sketch_merge(a, b, n_bands=32)
+
+
 def q_dedup_audit_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup mass-conservation audit, end to end (datapipe/dedup.
     dedup_mass_audit): prefix-digest clusters over documents, the
@@ -5982,6 +6010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-10 additions (tier-0 tail: behind the 43-query backlog).
         "quantile_sketch": q_quantile_sketch,
         "dedup_audit_e2e": q_dedup_audit_e2e,
+        "quantile_sketch_merged": q_quantile_sketch_merged,
     }
     return {name: base[name] for name in _rotation_order(list(base))}
 
@@ -12505,6 +12534,34 @@ def oracle_sql() -> dict[str, str]:
          v AS value, cum AS cum_cnt, n AS n_rows
   FROM qs_m
   WHERE (cum * 32) // n > ((cum - c) * 32) // n""",
+        # Sketch merge law replayed: per-half build (counts -> cum ->
+        # band filter), weights re-derived via LAG, union, re-band.
+        "quantile_sketch_merged": """
+  WITH qm_b AS (SELECT o_orderkey % 2 AS h,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+                FROM orders WHERE o_totalprice IS NOT NULL),
+  qm_c AS (SELECT h, v, CAST(count(*) AS BIGINT) AS c
+           FROM qm_b GROUP BY 1, 2),
+  qm_m AS (SELECT h, v, c,
+                  CAST(SUM(c) OVER (PARTITION BY h ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(SUM(c) OVER (PARTITION BY h) AS BIGINT) AS n
+           FROM qm_c),
+  qm_k AS (SELECT h, v, cum FROM qm_m
+           WHERE (cum * 32) // n > ((cum - c) * 32) // n),
+  qm_w AS (SELECT h, v,
+                  cum - COALESCE(LAG(cum) OVER (PARTITION BY h
+                        ORDER BY v), 0) AS c
+           FROM qm_k),
+  qm_u AS (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM qm_w GROUP BY 1),
+  qm_f AS (SELECT v, c,
+                  CAST(SUM(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(SUM(c) OVER () AS BIGINT) AS n
+           FROM qm_u)
+  SELECT CAST((cum * 32) // n AS BIGINT) AS band, v AS value,
+         cum AS cum_cnt, n AS n_rows
+  FROM qm_f WHERE (cum * 32) // n > ((cum - c) * 32) // n""",
         # Mass-conservation dedup audit: member-level kept/absorbed per
         # source plus the __ALL__ cross-check row (raw totals, rollup
         # member/char totals) — mirrors dedup.dedup_mass_audit.

@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     # Round-10 additions.
     "quantile_sketch",
     "dedup_audit_e2e",
+    "quantile_sketch_merged",
 ]
 
 # Queries deliberately not benched (must be EXPLICIT — see the reverse
