@@ -467,11 +467,15 @@ def _busy_process(args: str) -> bool:
     if head.startswith("python"):
         # Skip interpreter flags to the command slot: -m <module> or
         # the script path. (-c one-liners and bare REPLs are idle.)
+        # CPython flags that consume a SEPARATE argument must skip
+        # their value too, else `python -W ignore bench.py` classifies
+        # its value as the script slot and a busy runner reads idle.
+        value_flags = ("-W", "-X", "--check-hash-based-pycs")
         i = 1
         while i < len(toks) and toks[i].startswith("-") and toks[i] != "-m":
             if toks[i] == "-c":
                 return False
-            i += 1
+            i += 2 if toks[i] in value_flags else 1
         if i < len(toks) - 1 and toks[i] == "-m":
             return toks[i + 1] == "pytest"
         if i < len(toks):
@@ -484,6 +488,8 @@ def _busy_process(args: str) -> bool:
                 "oracle_budget.py",
                 "ann_recall.py",
                 "make_sf.py",
+                "bench_deep_variance.py",
+                "bench_pagerank_variants.py",
             )
     return False
 

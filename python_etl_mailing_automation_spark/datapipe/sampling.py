@@ -758,12 +758,13 @@ def kfold_assign(
     h = F.md5(
         F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
     )
+    # NULL-id rows are isolated into their own window partition (the
+    # isNull() partition key), so valid rows' ranks never see them —
+    # one pass, no filter/union re-scan of the source.
     w = Window.partitionBy(
-        *(strat or [F.lit(1)])
+        *(strat or [F.lit(1)]), F.col(id_col).isNull()
     ).orderBy(h, F.col(id_col))
     fold = ((F.row_number().over(w) - 1) % k).cast("long")
-    valid = df.filter(F.col(id_col).isNotNull()).withColumn(out_col, fold)
-    nulls = df.filter(F.col(id_col).isNull()).withColumn(
-        out_col, F.lit(None).cast("long")
+    return df.withColumn(
+        out_col, F.when(F.col(id_col).isNotNull(), fold)
     )
-    return valid.unionByName(nulls)

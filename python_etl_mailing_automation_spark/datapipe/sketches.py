@@ -591,10 +591,16 @@ def heavy_hitters_mg(
 
     Output: ``(key_col, item, mg_count, n_events)`` — one row per
     surviving counter, ``n_events`` the key's total (for the error
-    bound ``n_events/(capacity+1)``).
+    bound ``n_events/(capacity+1)``). NULL keys are dropped — the same
+    contract as the streaming twin's ``key.isNotNull()`` normalization
+    (declared and filtered here rather than silently lost through the
+    null-unsafe joins below).
     """
+    if capacity < 1:
+        raise ValueError("heavy_hitters_mg: capacity must be >= 1")
     counts = (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             F.col(key_col).cast("string").alias(key_col),
             F.col(item_col).cast("string").alias("item"),
         )
@@ -676,8 +682,15 @@ def quantile_sketch(
         raise ValueError("quantile_sketch: n_bands must be >= 2")
     keys = list(key_cols or [])
     val = F.col(value_col)
+    # NULL — and for float types NaN — is missing data, not a value:
+    # isNotNull() alone would rank NaN as the LARGEST double (Spark sort
+    # order) and let it win every high-p probe, and the streaming twin's
+    # pandas dropna already removes it; both twins must agree.
+    missing = val.isNull()
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        missing = missing | F.isnan(val)
     counts = (
-        df.filter(val.isNotNull())
+        df.filter(~missing)
         .groupBy(*keys, value_col)
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
@@ -737,6 +750,11 @@ def quantile_sketch_query(
     can audit the error directly)."""
     if not probs:
         raise ValueError("quantile_sketch_query: probs must be non-empty")
+    if any(not (0.0 < p <= 1.0) for p in probs):
+        raise ValueError(
+            "quantile_sketch_query: probs must lie in (0, 1] "
+            "(a p > 1 rank would silently drop its group)"
+        )
     keys = list(key_cols or [])
     pf = F.explode(
         F.array(*[F.lit(float(p)).cast("double") for p in probs])
@@ -766,13 +784,26 @@ def quantile_sketch_merge(
     and re-band against ``n = n_a + n_b``. Rank errors ADD under merge
     (Agarwal et al., mergeable summaries): the result answers any rank
     within ``n_a/bands_a + n_b/bands_b + n/n_bands``. Deterministic —
-    a pure function of the two summaries."""
+    a pure function of the two summaries.
+
+    Warning hygiene: every window here is bounded by construction
+    (summary frames, <= n_bands+1 rows per key), and in the ungrouped
+    case the bound is DECLARED in the plan by partitioning on a
+    frame-constant column (each input's ``n_rows``; the merged frame's
+    one-row total broadcast back) — a bare ``lit(1)`` partition is
+    constant-folded away and lands a WindowExec scale warning in every
+    bench tail.
+    """
+    if n_bands < 2:
+        raise ValueError("quantile_sketch_merge: n_bands must be >= 2")
     keys = list(key_cols or [])
 
     def _weights(s: DataFrame) -> DataFrame:
-        w = Window.partitionBy(
-            *(keys or [F.lit(1)])
-        ).orderBy(F.col("value").asc())
+        # n_rows is frame-constant per input sketch (per key), so it
+        # declares the partition bound without changing the frames.
+        w = Window.partitionBy(*keys, "n_rows").orderBy(
+            F.col("value").asc()
+        )
         return s.select(
             *keys,
             "value",
@@ -788,18 +819,23 @@ def quantile_sketch_merge(
     merged = both.groupBy(*keys, "value").agg(
         F.sum("__c").cast("long").alias("__c")
     )
+    if keys:
+        wtot = Window.partitionBy(*keys)
+        base = merged.withColumn("__n", F.sum("__c").over(wtot))
+    else:
+        tot = merged.agg(F.sum("__c").cast("long").alias("__n"))
+        base = merged.crossJoin(F.broadcast(tot))
     wcum = (
-        Window.partitionBy(*(keys or [F.lit(1)]))
+        Window.partitionBy(*(keys or ["__n"]))
         .orderBy(F.col("value").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wtot = Window.partitionBy(*(keys or [F.lit(1)]))
-    cum = merged.select(
+    cum = base.select(
         *keys,
         "value",
         "__c",
+        "__n",
         F.sum("__c").over(wcum).alias("__cum"),
-        F.sum("__c").over(wtot).alias("__n"),
     )
     band_hi = F.expr(f"(__cum * {int(n_bands)}) DIV __n")
     band_lo = F.expr(f"((__cum - __c) * {int(n_bands)}) DIV __n")

@@ -370,9 +370,13 @@ def streaming_heavy_hitters(
     plus the event total, BOUNDED BY CONSTRUCTION (that bound is the
     whole point of the sketch), folded through each micro-batch's rows
     in (ts, id) order and carried forward, so after any prefix the
-    emitted summary is bit-identical to the batch twin folded over the
-    same prefix in the same order (pytest-pinned across a forced
-    micro-batch boundary).
+    emitted summary is bit-identical to the sequential ``_mg_fold``
+    replay of that prefix in the same order (pytest-pinned across a
+    forced micro-batch boundary). The BATCH twin is the round-10
+    deterministic one-shot merge — a DIFFERENT (at least as accurate)
+    summary of the same counts, so stream-vs-batch equality holds at
+    the ``n/(capacity+1)`` MG-guarantee level, not bit level; both
+    sides are pinned to that guarantee against exact counts.
 
     Emits one snapshot of the counter table per key per micro-batch:
     ``(key, item, mg_count, n_events)`` — ``n_events`` is monotone, so

@@ -6569,8 +6569,12 @@ class TestQuantileSketch:
 
     def test_sketch_ungrouped_uses_prefix_not_global_window(self, spark):
         """The ungrouped sketch routes its cumulative through the
-        bucketed prefix machinery — no unpartitioned window in the
-        plan — and still honors the rank contract."""
+        bucketed prefix machinery — no data-sized unpartitioned window
+        in the plan (checked by test_plans' real detector; the original
+        regex here could never match Spark's Window rendering and was
+        vacuous) — and still honors the rank contract."""
+        from test_plans import _unpartitioned_window_violations
+
         from python_etl_mailing_automation_spark.datapipe.sketches import (
             quantile_sketch,
         )
@@ -6584,10 +6588,23 @@ class TestQuantileSketch:
                 "simple"
             )
         )
-        import re
+        bad = _unpartitioned_window_violations(plan)
+        assert not bad, bad
+        # the detector itself is live on this plan shape: a global
+        # cumulative window directly over the data-sized scan MUST flag
+        from pyspark.sql import Window
 
-        for m in re.finditer(r"Window \[[^\]]*partitionBy=\[\]", plan):
-            raise AssertionError(f"unpartitioned window: {m.group(0)}")
+        w = (
+            Window.orderBy(F.col("v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        naive = df.withColumn("cum", F.sum("v").over(w))
+        naive_plan = naive._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert _unpartitioned_window_violations(naive_plan), naive_plan
         rows = sk.collect()
         assert 0 < len(rows) <= 16
         assert all(r["n_rows"] == 2000 for r in rows)
@@ -6595,6 +6612,7 @@ class TestQuantileSketch:
     def test_sketch_rejects_bad_args(self, spark):
         from python_etl_mailing_automation_spark.datapipe.sketches import (
             quantile_sketch,
+            quantile_sketch_merge,
             quantile_sketch_query,
         )
 
@@ -6605,6 +6623,32 @@ class TestQuantileSketch:
             quantile_sketch(df, "v", n_bands=1)
         with _pytest.raises(ValueError):
             quantile_sketch_query(quantile_sketch(df, "v"), [])
+        with _pytest.raises(ValueError):
+            quantile_sketch_query(quantile_sketch(df, "v"), [1.5])
+        with _pytest.raises(ValueError):
+            sk = quantile_sketch(df, "v")
+            quantile_sketch_merge(sk, sk, n_bands=0)
+
+    def test_sketch_nan_is_missing_like_the_streaming_twin(self, spark):
+        """NaN in a double column is missing data: excluded from n_rows
+        and never returned as a value — matching the streaming twin's
+        dropna (Spark alone would sort NaN LAST and hand it every
+        high-p probe)."""
+        import math
+
+        from python_etl_mailing_automation_spark.datapipe.sketches import (
+            quantile_sketch,
+            quantile_sketch_query,
+        )
+
+        data = [(float(v),) for v in range(100)] + [(float("nan"),)] * 20
+        df = spark.createDataFrame(data, "v double")
+        sk = quantile_sketch(df, "v", n_bands=8)
+        rows = sk.collect()
+        assert all(r["n_rows"] == 100 for r in rows)
+        assert not any(math.isnan(r["value"]) for r in rows)
+        est = quantile_sketch_query(sk, [0.99]).collect()[0]["est"]
+        assert not math.isnan(est)
 
 
 class TestDedupMassAudit:

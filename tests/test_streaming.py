@@ -813,6 +813,9 @@ def test_heavy_hitters_mg_closed_form_and_guarantee(spark):
         "k2": [f"t{i}" for i in range(6)] * 4,
     }
     rows = [(k, it) for k, items in per_key.items() for it in items]
+    # NULL keys drop by contract (same as the streaming twin) and must
+    # not perturb any real key's summary
+    rows += [(None, "a")] * 7
     df = spark.createDataFrame(rows, "key string, item string")
     cap = 4
     got: dict[str, dict[str, tuple[int, int]]] = {}
@@ -838,6 +841,7 @@ def test_heavy_hitters_mg_closed_form_and_guarantee(spark):
         for it, (mg, _) in got.get(k, {}).items():
             assert true[it] - bound <= mg <= true[it]
     assert "k2" not in got  # the all-ties key collapses to empty
+    assert None not in got  # NULL keys dropped, not silently lost mid-plan
 
 
 def test_heavy_hitters_mg_plan_has_no_python_eval(spark):

@@ -148,6 +148,9 @@ def test_bench_probe_ignores_harness_but_flags_runners(monkeypatch):
         # substring — must still flag
         "9999 1 python -m pytest tests/ -k 'claude -p harness'",
         "9999 1 pytest tests/test_x.py -k 'ps -eo'",
+        # value-taking interpreter flags must not eat the script slot
+        "9999 1 python -W ignore bench.py",
+        "9999 1 python -X faulthandler -m pytest tests",
     ):
         monkeypatch.setattr(subprocess, "run", fake_ps([busy]))
         probe = bench.environment_probe()
