@@ -494,27 +494,13 @@ def _busy_process(args: str) -> bool:
     return False
 
 
-def environment_probe() -> dict:
-    """Idle-machine check, taken BEFORE the bench JVM starts.
-
-    The round-8 incident: a full bench ran concurrently with pytest and
-    parity sessions, every per-query number inflated 2-3×, and the
-    polluted BENCH_LOCAL.json was committed by a blanket ``git add -A``.
-    A 32-thread local Spark contends with ANY other JVM for the same
-    cores, so a bench taken on a busy machine is not a measurement.
-    The probe records the 1-minute load average and any other java /
-    pytest / spark processes visible at start; the artifact is stamped
-    ``"contaminated": true`` when either signal fires (stamp, never
-    refuse — the per-round driver environment owns its own contention
-    and must still get a datapoint).
-    """
+def _scan_other_procs() -> list[str]:
+    """One ps pass: argv strings of foreign BUSY processes (runner
+    scripts, pytest, other Spark JVMs) — our own pid ancestry and
+    children exempted. Cheap (~10 ms), so it can run between queries."""
     import subprocess
 
-    probe: dict = {"other_procs": []}
-    try:
-        probe["loadavg_1m"] = round(os.getloadavg()[0], 2)
-    except OSError:
-        probe["loadavg_1m"] = None
+    hits: list[str] = []
     me = os.getpid()
     try:
         out = subprocess.run(
@@ -548,9 +534,134 @@ def environment_probe() -> dict:
             if pid in ancestors or ppid == me:
                 continue
             if _busy_process(args):
-                probe["other_procs"].append(args[:120])
+                hits.append(args[:120])
     except Exception:  # noqa: BLE001 - the probe must never kill the bench
         pass
+    return hits
+
+
+class _IdleSentinel:
+    """Background foreign-process watch covering the WHOLE sweep.
+
+    The start-only probe misses work launched mid-run, and a
+    between-queries spot check misses anything that starts and exits
+    INSIDE one timed run. Both blind spots are measured, not
+    hypothetical: this build environment runs a periodic ~15-minute
+    housekeeping job that spawns its own Spark JVM for tens of seconds
+    — on an hour-long sweep that is ~4 guaranteed contention windows,
+    which showed up as contiguous 4-8× stretches in otherwise-clean
+    runs (battery positions 228-237 in one, the whole deep flagship
+    triple in another, each aligned to the 15-minute tick). A daemon
+    thread scans every ``interval_s`` and keeps (timestamp, argv) hits
+    so the timing loops can ask "was anything foreign alive during THIS
+    run?" and re-measure instead of keeping a polluted number.
+    """
+
+    def __init__(self, interval_s: float = 5.0) -> None:
+        import threading
+
+        self.interval_s = interval_s
+        self.hits: list[tuple[float, list[str]]] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self) -> "_IdleSentinel":
+        self._thread.start()
+        return self
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            procs = _scan_other_procs()
+            if procs:
+                self.hits.append((time.time(), procs))
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    def procs_since(self, t0: float) -> list[str]:
+        return sorted({p for t, ps in self.hits if t >= t0 for p in ps})
+
+    def wait_idle(self, max_wait_s: float = 180.0) -> bool:
+        """Block until a scan comes back clean (or give up)."""
+        deadline = time.time() + max_wait_s
+        while True:
+            if not _scan_other_procs():
+                return True
+            if time.time() >= deadline:
+                return False
+            time.sleep(self.interval_s)
+
+
+def _measure_with_retry(
+    name: str,
+    run_fn,
+    sentinel: "_IdleSentinel",
+    release_fn,
+    contended: dict,
+    retry_counts: dict,
+    max_attempts: int = 3,
+) -> float:
+    """One timed execution, re-measured (bounded) under contention.
+
+    If a foreign busy process was alive at any point during the run —
+    from the sentinel's hit log, plus one synchronous edge scan for
+    runs shorter than two scan intervals — the number measured OUR JVM
+    COMPETING FOR CORES, not the query: release state, wait for the
+    machine to go idle again, and re-run. Give up after
+    ``max_attempts`` and record the query in ``contended`` (which
+    stamps the artifact) so a reviewer can discount exactly those
+    entries. A retry that then measured clean does NOT stamp — that is
+    the point of retrying.
+    """
+    procs: list[str] = []
+    dt = 0.0
+    for _ in range(max_attempts):
+        t0 = time.time()
+        dt = run_fn()
+        # -1s margin: the scan thread may log a hit a moment before
+        # run_fn's own clock started while the proc was already alive.
+        procs = sentinel.procs_since(t0 - 1.0)
+        if not procs and dt < 2 * sentinel.interval_s:
+            procs = _scan_other_procs()
+        if not procs:
+            return dt
+        retry_counts[name] = retry_counts.get(name, 0) + 1
+        release_fn()
+        sentinel.wait_idle()
+    contended[name] = procs[:2]
+    return dt
+
+
+def environment_probe() -> dict:
+    """Idle-machine check, taken BEFORE the bench JVM starts.
+
+    The round-8 incident: a full bench ran concurrently with pytest and
+    parity sessions, every per-query number inflated 2-3×, and the
+    polluted BENCH_LOCAL.json was committed by a blanket ``git add -A``.
+    A 32-thread local Spark contends with ANY other JVM for the same
+    cores, so a bench taken on a busy machine is not a measurement.
+    The probe records the 1-minute load average and any other java /
+    pytest / spark processes visible at start; the artifact is stamped
+    ``"contaminated": true`` when either signal fires (stamp, never
+    refuse — the per-round driver environment owns its own contention
+    and must still get a datapoint).
+
+    A start-only probe is blind to work launched MID-run (measured
+    round 10: the environment's periodic housekeeping job spawns a
+    Spark JVM every ~15 minutes, inflating contiguous stretches 4-8×
+    while the start probe read clean), so ``main`` also runs an
+    ``_IdleSentinel`` watcher thread for the whole sweep and re-measures
+    contended runs (``_measure_with_retry``); only queries still
+    contended after bounded retries stamp the artifact
+    (``environment.mid_run_procs``). Load average is a start-only
+    signal — mid-run it measures our own 32-thread JVM.
+    """
+    probe: dict = {"other_procs": _scan_other_procs()}
+    try:
+        probe["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        probe["loadavg_1m"] = None
     load = probe["loadavg_1m"]
     probe["contaminated"] = bool(probe["other_procs"]) or (
         load is not None and load > max(4.0, 0.25 * (os.cpu_count() or 32))
@@ -632,6 +743,24 @@ def main() -> None:
         # + Python gc and climbed 12 -> 22 cached RDDs across runs.
         spark.sparkContext._jvm.System.gc()
 
+    # Mid-run idle sentinel + contention-aware re-measurement: see
+    # _IdleSentinel / _measure_with_retry. Every timed run below goes
+    # through timed_run so a number polluted by the environment's
+    # periodic foreign JVM is re-measured, not kept.
+    sentinel = _IdleSentinel().start()
+    contended: dict[str, list[str]] = {}
+    retry_counts: dict[str, int] = {}
+
+    def timed_run(name: str, at: str) -> float:
+        return _measure_with_retry(
+            name,
+            lambda: run(name, at),
+            sentinel,
+            release_state,
+            contended,
+            retry_counts,
+        )
+
     # Two passes per query, best kept: the first execution of each query
     # SHAPE pays whole-stage-codegen compilation + JIT (3-4× at sf0.1,
     # measured), which a steady-state engine comparison should exclude.
@@ -642,12 +771,12 @@ def main() -> None:
     # `errors` and skipped — one broken query must not zero out the whole
     # round's bench datapoint.
     def best_of(name: str, at: str) -> float:
-        a = run(name, at)
+        a = timed_run(name, at)
         release_state()
-        b = run(name, at)
+        b = timed_run(name, at)
         if max(a, b) > 1.5 * min(a, b):
             release_state()
-            return min(a, b, run(name, at))
+            return min(a, b, timed_run(name, at))
         return min(a, b)
 
     timings: dict[str, float] = {}
@@ -723,7 +852,7 @@ def main() -> None:
                 # leaked-block GC pressure, not the query.
                 ts = []
                 for _ in range(3):
-                    ts.append(run(name, deep_dir))
+                    ts.append(timed_run(name, deep_dir))
                     release_state()
                 ts = sorted(ts)
                 deep_timings[name] = round(ts[0], 3)
@@ -821,6 +950,16 @@ def main() -> None:
     # FULL payload goes to the committed BENCH_LOCAL.json (the judge
     # reads per-query timings there), and stdout gets ONE compact
     # summary line (few hundred bytes) that always fits the tail.
+    sentinel.stop()
+    if contended:
+        payload["contaminated"] = True
+        probe["mid_run_procs"] = dict(list(contended.items())[:16])
+    if retry_counts:
+        # Not contamination — these numbers were RE-measured clean; the
+        # count records how often the environment's periodic job was
+        # dodged (and roughly how much wall the dodging cost).
+        probe["contention_retries"] = dict(sorted(retry_counts.items())[:32])
+
     local_copy = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local_copy, "w") as fh:
         json.dump(payload, fh, indent=1)

@@ -187,6 +187,108 @@ def test_bench_probe_exempts_own_ancestry(monkeypatch):
     assert bench.environment_probe()["contaminated"] is True
 
 
+def test_bench_mid_run_scan_names_the_foreign_runner(monkeypatch):
+    """The mid-run sentinel (round-10: a foreign job landing AFTER a
+    clean start probe inflated a contiguous 10-query stretch 4-8×,
+    silently) reuses the same strict classifier: a busy runner is
+    returned by _scan_other_procs, harness/idle processes are not, and
+    the scan never raises even when ps itself fails."""
+    import subprocess
+
+    import bench
+
+    def fake_ps(lines):
+        class R:
+            stdout = "\n".join(lines)
+
+        return lambda *a, **k: R()
+
+    monkeypatch.setattr(
+        subprocess, "run", fake_ps(["77777 1 python tools/check_parity.py"])
+    )
+    hits = bench._scan_other_procs()
+    assert hits and "check_parity" in hits[0]
+
+    monkeypatch.setattr(
+        subprocess, "run", fake_ps(["77777 1 vim bench.py"])
+    )
+    assert bench._scan_other_procs() == []
+
+    def boom(*a, **k):
+        raise OSError("ps unavailable")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    assert bench._scan_other_procs() == []
+
+
+def test_bench_sentinel_thread_logs_hits_with_timestamps(monkeypatch):
+    """The watcher thread accumulates (timestamp, argv) hits so the
+    timing loop can ask which procs overlapped a given run window."""
+    import time as _time
+
+    import bench
+
+    monkeypatch.setattr(bench, "_scan_other_procs", lambda: ["java foreign"])
+    s = bench._IdleSentinel(interval_s=0.02)
+    s.start()
+    _time.sleep(0.15)
+    s.stop()
+    assert s.hits and s.hits[0][1] == ["java foreign"]
+    assert s.procs_since(0.0) == ["java foreign"]
+    assert s.procs_since(_time.time() + 60) == []
+
+    monkeypatch.setattr(bench, "_scan_other_procs", lambda: [])
+    assert s.wait_idle(max_wait_s=1.0) is True
+
+
+def test_bench_measure_with_retry_redoes_contended_runs():
+    """A run that overlapped a foreign busy process is re-measured
+    after waiting for idle; only retries exhausted under PERSISTENT
+    contention stamp the query into `contended` (a clean re-measure is
+    the fix, not a contamination)."""
+    import bench
+
+    class FakeSentinel:
+        interval_s = 5.0
+
+        def __init__(self, windows_left):
+            self.windows_left = windows_left
+            self.waits = 0
+
+        def procs_since(self, t0):
+            if self.windows_left > 0:
+                self.windows_left -= 1
+                return ["java foreign"]
+            return []
+
+        def wait_idle(self, max_wait_s=180.0):
+            self.waits += 1
+            return True
+
+    # long-run shape (dt >= 2*interval) so the synchronous edge scan
+    # is not consulted
+    run_fn = lambda: 10.0  # noqa: E731
+    releases = []
+
+    # contention clears after one retry: number kept, nothing stamped
+    contended, retries = {}, {}
+    s = FakeSentinel(windows_left=1)
+    dt = bench._measure_with_retry(
+        "q", run_fn, s, lambda: releases.append(1), contended, retries
+    )
+    assert dt == 10.0 and contended == {} and retries == {"q": 1}
+    assert s.waits == 1 and releases
+
+    # persistent contention: bounded attempts, then stamped
+    contended, retries = {}, {}
+    s = FakeSentinel(windows_left=99)
+    dt = bench._measure_with_retry(
+        "q", run_fn, s, lambda: None, contended, retries
+    )
+    assert dt == 10.0 and retries == {"q": 3}
+    assert contended == {"q": ["java foreign"]}
+
+
 def test_rotation_never_signed_tier_precedes_stale_and_signed():
     """Round-9 tiering: with never-signed + changed-since-signed queries
     together oversubscribing the driver's ~50-row CORRECTNESS window,
