@@ -31,6 +31,23 @@ table once on ``(doc, pos)`` (the shifted self-join) and the distinct
 pair table once — both uniform integer keys. The positions table is
 token-count sized (~n rows); nothing is ever quadratic and no round
 depends on corpus order.
+
+Small-depth fast path (round 10): when ``depth`` is small the doubling
+rounds are the wrong trade. Each doubling round shuffles the n-row
+position table ~twice at ~24 B/row plus a distinct-pair table, so depth
+d costs ~``2·log2(d)`` exchanges of 24 B/row; materializing the clipped
+d-token window PER POSITION instead is a pure map-side expression
+(``slice`` over the already-held tokens array — zero shuffle to build)
+and needs ONE grouping/ranking pass at ~``d · avg_token`` bytes/row.
+With ~6-byte tokens the direct window wins on shuffled bytes up to
+d ≈ 32 (direct: 8·6=48 B at d=8 vs doubling 2·3·24=144 B; crossover
+~d=64) and always wins on rounds/jobs — suffix_ranks at depth 8 drops
+from 4 dense-rank rounds (13 Spark jobs) to 1. Spark compares arrays
+element-wise with shorter-prefix-first order — exactly the depth-clipped
+suffix order — so the window ARRAY is directly the ranking key: same
+results, no hashing, bit-identical to the doubling path (pytest pins
+the two paths equal). ``_DIRECT_DEPTH_MAX`` gates the dispatch; the
+doubling machinery remains the large-depth path.
 """
 
 from __future__ import annotations
@@ -41,6 +58,12 @@ from pyspark.sql import functions as F
 from .graph import _materialize
 from .prefix import global_running_sums
 from .text import spread_for_explode, tokens_of
+
+# Largest depth at which the direct window-array path out-shuffles the
+# doubling rounds (byte math in the module docstring). Above this the
+# per-row window key (~depth · avg_token bytes) costs more to move than
+# 2·log2(depth) passes of 24-byte rank rows.
+_DIRECT_DEPTH_MAX = 32
 
 
 def _dense_rank_of(df: DataFrame, cols: list[str], out: str) -> DataFrame:
@@ -80,12 +103,79 @@ def _positions(
     )
 
 
+def _window_tab(
+    df: DataFrame, id_col: str, text_col: str, depth: int
+) -> DataFrame:
+    """``(id, pos, __n, __win)``: the depth-clipped token window STARTING
+    at each 1-based position, built map-side with zero shuffle — the
+    tokens array is already on the row, so every window is a ``slice``
+    of it. ``__win`` is the ranking/equality key of the direct path:
+    Spark orders arrays element-wise with shorter-prefix-first, which is
+    exactly depth-clipped suffix order."""
+    toks = tokens_of(text_col)
+    return spread_for_explode(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__n"),
+        F.posexplode(
+            F.transform(toks, lambda _x, i: F.slice(toks, i + 1, depth))
+        ).alias("__p0", "__win"),
+    ).select(
+        id_col,
+        "__n",
+        (F.col("__p0") + 1).cast("long").alias("pos"),
+        "__win",
+    )
+
+
+def _pick_path(path: str, depth: int) -> str:
+    if path not in ("auto", "direct", "doubling"):
+        raise ValueError(f"path must be auto|direct|doubling, got {path!r}")
+    if path != "auto":
+        return path
+    return "direct" if depth <= _DIRECT_DEPTH_MAX else "doubling"
+
+
+def _merge_islands(
+    starts: DataFrame, id_col: str, min_len: int
+) -> DataFrame:
+    """Gaps-and-islands merge of duplicated-window START positions into
+    maximal per-document spans (two starts <= ``min_len`` apart chain).
+    ``starts`` is ``(id_col, pos)``; the window is partitioned BY
+    document, so the only per-task sort is one document's starts."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        starts.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > min_len),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (min_len - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + min_len).cast("long").alias(
+            "span_tokens"
+        ),
+    ).drop("__isl")
+
+
 def suffix_ranks(
     df: DataFrame,
     *,
     depth: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    path: str = "auto",
 ) -> DataFrame:
     """Depth-limited suffix ranking by prefix doubling.
 
@@ -103,13 +193,22 @@ def suffix_ranks(
     re-rank of ``(rank_a[i], rank_b[i+a])``), so any cutoff works, not
     just powers of two.
 
-    Plan shape: ``O(log2 depth)`` rounds, each ONE shifted self-join on
+    Plan shape: for ``depth <= _DIRECT_DEPTH_MAX`` (``path="auto"``),
+    ONE dense rank over the map-side-built clipped window arrays — one
+    boundary sample plus two exchanges total. Above that, the doubling
+    path: ``O(log2 depth)`` rounds, each ONE shifted self-join on
     ``(id, pos)`` plus ONE distinct-pair dense rank (bucketed two-level
-    prefix — see module docstring); no global sort, no hash collisions,
-    no Python in the hot path.
+    prefix — see module docstring). Both paths: no global sort, no hash
+    collisions, no Python in the hot path, bit-identical output.
     """
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
+    if _pick_path(path, depth) == "direct":
+        win_tab = _window_tab(df, id_col, text_col, depth)
+        ranked = _dense_rank_of(win_tab, ["__win"], "__r")
+        return win_tab.join(ranked, on="__win").select(
+            id_col, "pos", F.col("__r").cast("long").alias("rank")
+        )
     pos_tab = _materialize(_positions(df, id_col, text_col))
     powers = _power_ranks(pos_tab, id_col, depth)
     # Binary decomposition, largest power first.
@@ -184,6 +283,7 @@ def exact_substr_spans(
     min_len: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    path: str = "auto",
 ) -> DataFrame:
     """Maximal duplicated spans per document at exact-substring
     granularity (the ExactSubstr side of Lee et al. 2022).
@@ -199,14 +299,29 @@ def exact_substr_spans(
     Output: ``(id_col, span_start, span_end, span_tokens)``, 1-based
     inclusive token positions, one row per maximal span.
 
-    Scale shape: the rank table from :func:`suffix_ranks` (log-depth
-    rounds), one groupBy on ``rank`` (uniform integer key) to find
-    duplicated windows, and a per-document window for the island merge —
-    partitioned BY document, so the only per-task sort is one document's
-    duplicated starts.
+    Scale shape, direct path (``min_len <= _DIRECT_DEPTH_MAX``): the
+    duplicated-window predicate needs only EQUALITY of windows — no rank
+    at all — so one count-over-window partitioned by the map-side-built
+    window array decides every start in a single exchange, then the
+    island merge. Doubling path (large ``min_len``): the rank table from
+    :func:`suffix_ranks` (log-depth rounds), one groupBy on ``rank``
+    (uniform integer key) to find duplicated windows, then the same
+    island merge. Both per-document island windows are partitioned BY
+    document, so the only per-task sort is one document's starts.
     """
+    if _pick_path(path, min_len) == "direct":
+        full = _window_tab(df, id_col, text_col, min_len).filter(
+            F.size("__win") == min_len
+        )
+        wc = Window.partitionBy("__win")
+        starts = (
+            full.withColumn("__c", F.count(F.lit(1)).over(wc))
+            .filter(F.col("__c") >= 2)
+            .select(id_col, "pos")
+        )
+        return _merge_islands(starts, id_col, min_len)
     ranks = suffix_ranks(
-        df, depth=min_len, id_col=id_col, text_col=text_col
+        df, depth=min_len, id_col=id_col, text_col=text_col, path=path
     )
     n_tok = _positions(df, id_col, text_col).select(
         id_col, "pos", "__n"
@@ -225,31 +340,7 @@ def exact_substr_spans(
         .select("rank")
     )
     starts = full.join(dup_ranks, on="rank").select(id_col, "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    islands = (
-        starts.withColumn("__prev", F.lag("pos").over(w))
-        .withColumn(
-            "__brk",
-            F.when(
-                F.col("__prev").isNull()
-                | (F.col("pos") - F.col("__prev") > min_len),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "__isl",
-            F.sum("__brk").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-    )
-    return islands.groupBy(id_col, "__isl").agg(
-        F.min("pos").cast("long").alias("span_start"),
-        (F.max("pos") + (min_len - 1)).cast("long").alias("span_end"),
-        (F.max("pos") - F.min("pos") + min_len).cast("long").alias(
-            "span_tokens"
-        ),
-    ).drop("__isl")
+    return _merge_islands(starts, id_col, min_len)
 
 
 def longest_dup_run(
@@ -258,6 +349,7 @@ def longest_dup_run(
     max_len: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    path: str = "auto",
 ) -> DataFrame:
     """Per-document longest duplicated run, exactly, up to ``max_len``
     tokens — the diagnostic a window-hash pipeline cannot produce
@@ -293,16 +385,23 @@ def longest_dup_run(
       identities was wrong precisely because a position's search path
       depended on how far ITS OTHER duplicates matched.)
 
-    Scale shape: ``log2(max_len)`` doubling rounds to build the powers
-    (position-table-sized equi-joins), then ``log2(max_len)+1`` descent
-    rounds over the RANK-representative frame (<= one row per distinct
-    window — strictly smaller), each two equi-joins into a power table;
-    per-round frames detach via lazy localCheckpoint exactly as in
-    :func:`suffix_ranks`. Nothing is quadratic, nothing hashes, no
-    global sort.
+    Scale shape, direct path (``max_len <= _DIRECT_DEPTH_MAX``): the
+    rank group IS its window array, so the neighbor LCP is a pure
+    expression over the two arrays (first unequal element via
+    zip_with + array_position) — no power tables, no descent rounds.
+    One dense rank over the distinct windows plus two bounded joins.
+    Doubling path (large ``max_len``): ``log2(max_len)`` doubling
+    rounds to build the powers (position-table-sized equi-joins), then
+    ``log2(max_len)+1`` descent rounds over the RANK-representative
+    frame (<= one row per distinct window — strictly smaller), each two
+    equi-joins into a power table; per-round frames detach via lazy
+    localCheckpoint exactly as in :func:`suffix_ranks`. Nothing is
+    quadratic, nothing hashes, no global sort — on either path.
     """
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
+    if _pick_path(path, max_len) == "direct":
+        return _longest_dup_run_direct(df, max_len, id_col, text_col)
     pos_tab = _materialize(_positions(df, id_col, text_col))
     top = 1 << (max_len.bit_length() - 1)
     powers = _power_ranks(pos_tab, id_col, top)
@@ -403,9 +502,12 @@ def longest_dup_run(
         )
     )
     state = rk.join(per_rank, on="__r").select(id_col, "pos", "__len")
+    return _per_doc_best(state, id_col)
 
-    # (doc, len) counts first, then a per-document window over that
-    # bounded aggregate (<= max_len+1 rows per doc) picks the max row.
+
+def _per_doc_best(state: DataFrame, id_col: str) -> DataFrame:
+    """(doc, len) counts first, then a per-document window over that
+    bounded aggregate (<= max_len+1 rows per doc) picks the max row."""
     cnt = state.groupBy(id_col, "__len").agg(
         F.count(F.lit(1)).alias("__n_best")
     )
@@ -423,6 +525,71 @@ def longest_dup_run(
     )
 
 
+def _longest_dup_run_direct(
+    df: DataFrame, max_len: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Small-depth :func:`longest_dup_run`: the clipped ``max_len``
+    window array IS the rank group, so occurrence counts, window
+    length, and the neighbor LCP all read straight off it — one dense
+    rank over the distinct windows replaces the doubling AND descent
+    loops of the large-depth path."""
+    win_tab = _window_tab(df, id_col, text_col, max_len)
+    # One row per DISTINCT window with its corpus-wide count; ranked by
+    # the bucketed prefix (dense rank == suffix-array order). The frame
+    # feeds three plan branches plus the boundary sample — detach once.
+    grp0 = _materialize(
+        win_tab.groupBy("__win")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__one", F.lit(1))
+    )
+    grp = global_running_sums(grp0, ["__win"], {"__r": "__one"}).drop(
+        "__one"
+    )
+    # Neighbor LCP in suffix order: rank r's window vs rank r+1's —
+    # dense ranks make adjacency an equi-join — and the LCP itself is
+    # the index of the first unequal element (zip_with pads the shorter
+    # array with NULLs; eqNullSafe turns the pad into FALSE; equal
+    # arrays have no FALSE and array_position returns 0).
+    nxt = grp.select(
+        (F.col("__r") - 1).alias("__r"), F.col("__win").alias("__winB")
+    )
+    z = F.zip_with("__win", "__winB", lambda x, y: x.eqNullSafe(y))
+    p = F.array_position(z, F.lit(False))
+    lcp = (
+        grp.join(nxt, on="__r")
+        .select(
+            "__r",
+            F.when(
+                p == 0, F.least(F.size("__win"), F.size("__winB"))
+            )
+            .otherwise(p - 1)
+            .cast("long")
+            .alias("__lcp"),
+        )
+    )
+    # Per-rank answer: duplicated-at-full-length beats any neighbor
+    # LCP; otherwise the max LCP with the two suffix-order neighbors.
+    prev = lcp.select(
+        (F.col("__r") + 1).alias("__r"), F.col("__lcp").alias("__lp")
+    )
+    per_win = (
+        grp.join(lcp.withColumnRenamed("__lcp", "__ln"), on="__r", how="left")
+        .join(prev, on="__r", how="left")
+        .select(
+            "__win",
+            F.greatest(
+                F.when(F.col("__c") >= 2, F.size("__win")).otherwise(
+                    F.lit(0)
+                ),
+                F.coalesce("__ln", F.lit(0).cast("long")),
+                F.coalesce("__lp", F.lit(0).cast("long")),
+            ).cast("long").alias("__len"),
+        )
+    )
+    state = win_tab.join(per_win, on="__win").select(id_col, "pos", "__len")
+    return _per_doc_best(state, id_col)
+
+
 def cross_corpus_substr(
     train: DataFrame,
     test: DataFrame,
@@ -430,6 +597,7 @@ def cross_corpus_substr(
     min_len: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    path: str = "auto",
 ) -> DataFrame:
     """Exact-substring DECONTAMINATION at suffix granularity — the use
     Lee et al. 2022 put the suffix array to: find every maximal span of
@@ -452,11 +620,14 @@ def cross_corpus_substr(
     Output: ``(id_col, span_start, span_end, span_tokens)`` over train
     documents, 1-based inclusive token positions.
 
-    Scale shape: identical to :func:`exact_substr_spans` (log-depth
-    doubling over the unioned position table, one groupBy on the rank,
-    per-document island windows) — decontamination costs ONE extra
-    boolean aggregate over the rank groups, not a join of train
-    against test.
+    Scale shape: identical to :func:`exact_substr_spans`. Direct path
+    (small ``min_len``): ONE window partitioned by the map-side-built
+    window array decides cross-corpus presence (max of the test tag
+    over the group) in a single exchange. Doubling path: log-depth
+    doubling over the unioned position table, one groupBy on the rank.
+    Either way decontamination costs ONE extra boolean aggregate over
+    the window/rank groups, not a join of train against test; the
+    island merge is per-train-document.
     """
     t0 = train.select(
         (F.col(id_col).cast("long") * 2).alias("__uid"),
@@ -467,8 +638,24 @@ def cross_corpus_substr(
         F.col(text_col).alias("__text"),
     )
     union = t0.unionByName(t1)
+    if _pick_path(path, min_len) == "direct":
+        full = _window_tab(union, "__uid", "__text", min_len).filter(
+            F.size("__win") == min_len
+        )
+        wc = Window.partitionBy("__win")
+        starts = (
+            full.withColumn(
+                "__in_test",
+                F.max((F.col("__uid") % 2 == 1).cast("int")).over(wc),
+            )
+            .filter((F.col("__uid") % 2 == 0) & (F.col("__in_test") == 1))
+            .select(
+                (F.col("__uid") / 2).cast("long").alias(id_col), "pos"
+            )
+        )
+        return _merge_islands(starts, id_col, min_len)
     ranks = suffix_ranks(
-        union, depth=min_len, id_col="__uid", text_col="__text"
+        union, depth=min_len, id_col="__uid", text_col="__text", path=path
     )
     n_tok = _positions(union, "__uid", "__text").select(
         "__uid", "pos", "__n"
@@ -493,28 +680,4 @@ def cross_corpus_substr(
             (F.col("__uid") / 2).cast("long").alias(id_col), "pos"
         )
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    islands = (
-        starts.withColumn("__prev", F.lag("pos").over(w))
-        .withColumn(
-            "__brk",
-            F.when(
-                F.col("__prev").isNull()
-                | (F.col("pos") - F.col("__prev") > min_len),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "__isl",
-            F.sum("__brk").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-    )
-    return islands.groupBy(id_col, "__isl").agg(
-        F.min("pos").cast("long").alias("span_start"),
-        (F.max("pos") + (min_len - 1)).cast("long").alias("span_end"),
-        (F.max("pos") - F.min("pos") + min_len).cast("long").alias(
-            "span_tokens"
-        ),
-    ).drop("__isl")
+    return _merge_islands(starts, id_col, min_len)

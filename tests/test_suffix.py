@@ -10,9 +10,9 @@ from python_etl_mailing_automation_spark.datapipe.suffix import (
 )
 
 
-def _ranks(spark, rows, depth):
+def _ranks(spark, rows, depth, path="auto"):
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = suffix_ranks(df, depth=depth).collect()
+    out = suffix_ranks(df, depth=depth, path=path).collect()
     return {(r["doc_id"], r["pos"]): r["rank"] for r in out}
 
 
@@ -35,8 +35,13 @@ def test_suffix_ranks_matches_brute_tuple_order(spark):
         (2, "a b a b c d"),
         (3, "c"),
     ]
-    for depth in (1, 2, 3, 4, 8):
-        assert _ranks(spark, rows, depth) == _brute_ranks(rows, depth)
+    # Both the direct window-array path and the prefix-doubling path
+    # must hit the same brute contract (round-10 dispatch).
+    for path in ("direct", "doubling"):
+        for depth in (1, 2, 3, 4, 8):
+            assert _ranks(spark, rows, depth, path) == _brute_ranks(
+                rows, depth
+            ), f"path={path} depth={depth}"
 
 
 def test_suffix_ranks_non_power_of_two_depth(spark):
@@ -44,8 +49,11 @@ def test_suffix_ranks_non_power_of_two_depth(spark):
     # repeated 'x y' tail makes depth-4 ranks collide where depth-6
     # ranks must not.
     rows = [(1, "x y x y x y z"), (2, "x y x y x y q")]
-    for depth in (3, 5, 6, 7):
-        assert _ranks(spark, rows, depth) == _brute_ranks(rows, depth)
+    for path in ("direct", "doubling"):
+        for depth in (3, 5, 6, 7):
+            assert _ranks(spark, rows, depth, path) == _brute_ranks(
+                rows, depth
+            ), f"path={path} depth={depth}"
 
 
 def test_suffix_ranks_shorter_prefix_sorts_first(spark):
@@ -64,11 +72,12 @@ def test_exact_substr_spans_merges_overlaps(spark):
         [(1, run + " u1 u2"), (2, run + " v1 v2")],
         "doc_id long, text string",
     )
-    out = {
-        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
-        for r in exact_substr_spans(df, min_len=8).collect()
-    }
-    assert out == {1: (1, 10, 10), 2: (1, 10, 10)}
+    for path in ("direct", "doubling"):
+        out = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+            for r in exact_substr_spans(df, min_len=8, path=path).collect()
+        }
+        assert out == {1: (1, 10, 10), 2: (1, 10, 10)}, f"path={path}"
 
 
 def test_exact_substr_spans_within_one_doc_counts(spark):
@@ -78,9 +87,10 @@ def test_exact_substr_spans_within_one_doc_counts(spark):
     df = spark.createDataFrame(
         [(7, run + " mid " + run)], "doc_id long, text string"
     )
-    got = exact_substr_spans(df, min_len=8).collect()
-    spans = sorted((r["span_start"], r["span_end"]) for r in got)
-    assert spans == [(1, 8), (10, 17)]
+    for path in ("direct", "doubling"):
+        got = exact_substr_spans(df, min_len=8, path=path).collect()
+        spans = sorted((r["span_start"], r["span_end"]) for r in got)
+        assert spans == [(1, 8), (10, 17)], f"path={path}"
 
 
 def test_exact_substr_spans_short_docs_emit_nothing(spark):
@@ -141,12 +151,17 @@ def test_longest_dup_run_matches_brute(spark):
         (5, "z"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    for max_len in (1, 3, 4, 8):
-        got = {
-            r["doc_id"]: (r["longest_dup_len"], r["n_at_max"])
-            for r in longest_dup_run(df, max_len=max_len).collect()
-        }
-        assert got == _brute_longest(rows, max_len), f"max_len={max_len}"
+    for path in ("direct", "doubling"):
+        for max_len in (1, 3, 4, 8):
+            got = {
+                r["doc_id"]: (r["longest_dup_len"], r["n_at_max"])
+                for r in longest_dup_run(
+                    df, max_len=max_len, path=path
+                ).collect()
+            }
+            assert got == _brute_longest(
+                rows, max_len
+            ), f"path={path} max_len={max_len}"
 
 
 def test_cross_corpus_substr_flags_only_test_overlap(spark):
@@ -167,13 +182,16 @@ def test_cross_corpus_substr_flags_only_test_overlap(spark):
     test = spark.createDataFrame(
         [(7, "prefix " + leak + " suffix")], "doc_id long, text string"
     )
-    out = {
-        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
-        for r in cross_corpus_substr(train, test, min_len=8).collect()
-    }
-    # Doc 1: windows at pos 1 and 2 both occur in test -> one span 1..9.
-    # Doc 2's self-duplication must NOT appear (not in test).
-    assert out == {(1, 1, 9, 9)}
+    for path in ("direct", "doubling"):
+        out = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+            for r in cross_corpus_substr(
+                train, test, min_len=8, path=path
+            ).collect()
+        }
+        # Doc 1: windows at pos 1 and 2 both occur in test -> one span
+        # 1..9. Doc 2's self-duplication must NOT appear (not in test).
+        assert out == {(1, 1, 9, 9)}, f"path={path}"
 
 
 def test_rrf_fuse_matches_manual(spark):
@@ -197,3 +215,41 @@ def test_rrf_fuse_matches_manual(spark):
     # Order: fused desc with id tiebreak.
     scores = [(r["rrf_score"], r["doc_id"]) for r in out]
     assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
+def test_suffix_path_dispatch_and_equality(spark):
+    import pytest
+
+    from python_etl_mailing_automation_spark.datapipe.suffix import (
+        _DIRECT_DEPTH_MAX,
+        _pick_path,
+        longest_dup_run,
+    )
+
+    # auto routes by the byte-math threshold; bad names fail loudly.
+    assert _pick_path("auto", _DIRECT_DEPTH_MAX) == "direct"
+    assert _pick_path("auto", _DIRECT_DEPTH_MAX + 1) == "doubling"
+    with pytest.raises(ValueError):
+        _pick_path("fast", 8)
+
+    # The two paths are bit-identical on a mixed corpus (varied doc
+    # lengths, heavy token reuse, some docs shorter than the depth).
+    rows = [
+        (i, " ".join(f"t{(i * 7 + j) % 11}" for j in range(3 + i % 9)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        map(tuple, suffix_ranks(df, depth=5, path="direct").collect())
+    )
+    b = sorted(
+        map(tuple, suffix_ranks(df, depth=5, path="doubling").collect())
+    )
+    assert a == b
+    la = sorted(
+        map(tuple, longest_dup_run(df, max_len=6, path="direct").collect())
+    )
+    lb = sorted(
+        map(tuple, longest_dup_run(df, max_len=6, path="doubling").collect())
+    )
+    assert la == lb
