@@ -2636,14 +2636,11 @@ def q_set_cover(spark: SparkSession, sf: str) -> DataFrame:
         greedy_set_cover,
     )
     from python_etl_mailing_automation_spark.datapipe.dedup import (
-        with_shingles,
-        with_tokens,
+        exploded_shingles,
     )
 
     docs = _t(spark, sf, "documents")
-    facets = with_shingles(with_tokens(docs)).select(
-        "doc_id", F.explode("shingles").alias("facet")
-    )
+    facets = exploded_shingles(docs, out="facet")
     return greedy_set_cover(facets, k=8)
 
 

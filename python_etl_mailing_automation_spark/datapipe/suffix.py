@@ -111,13 +111,27 @@ def _window_tab(
     tokens array is already on the row, so every window is a ``slice``
     of it. ``__win`` is the ranking/equality key of the direct path:
     Spark orders arrays element-wise with shorter-prefix-first, which is
-    exactly depth-clipped suffix order."""
-    toks = tokens_of(text_col)
-    return spread_for_explode(df.select(id_col, text_col)).select(
+    exactly depth-clipped suffix order.
+
+    The tokens array is materialized as a real column in a projection
+    BELOW the Generate: an expensive expression referenced inside a
+    higher-order-function lambda is re-evaluated PER ELEMENT (lambdas
+    are interpreted, no subexpression elimination crosses the lambda
+    boundary), so inlining ``tokens_of`` here re-tokenized the text
+    once per position — measured 3.7 s vs 0.7 s for the same gram
+    build at sf0.1. As an attribute it is computed once per row;
+    CollapseProject keeps the lower projection because the reference
+    is non-cheap and multiply used."""
+    toks_tab = spread_for_explode(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens_of(text_col).alias("__toks")
+    )
+    return toks_tab.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("__n"),
+        F.size("__toks").cast("long").alias("__n"),
         F.posexplode(
-            F.transform(toks, lambda _x, i: F.slice(toks, i + 1, depth))
+            F.transform(
+                "__toks", lambda _x, i: F.slice("__toks", i + 1, depth)
+            )
         ).alias("__p0", "__win"),
     ).select(
         id_col,
