@@ -46,48 +46,69 @@ def _tokens_and_prefix(
     num: int,
     den: int,
     shingle: int,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame]:
     """Shared tokenization + prefix machinery: distinct token frame
-    ``(__id, tok)``, per-doc sizes ``(__id, sz)``, and the
-    ``sz - ceil(t·sz) + 1`` rarest-first prefix ``(__id, tok, sz)``."""
+    ``(__id, tok, sz)`` with the per-doc distinct count carried on
+    every row, and the ``sz - ceil(t·sz) + 1`` rarest-first prefix
+    ``(__id, tok, sz)``.
+
+    Round 10: the distinct token SET and the per-doc size are computed
+    IN-ROW — ``array_distinct`` over the shingle array before the
+    explode, ``size`` of the same array carried on each exploded row —
+    instead of the previous explode → global ``(id, tok)`` DISTINCT
+    shuffle → per-id count aggregate → join-back. Same rows by
+    construction (a document's distinct shingles and their count are
+    row-local facts), two exchanges fewer, and no consumer needs a
+    separate ``sizes`` join any more. The generator stays the INLINE
+    expression (never a named column: exploding an attribute makes
+    InferFiltersFromGenerate + pushdown re-run the whole shingle chain
+    per row in an interpreted Filter — see dedup.exploded_shingles),
+    over the ``__ws`` word-array attribute materialized once in the
+    projection below (lambda bodies re-evaluate free expressions per
+    element, so ``__ws`` must be an attribute, not the split)."""
     if shingle < 1:
         raise ValueError("similarity join: shingle must be >= 1")
-    words = df.select(
+    from .text import spread_for_explode
+
+    # Rebalance the RAW rows first: without the old distinct's exchange
+    # the token frame is consumed by several subplans (freq, ranked,
+    # ta, tb, ball) with no shuffle in between, so each re-runs the
+    # tokenize chain at the SCAN's parallelism — one split locally, the
+    # catastrophic serial case spread_for_explode exists for. A wide
+    # production scan no-ops here.
+    words = spread_for_explode(df.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
         F.expr(
             f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
         ).alias("__ws"),
     )
     if shingle == 1:
-        tok = F.explode(F.col("__ws")).alias("tok")
+        arr_sql = "array_distinct(__ws)"
     else:
         parts = ", ".join(
             f"element_at(__ws, i + {j})" for j in range(shingle)
         )
         # sequence(1, 0) DESCENDS in Spark, so guard short docs with an
         # explicit empty array
-        tok = F.explode(
-            F.expr(
-                f"CASE WHEN size(__ws) >= {shingle} THEN"
-                f" transform(sequence(1, size(__ws) - {shingle - 1}),"
-                f" i -> concat_ws(' ', {parts}))"
-                " ELSE cast(array() as array<string>) END"
-            )
-        ).alias("tok")
-    toks = words.select("__id", tok).distinct()
-    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    ranked = (
-        toks.join(freq, on="tok")
-        .join(sizes, on="__id")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("__id").orderBy(
-                    F.col("tf").asc(), F.col("tok").asc()
-                )
-            ),
+        arr_sql = (
+            f"array_distinct(CASE WHEN size(__ws) >= {shingle} THEN"
+            f" transform(sequence(1, size(__ws) - {shingle - 1}),"
+            f" i -> concat_ws(' ', {parts}))"
+            " ELSE cast(array() as array<string>) END)"
         )
+    toks = words.select(
+        "__id",
+        F.expr(f"size({arr_sql})").cast("long").alias("sz"),
+        F.explode(F.expr(arr_sql)).alias("tok"),
+    ).select("__id", "tok", "sz")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = toks.join(freq, on="tok").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("__id").orderBy(
+                F.col("tf").asc(), F.col("tok").asc()
+            )
+        ),
     )
     # prefix length p = sz - ceil(num*sz/den) + 1, all integer; SQL
     # `div` is exact integer division at any magnitude (double-divide
@@ -97,7 +118,7 @@ def _tokens_and_prefix(
     prefix = ranked.filter(F.col("pos") <= F.col("sz") - ceil_t_sz + 1).select(
         "__id", "tok", "sz"
     )
-    return toks, sizes, prefix
+    return toks, prefix
 
 
 def jaccard_join_exact(
@@ -119,7 +140,7 @@ def jaccard_join_exact(
     num, den = threshold
     if not (0 < num <= den):
         raise ValueError(f"jaccard_join_exact: bad threshold {num}/{den}")
-    toks, _, prefix = _tokens_and_prefix(
+    toks, prefix = _tokens_and_prefix(
         df, id_col, text_col, num=num, den=den, shingle=shingle
     )
     a = prefix.select(
@@ -177,7 +198,6 @@ def jaccard_join_exact(
 
 def _containment_pairs_from(
     toks: DataFrame,
-    sizes: DataFrame,
     prefix: DataFrame,
     *,
     num: int,
@@ -195,7 +215,7 @@ def _containment_pairs_from(
         F.col("tok").alias("tok_a"),
         F.col("sz").alias("size_a"),
     )
-    ball = toks.join(sizes, on="__id").select(
+    ball = toks.select(
         F.col("__id").alias("id_b"),
         F.col("tok").alias("tok_b"),
         F.col("sz").alias("size_b"),
@@ -248,10 +268,10 @@ def containment_join_exact(
     num, den = threshold
     if not (0 < num <= den):
         raise ValueError(f"containment_join_exact: bad threshold {num}/{den}")
-    toks, sizes, prefix = _tokens_and_prefix(
+    toks, prefix = _tokens_and_prefix(
         df, id_col, text_col, num=num, den=den, shingle=shingle
     )
-    keep = _containment_pairs_from(toks, sizes, prefix, num=num, den=den)
+    keep = _containment_pairs_from(toks, prefix, num=num, den=den)
     return keep.select(
         "id_a",
         "id_b",
@@ -342,7 +362,7 @@ def containment_dedup(
     # rounds only FILTER the cached frames instead of re-tokenizing
     # and re-ranking the shrinking corpus (round 7: 161 s -> ~1/3 at
     # sf0.1 for 3 rounds).
-    toks, sizes, prefix = _tokens_and_prefix(
+    toks, prefix = _tokens_and_prefix(
         df, id_col, text_col, num=num, den=den, shingle=shingle
     )
     toks = toks.cache()
@@ -357,7 +377,7 @@ def containment_dedup(
                 t = toks.join(led, on="__id", how="left_anti")
                 p = prefix.join(led, on="__id", how="left_anti")
             oriented = _containment_pairs_from(
-                t, sizes, p, num=num, den=den
+                t, p, num=num, den=den
             ).filter(
                 (F.col("size_a") < F.col("size_b"))
                 | (
