@@ -1664,10 +1664,26 @@ def _copurchase_oriented(spark: SparkSession, sf: str) -> DataFrame:
     in >= 2 orders. Used directly by q_triangles; q_pagerank
     symmetrizes it via :func:`_copurchase_edges`."""
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb"))
+    # Round 10: one groupBy + in-row pair generation instead of the
+    # lineitem self-join — the join's row-pair semantics (every pair of
+    # lineitem ROWS with pa < pb, same order) are reproduced exactly on
+    # the per-order SORTED part multiset: for i < j in sort order every
+    # unequal-value row pair appears once, and the y > x filter drops
+    # equal-part row pairs just like the strict < join condition. Drops
+    # the join and one data-sized exchange (~0.5 s of every co-purchase
+    # graph query at sf0.1); the order-item list is order-size bounded
+    # (tens), so the row is never wide.
+    grp = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("__it")
+    )
+    pairs = F.expr(
+        "flatten(transform(__it, (x, i) ->"
+        " transform(filter(slice(__it, i + 2, size(__it)), y -> y > x),"
+        " y -> struct(x as pa, y as pb))))"
+    )
     return (
-        a.join(b, on=[F.col("ok") == F.col("ok2"), F.col("pa") < F.col("pb")])
+        grp.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.pa").alias("pa"), F.col("__p.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= 2)

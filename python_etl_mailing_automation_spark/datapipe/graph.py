@@ -364,36 +364,44 @@ def hits(
         )
         hub = nodes.withColumn("h", F.lit(1).cast(dec))
         auth = None
+        # The recurrence stays SPARSE: a node missing from the score
+        # frame has score 0 and contributes nothing to the next sum, so
+        # the zero-filling left join to the node universe is deferred
+        # to the final output instead of paid twice per iteration
+        # (round 10: removes 2·n_iter data-sized joins; values
+        # identical by the missing-row = 0 identity).
         for _ in range(n_iter):
-            a_sum = (
+            auth = (
                 e.join(hub, on=F.col("src") == F.col("node"))
                 .groupBy("dst")
                 .agg(F.sum("h").cast(dec).alias("a"))
+                .select(F.col("dst").alias("node"), "a")
             )
-            auth = nodes.join(
-                a_sum, on=F.col("node") == F.col("dst"), how="left"
-            ).select(
-                "node",
-                F.coalesce(F.col("a"), F.lit(0).cast(dec)).alias("a"),
-            )
-            h_sum = (
+            hub = (
                 e.join(auth, on=F.col("dst") == F.col("node"))
                 .groupBy("src")
                 .agg(F.sum("a").cast(dec).alias("h"))
-            )
-            hub = nodes.join(
-                h_sum, on=F.col("node") == F.col("src"), how="left"
-            ).select(
-                "node",
-                F.coalesce(F.col("h"), F.lit(0).cast(dec)).alias("h"),
+                .select(F.col("src").alias("node"), "h")
             )
         out = (
-            auth.join(hub.withColumnRenamed("node", "__hn"),
-                      on=F.col("node") == F.col("__hn"))
+            nodes.join(
+                auth.withColumnRenamed("node", "__an"),
+                on=F.col("node") == F.col("__an"),
+                how="left",
+            )
+            .join(
+                hub.withColumnRenamed("node", "__hn"),
+                on=F.col("node") == F.col("__hn"),
+                how="left",
+            )
             .select(
                 "node",
-                F.col("a").cast("string").alias("authority"),
-                F.col("h").cast("string").alias("hub"),
+                F.coalesce(F.col("a"), F.lit(0).cast(dec))
+                .cast("string")
+                .alias("authority"),
+                F.coalesce(F.col("h"), F.lit(0).cast(dec))
+                .cast("string")
+                .alias("hub"),
             )
         )
         return _materialize(out)
@@ -832,7 +840,13 @@ def random_walks(
         stopped = probed.filter(F.col("__pick").isNull()).select(
             "walk_id", "cur", "path", "steps_taken"
         )
-        walkers = moved.unionByName(stopped)
+        # Detach each step (lazy localCheckpoint, the house iterative
+        # discipline): moved and stopped BOTH embed the previous
+        # walker frame's lineage, so the undetached union doubles the
+        # plan per step — 2^walk_length copies of step 1 by the end
+        # (round 10: measured 27.8 -> 6.0 s min-of-3 at sf0.1;
+        # exchange reuse hid some but not all of the recompute).
+        walkers = moved.unionByName(stopped).localCheckpoint(eager=False)
     try:
         return _materialize(
             walkers.select(
