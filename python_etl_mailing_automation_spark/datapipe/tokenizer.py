@@ -49,16 +49,22 @@ def _sql_quote(sym: str) -> str:
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
-    """Adjacent-symbol pair counts weighted by word frequency."""
+    """Adjacent-symbol pair counts weighted by word frequency.
+
+    ``seq`` is the symbol ARRAY (round 10: previously a space-joined
+    string, re-``split`` FIVE times per evaluation — twice per element
+    inside the transform lambda, where free expressions re-evaluate
+    per element; keeping the array end-to-end makes every access an
+    attribute element lookup)."""
     return (
-        words.filter(F.size(F.split(F.col("seq"), " ")) >= 2)
+        words.filter(F.size(F.col("seq")) >= 2)
         .select(
             "freq",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(seq, ' ')) - 1),"
-                    " i -> struct(element_at(split(seq, ' '), i) AS lhs,"
-                    "             element_at(split(seq, ' '), i + 1) AS rhs))"
+                    "transform(sequence(1, size(seq) - 1),"
+                    " i -> struct(element_at(seq, i) AS lhs,"
+                    "             element_at(seq, i + 1) AS rhs))"
                 )
             ).alias("__p"),
         )
@@ -121,9 +127,10 @@ def bpe_train(
     words = word_frequencies(df, text_col, min_freq=min_freq).select(
         "word",
         "freq",
+        # symbol ARRAY, not a joined string — see _pair_counts
         F.expr(
-            "array_join(transform(sequence(1, length(word)),"
-            " i -> substring(word, i, 1)), ' ')"
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
         ).alias("seq"),
     )
     if checkpoint:
@@ -187,12 +194,12 @@ def bpe_train(
                 "word",
                 "freq",
                 F.expr(
-                    "array_join(aggregate(split(seq, ' '),"
+                    "aggregate(seq,"
                     " cast(array() as array<string>),"
                     " (acc, x) -> CASE WHEN size(acc) > 0"
                     f" AND element_at(acc, -1) = '{ql}' AND x = '{qr}'"
                     f" THEN concat(slice(acc, 1, size(acc) - 1), array('{qm}'))"
-                    " ELSE concat(acc, array(x)) END), ' ')"
+                    " ELSE concat(acc, array(x)) END)"
                 ).alias("seq"),
             )
         if checkpoint:
