@@ -307,10 +307,13 @@ def bfs_hops(
                     (F.col("hop") + F.lit(1)).cast("int").alias("hop"),
                 )
             )
+            # detach per round — same doubled-lineage rationale as
+            # sssp_weighted/random_walks (round 10)
             dist = (
                 dist.unionByName(reached)
                 .groupBy("node")
                 .agg(F.min("hop").alias("hop"))
+                .localCheckpoint(eager=False)
             )
         return _materialize(dist)
     finally:
@@ -545,10 +548,15 @@ def sssp_weighted(
                 F.col("dst").alias("node"),
                 (F.col("dist") + F.col("w")).alias("dist"),
             )
+            # detach per round (lazy localCheckpoint): relaxed embeds
+            # dist's lineage, so the undetached union doubles the plan
+            # per round — 2^max_rounds copies of the seed join by the
+            # end (same fix as random_walks, round 10)
             dist = (
                 dist.unionByName(relaxed)
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False)
             )
         return _materialize(dist)
     finally:
