@@ -469,31 +469,107 @@ def pq_train(
     lists — m·k·(dim/m) doubles, the broadcastable index that replaces
     the corpus for scoring).
 
-    Scale shape: m independent Lloyd fits over column SLICES of one
-    checkpointed scan — per fit the usual assign-scan + tiny mean
-    aggregate; nothing driver-side grows with the corpus (k·dim
-    doubles per sync, like the IVF codebook)."""
-    from .clustering import kmeans_fit_assign
+    Scale shape: the m per-subspace Lloyd fits run STACKED in one scan
+    per round — each row contributes its m subvectors as (s, subvec)
+    pairs, assignment folds against ``element_at(codebooks, s+1)``, and
+    the grid-exact means aggregate by (s, cluster, pos) — so a round is
+    ONE job over the checkpointed slice table instead of m sequential
+    jobs (plus one shared seed collect instead of m). Bit-identical to
+    the per-subspace :func:`..clustering.kmeans_fit_assign` loop it
+    replaces: the deterministic seed (the k smallest ``(md5(id), id)``
+    rows) does not depend on the vector column, so every subspace seeds
+    from the SAME rows, and the decimal mean sums are per-(s, cluster,
+    pos) groups — identical row multisets, order-independent
+    accumulation (pinned by the pq_topk oracle's unrolled per-subspace
+    Lloyd CTEs). Nothing driver-side grows with the corpus (m·k·dim
+    doubles per sync)."""
+    from .clustering import _SEED_PREFIX, _sq_dist
+    from .text import spread_for_explode
 
     d = _pq_dim(df, vec_col, m)
-    sliced = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col),
-        *[
-            sub.alias(f"__pq_sub_{s}")
-            for s, sub in enumerate(_pq_slices(vec_col, m, d))
-        ],
-    ).localCheckpoint(eager=True)
-    return [
-        kmeans_fit_assign(
-            sliced,
-            k=k,
-            n_iter=n_iter,
-            id_col=id_col,
-            vec_col=f"__pq_sub_{s}",
-            checkpoint=False,
-        )[1]
+    sliced = (
+        spread_for_explode(df.filter(F.col(vec_col).isNotNull()))
+        .select(
+            F.col(id_col),
+            *[
+                sub.alias(f"__pq_sub_{s}")
+                for s, sub in enumerate(_pq_slices(vec_col, m, d))
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # One seed pass for all m subspaces (same pruned top-k + fallback as
+    # kmeans_fit_assign's _seed_topk; see the scale-shape note above).
+    hashed = sliced.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+    cand = hashed.filter(F.col("__h") < _SEED_PREFIX)
+    rows = cand.orderBy("__h", id_col).limit(k).collect()
+    if len(rows) < k:
+        rows = hashed.orderBy("__h", id_col).limit(k).collect()
+    if not rows:
+        raise ValueError("kmeans_fit_assign: input frame has no rows")
+    k_eff = len(rows)
+    cbs = [
+        [[float(x) for x in r[f"__pq_sub_{s}"]] for r in rows]
         for s in range(m)
     ]
+
+    for _ in range(n_iter):
+        cb_lit = F.array(
+            *[
+                F.lit([[float(x) for x in c] for c in cbs[s]])
+                for s in range(m)
+            ]
+        )
+        stacked = sliced.select(
+            F.posexplode(
+                F.array(*[F.col(f"__pq_sub_{s}") for s in range(m)])
+            ).alias("s", "__sub")
+        ).select("s", _dec_vec(F.col("__sub")).alias("__sub_dec"))
+        best = F.array_min(
+            F.zip_with(
+                F.element_at(cb_lit, F.col("s") + 1),
+                F.sequence(F.lit(0), F.lit(k_eff - 1)),
+                lambda c, i: F.struct(
+                    _sq_dist(F.col("__sub_dec"), c).alias("d"),
+                    i.alias("cid"),
+                ),
+            )
+        )
+        scaled = F.floor(F.col("col") * F.lit(2.0**50)).cast("decimal(38,0)")
+        means = (
+            # cluster_id in its own projection BELOW the posexplode: a
+            # generator in the same select list makes the analyzer strip
+            # the struct-field aliases inside the zip_with lambda
+            # (FIELD_NOT_FOUND on best["cid"]); two selects, same values.
+            stacked.select(
+                "s", best["cid"].alias("cluster_id"), "__sub_dec"
+            )
+            .select("s", "cluster_id", F.posexplode(F.col("__sub_dec")))
+            .groupBy("s", "cluster_id", "pos")
+            .agg(
+                (
+                    F.sum(scaled).cast("double")
+                    / F.lit(2.0**50)
+                    / F.count(F.lit(1))
+                ).alias("mu")
+            )
+            .collect()
+        )
+        by_sc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_sc.setdefault((r["s"], r["cluster_id"]), {})[r["pos"]] = r["mu"]
+        cbs = [
+            [
+                [
+                    by_sc.get((s, cid), {}).get(pos, cbs[s][cid][pos])
+                    for pos in range(d)
+                ]
+                for cid in range(k_eff)
+            ]
+            for s in range(m)
+        ]
+    return cbs
 
 
 def pq_encode(
