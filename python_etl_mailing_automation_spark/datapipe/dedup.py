@@ -491,8 +491,11 @@ def dedup_clusters_star(
       ``m(u)`` — each a broadcast-friendly join of edges to the per-node
       min, emitting only (node, root) pairs, never materializing
       neighborhoods as arrays.
-    - converged when a small-star round leaves the canonical edge set
-      unchanged; edges then ARE (node, component-min) stars.
+    - converged when the canonical edge set IS a star forest (every dst
+      one src, no node on both sides) — equivalent to the textbook
+      "no round changes the set" test (a star forest is a fixpoint, see
+      the in-loop comment) but checkable with one skinny aggregate over
+      the round's checkpointed output instead of set differences.
 
     Each round ends in ``localCheckpoint`` — the per-round lineage
     truncation the label-propagation loop needs for constant planning
@@ -505,7 +508,7 @@ def dedup_clusters_star(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
 
-    def _star(e: DataFrame, large: bool) -> DataFrame:
+    def _star(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         sym = _sym(e)
         mins = sym.groupBy("src").agg(
             F.least(F.min("dst"), F.first("src")).alias("m")
@@ -515,14 +518,18 @@ def dedup_clusters_star(
         rewired = nbrs.filter(cond).select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         if not large:
             rewired = rewired.unionByName(mins.select("src", F.col("m").alias("dst")))
-        return (
-            rewired.filter(F.col("src") != F.col("dst"))
-            .select(
-                F.least("src", "dst").alias("src"),
-                F.greatest("src", "dst").alias("dst"),
-            )
-            .distinct()
+        out = rewired.filter(F.col("src") != F.col("dst")).select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
         )
+        # dedup=False skips the bounding distinct (one exchange fewer):
+        # safe for the INNER large-star of a round because its
+        # pre-distinct output is exactly one row per input edge (each
+        # canonical edge survives the dst>src filter in exactly one
+        # orientation), so duplicates cannot grow the frame, and the
+        # outer star's min aggregate and final distinct are
+        # multiplicity-blind — the round's edge SET is unchanged.
+        return out.distinct() if dedup else out
 
     edges = (
         pairs.select(
@@ -534,15 +541,44 @@ def dedup_clusters_star(
         .localCheckpoint(eager=True)
     )
     for round_no in range(1, max_iterations + 1):
-        after = _star(_star(edges, large=True), large=False).localCheckpoint(
-            eager=True
-        )
-        delta = (
-            after.exceptAll(edges).count() + edges.exceptAll(after).count()
-        )
-        log.info("dedup_clusters_star round %d: %d edge changes", round_no, delta)
+        after = _star(
+            _star(edges, large=True, dedup=False), large=False
+        ).localCheckpoint(eager=True)
         edges = after
-        if delta == 0:
+        # Convergence: stop as soon as the canonical edge set IS a star
+        # forest — every dst has exactly one src and no node appears on
+        # both sides. Such a set is a fixpoint of small∘large (roots are
+        # component minima by canonicality, so large-star maps (u,v) to
+        # itself and small-star re-emits each (u,v) from center v plus
+        # the filtered (u,u) self-rows), so further rounds cannot change
+        # it and the labels below are identical to running until the
+        # old after==edges test passed. One skinny aggregate job over
+        # the just-checkpointed frame replaces two exceptAll jobs per
+        # round AND the final no-op round the equality test needed.
+        non_star = (
+            after.select(
+                F.col("src").alias("__n"),
+                F.lit(1).alias("__s"),
+                F.lit(0).alias("__d"),
+            )
+            .unionByName(
+                after.select(
+                    F.col("dst").alias("__n"),
+                    F.lit(0).alias("__s"),
+                    F.lit(1).alias("__d"),
+                )
+            )
+            .groupBy("__n")
+            .agg(F.sum("__s").alias("__s"), F.sum("__d").alias("__d"))
+            .filter(
+                ((F.col("__s") > 0) & (F.col("__d") > 0)) | (F.col("__d") > 1)
+            )
+            .count()
+        )
+        log.info(
+            "dedup_clusters_star round %d: %d non-star nodes", round_no, non_star
+        )
+        if non_star == 0:
             break
     # Converged edges are (min, node) stars: label = root, self for
     # isolated nodes. min() guards the (impossible-at-fixpoint, cheap to

@@ -1233,6 +1233,47 @@ def test_star_clusters_match_propagation_on_chain_and_clique(spark):
     assert {star[n] for n in chain_nodes} == {min(chain_nodes)}
 
 
+def test_star_clusters_converge_in_one_round_on_star_input(spark, caplog):
+    """The star-forest convergence test (round-10: one skinny aggregate
+    per round instead of two exceptAll set differences) must recognise
+    an input that is ALREADY a star forest and stop after a single
+    round, and still label multi-src / both-sides nodes correctly when
+    the input is NOT yet a forest (dst with two srcs, chained dsts)."""
+    import logging
+
+    from python_etl_mailing_automation_spark.datapipe.dedup import (
+        dedup_clusters_star,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # two disjoint stars rooted at their component minima: 0-{1,2}, 3-{4,5}
+    stars = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 4), (3, 5)], "doc_id_a long, doc_id_b long"
+    )
+    with caplog.at_level(
+        logging.INFO, logger="python_etl_mailing_automation_spark.datapipe.dedup"
+    ):
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters_star(docs, stars).collect()
+        }
+    rounds = [m for m in caplog.messages if "non-star nodes" in m]
+    assert len(rounds) == 1, rounds
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 7, 8: 8, 9: 9}
+    # NOT a star forest: 5 is a dst twice ((1,5),(3,5)) and 3 is on both
+    # sides ((1,3),(3,5)) — the check must keep iterating until the
+    # merged component collapses to one star under min 1
+    tangle = spark.createDataFrame(
+        [(1, 5), (3, 5), (1, 3), (2, 4)], "doc_id_a long, doc_id_b long"
+    )
+    out2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_star(docs, tangle).collect()
+    }
+    assert out2[1] == out2[3] == out2[5] == 1
+    assert out2[2] == out2[4] == 2
+
+
 def test_featurize_hashing_matches_reference_counts(spark, docs):
     """The hashing-trick vector must equal an independent python
     md5-bucket count, and total mass must equal the token count."""
