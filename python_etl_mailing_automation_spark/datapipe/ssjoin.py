@@ -475,6 +475,7 @@ def _segment_bounds(
     scheme — zero-length strings included (their k empty segments are
     how "a" finds "") — falling back to the even split for lengths the
     stats pass cannot weigh."""
+    lengths: list[int] | None = None
     if segmenter == "entropy":
         stats_base = index_base
         if stats_mod is not None and stats_mod > 1:
@@ -484,17 +485,24 @@ def _segment_bounds(
                     f" 16, 10) as bigint) % {int(stats_mod)} = 0"
                 )
             )
+        # Position 0 is a marker row (NULL char, ignored by the distinct
+        # count) so every observed length — zero included — shows up in
+        # the one aggregate; without sampling that makes the separate
+        # distinct-lengths scan below redundant (one driver job, not
+        # two).
         stats = (
-            stats_base.filter(F.col("__len") > 0)
-            .select(
+            stats_base.select(
                 "__len",
-                F.explode(F.sequence(F.lit(1), F.col("__len"))).alias("__p"),
+                F.explode(F.sequence(F.lit(0), F.col("__len"))).alias("__p"),
                 "__s",
             )
             .select(
                 "__len",
                 "__p",
-                F.col("__s").substr(F.col("__p"), F.lit(1)).alias("__c"),
+                F.when(
+                    F.col("__p") > 0,
+                    F.col("__s").substr(F.col("__p"), F.lit(1)),
+                ).alias("__c"),
             )
             .groupBy("__len", "__p")
             .agg(F.count_distinct("__c").alias("__nd"))
@@ -502,14 +510,24 @@ def _segment_bounds(
         )
         by_len: dict[int, list[float]] = {}
         for row in stats:
-            by_len.setdefault(row["__len"], [0.0] * row["__len"])
+            if row["__len"] > 0:
+                by_len.setdefault(row["__len"], [0.0] * row["__len"])
         for row in stats:
-            by_len[row["__len"]][row["__p"] - 1] = math.log2(max(row["__nd"], 1))
+            if row["__p"] > 0:
+                by_len[row["__len"]][row["__p"] - 1] = math.log2(
+                    max(row["__nd"], 1)
+                )
+        if stats_mod is None or stats_mod <= 1:
+            lengths = sorted({r["__len"] for r in stats})
     else:
         by_len = {}
-    lengths = sorted(
-        r["__len"] for r in index_base.select("__len").distinct().collect()
-    )
+    if lengths is None:
+        # sampled stats (or the even segmenter) can miss lengths, and a
+        # length without a scheme would silently drop its rows from the
+        # index side — membership requires the full-scan length set
+        lengths = sorted(
+            r["__len"] for r in index_base.select("__len").distinct().collect()
+        )
     bounds_rows = [
         (l, j, st, ln)
         for l in lengths
@@ -550,8 +568,12 @@ def edit_distance_join(
     d+1 segments keyed by (segment#, source length, text); the probe
     side emits, for each candidate partner length l in [len-d, len],
     every substring of itself that could align with segment j of an
-    l-length partner (positions within +/-d of the segment start) —
-    at most (d+1)²·(2d+1) probe keys per row, constant in corpus size.
+    l-length partner under the multi-match-aware shift window (at most
+    j edits fall left of segment j and d-j right of it, so the shift
+    lies in [max(-j, Δ-(d-j)), min(j, Δ+(d-j))] — for d=1 exactly ONE
+    substring per (partner length, segment)) — at most
+    (d+1)·Σ_j(min(j,Δ+d-j)-max(-j,Δ-d+j)+1) ≤ (d+1)²·(2d+1) probe keys
+    per row, constant in corpus size.
     Candidates are the equi-join on those keys; every candidate is
     then verified with the exact Levenshtein metric, so the result has
     no false positives and (by the pigeonhole bound) no false
@@ -640,8 +662,24 @@ def edit_distance_join(
         F.explode(F.array(*[F.lit(s) for s in range(-d, d + 1)])).alias("__sh"),
     )
     p = F.col("__start") + F.col("__sh")
+    # Multi-match-aware substring selection (Li et al., VLDB 2011,
+    # Lemma: for segment j — 0-indexed — of an ls-length partner and a
+    # length gap Δ = lr - ls, a matching alignment can only shift the
+    # segment start by sh ∈ [max(-j, Δ-(d-j)), min(j, Δ+(d-j))]: at most
+    # j edits can fall left of segment j and at most d-j right of it).
+    # Strictly tightens the loose ±d pigeonhole window — for d=1 it
+    # pins ONE probe substring per (row, partner length, segment), a 3×
+    # candidate cut — and every dropped candidate is a provable
+    # non-match, so the verified pair set is unchanged.
+    mm_lo = F.greatest(-F.col("seg_j"), F.col("__dl") - (F.lit(d) - F.col("seg_j")))
+    mm_hi = F.least(F.col("seg_j"), F.col("__dl") + (F.lit(d) - F.col("seg_j")))
     probe_entries = (
-        pj.filter((p >= 0) & (p + F.col("__slen") <= F.col("__len")))
+        pj.filter(
+            (F.col("__sh") >= mm_lo)
+            & (F.col("__sh") <= mm_hi)
+            & (p >= 0)
+            & (p + F.col("__slen") <= F.col("__len"))
+        )
         .select(
             F.col("__id").alias("id_r"),
             F.col("__s").alias("s_r"),
@@ -822,8 +860,18 @@ def edit_distance_join_two(
         F.explode(F.array(*[F.lit(s) for s in range(-d, d + 1)])).alias("__sh"),
     )
     p = F.col("__start") + F.col("__sh")
+    # multi-match-aware shift window — same lemma as in
+    # edit_distance_join; here Δ = __dl may be negative (probe shorter
+    # than index partner), which the bound handles symmetrically
+    mm_lo = F.greatest(-F.col("seg_j"), F.col("__dl") - (F.lit(d) - F.col("seg_j")))
+    mm_hi = F.least(F.col("seg_j"), F.col("__dl") + (F.lit(d) - F.col("seg_j")))
     probe_entries = (
-        pj.filter((p >= 0) & (p + F.col("__slen") <= F.col("__len")))
+        pj.filter(
+            (F.col("__sh") >= mm_lo)
+            & (F.col("__sh") <= mm_hi)
+            & (p >= 0)
+            & (p + F.col("__slen") <= F.col("__len"))
+        )
         .select(
             F.col("__id").alias("id_a"),
             F.col("__s").alias("s_a"),
