@@ -334,12 +334,13 @@ def containment_dedup(
     Scale shape: one-pass is the pair join's cost (see
     containment_join_exact) plus one distinct-ids frame and one
     left-anti join back — survivors keep their full payload without
-    ever being shuffled into the pair machinery. Fixpoint tokenizes
-    and prefix-ranks ONCE (cached; the global prefix stays complete on
-    every survivor subset because the indexed side holds all tokens)
-    and each round only anti-join-filters the cached frames before the
-    pair join; per round the driver sync is one count of a tiny
-    materialized id frame (chain-depth-bounded, the clustering/
+    ever being shuffled into the pair machinery. Fixpoint runs the
+    token-join pair machinery ONCE (pair acceptance depends only on the
+    two documents' token sets, so the survivor-restricted pair set of
+    any round is the full oriented set anti-joined to the drop ledger)
+    and iterates the safe-container/drop waves on the materialized
+    id-pair frame alone; per round the driver sync is one count of a
+    tiny checkpointed id frame (chain-depth-bounded, the clustering/
     pagerank iterative discipline), drops accumulate in an id ledger
     anti-joined against the ORIGINAL frame, and the token caches are
     released in a ``finally`` (the no-cache-leak contract).
@@ -375,47 +376,59 @@ def containment_dedup(
     )
     toks = toks.cache()
     prefix = prefix.cache()
+    # Round 10: the heavy token-join pair machinery runs ONCE, not once
+    # per round. Pair acceptance (|A∩B| >= t·|A|, size/id orientation)
+    # depends only on the two documents' token sets — never on who else
+    # survives — and the global prefix is complete on every survivor
+    # subset, so round k's oriented pair set over survivors is EXACTLY
+    # the full oriented pair set restricted to survivor×survivor. The
+    # fixpoint therefore iterates on the materialized id-pair frame
+    # alone (chain-depth-bounded rounds over a pairs-sized frame),
+    # instead of re-running the prefix join + intersection count on
+    # anti-join-filtered token caches every round.
     try:
-        ledger: DataFrame | None = None
-        for _ in range(max_rounds):
-            if ledger is None:
-                t, p = toks, prefix
-            else:
-                led = ledger.withColumnRenamed(id_col, "__id")
-                t = toks.join(led, on="__id", how="left_anti")
-                p = prefix.join(led, on="__id", how="left_anti")
-            oriented = _containment_pairs_from(
-                t, p, num=num, den=den
-            ).filter(
+        oriented_all = (
+            _containment_pairs_from(toks, prefix, num=num, den=den)
+            .filter(
                 (F.col("size_a") < F.col("size_b"))
                 | (
                     (F.col("size_a") == F.col("size_b"))
                     & (F.col("id_a") > F.col("id_b"))
                 )
             )
-            # a container is SAFE iff it is not itself a contained side
-            # this round; only drops with a safe container are applied
-            contained = oriented.select(
-                F.col("id_a").alias("id_b")
-            ).distinct()
-            drops = (
-                oriented.join(contained, on="id_b", how="left_anti")
-                .select(F.col("id_a").alias(id_col))
-                .distinct()
-                # materialize the tiny id frame NOW: truncates the
-                # heavy pair-join lineage, makes the count free, and
-                # populates the token caches on round 1
-                .localCheckpoint(eager=True)
-            )
-            if drops.count() == 0:
-                break
-            ledger = drops if ledger is None else ledger.unionByName(drops)
-        if ledger is None:
-            return df
-        return df.join(ledger, on=id_col, how="left_anti")
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
     finally:
         toks.unpersist()
         prefix.unpersist()
+    ledger: DataFrame | None = None
+    pairs_r = oriented_all
+    for _ in range(max_rounds):
+        # a container is SAFE iff it is not itself a contained side
+        # this round; only drops with a safe container are applied
+        contained = pairs_r.select(F.col("id_a").alias("id_b")).distinct()
+        drops = (
+            pairs_r.join(contained, on="id_b", how="left_anti")
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if drops.count() == 0:
+            break
+        ledger = drops if ledger is None else ledger.unionByName(drops)
+        pairs_r = (
+            pairs_r.join(
+                drops.select(F.col(id_col).alias("id_a")), on="id_a", how="left_anti"
+            )
+            .join(
+                drops.select(F.col(id_col).alias("id_b")), on="id_b", how="left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+    if ledger is None:
+        return df
+    return df.join(ledger, on=id_col, how="left_anti")
 
 
 def _even_segment_bounds(l: int, k: int) -> list[tuple[int, int]]:
