@@ -449,7 +449,9 @@ def dedup_clusters(
                     ).alias("cluster_id"),
                     (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: the changed-count below materializes the
+                # checkpoint and tests convergence in one job
+                .localCheckpoint(eager=False)
             )
             changed = updated.filter(F.col("__changed")).count()
             log.info("dedup_clusters round %d: %d labels changed", round_no, changed)
@@ -541,9 +543,13 @@ def dedup_clusters_star(
         .localCheckpoint(eager=True)
     )
     for round_no in range(1, max_iterations + 1):
+        # lazy checkpoint: the star-forest aggregate below is the
+        # round's single action — it materializes the checkpoint AND
+        # answers convergence in one job (eager=True would spend a
+        # separate materialization job first)
         after = _star(
             _star(edges, large=True, dedup=False), large=False
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         edges = after
         # Convergence: stop as soon as the canonical edge set IS a star
         # forest — every dst has exactly one src and no node appears on

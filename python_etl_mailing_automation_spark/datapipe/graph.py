@@ -602,11 +602,13 @@ def strongly_connected_components(
     graph labels non-SCCs), so the operator runs each fixpoint to an
     exact convergence check and raises ``RuntimeError`` if the combined
     step budget ``max_steps`` is exhausted — the oracle never sees a
-    truncated answer. Each step is one count() action on a
-    lazily-localCheckpointed frame (the count doubles as the
-    convergence test and the lineage cut), so driver round-trips are
-    O(condensation diameter), the standard price of fixpoint graph
-    algorithms on a relational engine.
+    truncated answer. Each convergence-checked step is ONE action on a
+    lazily-localCheckpointed frame (a count, or for the coloring an
+    aggregate of the changed-row total — the action doubles as the
+    convergence test and the lineage cut); edge-set re-checkpoints
+    carry no action at all and materialize in their first consumer.
+    Driver round-trips are O(condensation diameter), the standard
+    price of fixpoint graph algorithms on a relational engine.
 
     Scale shape: every step is an equi-join of a (node, label) frame to
     the edge list plus a keyed max/distinct — no windows, no
@@ -633,7 +635,7 @@ def strongly_connected_components(
 
     steps = 0
 
-    def _step(df: DataFrame) -> tuple[DataFrame, int]:
+    def _budget() -> None:
         nonlocal steps
         steps += 1
         if steps > max_steps:
@@ -642,20 +644,45 @@ def strongly_connected_components(
                 f"max_steps={max_steps} exhausted — raise it (graphs "
                 "with deep condensations need more rounds)"
             )
+
+    def _step(df: DataFrame) -> tuple[DataFrame, int]:
+        _budget()
         out = df.localCheckpoint(eager=False)
         return out, out.count()
 
+    def _cut(df: DataFrame) -> DataFrame:
+        # lineage cut WITHOUT a dedicated count job: the next consumer
+        # (always a full scan here — joins/aggregates, never a limit)
+        # materializes the lazy checkpoint exactly once; the explicit
+        # count was a whole extra pass whose result was discarded
+        _budget()
+        return df.localCheckpoint(eager=False)
+
     remaining, n_rem = _step(nodes)
-    e, _ = _step(e)
+    e = _cut(e)
     done: list[DataFrame] = []
 
     while n_rem > 0:
         # ---- TRIM fixpoint: keep nodes with >=1 out AND >=1 in edge
+        # (one flagged endpoint aggregate — was two distincts + a join)
         while True:
             core = (
-                e.select("src").distinct()
-                .join(e.select(F.col("dst").alias("src")).distinct(), "src")
-                .select(F.col("src").alias("node"))
+                e.select(
+                    F.col("src").alias("node"),
+                    F.lit(1).alias("__o"),
+                    F.lit(0).alias("__i"),
+                )
+                .unionByName(
+                    e.select(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("__o"),
+                        F.lit(1).alias("__i"),
+                    )
+                )
+                .groupBy("node")
+                .agg(F.max("__o").alias("__o"), F.max("__i").alias("__i"))
+                .filter((F.col("__o") == 1) & (F.col("__i") == 1))
+                .select("node")
             )
             core, n_core = _step(core)
             if n_core == n_rem:
@@ -665,7 +692,7 @@ def strongly_connected_components(
                 .select("node", F.col("node").alias("scc_id"))
             )
             remaining, n_rem = core, n_core
-            e, _ = _step(
+            e = _cut(
                 e.join(core.select(F.col("node").alias("src")), "src", "left_semi")
                 .join(core.select(F.col("node").alias("dst")), "dst", "left_semi")
                 .select("src", "dst")
@@ -688,8 +715,19 @@ def strongly_connected_components(
                     "__new"
                 ),
             )
-            both, _ = _step(both)
-            if both.filter(F.col("__new") != F.col("color")).limit(1).count() == 0:
+            both = _cut(both)
+            # one aggregate job doubles as checkpoint materialization
+            # and convergence test (was: a count job + a changed-probe
+            # job per iteration)
+            n_changed = (
+                both.agg(
+                    F.sum(
+                        (F.col("__new") != F.col("color")).cast("long")
+                    ).alias("__nc")
+                ).first()["__nc"]
+                or 0
+            )
+            if n_changed == 0:
                 color = both.select("node", "color")
                 break
             color = both.select("node", F.col("__new").alias("color"))
@@ -716,7 +754,7 @@ def strongly_connected_components(
             marked, n_marked = marked2, n2
         done.append(marked.select("node", F.col("color").alias("scc_id")))
         remaining, n_rem = _step(remaining.join(marked, "node", "left_anti"))
-        e, _ = _step(
+        e = _cut(
             e.join(
                 remaining.select(F.col("node").alias("src")), "src", "left_semi"
             )

@@ -304,27 +304,52 @@ def embedding_covariance(
     (an explicit unique id, never monotonically_increasing_id — that
     would be partition-layout-dependent across the two join branches).
 
-    Scale shape: one explode to (row, dim, value) — dim× amplification
-    — then an equi-self-join on the row id restricted to ``i <= j``
-    (dim²/2× on the exploded frame, the inherent cost of a dense
-    covariance) and a (i, j)-keyed aggregate bounded by dim² rows
-    output. For very high dim, subsample rows first — the estimator
-    degrades gracefully, the shape does not change.
+    Scale shape: the dim²/2 upper-triangle terms of each row are
+    ROW-LOCAL (a row's outer product never needs another row), so they
+    are generated in-row — one explode of the per-row (i, j, x_i, x_j)
+    triangle — and flow straight into the (i, j)-keyed aggregate, whose
+    map-side partials collapse to at most dim²/2 rows per task before
+    the only exchange. (Round 10: this replaces the explode →
+    equi-self-join on the row id — two data-sized shuffles of the
+    (row, dim, value) frame — with zero pre-aggregate shuffles; the
+    per-term doubles are the same ``cast(element_at(...))`` values the
+    join produced, so every decimal partial is bit-identical.)
+    For very high dim, subsample rows first — the estimator degrades
+    gracefully, the shape does not change. ``id_col`` is unused (kept
+    for signature stability; the scan no longer reads it).
     """
-    vals = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col).alias("__rid"),
-            F.posexplode(_dec_vec(F.col(vec_col))).alias("i", "x"),
+    from .text import spread_for_explode
+
+    # rebalance the RAW rows before the dim²/2 in-row explode (a no-op
+    # on a wide production scan; locally the scan is one split and the
+    # generator would otherwise run serially)
+    vals = spread_for_explode(
+        df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(vec_col).alias("__v")
         )
     )
-    a = vals.select("__rid", F.col("i").alias("i"), F.col("x").alias("xa"))
-    b = vals.select("__rid", F.col("i").alias("j"), F.col("x").alias("xb"))
+    # element refs are O(1) scalar casts of the raw array attribute —
+    # never a transformed copy referenced inside the lambda (a free
+    # non-attribute expression would re-evaluate per element)
+    tri_sql = (
+        "CASE WHEN size(__v) >= 1 THEN "
+        "flatten(transform(sequence(0, size(__v) - 1), i -> "
+        "transform(sequence(i, size(__v) - 1), j -> "
+        "struct(i AS i, j AS j, "
+        "CAST(element_at(__v, i + 1) AS double) AS xa, "
+        "CAST(element_at(__v, j + 1) AS double) AS xb)))) "
+        "ELSE cast(array() as array<struct<i:int,j:int,xa:double,xb:double>>)"
+        " END"
+    )
+    terms = vals.select(F.explode(F.expr(tri_sql)).alias("__p")).select(
+        F.col("__p.i").alias("i"),
+        F.col("__p.j").alias("j"),
+        F.col("__p.xa").alias("xa"),
+        F.col("__p.xb").alias("xb"),
+    )
     grid = F.lit(2.0**40)
     pair = (
-        a.join(b, on="__rid")
-        .filter(F.col("i") <= F.col("j"))
-        .groupBy("i", "j")
+        terms.groupBy("i", "j")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(

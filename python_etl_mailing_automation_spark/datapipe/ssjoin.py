@@ -408,11 +408,13 @@ def containment_dedup(
         # a container is SAFE iff it is not itself a contained side
         # this round; only drops with a safe container are applied
         contained = pairs_r.select(F.col("id_a").alias("id_b")).distinct()
+        # lazy checkpoints: the count (and next round's first job)
+        # materialize them — no separate eager-materialization jobs
         drops = (
             pairs_r.join(contained, on="id_b", how="left_anti")
             .select(F.col("id_a").alias(id_col))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if drops.count() == 0:
             break
@@ -424,7 +426,7 @@ def containment_dedup(
             .join(
                 drops.select(F.col(id_col).alias("id_b")), on="id_b", how="left_anti"
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     if ledger is None:
         return df
