@@ -670,6 +670,7 @@ def edit_distance_join(
         "__id",
         "__s",
         "__len",
+        "__dl",
         "seg_j",
         "seg_l",
         "__start",
@@ -868,6 +869,7 @@ def edit_distance_join_two(
         "__id",
         "__s",
         "__len",
+        "__dl",
         "seg_j",
         "seg_l",
         "__start",
