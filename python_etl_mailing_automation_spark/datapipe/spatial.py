@@ -32,33 +32,23 @@ def proximity_join_grid(
     x_col: str = "x",
     y_col: str = "y",
     radius: int,
-    self_join: bool = False,
 ) -> DataFrame:
     """All (a, b) pairs with squared Euclidean distance <= radius² in
     integer coordinate units. Returns ``(id_a, id_b, dist2)`` —
     ``dist2`` the exact BIGINT squared distance (callers sqrt for
     display; the join itself never needs the irrational).
 
-    Self-join use: pass the same frame twice with ``self_join=True``
-    (``b`` is then ignored) and filter ``id_a < id_b`` downstream. The
-    result is the same symmetric ordered pair set (both orientations of
-    every within-radius pair, plus the (p, p, 0) self-pair) the 9-cell
-    R-S path produces on identical inputs — but built from the
-    HALF-neighborhood: the probe explodes only the 5 offsets
-    {(0,0), (1,0), (-1,1), (0,1), (1,1)}, which cover exactly one of
-    {d, -d} for every adjacent cell difference d, so each unordered
-    pair is generated and distance-verified ONCE (same-cell pairs are
-    ordered by id under the (0,0) offset) and then mirrored map-side
-    from a checkpointed half set. Half the join probe volume, half the
-    exact-verify work.
+    Self-join use: pass the same frame twice and filter
+    ``id_a < id_b`` downstream (kept out of this operator so R-S
+    linkage — stores vs couriers, cells vs towers — stays the primary
+    shape).
 
-    Scale shape: one 9× (R-S) or 5× (self) explode of the probe side
-    (bounded, literal offsets), one equi-join on the composite cell
-    key, exact verify on candidates. Cell side = radius bounds
-    candidates to the neighborhood's occupancy — the output-bound
-    argument: a uniform distribution puts O(density·r²) candidates per
-    probe; pathological hot cells are the usual skew levers (AQE,
-    salting the probe explode). Never n².
+    Scale shape: one 9× explode of A (bounded, literal offsets), one
+    equi-join on the composite cell key, exact verify on candidates.
+    Cell side = radius bounds candidates to the 9-cell neighborhood's
+    occupancy — the output-bound argument: a uniform distribution puts
+    O(density·r²) candidates per probe; pathological hot cells are the
+    usual skew levers (AQE, salting the probe explode). Never n².
     """
     if radius < 1:
         raise ValueError("proximity_join_grid: radius must be >= 1")
@@ -103,73 +93,18 @@ def proximity_join_grid(
             (F.col("__cy") + F.col("__o.dy")).alias("__cy"),
         )
 
+    pa = cells(a, "a", True)
+    pb = cells(b, "b", False)
     dx = F.col("__xa") - F.col("__xb")
     dy = F.col("__ya") - F.col("__yb")
-    if not self_join:
-        pa = cells(a, "a", True)
-        pb = cells(b, "b", False)
-        return (
-            pa.join(pb, ["__cx", "__cy"])
-            .select(
-                "id_a",
-                "id_b",
-                (dx * dx + dy * dy).cast("long").alias("dist2"),
-            )
-            .filter(F.col("dist2") <= r * r)
-        )
-    home = cells(a, "a", False)
-    half_off = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(dx_).cast("long").alias("dx"),
-                    F.lit(dy_).cast("long").alias("dy"),
-                )
-                for dx_, dy_ in ((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
-            ]
-        )
-    ).alias("__o")
-    probe = home.select(
-        "id_a", "__xa", "__ya", "__cx", "__cy", half_off
-    ).select(
-        "id_a",
-        "__xa",
-        "__ya",
-        (F.col("__cx") + F.col("__o.dx")).alias("__cx"),
-        (F.col("__cy") + F.col("__o.dy")).alias("__cy"),
-        ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).alias("__same"),
-    )
-    build = cells(a, "b", False)
-    # each unordered pair verified once: same-cell pairs id-ordered
-    # under the (0,0) offset, adjacent-cell pairs via the unique
-    # half-neighborhood offset covering their cell difference
-    half = (
-        probe.join(build, ["__cx", "__cy"])
-        .filter(~F.col("__same") | (F.col("id_a") < F.col("id_b")))
+    return (
+        pa.join(pb, ["__cx", "__cy"])
         .select(
             "id_a",
             "id_b",
             (dx * dx + dy * dy).cast("long").alias("dist2"),
         )
         .filter(F.col("dist2") <= r * r)
-        # lazy checkpoint: the mirrored union below reads one
-        # materialization instead of running the join per branch
-        .localCheckpoint(eager=False)
-    )
-    selfs = home.select(
-        "id_a",
-        F.col("id_a").alias("id_b"),
-        F.lit(0).cast("long").alias("dist2"),
-    )
-    return (
-        half.unionByName(
-            half.select(
-                F.col("id_b").alias("id_a"),
-                F.col("id_a").alias("id_b"),
-                "dist2",
-            )
-        )
-        .unionByName(selfs)
     )
 
 
@@ -226,8 +161,7 @@ def density_clusters(
     # assignment — cached for the call, released in the finally after
     # the result is materialized (the graph-module no-leak contract)
     pairs = proximity_join_grid(
-        pts, pts, id_col="id", x_col="x", y_col="y", radius=eps,
-        self_join=True,
+        pts, pts, id_col="id", x_col="x", y_col="y", radius=eps
     ).cache()
     deg = pairs.groupBy("id_a").agg(
         F.count(F.lit(1)).cast("long").alias("__deg")

@@ -4060,25 +4060,6 @@ def test_proximity_join_grid_matches_brute_force(spark):
     assert (A[0][0], 999, 250000) in got  # the boundary pair made it
     with pytest.raises(ValueError):
         proximity_join_grid(da, db, radius=0)
-    # self_join=True (5-offset half-neighborhood, round-10) must equal
-    # the 9-cell R-S path on the same frame passed twice — the full
-    # symmetric ordered pair set including (p, p, 0) self-pairs, each
-    # exactly once, with same-cell AND adjacent-cell duplicates ruled
-    # out; exercised with co-located points (dist2 0 at distinct ids)
-    # and boundary pairs
-    A2 = A + [(777, A[1][1], A[1][2])]  # exact duplicate coordinates
-    da2 = spark.createDataFrame(A2, "id long, x long, y long")
-    got_rs = sorted(
-        tuple(row)
-        for row in proximity_join_grid(da2, da2, radius=r).collect()
-    )
-    got_self = sorted(
-        tuple(row)
-        for row in proximity_join_grid(
-            da2, da2, radius=r, self_join=True
-        ).collect()
-    )
-    assert got_self == got_rs
 
 
 def test_density_clusters_roles_and_labels(spark):
