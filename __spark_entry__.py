@@ -5546,10 +5546,14 @@ def q_quantile_sketch_merged(spark: SparkSession, sf: str) -> DataFrame:
     summary. Deterministic end to end (both shard sketches and the
     merge are pure functions of the histograms), so DuckDB replays the
     full build-build-merge pipeline and hash-checks it."""
+    from python_etl_mailing_automation_spark.datapipe.prefix import (
+        range_boundaries,
+    )
     from python_etl_mailing_automation_spark.datapipe.sketches import (
         quantile_sketch,
         quantile_sketch_merge,
     )
+    from python_etl_mailing_automation_spark.detach import detach
 
     o = _t(spark, sf, "orders").select(
         "o_orderkey",
@@ -5557,11 +5561,34 @@ def q_quantile_sketch_merged(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+    # Round 11 (guide §2.1 — share the scan): ONE exact per-(parity,
+    # value) histogram feeds both shard sketches; each shard's histogram
+    # is the parity slice (filter-then-count ≡ count-then-filter,
+    # exactly), and the shared range boundaries come from the
+    # histogram's own value set (boundaries steer bucket balance only,
+    # never membership). One orders scan instead of ~six; rows, schema
+    # and hash unchanged — the sketch is a pure function of the
+    # histogram.
+    hist = detach(
+        o.filter(F.col("cents").isNotNull())
+        .groupBy((F.col("o_orderkey") % 2).alias("__par"), "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c")),
+        eager=False,
+    )
+    bnd = range_boundaries(hist.select("cents"), "cents")
     a = quantile_sketch(
-        o.filter(F.col("o_orderkey") % 2 == 0), "cents", n_bands=32
+        o,
+        "cents",
+        n_bands=32,
+        counts=hist.filter(F.col("__par") == 0).select("cents", "__c"),
+        boundaries=bnd,
     )
     b = quantile_sketch(
-        o.filter(F.col("o_orderkey") % 2 == 1), "cents", n_bands=32
+        o,
+        "cents",
+        n_bands=32,
+        counts=hist.filter(F.col("__par") == 1).select("cents", "__c"),
+        boundaries=bnd,
     )
     return quantile_sketch_merge(a, b, n_bands=32)
 

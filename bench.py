@@ -593,6 +593,36 @@ class _IdleSentinel:
             time.sleep(self.interval_s)
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line.
+
+    Steal time is the round-11 contention signal the process sentinel is
+    structurally blind to: the round-10 driver run carried 3-10x spikes
+    on individual queries (lsh_recall 54.5 s vs 8.8 s on identical code)
+    with ZERO foreign processes visible — hypervisor steal (10-12%
+    observed in top during those windows) runs outside the sandbox's
+    process table. /proc/stat's per-boot counters make it measurable
+    per run: field 8 of the cpu line is cumulative steal ticks.
+    """
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        return vals[7], sum(vals)
+    except Exception:  # noqa: BLE001 - the probe must never kill the bench
+        return None
+
+
+# Re-measure when the hypervisor stole more than this fraction of the
+# machine during a run (idle boots measure <1-2%; contended windows
+# 10-12%). Budgeted globally so a chronically-stolen boot degrades to
+# stamped-but-recorded numbers instead of tripling the sweep.
+_STEAL_FRAC_LIMIT = 0.05
+_STEAL_RETRY_BUDGET = 60
+
+
 def _measure_with_retry(
     name: str,
     run_fn,
@@ -601,6 +631,7 @@ def _measure_with_retry(
     contended: dict,
     retry_counts: dict,
     max_attempts: int = 3,
+    steal_state: dict | None = None,
 ) -> float:
     """One timed execution, re-measured (bounded) under contention.
 
@@ -608,28 +639,49 @@ def _measure_with_retry(
     from the sentinel's hit log, plus one synchronous edge scan for
     runs shorter than two scan intervals — the number measured OUR JVM
     COMPETING FOR CORES, not the query: release state, wait for the
-    machine to go idle again, and re-run. Give up after
-    ``max_attempts`` and record the query in ``contended`` (which
-    stamps the artifact) so a reviewer can discount exactly those
-    entries. A retry that then measured clean does NOT stamp — that is
-    the point of retrying.
+    machine to go idle again, and re-run. Round 11 adds the same
+    treatment for hypervisor steal (``_cpu_ticks``): a run during which
+    >5% of the machine was stolen measured the HYPERVISOR, not the
+    query. Give up after ``max_attempts`` and record the query in
+    ``contended`` (which stamps the artifact) so a reviewer can
+    discount exactly those entries. A retry that then measured clean
+    does NOT stamp — that is the point of retrying.
     """
     procs: list[str] = []
+    steal_frac = 0.0
     dt = 0.0
     for _ in range(max_attempts):
+        c0 = _cpu_ticks()
         t0 = time.time()
         dt = run_fn()
+        c1 = _cpu_ticks()
         # -1s margin: the scan thread may log a hit a moment before
         # run_fn's own clock started while the proc was already alive.
         procs = sentinel.procs_since(t0 - 1.0)
         if not procs and dt < 2 * sentinel.interval_s:
             procs = _scan_other_procs()
-        if not procs:
+        steal_frac = 0.0
+        if c0 is not None and c1 is not None and c1[1] - c0[1] > 200:
+            steal_frac = (c1[0] - c0[0]) / max(c1[1] - c0[1], 1)
+        steal_hit = steal_frac > _STEAL_FRAC_LIMIT and (
+            steal_state is not None
+            and steal_state.get("budget", 0) > 0
+        )
+        if not procs and not steal_hit:
             return dt
         retry_counts[name] = retry_counts.get(name, 0) + 1
+        if not procs and steal_hit:
+            steal_state["budget"] -= 1
+            steal_state.setdefault("retries", {})
+            steal_state["retries"][name] = (
+                steal_state["retries"].get(name, 0) + 1
+            )
         release_fn()
         sentinel.wait_idle()
-    contended[name] = procs[:2]
+    if procs:
+        contended[name] = procs[:2]
+    elif steal_frac > _STEAL_FRAC_LIMIT:
+        contended[name] = [f"steal:{steal_frac:.3f}"]
     return dt
 
 
@@ -667,6 +719,42 @@ def environment_probe() -> dict:
         load is not None and load > max(4.0, 0.25 * (os.cpu_count() or 32))
     )
     return probe
+
+
+def _summary_line(summary: dict, timings: dict, cap: int = 1800) -> str:
+    """Render the one stdout JSON line under the driver's tail budget.
+
+    The driver captures a hard ~2000-byte stdout TAIL and parses the
+    last JSON line in it (BENCH_r05/r06 recorded ``parsed: null`` when
+    a 3.5 KB line overflowed it), so the full 258-entry map can never
+    ride the line — it lives in BENCH_LOCAL.json. Two guarantees here:
+    (1) never print an unparseable line — optional blocks drop
+    largest-first if the base overflows; (2) fill the remaining budget
+    with per-query timings DESCENDING BY COST (round 11: PERF_r10's
+    comparator got zero per-query data from the line; the expensive
+    queries are where regressions and low-core scaling ratios live, and
+    cost-descending order makes the 8- and 32-core lines share their
+    top entries).
+    """
+    line = json.dumps(summary)
+    for drop in ("skew", "error_queries", "deep"):
+        if len(line) <= cap:
+            break
+        summary.pop(drop, None)
+        line = json.dumps(summary)
+    qmap: dict[str, float] = {}
+    summary["queries"] = qmap
+    for qname, qsec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        qmap[qname] = qsec
+        candidate = json.dumps(summary)
+        if len(candidate) > cap:
+            del qmap[qname]
+            break
+        line = candidate
+    if not qmap:
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    return line
 
 
 def main() -> None:
@@ -750,6 +838,7 @@ def main() -> None:
     sentinel = _IdleSentinel().start()
     contended: dict[str, list[str]] = {}
     retry_counts: dict[str, int] = {}
+    steal_state: dict = {"budget": _STEAL_RETRY_BUDGET, "retries": {}}
 
     def timed_run(name: str, at: str) -> float:
         return _measure_with_retry(
@@ -759,6 +848,7 @@ def main() -> None:
             release_state,
             contended,
             retry_counts,
+            steal_state=steal_state,
         )
 
     # Two passes per query, best kept: the first execution of each query
@@ -806,7 +896,19 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
 
-    if os.environ.get("SPARK_GRAFT_DEEP", "1") != "0" and sf == "0.1":
+    # Round 11: the deep/skew tiers only run at >= SPARK_GRAFT_DEEP_MIN_CPUS
+    # (default 16). The low-core sweep exists to measure how each BATTERY
+    # query scales with cores; the deep tier at sf1.0 is a 32-core
+    # data-bound regression guard, and re-running its 45x3 + skew runs at
+    # 8 cores quadrupled the sweep past the driver's timeout (round 10's
+    # 8-core run died rc=124 mid-battery with zero scaling data as the
+    # result). Battery queries are never gated.
+    deep_min_cpus = int(os.environ.get("SPARK_GRAFT_DEEP_MIN_CPUS", "16"))
+    if (
+        os.environ.get("SPARK_GRAFT_DEEP", "1") != "0"
+        and sf == "0.1"
+        and int(cpus) >= deep_min_cpus
+    ):
         deep_dir = os.environ.get("SPARK_GRAFT_DEEP_DIR", "/tmp/spark_graft_sf1.0")
         # Regenerate only when the MANIFEST stamp is missing or was built
         # from a different base/copies config — a regeneration changes
@@ -835,6 +937,13 @@ def main() -> None:
             make_scaled_sf(sf_dir, deep_dir, copies=10, spark=spark)
             with open(manifest_path) as fh:
                 manifest = json.load(fh)
+            # Regeneration writes ~10x data through this same JVM right
+            # before the first deep-tier timing; release its state and
+            # let the machine settle so deep query #1 measures the
+            # query, not the generator's residue (round-11 attribution
+            # of the flagship's fresh-boot-only deep inflation).
+            release_state()
+            sentinel.wait_idle()
         # Best-of-3 with the FULL [min, med, max] spread recorded
         # (round-7 lesson: the committed robot_pipeline_e2e deep number
         # was 2× its own controlled re-measurement — when the signed
@@ -843,16 +952,42 @@ def main() -> None:
         # comparability; `spread` makes the noise band part of the
         # signed record, so a future delta inside the band is
         # dismissible on paper.
+        def _jvm_gc_ms() -> int:
+            beans = (
+                spark._jvm.java.lang.management.ManagementFactory
+                .getGarbageCollectorMXBeans()
+            )
+            total, it = 0, beans.iterator()
+            while it.hasNext():
+                total += it.next().getCollectionTime()
+            return int(total)
+
         deep_timings = {}
         deep_spread = {}
+        # Round-11 attribution instrumentation: the deep flagships ran
+        # 5-8x their isolated-fresh-JVM cost in BOTH final r10 runs
+        # (mailing_pipeline_e2e 32.7/33.0 s in-bench vs 7.0 s isolated,
+        # identical code+data) — positional decay after the 516-run
+        # battery that release_state does not clear. Record per-run GC
+        # time and live storage-RDD count so the artifact itself says
+        # whether a slow deep run was GC debt or leaked blocks.
+        deep_diag: dict[str, list[list[float]]] = {}
         for name in DEEP_QUERIES:
             try:
                 # release_state between the deep runs too (round-10
                 # variance attribution): without it the spread measures
                 # leaked-block GC pressure, not the query.
                 ts = []
+                diag = deep_diag.setdefault(name, [])
                 for _ in range(3):
+                    g0 = _jvm_gc_ms()
+                    n_rdds = len(
+                        spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                    )
                     ts.append(timed_run(name, deep_dir))
+                    diag.append(
+                        [round(_jvm_gc_ms() - g0, 1), float(n_rdds)]
+                    )
                     release_state()
                 ts = sorted(ts)
                 deep_timings[name] = round(ts[0], 3)
@@ -866,6 +1001,9 @@ def main() -> None:
             "sf": 1.0,
             "queries": deep_timings,
             "spread": deep_spread,
+            # per run: [gc_ms_delta, live_storage_rdds_at_start] —
+            # attribution data for positional decay (round 11)
+            "diag": deep_diag,
             "total_sec": round(sum(deep_timings.values()), 3),
             "dir_hash": manifest["content_hash"],
         }
@@ -901,6 +1039,8 @@ def main() -> None:
                 deep_dir, skew_dir, spark=spark,
                 base_hash=manifest["content_hash"],
             )
+            release_state()  # same post-regeneration hygiene as the deep dir
+            sentinel.wait_idle()
         skew_timings = {}
         # jaccard_join_exact runs against the hot-DOCUMENT variant
         # (~1% of docs pairwise identical): its output is quadratic in
@@ -959,6 +1099,10 @@ def main() -> None:
         # count records how often the environment's periodic job was
         # dodged (and roughly how much wall the dodging cost).
         probe["contention_retries"] = dict(sorted(retry_counts.items())[:32])
+    if steal_state["retries"]:
+        # Subset of contention_retries triggered by the hypervisor-steal
+        # probe rather than a visible process (round-11 addition).
+        probe["steal_retries"] = dict(sorted(steal_state["retries"].items())[:32])
 
     local_copy = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(local_copy, "w") as fh:
@@ -991,15 +1135,17 @@ def main() -> None:
                 "queries": deep["skew"]["queries"],
                 "uniform_twin": deep["skew"]["uniform_twin"],
             }
-    line = json.dumps(summary)
-    # Hard guarantee the tail fits: drop optional blocks largest-first
-    # rather than ever printing an unparseable truncated line.
-    for drop in ("skew", "error_queries", "deep"):
-        if len(line) <= 1800:
-            break
-        summary.pop(drop, None)
-        line = json.dumps(summary)
-    print(line)
+    # Round 11: put as much of the per-query map as fits into the line
+    # itself — PERF_r10's comparator extracted ZERO per-query data
+    # because timings lived only in BENCH_LOCAL.json. The driver's
+    # stdout tail is a hard ~2000 bytes (BENCH_r05/r06 recorded
+    # parsed:null when a 3.5 KB line overflowed it), so all 258 entries
+    # can never fit; fill DESCENDING BY COST — the expensive queries
+    # are where regressions live and where low/high-core scaling
+    # ratios mean something — and leave the full map in
+    # BENCH_LOCAL.json as before. Additive: no existing field is
+    # removed, and the fill respects the same 1800-byte line cap.
+    print(_summary_line(summary, timings))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..detach import detach
 from ..session import cache_once
 
 from .text import tokens_of
@@ -451,7 +452,7 @@ def dedup_clusters(
                 )
                 # lazy: the changed-count below materializes the
                 # checkpoint and tests convergence in one job
-                .localCheckpoint(eager=False)
+                .transform(lambda d: detach(d, eager=False))
             )
             changed = updated.filter(F.col("__changed")).count()
             log.info("dedup_clusters round %d: %d labels changed", round_no, changed)
@@ -540,16 +541,17 @@ def dedup_clusters_star(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lambda d: detach(d, eager=True))
     )
     for round_no in range(1, max_iterations + 1):
         # lazy checkpoint: the star-forest aggregate below is the
         # round's single action — it materializes the checkpoint AND
         # answers convergence in one job (eager=True would spend a
         # separate materialization job first)
-        after = _star(
-            _star(edges, large=True, dedup=False), large=False
-        ).localCheckpoint(eager=False)
+        after = detach(
+            _star(_star(edges, large=True, dedup=False), large=False),
+            eager=False,
+        )
         edges = after
         # Convergence: stop as soon as the canonical edge set IS a star
         # forest — every dst has exactly one src and no node appears on

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..detach import detach
+
 _GRID = 2.0**40
 
 
@@ -35,7 +37,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     contract) with the same durability as ``localCheckpoint(eager=
     True)`` but without the eager form's separate store pass — measured
     ~1 s cheaper per call at sf0.1 (SCALING.md §pagerank)."""
-    out = df.localCheckpoint(eager=False)
+    out = detach(df, eager=False)
     out.count()
     return out
 
@@ -310,10 +312,12 @@ def bfs_hops(
             # detach per round — same doubled-lineage rationale as
             # sssp_weighted/random_walks (round 10)
             dist = (
-                dist.unionByName(reached)
-                .groupBy("node")
-                .agg(F.min("hop").alias("hop"))
-                .localCheckpoint(eager=False)
+                detach(
+                    dist.unionByName(reached)
+                    .groupBy("node")
+                    .agg(F.min("hop").alias("hop")),
+                    eager=False,
+                )
             )
         return _materialize(dist)
     finally:
@@ -553,10 +557,12 @@ def sssp_weighted(
             # per round — 2^max_rounds copies of the seed join by the
             # end (same fix as random_walks, round 10)
             dist = (
-                dist.unionByName(relaxed)
-                .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=False)
+                detach(
+                    dist.unionByName(relaxed)
+                    .groupBy("node")
+                    .agg(F.min("dist").alias("dist")),
+                    eager=False,
+                )
             )
         return _materialize(dist)
     finally:
@@ -647,7 +653,7 @@ def strongly_connected_components(
 
     def _step(df: DataFrame) -> tuple[DataFrame, int]:
         _budget()
-        out = df.localCheckpoint(eager=False)
+        out = detach(df, eager=False)
         return out, out.count()
 
     def _cut(df: DataFrame) -> DataFrame:
@@ -656,7 +662,7 @@ def strongly_connected_components(
         # materializes the lazy checkpoint exactly once; the explicit
         # count was a whole extra pass whose result was discarded
         _budget()
-        return df.localCheckpoint(eager=False)
+        return detach(df, eager=False)
 
     remaining, n_rem = _step(nodes)
     e = _cut(e)
@@ -892,7 +898,7 @@ def random_walks(
         # plan per step — 2^walk_length copies of step 1 by the end
         # (round 10: measured 27.8 -> 6.0 s min-of-3 at sf0.1;
         # exchange reuse hid some but not all of the recompute).
-        walkers = moved.unionByName(stopped).localCheckpoint(eager=False)
+        walkers = detach(moved.unionByName(stopped), eager=False)
     try:
         return _materialize(
             walkers.select(

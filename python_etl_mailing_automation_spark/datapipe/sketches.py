@@ -645,6 +645,8 @@ def quantile_sketch(
     *,
     key_cols: list[str] | None = None,
     n_bands: int = 64,
+    counts: DataFrame | None = None,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Mergeable rank-error quantile summary — the bounded-size
     companion to the exact ``weighted_quantiles``/``corpus_quantiles``
@@ -677,6 +679,17 @@ def quantile_sketch(
     Output: ``(key..., band, value, cum_cnt, n_rows)`` — ``band`` the
     highest rank band this row completes (1-based, ``<= n_bands``),
     ``cum_cnt`` the exact rank of the row's last occurrence.
+
+    ``counts`` (round 11, guide §2.1 — share the scan): a caller
+    building SEVERAL sketches from one source (sharded shards, per-split
+    summaries) can pass the exact pre-aggregated histogram
+    ``(key..., value_col, __c)`` directly — ``df`` is then not scanned
+    (the caller owns the missing-value filter; the result is identical
+    because the sketch is a pure function of the histogram).
+    ``boundaries`` passes a shared :func:`~.prefix.range_boundaries`
+    list to the ungrouped cumulative scan — boundary quality steers
+    balance only, never membership, so sharing one sample across
+    sketches changes nothing downstream.
     """
     if n_bands < 2:
         raise ValueError("quantile_sketch: n_bands must be >= 2")
@@ -686,14 +699,15 @@ def quantile_sketch(
     # isNotNull() alone would rank NaN as the LARGEST double (Spark sort
     # order) and let it win every high-p probe, and the streaming twin's
     # pandas dropna already removes it; both twins must agree.
-    missing = val.isNull()
-    if dict(df.dtypes).get(value_col) in ("float", "double"):
-        missing = missing | F.isnan(val)
-    counts = (
-        df.filter(~missing)
-        .groupBy(*keys, value_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    )
+    if counts is None:
+        missing = val.isNull()
+        if dict(df.dtypes).get(value_col) in ("float", "double"):
+            missing = missing | F.isnan(val)
+        counts = (
+            df.filter(~missing)
+            .groupBy(*keys, value_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
     if keys:
         wcum = (
             Window.partitionBy(*keys)
@@ -715,7 +729,10 @@ def quantile_sketch(
             counts,
             [value_col],
             {"__cum": "__c"},
-            boundary_source=df.select(val.alias(value_col)),
+            boundary_source=(
+                df.select(val.alias(value_col)) if boundaries is None else None
+            ),
+            boundaries=boundaries,
         )
         tot = run.agg(F.sum("__c").cast("long").alias("__n"))
         cum = run.crossJoin(F.broadcast(tot))

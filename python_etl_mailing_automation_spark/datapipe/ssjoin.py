@@ -37,6 +37,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..detach import detach
+
 
 def _tokens_and_prefix(
     df: DataFrame,
@@ -108,7 +110,8 @@ def _tokens_and_prefix(
         "__id",
         F.expr(f"size({arr_sql})").cast("long").alias("sz"),
         F.explode(F.expr(arr_sql)).alias("tok"),
-    ).select("__id", "tok", "sz").localCheckpoint(eager=False)
+    ).select("__id", "tok", "sz")
+    toks = detach(toks, eager=False)
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     ranked = toks.join(freq, on="tok").withColumn(
         "pos",
@@ -397,7 +400,7 @@ def containment_dedup(
                 )
             )
             .select("id_a", "id_b")
-            .localCheckpoint(eager=True)
+            .transform(lambda d: detach(d, eager=True))
         )
     finally:
         toks.unpersist()
@@ -414,7 +417,7 @@ def containment_dedup(
             pairs_r.join(contained, on="id_b", how="left_anti")
             .select(F.col("id_a").alias(id_col))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(lambda d: detach(d, eager=False))
         )
         if drops.count() == 0:
             break
@@ -426,7 +429,7 @@ def containment_dedup(
             .join(
                 drops.select(F.col(id_col).alias("id_b")), on="id_b", how="left_anti"
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda d: detach(d, eager=False))
         )
     if ledger is None:
         return df

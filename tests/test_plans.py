@@ -24,6 +24,31 @@ def plans(spark, sf_dir):
     return plan_of
 
 
+@pytest.fixture(scope="module")
+def battery(spark, sf_dir):
+    """ONE planning pass over every registered query, shared by the
+    battery-wide lints below. Each of the three whole-battery tests
+    used to rebuild and re-plan all 258 queries itself (~220 s each,
+    ~11 min of the suite — the round-10 driver pytest run timed out at
+    77% partly on this); the QueryExecution caches its analyzed/
+    physical plans, so schema + both explain renderings cost one
+    planning pass per query total."""
+    import __spark_entry__ as e
+
+    out = {}
+    for name, fn in e.queries().items():
+        df = fn(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+
+        def _render(mode: str, qe=qe):
+            return qe.explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            )
+
+        out[name] = (df.schema, _render("formatted"), _render("simple"))
+    return out
+
+
 def test_windowed_sum_single_shuffle(plans):
     p = plans("per_key_windowed_sum")
     assert p.count("Exchange hashpartitioning") == 1
@@ -132,25 +157,15 @@ def _python_eval_nodes(plan: str, *, allow_map_in_pandas: bool = False):
     return [f for f in families if f in plan]
 
 
-def test_no_python_evaluation_in_any_query_plan(spark, sf_dir):
+def test_no_python_evaluation_in_any_query_plan(battery):
     """The engine's promise: everything stays JVM-side. No row-wise,
     Arrow, or grouped-pandas Python evaluation in any entry query plan —
     the sole exceptions are the multimodal queries, whose mapInPandas
-    decode stage is the point."""
-    import __spark_entry__ as e
-
-    for name, fn in e.queries().items():
-        plan = (
-            fn(spark, sf_dir)
-            ._jdf.queryExecution()
-            .explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"  # simple mode omits codegen span markers
-                )
-            )
-        )
+    decode stage is the point. (Formatted mode — simple omits codegen
+    span markers.)"""
+    for name, (_schema, formatted, _simple) in battery.items():
         bad = _python_eval_nodes(
-            plan, allow_map_in_pandas=name in _PANDAS_EVAL_WHITELIST
+            formatted, allow_map_in_pandas=name in _PANDAS_EVAL_WHITELIST
         )
         assert not bad, f"{name} has Python eval stages: {bad}"
         # (Codegen spans only render on executed/final AQE plans, so
@@ -191,7 +206,7 @@ def test_python_eval_detector_catches_grouped_pandas(spark):
     assert "MapInPandas" in _python_eval_nodes(_plan(mapped))
 
 
-def test_no_complex_output_columns_in_any_query(spark, sf_dir):
+def test_no_complex_output_columns_in_any_query(battery):
     """Driver-canonicalizer output contract: the driver sorts the raw
     pandas result frame before stringifying, so an ARRAY/MAP/STRUCT
     output column crashes it with ``unhashable type: 'list'`` (the
@@ -200,11 +215,9 @@ def test_no_complex_output_columns_in_any_query(spark, sf_dir):
     before returning."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    import __spark_entry__ as e
-
     offenders = []
-    for name, fn in e.queries().items():
-        for field in fn(spark, sf_dir).schema.fields:
+    for name, (schema, _formatted, _simple) in battery.items():
+        for field in schema.fields:
             if isinstance(field.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
     assert not offenders, f"complex output columns would crash the driver: {offenders}"
@@ -1100,26 +1113,15 @@ def _unpartitioned_window_violations(plan: str) -> list[str]:
     return bad
 
 
-def test_no_raw_table_global_window_in_any_query(spark, sf_dir):
+def test_no_raw_table_global_window_in_any_query(battery):
     """Battery-wide scale lint: an unpartitioned Window (single-task
     global sort — the WindowExec warning in bench tails) is allowed ONLY
     on frames bounded by construction (aggregate- or limit-derived,
     e.g. KMV's 2k-row sketch merge). A global window over a raw table is
     the one plan shape that cannot survive 100×, so it fails here."""
-    import __spark_entry__ as e
-
     offenders = {}
-    for name, fn in e.queries().items():
-        plan = (
-            fn(spark, sf_dir)
-            ._jdf.queryExecution()
-            .explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "simple"
-                )
-            )
-        )
-        bad = _unpartitioned_window_violations(plan)
+    for name, (_schema, _formatted, simple) in battery.items():
+        bad = _unpartitioned_window_violations(simple)
         if bad:
             offenders[name] = bad
     assert not offenders, f"raw-table global windows: {offenders}"

@@ -289,6 +289,89 @@ def test_bench_measure_with_retry_redoes_contended_runs():
     assert contended == {"q": ["java foreign"]}
 
 
+def test_bench_steal_probe_triggers_re_measure(monkeypatch):
+    """Round 11: a run during which the hypervisor stole >5% of the
+    machine is re-measured through the same retry path as a foreign
+    process (the sentinel cannot see steal — it is not a process), and
+    only a still-stolen final attempt stamps `contended`."""
+    import bench
+
+    class IdleSentinel:
+        interval_s = 5.0
+
+        def procs_since(self, t0):
+            return []
+
+        def wait_idle(self, max_wait_s=180.0):
+            return True
+
+    # tick stream: attempt 1 sees 10% steal, attempt 2 runs clean
+    ticks = iter([(0, 0), (1000, 10000), (1000, 10000), (1010, 20000)])
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: next(ticks))
+    contended, retries = {}, {}
+    steal = {"budget": 10, "retries": {}}
+    dt = bench._measure_with_retry(
+        "q", lambda: 10.0, IdleSentinel(), lambda: None,
+        contended, retries, steal_state=steal,
+    )
+    assert dt == 10.0 and contended == {}
+    assert steal["retries"] == {"q": 1} and steal["budget"] == 9
+
+    # persistent steal: bounded attempts, then stamped with the fraction
+    monkeypatch.setattr(
+        bench, "_cpu_ticks",
+        lambda c=iter(range(100)): (next(c) * 1000, next(c) * 10000),
+    )
+    contended, retries = {}, {}
+    steal = {"budget": 10, "retries": {}}
+    bench._measure_with_retry(
+        "q", lambda: 10.0, IdleSentinel(), lambda: None,
+        contended, retries, steal_state=steal,
+    )
+    assert list(contended) == ["q"] and contended["q"][0].startswith("steal:")
+
+    # exhausted budget: steal no longer triggers retries (numbers are
+    # kept; a chronically-stolen boot must not triple the sweep)
+    monkeypatch.setattr(
+        bench, "_cpu_ticks",
+        lambda c=iter(range(100)): (next(c) * 1000, next(c) * 10000),
+    )
+    contended, retries = {}, {}
+    steal = {"budget": 0, "retries": {}}
+    dt = bench._measure_with_retry(
+        "q", lambda: 10.0, IdleSentinel(), lambda: None,
+        contended, retries, steal_state=steal,
+    )
+    assert dt == 10.0 and retries == {} and contended == {}
+
+
+def test_bench_summary_line_fills_queries_by_cost():
+    """Round 11: the stdout line carries as many per-query timings as
+    fit under the tail cap, most expensive first; the base fields and
+    parseability are never sacrificed."""
+    import json
+
+    import bench
+
+    base = {"metric": "m", "value": 1.0, "unit": "sec", "n_queries": 3,
+            "sec_per_query": 0.3, "sf": 0.1, "queries_detail": "x"}
+    timings = {f"query_{i:03d}": float(i) for i in range(200)}
+    line = bench._summary_line(dict(base), timings, cap=600)
+    assert len(line) <= 600
+    parsed = json.loads(line)
+    qs = parsed["queries"]
+    # most expensive first: every included entry outranks every excluded
+    assert qs and max(set(timings) - set(qs), key=lambda k: timings[k]) not in qs
+    assert min(qs.values()) >= max(
+        v for k, v in timings.items() if k not in qs
+    )
+
+    # cap below even one entry: queries dropped entirely, line parseable
+    line = bench._summary_line(dict(base), timings, cap=120)
+    parsed = json.loads(line)
+    assert "queries" not in parsed and parsed["metric"] == "m"
+
+
 def test_rotation_never_signed_tier_precedes_stale_and_signed():
     """Round-9 tiering: with never-signed + changed-since-signed queries
     together oversubscribing the driver's ~50-row CORRECTNESS window,
